@@ -1,0 +1,356 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions, scalar-function families, ASOF join, and UNNEST-style
+  * surfaces of the reference dialect (SURVEY.md §2.4 ASOF, §2.6, §2.8).
+  *
+  * ASOF JOIN is the one operator here with no Spark built-in (SURVEY §7.5):
+  * it is re-expressed as a union + `last(_, ignoreNulls)` running window,
+  * which is a single shuffle on (key) + one sort — the same cost profile as
+  * a sort-merge ASOF and fully distributed (no driver loops), so it scales
+  * to 100 TB the same way any windowed aggregation does.
+  */
+object Analytic {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // ---- ranking window functions (ties exercised via bucketed key)
+    "q16_window_rank" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val unique = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      val tied = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(floor(col("o_totalprice") / lit(10000.0)).cast(IntegerType).desc_nulls_last)
+      o.select(
+          col("o_orderstatus"), col("o_orderkey"),
+          row_number().over(unique).as("rn"),
+          ntile(4).over(unique).as("quartile"),
+          rank().over(tied).as("rnk"),
+          dense_rank().over(tied).as("drnk"),
+          percent_rank().over(tied).as("prnk"),
+          cume_dist().over(tied).as("cd"))
+        .filter(col("rn") <= 50)
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("rn").asc_nulls_first)
+    },
+
+    // ---- analytic window functions: lead/lag/first/nth
+    "q17_window_analytic" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("event_type")).over(w).as("first_type"),
+          nth_value(col("value"), 2).over(w).as("second_value"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+
+    // ---- window frames: ROWS running/moving, RANGE by numeric offset
+    "q18_window_frames" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving = byUser.rowsBetween(-3, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(running).cast(DoubleType).as("running_sum"),
+          sum(col("value").cast(DecimalType(18, 2))).over(moving).cast(DoubleType).as("moving_sum"),
+          expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
+                 |RANGE BETWEEN CAST(10.0 AS DOUBLE) PRECEDING AND CURRENT ROW)""".stripMargin)
+            .as("n_near_value"))
+        .orderBy(col("event_id").asc_nulls_first)
+    },
+
+    // ---- string function family
+    "q19_strings" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          regexp_replace(col("c_name"), "[0-9]+", "N").as("no_digits"),
+          instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast(LongType).as("lev"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlate"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    },
+
+    // ---- date/time function family
+    "q20_dates" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+            .as("days_since"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("due_date"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+
+    // ---- JSON extraction (events.props is a JSON string column)
+    "q21_json" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k").cast(LongType)).as("sum_k"),
+          (sum(col("k").cast(LongType)).cast(DoubleType) / count(col("k"))).as("avg_k"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+
+    // ---- CASE WHEN / COALESCE / NULLIF
+    "q22_case_null" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("bucket",
+          when(col("l_quantity") > 40, "huge")
+            .when(col("l_quantity") > 25, "high")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("low"))
+        .withColumn("disc_or_flag", coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("disc_or_flag") === -1.0, 1)).as("n_no_discount"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("bucket").asc_nulls_first)
+    },
+
+    // ---- ASOF join: for each click, the latest same-user purchase at/before it.
+    // Spark re-expression: union both sides, running last(purchase_id) window.
+    "q23_asof_join" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast(LongType).as("p_id"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("event_id").as("p_id"), lit(null).cast(LongType).as("click_id"))
+      // side=0 (purchase) sorts before side=1 (click) at equal ts, matching
+      // ASOF's inclusive `click.ts >= purchase.ts` bound.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("side").asc_nulls_first,
+          col("p_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("matched_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("click_id"), col("matched_purchase"))
+        .orderBy(col("click_id").asc_nulls_first)
+    },
+
+    // ---- explode/unnest: word frequencies over documents
+    "q24_explode_words" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc_nulls_last, col("word").asc_nulls_first)
+        .limit(30)
+    },
+
+    // ---- exact quantiles (interpolated, matches DuckDB quantile_cont)
+    "q25_quantiles" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+
+    // ---- ordered string aggregation (sorted to be engine-independent)
+    "q26_string_agg" -> { (s, dir) =>
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"),
+          count(lit(1)).as("n_sup"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+
+    // ---- pivot (conditional aggregation into columns)
+    "q27_pivot" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id").asc_nulls_first)
+    },
+
+    // ---- approximate aggregates (rows-only check: HLL/KLL sketches are
+    // engine-specific by design; SURVEY §2.5)
+    "q28_approx" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy(col("event_type").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q16_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn,
+        |    NTILE(4) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS quartile,
+        |    RANK() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(FLOOR(o_totalprice / CAST(10000.0 AS DOUBLE)) AS INT) DESC NULLS LAST) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(FLOOR(o_totalprice / CAST(10000.0 AS DOUBLE)) AS INT) DESC NULLS LAST) AS drnk,
+        |    PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(FLOOR(o_totalprice / CAST(10000.0 AS DOUBLE)) AS INT) DESC NULLS LAST) AS prnk,
+        |    CUME_DIST() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(FLOOR(o_totalprice / CAST(10000.0 AS DOUBLE)) AS INT) DESC NULLS LAST) AS cd
+        |  FROM orders) t
+        |WHERE rn <= 50
+        |ORDER BY o_orderstatus ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q17_window_analytic" ->
+      """SELECT event_id, user_id,
+        |  LAG("value", 1) OVER w AS prev_value,
+        |  LEAD("value", 1) OVER w AS next_value,
+        |  FIRST_VALUE(event_type) OVER w AS first_type,
+        |  NTH_VALUE("value", 2) OVER w AS second_value
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "q18_window_frames" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+        |  COUNT(*) OVER (PARTITION BY event_type ORDER BY "value"
+        |    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_near_value
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "q19_strings" ->
+      """SELECT c_custkey,
+        |  LOWER(c_name) AS lname,
+        |  SUBSTRING(c_name, 1, 8) AS prefix,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  REGEXP_REPLACE(c_name, '[0-9]+', 'N', 'g') AS no_digits,
+        |  CAST(STRPOS(c_name, '#') AS BIGINT) AS hash_pos,
+        |  CAST(LEVENSHTEIN(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+        |  CONCAT_WS('-', c_mktsegment, c_name) AS tagged,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS xlate
+        |FROM customer
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q20_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INT) AS y,
+        |  CAST(date_part('month', o_orderdate) AS INT) AS m,
+        |  CAST(date_part('day', o_orderdate) AS INT) AS d,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q21_json" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q22_case_null" ->
+      s"""SELECT bucket, COUNT(*) AS n,
+         |  COUNT(*) FILTER (WHERE disc_or_flag = -1.0) AS n_no_discount,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM (SELECT
+         |    CASE WHEN l_quantity > 40 THEN 'huge'
+         |         WHEN l_quantity > 25 THEN 'high'
+         |         WHEN l_quantity > 10 THEN 'mid'
+         |         ELSE 'low' END AS bucket,
+         |    COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_flag,
+         |    l_extendedprice
+         |  FROM lineitem)
+         |GROUP BY bucket
+         |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS matched_purchase
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id ASC NULLS FIRST""".stripMargin,
+
+    "q24_explode_words" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word
+        |ORDER BY n DESC NULLS LAST, word ASC NULLS FIRST
+        |LIMIT 30""".stripMargin,
+
+    "q25_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  MIN(l_quantity) AS qmin,
+        |  MAX(l_quantity) AS qmax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q26_string_agg" ->
+      """SELECT n_name,
+        |  STRING_AGG(s_name, ',' ORDER BY s_name ASC) AS suppliers,
+        |  COUNT(*) AS n_sup
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS "error"
+        |FROM events
+        |WHERE user_id < 20
+        |GROUP BY user_id
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin
+    // q28_approx intentionally has no oracle: sketch values are
+    // engine-specific (driver records the weaker rows-only check).
+  )
+}

@@ -1,0 +1,365 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface of the reference (SURVEY.md §2.3–§2.5, §2.7).
+  *
+  * The reference delegates all of this to embedded DuckDB through the two
+  * passthrough calls (reference `db/db.go:52` write, `db/db.go:70` read);
+  * here each capability is re-expressed as a declarative DataFrame plan so
+  * Catalyst gets to push filters to parquet, prune columns, and pick join
+  * strategies. Dimension tables (region/nation/supplier/part/customer) are
+  * explicitly `broadcast()` where they join a fact table — at 100 TB the
+  * fact side never shuffles for those joins.
+  *
+  * Determinism contract with the DuckDB oracle: see [[Det]]; every query
+  * ends in a total ORDER BY with explicit null ordering (Spark defaults to
+  * NULLS FIRST for ASC — the oracle SQL spells it out since DuckDB defaults
+  * to NULLS LAST).
+  */
+object Relational {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // ---- scan → filter → hash-agg → sort (TPC-H Q1 style pricing summary)
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          sum(money(col("l_extendedprice")) * (oneRate - rate(col("l_discount")))
+              * (oneRate + rate(col("l_tax"))))
+            .cast(DoubleType).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- projection + predicate zoo: IN / BETWEEN / LIKE / boolean mix
+    "q02_filter_project" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .filter(
+          col("p_size").between(10, 30) &&
+          col("p_type").isin("ECONOMY", "PROMO", "STANDARD") &&
+          col("p_name").like("%widget%") &&
+          !(col("p_brand") === "Brand#13"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          (money(col("p_retailprice")) * lit(1.1).cast(DecimalType(4, 2)))
+            .cast(DoubleType).as("marked_up"),
+          col("p_size"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    },
+
+    // ---- 3-way join, group, top-k revenue (TPC-H Q3 style)
+    "q03_topk_revenue" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1997-06-01").cast(TimestampType))
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-06-01").cast(TimestampType))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(
+          col("l_orderkey"),
+          col("revenue"),
+          col("o_orderdate").cast(DateType).as("odate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc_nulls_last, col("l_orderkey").asc_nulls_first)
+        .limit(10)
+    },
+
+    // ---- left outer join, per-order line stats (orders with no lines kept)
+    "q04_join_left" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(col("l_orderkey")).as("n_lines"),
+          coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_qty"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+
+    // ---- 6-way star join with two broadcast dims (TPC-H Q5 style)
+    "q05_star_join" -> { (s, dir) =>
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_first)
+    },
+
+    // ---- conditional aggregation (FILTER / CASE WHEN inside agg)
+    "q06_cond_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          dsum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(lit(0.0)))
+            .as("bulk_revenue"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("l_returnflag").asc_nulls_first)
+    },
+
+    // ---- semi/anti join semantics (EXISTS / NOT EXISTS decorrelated)
+    "q07_semi_anti" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val oKeys = Tables(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(broadcast(oKeys), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_custkey")).as("n_with_orders"),
+          (count(lit(1)) - count(col("o_custkey"))).as("n_without_orders"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    },
+
+    // ---- full outer join with both-side-only counts
+    "q08_full_outer" -> { (s, dir) =>
+      val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("k")).distinct()
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("k2")).distinct()
+      rich.join(big, col("k") === col("k2"), "full")
+        .agg(
+          count(when(col("k").isNotNull && col("k2").isNotNull, 1)).as("n_both"),
+          count(when(col("k2").isNull, 1)).as("n_rich_only"),
+          count(when(col("k").isNull, 1)).as("n_big_only"))
+    },
+
+    // ---- cross join (tiny × tiny)
+    "q09_cross_join" -> { (s, dir) =>
+      val r = Tables(s, dir, "region").select(col("r_name"))
+      val st = Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()
+      r.crossJoin(st)
+        .orderBy(col("r_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    },
+
+    // ---- set operations: UNION / INTERSECT / EXCEPT as labeled counts
+    "q10_setops" -> { (s, dir) =>
+      val a = Tables(s, dir, "customer").filter(col("c_acctbal") < 1000.0)
+        .select(col("c_custkey").as("k"))
+      val b = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+        .select(col("o_custkey").as("k"))
+      def counted(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).withColumn("op", lit(name)).select(col("op"), col("n"))
+      counted("union", a.union(b).distinct())
+        .unionByName(counted("union_all", a.union(b)))
+        .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("except", a.except(b)))
+        .orderBy(col("op").asc_nulls_first)
+    },
+
+    // ---- ROLLUP with GROUPING() flags
+    "q11_rollup" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
+        .orderBy(
+          col("g_status").asc_nulls_first, col("g_prio").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- CUBE
+    "q12_cube" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(
+          col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+    },
+
+    // ---- HAVING (post-aggregation filter)
+    "q13_having" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), davg(col("c_acctbal")).as("avg_bal"))
+        .filter(col("n_cust") >= 5)
+        .orderBy(col("c_nationkey").asc_nulls_first)
+    },
+
+    // ---- DISTINCT aggregates
+    "q14_count_distinct" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+
+    // ---- scalar subquery (orders above global deterministic average)
+    "q15_scalar_subquery" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val avgPrice = o.agg(davg(col("o_totalprice")).as("ap"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("sum_above"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  $revenueSumSql AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         |    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(4,2)) AS DOUBLE) AS marked_up,
+        |  p_size
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |  AND p_type IN ('ECONOMY','PROMO','STANDARD')
+        |  AND p_name LIKE '%widget%'
+        |  AND NOT (p_brand = 'Brand#13')
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "q03_topk_revenue" ->
+      s"""SELECT l_orderkey,
+         |  $revenueSumSql AS revenue,
+         |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+         |LIMIT 10""".stripMargin,
+
+    "q04_join_left" ->
+      s"""SELECT o_orderkey, COUNT(l_orderkey) AS n_lines,
+         |  COALESCE(${dsumSql("l_quantity")}, CAST(0.0 AS DOUBLE)) AS sum_qty
+         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey
+         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q05_star_join" ->
+      s"""SELECT n_name,
+         |  $revenueSumSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q06_cond_agg" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+         |  ${dsumSql("CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE CAST(0.0 AS DOUBLE) END")} AS bulk_revenue,
+         |  COUNT(*) AS n_total
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q07_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  COUNT(o_custkey) AS n_with_orders,
+        |  COUNT(*) - COUNT(o_custkey) AS n_without_orders
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q08_full_outer" ->
+      """SELECT
+        |  COUNT(*) FILTER (WHERE k IS NOT NULL AND k2 IS NOT NULL) AS n_both,
+        |  COUNT(*) FILTER (WHERE k2 IS NULL) AS n_rich_only,
+        |  COUNT(*) FILTER (WHERE k IS NULL) AS n_big_only
+        |FROM (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0) a
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders WHERE o_totalprice > 150000.0) b
+        |ON a.k = b.k2""".stripMargin,
+
+    "q09_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q10_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 1000.0),
+        |     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
+        |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |ORDER BY op ASC NULLS FIRST""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY g_status ASC NULLS FIRST, g_prio ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q12_cube" ->
+      s"""SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+         |  ${dsumSql("\"value\"")} AS sum_value
+         |FROM events
+         |GROUP BY CUBE (event_type, user_id % 10)
+         |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+
+    "q13_having" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_cust, ${davgSql("c_acctbal")} AS avg_bal
+         |FROM customer
+         |GROUP BY c_nationkey
+         |HAVING COUNT(*) >= 5
+         |ORDER BY c_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "q14_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prios,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q15_scalar_subquery" ->
+      s"""SELECT COUNT(*) AS n_above, ${dsumSql("o_totalprice")} AS sum_above
+         |FROM orders
+         |WHERE o_totalprice > (SELECT ${davgSql("o_totalprice")} FROM orders)""".stripMargin)
+}
