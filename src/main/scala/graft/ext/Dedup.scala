@@ -1,0 +1,171 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (extension surface, SURVEY.md §2.11 — not in the reference, which
+  * exposes only what DuckDB SQL can say through `db/db.go:70`).
+  *
+  * Scale design: every op is shuffle-bounded by (doc_id | shingle | band
+  * bucket) keys — no cross joins over the corpus. The LSH band join is the
+  * only quadratic-risk step and it is quadratic *per bucket*, which is the
+  * standard MinHash-LSH trade; exact-dup removal (x01) is assumed to run
+  * first at 100 TB so identical texts don't all land in one bucket.
+  */
+object Dedup {
+  import TextOps._
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** 64-wide MinHash signature per doc: m_i = min over shingles of
+    * xxhash64(i, shingle). One shuffle (groupBy doc_id), 64 partial-agg
+    * mins — map-side combine keeps the shuffle at 64 longs per doc. */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val sh = shingleTable(docs)
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, band_key) — docs sharing any band key are candidates. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** Exact word-shingle Jaccard for given candidate pairs (a < b). */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val sh = shingleTable(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("n_inter").cast(DoubleType) /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter"))).as("jacc"))
+  }
+
+  /** 64-bit SimHash per doc from word hashes (sign-aggregated bits). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val agg = w.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: keep lowest doc_id per identical text
+    "x01_dedup_exact" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id").asc_nulls_first)
+    },
+
+    // ---- MinHash-LSH near-dup candidates, exact-Jaccard verified.
+    // Rows-only check: the hash family is engine-specific, but the *final*
+    // output is verified pairs, deterministic for a given corpus.
+    "x02_dedup_minhash" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bands = lshBands(minhashSignature(docs))
+      val cand = bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      verifyJaccard(docs, cand)
+        .filter(col("jacc") >= 0.5)
+        .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+    },
+
+    // ---- SimHash near-dup: 16-bit band blocking + Hamming<=3 verification
+    "x03_dedup_simhash" -> { (s, dir) =>
+      val sig = simhash(Tables(s, dir, "documents"))
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bk"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bk"))
+      banded.as("l")
+        .join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+    },
+
+    // ---- exact n-gram Jaccard over a bounded window (oracle-checked):
+    // all-pairs via shingle-key join (not a cross join), doc_id < 500
+    "x04_dedup_ngram_jaccard" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = shingleTable(docs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("sa")
+        .join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .withColumn("jacc",
+          col("n_inter").cast(DoubleType) /
+            (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
+        .filter(col("jacc") >= 0.5)
+        .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
+
+    "x04_dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t)
+        |  WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id)
+        |SELECT a, b,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 4) AS jacc
+        |FROM inter
+        |JOIN sz za ON a = za.doc_id
+        |JOIN sz zb ON b = zb.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin)
+}

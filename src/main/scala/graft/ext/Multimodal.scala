@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (extension surface, SURVEY.md §2.11).
+  *
+  * Images/audio/video are carried as opaque `binary` payloads + a typed
+  * metadata struct. The media *decode* itself is STUBBED (no codec
+  * libraries in this container): [[fakeDecodePayload]] derives a
+  * deterministic 16-byte payload from the document text, standing in for
+  * real image bytes. Everything around the stub — schema, batch shape,
+  * partition-parallel feature extraction via a native Catalyst
+  * [[ByteHistogram]] expression — is real and tested, so swapping in a
+  * true decoder is a one-function change.
+  */
+object Multimodal {
+  /** Native Catalyst expression: histogram of a binary column's bytes into
+    * `buckets` equal ranges, returned as array<long>. Runs per-row inside
+    * the task (fully distributed); CodegenFallback keeps it simple — the
+    * surrounding projections still codegen. */
+  case class ByteHistogram(child: Expression, buckets: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val counts = new Array[Long](buckets)
+      val width = 256 / buckets
+      var i = 0
+      while (i < bytes.length) {
+        counts((bytes(i) & 0xFF) / width) += 1L
+        i += 1
+      }
+      new GenericArrayData(counts)
+    }
+    override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+      copy(child = newChild)
+  }
+
+  def byteHistogram(c: Column, buckets: Int = 8): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(ByteHistogram(ColumnShim.expression(c), buckets))
+  }
+
+  /** STUB decode: deterministic fake payload (md5 bytes of the text). A real
+    * deployment replaces this one function with an image/audio decode. */
+  def fakeDecodePayload(text: Column): Column = unhex(md5(text))
+
+  /** documents → multimodal frame: (doc_id, payload binary, meta struct). */
+  def asMultimodal(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      fakeDecodePayload(col("text")).as("payload"),
+      struct(
+        lit("image/fake").as("mime"),
+        col("n_chars").as("source_chars"),
+        col("source").as("origin")).as("meta"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- feature extraction over binary payloads (rows-only check: the
+    // histogram expression is exercised precisely in MultimodalSpec)
+    "x12_multimodal_features" -> { (s, dir) =>
+      val mm = asMultimodal(Tables(s, dir, "documents"))
+        .withColumn("n_bytes", length(col("payload")).cast(LongType))
+        .withColumn("hist", byteHistogram(col("payload"), 8))
+      mm.select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("meta.origin").as("origin"),
+          element_at(col("hist"), 1).as("b0"),
+          element_at(col("hist"), 2).as("b1"),
+          aggregate(col("hist"), lit(0L), (acc, x) => acc + x).as("hist_total"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+
+    // ---- per-source payload profile (aggregation over binary metadata)
+    "x13_multimodal_profile" -> { (s, dir) =>
+      asMultimodal(Tables(s, dir, "documents"))
+        .groupBy(col("meta.origin").as("origin"))
+        .agg(
+          count(lit(1)).as("n_payloads"),
+          sum(length(col("payload"))).cast(LongType).as("total_bytes"),
+          countDistinct(col("payload")).as("n_distinct_payloads"))
+        .orderBy(col("origin").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    // The histogram expression itself is engine-specific; the profile is
+    // SQL-expressible because the stub decode (md5) exists in DuckDB too.
+    "x13_multimodal_profile" ->
+      """SELECT source AS origin, COUNT(*) AS n_payloads,
+        |  CAST(SUM(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT unhex(md5(text))) AS n_distinct_payloads
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY origin ASC NULLS FIRST""".stripMargin)
+}

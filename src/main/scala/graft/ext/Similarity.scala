@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (extension surface, SURVEY.md §2.11).
+  *
+  * Two paths:
+  *  - [[queries x10_cosine_topk]]: brute-force cosine top-k — the exact
+  *    baseline. Query side is broadcast; the corpus side streams through a
+  *    single pass (no shuffle of the big side until the final per-query
+  *    top-k window, which is tiny). This is the right plan at any corpus
+  *    size *when the query set is small*.
+  *  - [[queries x11_ann_ivf]]: IVF-style cell-probed search — the scale
+  *    path. Corpus is partitioned into cells by nearest centroid (one
+  *    broadcast join), queries probe only their 2 nearest cells. At 100 TB
+  *    the per-query work drops from |corpus| to |probed cells|.
+  *
+  * All dot products run as codegen'd higher-order functions over
+  * `array<double>` (sequential fold — same summation order as the oracle's
+  * `list_inner_product`, so values are reproducible bit-for-bit; results
+  * additionally rounded to 5 digits in the contract output).
+  */
+object Similarity {
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** embeddings as (vec_id, v: array<double>, nrm). */
+  def normed(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  private def topkPerQuery(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+    pairs.withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("vec_id"), round(col("sim"), 5).as("sim"))
+      .orderBy(col("q_id").asc_nulls_first, col("nn_rank").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact brute-force cosine top-5 for 8 fixed query vectors
+    "x10_cosine_topk" -> { (s, dir) =>
+      val e = normed(s, dir)
+      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("q_id") < 8)
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+      topkPerQuery(pairs, 5)
+    },
+
+    // ---- IVF cell-probe ANN: 16 centroids, 2-cell probe, top-5.
+    // Rows-only check (ANN recall < 1 by design).
+    "x11_ann_ivf" -> { (s, dir) =>
+      val e = normed(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      // assign every vector to its nearest centroid (broadcast join; ties → lowest cid)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"), col("v"), col("nrm"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"), col("v"), col("nrm"), (-col("best.ncid")).as("cell"))
+      // queries probe their 2 nearest cells
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("psim").desc_nulls_last, col("cid").asc_nulls_first)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("psim", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= 2)
+        .select(col("q_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
+      val pairs = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+      topkPerQuery(pairs, 5)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x10_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+        |         list_inner_product(x.v, q.v) / (x.nrm * q.nrm) AS sim
+        |  FROM n x, n q
+        |  WHERE q.vec_id < 8 AND x.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS INT) AS nn_rank
+        |  FROM pairs)
+        |SELECT q_id, nn_rank, vec_id, ROUND(sim, 5) AS sim
+        |FROM ranked
+        |WHERE nn_rank <= 5
+        |ORDER BY q_id ASC NULLS FIRST, nn_rank ASC NULLS FIRST""".stripMargin)
+}

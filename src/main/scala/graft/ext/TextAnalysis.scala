@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (extension surface,
+  * SURVEY.md §2.11): quality stats, language-ID heuristic, token counting,
+  * document fingerprinting. All single-pass, codegen'd column expressions —
+  * per-document work with no shuffle except the final aggregations.
+  */
+object TextAnalysis {
+  import TextOps._
+
+  val queries: Map[String, Q] = Map(
+    // ---- per-document quality stats
+    "x05_text_stats" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast(LongType))
+        .withColumn("n_stop",
+          size(filter(col("ws"), w => w === "the" || w === "a")).cast(LongType))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          col("n_stop"),
+          (col("n_stop").cast(DoubleType) / col("n_words")).as("stop_ratio"),
+          (length(replace(col("text"), lit(" "), lit(""))).cast(DoubleType) / col("n_words"))
+            .as("avg_word_len"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+
+    // ---- corpus profile per language label
+    "x06_lang_profile" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang").asc_nulls_first)
+    },
+
+    // ---- language-ID heuristic (stopword-marker scoring; deterministic
+    // CASE so the oracle can replay the identical classifier)
+    "x07_lang_id" -> { (s, dir) =>
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def occurrences(marker: String) =
+        ((length(padded) - length(replace(padded, lit(s" $marker "), lit(" "))))
+          / (marker.length + 1)).cast(LongType)
+      Tables(s, dir, "documents")
+        .withColumn("n_the", occurrences("the"))
+        .withColumn("n_a", occurrences("a"))
+        .withColumn("predicted",
+          when(col("n_the") >= 3, "en_like")
+            .when(col("n_the") >= 1, "en_trace")
+            .when(col("n_a") >= 1, "article_only")
+            .otherwise("unknown"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("predicted").asc_nulls_first)
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation
+    "x08_token_count" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast(LongType).as("re_tokens"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+
+    // ---- document fingerprinting: content hash + prefix bucket
+    "x09_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(lower(col("text"))).as("fp"),
+          substring(md5(lower(col("text"))), 1, 4).as("bucket"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x05_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w = 'the' OR w = 'a')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x06_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    "x07_lang_id" ->
+      """WITH scored AS (
+        |  SELECT
+        |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS n_the,
+        |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS n_a
+        |  FROM documents)
+        |SELECT CASE WHEN n_the >= 3 THEN 'en_like'
+        |            WHEN n_the >= 1 THEN 'en_trace'
+        |            WHEN n_a >= 1 THEN 'article_only'
+        |            ELSE 'unknown' END AS predicted,
+        |  COUNT(*) AS n_docs
+        |FROM scored
+        |GROUP BY 1
+        |ORDER BY predicted ASC NULLS FIRST""".stripMargin,
+
+    "x08_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x09_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp,
+        |  substring(md5(lower(text)), 1, 4) AS bucket
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+}

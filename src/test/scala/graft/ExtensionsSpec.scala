@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantics tests on crafted inputs for the ops the DuckDB oracle can't
+  * check (hash-family-specific pipelines). */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("minhash signature is identical for identical texts") {
+    val docs = docsDF(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "k l m n o p q r s t")
+    val sig = Dedup.minhashSignature(docs).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH candidates + jaccard verification finds the clone pair only") {
+    val docs = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "completely different words about spark query engines and scale")
+    val bands = Dedup.lshBands(Dedup.minhashSignature(docs))
+    val cand = bands.as("l").join(bands.as("r"),
+        $"l.band" === $"r.band" && $"l.band_key" === $"r.band_key" && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b")).distinct()
+    val verified = Dedup.verifyJaccard(docs, cand).filter($"jacc" >= 0.5).collect()
+    assert(verified.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts hash identically; near texts are close") {
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota")
+    val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) < 16)
+  }
+
+  test("cosine similarity: orthogonal = 0, identical = 1") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(2.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val a = df.as("a"); val b = df.as("b")
+    val sims = a.crossJoin(b)
+      .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),
+        (Similarity.dot($"a.v", $"b.v") /
+          (Similarity.l2norm($"a.v") * Similarity.l2norm($"b.v"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("byte histogram counts every byte into the right bucket") {
+    val df = Seq(Tuple1(Array[Byte](0, 1, 31, 32, -1))).toDF("b") // -1 = 0xFF
+    val hist = df.select(Multimodal.byteHistogram($"b", 8).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(hist == Seq(3L, 1L, 0L, 0L, 0L, 0L, 0L, 1L)) // {0,1,31} | {32} | {255}
+  }
+
+  test("byte histogram: bucket 0 holds 0..31, last holds 224..255") {
+    val df = Seq(Tuple1((0 until 256).map(_.toByte).toArray)).toDF("b")
+    val hist = df.select(Multimodal.byteHistogram($"b", 8).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(hist == Seq.fill(8)(32L))
+  }
+}
