@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The reference service's wire/result model (reference `db/db.go:39-47`):
+  * writes return `{rows_affected}`, reads return
+  * `{columns, types, values}` with DuckDB-style type-name strings
+  * (`db/db.go:89-93` surfaces `DatabaseTypeName()` verbatim — INTEGER,
+  * VARCHAR, ...). We map Spark's DataType to those names so a client of
+  * the reference sees the same shapes here (SURVEY.md §7.4 item 3).
+  */
+final case class ExecuteResult(rowsAffected: Long)
+
+final case class QueryResult(
+    columns: Seq[String],
+    types: Seq[String],
+    values: Seq[Seq[Any]])
+
+object Results {
+  /** Spark DataType → DuckDB-style type name. */
+  def duckTypeName(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case _: TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case a: ArrayType => s"${duckTypeName(a.elementType)}[]"
+    case m: MapType => s"MAP(${duckTypeName(m.keyType)}, ${duckTypeName(m.valueType)})"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
+
+  /** Collect a DataFrame into the reference's row-major result shape.
+    * Boundary-only materialization — the reference does exactly this when
+    * marshalling rows to JSON (`db/db.go:95-113`). */
+  def fromDataFrame(df: DataFrame): QueryResult = {
+    val schema = df.schema
+    QueryResult(
+      columns = schema.fields.map(_.name).toSeq,
+      types = schema.fields.map(f => duckTypeName(f.dataType)).toSeq,
+      values = df.collect().map(_.toSeq).toSeq)
+  }
+}

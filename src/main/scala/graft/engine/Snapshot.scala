@@ -1,0 +1,60 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Parquet export/import of the whole database — the reference's snapshot/
+  * restore path (`store/store.go:263` `EXPORT DATABASE ... (FORMAT PARQUET)`,
+  * `store/store.go:314` `IMPORT DATABASE`). One parquet directory per table
+  * plus a manifest of names + constraint metadata.
+  */
+object Snapshot {
+  private val ManifestName = "manifest.txt" // one line per table: name|pk,cols|notnull,cols
+
+  def exportDatabase(gw: SqlGateway, dir: String): Seq[String] = {
+    val spark = gw.spark
+    Files.createDirectories(Paths.get(dir))
+    val tables = spark.catalog.listTables().collect()
+      .filter(t => t.tableType == "MANAGED").map(_.name).toSeq.sorted
+    tables.foreach { t =>
+      spark.table(t).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t")
+    }
+    val manifest = tables.map { t =>
+      val (pk, nn) = gw.constraints.getOrElse(t.toLowerCase, (Nil, Nil))
+      s"$t|${pk.mkString(",")}|${nn.mkString(",")}"
+    }
+    Files.write(Paths.get(dir, ManifestName),
+      manifest.mkString("\n").getBytes("UTF-8"))
+    tables
+  }
+
+  def importDatabase(gw: SqlGateway, dir: String): Seq[String] = {
+    val spark = gw.spark
+    val lines = new String(Files.readAllBytes(Paths.get(dir, ManifestName)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    lines.map { line =>
+      val parts = line.split("\\|", -1)
+      val (t, pk, nn) = (parts(0),
+        parts.lift(1).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+        parts.lift(2).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.read.parquet(s"$dir/$t").write.saveAsTable(t)
+      if (pk.nonEmpty || nn.nonEmpty) gw.constraints(t.toLowerCase) = (pk, nn)
+      t
+    }
+  }
+
+  /** `/status`-equivalent surface (reference `http/service.go:144-193`):
+    * engine + catalog facts instead of raft stats. */
+  def status(gw: SqlGateway): Map[String, String] = {
+    val spark = gw.spark
+    Map(
+      "engine" -> "spark",
+      "version" -> spark.version,
+      "master" -> spark.sparkContext.master,
+      "appId" -> spark.sparkContext.applicationId,
+      "defaultParallelism" -> spark.sparkContext.defaultParallelism.toString,
+      "tables" -> spark.catalog.listTables().collect().map(_.name).sorted.mkString(","),
+      "uptimeMs" -> (System.currentTimeMillis() - spark.sparkContext.startTime).toString)
+  }
+}

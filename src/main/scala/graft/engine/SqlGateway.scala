@@ -1,0 +1,201 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** The `db/db.go:49-117` equivalent: a two-method SQL passthrough —
+  * `execute(sql)` for writes, `query(sql)` for reads — backed by
+  * `spark.sql` instead of an embedded DuckDB.
+  *
+  * Semantics preserved from the reference (SURVEY.md §4.2):
+  *  - **writes are serialized** (Raft applies one statement at a time,
+  *    `store/store.go:242-256`) → a single writer lock here;
+  *  - **reads are lock-free and concurrent** (`store/store.go:196-199`);
+  *  - **`PRIMARY KEY` / `NOT NULL` are enforced on insert** — DuckDB
+  *    enforces them natively (`cmd/cli/client.go:101`); Spark does not, so
+  *    the gateway rewrites the DDL, remembers the constraints, and checks
+  *    them with an anti-join before appending (SURVEY.md §7.4 item 2);
+  *  - **UPDATE/DELETE** (named as supported, reference `README.md:36`)
+  *    are read-filter-rewrite commands over the managed table — Spark has
+  *    no DML on plain parquet (SURVEY.md §7.4 item 1);
+  *  - **rows_affected** is computed around each write (`db/db.go:57-64`).
+  *
+  * Scale note: constraint checks and DML rewrites are full DataFrame plans
+  * (anti-joins / filters), not driver loops — they distribute like any
+  * other query. The writer lock serializes *statements*, not partitions.
+  */
+class SqlGateway(val spark: SparkSession) {
+  private val writeLock = new Object
+  /** table → (primary-key columns, not-null columns) */
+  private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s*(VALUES.*|SELECT.*|TABLE.*|FROM.*)""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val DropRe = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+
+  /** Write path (reference `db/db.go:49-65`). */
+  def execute(sql: String): ExecuteResult = writeLock.synchronized {
+    sql match {
+      case CreateRe(table, colSpec) => createTable(table, colSpec)
+      case InsertRe(table, cols, source) =>
+        insert(table, Option(cols).map(_.stripPrefix("(").stripSuffix(")")), source)
+      case UpdateRe(table, setClause, where) => update(table, setClause, Option(where))
+      case DeleteRe(table, where) => delete(table, Option(where))
+      case DropRe(table) =>
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        constraints.remove(table.toLowerCase)
+        ExecuteResult(0L)
+      case other =>
+        spark.sql(other)
+        ExecuteResult(0L)
+    }
+  }
+
+  /** Read path (reference `db/db.go:67-117`): local, lock-free. */
+  def query(sql: String): QueryResult = Results.fromDataFrame(spark.sql(sql))
+
+  // --- CREATE TABLE: strip constraint syntax Spark's parser rejects,
+  //     normalize DuckDB-isms (TEXT), and remember the constraints.
+  private def createTable(table: String, colSpec: String): ExecuteResult = {
+    var pk = Vector.empty[String]
+    var notNull = Vector.empty[String]
+    val cleaned = splitTopLevel(colSpec).flatMap { raw =>
+      val item = raw.trim
+      val pkTable = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+      item match {
+        case pkTable(cols) =>
+          pk ++= cols.split(",").map(_.trim.toLowerCase); None
+        case _ =>
+          val parts = item.split("\\s+", 2)
+          val name = parts(0)
+          var spec = if (parts.length > 1) parts(1) else ""
+          if ("""(?i).*\bPRIMARY\s+KEY\b.*""".r.matches(spec)) {
+            pk :+= name.toLowerCase
+            spec = spec.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", " ")
+          }
+          if ("""(?i).*\bNOT\s+NULL\b.*""".r.matches(spec)) {
+            notNull :+= name.toLowerCase
+            spec = spec.replaceAll("(?i)\\bNOT\\s+NULL\\b", " ")
+          }
+          spec = spec.replaceAll("(?i)\\bTEXT\\b", "STRING").trim
+          Some(s"$name $spec")
+      }
+    }
+    spark.sql(s"CREATE TABLE $table (${cleaned.mkString(", ")}) USING parquet")
+    if (pk.nonEmpty || notNull.nonEmpty)
+      constraints(table.toLowerCase) = (pk, (notNull ++ pk).distinct)
+    ExecuteResult(0L)
+  }
+
+  /** Split a column-spec list on top-level commas (ignores parens depth). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  // --- INSERT with constraint enforcement (anti-join uniqueness check).
+  private def insert(table: String, cols: Option[String], source: String): ExecuteResult = {
+    val batchSql = cols match {
+      case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
+      case None => valuesToSelect(source, "")
+    }
+    var batch = spark.sql(batchSql)
+    val target = spark.table(table)
+    // align batch columns to target schema (explicit column list or position)
+    batch = cols match {
+      case Some(c) =>
+        val given = c.split(",").map(_.trim)
+        val renamed = batch.toDF(given.toIndexedSeq: _*)
+        val missing = target.columns.filterNot(t => given.exists(_.equalsIgnoreCase(t)))
+        missing.foldLeft(renamed)((df, m) =>
+          df.withColumn(m, lit(null).cast(target.schema(m).dataType)))
+          .select(target.columns.map(col).toIndexedSeq: _*)
+      case None => batch.toDF(target.columns.toIndexedSeq: _*)
+    }
+    batch = target.columns.foldLeft(batch)((df, c) =>
+      df.withColumn(c, col(c).cast(target.schema(c).dataType)))
+
+    constraints.get(table.toLowerCase).foreach { case (pk, notNull) =>
+      notNull.foreach { c =>
+        if (batch.filter(col(c).isNull).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"NOT NULL constraint failed: $table.$c")
+      }
+      if (pk.nonEmpty) {
+        val keyCols = pk.map(col)
+        val dupInBatch = batch.groupBy(keyCols: _*).count().filter(col("count") > 1)
+        if (dupInBatch.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"PRIMARY KEY constraint failed (duplicate in batch): $table(${pk.mkString(",")})")
+        val clash = batch.join(target, pk.toSeq, "left_semi")
+        if (clash.limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"PRIMARY KEY constraint failed (key exists): $table(${pk.mkString(",")})")
+      }
+    }
+    val n = batch.count()
+    batch.write.mode("append").insertInto(table)
+    ExecuteResult(n)
+  }
+
+  /** `VALUES (...),(...)` → runnable SELECT; pass SELECT/TABLE through. */
+  private def valuesToSelect(source: String, cols: String): String = {
+    val s = source.trim
+    if (s.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($s)"
+    else s
+  }
+
+  // --- UPDATE: read-filter-rewrite (write temp, swap via overwrite).
+  private def update(table: String, setClause: String, where: Option[String]): ExecuteResult = {
+    val target = spark.table(table)
+    val pred = where.map(expr).getOrElse(lit(true))
+    val assignments = splitTopLevel(setClause).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      (c.trim, expr(e.trim))
+    }
+    val affected = target.filter(pred).count()
+    val updated = assignments.foldLeft(target)((df, ce) =>
+      df.withColumn(ce._1, when(pred, ce._2.cast(df.schema(ce._1).dataType))
+        .otherwise(col(ce._1))))
+    overwriteTable(table, updated)
+    ExecuteResult(affected)
+  }
+
+  // --- DELETE: read-filter-rewrite.
+  private def delete(table: String, where: Option[String]): ExecuteResult = {
+    val target = spark.table(table)
+    where match {
+      case None =>
+        val n = target.count()
+        overwriteTable(table, target.limit(0))
+        ExecuteResult(n)
+      case Some(w) =>
+        val pred = expr(w)
+        val n = target.filter(pred).count()
+        overwriteTable(table, target.filter(!pred))
+        ExecuteResult(n)
+    }
+  }
+
+  /** Materialize then overwrite — the parquet table can't be rewritten
+    * from a plan that reads itself, so stage through a checkpoint. */
+  private def overwriteTable(table: String, df: DataFrame): Unit = {
+    val staged = df.localCheckpoint(eager = true)
+    staged.write.mode("overwrite").insertInto(table)
+  }
+}

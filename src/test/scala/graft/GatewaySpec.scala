@@ -1,0 +1,93 @@
+package graft
+
+import graft.engine.{Snapshot, SqlGateway}
+
+/** End-to-end reproduction of the reference demo client
+  * (`cmd/cli/client.go:94-129` / FIXTURES.md §A): CREATE → INSERT →
+  * SELECT round trip asserting the `{columns,types,values}` result shape
+  * of `db/db.go:43-47`, plus the constraint/DML/snapshot semantics the
+  * reference gets from DuckDB. */
+class GatewaySpec extends SparkTestBase {
+  lazy val gw = new SqlGateway(spark)
+
+  test("demo-client round trip: CREATE, INSERT, SELECT shape") {
+    for (t <- Seq("abc", "def", "ghi")) {
+      gw.execute(s"DROP TABLE IF EXISTS $t")
+      gw.execute(s"CREATE TABLE $t (id integer not null primary key, name text)")
+    }
+    val ins = gw.execute("INSERT INTO def(id, name) VALUES (1, 'def')")
+    assert(ins.rowsAffected == 1)
+    val res = gw.query("SELECT * FROM def")
+    assert(res.columns == Seq("id", "name"))
+    assert(res.types == Seq("INTEGER", "VARCHAR"))
+    assert(res.values == Seq(Seq(1, "def")))
+  }
+
+  test("PRIMARY KEY uniqueness is enforced on insert") {
+    gw.execute("DROP TABLE IF EXISTS pkt")
+    gw.execute("CREATE TABLE pkt (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO pkt VALUES (1, 'a')")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO pkt VALUES (1, 'dup')")
+    }
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO pkt VALUES (2, 'x'), (2, 'y')")
+    }
+    assert(gw.query("SELECT count(*) AS n FROM pkt").values.head.head == 1L)
+  }
+
+  test("NOT NULL is enforced on insert") {
+    gw.execute("DROP TABLE IF EXISTS nnt")
+    gw.execute("CREATE TABLE nnt (id integer not null primary key, name text)")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO nnt VALUES (NULL, 'x')")
+    }
+  }
+
+  test("UPDATE and DELETE rewrite the table and report rows_affected") {
+    gw.execute("DROP TABLE IF EXISTS dml")
+    gw.execute("CREATE TABLE dml (id integer, v integer)")
+    gw.execute("INSERT INTO dml VALUES (1, 10), (2, 20), (3, 30)")
+    val up = gw.execute("UPDATE dml SET v = v + 1 WHERE id >= 2")
+    assert(up.rowsAffected == 2)
+    val vals = gw.query("SELECT v FROM dml ORDER BY id").values.map(_.head)
+    assert(vals == Seq(10, 21, 31))
+    val del = gw.execute("DELETE FROM dml WHERE v > 25")
+    assert(del.rowsAffected == 1)
+    assert(gw.query("SELECT count(*) AS n FROM dml").values.head.head == 2L)
+  }
+
+  test("INSERT INTO ... SELECT computes rows_affected") {
+    gw.execute("DROP TABLE IF EXISTS src")
+    gw.execute("DROP TABLE IF EXISTS dst")
+    gw.execute("CREATE TABLE src (id integer, name text)")
+    gw.execute("CREATE TABLE dst (id integer, name text)")
+    gw.execute("INSERT INTO src VALUES (1,'a'), (2,'b'), (3,'c')")
+    val r = gw.execute("INSERT INTO dst SELECT * FROM src WHERE id > 1")
+    assert(r.rowsAffected == 2)
+  }
+
+  test("export/import database round trip preserves data and constraints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    gw.execute("DROP TABLE IF EXISTS snapt")
+    gw.execute("CREATE TABLE snapt (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO snapt VALUES (1, 'one'), (2, 'two')")
+    val exported = Snapshot.exportDatabase(gw, dir)
+    assert(exported.contains("snapt"))
+    gw.execute("DROP TABLE snapt")
+    Snapshot.importDatabase(gw, dir)
+    val res = gw.query("SELECT * FROM snapt ORDER BY id")
+    assert(res.values.map(_.toList) == Seq(List(1, "one"), List(2, "two")))
+    // constraints survived the round trip
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO snapt VALUES (1, 'dup')")
+    }
+  }
+
+  test("status reports engine and catalog facts") {
+    val st = Snapshot.status(gw)
+    assert(st("engine") == "spark")
+    assert(st("version").startsWith("4."))
+    assert(st.contains("uptimeMs"))
+  }
+}
