@@ -23,13 +23,21 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** 64-wide MinHash signature per doc: m_i = min over shingles of
-    * xxhash64(i, shingle). One shuffle (groupBy doc_id), 64 partial-agg
-    * mins — map-side combine keeps the shuffle at 64 longs per doc. */
-  def minhashSignature(docs: DataFrame): DataFrame = {
-    val sh = shingleTable(docs)
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  /** 64-wide MinHash signature per doc. The shingle *string* is hashed
+    * ONCE (xxhash64); each of the 64 permutations re-mixes that 8-byte
+    * long with a seed — far cheaper than re-hashing the string, and safe
+    * under ANSI mode (a multiply-add wraparound family would throw on
+    * long overflow in Spark 4). One shuffle (groupBy doc_id) with
+    * map-side combine keeps it at 64 longs per doc at any corpus size. */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    minhashSignatureFromShingles(shingleTable(docs))
+
+  def minhashSignatureFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", xxhash64(col("sh")))
+    val mins = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band, band_key) — docs sharing any band key are candidates. */
@@ -43,8 +51,10 @@ object Dedup {
   }
 
   /** Exact word-shingle Jaccard for given candidate pairs (a < b). */
-  def verifyJaccard(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val sh = shingleTable(docs)
+  def verifyJaccard(docs: DataFrame, cand: DataFrame): DataFrame =
+    verifyJaccardFromShingles(shingleTable(docs), cand)
+
+  def verifyJaccardFromShingles(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
@@ -87,14 +97,17 @@ object Dedup {
     // output is verified pairs, deterministic for a given corpus.
     "x02_dedup_minhash" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val bands = lshBands(minhashSignature(docs))
+      // the shingle table feeds both the signature and the verification
+      // joins — cache it so the corpus is shingled once
+      val sh = shingleTable(docs).persist()
+      val bands = lshBands(minhashSignatureFromShingles(sh))
       val cand = bands.as("l")
         .join(bands.as("r"),
           col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
         .distinct()
-      verifyJaccard(docs, cand)
+      verifyJaccardFromShingles(sh, cand)
         .filter(col("jacc") >= 0.5)
         .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)

@@ -22,7 +22,11 @@ object TextOps {
         i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, sh) exploded distinct shingle table for a documents DataFrame. */
+  /** (doc_id, sh) exploded distinct shingle table for a documents DataFrame.
+    * The word array is materialized in its own projection first — inlining
+    * `split` into the shingle lambda would re-evaluate it per element
+    * (Catalyst does not CSE inside Generate). */
   def shingleTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(words(col("text")))).as("sh"))
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shingles3(col("ws"))).as("sh"))
 }
