@@ -16,14 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    ops.Relational.queries ++ ops.Analytic.queries ++
+    ops.Relational.queries ++ ops.Analytic.queries ++ ops.Scalars.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ ops.Analytic.oracles ++
+    ops.Relational.oracles ++ ops.Analytic.oracles ++ ops.Scalars.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++ ext.Multimodal.oracles
 }

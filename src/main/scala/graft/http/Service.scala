@@ -1,0 +1,197 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.engine.{ExecuteResult, QueryResult, Results, Snapshot, SqlGateway}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** JSON-over-HTTP façade mirroring the reference service's endpoints
+  * (reference `http/service.go:82-94`):
+  *
+  *   - `POST /db/execute`  — write statement  (`http/service.go:196-227`)
+  *   - `GET|POST /db/query` — read statement  (`http/service.go:249-288`)
+  *   - `GET /status`        — engine status   (`http/service.go:144-193`)
+  *   - `POST /join`         — cluster join; Spark owns cluster membership,
+  *     so this reports that fact instead of mutating a Raft config
+  *     (`http/service.go:98-141`, SURVEY.md §3.3)
+  *
+  * Request body `{"sql": "..."}` (`http/service.go:16-18`); responses carry
+  * `results` or `error` plus `time` in fractional milliseconds, matching
+  * `Response{Result, Error, Took}` (`http/service.go:20-24`, `:241`).
+  * `?pretty` pretty-prints (`http/service.go:301-307`).
+  */
+class Service(gateway: SqlGateway, port: Int = 0) {
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/db/execute", handler(handleExecute))
+  server.createContext("/db/query", handler(handleQuery))
+  server.createContext("/status", handler(handleStatus))
+  server.createContext("/join", handler(handleJoin))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) = try f(ex)
+      catch { case e: Throwable => (500, obj("error" -> Json.str(e.getMessage))) }
+      val pretty = Option(ex.getRequestURI.getQuery).exists(_.contains("pretty"))
+      val out = (if (pretty) Json.prettyPrint(body) else body)
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    }
+
+  private def readSql(ex: HttpExchange): String = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    Json.extractField(body, "sql").getOrElse(
+      throw new IllegalArgumentException("missing sql field"))
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  private def handleExecute(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
+    try {
+      val (res, ms) = timed(gateway.execute(readSql(ex)))
+      (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
+    } catch {
+      case e: Exception => (200, obj("error" -> Json.str(e.getMessage), "time" -> "0"))
+    }
+  }
+
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "GET")
+      return (405, obj("error" -> "\"GET or POST only\""))
+    try {
+      val sql = if (ex.getRequestMethod == "GET")
+        Option(ex.getRequestURI.getQuery).flatMap(q => q.split("&")
+          .find(_.startsWith("q=")).map(p =>
+            java.net.URLDecoder.decode(p.drop(2), "UTF-8")))
+          .getOrElse(throw new IllegalArgumentException("missing q param"))
+      else readSql(ex)
+      val (res, ms) = timed(gateway.query(sql))
+      (200, obj("results" -> queryJson(res), "time" -> Json.num(ms)))
+    } catch {
+      case e: Exception => (200, obj("error" -> Json.str(e.getMessage), "time" -> "0"))
+    }
+  }
+
+  private def handleStatus(ex: HttpExchange): (Int, String) = {
+    val st = Snapshot.status(gateway)
+    (200, obj(st.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.str(v) }: _*))
+  }
+
+  private def handleJoin(ex: HttpExchange): (Int, String) =
+    // Spark is the distribution layer; there is no Raft config to mutate
+    // (SURVEY.md §3.3). Report topology instead of redirecting.
+    (200, obj(
+      "message" -> Json.str("cluster membership is managed by Spark"),
+      "master" -> Json.str(gateway.spark.sparkContext.master)))
+
+  private def executeJson(r: ExecuteResult): String =
+    obj("rows_affected" -> r.rowsAffected.toString)
+
+  private def queryJson(r: QueryResult): String =
+    obj(
+      "columns" -> Json.arr(r.columns.map(Json.str)),
+      "types" -> Json.arr(r.types.map(Json.str)),
+      "values" -> Json.arr(r.values.map(row => Json.arr(row.map(Json.value)))))
+
+  private def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${Json.str(k)}: $v" }.mkString("{", ", ", "}")
+}
+
+/** Minimal JSON encode/extract — the service speaks a fixed shape, so a
+  * hand-rolled encoder keeps the build dependency-free (the container
+  * resolves nothing beyond Spark + scalatest). */
+object Json {
+  def str(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def num(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
+
+  def value(v: Any): String = v match {
+    case null => "null"
+    case s: String => str(s)
+    case b: Boolean => b.toString
+    case b: Array[Byte] => str(b.map("%02x".format(_)).mkString)
+    case n: java.lang.Number => n.toString
+    case d: java.sql.Date => str(d.toString)
+    case t: java.sql.Timestamp => str(t.toString)
+    case seq: scala.collection.Seq[_] => arr(seq.toSeq.map(value))
+    case row: org.apache.spark.sql.Row => arr(row.toSeq.map(value))
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => s"${str(String.valueOf(k))}: ${value(mv)}" }
+        .mkString("{", ", ", "}")
+    case other => str(String.valueOf(other))
+  }
+
+  /** Extract a string field from a one-level JSON object (the request
+    * shape is fixed: `{"sql": "..."}`, `http/service.go:16-18`). */
+  def extractField(json: String, field: String): Option[String] = {
+    val re = ("\"" + field + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    re.findFirstMatchIn(json).map(m => unescape(m.group(1)))
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  def prettyPrint(json: String): String = {
+    val sb = new StringBuilder
+    var indent = 0
+    var inStr = false
+    var escaped = false
+    json.foreach { c =>
+      if (inStr) {
+        sb += c
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; sb += c
+        case '{' | '[' => indent += 1; sb += c; sb += '\n'; sb ++= "  " * indent
+        case '}' | ']' => indent -= 1; sb += '\n'; sb ++= "  " * indent; sb += c
+        case ',' => sb += c; sb += '\n'; sb ++= "  " * indent
+        case ' ' => ()
+        case other => sb += other
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Remaining scalar-function families and join-rewrite surfaces of the
+  * reference dialect (SURVEY.md §2.4 positional join, §2.8 math / array /
+  * struct-map / interval families). All reachable through the reference's
+  * `db/db.go:70` passthrough; re-expressed as codegen'd built-ins here.
+  */
+object Scalars {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // ---- math function family (deterministic IEEE ops only)
+    "q29_math" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") < 2000)
+        .select(
+          col("l_orderkey"),
+          abs(col("l_quantity") - 25.0).as("dev"),
+          ceil(col("l_discount") * 100).cast(LongType).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).cast(LongType).as("tax_pct_floor"),
+          round(col("l_extendedprice") / 1000.0, 2).as("price_k"),
+          // libm fns (pow/ln/exp) can differ from C in the last ulp —
+          // round to 6 digits on both sides
+          round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          greatest(col("l_quantity"), col("l_linenumber") * 10.0).as("g"),
+          least(col("l_tax"), col("l_discount")).as("l"),
+          pmod(col("l_orderkey"), lit(7)).as("okmod"),
+          signum(col("l_quantity") - 25.0).cast(IntegerType).as("sgn"))
+        .orderBy(col("l_orderkey").asc_nulls_first)
+    },
+
+    // ---- array family: construct, index, contains, sort, higher-order
+    "q30_arrays" -> { (s, dir) =>
+      Tables(s, dir, "nation")
+        .withColumn("arr", array(col("n_nationkey"), col("n_regionkey"),
+          col("n_nationkey") + col("n_regionkey")))
+        .select(
+          col("n_nationkey"),
+          size(col("arr")).cast(LongType).as("arr_len"),
+          element_at(col("arr"), 2).as("second"),
+          array_contains(col("arr"), 3).as("has_three"),
+          expr("transform(arr, x -> x * 2)").as("doubled"),
+          expr("filter(arr, x -> x % 2 = 0)").as("evens"),
+          aggregate(col("arr"), lit(0), (acc, x) => acc + x).as("arr_sum"),
+          sort_array(col("arr"), asc = false).as("sorted_desc"),
+          sort_array(array_distinct(col("arr"))).as("uniq"))
+        .orderBy(col("n_nationkey").asc_nulls_first)
+    },
+
+    // ---- struct/map family: pack, access, map ops
+    "q31_struct_map" -> { (s, dir) =>
+      Tables(s, dir, "region")
+        .withColumn("st", struct(col("r_regionkey").as("k"), col("r_name").as("nm")))
+        .withColumn("mp", map(col("r_name"), col("r_regionkey")))
+        .select(
+          col("r_regionkey"),
+          col("st.k").as("packed_key"),
+          upper(col("st.nm")).as("packed_name"),
+          element_at(col("mp"), col("r_name")).as("map_val"),
+          size(col("mp")).cast(LongType).as("map_len"))
+        .orderBy(col("r_regionkey").asc_nulls_first)
+    },
+
+    // ---- interval arithmetic on dates/timestamps
+    "q32_intervals" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAY")).cast(DateType).as("plus3d"),
+          (col("o_orderdate") - expr("INTERVAL 2 MONTH")).cast(DateType).as("minus2mo"),
+          (col("o_orderdate") + expr("INTERVAL 1 YEAR")).cast(DateType).as("plus1y"),
+          // calendar-month distance via y*12+m (identical formula both engines;
+          // months_between/date_diff('month') have incompatible semantics)
+          (lit(1998 * 12 + 1) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+            .as("mo_dist"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+
+    // ---- POSITIONAL JOIN (DuckDB extension): zip two sets row-by-row,
+    // NULL-padding the shorter side. Spark rewrite: row_number over an
+    // explicit total order on each side, then FULL equi-join on position.
+    "q33_positional_join" -> { (s, dir) =>
+      val w1 = Window.orderBy(col("r_name").asc_nulls_first)
+      val r = Tables(s, dir, "region")
+        .select(col("r_name"), row_number().over(w1).as("pos1"))
+      val w2 = Window.orderBy(col("o_orderstatus").asc_nulls_first)
+      val st = Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()
+        .select(col("o_orderstatus"), row_number().over(w2).as("pos2"))
+      r.join(st, col("pos1") === col("pos2"), "full")
+        .select(coalesce(col("pos1"), col("pos2")).as("pos"),
+          col("r_name"), col("o_orderstatus"))
+        .orderBy(col("pos").asc_nulls_first)
+    },
+
+    // ---- correlated scalar subquery (per-order max line price)
+    "q34_correlated_scalar" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val maxLine = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_extendedprice")).as("max_line_price"))
+      o.join(maxLine, col("o_orderkey") === col("l_orderkey"), "left")
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("max_line_price"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+
+    // ---- inline VALUES relation joined against a table (E2 family)
+    "q35_values_inline" -> { (s, dir) =>
+      val seg = s.sql(
+        """SELECT * FROM VALUES ('BUILDING', 1), ('MACHINERY', 2), ('FURNITURE', 3)
+          |AS t(seg, prio)""".stripMargin)
+      Tables(s, dir, "customer")
+        .join(broadcast(seg), col("c_mktsegment") === col("seg"), "inner")
+        .groupBy(col("seg"), col("prio"))
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("prio").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q29_math" ->
+      """SELECT l_orderkey,
+        |  abs(l_quantity - 25.0) AS dev,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |  round(l_extendedprice / 1000.0, 2) AS price_k,
+        |  round(pow(l_quantity, 2.0), 6) AS qty_sq,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  greatest(l_quantity, l_linenumber * 10.0) AS g,
+        |  least(l_tax, l_discount) AS l,
+        |  l_orderkey % 7 AS okmod,
+        |  CAST(sign(l_quantity - 25.0) AS INT) AS sgn
+        |FROM lineitem
+        |WHERE l_linenumber = 1 AND l_orderkey < 2000
+        |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q30_arrays" ->
+      """SELECT n_nationkey,
+        |  CAST(len(arr) AS BIGINT) AS arr_len,
+        |  arr[2] AS second,
+        |  list_contains(arr, 3) AS has_three,
+        |  list_transform(arr, x -> x * 2) AS doubled,
+        |  list_filter(arr, x -> x % 2 = 0) AS evens,
+        |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
+        |  list_reverse_sort(arr) AS sorted_desc,
+        |  list_sort(list_distinct(arr)) AS uniq
+        |FROM (SELECT n_nationkey,
+        |        [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS arr
+        |      FROM nation)
+        |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,
+
+    "q31_struct_map" ->
+      """SELECT r_regionkey,
+        |  st.k AS packed_key,
+        |  upper(st.nm) AS packed_name,
+        |  mp[r_name][1] AS map_val,
+        |  CAST(cardinality(mp) AS BIGINT) AS map_len
+        |FROM (SELECT r_regionkey, r_name,
+        |        {'k': r_regionkey, 'nm': r_name} AS st,
+        |        MAP {r_name: r_regionkey} AS mp
+        |      FROM region)
+        |ORDER BY r_regionkey ASC NULLS FIRST""".stripMargin,
+
+    "q32_intervals" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3d,
+        |  CAST(o_orderdate - INTERVAL 2 MONTH AS DATE) AS minus2mo,
+        |  CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus1y,
+        |  CAST((1998 * 12 + 1)
+        |    - (date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate))
+        |    AS INT) AS mo_dist
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // semantically equals DuckDB's `a POSITIONAL JOIN b` (zip + NULL-pad):
+    // spelled as FULL JOIN on row position so the oracle is order-stable
+    "q33_positional_join" ->
+      """WITH a AS (SELECT r_name,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY r_name ASC NULLS FIRST) AS INT) AS pos1
+        |  FROM region),
+        |b AS (SELECT o_orderstatus,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus ASC NULLS FIRST) AS INT) AS pos2
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders))
+        |SELECT COALESCE(pos1, pos2) AS pos, r_name, o_orderstatus
+        |FROM a FULL OUTER JOIN b ON pos1 = pos2
+        |ORDER BY pos ASC NULLS FIRST""".stripMargin,
+
+    "q34_correlated_scalar" ->
+      """SELECT o_orderkey,
+        |  (SELECT max(l_extendedprice) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_line_price
+        |FROM orders
+        |WHERE o_orderkey < 3000
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q35_values_inline" ->
+      s"""SELECT seg, prio, COUNT(*) AS n, ${davgSql("c_acctbal")} AS avg_bal
+         |FROM customer
+         |JOIN (VALUES ('BUILDING', 1), ('MACHINERY', 2), ('FURNITURE', 3)) AS t(seg, prio)
+         |  ON c_mktsegment = seg
+         |GROUP BY seg, prio
+         |ORDER BY prio ASC NULLS FIRST""".stripMargin)
+}

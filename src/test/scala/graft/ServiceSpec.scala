@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine.SqlGateway
+import graft.http.Service
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** Drives the HTTP façade over a real socket — the reference's own smoke
+  * flow (`cmd/cli/client.go:94-129`) reformulated as assertions. */
+class ServiceSpec extends SparkTestBase {
+  lazy val service = new Service(new SqlGateway(spark))
+  lazy val port: Int = service.start()
+
+  private def http(method: String, path: String, body: Option[String] = None): (Int, String) = {
+    val conn = URI.create(s"http://localhost:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("execute + query round trip over HTTP") {
+    val (c1, b1) = http("POST", "/db/execute",
+      Some("""{"sql": "CREATE TABLE htt (id integer not null primary key, name text)"}"""))
+    assert(c1 == 200 && b1.contains("rows_affected"))
+    val (c2, b2) = http("POST", "/db/execute",
+      Some("""{"sql": "INSERT INTO htt VALUES (1, 'hello')"}"""))
+    assert(c2 == 200 && b2.contains("\"rows_affected\": 1"))
+    val (c3, b3) = http("POST", "/db/query", Some("""{"sql": "SELECT * FROM htt"}"""))
+    assert(c3 == 200)
+    assert(b3.contains(""""columns": ["id", "name"]"""))
+    assert(b3.contains(""""types": ["INTEGER", "VARCHAR"]"""))
+    assert(b3.contains("""[1, "hello"]"""))
+    assert(b3.contains("\"time\""))
+  }
+
+  test("GET query with q param") {
+    val (c, b) = http("GET", "/db/query?q=SELECT%201%20AS%20one")
+    assert(c == 200 && b.contains(""""values": [[1]]"""))
+  }
+
+  test("SQL error is reported in the error field, HTTP 200 (reference shape)") {
+    val (c, b) = http("POST", "/db/query", Some("""{"sql": "SELECT * FROM no_such"}"""))
+    assert(c == 200 && b.contains("\"error\""))
+  }
+
+  test("missing sql field is an error") {
+    val (_, b) = http("POST", "/db/execute", Some("""{"nope": 1}"""))
+    assert(b.contains("missing sql field"))
+  }
+
+  test("wrong method is rejected") {
+    val (c, _) = http("GET", "/db/execute")
+    assert(c == 405)
+  }
+
+  test("status reports engine facts") {
+    val (c, b) = http("GET", "/status")
+    assert(c == 200 && b.contains("\"engine\": \"spark\"") && b.contains("uptimeMs"))
+  }
+
+  test("join reports spark-managed membership") {
+    val (c, b) = http("POST", "/join", Some("""{"addr": "x", "id": "y"}"""))
+    assert(c == 200 && b.contains("managed by Spark"))
+  }
+
+  test("pretty param indents output") {
+    val (_, b) = http("GET", "/db/query?q=SELECT%201%20AS%20one&pretty")
+    assert(b.contains("\n"))
+  }
+
+  override def afterAll(): Unit = { service.stop(); super.afterAll() }
+}
