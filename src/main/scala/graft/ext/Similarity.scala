@@ -87,10 +87,27 @@ object Similarity {
         .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
         .select(col("q_id"), col("vec_id"), col("sim"))
       topkPerQuery(pairs, 5)
+    },
+
+    // ---- brute-force top-k via the codegen'd fused CosineSimilarity
+    // expression (one pass, no per-row intermediate array). Same math and
+    // accumulation order as x10 → shares its oracle verbatim.
+    "x14_cosine_topk_fused" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .filter(col("q_id") < 8)
+      val pairs = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          graft.functions.VectorExpressions.cosineSim(col("v"), col("qv")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+      topkPerQuery(pairs, 5)
     })
 
-  val oracles: Map[String, String] = Map(
-    "x10_cosine_topk" ->
+  /** Shared by x10 (composed higher-order fns) and x14 (fused codegen
+    * expression): both produce bit-identical similarities. */
+  private val bruteForceOracle: String =
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -109,5 +126,9 @@ object Similarity {
         |SELECT q_id, nn_rank, vec_id, ROUND(sim, 5) AS sim
         |FROM ranked
         |WHERE nn_rank <= 5
-        |ORDER BY q_id ASC NULLS FIRST, nn_rank ASC NULLS FIRST""".stripMargin)
+        |ORDER BY q_id ASC NULLS FIRST, nn_rank ASC NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x10_cosine_topk" -> bruteForceOracle,
+    "x14_cosine_topk_fused" -> bruteForceOracle)
 }

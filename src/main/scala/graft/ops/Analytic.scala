@@ -199,6 +199,19 @@ object Analytic {
         .orderBy(col("user_id").asc_nulls_first)
     },
 
+    // ---- time-window aggregation (same `window()` construct Structured
+    // Streaming uses — graft.streaming.EventStreams — here in batch mode;
+    // oracle = DuckDB time_bucket)
+    "q36_time_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start_us").asc_nulls_first, col("event_type").asc_nulls_first)
+    },
+
     // ---- approximate aggregates (rows-only check: HLL/KLL sketches are
     // engine-specific by design; SURVEY §2.5)
     "q28_approx" -> { (s, dir) =>
@@ -338,6 +351,13 @@ object Analytic {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    "q36_time_window" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS win_start_us,
+         |  event_type, COUNT(*) AS n, ${dsumSql("\"value\"")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY win_start_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
 
     "q27_pivot" ->
       """SELECT user_id,

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (extension — the reference is batch-only,
+  * SURVEY.md §2.9; the `events` table gives the stream schema).
+  *
+  * Both transforms are expressed on an *unbounded* DataFrame: the identical
+  * code runs over `readStream` in production and over `MemoryStream` in
+  * tests. Watermarks bound state, so these run indefinitely on a cluster:
+  *  - [[windowedCounts]]: tumbling-window agg with late-data handling —
+  *    state is one row per (window, event_type), dropped once the
+  *    watermark passes the window end.
+  *  - [[sessionize]]: per-user session assembly via
+  *    `flatMapGroupsWithState` with an event-time timeout — the canonical
+  *    custom-state operator (KeyValueGroupedDataset).
+  */
+object EventStreams {
+  /** 10-minute tumbling window counts per event_type, 20-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Assemble closed sessions per user: a session ends after 30 minutes of
+    * inactivity (tracked with an event-time timeout so state is bounded). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(SessionState(s.start, t, s.nEvents + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.last, s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming transforms driven through MemoryStream micro-batches —
+  * watermark advancement and event-time session timeout exercised for real. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed counts aggregate by tumbling window and drop late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows so they close
+      input.addData(Event(4, ts(120), 3, "click", 4.0))
+      q.processAllAvailable()
+      // a very late event for the long-closed first window must be dropped
+      input.addData(Event(5, ts(1), 9, "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"event_type", $"n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L))) // the two in-window clicks, late one dropped
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst of 3 events, then silence; a second burst 2h later both
+      // advances the watermark and starts a new session
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "view", 2.0),
+        Event(3, ts(20), 7, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(180), 7, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(400), 8, "view", 1.0)) // push watermark further
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val first = sessions.find(s => s.user_id == 7 && s.n_events == 3)
+      assert(first.isDefined, s"expected closed 3-event session, got ${sessions.toSeq}")
+      assert(first.get.total_value == 6.0)
+      assert(first.get.end_ms - first.get.start_ms == 20 * 60000L)
+    } finally q.stop()
+  }
+}
