@@ -63,8 +63,11 @@ object Relational {
       val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1997-06-01").cast(TimestampType))
       val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-06-01").cast(TimestampType))
+      // no broadcast hint on customer: it scales with the corpus, so the
+      // join strategy must stay a stats/AQE decision (broadcast at small
+      // SF, shuffle join at 100 TB)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(
@@ -96,9 +99,12 @@ object Relational {
       val sup = Tables(s, dir, "supplier")
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
+      // broadcast hints only on the bounded dims (nation: 25 rows, region:
+      // 5 rows — fixed at any scale factor); customer/supplier grow with
+      // the corpus, so their join strategy stays with Catalyst/AQE
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -123,7 +129,7 @@ object Relational {
     "q07_semi_anti" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
       val oKeys = Tables(s, dir, "orders").select(col("o_custkey")).distinct()
-      c.join(broadcast(oKeys), col("c_custkey") === col("o_custkey"), "left")
+      c.join(oKeys, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))
         .agg(
           count(col("o_custkey")).as("n_with_orders"),
