@@ -113,6 +113,27 @@ object Scalars {
         .orderBy(col("o_orderkey").asc_nulls_first)
     },
 
+    // ---- LIMIT / OFFSET pagination (deterministic total order first)
+    "q37_limit_offset" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+        .offset(10)
+        .limit(5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- explicit GROUPING SETS (through the spark.sql entry — the same
+    // parser the gateway exposes; Catalyst Expand underneath)
+    "q38_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  ${Det.dsumSql("o_totalprice")} AS total
+           |FROM orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
     // ---- inline VALUES relation joined against a table (E2 family)
     "q35_values_inline" -> { (s, dir) =>
       val seg = s.sql(
@@ -203,6 +224,19 @@ object Scalars {
         |FROM orders
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q37_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |LIMIT 5 OFFSET 10""".stripMargin,
+
+    "q38_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${Det.dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q35_values_inline" ->
       s"""SELECT seg, prio, COUNT(*) AS n, ${davgSql("c_acctbal")} AS avg_bal
