@@ -89,6 +89,17 @@ object Similarity {
       topkPerQuery(pairs, 5)
     },
 
+    // ---- mergeable KMV distinct sketch (rows-only: sketch estimates are
+    // definitionally engine-specific; accuracy asserted in KmvSketchSpec)
+    "x15_kmv_distinct" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.KmvSketch.approxDistinctKmv(col("user_id")).as("kmv_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+
     // ---- brute-force top-k via the codegen'd fused CosineSimilarity
     // expression (one pass, no per-row intermediate array). Same math and
     // accumulation order as x10 → shares its oracle verbatim.

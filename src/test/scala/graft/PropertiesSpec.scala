@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated DataFrames (SURVEY.md §5.2 item 3):
+  * partitioning invariance, filter/projection commutation, dedup
+  * idempotence, sort-limit stability, join commutativity. Uses raw
+  * ScalaCheck generators (the scalatest bridge isn't in the offline
+  * cache) with fixed seeds for reproducibility. */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rowGen = Gen.listOfN(60,
+    Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100, 100), Gen.alphaStr.map(_.take(5))))
+
+  private def datasets(n: Int): Seq[List[(Long, Int, String)]] =
+    (0 until n).flatMap(i => rowGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("aggregation is partitioning-invariant (decimal-sum determinism)") {
+    datasets(6).foreach { data =>
+      val df = data.toDF("k", "v", "s")
+      def agg(parts: Int) = df.repartition(parts)
+        .groupBy($"k")
+        .agg(sum($"v".cast("decimal(18,0)")).cast("long").as("sv"), count(lit(1)).as("n"))
+        .orderBy($"k")
+        .collect().toSeq
+      assert(agg(1) == agg(7))
+    }
+  }
+
+  test("filter commutes with projection") {
+    datasets(6).foreach { data =>
+      val df = data.toDF("k", "v", "s")
+      val a = df.filter($"v" > 0).select($"k", $"v").orderBy($"k", $"v").collect().toSeq
+      val b = df.select($"k", $"v").filter($"v" > 0).orderBy($"k", $"v").collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("dropDuplicates is idempotent") {
+    datasets(6).foreach { data =>
+      val df = data.toDF("k", "v", "s")
+      val once = df.dropDuplicates("k")
+      assert(once.count() == once.dropDuplicates("k").count())
+      assert(once.count() == df.select($"k").distinct().count())
+    }
+  }
+
+  test("orderBy+limit(n) is a prefix of orderBy+limit(n+m) under total order") {
+    datasets(6).foreach { data =>
+      val df = data.toDF("k", "v", "s")
+      val total = df.orderBy($"v".asc, $"k".asc, $"s".asc)
+      val small = total.limit(5).collect().toSeq
+      val large = total.limit(15).collect().toSeq
+      assert(large.take(small.length) == small)
+    }
+  }
+
+  test("inner join is commutative on row multisets") {
+    val ds = datasets(8)
+    ds.grouped(2).filter(_.size == 2).foreach { case Seq(d1, d2) =>
+      val a = d1.toDF("k", "v", "s")
+      val b = d2.toDF("k", "v2", "s2").select($"k", $"v2")
+      val ab = a.join(b, "k").select($"k", $"v", $"v2")
+      val ba = b.join(a, "k").select($"k", $"v", $"v2")
+      assert(ab.exceptAll(ba).isEmpty && ba.exceptAll(ab).isEmpty)
+    }
+  }
+
+  test("union counts add; intersect bounded by both") {
+    val ds = datasets(8)
+    ds.grouped(2).filter(_.size == 2).foreach { case Seq(d1, d2) =>
+      val a = d1.toDF("k", "v", "s").select($"k")
+      val b = d2.toDF("k", "v", "s").select($"k")
+      assert(a.union(b).count() == a.count() + b.count())
+      val i = a.intersect(b).count()
+      assert(i <= a.distinct().count() && i <= b.distinct().count())
+    }
+  }
+}
