@@ -154,6 +154,21 @@ object Analytic {
         .orderBy(col("click_id").asc_nulls_first)
     },
 
+    // ---- ASOF join via the first-class custom operator (logical node +
+    // SparkStrategy + sort-merge AsofJoinExec, graft.plans.AsofJoin) —
+    // same semantics as q23's window rewrite, same oracle
+    "x16_asof_custom" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      graft.plans.Asof.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
+        .select(col("click_id"), col("p_id").as("matched_purchase"))
+        .orderBy(col("click_id").asc_nulls_first)
+    },
+
     // ---- explode/unnest: word frequencies over documents
     "q24_explode_words" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -319,6 +334,15 @@ object Analytic {
          |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     "q23_asof_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS matched_purchase
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id ASC NULLS FIRST""".stripMargin,
+
+    "x16_asof_custom" ->
       """SELECT c.event_id AS click_id, p.event_id AS matched_purchase
         |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
         |      WHERE event_type = 'click') c

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.ColumnShim
+
+/** ASOF join as a first-class Catalyst operator (SURVEY.md §2.4 — the one
+  * reference-dialect operator with no Spark built-in; DuckDB 1.1 ships it
+  * natively).
+  *
+  * Semantics (= DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >=
+  * r.ts`): for every left row, attach the right row with the same key and
+  * the greatest ts <= left ts; nulls when none exists.
+  *
+  * Physical strategy: both sides hash-clustered on key and sorted by
+  * (key, ts) — then one streaming merge pass per partition, O(|L|+|R|)
+  * with O(1) state (the last matching right row). Cost profile is exactly
+  * a sort-merge join: one shuffle per side, no buffering of groups — this
+  * is the 100 TB-correct plan (the union+window rewrite in q23 does the
+  * same shuffle but sorts the *union*, and a true window keeps more state).
+  *
+  * Keys are compared as Long, timestamps as their internal long (micros) —
+  * covering integral and timestamp key/ts types (cast in the API).
+  */
+case class AsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  // right side is nullable in the output (left outer semantics)
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val rBuf = rIter.buffered
+
+      var matchKey = 0L
+      var haveMatch = false
+      var lastMatch: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow).asInstanceOf[Long]
+        val lt = lTsB.eval(lRow).asInstanceOf[Long]
+        // advance the right cursor through all rows usable by this (and
+        // any later) left row: key < lk entirely, or key == lk && ts <= lt
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val rk = rKeyB.eval(head).asInstanceOf[Long]
+          if (rk < lk) { rBuf.next() } // never matches later left rows either
+          else if (rk == lk && rTsB.eval(head).asInstanceOf[Long] <= lt) {
+            lastMatch = rBuf.next().copy()
+            matchKey = rk
+            haveMatch = true
+          } else advancing = false
+        }
+        val r =
+          if (haveMatch && matchKey == lk) lastMatch
+          else nullRight
+        proj(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+object Asof {
+  /** DataFrame API: ASOF LEFT JOIN `left` to `right` on equal `key` with
+    * the greatest `right.ts <= left.ts`. Key columns must be integral,
+    * ts columns timestamp/integral; referenced by name against each side.
+    * Registers the planner strategy on first use (idempotent). */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofStrategy
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def resolve(name: String, plan: LogicalPlan): Expression =
+      plan.output.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name)}"))
+    val node = AsofJoin(lPlan, rPlan,
+      resolve(leftKey, lPlan), resolve(rightKey, rPlan),
+      resolve(leftTs, lPlan), resolve(rightTs, rPlan))
+    ColumnShim.ofRows(spark, node)
+  }
+}

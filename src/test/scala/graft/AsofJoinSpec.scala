@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.Asof
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** The custom ASOF operator: semantics on crafted edges + plan shape. */
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("picks the greatest right ts <= left ts, per key; null when none") {
+    val quotes = Seq(
+      (1L, t(0), 100.0), (1L, t(10), 101.0), (1L, t(20), 102.0),
+      (2L, t(5), 200.0)).toDF("q_key", "q_ts", "px")
+    val trades = Seq(
+      (1L, t(0)),  // equal ts → inclusive match (100.0)
+      (1L, t(15)), // between → 101.0
+      (1L, t(99)), // after all → 102.0
+      (2L, t(4)),  // before any quote for key 2 → null
+      (3L, t(50))) // key absent on right → null
+      .toDF("t_key", "t_ts")
+    val out = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select($"t_key", $"t_ts", $"px").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    assert(out == Set(
+      (1L, t(0), 100.0), (1L, t(15), 101.0), (1L, t(99), 102.0),
+      (2L, t(4), null), (3L, t(50), null)))
+  }
+
+  test("survives multi-partition inputs (co-clustered by key)") {
+    // unique (key, ts) per right row — duplicate (key, ts) makes ASOF
+    // ambiguous by definition
+    val right = (0 until 1000).map(i => (i.toLong % 50, t(i / 50), i.toDouble))
+      .toDF("rk", "rts", "v").repartition(7)
+    val left = (0 until 500).map(i => (i.toLong % 50, t(100 + i % 100)))
+      .toDF("k", "ts").repartition(5)
+    val joined = Asof.join(left, right, "k", "rk", "ts", "rts")
+    assert(joined.count() == 500) // left-outer: every left row exactly once
+    // spot-check one row against a brute-force computation
+    val sample = left.limit(1).collect().head
+    val (sk, st) = (sample.getLong(0), sample.getTimestamp(1))
+    val expected = right.filter($"rk" === sk && $"rts" <= st)
+      .orderBy($"rts".desc).limit(1).select($"v").collect().headOption.map(_.getDouble(0))
+    val got = joined.filter($"k" === sk && $"ts" === st)
+      .select($"v").collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got == expected)
+  }
+
+  test("plan is one AsofJoinExec with sorted-exchange children, no window") {
+    val a = Seq((1L, t(1))).toDF("k", "ts")
+    val b = Seq((1L, t(0), 5.0)).toDF("k2", "ts2", "v")
+    val plan = Asof.join(a, b, "k", "k2", "ts", "ts2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("empty right side yields all-null matches") {
+    val a = Seq((1L, t(1)), (2L, t(2))).toDF("k", "ts")
+    val b = Seq.empty[(Long, Timestamp, Double)].toDF("k2", "ts2", "v")
+    val out = Asof.join(a, b, "k", "k2", "ts", "ts2").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(2)))
+  }
+}
