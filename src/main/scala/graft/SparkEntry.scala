@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Analytic.queries ++ ops.Scalars.queries ++
+      ops.ScaleJoins.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries
 
@@ -24,6 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Analytic.oracles ++ ops.Scalars.oracles ++
+      ops.ScaleJoins.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++ ext.Multimodal.oracles
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew- and range-join techniques (builder-prompt scale checklist:
+  * "salting for skew", "range join"). Both are plan *rewrites* that keep
+  * results identical to the naive join — so both are DuckDB-oracle-checked
+  * against the plain formulation.
+  */
+object ScaleJoins {
+  import Det._
+
+  /** Salted equi-join for skewed keys: the (big, skewed) left side gets a
+    * deterministic salt in [0, n); the (small) right side is exploded n×;
+    * the join key becomes (key, salt), spreading each hot key over n
+    * reducers. Result set is exactly the plain join's. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, nSalts: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(left(_)).toIndexedSeq: _*), lit(nSalts)).cast(IntegerType))
+    val exploded = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(exploded,
+      leftKey === rightKey && salted("__salt") === exploded("__salt"))
+      .drop("__salt")
+  }
+
+  /** Point-in-interval range join via binning: instead of a nested-loop
+    * over every (point, interval) pair, intervals are exploded to the bins
+    * they overlap and points join their bin — an equi-join shuffle whose
+    * cost is |points| + Σ interval-widths/binWidth. Post-filter keeps
+    * exact semantics. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      point: Column, lo: Column, hi: Column, binWidth: Double): DataFrame = {
+    val p = points.withColumn("__bin", floor(point / binWidth).cast(LongType))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast(LongType),
+        floor(hi / binWidth).cast(LongType))))
+    p.join(iv, p("__bin") === iv("__bin") && point >= lo && point <= hi)
+      .drop("__bin")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- salted skew join: lineitem (600k rows, 10 hot supplier keys)
+    "x17_skew_salted_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      saltedJoin(li, sup, col("l_suppkey"), col("s_suppkey"), nSalts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name").asc_nulls_first)
+    },
+
+    // ---- binned range join: events whose value falls in a part's
+    // [retailprice-bucketed] interval — point-in-range without a
+    // nested-loop join
+    "x18_range_join_binned" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"))
+      val iv = Tables(s, dir, "part")
+        .filter(col("p_partkey") < 50)
+        .select(col("p_partkey"),
+          (col("p_size") * 2.0).as("lo"), (col("p_size") * 2.0 + 15.0).as("hi"))
+      binnedRangeJoin(ev, iv, col("value"), col("lo"), col("hi"), binWidth = 16.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_in_range"), dsum(col("value")).as("sum_in_range"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    })
+
+  val oracles: Map[String, String] = Map(
+    // oracle = the PLAIN formulations; the rewrites must be invisible
+    "x17_skew_salted_join" ->
+      s"""SELECT s_name, COUNT(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name
+         |ORDER BY s_name ASC NULLS FIRST""".stripMargin,
+
+    "x18_range_join_binned" ->
+      s"""SELECT p_partkey, COUNT(*) AS n_in_range,
+         |  ${dsumSql("\"value\"")} AS sum_in_range
+         |FROM events
+         |JOIN (SELECT p_partkey, p_size * 2.0 AS lo, p_size * 2.0 + 15.0 AS hi
+         |      FROM part WHERE p_partkey < 50) iv
+         |  ON "value" >= lo AND "value" <= hi
+         |GROUP BY p_partkey
+         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)
+}
