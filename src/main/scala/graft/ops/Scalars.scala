@@ -134,6 +134,35 @@ object Scalars {
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    // ---- arg-max/arg-min aggregates (DuckDB arg_max/arg_min ≡ Spark
+    // max_by/min_by). Ties broken deterministically by bundling the
+    // unique key into the ordering struct on both sides.
+    "q39_argmax" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+            .as("max_price_order"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+            .as("min_price_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+
+    // ---- UNPIVOT / melt: wide metrics to (metric, value) rows
+    "q40_unpivot" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          col("p_size").cast(DoubleType).as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("size"), col("retail")),
+          "metric", "val")
+        .orderBy(col("p_partkey").asc_nulls_first, col("metric").asc_nulls_first)
+    },
+
     // ---- inline VALUES relation joined against a table (E2 family)
     "q35_values_inline" -> { (s, dir) =>
       val seg = s.sql(
@@ -224,6 +253,31 @@ object Scalars {
         |FROM orders
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // arg_max with an explicit composite tie-break == Spark's
+    // lexicographic max(struct(price, key)); spelled via window ranking
+    "q39_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MAX(o_orderkey) FILTER (WHERE rmax = 1) AS max_price_order,
+        |  MAX(o_orderkey) FILTER (WHERE rmin = 1) AS min_price_order,
+        |  MAX(o_totalprice) AS max_price
+        |FROM r
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q40_unpivot" ->
+      """SELECT p_partkey, metric, val
+        |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retail
+        |      FROM part WHERE p_partkey < 100)
+        |UNPIVOT (val FOR metric IN (size, retail))
+        |ORDER BY p_partkey ASC NULLS FIRST, metric ASC NULLS FIRST""".stripMargin,
 
     "q37_limit_offset" ->
       """SELECT o_orderkey, o_totalprice
