@@ -134,6 +134,36 @@ object Scalars {
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
 
+    // ---- string family 2: slicing/repetition/predicates
+    "q41_strings2" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"),
+          repeat(col("p_brand"), 2).as("brandbrand"),
+          reverse(col("p_type")).as("rev_type"),
+          ascii(col("p_name")).as("first_code"),
+          trim(lpad(col("p_name"), 20, " ")).as("trimmed"),
+          col("p_name").contains("widget").as("is_widget"),
+          col("p_name").startsWith("small").as("starts_small"),
+          col("p_type").endsWith("DARD").as("ends_dard"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    },
+
+    // ---- regex family: extract groups, match predicate
+    "q42_regex" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .filter(col("c_name").rlike("Customer#[0-9]+"))
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "#([0-9]+)", 1).as("num_str"),
+          regexp_extract(col("c_mktsegment"), "([A-Z]+)", 1).as("seg_word"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0)))
+            .cast(LongType).as("n_digits"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    },
+
     // ---- arg-max/arg-min aggregates (DuckDB arg_max/arg_min ≡ Spark
     // max_by/min_by). Ties broken deterministically by bundling the
     // unique key into the ordering struct on both sides.
@@ -253,6 +283,29 @@ object Scalars {
         |FROM orders
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q41_strings2" ->
+      """SELECT p_partkey,
+        |  left(p_name, 4) AS l4,
+        |  right(p_name, 4) AS r4,
+        |  repeat(p_brand, 2) AS brandbrand,
+        |  reverse(p_type) AS rev_type,
+        |  ascii(p_name) AS first_code,
+        |  trim(lpad(p_name, 20, ' ')) AS trimmed,
+        |  contains(p_name, 'widget') AS is_widget,
+        |  starts_with(p_name, 'small') AS starts_small,
+        |  ends_with(p_type, 'DARD') AS ends_dard
+        |FROM part
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "q42_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '#([0-9]+)', 1) AS num_str,
+        |  regexp_extract(c_mktsegment, '([A-Z]+)', 1) AS seg_word,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits
+        |FROM customer
+        |WHERE regexp_matches(c_name, 'Customer#[0-9]+')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
 
     // arg_max with an explicit composite tie-break == Spark's
     // lexicographic max(struct(price, key)); spelled via window ranking
