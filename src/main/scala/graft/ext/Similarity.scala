@@ -38,6 +38,28 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
+  /** One distributed Lloyd iteration: new centroid = elementwise mean of
+    * the vectors assigned to the cell. Explode to (cell, pos, val) →
+    * groupBy(cell, pos) mean → reassemble ordered arrays. Shuffle volume is
+    * |corpus|·d scalars — the standard distributed k-means step. */
+  def lloydIteration(assigned: DataFrame): DataFrame = {
+    val exploded = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+    val means = exploded.groupBy(col("cell"), col("pos")).agg(avg(col("val")).as("m"))
+    means.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cid"),
+        expr("transform(pm, x -> x.m)").as("cv"))
+      .withColumn("cnrm", l2norm(col("cv")))
+  }
+
+  /** Assign every vector to its nearest centroid (ties → lowest cid). */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"), (-col("best.ncid")).as("cell"))
+
   private def topkPerQuery(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
@@ -60,18 +82,15 @@ object Similarity {
       topkPerQuery(pairs, 5)
     },
 
-    // ---- IVF cell-probe ANN: 16 centroids, 2-cell probe, top-5.
-    // Rows-only check (ANN recall < 1 by design).
+    // ---- IVF cell-probe ANN: 16 seed centroids refined with one Lloyd
+    // iteration, 2-cell probe, top-5. Rows-only check (ANN recall < 1 by
+    // design; recall vs x10 asserted in ExtensionsSpec).
     "x11_ann_ivf" -> { (s, dir) =>
       val e = normed(s, dir)
-      val cents = e.filter(col("vec_id") < 16)
+      val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      // assign every vector to its nearest centroid (broadcast join; ties → lowest cid)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .groupBy(col("vec_id"), col("v"), col("nrm"))
-        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
-        .select(col("vec_id"), col("v"), col("nrm"), (-col("best.ncid")).as("cell"))
+      val cents = lloydIteration(assignCells(e, seeds))
+      val assigned = assignCells(e, cents)
       // queries probe their 2 nearest cells
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))

@@ -164,6 +164,18 @@ object Scalars {
         .orderBy(col("c_custkey").asc_nulls_first)
     },
 
+    // ---- pattern-predicate family: LIKE / ILIKE / regex-as-SIMILAR-TO
+    "q43_like_family" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          col("p_name").like("%bolt%").as("like_bolt"),
+          col("p_name").ilike("%WIDGET%").as("ilike_widget"),
+          col("p_name").rlike("^(small|large) ").as("sim_size"),
+          not(col("p_type").like("PRO%")).as("not_promo"))
+        .orderBy(col("p_partkey").asc_nulls_first)
+    },
+
     // ---- arg-max/arg-min aggregates (DuckDB arg_max/arg_min ≡ Spark
     // max_by/min_by). Ties broken deterministically by bundling the
     // unique key into the ordering struct on both sides.
@@ -283,6 +295,15 @@ object Scalars {
         |FROM orders
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q43_like_family" ->
+      """SELECT p_partkey,
+        |  p_name LIKE '%bolt%' AS like_bolt,
+        |  p_name ILIKE '%WIDGET%' AS ilike_widget,
+        |  regexp_matches(p_name, '^(small|large) ') AS sim_size,
+        |  NOT (p_type LIKE 'PRO%') AS not_promo
+        |FROM part
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
 
     "q41_strings2" ->
       """SELECT p_partkey,

@@ -29,6 +29,14 @@ object EventStreams {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id, with
+    * the watermark bounding how long each id is remembered — state stays
+    * finite on an infinite stream (the streaming face of ext.Dedup x01). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Int, total: Double)
