@@ -94,14 +94,17 @@ class SqlGateway(val spark: SparkSession) {
     ExecuteResult(0L)
   }
 
-  /** Split a column-spec list on top-level commas (ignores parens depth). */
+  /** Split a column-spec / SET list on top-level commas — aware of paren
+    * depth AND single-quoted string literals (a comma inside 'x, y' must
+    * not split). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
-    var depth = 0; val cur = new StringBuilder
+    var depth = 0; var inStr = false; val cur = new StringBuilder
     s.foreach {
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case '\'' => inStr = !inStr; cur += '\''
+      case ',' if depth == 0 && !inStr => out += cur.toString; cur.clear()
       case c =>
-        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        if (!inStr) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
         cur += c
     }
     if (cur.nonEmpty) out += cur.toString
@@ -130,27 +133,31 @@ class SqlGateway(val spark: SparkSession) {
     batch = target.columns.foldLeft(batch)((df, c) =>
       df.withColumn(c, col(c).cast(target.schema(c).dataType)))
 
-    constraints.get(table.toLowerCase).foreach { case (pk, notNull) =>
-      notNull.foreach { c =>
-        if (batch.filter(col(c).isNull).limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"NOT NULL constraint failed: $table.$c")
-      }
-      if (pk.nonEmpty) {
-        val keyCols = pk.map(col)
-        val dupInBatch = batch.groupBy(keyCols: _*).count().filter(col("count") > 1)
-        if (dupInBatch.limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"PRIMARY KEY constraint failed (duplicate in batch): $table(${pk.mkString(",")})")
-        val clash = batch.join(target, pk.toSeq, "left_semi")
-        if (clash.limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"PRIMARY KEY constraint failed (key exists): $table(${pk.mkString(",")})")
-      }
+    // stage once: the batch feeds the constraint checks AND the write
+    val staged = batch.localCheckpoint(true)
+    val (pk, notNull) = constraints.getOrElse(table.toLowerCase, (Nil, Nil))
+    // one aggregate job: row count + per-column null counts + in-batch dups
+    val aggs = count(lit(1)).as("__n") +:
+      notNull.map(c => count(when(col(c).isNull, 1)).as(s"__null_$c")) :+
+      (if (pk.nonEmpty)
+        (count(lit(1)) - countDistinct(col(pk.head), pk.tail.map(col): _*))
+          .as("__pk_dups")
+      else count(when(lit(false), 1)).as("__pk_dups"))
+    val stats = staged.agg(aggs.head, aggs.tail: _*).collect().head
+    notNull.foreach { c =>
+      if (stats.getAs[Long](s"__null_$c") > 0)
+        throw new IllegalArgumentException(s"NOT NULL constraint failed: $table.$c")
     }
-    val n = batch.count()
-    batch.write.mode("append").insertInto(table)
-    ExecuteResult(n)
+    if (pk.nonEmpty) {
+      if (stats.getAs[Long]("__pk_dups") > 0)
+        throw new IllegalArgumentException(
+          s"PRIMARY KEY constraint failed (duplicate in batch): $table(${pk.mkString(",")})")
+      if (staged.join(target, pk.toSeq, "left_semi").limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"PRIMARY KEY constraint failed (key exists): $table(${pk.mkString(",")})")
+    }
+    staged.write.mode("append").insertInto(table)
+    ExecuteResult(stats.getAs[Long]("__n"))
   }
 
   /** `VALUES (...),(...)` → runnable SELECT; pass SELECT/TABLE through. */
@@ -169,9 +176,18 @@ class SqlGateway(val spark: SparkSession) {
       (c.trim, expr(e.trim))
     }
     val affected = target.filter(pred).count()
-    val updated = assignments.foldLeft(target)((df, ce) =>
-      df.withColumn(ce._1, when(pred, ce._2.cast(df.schema(ce._1).dataType))
-        .otherwise(col(ce._1))))
+    // SQL UPDATE evaluates every SET expression against the OLD row
+    // (UPDATE t SET a = b, b = a swaps) — so build one simultaneous
+    // projection instead of folding withColumn (which would let later
+    // assignments see already-updated values)
+    val byName = assignments.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val updated = target.select(target.columns.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(e) =>
+          when(pred, e.cast(target.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }
@@ -185,7 +201,9 @@ class SqlGateway(val spark: SparkSession) {
         overwriteTable(table, target.limit(0))
         ExecuteResult(n)
       case Some(w) =>
-        val pred = expr(w)
+        // SQL deletes rows where the predicate is TRUE; rows where it is
+        // NULL are KEPT — `!pred` alone would drop them (NULL stays NULL)
+        val pred = coalesce(expr(w), lit(false))
         val n = target.filter(pred).count()
         overwriteTable(table, target.filter(!pred))
         ExecuteResult(n)

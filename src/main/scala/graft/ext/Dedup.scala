@@ -98,8 +98,10 @@ object Dedup {
     "x02_dedup_minhash" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       // the shingle table feeds both the signature and the verification
-      // joins — cache it so the corpus is shingled once
-      val sh = shingleTable(docs).persist()
+      // joins — checkpoint it so the corpus is shingled once. An eager
+      // localCheckpoint (unlike persist) does not pin cache blocks for the
+      // session's lifetime: its RDD is GC'd with the returned plan.
+      val sh = shingleTable(docs).localCheckpoint(true)
       val bands = lshBands(minhashSignatureFromShingles(sh))
       val cand = bands.as("l")
         .join(bands.as("r"),

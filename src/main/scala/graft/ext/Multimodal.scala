@@ -26,6 +26,8 @@ object Multimodal {
     * surrounding projections still codegen. */
   case class ByteHistogram(child: Expression, buckets: Int)
       extends UnaryExpression with CodegenFallback {
+    require(buckets > 0 && buckets <= 256 && 256 % buckets == 0,
+      s"buckets must divide 256 (got $buckets)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]

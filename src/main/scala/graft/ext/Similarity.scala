@@ -86,10 +86,12 @@ object Similarity {
     // iteration, 2-cell probe, top-5. Rows-only check (ANN recall < 1 by
     // design; recall vs x10 asserted in ExtensionsSpec).
     "x11_ann_ivf" -> { (s, dir) =>
-      val e = normed(s, dir)
+      // the normed corpus feeds seed selection + two assignment passes —
+      // checkpoint once instead of recomputing parquet-scan+norms 3×
+      val e = normed(s, dir).localCheckpoint(true)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val cents = lloydIteration(assignCells(e, seeds))
+      val cents = lloydIteration(assignCells(e, seeds)).localCheckpoint(true)
       val assigned = assignCells(e, cents)
       // queries probe their 2 nearest cells
       val q = e.filter(col("vec_id") < 8)

@@ -36,7 +36,8 @@ class Service(gateway: SqlGateway, port: Int = 0) {
     (ex: HttpExchange) => {
       val (code, body) = try f(ex)
       catch { case e: Throwable => (500, obj("error" -> Json.str(e.getMessage))) }
-      val pretty = Option(ex.getRequestURI.getQuery).exists(_.contains("pretty"))
+      val pretty = Option(ex.getRequestURI.getQuery).exists(
+        _.split("&").exists(p => p == "pretty" || p.startsWith("pretty=")))
       val out = (if (pretty) Json.prettyPrint(body) else body)
         .getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -135,6 +136,8 @@ object Json {
     case s: String => str(s)
     case b: Boolean => b.toString
     case b: Array[Byte] => str(b.map("%02x".format(_)).mkString)
+    case d: java.lang.Double if d.isNaN || d.isInfinite => str(d.toString)
+    case f: java.lang.Float if f.isNaN || f.isInfinite => str(f.toString)
     case n: java.lang.Number => n.toString
     case d: java.sql.Date => str(d.toString)
     case t: java.sql.Timestamp => str(t.toString)

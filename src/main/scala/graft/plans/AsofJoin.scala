@@ -75,25 +75,35 @@ case class AsofJoinExec(
       var lastMatch: InternalRow = null
 
       lIter.map { lRow =>
-        val lk = lKeyB.eval(lRow).asInstanceOf[Long]
-        val lt = lTsB.eval(lRow).asInstanceOf[Long]
-        // advance the right cursor through all rows usable by this (and
-        // any later) left row: key < lk entirely, or key == lk && ts <= lt
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head).asInstanceOf[Long]
-          if (rk < lk) { rBuf.next() } // never matches later left rows either
-          else if (rk == lk && rTsB.eval(head).asInstanceOf[Long] <= lt) {
-            lastMatch = rBuf.next().copy()
-            matchKey = rk
-            haveMatch = true
-          } else advancing = false
+        val lkBoxed = lKeyB.eval(lRow).asInstanceOf[java.lang.Long]
+        val ltBoxed = lTsB.eval(lRow).asInstanceOf[java.lang.Long]
+        if (lkBoxed == null || ltBoxed == null) {
+          // SQL join semantics: NULL never equals anything → no match
+          proj(joined(lRow, nullRight))
+        } else {
+          val lk = lkBoxed.longValue()
+          val lt = ltBoxed.longValue()
+          // advance the right cursor through all rows usable by this (and
+          // any later) left row: key < lk entirely, or key == lk && ts <= lt
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkBoxed = rKeyB.eval(head).asInstanceOf[java.lang.Long]
+            val rtBoxed = if (rkBoxed == null) null
+              else rTsB.eval(head).asInstanceOf[java.lang.Long]
+            if (rkBoxed == null || rtBoxed == null) { rBuf.next() } // unmatchable
+            else if (rkBoxed.longValue() < lk) { rBuf.next() } // done for good
+            else if (rkBoxed.longValue() == lk && rtBoxed.longValue() <= lt) {
+              lastMatch = rBuf.next().copy()
+              matchKey = rkBoxed.longValue()
+              haveMatch = true
+            } else advancing = false
+          }
+          val r =
+            if (haveMatch && matchKey == lk) lastMatch
+            else nullRight
+          proj(joined(lRow, r))
         }
-        val r =
-          if (haveMatch && matchKey == lk) lastMatch
-          else nullRight
-        proj(joined(lRow, r))
       }
     }
   }
@@ -124,10 +134,22 @@ object Asof {
         spark.experimental.extraStrategies :+ AsofStrategy
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
-    def resolve(name: String, plan: LogicalPlan): Expression =
-      plan.output.find(_.name.equalsIgnoreCase(name))
+    def resolve(name: String, plan: LogicalPlan): Expression = {
+      val attr = plan.output.find(_.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
+      attr.dataType match {
+        // timestamps are long micros internally; widen other integrals so
+        // the exec's long comparisons are type-safe for INT/SHORT keys
+        case org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.TimestampType => attr
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.catalyst.expressions.Cast(attr,
+            org.apache.spark.sql.types.LongType)
+        case other => throw new IllegalArgumentException(
+          s"ASOF key/ts column $name must be integral or timestamp, got $other")
+      }
+    }
     val node = AsofJoin(lPlan, rPlan,
       resolve(leftKey, lPlan), resolve(rightKey, rPlan),
       resolve(leftTs, lPlan), resolve(rightTs, rPlan))

@@ -58,6 +58,17 @@ class AsofJoinSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("integer keys work (widened to long) and null keys never match") {
+    val left = Seq((Some(1), t(10)), (None, t(10))).toDF("k", "ts")
+    val right = Seq((1, t(0), 7.0)).toDF("k2", "ts2", "v")
+    val out = Asof.join(left, right, "k", "k2", "ts", "ts2")
+      .select($"k", $"v").collect()
+    val byKey = out.map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byKey(Some(1)) == Some(7.0))
+    assert(byKey(None).isEmpty) // null key row kept, unmatched
+  }
+
   test("empty right side yields all-null matches") {
     val a = Seq((1L, t(1)), (2L, t(2))).toDF("k", "ts")
     val b = Seq.empty[(Long, Timestamp, Double)].toDF("k2", "ts2", "v")

@@ -57,6 +57,33 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT count(*) AS n FROM dml").values.head.head == 2L)
   }
 
+  test("DELETE keeps rows where the predicate is NULL (SQL semantics)") {
+    gw.execute("DROP TABLE IF EXISTS delnull")
+    gw.execute("CREATE TABLE delnull (id integer, v integer)")
+    gw.execute("INSERT INTO delnull VALUES (1, NULL), (2, 30), (3, 10)")
+    val del = gw.execute("DELETE FROM delnull WHERE v > 25")
+    assert(del.rowsAffected == 1)
+    val remaining = gw.query("SELECT id FROM delnull ORDER BY id").values.map(_.head)
+    assert(remaining == Seq(1, 3)) // NULL-predicate row must survive
+  }
+
+  test("UPDATE evaluates SET expressions against the old row (swap works)") {
+    gw.execute("DROP TABLE IF EXISTS swapt")
+    gw.execute("CREATE TABLE swapt (id integer, a integer, b integer)")
+    gw.execute("INSERT INTO swapt VALUES (1, 10, 20)")
+    gw.execute("UPDATE swapt SET a = b, b = a WHERE id = 1")
+    val row = gw.query("SELECT a, b FROM swapt").values.head
+    assert(row == Seq(20, 10))
+  }
+
+  test("string literals containing commas survive UPDATE SET parsing") {
+    gw.execute("DROP TABLE IF EXISTS commat")
+    gw.execute("CREATE TABLE commat (id integer, name text)")
+    gw.execute("INSERT INTO commat VALUES (1, 'before')")
+    gw.execute("UPDATE commat SET name = 'x, y' WHERE id = 1")
+    assert(gw.query("SELECT name FROM commat").values.head.head == "x, y")
+  }
+
   test("INSERT INTO ... SELECT computes rows_affected") {
     gw.execute("DROP TABLE IF EXISTS src")
     gw.execute("DROP TABLE IF EXISTS dst")
