@@ -110,6 +110,22 @@ object Similarity {
       topkPerQuery(pairs, 5)
     },
 
+    // ---- embedding-cosine near-dup detection (the embedding face of the
+    // dedup family): all pairs above a cosine threshold, exact within a
+    // bounded window (vec_id < 2000 — constant work at any SF). The scale
+    // path replaces the pair join with the IVF cells of x11 as a blocking
+    // structure (candidates = same cell), same verify step.
+    "x19_embed_dedup" -> { (s, dir) =>
+      val e = normed(s, dir).filter(col("vec_id") < 2000)
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("a"), col("b"), round(col("sim"), 5).as("sim"))
+        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
+    },
+
     // ---- mergeable KMV distinct sketch (rows-only: sketch estimates are
     // definitionally engine-specific; accuracy asserted in KmvSketchSpec)
     "x15_kmv_distinct" -> { (s, dir) =>
@@ -162,5 +178,16 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "x10_cosine_topk" -> bruteForceOracle,
-    "x14_cosine_topk_fused" -> bruteForceOracle)
+    "x14_cosine_topk_fused" -> bruteForceOracle,
+    "x19_embed_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                 CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 2000)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin)
 }
