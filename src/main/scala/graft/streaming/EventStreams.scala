@@ -37,6 +37,25 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joined to same-user purchases
+    * within the preceding hour. Watermarks on BOTH sides bound the join
+    * state (Spark drops buffered rows once the other side's watermark
+    * passes the interval) — the canonical streaming join shape. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND p_ts <= c_ts AND p_ts >= c_ts - INTERVAL 1 HOUR"""))
+      .select(col("click_id"), col("purchase_id"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Int, total: Double)

@@ -111,6 +111,23 @@ class GatewaySpec extends SparkTestBase {
     }
   }
 
+  test("reachable type surface round-trips with DuckDB-style type names") {
+    gw.execute("DROP TABLE IF EXISTS typet")
+    gw.execute(
+      """CREATE TABLE typet (b boolean, ti tinyint, si smallint, i integer,
+        |bi bigint, f float, d double, dec decimal(10,2), s text,
+        |dt date, ts timestamp, arr array<int>, bin binary)""".stripMargin)
+    gw.execute(
+      """INSERT INTO typet VALUES (true, 1, 2, 3, 4, CAST(1.5 AS FLOAT), 2.5,
+        |CAST(9.99 AS DECIMAL(10,2)), 'x', DATE '2024-01-02',
+        |TIMESTAMP '2024-01-02 03:04:05', array(1,2), X'BEEF')""".stripMargin)
+    val res = gw.query("SELECT * FROM typet")
+    assert(res.types == Seq("BOOLEAN", "TINYINT", "SMALLINT", "INTEGER",
+      "BIGINT", "FLOAT", "DOUBLE", "DECIMAL(10,2)", "VARCHAR",
+      "DATE", "TIMESTAMP", "INTEGER[]", "BLOB"))
+    assert(res.values.length == 1)
+  }
+
   test("status reports engine and catalog facts") {
     val st = Snapshot.status(gw)
     assert(st("engine") == "spark")

@@ -38,6 +38,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to recent purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "purchase", 10.0),  // in window for click@30
+        Event(2, ts(30), 7, "click", 0.0),
+        Event(3, ts(30), 8, "click", 0.0),     // user 8 has no purchase
+        Event(4, ts(100), 7, "purchase", 5.0)) // AFTER the click → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
