@@ -169,7 +169,9 @@ object Relational {
       counted("union", a.union(b).distinct())
         .unionByName(counted("union_all", a.union(b)))
         .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("intersect_all", a.intersectAll(b)))
         .unionByName(counted("except", a.except(b)))
+        .unionByName(counted("except_all", a.exceptAll(b)))
         .orderBy(col("op").asc_nulls_first)
     },
 
@@ -328,7 +330,11 @@ object Relational {
         |UNION ALL
         |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
         |UNION ALL
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |UNION ALL
         |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
         |ORDER BY op ASC NULLS FIRST""".stripMargin,
 
     "q11_rollup" ->
