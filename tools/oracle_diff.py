@@ -26,7 +26,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # BIT-EXACT on purpose: the Det contract (decimal sums, sequential
+        # folds, shared rounding) makes every oracle query identical to the
+        # last bit — verified 56/56 at sf0.01. Keep the gate strict so any
+        # new float-nondeterminism fails loudly here before the driver.
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     return str(v) if not isinstance(v, (int, bool)) else v
