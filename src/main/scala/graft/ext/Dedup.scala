@@ -82,6 +82,39 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair list: every doc gets the
+    * min doc_id reachable through dup edges as its cluster id — the step
+    * that turns pairwise similarity into "keep one per group".
+    *
+    * Min-label propagation (Pregel-style): each round, every node takes
+    * the min of its own label and its neighbors'; converges in
+    * O(component diameter) rounds. The driver only coordinates rounds and
+    * checks convergence — each round is a distributed join+agg, and
+    * lineage is cut per round with an eager checkpoint, so this scales
+    * like any iterative graph job. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.lbl") =!= col("l.lbl")).limit(1).count() == 0
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: keep lowest doc_id per identical text
     "x01_dedup_exact" -> { (s, dir) =>
@@ -134,6 +167,27 @@ object Dedup {
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
 
+    // ---- dup-cluster assembly: connected components over the exact
+    // near-dup pairs (doc_id < 500 window); oracle = DuckDB recursive CTE
+    "x20_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = shingleTable(docs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("sa")
+        .join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .filter(col("n_inter").cast(DoubleType) /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
+        .select(col("a"), col("b"))
+      connectedComponents(pairs)
+        .orderBy(col("doc_id").asc_nulls_first)
+    },
+
     // ---- exact n-gram Jaccard over a bounded window (oracle-checked):
     // all-pairs via shingle-key join (not a cross join), doc_id < 500
     "x04_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -162,6 +216,34 @@ object Dedup {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
+
+    "x20_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t)
+        |  WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id),
+        |p AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz za ON a = za.doc_id
+        |  JOIN sz zb ON b = zb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach
+        |GROUP BY src
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "x04_dedup_ngram_jaccard" ->
       """WITH t AS (

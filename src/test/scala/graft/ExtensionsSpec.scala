@@ -46,6 +46,14 @@ class ExtensionsSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) < 16)
   }
 
+  test("connected components: chain, separate pair, min-label clusters") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine similarity: orthogonal = 0, identical = 1") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),

@@ -39,6 +39,28 @@ class FileSourcesSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("ORC round trip preserves lineitem rows") {
+    val orig = Tables(spark, sfDir, "lineitem")
+    val path = tmp("orc")
+    FileSources.writeOrc(orig, path)
+    val back = FileSources.readOrc(spark, path)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned write enables partition pruning (directories skipped)") {
+    val orig = Tables(spark, sfDir, "lineitem")
+    val path = tmp("part")
+    FileSources.writePartitioned(orig, path, "l_returnflag")
+    val pruned = FileSources.readPartitioned(spark, path)
+      .filter(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected partition filter in plan:\n$plan")
+    val expected = orig.filter(col("l_returnflag") === "A").count()
+    assert(pruned.count() == expected)
+  }
+
   test("schema'd CSV read prunes and pushes filters like any scan") {
     val orig = Tables(spark, sfDir, "customer")
     val path = tmp("csvplan")
