@@ -128,6 +128,17 @@ class GatewaySpec extends SparkTestBase {
     assert(res.values.length == 1)
   }
 
+  test("error paths: bad arity, unknown table, malformed SQL all surface cleanly") {
+    gw.execute("DROP TABLE IF EXISTS errt")
+    gw.execute("CREATE TABLE errt (id integer, name text)")
+    intercept[Exception] { gw.execute("INSERT INTO errt VALUES (1, 'a', 'extra')") }
+    intercept[Exception] { gw.query("SELECT * FROM table_that_isnt") }
+    intercept[Exception] { gw.query("SELEKT broken") }
+    // gateway still works after errors
+    gw.execute("INSERT INTO errt VALUES (1, 'ok')")
+    assert(gw.query("SELECT count(*) AS n FROM errt").values.head.head == 1L)
+  }
+
   test("status reports engine and catalog facts") {
     val st = Snapshot.status(gw)
     assert(st("engine") == "spark")
