@@ -35,7 +35,7 @@ class SqlGateway(val spark: SparkSession) {
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s*(VALUES.*|SELECT.*|TABLE.*|FROM.*)""".r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
@@ -46,7 +46,11 @@ class SqlGateway(val spark: SparkSession) {
       case CreateRe(table, colSpec) => createTable(table, colSpec)
       case InsertRe(table, cols, source) =>
         insert(table, Option(cols).map(_.stripPrefix("(").stripSuffix(")")), source)
-      case UpdateRe(table, setClause, where) => update(table, setClause, Option(where))
+      case UpdateRe(table, rest) =>
+        // split SET-list from WHERE at the first *top-level* WHERE — a
+        // regex split would match 'where' inside a string literal
+        val (setClause, where) = splitAtTopLevelWhere(rest)
+        update(table, setClause, where)
       case DeleteRe(table, where) => delete(table, Option(where))
       case DropRe(table) =>
         spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -92,6 +96,27 @@ class SqlGateway(val spark: SparkSession) {
     if (pk.nonEmpty || notNull.nonEmpty)
       constraints(table.toLowerCase) = (pk, (notNull ++ pk).distinct)
     ExecuteResult(0L)
+  }
+
+  /** Find the first WHERE keyword outside quotes/parens and split there. */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case c if !inStr && depth == 0 && (c == 'w' || c == 'W') &&
+            i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   /** Split a column-spec / SET list on top-level commas — aware of paren

@@ -112,6 +112,10 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter too large) — raise maxIters")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -44,7 +44,11 @@ object Similarity {
     * |corpus|·d scalars — the standard distributed k-means step. */
   def lloydIteration(assigned: DataFrame): DataFrame = {
     val exploded = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
-    val means = exploded.groupBy(col("cell"), col("pos")).agg(avg(col("val")).as("m"))
+    // decimal-sum mean (Det contract): partition/merge-order invariant, so
+    // cell assignment — and x11's output — is identical on every run
+    val means = exploded.groupBy(col("cell"), col("pos"))
+      .agg((sum(col("val").cast(DecimalType(28, 18))).cast(DoubleType) /
+        count(col("val"))).as("m"))
     means.groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell").as("cid"),

@@ -26,10 +26,11 @@ class Service(gateway: SqlGateway, port: Int = 0) {
   server.createContext("/db/query", handler(handleQuery))
   server.createContext("/status", handler(handleStatus))
   server.createContext("/join", handler(handleJoin))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   private def handler(f: HttpExchange => (Int, String)): HttpHandler =

@@ -86,7 +86,10 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(SessionState(s.start, t, s.nEvents + 1, s.total + e.value))
+                  // late-but-in-watermark events may arrive with t < last
+                  // (across micro-batches): extend bounds, never shrink
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.nEvents + 1, s.total + e.value))
                 case Some(s) =>
                   closed += Session(userId, s.start, s.last, s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -76,6 +76,15 @@ class GatewaySpec extends SparkTestBase {
     assert(row == Seq(20, 10))
   }
 
+  test("string literal containing the word 'where' survives UPDATE parsing") {
+    gw.execute("DROP TABLE IF EXISTS wheret")
+    gw.execute("CREATE TABLE wheret (id integer, msg text)")
+    gw.execute("INSERT INTO wheret VALUES (1, 'x'), (2, 'y')")
+    gw.execute("UPDATE wheret SET msg = 'a where b' WHERE id = 1")
+    val vals = gw.query("SELECT msg FROM wheret ORDER BY id").values.map(_.head)
+    assert(vals == Seq("a where b", "y"))
+  }
+
   test("string literals containing commas survive UPDATE SET parsing") {
     gw.execute("DROP TABLE IF EXISTS commat")
     gw.execute("CREATE TABLE commat (id integer, name text)")

@@ -38,6 +38,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: late in-watermark event extends, never shrinks, the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 5, "click", 1.0), Event(2, ts(20), 5, "view", 2.0))
+      q.processAllAvailable()
+      // late event (t=10) arrives in a later batch, still within watermark
+      input.addData(Event(3, ts(10), 5, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark far ahead to close the session
+      input.addData(Event(4, ts(600), 6, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 6, "view", 0.0))
+      q.processAllAvailable()
+      val s = spark.table("sess_late").as[Session].collect().find(_.user_id == 5).get
+      assert(s.n_events == 3 && s.total_value == 7.0)
+      assert(s.end_ms - s.start_ms == 20 * 60000L) // end stays at t=20, not t=10
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to recent purchases") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Full round gate in one command: tests + correctness (bit-exact DuckDB
 # diff at both SFs) + bench. Exit nonzero on any failure.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 echo "== sbt test =="
 sbt -batch test 2>&1 | grep -E "Tests:" | tail -1
