@@ -92,8 +92,29 @@ object Multimodal {
     })
 
   val oracles: Map[String, String] = Map(
-    // The histogram expression itself is engine-specific; the profile is
-    // SQL-expressible because the stub decode (md5) exists in DuckDB too.
+    // The ByteHistogram expression IS oracle-checkable: the stub payload is
+    // unhex(md5(text)), so DuckDB can re-derive every byte value from the
+    // md5 hex string (strpos arithmetic over the hex alphabet) and count
+    // the same 32-wide buckets the native expression fills.
+    "x12_multimodal_features" ->
+      """WITH h AS (SELECT doc_id, source AS origin, md5(text) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, origin,
+        |    (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INT), 1)) - 1) AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS i) r)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_bytes,
+        |  origin,
+        |  COUNT(*) FILTER (WHERE bv < 32) AS b0,
+        |  COUNT(*) FILTER (WHERE bv >= 32 AND bv < 64) AS b1,
+        |  COUNT(*) AS hist_total
+        |FROM b
+        |GROUP BY doc_id, origin
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The profile is SQL-expressible because the stub decode (md5) exists
+    // in DuckDB too.
     "x13_multimodal_profile" ->
       """SELECT source AS origin, COUNT(*) AS n_payloads,
         |  CAST(SUM(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,

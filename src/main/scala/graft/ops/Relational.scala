@@ -79,16 +79,37 @@ object Relational {
         .limit(10)
     },
 
-    // ---- left outer join, per-order line stats (orders with no lines kept)
+    // ---- left outer join, per-order line stats (orders with no lines kept).
+    // lineitem is pre-aggregated per l_orderkey BELOW the join: the join's
+    // streamed side shrinks from ~4 lines/order to 1 row/order before any
+    // join shuffle — at 100 TB that is a 4×+ cut in shuffled bytes, and the
+    // partial aggregate absorbs key skew before the join sees it.
     "q04_join_left" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
-      val l = Tables(s, dir, "lineitem")
-      o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
-        .groupBy(col("o_orderkey"))
-        .agg(
-          count(col("l_orderkey")).as("n_lines"),
-          coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_qty"))
+      val lagg = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ln"), dsum(col("l_quantity")).as("sq"))
+      o.join(lagg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("ln"), lit(0L)).as("n_lines"),
+          coalesce(col("sq"), lit(0.0)).as("sum_qty"))
         .orderBy(col("o_orderkey").asc_nulls_first)
+    },
+
+    // ---- right outer join (the mirrored preserve-side: every order kept,
+    // bulk lines optional). Same scale posture as q04 — the preserved side
+    // is the smaller pre-filtered relation, Catalyst/AQE picks the build.
+    "q44_join_right" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val bulk = Tables(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      bulk.join(o, col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(col("l_orderkey")).as("n_bulk_lines"),
+          count(lit(1)).as("n_rows"),
+          coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("bulk_revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
     // ---- 6-way star join with two broadcast dims (TPC-H Q5 style)
@@ -275,6 +296,16 @@ object Relational {
          |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderkey
          |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q44_join_right" ->
+      s"""SELECT o_orderstatus,
+         |  COUNT(l_orderkey) AS n_bulk_lines,
+         |  COUNT(*) AS n_rows,
+         |  COALESCE(${dsumSql("l_extendedprice")}, CAST(0.0 AS DOUBLE)) AS bulk_revenue
+         |FROM (SELECT * FROM lineitem WHERE l_quantity > 45) bulk
+         |RIGHT JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q05_star_join" ->
       s"""SELECT n_name,

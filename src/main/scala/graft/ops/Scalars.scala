@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,7 +36,11 @@ object Scalars {
         .orderBy(col("l_orderkey").asc_nulls_first)
     },
 
-    // ---- array family: construct, index, contains, sort, higher-order
+    // ---- array family: construct, index, contains, sort, higher-order.
+    // Array-typed outputs are serialized to JSON text in the contract
+    // result (to_json here, to_json::VARCHAR in the oracle) so every cell
+    // is scalar — the driver harness row-sorts/hashes cells and cannot
+    // hash raw arrays.
     "q30_arrays" -> { (s, dir) =>
       Tables(s, dir, "nation")
         .withColumn("arr", array(col("n_nationkey"), col("n_regionkey"),
@@ -47,11 +50,11 @@ object Scalars {
           size(col("arr")).cast(LongType).as("arr_len"),
           element_at(col("arr"), 2).as("second"),
           array_contains(col("arr"), 3).as("has_three"),
-          expr("transform(arr, x -> x * 2)").as("doubled"),
-          expr("filter(arr, x -> x % 2 = 0)").as("evens"),
+          to_json(expr("transform(arr, x -> x * 2)")).as("doubled"),
+          to_json(expr("filter(arr, x -> x % 2 = 0)")).as("evens"),
           aggregate(col("arr"), lit(0), (acc, x) => acc + x).as("arr_sum"),
-          sort_array(col("arr"), asc = false).as("sorted_desc"),
-          sort_array(array_distinct(col("arr"))).as("uniq"))
+          to_json(sort_array(col("arr"), asc = false)).as("sorted_desc"),
+          to_json(sort_array(array_distinct(col("arr")))).as("uniq"))
         .orderBy(col("n_nationkey").asc_nulls_first)
     },
 
@@ -86,15 +89,17 @@ object Scalars {
     },
 
     // ---- POSITIONAL JOIN (DuckDB extension): zip two sets row-by-row,
-    // NULL-padding the shorter side. Spark rewrite: row_number over an
-    // explicit total order on each side, then FULL equi-join on position.
+    // NULL-padding the shorter side. Spark rewrite: distributed global
+    // position per side ([[Positions.withGlobalPosition]] — parallel range
+    // sort + zipWithIndex offsets, NO single-partition window), then FULL
+    // equi-join on position.
     "q33_positional_join" -> { (s, dir) =>
-      val w1 = Window.orderBy(col("r_name").asc_nulls_first)
-      val r = Tables(s, dir, "region")
-        .select(col("r_name"), row_number().over(w1).as("pos1"))
-      val w2 = Window.orderBy(col("o_orderstatus").asc_nulls_first)
-      val st = Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()
-        .select(col("o_orderstatus"), row_number().over(w2).as("pos2"))
+      val r = Positions.withGlobalPosition(
+        Tables(s, dir, "region").select(col("r_name")),
+        Seq(col("r_name").asc_nulls_first), "pos1")
+      val st = Positions.withGlobalPosition(
+        Tables(s, dir, "orders").select(col("o_orderstatus")).distinct(),
+        Seq(col("o_orderstatus").asc_nulls_first), "pos2")
       r.join(st, col("pos1") === col("pos2"), "full")
         .select(coalesce(col("pos1"), col("pos2")).as("pos"),
           col("r_name"), col("o_orderstatus"))
@@ -241,11 +246,11 @@ object Scalars {
         |  CAST(len(arr) AS BIGINT) AS arr_len,
         |  arr[2] AS second,
         |  list_contains(arr, 3) AS has_three,
-        |  list_transform(arr, x -> x * 2) AS doubled,
-        |  list_filter(arr, x -> x % 2 = 0) AS evens,
+        |  CAST(to_json(list_transform(arr, x -> x * 2)) AS VARCHAR) AS doubled,
+        |  CAST(to_json(list_filter(arr, x -> x % 2 = 0)) AS VARCHAR) AS evens,
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
-        |  list_reverse_sort(arr) AS sorted_desc,
-        |  list_sort(list_distinct(arr)) AS uniq
+        |  CAST(to_json(list_reverse_sort(arr)) AS VARCHAR) AS sorted_desc,
+        |  CAST(to_json(list_sort(list_distinct(arr))) AS VARCHAR) AS uniq
         |FROM (SELECT n_nationkey,
         |        [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS arr
         |      FROM nation)
