@@ -15,7 +15,8 @@ final case class ExecuteResult(rowsAffected: Long)
 final case class QueryResult(
     columns: Seq[String],
     types: Seq[String],
-    values: Seq[Seq[Any]])
+    values: Seq[Seq[Any]],
+    truncated: Boolean = false)
 
 object Results {
   /** Spark DataType → DuckDB-style type name. */
@@ -40,14 +41,26 @@ object Results {
     case other => other.sql
   }
 
+  /** Result-set cap: the reference collects unboundedly (`db/db.go:95-113`
+    * — and OOMs on a huge SELECT); at 100 TB the service layer must not
+    * reproduce that. Configurable via `graft.query.maxResultRows`; the
+    * default is generous for an interactive JSON API. */
+  val DefaultMaxRows = 100000
+
   /** Collect a DataFrame into the reference's row-major result shape.
-    * Boundary-only materialization — the reference does exactly this when
-    * marshalling rows to JSON (`db/db.go:95-113`). */
+    * Boundary-only materialization, capped: we fetch capacity+1 rows via
+    * `limit` (pushed into the plan — a global sort still collapses to
+    * TakeOrderedAndProject) and flag `truncated` instead of collecting an
+    * unbounded result into the driver. */
   def fromDataFrame(df: DataFrame): QueryResult = {
+    val cap = df.sparkSession.conf.getOption("graft.query.maxResultRows")
+      .map(_.toInt).getOrElse(DefaultMaxRows)
     val schema = df.schema
+    val rows = df.limit(cap + 1).collect()
     QueryResult(
       columns = schema.fields.map(_.name).toSeq,
       types = schema.fields.map(f => duckTypeName(f.dataType)).toSeq,
-      values = df.collect().map(_.toSeq).toSeq)
+      values = rows.take(cap).map(_.toSeq).toSeq,
+      truncated = rows.length > cap)
   }
 }

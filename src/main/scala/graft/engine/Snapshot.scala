@@ -14,8 +14,11 @@ object Snapshot {
   def exportDatabase(gw: SqlGateway, dir: String): Seq[String] = {
     val spark = gw.spark
     Files.createDirectories(Paths.get(dir))
+    // gateway tables are LOCATION-backed (EXTERNAL, versioned dirs);
+    // passthrough-created ones are MANAGED — snapshot both, skip temp views
     val tables = spark.catalog.listTables().collect()
-      .filter(t => t.tableType == "MANAGED").map(_.name).toSeq.sorted
+      .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+      .map(_.name).toSeq.sorted
     tables.foreach { t =>
       spark.table(t).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t")
     }
@@ -32,16 +35,24 @@ object Snapshot {
     val spark = gw.spark
     val lines = new String(Files.readAllBytes(Paths.get(dir, ManifestName)), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq
-    lines.map { line =>
+    val imported = lines.map { line =>
       val parts = line.split("\\|", -1)
       val (t, pk, nn) = (parts(0),
         parts.lift(1).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
         parts.lift(2).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      spark.read.parquet(s"$dir/$t").write.saveAsTable(t)
+      gw.dropTable(t)
+      gw.createFromData(t, spark.read.parquet(s"$dir/$t"))
       if (pk.nonEmpty || nn.nonEmpty) gw.constraints(t.toLowerCase) = (pk, nn)
+      else gw.constraints.remove(t.toLowerCase)
       t
     }
+    // IMPORT DATABASE replaces whole-database state in the reference
+    // (store/store.go:314 after a dir wipe) — constraint metadata for
+    // tables absent from the manifest must not linger and bind to
+    // unrelated tables recreated later under the same name
+    val keep = imported.map(_.toLowerCase).toSet
+    gw.constraints.keys.filterNot(keep).foreach(gw.constraints.remove)
+    imported
   }
 
   /** `/status`-equivalent surface (reference `http/service.go:144-193`):

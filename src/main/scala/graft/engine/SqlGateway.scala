@@ -24,16 +24,30 @@ import scala.collection.concurrent.TrieMap
   * Scale note: constraint checks and DML rewrites are full DataFrame plans
   * (anti-joins / filters), not driver loops — they distribute like any
   * other query. The writer lock serializes *statements*, not partitions.
+  *
+  * Storage model: gateway tables are parquet tables whose data lives under
+  * a per-table **versioned directory** (`<warehouse>/<t>__graft/v<N>`).
+  * UPDATE/DELETE write the rewritten table to `v<N+1>` and then atomically
+  * repoint the catalog (`ALTER TABLE ... SET LOCATION`) — a concurrent
+  * reader keeps reading the fully-intact `v<N>` files, giving the same
+  * snapshot isolation DuckDB MVCC gives the reference's readers, and a
+  * mid-write failure leaves the live table untouched. The previous version
+  * is retained (like the reference's `retainSnapshotCount = 2`,
+  * `store/store.go:22`) and GC'd one rewrite later.
   */
 class SqlGateway(val spark: SparkSession) {
   private val writeLock = new Object
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
+  /** table → current data-directory version (versioned-location tables). */
+  private val versions = new TrieMap[String, Int]
 
   private val CreateRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*""".r
-  private val InsertRe =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s*(VALUES.*|SELECT.*|TABLE.*|FROM.*)""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+  private val CtasRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
+  private val InsertPrefixRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(.*)""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)\s*""".r
   private val DeleteRe =
@@ -43,20 +57,25 @@ class SqlGateway(val spark: SparkSession) {
   /** Write path (reference `db/db.go:49-65`). */
   def execute(sql: String): ExecuteResult = writeLock.synchronized {
     sql match {
-      case CreateRe(table, colSpec) => createTable(table, colSpec)
-      case InsertRe(table, cols, source) =>
-        insert(table, Option(cols).map(_.stripPrefix("(").stripSuffix(")")), source)
+      case CtasRe(ine, table, query) => ctas(table, query, ine != null)
+      case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
+      case InsertPrefixRe(table, rest) =>
+        val (cols, source) = parseInsertBody(rest.trim)
+        insert(table, cols, source)
       case UpdateRe(table, rest) =>
         // split SET-list from WHERE at the first *top-level* WHERE — a
         // regex split would match 'where' inside a string literal
         val (setClause, where) = splitAtTopLevelWhere(rest)
         update(table, setClause, where)
       case DeleteRe(table, where) => delete(table, Option(where))
-      case DropRe(table) =>
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        constraints.remove(table.toLowerCase)
-        ExecuteResult(0L)
+      case DropRe(table) => dropTable(table)
       case other =>
+        // Any INSERT reaches InsertPrefixRe above; an INSERT variant we
+        // can't parse must FAIL here, not silently skip PK/NOT NULL
+        // enforcement via raw passthrough (DuckDB checks every insert path)
+        if (other.trim.take(6).equalsIgnoreCase("INSERT"))
+          throw new IllegalArgumentException(
+            s"unsupported INSERT form (would bypass constraint checks): ${other.trim}")
         spark.sql(other)
         ExecuteResult(0L)
     }
@@ -65,9 +84,58 @@ class SqlGateway(val spark: SparkSession) {
   /** Read path (reference `db/db.go:67-117`): local, lock-free. */
   def query(sql: String): QueryResult = Results.fromDataFrame(spark.sql(sql))
 
+  // --- storage layout helpers (versioned data directories) --------------
+
+  private def tableKey(table: String): String = table.toLowerCase
+
+  /** Per-table root for versioned data dirs — distinct from the managed
+    * location Spark would pick, so the two never collide. */
+  private def tableRoot(table: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    s"$wh/${tableKey(table).replace('.', '_')}__graft"
+  }
+
+  private def deleteDir(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Create `table` populated from `df`, versioned from birth (v0). Used
+    * by CTAS and by snapshot import. */
+  private[engine] def createFromData(table: String, df: DataFrame): Unit = {
+    val loc = s"${tableRoot(table)}/v0"
+    deleteDir(tableRoot(table))
+    df.write.parquet(loc)
+    spark.sql(s"CREATE TABLE $table (${df.schema.toDDL}) USING parquet LOCATION '$loc'")
+    versions(tableKey(table)) = 0
+  }
+
+  private[engine] def dropTable(table: String): ExecuteResult = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    constraints.remove(tableKey(table))
+    versions.remove(tableKey(table))
+    // DROP TABLE leaves the files of a LOCATION-backed table in place —
+    // remove our versioned data dirs so a re-CREATE starts empty
+    deleteDir(tableRoot(table))
+    ExecuteResult(0L)
+  }
+
+  // --- CREATE TABLE AS SELECT: DuckDB runs the query and reports the row
+  //     count; a CTAS table carries no declared constraints.
+  private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
+    if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
+    createFromData(table, spark.sql(query))
+    constraints.remove(tableKey(table))
+    ExecuteResult(spark.table(table).count())
+  }
+
   // --- CREATE TABLE: strip constraint syntax Spark's parser rejects,
   //     normalize DuckDB-isms (TEXT), and remember the constraints.
-  private def createTable(table: String, colSpec: String): ExecuteResult = {
+  private def createTable(table: String, colSpec: String, ifNotExists: Boolean): ExecuteResult = {
+    // IF NOT EXISTS on an existing table is a no-op (DuckDB semantics) —
+    // and must NOT overwrite the live table's constraint metadata
+    if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
     var pk = Vector.empty[String]
     var notNull = Vector.empty[String]
     val cleaned = splitTopLevel(colSpec).flatMap { raw =>
@@ -92,10 +160,45 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"$name $spec")
       }
     }
-    spark.sql(s"CREATE TABLE $table (${cleaned.mkString(", ")}) USING parquet")
+    val loc = s"${tableRoot(table)}/v0"
+    deleteDir(tableRoot(table)) // stale files from a prior incarnation must not resurface
+    spark.sql(s"CREATE TABLE $table (${cleaned.mkString(", ")}) USING parquet LOCATION '$loc'")
+    versions(tableKey(table)) = 0
     if (pk.nonEmpty || notNull.nonEmpty)
-      constraints(table.toLowerCase) = (pk, (notNull ++ pk).distinct)
+      constraints(tableKey(table)) = (pk, (notNull ++ pk).distinct)
+    else constraints.remove(tableKey(table))
     ExecuteResult(0L)
+  }
+
+  /** `INSERT INTO t <rest>` → (optional column list, source query text).
+    * The column list is only a column list when something follows its
+    * closing paren; `INSERT INTO t (SELECT ...)` is a paren-wrapped source
+    * (legal in DuckDB) and must still flow through the CHECKED insert path
+    * — the old first-`)` regex let it fall through to raw passthrough,
+    * silently skipping PK/NOT NULL enforcement. */
+  private def parseInsertBody(rest: String): (Option[String], String) =
+    if (rest.startsWith("(")) {
+      val close = matchingParen(rest)
+      val inside = rest.substring(1, close).trim
+      val after = rest.substring(close + 1).trim
+      if (after.isEmpty) (None, inside) else (Some(inside), after)
+    } else (None, rest)
+
+  /** Index of the `)` closing the paren at position 0 (quote-aware). */
+  private def matchingParen(s: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in INSERT: $s")
   }
 
   /** Find the first WHERE keyword outside quotes/parens and split there. */
@@ -200,6 +303,13 @@ class SqlGateway(val spark: SparkSession) {
       val Array(c, e) = a.split("=", 2)
       (c.trim, expr(e.trim))
     }
+    // a SET target that names no table column is an error (SQL engines
+    // raise unknown-column; silently dropping it would "succeed" a typo)
+    val known = target.columns.map(_.toLowerCase).toSet
+    assignments.foreach { case (c, _) =>
+      if (!known.contains(c.toLowerCase))
+        throw new IllegalArgumentException(s"UPDATE $table: unknown column $c")
+    }
     val affected = target.filter(pred).count()
     // SQL UPDATE evaluates every SET expression against the OLD row
     // (UPDATE t SET a = b, b = a swaps) — so build one simultaneous
@@ -235,10 +345,32 @@ class SqlGateway(val spark: SparkSession) {
     }
   }
 
-  /** Materialize then overwrite — the parquet table can't be rewritten
-    * from a plan that reads itself, so stage through a checkpoint. */
-  private def overwriteTable(table: String, df: DataFrame): Unit = {
-    val staged = df.localCheckpoint(eager = true)
-    staged.write.mode("overwrite").insertInto(table)
-  }
+  /** Atomic table rewrite. For versioned tables (anything created through
+    * the gateway): write the new contents COMPLETELY to `v<N+1>` — the
+    * rewrite plan reads the live `v<N>` files, so no self-read staging is
+    * needed — then repoint the catalog in one metadata operation. A reader
+    * resolved against `v<N>` keeps its intact snapshot (the reference gets
+    * the same isolation from DuckDB MVCC); a failure mid-write leaves the
+    * live table untouched. `v<N-1>` is GC'd (retain current + previous,
+    * mirroring the reference's `retainSnapshotCount = 2`).
+    *
+    * Tables that bypassed the gateway DDL path (raw passthrough) have no
+    * version dir; they fall back to checkpoint + in-place overwrite, which
+    * is atomic only against failure after the checkpoint, not against
+    * concurrent reads — the versioned path is the supported one. */
+  private def overwriteTable(table: String, df: DataFrame): Unit =
+    versions.get(tableKey(table)) match {
+      case Some(cur) =>
+        val next = cur + 1
+        val loc = s"${tableRoot(table)}/v$next"
+        deleteDir(loc) // leftovers of a previously failed rewrite attempt
+        df.write.parquet(loc)
+        spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
+        spark.catalog.refreshTable(table)
+        versions(tableKey(table)) = next
+        if (next >= 2) deleteDir(s"${tableRoot(table)}/v${next - 2}")
+      case None =>
+        val staged = df.localCheckpoint(eager = true)
+        staged.write.mode("overwrite").insertInto(table)
+    }
 }

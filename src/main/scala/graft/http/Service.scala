@@ -47,11 +47,21 @@ class Service(gateway: SqlGateway, port: Int = 0) {
       ex.close()
     }
 
-  private def readSql(ex: HttpExchange): String = {
+  /** Missing/empty SQL is a client error → HTTP 400, matching the
+    * reference's error contract (engine errors stay 200-with-error-field). */
+  private class BadRequest(msg: String) extends RuntimeException(msg)
+
+  private def bodySql(ex: HttpExchange): Option[String] = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    Json.extractField(body, "sql").getOrElse(
-      throw new IllegalArgumentException("missing sql field"))
+    Json.extractField(body, "sql")
   }
+
+  private def requireSql(opt: Option[String]): String = {
+    val sql = opt.getOrElse(throw new BadRequest("missing sql field"))
+    if (sql.trim.isEmpty) throw new BadRequest("empty sql") else sql
+  }
+
+  private def readSql(ex: HttpExchange): String = requireSql(bodySql(ex))
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -65,6 +75,7 @@ class Service(gateway: SqlGateway, port: Int = 0) {
       val (res, ms) = timed(gateway.execute(readSql(ex)))
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
+      case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
       case e: Exception => (200, obj("error" -> Json.str(e.getMessage), "time" -> "0"))
     }
   }
@@ -73,15 +84,18 @@ class Service(gateway: SqlGateway, port: Int = 0) {
     if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "GET")
       return (405, obj("error" -> "\"GET or POST only\""))
     try {
-      val sql = if (ex.getRequestMethod == "GET")
-        Option(ex.getRequestURI.getQuery).flatMap(q => q.split("&")
+      // the reference handleQuery reads the {"sql":...} body on BOTH GET
+      // and POST (http/service.go) — on GET, ?q= wins, body is fallback
+      val sql = if (ex.getRequestMethod == "GET") {
+        val qParam = Option(ex.getRequestURI.getQuery).flatMap(q => q.split("&")
           .find(_.startsWith("q=")).map(p =>
             java.net.URLDecoder.decode(p.drop(2), "UTF-8")))
-          .getOrElse(throw new IllegalArgumentException("missing q param"))
-      else readSql(ex)
+        requireSql(qParam.orElse(bodySql(ex)))
+      } else readSql(ex)
       val (res, ms) = timed(gateway.query(sql))
       (200, obj("results" -> queryJson(res), "time" -> Json.num(ms)))
     } catch {
+      case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
       case e: Exception => (200, obj("error" -> Json.str(e.getMessage), "time" -> "0"))
     }
   }
@@ -101,11 +115,14 @@ class Service(gateway: SqlGateway, port: Int = 0) {
   private def executeJson(r: ExecuteResult): String =
     obj("rows_affected" -> r.rowsAffected.toString)
 
-  private def queryJson(r: QueryResult): String =
-    obj(
+  private def queryJson(r: QueryResult): String = {
+    val base = Seq(
       "columns" -> Json.arr(r.columns.map(Json.str)),
       "types" -> Json.arr(r.types.map(Json.str)),
       "values" -> Json.arr(r.values.map(row => Json.arr(row.map(Json.value)))))
+    // reference shape untouched unless the row cap actually hit
+    obj((if (r.truncated) base :+ ("truncated" -> "true") else base): _*)
+  }
 
   private def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${Json.str(k)}: $v" }.mkString("{", ", ", "}")

@@ -62,6 +62,34 @@ class ConcurrencySpec extends SparkTestBase {
     assert(gw.query("SELECT count(*) AS n FROM conc2").values.head.head == 1L)
   }
 
+  test("reads keep an intact snapshot during UPDATE rewrites (versioned swap)") {
+    gw.execute("DROP TABLE IF EXISTS conc4")
+    gw.execute("CREATE TABLE conc4 (id integer, v integer)")
+    gw.execute("INSERT INTO conc4 VALUES " + (1 to 200).map(i => s"($i, 0)").mkString(", "))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          // pre-swap readers see the old version, post-swap the new one —
+          // never a partially-deleted table (the old in-place overwrite
+          // could surface FileNotFound or a row count below 200 here)
+          try {
+            val n = gw.query("SELECT count(*) AS n FROM conc4").values.head.head
+              .asInstanceOf[Long]
+            if (n != 200L) throw new AssertionError(s"saw partial table: $n rows")
+          } catch { case t: Throwable => failures.add(t); stop.set(true) }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to 5).foreach(i => gw.execute(s"UPDATE conc4 SET v = $i"))
+    stop.set(true)
+    readers.foreach(_.join())
+    assert(failures.isEmpty, s"reader failures: ${failures.toArray.mkString}")
+    assert(gw.query("SELECT min(v) AS m, max(v) AS x FROM conc4").values.head == Seq(5, 5))
+  }
+
   test("reads run while a writer holds the lock") {
     gw.execute("DROP TABLE IF EXISTS conc3")
     gw.execute("CREATE TABLE conc3 (id integer, v integer)")

@@ -137,6 +137,64 @@ class GatewaySpec extends SparkTestBase {
     assert(res.values.length == 1)
   }
 
+  test("INSERT INTO t (SELECT ...) goes through the checked path — no constraint bypass") {
+    gw.execute("DROP TABLE IF EXISTS bypass_src")
+    gw.execute("DROP TABLE IF EXISTS bypass_dst")
+    gw.execute("CREATE TABLE bypass_src (id integer, name text)")
+    gw.execute("CREATE TABLE bypass_dst (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO bypass_src VALUES (1, 'a'), (1, 'b')")
+    // paren-wrapped SELECT source (DuckDB-legal) with an in-batch dup PK:
+    // the old first-`)` regex let this fall through to raw passthrough
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO bypass_dst (SELECT * FROM bypass_src)")
+    }
+    assert(gw.query("SELECT count(*) AS n FROM bypass_dst").values.head.head == 0L)
+    gw.execute("INSERT INTO bypass_dst (SELECT 5, 'ok')")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO bypass_dst (SELECT 5, 'dup')") // key exists
+    }
+    assert(gw.query("SELECT count(*) AS n FROM bypass_dst").values.head.head == 1L)
+  }
+
+  test("CREATE TABLE IF NOT EXISTS on an existing table is a no-op keeping constraints") {
+    gw.execute("DROP TABLE IF EXISTS ine")
+    gw.execute("CREATE TABLE ine (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO ine VALUES (1, 'x')")
+    gw.execute("CREATE TABLE IF NOT EXISTS ine (id integer, name text)")
+    assert(gw.query("SELECT count(*) AS n FROM ine").values.head.head == 1L)
+    intercept[IllegalArgumentException] { gw.execute("INSERT INTO ine VALUES (1, 'dup')") }
+  }
+
+  test("CREATE TABLE AS SELECT creates the table and reports the row count") {
+    gw.execute("DROP TABLE IF EXISTS ctas_src")
+    gw.execute("DROP TABLE IF EXISTS ctas_t")
+    gw.execute("CREATE TABLE ctas_src (id integer, v integer)")
+    gw.execute("INSERT INTO ctas_src VALUES (1,10),(2,20),(3,30)")
+    val r = gw.execute("CREATE TABLE ctas_t AS SELECT id, v * 2 AS v2 FROM ctas_src WHERE id > 1")
+    assert(r.rowsAffected == 2)
+    // a CTAS table carries no constraints: re-inserting a seen id is fine
+    gw.execute("INSERT INTO ctas_t VALUES (2, 40)")
+    assert(gw.query("SELECT count(*) AS n FROM ctas_t").values.head.head == 3L)
+  }
+
+  test("UPDATE with an unknown SET column throws instead of silently succeeding") {
+    gw.execute("DROP TABLE IF EXISTS typo")
+    gw.execute("CREATE TABLE typo (id integer, v integer)")
+    gw.execute("INSERT INTO typo VALUES (1, 1)")
+    intercept[IllegalArgumentException] { gw.execute("UPDATE typo SET typo_col = 2") }
+    assert(gw.query("SELECT v FROM typo").values.head.head == 1)
+  }
+
+  test("TABLESAMPLE and EXPLAIN are reachable through the gateway") {
+    gw.execute("DROP TABLE IF EXISTS samp")
+    gw.execute("CREATE TABLE samp (id integer)")
+    gw.execute("INSERT INTO samp VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)")
+    val s = gw.query("SELECT * FROM samp TABLESAMPLE (50 PERCENT)")
+    assert(s.values.length <= 10)
+    val e = gw.query("EXPLAIN SELECT count(*) FROM samp")
+    assert(e.values.nonEmpty && e.values.head.head.toString.contains("Physical Plan"))
+  }
+
   test("error paths: bad arity, unknown table, malformed SQL all surface cleanly") {
     gw.execute("DROP TABLE IF EXISTS errt")
     gw.execute("CREATE TABLE errt (id integer, name text)")

@@ -51,9 +51,33 @@ class ServiceSpec extends SparkTestBase {
     assert(c == 200 && b.contains("\"error\""))
   }
 
-  test("missing sql field is an error") {
-    val (_, b) = http("POST", "/db/execute", Some("""{"nope": 1}"""))
-    assert(b.contains("missing sql field"))
+  test("missing sql field is HTTP 400 (reference error contract)") {
+    val (c, b) = http("POST", "/db/execute", Some("""{"nope": 1}"""))
+    assert(c == 400 && b.contains("missing sql field"))
+    val (c2, _) = http("POST", "/db/query", Some("""{"sql": "   "}"""))
+    assert(c2 == 400)
+  }
+
+  test("GET /db/query falls back to the body sql field when ?q= is absent") {
+    // HttpURLConnection silently turns GET-with-body into POST; use
+    // HttpClient, which lets a reference-style client send GET + JSON body
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(URI.create(s"http://localhost:$port/db/query"))
+      .method("GET", java.net.http.HttpRequest.BodyPublishers.ofString("""{"sql": "SELECT 2 AS two"}"""))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("[[2]]"))
+  }
+
+  test("result sets beyond the row cap are truncated with metadata") {
+    spark.conf.set("graft.query.maxResultRows", "3")
+    try {
+      val (c, b) = http("POST", "/db/query",
+        Some("""{"sql": "SELECT id FROM range(10) ORDER BY id"}"""))
+      assert(c == 200 && b.contains("\"truncated\": true"))
+      // exactly cap rows survive
+      assert(b.contains("[[0], [1], [2]]"))
+    } finally spark.conf.unset("graft.query.maxResultRows")
   }
 
   test("wrong method is rejected") {
