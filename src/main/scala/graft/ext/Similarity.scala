@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   *    top-k window, which is tiny). This is the right plan at any corpus
   *    size *when the query set is small*.
   *  - [[queries x11_ann_ivf]]: IVF-style cell-probed search — the scale
-  *    path. Corpus is partitioned into cells by nearest centroid (one
-  *    broadcast join), queries probe only their 2 nearest cells. At 100 TB
-  *    the per-query work drops from |corpus| to |probed cells|.
+  *    path. Corpus is partitioned into cells by nearest centroid from the
+  *    offline-trained persisted [[IvfIndex]] (one broadcast join), queries
+  *    probe only their 2 nearest cells. At 100 TB the per-query work drops
+  *    from |corpus| to |probed cells|, and the index build is a separate
+  *    job, not query work.
+  *  - [[thresholdPairs]]: exact cosine θ-join through lossless IVF
+  *    cell-pair pruning (x19's engine).
   *
   * All dot products run as codegen'd higher-order functions over
   * `array<double>` (sequential fold — same summation order as the oracle's
@@ -64,6 +68,70 @@ object Similarity {
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("best"))
       .select(col("vec_id"), col("v"), col("nrm"), (-col("best.ncid")).as("cell"))
 
+  /** acos with the argument clamped to [-1, 1] — a sequential-fold dot of a
+    * vector with itself can land at 1 + ulp and acos would return NaN. */
+  private def angle(cosSim: Column): Column =
+    acos(least(greatest(cosSim, lit(-1.0)), lit(1.0)))
+
+  /** Exact cosine θ-join (all pairs with similarity ≥ threshold) via
+    * LOSSLESS IVF cell-pair pruning — the scale path for embedding dedup.
+    *
+    * For vectors a, b in cells with centroids c₁, c₂ the angular triangle
+    * inequality gives angle(a,b) ≥ angle(c₁,c₂) − r₁ − r₂, where rᵢ is the
+    * cell's angular radius (max member-to-centroid angle). A cell pair
+    * whose lower bound exceeds acos(threshold) provably contains no
+    * qualifying pair, so only the surviving cell pairs are expanded —
+    * through equi-joins on the cell id (shuffle-partitioned by cell),
+    * never a corpus×corpus cross join. The only cross join is centroid ×
+    * centroid: k² rows of bounded index metadata. On clustered corpora
+    * (what real near-dup data looks like) almost all of the k² cell pairs
+    * prune away; on adversarial data the join degrades to a distributed
+    * pair join but keeps the same shuffle-by-cell plan shape.
+    *
+    * Pruning never drops a qualifying pair (the bound is provable, with
+    * 1e-9 slack for float error), and survivors are verified with the
+    * exact fused-codegen cosine — output is bit-identical to brute force.
+    *
+    * @param assigned corpus as (vec_id, v, nrm, cell) from [[assignCells]]
+    * @param cents    centroid table (cid, cv, cnrm) from [[IvfIndex]]
+    */
+  def thresholdPairs(assigned: DataFrame, cents: DataFrame, threshold: Double): DataFrame = {
+    val qualifying = qualifyingCellPairs(assigned, cents, threshold)
+    val a = assigned.select(col("cell").as("ca"), col("vec_id").as("a"), col("v").as("va"))
+    val b = assigned.select(col("cell").as("cb"), col("vec_id").as("b"), col("v").as("vb"))
+    a.join(broadcast(qualifying), Seq("ca"))
+      .join(b, Seq("cb"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Per-cell angular radius: max member-to-centroid angle, the quantity
+    * every triangle-inequality bound in this file leans on. */
+  def cellRadii(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), col("cell") === col("cid"))
+      .withColumn("ang", angle(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
+      .groupBy(col("cell")).agg(max(col("ang")).as("rad"))
+
+  /** The (ca, cb) cell pairs that can still contain a pair at ≥ threshold
+    * — everything else is pruned by the triangle-inequality lower bound.
+    * Separate so specs can assert the pruning ratio directly. */
+  def qualifyingCellPairs(assigned: DataFrame, cents: DataFrame, threshold: Double): DataFrame = {
+    val thetaMax = math.acos(threshold)
+    val cwr = cents.join(cellRadii(assigned, cents), col("cid") === col("cell"))
+      .select(col("cid"), col("cv"), col("cnrm"), col("rad"))
+    val ca = cwr.select(col("cid").as("ca"), col("cv").as("cva"),
+      col("cnrm").as("cnrma"), col("rad").as("ra"))
+    val cb = cwr.select(col("cid").as("cb"), col("cv").as("cvb"),
+      col("cnrm").as("cnrmb"), col("rad").as("rb"))
+    ca.crossJoin(broadcast(cb)) // k² centroid pairs — index metadata, not corpus
+      .withColumn("cang", angle(dot(col("cva"), col("cvb")) / (col("cnrma") * col("cnrmb"))))
+      .filter(col("cang") - col("ra") - col("rb") <= lit(thetaMax + 1e-9))
+      .select(col("ca"), col("cb"))
+  }
+
   private def topkPerQuery(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
@@ -86,51 +154,72 @@ object Similarity {
       topkPerQuery(pairs, 5)
     },
 
-    // ---- IVF cell-probe ANN: 16 seed centroids refined with one Lloyd
-    // iteration, 2-cell probe, top-5. Rows-only check (ANN recall < 1 by
-    // design; recall vs x10 asserted in ExtensionsSpec).
+    // ---- IVF cell-probed top-k over the OFFLINE-trained persisted index
+    // ([[IvfIndex]]: hash-spread seeds, ≥2 Lloyd iterations, centroids in
+    // a parquet table) — EXACT by construction. Phase 1 probes the 2
+    // nearest cells and takes the interim 5th-best similarity t; phase 2
+    // scans only the remaining cells whose per-cell upper bound
+    // cos(max(angle(q,c) − radius(c), 0)) can still beat t (triangle
+    // inequality — the same bound as [[thresholdPairs]]). Unscanned cells
+    // provably hold no better neighbor, so the result equals brute force
+    // (shares x10's oracle) while the scan fraction tracks the corpus's
+    // cluster structure: tight clusters → phase 2 scans almost nothing;
+    // structureless data degrades toward full scan instead of silently
+    // losing recall. No training in the query path — at 100 TB the index
+    // build is a separate job.
     "x11_ann_ivf" -> { (s, dir) =>
-      // the normed corpus feeds seed selection + two assignment passes —
-      // checkpoint once instead of recomputing parquet-scan+norms 3×
       val e = normed(s, dir).localCheckpoint(true)
-      val seeds = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val cents = lloydIteration(assignCells(e, seeds)).localCheckpoint(true)
-      val assigned = assignCells(e, cents)
-      // queries probe their 2 nearest cells
+      val cents = IvfIndex.centroids(s, dir)
+      val assigned = assignCells(e, cents).localCheckpoint(true)
+      val radii = cellRadii(assigned, cents)
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      // query × cell: probe rank and the cell's best-possible similarity
       val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(col("psim").desc_nulls_last, col("cid").asc_nulls_first)
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("psim", dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+        .orderBy(col("qcang").asc_nulls_first, col("cid").asc_nulls_first)
+      val qc = q.crossJoin(broadcast(cents.join(radii, col("cid") === col("cell"))))
+        .withColumn("qcang", angle(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))))
+        .withColumn("ub", cos(greatest(col("qcang") - col("rad"), lit(0.0))))
         .withColumn("pr", row_number().over(probeW))
-        .filter(col("pr") <= 2)
-        .select(col("q_id"), col("qv"), col("qnrm"), col("cid").as("cell"))
-      val pairs = assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
-        .select(col("q_id"), col("vec_id"), col("sim"))
-      topkPerQuery(pairs, 5)
+        .select(col("q_id"), col("qv"), col("qnrm"), col("cid").as("pcell"),
+          col("ub"), col("pr"))
+      def scan(probes: DataFrame) =
+        assigned.join(broadcast(probes.withColumnRenamed("pcell", "cell")), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+          .select(col("q_id"), col("vec_id"), col("sim"))
+      // phase 1: the 2 nearest cells
+      val cand1 = scan(qc.filter(col("pr") <= 2).select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
+      val rankW = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      val t5 = cand1.withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 5)
+        .groupBy(col("q_id"))
+        .agg(when(count(lit(1)) < 5, lit(-2.0)).otherwise(min(col("sim"))).as("t5"))
+      // phase 2: unprobed cells that can still contain a top-5 neighbor
+      // (1e-9 slack keeps boundary ties exact)
+      val cand2 = scan(
+        qc.filter(col("pr") > 2)
+          .join(broadcast(t5), Seq("q_id"))
+          .filter(col("ub") > col("t5") - lit(1e-9))
+          .select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
+      topkPerQuery(cand1.unionByName(cand2), 5)
     },
 
     // ---- embedding-cosine near-dup detection (the embedding face of the
-    // dedup family): all pairs above a cosine threshold, exact within a
-    // bounded window (vec_id < 2000 — constant work at any SF). The scale
-    // path replaces the pair join with the IVF cells of x11 as a blocking
-    // structure (candidates = same cell), same verify step.
+    // dedup family): ALL pairs above a cosine threshold, computed through
+    // [[thresholdPairs]] — the IVF cells of x11 as a LOSSLESS blocking
+    // structure (cell pairs pruned by the angular triangle inequality,
+    // candidates expanded through equi-joins on cell, exact fused-codegen
+    // cosine verify). Output is provably identical to the brute-force
+    // pair join, so the oracle stays bit-exact, while the plan carries no
+    // corpus×corpus cross join. Bounded window (vec_id < 2000) keeps the
+    // oracle's work constant at any SF; the operator itself has no bound.
     "x19_embed_dedup" -> { (s, dir) =>
-      // fused codegen CosineSimilarity: no per-pair zipped-array
-      // allocation (2M pairs × 64 dims — the composed higher-order
-      // version was 7× slower here), bit-identical results
-      val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
-      a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
-        .withColumn("sim",
-          graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")))
-        .filter(col("sim") >= 0.4)
+      val bounded = normed(s, dir).filter(col("vec_id") < 2000)
+      val cents = IvfIndex.centroids(s, dir)
+      // the assignment feeds radii + both pair sides — materialize once
+      val assigned = assignCells(bounded, cents).localCheckpoint(true)
+      thresholdPairs(assigned, cents, 0.4)
         .select(col("a"), col("b"), round(col("sim"), 5).as("sim"))
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
@@ -188,6 +277,9 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "x10_cosine_topk" -> bruteForceOracle,
     "x14_cosine_topk_fused" -> bruteForceOracle,
+    // x11 is exact by construction (bounded cell scan) — same result set,
+    // same accumulation order ⇒ shares the brute-force oracle verbatim
+    "x11_ann_ivf" -> bruteForceOracle,
     "x19_embed_dedup" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
