@@ -68,12 +68,19 @@ object Dedup {
           (col("za.n_sh") + col("zb.n_sh") - col("n_inter"))).as("jacc"))
   }
 
-  /** 64-bit SimHash per doc from word hashes (sign-aggregated bits). */
+  /** 64-bit SimHash per doc from word hashes (sign-aggregated bits).
+    *
+    * The per-word hash is the md5 hex digest read digit-by-digit (bit j =
+    * bit (3 − j%4) of hex digit j/4) rather than xxhash64: any hash family
+    * works for SimHash, and md5 exists verbatim in DuckDB — which makes
+    * the ENTIRE pipeline (hash → sign-sum → signature → band blocking →
+    * Hamming verify) oracle-checkable end-to-end instead of rows-only. */
   def simhash(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("hx", md5(col("word")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+      val digit = conv(substring(col("hx"), 1 + j / 4, 1), 16, 10).cast(IntegerType)
+      sum(when(shiftright(digit, 3 - j % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
     }
     val agg = w.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { j =>
@@ -130,8 +137,11 @@ object Dedup {
     },
 
     // ---- MinHash-LSH near-dup candidates, exact-Jaccard verified.
-    // Rows-only check: the hash family is engine-specific, but the *final*
-    // output is verified pairs, deterministic for a given corpus.
+    // Oracle-checked: the final output is the exact-verified pair list, so
+    // it must EQUAL the full-corpus exact n-gram-Jaccard pair set — the
+    // oracle thereby certifies both LSH recall (a missed candidate = a
+    // missing row) and precision (the exact verify step) in one hash
+    // compare. The hash family itself stays engine-side.
     "x02_dedup_minhash" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       // the shingle table feeds both the signature and the verification
@@ -152,7 +162,9 @@ object Dedup {
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
 
-    // ---- SimHash near-dup: 16-bit band blocking + Hamming<=3 verification
+    // ---- SimHash near-dup: 16-bit band blocking + Hamming<=3
+    // verification. Fully oracle-checked (md5-digit hash family exists in
+    // DuckDB — see [[simhash]]).
     "x03_dedup_simhash" -> { (s, dir) =>
       val sig = simhash(Tables(s, dir, "documents"))
       val banded = sig.select(col("doc_id"), col("simhash"),
@@ -165,7 +177,8 @@ object Dedup {
           col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast(IntegerType)
+            .as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
@@ -215,6 +228,55 @@ object Dedup {
     })
 
   val oracles: Map[String, String] = Map(
+    // x02's verified-pair output must equal the exact full-corpus Jaccard
+    // pair set — one hash compare certifies LSH recall AND precision
+    "x02_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t)
+        |  WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id)
+        |SELECT a, b,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 4) AS jacc
+        |FROM inter
+        |JOIN sz za ON a = za.doc_id
+        |JOIN sz zb ON b = zb.doc_id
+        |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin,
+
+    // full SimHash pipeline re-derived in SQL: md5 hex digits → bit signs
+    // → signature → 16-bit bands → Hamming verify (bit 63 spelled as the
+    // BIGINT min literal: DuckDB's checked 1<<63 overflows)
+    "x03_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id, md5(word) AS hx FROM w),
+        |bits AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(1 + j // 4 AS INT), 1)) - 1)
+        |               >> CAST(3 - j % 4 AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r),
+        |sums AS (SELECT doc_id, j, SUM(sgn) AS s FROM bits GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |  bit_or(CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+        |              WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |              ELSE (CAST(1 AS BIGINT) << j) END) AS simhash
+        |  FROM sums GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, CAST(b AS INT) AS band,
+        |         (simhash >> CAST(b * 16 AS INT)) & 65535 AS bk
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        |FROM banded l JOIN banded r
+        |  ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

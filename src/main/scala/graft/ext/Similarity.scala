@@ -224,14 +224,20 @@ object Similarity {
         .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
 
-    // ---- mergeable KMV distinct sketch (rows-only: sketch estimates are
-    // definitionally engine-specific; accuracy asserted in KmvSketchSpec)
+    // ---- mergeable KMV distinct sketch. Estimate values are sketch-
+    // specific, so the contract output is the exact count plus the
+    // estimate's error-envelope check (≈1/√(k−2) ≈ 3% at k=1024; bound at
+    // 10%) — driver-visible via the oracle instead of rows-only
+    // (merge laws + error bounds additionally asserted in KmvSketchSpec)
     "x15_kmv_distinct" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          graft.functions.KmvSketch.approxDistinctKmv(col("user_id")).as("kmv_users"),
+          graft.functions.KmvSketch.approxDistinctKmv(col("user_id")).as("kmv"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("kmv") - col("exact_users")) <= col("exact_users") * 0.1).as("kmv_ok"))
         .orderBy(col("event_type").asc_nulls_first)
     },
 
@@ -280,6 +286,11 @@ object Similarity {
     // x11 is exact by construction (bounded cell scan) — same result set,
     // same accumulation order ⇒ shares the brute-force oracle verbatim
     "x11_ann_ivf" -> bruteForceOracle,
+    "x15_kmv_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS kmv_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "x19_embed_dedup" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -227,14 +227,27 @@ object Analytic {
         .orderBy(col("win_start_us").asc_nulls_first, col("event_type").asc_nulls_first)
     },
 
-    // ---- approximate aggregates (rows-only check: HLL/KLL sketches are
-    // engine-specific by design; SURVEY §2.5)
+    // ---- approximate aggregates. The sketch VALUES are engine-specific
+    // (HLL++/KLL), so the contract output is the oracle-checkable exact
+    // count plus booleans asserting each estimate landed inside its
+    // published error envelope (HLL++ default rsd 5% → 10% bound; the
+    // approx median's rank error ≤ n/accuracy, far inside the exact
+    // p45..p55 band). The DuckDB oracle computes the exact count and
+    // expects the envelopes to hold — a drifting sketch turns the driver
+    // row red instead of hiding behind `no_oracle`.
     "q28_approx" -> { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.1).as("hll_ok"),
+          col("am").between(col("p45"), col("p55")).as("median_ok"))
         .orderBy(col("event_type").asc_nulls_first)
     })
 
@@ -394,7 +407,12 @@ object Analytic {
         |WHERE user_id < 20
         |GROUP BY user_id
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin
-    // q28_approx intentionally has no oracle: sketch values are
-    // engine-specific (driver records the weaker rows-only check).
+    ,
+    "q28_approx" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS median_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }
