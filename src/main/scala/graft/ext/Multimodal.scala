@@ -77,7 +77,6 @@ object Multimodal {
           element_at(col("hist"), 1).as("b0"),
           element_at(col("hist"), 2).as("b1"),
           aggregate(col("hist"), lit(0L), (acc, x) => acc + x).as("hist_total"))
-        .orderBy(col("doc_id").asc_nulls_first)
     },
 
     // ---- per-source payload profile (aggregation over binary metadata)
@@ -88,7 +87,6 @@ object Multimodal {
           count(lit(1)).as("n_payloads"),
           sum(length(col("payload"))).cast(LongType).as("total_bytes"),
           countDistinct(col("payload")).as("n_distinct_payloads"))
-        .orderBy(col("origin").asc_nulls_first)
     })
 
   val oracles: Map[String, String] = Map(

@@ -27,7 +27,6 @@ object TextAnalysis {
           (col("n_stop").cast(DoubleType) / col("n_words")).as("stop_ratio"),
           (length(replace(col("text"), lit(" "), lit(""))).cast(DoubleType) / col("n_words"))
             .as("avg_word_len"))
-        .orderBy(col("doc_id").asc_nulls_first)
     },
 
     // ---- corpus profile per language label
@@ -39,7 +38,6 @@ object TextAnalysis {
           sum(col("n_chars")).cast(LongType).as("total_chars"),
           (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
           countDistinct(col("source")).as("n_sources"))
-        .orderBy(col("lang").asc_nulls_first)
     },
 
     // ---- language-ID heuristic (stopword-marker scoring; deterministic
@@ -59,7 +57,6 @@ object TextAnalysis {
             .otherwise("unknown"))
         .groupBy(col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("predicted").asc_nulls_first)
     },
 
     // ---- token counting: whitespace + BPE-ish regex segmentation
@@ -70,7 +67,6 @@ object TextAnalysis {
           size(words(col("text"))).cast(LongType).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
             .cast(LongType).as("re_tokens"))
-        .orderBy(col("doc_id").asc_nulls_first)
     },
 
     // ---- document fingerprinting: content hash + prefix bucket
@@ -80,7 +76,6 @@ object TextAnalysis {
           col("doc_id"),
           md5(lower(col("text"))).as("fp"),
           substring(md5(lower(col("text"))), 1, 4).as("bucket"))
-        .orderBy(col("doc_id").asc_nulls_first)
     })
 
   val oracles: Map[String, String] = Map(

@@ -34,7 +34,6 @@ object Analytic {
           percent_rank().over(tied).as("prnk"),
           cume_dist().over(tied).as("cd"))
         .filter(col("rn") <= 50)
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("rn").asc_nulls_first)
     },
 
     // ---- analytic window functions: lead/lag/first/nth
@@ -48,7 +47,6 @@ object Analytic {
           lead(col("value"), 1).over(w).as("next_value"),
           first(col("event_type")).over(w).as("first_type"),
           nth_value(col("value"), 2).over(w).as("second_value"))
-        .orderBy(col("event_id").asc_nulls_first)
     },
 
     // ---- window frames: ROWS running/moving, RANGE by numeric offset
@@ -65,7 +63,6 @@ object Analytic {
           expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
                  |RANGE BETWEEN CAST(10.0 AS DOUBLE) PRECEDING AND CURRENT ROW)""".stripMargin)
             .as("n_near_value"))
-        .orderBy(col("event_id").asc_nulls_first)
     },
 
     // ---- string function family
@@ -82,7 +79,6 @@ object Analytic {
           concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
           lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
           translate(col("c_mktsegment"), "AEIOU", "aeiou").as("xlate"))
-        .orderBy(col("c_custkey").asc_nulls_first)
     },
 
     // ---- date/time function family
@@ -99,7 +95,6 @@ object Analytic {
           datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
             .as("days_since"),
           date_add(col("o_orderdate").cast(DateType), 30).as("due_date"))
-        .orderBy(col("o_orderkey").asc_nulls_first)
     },
 
     // ---- JSON extraction (events.props is a JSON string column)
@@ -111,7 +106,6 @@ object Analytic {
           count(col("k")).as("n"),
           sum(col("k").cast(LongType)).as("sum_k"),
           (sum(col("k").cast(LongType)).cast(DoubleType) / count(col("k"))).as("avg_k"))
-        .orderBy(col("event_type").asc_nulls_first)
     },
 
     // ---- CASE WHEN / COALESCE / NULLIF
@@ -128,7 +122,6 @@ object Analytic {
           count(lit(1)).as("n"),
           count(when(col("disc_or_flag") === -1.0, 1)).as("n_no_discount"),
           dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("bucket").asc_nulls_first)
     },
 
     // ---- ASOF join: for each click, the latest same-user purchase at/before it.
@@ -151,7 +144,6 @@ object Analytic {
         .withColumn("matched_purchase", last(col("p_id"), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
         .select(col("click_id"), col("matched_purchase"))
-        .orderBy(col("click_id").asc_nulls_first)
     },
 
     // ---- ASOF join via the first-class custom operator (logical node +
@@ -166,7 +158,6 @@ object Analytic {
           col("event_id").as("p_id"))
       graft.plans.Asof.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts")
         .select(col("click_id"), col("p_id").as("matched_purchase"))
-        .orderBy(col("click_id").asc_nulls_first)
     },
 
     // ---- explode/unnest: word frequencies over documents
@@ -188,7 +179,6 @@ object Analytic {
           round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
           min(col("l_quantity")).as("qmin"),
           max(col("l_quantity")).as("qmax"))
-        .orderBy(col("l_returnflag").asc_nulls_first)
     },
 
     // ---- ordered string aggregation (sorted to be engine-independent)
@@ -200,7 +190,6 @@ object Analytic {
         .agg(
           concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"),
           count(lit(1)).as("n_sup"))
-        .orderBy(col("n_name").asc_nulls_first)
     },
 
     // ---- pivot (conditional aggregation into columns)
@@ -211,7 +200,6 @@ object Analytic {
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy(col("user_id").asc_nulls_first)
     },
 
     // ---- time-window aggregation (same `window()` construct Structured
@@ -224,7 +212,6 @@ object Analytic {
         .select(
           unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("win_start_us").asc_nulls_first, col("event_type").asc_nulls_first)
     },
 
     // ---- approximate aggregates. The sketch VALUES are engine-specific
@@ -242,13 +229,13 @@ object Analytic {
           countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("au"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
-          expr("percentile(value, 0.45)").as("p45"),
-          expr("percentile(value, 0.55)").as("p55"))
+          // one exact-percentile pass for both band edges
+          expr("percentile(value, array(0.45, 0.55))").as("band"))
         .select(
           col("event_type"), col("exact_users"),
           (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.1).as("hll_ok"),
-          col("am").between(col("p45"), col("p55")).as("median_ok"))
-        .orderBy(col("event_type").asc_nulls_first)
+          col("am").between(element_at(col("band"), 1), element_at(col("band"), 2))
+            .as("median_ok"))
     })
 
   val oracles: Map[String, String] = Map(

@@ -17,13 +17,32 @@ import org.apache.spark.sql.types._
   * cluster and still hash-match.
   */
 object Det {
-  /** Exact decimal sum rendered as double. */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  /** Engine-side fast path for the exact sums: sum SCALED LONGS (cents)
+    * instead of decimals. Spark's sum over DECIMAL(18,s) widens to
+    * precision 28 and falls off the primitive fast path into per-row
+    * BigDecimal work (~2× slower in the pinned-cache bench); a long sum
+    * stays a codegen'd integer add — exact, partition-order invariant,
+    * and ANSI-checked (overflow throws loudly instead of wrapping).
+    *
+    * Equality with the oracle's `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`
+    * is bit-exact: both sides hold the same exact rational (round-to-cents
+    * per row, then exact integer summation) and round it to DOUBLE once at
+    * the end — IEEE division of an exact long by the scale factor is the
+    * same single rounding as the decimal→double cast, while the long sum
+    * stays below 2^53 (9e15 cents ≈ 90T money units per group — orders of
+    * magnitude of headroom at the bench SFs; the decimal construction
+    * remains the fallback past that envelope, see q01's sum_charge). */
+  private def scaledLongSum(c: Column, scale: Int): Column =
+    sum(round(c * math.pow(10, scale)).cast(LongType))
 
-  /** Deterministic average: exact decimal sum / count (one IEEE division). */
+  /** Exact sum rendered as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    scaledLongSum(c, scale) / lit(math.pow(10, scale))
+
+  /** Deterministic average: exact sum → double, / count (one IEEE
+    * division each, mirroring the oracle's CAST(...)/COUNT structure). */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
+    (scaledLongSum(c, scale) / lit(math.pow(10, scale))) / count(c)
 
   /** Money input as exact decimal cents. Casting the *input* (an exact
     * 2-dp value stored as double) is safe in both engines; casting a
@@ -36,9 +55,13 @@ object Det {
 
   val oneRate: Column = lit(1.0).cast(DecimalType(4, 2))
 
-  /** Exact decimal revenue sum: SUM(price * (1 - discount)) as double. */
+  /** Exact revenue sum: SUM(price * (1 - discount)) as double. Same
+    * scaled-long construction at scale 4 (cents × discount basis points):
+    * per-row products and the group sum stay exact integers, one rounding
+    * to double at the end — identical to the oracle's decimal expression. */
   def revenueSum(price: Column, discount: Column): Column =
-    sum(money(price) * (oneRate - rate(discount))).cast(DoubleType)
+    sum(round(price * 100).cast(LongType) *
+      (lit(100L) - round(discount * 100).cast(LongType))) / lit(1e4)
 
   val revenueSumSql: String =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

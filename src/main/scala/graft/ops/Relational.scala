@@ -14,10 +14,15 @@ import org.apache.spark.sql.types._
   * explicitly `broadcast()` where they join a fact table — at 100 TB the
   * fact side never shuffles for those joins.
   *
-  * Determinism contract with the DuckDB oracle: see [[Det]]; every query
-  * ends in a total ORDER BY with explicit null ordering (Spark defaults to
-  * NULLS FIRST for ASC — the oracle SQL spells it out since DuckDB defaults
-  * to NULLS LAST).
+  * Determinism contract with the DuckDB oracle: see [[Det]]. Output VALUES
+  * are bit-deterministic; output ROW ORDER is not part of the contract —
+  * the driver's compare row-sorts both sides before hashing, and a global
+  * sort appended to every query is exactly the operation you would not run
+  * over a 100 TB result (it adds a range-sampling pass + a range exchange
+  * per query for presentation only). Ordering stays where it is semantics:
+  * top-k/limit/offset (q03, q37), the dedicated ORDER BY query (q09), and
+  * every window/positional ordering inside the plans. ORDER BY in the
+  * oracle SQL is harmless (DuckDB-side, cheap) and kept for readability.
   */
 object Relational {
   import Det._
@@ -38,7 +43,6 @@ object Relational {
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // ---- projection + predicate zoo: IN / BETWEEN / LIKE / boolean mix
@@ -55,7 +59,6 @@ object Relational {
           (money(col("p_retailprice")) * lit(1.1).cast(DecimalType(4, 2)))
             .cast(DoubleType).as("marked_up"),
           col("p_size"))
-        .orderBy(col("p_partkey").asc_nulls_first)
     },
 
     // ---- 3-way join, group, top-k revenue (TPC-H Q3 style)
@@ -94,7 +97,6 @@ object Relational {
           col("o_orderkey"),
           coalesce(col("ln"), lit(0L)).as("n_lines"),
           coalesce(col("sq"), lit(0.0)).as("sum_qty"))
-        .orderBy(col("o_orderkey").asc_nulls_first)
     },
 
     // ---- right outer join (the mirrored preserve-side: every order kept,
@@ -109,7 +111,6 @@ object Relational {
           count(col("l_orderkey")).as("n_bulk_lines"),
           count(lit(1)).as("n_rows"),
           coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("bulk_revenue"))
-        .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
     // ---- 6-way star join with two broadcast dims (TPC-H Q5 style)
@@ -131,7 +132,6 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
-        .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_first)
     },
 
     // ---- conditional aggregation (FILTER / CASE WHEN inside agg)
@@ -143,7 +143,6 @@ object Relational {
           dsum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(lit(0.0)))
             .as("bulk_revenue"),
           count(lit(1)).as("n_total"))
-        .orderBy(col("l_returnflag").asc_nulls_first)
     },
 
     // ---- semi/anti join semantics (EXISTS / NOT EXISTS decorrelated)
@@ -155,7 +154,6 @@ object Relational {
         .agg(
           count(col("o_custkey")).as("n_with_orders"),
           (count(lit(1)) - count(col("o_custkey"))).as("n_without_orders"))
-        .orderBy(col("c_mktsegment").asc_nulls_first)
     },
 
     // ---- full outer join with both-side-only counts
@@ -193,7 +191,6 @@ object Relational {
         .unionByName(counted("intersect_all", a.intersectAll(b)))
         .unionByName(counted("except", a.except(b)))
         .unionByName(counted("except_all", a.exceptAll(b)))
-        .orderBy(col("op").asc_nulls_first)
     },
 
     // ---- ROLLUP with GROUPING() flags
@@ -205,9 +202,6 @@ object Relational {
           dsum(col("o_totalprice")).as("total"),
           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
           grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"))
-        .orderBy(
-          col("g_status").asc_nulls_first, col("g_prio").asc_nulls_first,
-          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
     // ---- CUBE
@@ -215,8 +209,6 @@ object Relational {
       Tables(s, dir, "events")
         .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy(
-          col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
     },
 
     // ---- HAVING (post-aggregation filter)
@@ -225,7 +217,6 @@ object Relational {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"), davg(col("c_acctbal")).as("avg_bal"))
         .filter(col("n_cust") >= 5)
-        .orderBy(col("c_nationkey").asc_nulls_first)
     },
 
     // ---- DISTINCT aggregates
@@ -236,7 +227,6 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_custs"),
           countDistinct(col("o_orderpriority")).as("n_prios"),
           count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
     // ---- scalar subquery (orders above global deterministic average)

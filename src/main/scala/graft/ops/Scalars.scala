@@ -33,7 +33,6 @@ object Scalars {
           least(col("l_tax"), col("l_discount")).as("l"),
           pmod(col("l_orderkey"), lit(7)).as("okmod"),
           signum(col("l_quantity") - 25.0).cast(IntegerType).as("sgn"))
-        .orderBy(col("l_orderkey").asc_nulls_first)
     },
 
     // ---- array family: construct, index, contains, sort, higher-order.
@@ -55,7 +54,6 @@ object Scalars {
           aggregate(col("arr"), lit(0), (acc, x) => acc + x).as("arr_sum"),
           to_json(sort_array(col("arr"), asc = false)).as("sorted_desc"),
           to_json(sort_array(array_distinct(col("arr")))).as("uniq"))
-        .orderBy(col("n_nationkey").asc_nulls_first)
     },
 
     // ---- struct/map family: pack, access, map ops
@@ -69,7 +67,6 @@ object Scalars {
           upper(col("st.nm")).as("packed_name"),
           element_at(col("mp"), col("r_name")).as("map_val"),
           size(col("mp")).cast(LongType).as("map_len"))
-        .orderBy(col("r_regionkey").asc_nulls_first)
     },
 
     // ---- interval arithmetic on dates/timestamps
@@ -85,7 +82,6 @@ object Scalars {
           // months_between/date_diff('month') have incompatible semantics)
           (lit(1998 * 12 + 1) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
             .as("mo_dist"))
-        .orderBy(col("o_orderkey").asc_nulls_first)
     },
 
     // ---- POSITIONAL JOIN (DuckDB extension): zip two sets row-by-row,
@@ -103,7 +99,6 @@ object Scalars {
       r.join(st, col("pos1") === col("pos2"), "full")
         .select(coalesce(col("pos1"), col("pos2")).as("pos"),
           col("r_name"), col("o_orderstatus"))
-        .orderBy(col("pos").asc_nulls_first)
     },
 
     // ---- correlated scalar subquery (per-order max line price)
@@ -115,7 +110,6 @@ object Scalars {
       o.join(maxLine, col("o_orderkey") === col("l_orderkey"), "left")
         .filter(col("o_orderkey") < 3000)
         .select(col("o_orderkey"), col("max_line_price"))
-        .orderBy(col("o_orderkey").asc_nulls_first)
     },
 
     // ---- LIMIT / OFFSET pagination (deterministic total order first)
@@ -153,7 +147,6 @@ object Scalars {
           col("p_name").contains("widget").as("is_widget"),
           col("p_name").startsWith("small").as("starts_small"),
           col("p_type").endsWith("DARD").as("ends_dard"))
-        .orderBy(col("p_partkey").asc_nulls_first)
     },
 
     // ---- regex family: extract groups, match predicate
@@ -166,7 +159,6 @@ object Scalars {
           regexp_extract(col("c_mktsegment"), "([A-Z]+)", 1).as("seg_word"),
           size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0)))
             .cast(LongType).as("n_digits"))
-        .orderBy(col("c_custkey").asc_nulls_first)
     },
 
     // ---- pattern-predicate family: LIKE / ILIKE / regex-as-SIMILAR-TO
@@ -178,7 +170,6 @@ object Scalars {
           col("p_name").ilike("%WIDGET%").as("ilike_widget"),
           col("p_name").rlike("^(small|large) ").as("sim_size"),
           not(col("p_type").like("PRO%")).as("not_promo"))
-        .orderBy(col("p_partkey").asc_nulls_first)
     },
 
     // ---- arg-max/arg-min aggregates (DuckDB arg_max/arg_min ≡ Spark
@@ -193,7 +184,6 @@ object Scalars {
           min(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
             .as("min_price_order"),
           max(col("o_totalprice")).as("max_price"))
-        .orderBy(col("o_orderstatus").asc_nulls_first)
     },
 
     // ---- UNPIVOT / melt: wide metrics to (metric, value) rows
@@ -207,7 +197,6 @@ object Scalars {
           Array(col("p_partkey")),
           Array(col("size"), col("retail")),
           "metric", "val")
-        .orderBy(col("p_partkey").asc_nulls_first, col("metric").asc_nulls_first)
     },
 
     // ---- inline VALUES relation joined against a table (E2 family)
@@ -219,7 +208,6 @@ object Scalars {
         .join(broadcast(seg), col("c_mktsegment") === col("seg"), "inner")
         .groupBy(col("seg"), col("prio"))
         .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
-        .orderBy(col("prio").asc_nulls_first)
     })
 
   val oracles: Map[String, String] = Map(

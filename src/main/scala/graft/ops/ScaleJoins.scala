@@ -51,7 +51,6 @@ object ScaleJoins {
       saltedJoin(li, sup, col("l_suppkey"), col("s_suppkey"), nSalts = 8)
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("s_name").asc_nulls_first)
     },
 
     // ---- binned range join: events whose value falls in a part's
@@ -66,7 +65,6 @@ object ScaleJoins {
       binnedRangeJoin(ev, iv, col("value"), col("lo"), col("hi"), binWidth = 16.0)
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_in_range"), dsum(col("value")).as("sum_in_range"))
-        .orderBy(col("p_partkey").asc_nulls_first)
     })
 
   val oracles: Map[String, String] = Map(

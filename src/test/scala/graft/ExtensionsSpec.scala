@@ -54,6 +54,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components uses RELIABLE checkpoints when a dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      val cc = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the fault-tolerant path actually wrote checkpoint data
+      def count(f: java.io.File): Int =
+        (if (f.isFile) 1 else 0) + Option(f.listFiles).toSeq.flatten.map(count).sum
+      assert(count(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+    } finally {
+      // the shared session outlives this suite — revert to executor-local
+      // lineage cuts so other suites keep their round-1 behavior
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("cosine similarity: orthogonal = 0, identical = 1") {
     val df = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),
