@@ -46,19 +46,24 @@ object Bench {
     // noop sink fully materializes every column (count() would let
     // Catalyst prune the computed work away — benchmarking a row count);
     // a failed query records -1 instead of a deceptively fast time.
-    // Per-query time = min of 2 consecutive runs: the JVM's JIT/GC noise
-    // puts multi-second spikes on single runs (observed 2.6 s ↔ 6.8 s on
-    // the same query); DuckDB, with no JIT, has no such variance, so the
-    // steadier of two runs is the honest comparison point.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // Per-query time = min over 2 FULL passes of the query list: JIT/GC
+    // and shared-box CPU-contention bursts put multi-second spikes on
+    // single runs (observed 0.7 s ↔ 24 s on the same cached aggregate);
+    // two back-to-back runs share a burst, two passes minutes apart don't.
+    // DuckDB, with no JIT, has no such variance — the steadier run is the
+    // honest comparison point.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = (1 to nPasses).map(_ => pass())
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,15 +37,28 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default. Read nanos as long and truncate to microseconds — exactly
-      // what DuckDB's CAST(ts AS TIMESTAMP) does (verified: truncation, not
-      // rounding) — so both engines see identical µs instants.
+      // events.ts is parquet TIMESTAMP(NANOS) in the driver corpus, which
+      // Spark 4 rejects by default. Read nanos as long and truncate to
+      // microseconds — exactly what DuckDB's CAST(ts AS TIMESTAMP) does
+      // (verified: truncation, not rounding) — so both engines see
+      // identical µs instants. A corpus whose ts is already µs (e.g. the
+      // derived scaling corpus) reads as a plain timestamp and passes
+      // through untouched.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // parquet writers that mark µs timestamps NTZ (no UTC flag) —
+          // session TZ is UTC, so the instant is unchanged by the cast
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Pin every corpus table into executor memory (deserialized columnar

@@ -58,8 +58,14 @@ object Analytic {
       Tables(s, dir, "events")
         .select(
           col("event_id"),
-          sum(col("value").cast(DecimalType(18, 2))).over(running).cast(DoubleType).as("running_sum"),
-          sum(col("value").cast(DecimalType(18, 2))).over(moving).cast(DoubleType).as("moving_sum"),
+          // scaled-long exact window sums (same Det construction as the
+          // aggregates): the sliding-frame re-summation runs on primitive
+          // longs instead of precision-28 decimals, bit-identical to the
+          // oracle's decimal window sums after the one final /100.0
+          (sum(round(col("value") * 100).cast(LongType)).over(running) / 100.0)
+            .as("running_sum"),
+          (sum(round(col("value") * 100).cast(LongType)).over(moving) / 100.0)
+            .as("moving_sum"),
           expr("""count(*) OVER (PARTITION BY event_type ORDER BY value
                  |RANGE BETWEEN CAST(10.0 AS DOUBLE) PRECEDING AND CURRENT ROW)""".stripMargin)
             .as("n_near_value"))
