@@ -63,7 +63,44 @@ object Multimodal {
         col("n_chars").as("source_chars"),
         col("source").as("origin")).as("meta"))
 
+  /** Fixed-size frame view of a binary payload: (frame_idx, frame bytes).
+    * Stand-in for video frame extraction — the SLICING is real binary
+    * work (Spark `substring` on BinaryType); only the payload itself is
+    * the stub decode. */
+  def frames(payload: Column, frameBytes: Int, nFrames: Int): Column =
+    array((0 until nFrames).map(i =>
+      struct(lit(i).as("frame_idx"),
+        substring(payload, 1 + i * frameBytes, frameBytes).as("fb"))): _*)
+
+  /** "Resize" stub: byte-stride downsample of the payload (every
+    * `stride`-th byte), the shape of a thumbnail pass. Real binary
+    * slicing + concat; swap the stub decode for a real codec and this
+    * becomes an actual subsampling resize. */
+  def downsample(payload: Column, stride: Int, outBytes: Int): Column =
+    concat((0 until outBytes).map(i =>
+      substring(payload, 1 + i * stride, 1)): _*)
+
   val queries: Map[String, Q] = Map(
+    // ---- frame sampling + resize over binary payloads: every 2nd 4-byte
+    // frame of the 16-byte stub payload + a stride-4 thumbnail. Slicing,
+    // concat and hex run on BinaryType columns (distributed, codegen'd);
+    // the oracle re-derives every byte from the md5 hex string.
+    "x21_multimodal_frames" -> { (s, dir) =>
+      val mm = asMultimodal(Tables(s, dir, "documents"))
+        .withColumn("thumb_hex", lower(hex(downsample(col("payload"), 4, 4))))
+        .select(col("doc_id"), col("thumb_hex"),
+          explode(frames(col("payload"), 4, 4)).as("f"))
+        .filter(col("f.frame_idx") % 2 === 0) // stride-2 frame sample
+      mm.select(
+        col("doc_id"),
+        col("f.frame_idx").as("frame_idx"),
+        lower(hex(col("f.fb"))).as("frame_hex"),
+        // first byte value of the frame, decoded from its hex rendering —
+        // identical arithmetic on both engines
+        conv(substring(lower(hex(col("f.fb"))), 1, 2), 16, 10)
+          .cast(IntegerType).as("first_byte"),
+        col("thumb_hex"))
+    },
     // ---- feature extraction over binary payloads (rows-only check: the
     // histogram expression is exercised precisely in MultimodalSpec)
     "x12_multimodal_features" -> { (s, dir) =>
@@ -90,6 +127,19 @@ object Multimodal {
     })
 
   val oracles: Map[String, String] = Map(
+    "x21_multimodal_frames" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |f AS (SELECT doc_id, hx, unnest([0, 2]) AS frame_idx FROM h)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  substr(hx, 1 + frame_idx * 8, 8) AS frame_hex,
+        |  CAST((strpos('0123456789abcdef', substr(hx, 1 + frame_idx * 8, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hx, 2 + frame_idx * 8, 1)) - 1) AS INT)
+        |    AS first_byte,
+        |  substr(hx, 1, 2) || substr(hx, 9, 2) || substr(hx, 17, 2) || substr(hx, 25, 2)
+        |    AS thumb_hex
+        |FROM f
+        |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
+
     // The ByteHistogram expression IS oracle-checkable: the stub payload is
     // unhex(md5(text)), so DuckDB can re-derive every byte value from the
     // md5 hex string (strpos arithmetic over the hex alphabet) and count

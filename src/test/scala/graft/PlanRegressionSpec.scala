@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regressions: the properties that make these queries scale
+  * are asserted, not assumed — a refactor that silently un-pushes a
+  * filter, widens a scan, lifts an aggregate above a join, or
+  * reintroduces a single-partition exchange fails here first. */
+class PlanRegressionSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def optimizedOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan; agg is partial+final") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan.take(3000))
+    // partial + final hash aggregation (two HashAggregate nodes)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q02: scan reads only the projected/filtered columns") {
+    val plan = planOf("q02_filter_project")
+    val schemaLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 5 columns used (partkey, name, brand, type, size, retailprice = 6)
+    assert(!schemaLine.contains("p_comment") || schemaLine.isEmpty)
+    Seq("p_partkey", "p_name", "p_retailprice").foreach(c =>
+      assert(schemaLine.contains(c), s"pruned scan lost $c: $schemaLine"))
+  }
+
+  test("q04: lineitem aggregate sits BELOW the left join") {
+    val plan = optimizedOf("q04_join_left")
+    val joinAt = plan.indexOf("Join LeftOuter")
+    val aggAt = plan.indexOf("Aggregate [l_orderkey")
+    assert(joinAt >= 0 && aggAt >= 0, plan.take(3000))
+    // tree prints parents first: the aggregate must be a descendant of the join
+    assert(aggAt > joinAt, s"aggregate not under join\n${plan.take(3000)}")
+  }
+
+  test("q33: positional join plans no single-partition exchange") {
+    val plan = planOf("q33_positional_join")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000)) // no global-window numbering
+  }
+
+  test("q05: bounded dims broadcast; fact side never pre-shuffles for them") {
+    val plan = planOf("q05_star_join")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      plan.take(3000))
+  }
+
+  test("x19: no cartesian product and no broadcast of the corpus pair side") {
+    val plan = planOf("x19_embed_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+}
