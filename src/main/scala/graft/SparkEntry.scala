@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Relational.queries ++ ops.Analytic.queries ++ ops.Scalars.queries ++
-      ops.ScaleJoins.queries ++
+      ops.ScaleJoins.queries ++ ops.Dialect.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries
 
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Analytic.oracles ++ ops.Scalars.oracles ++
-      ops.ScaleJoins.oracles ++
+      ops.ScaleJoins.oracles ++ ops.Dialect.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++ ext.Multimodal.oracles
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DuckDB-dialect conveniences reachable through the reference passthrough
+  * (`db/db.go:70`) that Spark SQL does not spell the same way: QUALIFY,
+  * DISTINCT ON, SELECT * EXCLUDE/REPLACE, GROUP BY ALL. Each query is the
+  * idiomatic Spark rewrite; each ORACLE uses the native DuckDB syntax —
+  * so the driver check certifies that a reference client's dialect query
+  * has an exact-equivalent here.
+  */
+object Dialect {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // ---- QUALIFY (filter on a window result without a subquery):
+    // Spark rewrite = window column + filter, which Catalyst plans
+    // identically to DuckDB's QUALIFY
+    "q45_qualify" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      Tables(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+    },
+
+    // ---- DISTINCT ON (first row per key under an explicit order):
+    // Spark rewrite = row_number = 1 (arg-top-1 per key)
+    "q46_distinct_on" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- SELECT * EXCLUDE (...) REPLACE (...): drop + in-place rewrite.
+    // No round() on the computed quotient: Spark rounds via the double's
+    // shortest decimal rendering, DuckDB via its binary value — they split
+    // at e.g. 69.195 (Det rule). A plain IEEE division is bit-identical.
+    "q47_star_modifiers" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .drop("o_orderdate", "o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice") / 1000.0)
+    },
+
+    // ---- GROUP BY ALL (group by every non-aggregate select column)
+    "q48_group_by_all" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- LATERAL correlated subquery in FROM (per-key top-k without a
+    // window): Spark ≥3.2 plans this as a decorrelated join, same as
+    // DuckDB — the SQL text is identical on both engines
+    "q49_lateral_topk" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT s.o_orderstatus, t.o_orderkey, t.o_totalprice
+          |FROM (SELECT DISTINCT o_orderstatus FROM orders_lat) s,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |         WHERE o.o_orderstatus = s.o_orderstatus
+          |         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+          |         LIMIT 2) t""".stripMargin)
+    },
+
+    // ---- WITH RECURSIVE (Spark ≥4.0): month spine + per-month order
+    // counts — the canonical gaps-preserving time series
+    "q50_recursive_cte" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT CAST('1995-01-01' AS DATE)
+          |  UNION ALL
+          |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          |  WHERE m < CAST('1996-12-01' AS DATE)
+          |)
+          |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+          |FROM months LEFT JOIN orders_rec
+          |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+          |GROUP BY m""".stripMargin)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q45_qualify" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_orderstatus ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q46_distinct_on" ->
+      """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_totalprice DESC NULLS LAST,
+        |  o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q47_star_modifiers" ->
+      """SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+        |  REPLACE (o_totalprice / 1000.0 AS o_totalprice)
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q48_group_by_all" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY ALL
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q49_lateral_topk" ->
+      """SELECT s.o_orderstatus, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT DISTINCT o_orderstatus FROM orders) s,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_orderstatus = s.o_orderstatus
+        |         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |         LIMIT 2) t
+        |ORDER BY s.o_orderstatus ASC NULLS FIRST, t.o_totalprice DESC NULLS LAST""".stripMargin,
+
+    "q50_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < CAST('1996-12-01' AS DATE)
+        |)
+        |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        |GROUP BY m
+        |ORDER BY month_start ASC NULLS FIRST""".stripMargin)
+}
