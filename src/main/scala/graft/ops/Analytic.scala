@@ -220,6 +220,19 @@ object Analytic {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- SLIDING time windows (10-minute window, 5-minute slide): every
+    // event lands in exactly two overlapping windows. Same built-in
+    // window() that drives the streaming path, checked in batch; the
+    // oracle re-derives the window spine from epoch arithmetic.
+    "q51_sliding_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
     // ---- approximate aggregates. The sketch VALUES are engine-specific
     // (HLL++/KLL), so the contract output is the oracle-checkable exact
     // count plus booleans asserting each estimate landed inside its
@@ -406,6 +419,22 @@ object Analytic {
         |  TRUE AS hll_ok, TRUE AS median_ok
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    // every event belongs to exactly the two 5-min-aligned starts in
+    // (ts − 10 min, ts]: floor5(ts) and floor5(ts) − 5 min
+    "q51_sliding_window" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, "value" FROM events),
+         |w AS (
+         |  SELECT event_type, "value", ts,
+         |    unnest([to_timestamp(floor(epoch(ts) / 300) * 300),
+         |            to_timestamp(floor(epoch(ts) / 300) * 300 - 300)]) AS ws
+         |  FROM e)
+         |SELECT CAST(epoch_us(ws) AS BIGINT) AS win_start_us, event_type,
+         |  COUNT(*) AS n, ${dsumSql("\"value\"")} AS sum_value
+         |FROM w
+         |WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTE
+         |GROUP BY ws, event_type
+         |ORDER BY win_start_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -29,6 +29,16 @@ object EventStreams {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING 10-minute windows every 5 minutes — each event feeds two
+    * overlapping windows; watermark closes both. Same window() expression
+    * as the batch q51, which carries the DuckDB oracle for the values. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id, with
     * the watermark bounding how long each id is remembered — state stays
     * finite on an infinite stream (the streaming face of ext.Dedup x01). */

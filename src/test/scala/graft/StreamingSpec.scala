@@ -38,6 +38,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows: one event lands in both overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(7), 1, "click", 1.0)) // in [0,10) and [5,15)
+      q.processAllAvailable()
+      input.addData(Event(2, ts(120), 2, "view", 0.0)) // close them
+      q.processAllAvailable()
+      val rows = spark.table("slide_counts")
+        .select($"event_type", $"n").as[(String, Long)].collect()
+        .filter(_._1 == "click")
+      assert(rows.length == 2 && rows.forall(_._2 == 1L),
+        s"expected the click counted in two windows, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize: late in-watermark event extends, never shrinks, the session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
