@@ -60,8 +60,17 @@ class SqlGateway(val spark: SparkSession) {
       case CtasRe(ine, table, query) => ctas(table, query, ine != null)
       case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
       case InsertPrefixRe(table, rest) =>
-        val (cols, source) = parseInsertBody(rest.trim)
-        insert(table, cols, source)
+        // DuckDB upsert surface: `... ON CONFLICT DO NOTHING` keeps the
+        // non-conflicting rows instead of failing the whole statement
+        val OnConflictRe = """(?is)(.*?)\s+ON\s+CONFLICT\s+DO\s+NOTHING\s*""".r
+        rest.trim match {
+          case OnConflictRe(body) =>
+            val (cols, source) = parseInsertBody(body.trim)
+            insert(table, cols, source, skipConflicts = true)
+          case body =>
+            val (cols, source) = parseInsertBody(body)
+            insert(table, cols, source)
+        }
       case UpdateRe(table, rest) =>
         // split SET-list from WHERE at the first *top-level* WHERE — a
         // regex split would match 'where' inside a string literal
@@ -240,7 +249,11 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   // --- INSERT with constraint enforcement (anti-join uniqueness check).
-  private def insert(table: String, cols: Option[String], source: String): ExecuteResult = {
+  //     skipConflicts = ON CONFLICT DO NOTHING: PK collisions (in-batch
+  //     dups keep the first occurrence; existing keys drop) are filtered
+  //     instead of rejected — rows_affected counts what actually landed.
+  private def insert(table: String, cols: Option[String], source: String,
+      skipConflicts: Boolean = false): ExecuteResult = {
     val batchSql = cols match {
       case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
       case None => valuesToSelect(source, "")
@@ -276,7 +289,7 @@ class SqlGateway(val spark: SparkSession) {
       if (stats.getAs[Long](s"__null_$c") > 0)
         throw new IllegalArgumentException(s"NOT NULL constraint failed: $table.$c")
     }
-    if (pk.nonEmpty) {
+    if (pk.nonEmpty && !skipConflicts) {
       if (stats.getAs[Long]("__pk_dups") > 0)
         throw new IllegalArgumentException(
           s"PRIMARY KEY constraint failed (duplicate in batch): $table(${pk.mkString(",")})")
@@ -284,8 +297,17 @@ class SqlGateway(val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"PRIMARY KEY constraint failed (key exists): $table(${pk.mkString(",")})")
     }
-    staged.write.mode("append").insertInto(table)
-    ExecuteResult(stats.getAs[Long]("__n"))
+    if (pk.nonEmpty && skipConflicts) {
+      val surviving = staged.dropDuplicates(pk)
+        .join(target, pk.toSeq, "left_anti")
+        .localCheckpoint(eager = true)
+      val n = surviving.count()
+      surviving.write.mode("append").insertInto(table)
+      ExecuteResult(n)
+    } else {
+      staged.write.mode("append").insertInto(table)
+      ExecuteResult(stats.getAs[Long]("__n"))
+    }
   }
 
   /** `VALUES (...),(...)` → runnable SELECT; pass SELECT/TABLE through. */

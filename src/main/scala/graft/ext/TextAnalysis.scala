@@ -76,6 +76,33 @@ object TextAnalysis {
           col("doc_id"),
           md5(lower(col("text"))).as("fp"),
           substring(md5(lower(col("text"))), 1, 4).as("bucket"))
+    },
+
+    // ---- winnowing fingerprints (MOSS-style rolling k-gram selection):
+    // hash every 8-char gram, keep the MINIMUM of each 4-gram sliding
+    // window — the classic near-copy detection fingerprint whose density
+    // is position-independent. Gram hash = first 8 md5 hex digits (same
+    // portable-hash trick as x03, so the WHOLE pipeline has a SQL oracle).
+    // Explode + window-min + distinct: shuffle-bounded per doc_id, scales
+    // like any per-document pipeline.
+    "x22_winnow_fingerprint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos").asc_nulls_first)
+        .rowsBetween(0, 3)
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("pos"))
+        .withColumn("hx", md5(expr("substring(text, pos, 8)")))
+        .withColumn("h", conv(substring(col("hx"), 1, 8), 16, 10).cast(LongType))
+        .withColumn("winmin", min(col("h")).over(win))
+        .filter(col("pos") <= length(col("text")) - 10) // full windows only
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("winmin")).as("n_fp"),
+          sum_distinct(col("winmin")).as("fp_sum"),
+          min(col("winmin")).as("fp_min"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +154,32 @@ object TextAnalysis {
       """SELECT doc_id, md5(lower(text)) AS fp,
         |  substring(md5(lower(text)), 1, 4) AS bucket
         |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x22_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, len(text) AS L,
+        |    md5(substr(text, CAST(i AS INT), 8)) AS hx
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 7)) AS i
+        |        FROM documents WHERE len(text) >= 8)),
+        |h AS (SELECT doc_id, pos, L, CAST(
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS BIGINT) AS h
+        |  FROM g),
+        |m AS (SELECT doc_id, pos, L,
+        |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |  FROM h)
+        |SELECT doc_id, COUNT(DISTINCT winmin) AS n_fp,
+        |  CAST(SUM(DISTINCT winmin) AS BIGINT) AS fp_sum,
+        |  CAST(MIN(winmin) AS BIGINT) AS fp_min
+        |FROM m WHERE pos <= L - 10
+        |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
 }

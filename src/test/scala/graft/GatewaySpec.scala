@@ -177,6 +177,18 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT count(*) AS n FROM ctas_t").values.head.head == 3L)
   }
 
+  test("INSERT ... ON CONFLICT DO NOTHING keeps non-conflicting rows") {
+    gw.execute("DROP TABLE IF EXISTS upsert")
+    gw.execute("CREATE TABLE upsert (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO upsert VALUES (1, 'orig')")
+    val r = gw.execute(
+      "INSERT INTO upsert VALUES (1, 'dup'), (2, 'new'), (2, 'batchdup'), (3, 'new2') ON CONFLICT DO NOTHING")
+    assert(r.rowsAffected == 2) // only ids 2 and 3 land
+    assert(gw.query("SELECT count(*) AS n FROM upsert").values.head.head == 3L)
+    // the existing row is untouched
+    assert(gw.query("SELECT name FROM upsert WHERE id = 1").values.head.head == "orig")
+  }
+
   test("UPDATE with an unknown SET column throws instead of silently succeeding") {
     gw.execute("DROP TABLE IF EXISTS typo")
     gw.execute("CREATE TABLE typo (id integer, v integer)")
