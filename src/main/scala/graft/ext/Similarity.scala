@@ -244,6 +244,36 @@ object Similarity {
           (abs(col("kmv") - col("exact_users")) <= col("exact_users") * 0.1).as("kmv_ok"))
     },
 
+    // ---- int8 embedding quantization + quantized cosine (the 4×
+    // bandwidth/storage cut a 100 TB embedding store runs on): per-vector
+    // max-abs scaling to [-127, 127] via floor(x+0.5) (identical rounding
+    // on both engines — never round()), integer-exact quantized dot, and
+    // a per-pair error check against the exact cosine. The oracle
+    // replays the entire quantization, so even the error booleans are
+    // computed — not asserted — on both sides.
+    "x23_embed_quantize" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        .withColumn("ma", greatest(
+          aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)))
+        .withColumn("qv", expr(
+          "transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT))"))
+        .withColumn("qd", col("qv").cast(ArrayType(DoubleType)))
+        .withColumn("nrm", l2norm(col("v")))
+        .withColumn("qnrm", l2norm(col("qd")))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("qd").as("qa"), col("nrm").as("na"), col("qnrm").as("qna"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("qd").as("qb"), col("nrm").as("nb"), col("qnrm").as("qnb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("qsim", dot(col("qa"), col("qb")) / (col("qna") * col("qnb")))
+        .filter(col("sim") >= 0.3) // report the interesting (similar) pairs
+        .select(col("a"), col("b"),
+          round(col("qsim"), 5).as("qsim"),
+          (abs(col("qsim") - col("sim")) <= 0.02).as("quant_ok"))
+    },
+
     // ---- brute-force top-k via the codegen'd fused CosineSimilarity
     // expression (one pass, no per-row intermediate array). Same math and
     // accumulation order as x10 → shares its oracle verbatim.
@@ -294,6 +324,27 @@ object Similarity {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "x23_embed_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |m AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS ma FROM n),
+        |q AS (SELECT vec_id, v,
+        |  CAST(list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT))
+        |       AS DOUBLE[]) AS qd
+        |  FROM m),
+        |z AS (SELECT vec_id, v, qd,
+        |  sqrt(list_inner_product(v, v)) AS nrm,
+        |  sqrt(list_inner_product(qd, qd)) AS qnrm FROM q)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(list_inner_product(a.qd, b.qd) / (a.qnrm * b.qnrm), 5) AS qsim,
+        |  abs(list_inner_product(a.qd, b.qd) / (a.qnrm * b.qnrm)
+        |      - list_inner_product(a.v, b.v) / (a.nrm * b.nrm)) <= 0.02 AS quant_ok
+        |FROM z a JOIN z b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST""".stripMargin,
     "x19_embed_dedup" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
