@@ -78,6 +78,26 @@ object TextAnalysis {
           substring(md5(lower(col("text"))), 1, 4).as("bucket"))
     },
 
+    // ---- deterministic stratified hash-sampling (training-data mixing):
+    // per-stratum rates applied by thresholding a content-derived hash
+    // fraction — reproducible across runs, executors, and engines (no RNG
+    // state), the only sampling discipline that audits cleanly at 100 TB.
+    // TABLESAMPLE-style engine sampling is nondeterministic by design;
+    // this is the pipeline-grade alternative, and the oracle replays it.
+    "x24_stratified_sample" -> { (s, dir) =>
+      val frac = conv(substring(md5(concat(lit("mix-v1:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) / 4294967296.0
+      val rate = when(col("lang") === "en", 0.5).otherwise(0.25)
+      Tables(s, dir, "documents")
+        .withColumn("keep", frac < rate)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_sampled"),
+          min(when(col("keep"), col("doc_id"))).as("first_kept"))
+    },
+
     // ---- winnowing fingerprints (MOSS-style rolling k-gram selection):
     // hash every 8-char gram, keep the MINIMUM of each 4-gram sliding
     // window — the classic near-copy detection fingerprint whose density
@@ -155,6 +175,30 @@ object TextAnalysis {
         |  substring(md5(lower(text)), 1, 4) AS bucket
         |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x24_stratified_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+        |     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+        |     + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+        |     + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+        |     + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS DOUBLE)
+        |    / 4294967296.0 AS frac
+        |  FROM f),
+        |k AS (SELECT doc_id, lang,
+        |  frac < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END) AS keep FROM s)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE keep) AS n_sampled,
+        |  MIN(doc_id) FILTER (WHERE keep) AS first_kept
+        |FROM k
+        |GROUP BY lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     "x22_winnow_fingerprint" ->
       """WITH g AS (
