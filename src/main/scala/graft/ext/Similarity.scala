@@ -259,15 +259,16 @@ object Similarity {
         .withColumn("qv", expr(
           "transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT))"))
         .withColumn("qd", col("qv").cast(ArrayType(DoubleType)))
-        .withColumn("nrm", l2norm(col("v")))
-        .withColumn("qnrm", l2norm(col("qd")))
-      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
-        col("qd").as("qa"), col("nrm").as("na"), col("qnrm").as("qna"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("qd").as("qb"), col("nrm").as("nb"), col("qnrm").as("qnb"))
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("qd").as("qa"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("qd").as("qb"))
+      // fused codegen cosine on both the exact and quantized vectors —
+      // same sequential fold as the oracle's list_inner_product, no
+      // per-pair zipped-array allocation (2× per pair here)
       a.join(b, col("a") < col("b"))
-        .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("qsim", dot(col("qa"), col("qb")) / (col("qna") * col("qnb")))
+        .withColumn("sim",
+          graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")))
+        .withColumn("qsim",
+          graft.functions.VectorExpressions.cosineSim(col("qa"), col("qb")))
         .filter(col("sim") >= 0.3) // report the interesting (similar) pairs
         .select(col("a"), col("b"),
           round(col("qsim"), 5).as("qsim"),
