@@ -60,11 +60,19 @@ class SqlGateway(val spark: SparkSession) {
       case CtasRe(ine, table, query) => ctas(table, query, ine != null)
       case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
       case InsertPrefixRe(table, rest) =>
-        // DuckDB upsert surface: `... ON CONFLICT DO NOTHING` keeps the
-        // non-conflicting rows instead of failing the whole statement
-        val OnConflictRe = """(?is)(.*?)\s+ON\s+CONFLICT\s+DO\s+NOTHING\s*""".r
+        // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
+        // non-conflicting rows; `ON CONFLICT DO UPDATE SET ...` merges
+        // (the SET expressions may reference `excluded.<col>` = the
+        // incoming row, DuckDB semantics)
+        val OnConflictNothingRe =
+          """(?is)(.*?)\s+ON\s+CONFLICT\s*(?:\([^)]*\))?\s+DO\s+NOTHING\s*""".r
+        val OnConflictUpdateRe =
+          """(?is)(.*?)\s+ON\s+CONFLICT\s*(?:\([^)]*\))?\s+DO\s+UPDATE\s+SET\s+(.*)""".r
         rest.trim match {
-          case OnConflictRe(body) =>
+          case OnConflictUpdateRe(body, sets) =>
+            val (cols, source) = parseInsertBody(body.trim)
+            insert(table, cols, source, upsertSet = Some(sets.trim))
+          case OnConflictNothingRe(body) =>
             val (cols, source) = parseInsertBody(body.trim)
             insert(table, cols, source, skipConflicts = true)
           case body =>
@@ -253,7 +261,7 @@ class SqlGateway(val spark: SparkSession) {
   //     dups keep the first occurrence; existing keys drop) are filtered
   //     instead of rejected — rows_affected counts what actually landed.
   private def insert(table: String, cols: Option[String], source: String,
-      skipConflicts: Boolean = false): ExecuteResult = {
+      skipConflicts: Boolean = false, upsertSet: Option[String] = None): ExecuteResult = {
     val batchSql = cols match {
       case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
       case None => valuesToSelect(source, "")
@@ -289,6 +297,7 @@ class SqlGateway(val spark: SparkSession) {
       if (stats.getAs[Long](s"__null_$c") > 0)
         throw new IllegalArgumentException(s"NOT NULL constraint failed: $table.$c")
     }
+    if (upsertSet.isDefined) return upsertMerge(table, target, staged, pk, stats, upsertSet.get)
     if (pk.nonEmpty && !skipConflicts) {
       if (stats.getAs[Long]("__pk_dups") > 0)
         throw new IllegalArgumentException(
@@ -308,6 +317,44 @@ class SqlGateway(val spark: SparkSession) {
       staged.write.mode("append").insertInto(table)
       ExecuteResult(stats.getAs[Long]("__n"))
     }
+  }
+
+  /** `ON CONFLICT DO UPDATE SET ...`: a distributed full-outer merge on
+    * the PK — target-only rows pass through, new rows insert, conflicting
+    * rows take the SET expressions (with `excluded.<col>` bound to the
+    * incoming row, DuckDB semantics) — written through the versioned
+    * atomic swap, so readers never see a half-merged table.
+    * rows_affected = batch size (inserted + updated), as in DuckDB. */
+  private def upsertMerge(table: String, target: DataFrame, staged: DataFrame,
+      pk: Seq[String], stats: org.apache.spark.sql.Row, sets: String): ExecuteResult = {
+    if (pk.isEmpty)
+      throw new IllegalArgumentException(
+        s"ON CONFLICT DO UPDATE requires a PRIMARY KEY on $table")
+    if (stats.getAs[Long]("__pk_dups") > 0)
+      throw new IllegalArgumentException(
+        s"ON CONFLICT DO UPDATE: duplicate key within the batch is ambiguous: $table")
+    val known = target.columns.map(_.toLowerCase).toSet
+    val assignments = splitTopLevel(sets).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      val colName = c.trim.toLowerCase
+      if (!known.contains(colName))
+        throw new IllegalArgumentException(s"upsert $table: unknown column ${c.trim}")
+      // bind DuckDB's `excluded.<col>` to the staged batch's aliased cols
+      (colName, e.trim.replaceAll("(?i)excluded\\s*\\.\\s*", "__ex_"))
+    }.toMap
+    val ex = staged.select(staged.columns.map(c => col(c).as(s"__ex_$c")).toIndexedSeq: _*)
+    val cond = pk.map(k => col(k) === col(s"__ex_$k")).reduce(_ && _)
+    val merged = target.join(ex, cond, "full").select(target.columns.map { c =>
+      val updated = assignments.get(c.toLowerCase)
+        .map(e => expr(e).cast(target.schema(c).dataType))
+        .getOrElse(col(c))
+      when(col(s"__ex_${pk.head}").isNull, col(c)) // target-only row
+        .when(col(pk.head).isNull, col(s"__ex_$c")) // brand-new row
+        .otherwise(updated) // conflict → SET expressions
+        .as(c)
+    }.toIndexedSeq: _*)
+    overwriteTable(table, merged)
+    ExecuteResult(stats.getAs[Long]("__n"))
   }
 
   /** `VALUES (...),(...)` → runnable SELECT; pass SELECT/TABLE through. */

@@ -189,6 +189,22 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT name FROM upsert WHERE id = 1").values.head.head == "orig")
   }
 
+  test("INSERT ... ON CONFLICT DO UPDATE merges via excluded.<col>") {
+    gw.execute("DROP TABLE IF EXISTS merge_t")
+    gw.execute("CREATE TABLE merge_t (id integer not null primary key, name text, hits integer)")
+    gw.execute("INSERT INTO merge_t VALUES (1, 'a', 1), (2, 'b', 5)")
+    val r = gw.execute(
+      "INSERT INTO merge_t VALUES (1, 'a2', 100), (3, 'c', 1) " +
+        "ON CONFLICT DO UPDATE SET name = excluded.name, hits = hits + 1")
+    assert(r.rowsAffected == 2)
+    val rows = gw.query("SELECT id, name, hits FROM merge_t ORDER BY id").values
+    assert(rows == Seq(Seq(1, "a2", 2), Seq(2, "b", 5), Seq(3, "c", 1)))
+    // unknown column in the SET list is rejected
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO merge_t VALUES (9, 'x', 0) ON CONFLICT DO UPDATE SET nope = 1")
+    }
+  }
+
   test("UPDATE with an unknown SET column throws instead of silently succeeding") {
     gw.execute("DROP TABLE IF EXISTS typo")
     gw.execute("CREATE TABLE typo (id integer, v integer)")
