@@ -69,6 +69,48 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("IVF cell-pair pruning is LOSSLESS on random vector corpora") {
+    // the angular-triangle bound must never drop a qualifying pair, for
+    // ANY corpus/centroid/threshold combination — random-vector stress
+    // beyond the clustered fixture in SimilaritySpec
+    val vecGen = Gen.listOfN(80, Gen.listOfN(6, Gen.chooseNum(-50, 50).map(_ / 10.0)))
+    (0 until 3).foreach { i =>
+      val vs = vecGen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+        .zipWithIndex.collect { case (v, id) if v.exists(_ != 0.0) => (id.toLong, v) }
+      val e = vs.toDF("vec_id", "v")
+        .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
+        .localCheckpoint(true)
+      val seeds = e.orderBy(xxhash64($"vec_id").asc, $"vec_id".asc).limit(5)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+      val cents = ext.Similarity.lloydIteration(
+        ext.Similarity.assignCells(e, seeds)).localCheckpoint(true)
+      val assigned = ext.Similarity.assignCells(e, cents).localCheckpoint(true)
+      val threshold = 0.6 + 0.1 * i
+      val blocked = ext.Similarity.thresholdPairs(assigned, cents, threshold)
+        .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val x = e.select($"vec_id".as("a"), $"v".as("va"))
+      val y = e.select($"vec_id".as("b"), $"v".as("vb"))
+      val brute = x.crossJoin(y).filter($"a" < $"b")
+        .withColumn("sim", graft.functions.VectorExpressions.cosineSim($"va", $"vb"))
+        .filter($"sim" >= threshold)
+        .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute, s"seed ${1000 + i} t=$threshold")
+    }
+  }
+
+  test("distributed positions equal sequential row numbering on random data") {
+    datasets(4).foreach { data =>
+      val df = data.toDF("k", "v", "s").dropDuplicates("k", "v", "s")
+      val got = ops.Positions
+        .withGlobalPosition(df, Seq($"k".asc, $"v".asc, $"s".asc), "pos")
+        .orderBy($"pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      val want = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(got == want)
+    }
+  }
+
   test("union counts add; intersect bounded by both") {
     val ds = datasets(8)
     ds.grouped(2).filter(_.size == 2).foreach { case Seq(d1, d2) =>
