@@ -26,14 +26,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val memo = new ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // keyed by the session OBJECT (SparkSession uses identity equality), not
+  // its identityHashCode: identity hashes are not unique, so two live
+  // sessions could collide and one would receive a DataFrame bound to the
+  // other's session. Stopped sessions are pruned on access — an explicit
+  // eviction rather than weak refs, because a cached DataFrame points back
+  // at its session and would pin a WeakHashMap key forever.
+  private val memo = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      new JFunction[(Int, String, String), DataFrame] {
-        def apply(k: (Int, String, String)): DataFrame = load(spark, dir, name)
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    memo.keySet.removeIf(
+      new java.util.function.Predicate[(SparkSession, String, String)] {
+        def test(k: (SparkSession, String, String)): Boolean =
+          k._1.sparkContext.isStopped
       })
+    memo.computeIfAbsent(
+      (spark, dir, name),
+      new JFunction[(SparkSession, String, String), DataFrame] {
+        def apply(k: (SparkSession, String, String)): DataFrame = load(spark, dir, name)
+      })
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

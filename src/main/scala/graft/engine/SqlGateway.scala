@@ -282,8 +282,15 @@ class SqlGateway(val spark: SparkSession) {
     batch = target.columns.foldLeft(batch)((df, c) =>
       df.withColumn(c, col(c).cast(target.schema(c).dataType)))
 
-    // stage once: the batch feeds the constraint checks AND the write
-    val staged = batch.localCheckpoint(true)
+    // stage once: the batch feeds the constraint checks AND the write.
+    // __pos records each row's in-batch position (monotonic id: partition
+    // index ≪ 33 | row-in-partition, which preserves a VALUES list's
+    // literal order) so ON CONFLICT DO NOTHING can keep the FIRST
+    // occurrence of a duplicated key deterministically
+    val stagedPos = batch
+      .withColumn("__pos", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val staged = stagedPos.drop("__pos")
     val (pk, notNull) = constraints.getOrElse(table.toLowerCase, (Nil, Nil))
     // one aggregate job: row count + per-column null counts + in-batch dups
     val aggs = count(lit(1)).as("__n") +:
@@ -307,7 +314,14 @@ class SqlGateway(val spark: SparkSession) {
           s"PRIMARY KEY constraint failed (key exists): $table(${pk.mkString(",")})")
     }
     if (pk.nonEmpty && skipConflicts) {
-      val surviving = staged.dropDuplicates(pk)
+      // keep the FIRST in-batch occurrence per key (min __pos), matching
+      // the documented DO NOTHING semantics — dropDuplicates keeps an
+      // arbitrary row
+      val firstW = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk.map(col): _*).orderBy(col("__pos").asc)
+      val surviving = stagedPos
+        .withColumn("__rn", row_number().over(firstW))
+        .filter(col("__rn") === 1).drop("__pos", "__rn")
         .join(target, pk.toSeq, "left_anti")
         .localCheckpoint(eager = true)
       val n = surviving.count()
@@ -340,7 +354,7 @@ class SqlGateway(val spark: SparkSession) {
       if (!known.contains(colName))
         throw new IllegalArgumentException(s"upsert $table: unknown column ${c.trim}")
       // bind DuckDB's `excluded.<col>` to the staged batch's aliased cols
-      (colName, e.trim.replaceAll("(?i)excluded\\s*\\.\\s*", "__ex_"))
+      (colName, rewriteExcluded(e.trim))
     }.toMap
     val ex = staged.select(staged.columns.map(c => col(c).as(s"__ex_$c")).toIndexedSeq: _*)
     val cond = pk.map(k => col(k) === col(s"__ex_$k")).reduce(_ && _)
@@ -355,6 +369,35 @@ class SqlGateway(val spark: SparkSession) {
     }.toIndexedSeq: _*)
     overwriteTable(table, merged)
     ExecuteResult(stats.getAs[Long]("__n"))
+  }
+
+  /** Rewrite `excluded.<col>` → `__ex_<col>` — but ONLY outside
+    * single-quoted string literals, and only at identifier boundaries: a
+    * plain replaceAll would also rewrite `'see excluded.x'` inside a SET
+    * string value, silently corrupting the stored text. */
+  private[engine] def rewriteExcluded(e: String): String = {
+    val kw = "excluded"
+    val out = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (c == '\'') { inStr = !inStr; out += c; i += 1 }
+      else if (!inStr && (c == 'e' || c == 'E') &&
+          i + kw.length <= e.length &&
+          e.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+          (i == 0 || { val p = e.charAt(i - 1); !(p.isLetterOrDigit || p == '_') })) {
+        // require the dot (with optional whitespace) to follow — bare
+        // `excluded` that is not a qualifier is left untouched
+        var j = i + kw.length
+        while (j < e.length && e.charAt(j).isWhitespace) j += 1
+        if (j < e.length && e.charAt(j) == '.') {
+          j += 1
+          while (j < e.length && e.charAt(j).isWhitespace) j += 1
+          out ++= "__ex_"; i = j
+        } else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** `VALUES (...),(...)` → runnable SELECT; pass SELECT/TABLE through. */

@@ -27,15 +27,22 @@ import org.apache.spark.sql.functions._
   *    shape of a production index-build pipeline.
   */
 object IvfIndex {
-  private val cache = new ConcurrentHashMap[(Int, String, Int, Int), String]()
+  // keyed by the session OBJECT (identity equality — identityHashCode keys
+  // can collide across live sessions); stopped sessions pruned on access
+  private val cache = new ConcurrentHashMap[(SparkSession, String, Int, Int), String]()
 
   /** The trained centroid table (cid, cv: array<double>, cnrm), building
     * and persisting it on first use for a given (session, corpus, k, iters). */
   def centroids(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame = {
+    cache.keySet.removeIf(
+      new java.util.function.Predicate[(SparkSession, String, Int, Int)] {
+        def test(key: (SparkSession, String, Int, Int)): Boolean =
+          key._1.sparkContext.isStopped
+      })
     val path = cache.computeIfAbsent(
-      (System.identityHashCode(s), dir, k, iters),
-      new JFunction[(Int, String, Int, Int), String] {
-        def apply(key: (Int, String, Int, Int)): String = train(s, dir, k, iters)
+      (s, dir, k, iters),
+      new JFunction[(SparkSession, String, Int, Int), String] {
+        def apply(key: (SparkSession, String, Int, Int)): String = train(s, dir, k, iters)
       })
     s.read.parquet(path)
   }

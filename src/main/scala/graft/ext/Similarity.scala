@@ -89,7 +89,7 @@ object Similarity {
     * pair join but keeps the same shuffle-by-cell plan shape.
     *
     * Pruning never drops a qualifying pair (the bound is provable, with
-    * 1e-9 slack for float error), and survivors are verified with the
+    * 1e-7 rad slack covering acos conditioning), and survivors are verified with the
     * exact fused-codegen cosine — output is bit-identical to brute force.
     *
     * @param assigned corpus as (vec_id, v, nrm, cell) from [[assignCells]]
@@ -128,8 +128,76 @@ object Similarity {
       col("cnrm").as("cnrmb"), col("rad").as("rb"))
     ca.crossJoin(broadcast(cb)) // k² centroid pairs — index metadata, not corpus
       .withColumn("cang", angle(dot(col("cva"), col("cvb")) / (col("cnrma") * col("cnrmb"))))
-      .filter(col("cang") - col("ra") - col("rb") <= lit(thetaMax + 1e-9))
+      // 1e-7 rad slack: acos near cos≈±1 amplifies a 1-ulp quotient error
+      // to ~1e-8 rad, so 1e-9 could wrongly prune a boundary cell pair;
+      // the cost of the wider slack is a few extra scanned pairs, the cost
+      // of a wrong prune is a missed qualifying pair
+      .filter(col("cang") - col("ra") - col("rb") <= lit(thetaMax + 1e-7))
       .select(col("ca"), col("cb"))
+  }
+
+  /** Exact cell-probed top-k (x11's engine, factored out so specs can run
+    * it against hand-built indexes): phase 1 probes each query's `probes`
+    * nearest cells and takes the interim k-th-best similarity t; phase 2
+    * scans only the remaining cells whose per-cell upper bound
+    * cos(max(angle(q,c) − radius(c), 0)) can still beat t (the same
+    * triangle-inequality bound as [[thresholdPairs]]). Unscanned cells
+    * provably hold no better neighbor, so the result equals brute force.
+    *
+    * @param e     corpus as (vec_id, v, nrm) from [[normed]]
+    * @param cents centroid table (cid, cv, cnrm); cells may be EMPTY
+    *              (a centroid that lost every member on final assignment)
+    * @param qPred picks the query vectors out of `e`
+    */
+  def probedTopK(e: DataFrame, cents: DataFrame, qPred: Column, k: Int = 5,
+      probes: Int = 2): DataFrame = {
+    val assigned = assignCells(e, cents)
+    val radii = cellRadii(assigned, cents)
+    val q = e.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // query × cell: probe rank and the cell's best-possible similarity.
+    // radii LEFT-joined: an empty cell has no radius row — treat as 0
+    // (the centroid itself bounds nothing, the cell scans as empty)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcang").asc_nulls_first, col("cid").asc_nulls_first)
+    val cwr = cents.join(radii, col("cid") === col("cell"), "left")
+      .select(col("cid"), col("cv"), col("cnrm"), coalesce(col("rad"), lit(0.0)).as("rad"))
+    val qc = q.crossJoin(broadcast(cwr))
+      .withColumn("qcang", angle(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))))
+      .withColumn("ub", cos(greatest(col("qcang") - col("rad"), lit(0.0))))
+      .withColumn("pr", row_number().over(probeW))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cid").as("pcell"),
+        col("ub"), col("pr"))
+    def scan(probed: DataFrame) =
+      assigned.join(broadcast(probed.withColumnRenamed("pcell", "cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+        .select(col("q_id"), col("vec_id"), col("sim"))
+    // phase 1: the `probes` nearest cells
+    val cand1 = scan(qc.filter(col("pr") <= probes)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+    val t5agg = cand1.withColumn("rn", row_number().over(rankW)).filter(col("rn") <= k)
+      .groupBy(col("q_id"))
+      .agg(when(count(lit(1)) < k, lit(-2.0)).otherwise(min(col("sim"))).as("t5"))
+    // every query keeps a t5 row even when phase 1 found ZERO candidates
+    // (singleton own cell + empty second probe): left join + the -2.0
+    // sentinel makes phase 2 scan all remaining cells instead of silently
+    // dropping the query from the output
+    val t5 = q.select(col("q_id"))
+      .join(broadcast(t5agg), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("t5"), lit(-2.0)).as("t5"))
+    // phase 2: unprobed cells that can still contain a top-k neighbor
+    // (1e-7 slack covers acos conditioning near cos≈±1, where a 1-ulp
+    // quotient error inflates to ~1e-8 rad — extra scanned cells are
+    // negligible, a wrongly pruned one breaks exactness)
+    val cand2 = scan(
+      qc.filter(col("pr") > probes)
+        .join(broadcast(t5), Seq("q_id"))
+        .filter(col("ub") > col("t5") - lit(1e-7))
+        .select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
+    topkPerQuery(cand1.unionByName(cand2), k)
   }
 
   private def topkPerQuery(pairs: DataFrame, k: Int): DataFrame = {
@@ -171,42 +239,7 @@ object Similarity {
       // session's pinned cache (Tables.pin) and the norm/assignment
       // recompute is cheaper than extra materialization jobs; at real
       // scale the assignment is itself a persisted index table
-      val e = normed(s, dir)
-      val cents = IvfIndex.centroids(s, dir)
-      val assigned = assignCells(e, cents)
-      val radii = cellRadii(assigned, cents)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      // query × cell: probe rank and the cell's best-possible similarity
-      val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(col("qcang").asc_nulls_first, col("cid").asc_nulls_first)
-      val qc = q.crossJoin(broadcast(cents.join(radii, col("cid") === col("cell"))))
-        .withColumn("qcang", angle(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))))
-        .withColumn("ub", cos(greatest(col("qcang") - col("rad"), lit(0.0))))
-        .withColumn("pr", row_number().over(probeW))
-        .select(col("q_id"), col("qv"), col("qnrm"), col("cid").as("pcell"),
-          col("ub"), col("pr"))
-      def scan(probes: DataFrame) =
-        assigned.join(broadcast(probes.withColumnRenamed("pcell", "cell")), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
-          .select(col("q_id"), col("vec_id"), col("sim"))
-      // phase 1: the 2 nearest cells
-      val cand1 = scan(qc.filter(col("pr") <= 2)
-        .select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
-      val rankW = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_first)
-      val t5 = cand1.withColumn("rn", row_number().over(rankW)).filter(col("rn") <= 5)
-        .groupBy(col("q_id"))
-        .agg(when(count(lit(1)) < 5, lit(-2.0)).otherwise(min(col("sim"))).as("t5"))
-      // phase 2: unprobed cells that can still contain a top-5 neighbor
-      // (1e-9 slack keeps boundary ties exact)
-      val cand2 = scan(
-        qc.filter(col("pr") > 2)
-          .join(broadcast(t5), Seq("q_id"))
-          .filter(col("ub") > col("t5") - lit(1e-9))
-          .select(col("q_id"), col("qv"), col("qnrm"), col("pcell")))
-      topkPerQuery(cand1.unionByName(cand2), 5)
+      probedTopK(normed(s, dir), IvfIndex.centroids(s, dir), col("vec_id") < 8)
     },
 
     // ---- embedding-cosine near-dup detection (the embedding face of the

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed global-position assignment (the scale-safe core of the
   * POSITIONAL JOIN rewrite, SURVEY.md §2.4).
@@ -27,14 +27,16 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * callers own that contract, same as any ORDER BY determinism rule.
   */
 object Positions {
-  /** Returns `df` with an extra 1-based `posCol: INT` column numbering rows
-    * in the total order given by `keys`. */
+  /** Returns `df` with an extra 1-based `posCol: BIGINT` column numbering
+    * rows in the total order given by `keys`. LONG, not INT: at the 100 TB
+    * posture row counts exceed 2^31-1, where an Int position would silently
+    * wrap negative/duplicate. */
   def withGlobalPosition(df: DataFrame, keys: Seq[Column], posCol: String): DataFrame = {
     val sorted = df.orderBy(keys: _*)
     val schema = StructType(sorted.schema.fields :+
-      StructField(posCol, IntegerType, nullable = false))
+      StructField(posCol, LongType, nullable = false))
     val numbered = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L).toInt)
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     df.sparkSession.createDataFrame(numbered, schema)
   }

@@ -272,10 +272,10 @@ object Scalars {
     // spelled as FULL JOIN on row position so the oracle is order-stable
     "q33_positional_join" ->
       """WITH a AS (SELECT r_name,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY r_name ASC NULLS FIRST) AS INT) AS pos1
+        |    ROW_NUMBER() OVER (ORDER BY r_name ASC NULLS FIRST) AS pos1
         |  FROM region),
         |b AS (SELECT o_orderstatus,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus ASC NULLS FIRST) AS INT) AS pos2
+        |    ROW_NUMBER() OVER (ORDER BY o_orderstatus ASC NULLS FIRST) AS pos2
         |  FROM (SELECT DISTINCT o_orderstatus FROM orders))
         |SELECT COALESCE(pos1, pos2) AS pos, r_name, o_orderstatus
         |FROM a FULL OUTER JOIN b ON pos1 = pos2

@@ -205,6 +205,30 @@ class GatewaySpec extends SparkTestBase {
     }
   }
 
+  test("DO NOTHING keeps the FIRST in-batch occurrence of a duplicated key") {
+    gw.execute("DROP TABLE IF EXISTS firstocc")
+    gw.execute("CREATE TABLE firstocc (id integer not null primary key, name text)")
+    gw.execute(
+      "INSERT INTO firstocc VALUES (1, 'first'), (1, 'second'), (1, 'third') ON CONFLICT DO NOTHING")
+    assert(gw.query("SELECT name FROM firstocc WHERE id = 1").values.head.head == "first")
+  }
+
+  test("DO UPDATE leaves `excluded.` inside string literals untouched") {
+    gw.execute("DROP TABLE IF EXISTS exlit")
+    gw.execute("CREATE TABLE exlit (id integer not null primary key, note text)")
+    gw.execute("INSERT INTO exlit VALUES (1, 'old')")
+    gw.execute(
+      "INSERT INTO exlit VALUES (1, 'ignored') " +
+        "ON CONFLICT DO UPDATE SET note = 'see excluded.note docs'")
+    assert(gw.query("SELECT note FROM exlit WHERE id = 1").values.head.head
+      == "see excluded.note docs")
+    // ...while a real qualifier next to a literal still binds the batch row
+    gw.execute(
+      "INSERT INTO exlit VALUES (1, 'new') " +
+        "ON CONFLICT DO UPDATE SET note = concat('got: ', excluded.note)")
+    assert(gw.query("SELECT note FROM exlit WHERE id = 1").values.head.head == "got: new")
+  }
+
   test("UPDATE with an unknown SET column throws instead of silently succeeding") {
     gw.execute("DROP TABLE IF EXISTS typo")
     gw.execute("CREATE TABLE typo (id integer, v integer)")

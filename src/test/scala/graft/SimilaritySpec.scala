@@ -72,6 +72,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("probedTopK keeps a query whose two probed cells hold no candidates") {
+    // degenerate index: q (vec_id 0) alone in its cell, the second-nearest
+    // centroid owns an EMPTY cell, and every other vector sits in a far
+    // third cell. Phase 1 then yields ZERO candidates for q — the -2.0
+    // sentinel fallback must widen phase 2 to the far cell instead of
+    // silently dropping q from the output.
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val corpus = ((0L, at(0.0)) +:
+      (10 to 20).map(i => (i.toLong, at(85.0 + (i - 10)))))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val cents = Seq((0L, at(0.0)), (1L, at(40.0)), (2L, at(90.0)))
+      .toDF("cid", "cv")
+      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+    // fixture sanity: cell 1 really is empty, cell 0 really is {q}
+    val byCell = Similarity.assignCells(corpus, cents)
+      .groupBy($"cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell.get(1L).isEmpty && byCell(0L) == 1L, byCell.toString)
+    val got = Similarity.probedTopK(corpus, cents, $"vec_id" === 0)
+      .orderBy($"nn_rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // q must survive with the true top-5 (cos is maximal at the smallest
+    // angle; 85°..95° sorted by closeness to 0° → ids 10, 11, 12, 13, 14)
+    assert(got.toSeq == Seq((1, 10L), (2, 11L), (3, 12L), (4, 13L), (5, 14L)))
+  }
+
   test("x11 bounded-probe ANN is exact: equals x10 row for row (recall 1.0)") {
     val exact = ext.Similarity.queries("x10_cosine_topk")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
