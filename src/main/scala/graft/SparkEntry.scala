@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Analytic.queries ++ ops.Scalars.queries ++
       ops.ScaleJoins.queries ++ ops.Dialect.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.TextAnalysis.queries ++ ext.Multimodal.queries
+      ext.TextAnalysis.queries ++ ext.Multimodal.queries ++ ext.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Analytic.oracles ++ ops.Scalars.oracles ++
       ops.ScaleJoins.oracles ++ ops.Dialect.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
-      ext.TextAnalysis.oracles ++ ext.Multimodal.oracles
+      ext.TextAnalysis.oracles ++ ext.Multimodal.oracles ++ ext.Corpus.oracles
 }

@@ -1,0 +1,263 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level statistics and training-data-prep operators (extension
+  * surface, SURVEY.md §2.11): exact heavy hitters, TF-IDF scoring,
+  * inverted-index construction, Gopher-style repetition filters,
+  * token-window chunking, and unigram-LM scoring — the aggregate side of a
+  * pretraining data pipeline (what runs AFTER per-document cleaning and
+  * BEFORE mixing/sampling).
+  *
+  * Scale shapes, per operator:
+  *  - x25: partial (map-side) counts → one shuffle by term →
+  *    TakeOrderedAndProject. The canonical distributed heavy-hitter query.
+  *  - x26: two aggregations (tf by (doc,term), df by term) + a join on
+  *    term. The df side is vocabulary-sized — NOT force-broadcast, AQE
+  *    decides (a 100 TB corpus has a huge tail vocabulary).
+  *  - x27: postings heads are built with a bounded per-term window
+  *    (row_number ≤ 8), never by collecting a stop-word's full posting
+  *    list into one aggregation buffer.
+  *  - x28/x29: per-document work keyed by doc_id — embarrassingly parallel.
+  *  - x30: corpus LM is one aggregation; scoring is a token→frequency join.
+  *
+  * Determinism contract (graft.ops.Det): counts stay LONG on both engines
+  * (DuckDB SUM(BIGINT) is HUGEINT → cast), every libm output (ln) is
+  * rounded to 6 digits before it is compared OR summed — sums of doubles
+  * are order-dependent, so x30 sums micro-unit LONGs instead — and ranking
+  * ties break on a column with a total order.
+  */
+object Corpus {
+  import TextOps.words
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact corpus heavy hitters: top-25 terms by occurrence count.
+    // Partial aggregation makes the shuffle |vocab|-sized, not
+    // |tokens|-sized; the final top-k is TakeOrderedAndProject (no global
+    // sort materialization). Ties break on the term itself.
+    "x25_frequent_terms" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(words(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
+        .limit(25)
+    },
+
+    // ---- per-document top-3 TF-IDF terms. Ranking uses the ROUNDED
+    // score (round-6, the libm contract) so both engines rank identical
+    // values; ties break on the term.
+    "x26_tfidf_topterms" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nTotal = Tables(s, dir, "documents").select(count(lit(1)).as("n_total"))
+      // df is vocabulary-sized: plain equi-join, AQE picks the strategy
+      // (broadcast here, shuffle join at real vocabulary scale)
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("score",
+          round(col("tf") * log((col("n_total") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc_nulls_last, col("term").asc_nulls_first)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+    },
+
+    // ---- inverted-index build: per term, document frequency, total
+    // occurrences, and the first-8 postings head. The head comes from a
+    // bounded per-term window (row_number ≤ 8) over the (term, doc)
+    // aggregate — collecting a frequent term's FULL posting list into one
+    // buffer would OOM on stop words at corpus scale.
+    "x27_inverted_index" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val perDoc = tok.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id").asc_nulls_first)
+      perDoc.withColumn("rn", row_number().over(w))
+        .groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          array_join(
+            array_sort(collect_list(when(col("rn") <= 8, col("doc_id"))))
+              .cast(ArrayType(StringType)),
+            ",").as("postings_head"))
+        .filter(col("df") >= 20)
+    },
+
+    // ---- Gopher-style repetition/quality stats: unique-word ratio and
+    // the most-frequent-bigram share. Bigram counting shuffles on
+    // (doc_id, bigram) — per-document keys, so it partitions evenly at
+    // any corpus size. Both fractions are single fp divisions of
+    // integer-valued doubles (exact, no rounding needed).
+    "x28_repetition_stats" -> { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .withColumn("n_words", size(col("ws")).cast(LongType))
+        .withColumn("n_uniq", size(array_distinct(col("ws"))).cast(LongType))
+      val bg = base.filter(col("n_words") >= 2)
+        .select(col("doc_id"), col("n_words"), col("n_uniq"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("bg"))
+      bg.groupBy(col("doc_id"), col("n_words"), col("n_uniq"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_words"), col("n_uniq"))
+        .agg(max(col("c")).as("top_bigram_n"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_uniq"),
+          (col("n_uniq").cast(DoubleType) / col("n_words")).as("uniq_ratio"),
+          col("top_bigram_n"),
+          (col("top_bigram_n").cast(DoubleType) / (col("n_words") - 1)).as("top_bigram_frac"),
+          ((col("n_uniq").cast(DoubleType) / col("n_words") >= 0.2) &&
+            (col("top_bigram_n").cast(DoubleType) / (col("n_words") - 1) <= 0.2))
+            .as("quality_pass"))
+    },
+
+    // ---- token-window chunking (context-window prep): 32-token chunks at
+    // stride 24, per-chunk md5 fingerprint. Chunk boundaries are pure
+    // arithmetic on the token array — map-only, no shuffle, and the chunk
+    // table inherits the corpus partitioning.
+    "x29_token_chunks" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(1, greatest(n, 1), 24)")).as("start"))
+        .withColumn("chunk", expr("slice(ws, start, 32)"))
+        .select(
+          col("doc_id"),
+          expr("CAST((start - 1) DIV 24 AS BIGINT)").as("chunk_id"),
+          size(col("chunk")).cast(LongType).as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+    },
+
+    // ---- unigram-LM scoring (CCNet-style perplexity filter, honest
+    // unigram version): corpus term frequencies give p(term); each doc is
+    // scored by its mean negative log-likelihood. Per-token nll is rounded
+    // to 6 digits (libm contract) THEN converted to micro-unit LONGs before
+    // summing — double sums are order-dependent, long sums are not, so the
+    // score is partition-invariant. Bucket + pass-flag come from the exact
+    // long arithmetic.
+    "x30_unigram_lm" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tok.select(count(lit(1)).as("total"))
+      tok.join(freq, "term") // vocabulary-sized right side: AQE decides
+        .crossJoin(broadcast(tot))
+        .withColumn("nll_u",
+          floor(round(-log(col("c").cast(DoubleType) / col("total")), 6) * 1e6 + 0.5)
+            .cast(LongType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("nll_u")).as("sum_u"))
+        .select(
+          col("doc_id"), col("n_tok"),
+          (col("sum_u").cast(DoubleType) / 1e6 / col("n_tok")).as("avg_nll"),
+          floor(col("sum_u").cast(DoubleType) / 1e6 / col("n_tok")).cast(LongType)
+            .as("nll_bucket"),
+          (col("sum_u").cast(DoubleType) / 1e6 / col("n_tok") <= 3.5).as("lm_pass"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "x25_frequent_terms" ->
+      """SELECT term, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term
+        |ORDER BY n DESC NULLS LAST, term ASC NULLS FIRST
+        |LIMIT 25""".stripMargin,
+
+    "x26_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(tf.tf * ln(CAST(n.n_total + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC NULLS LAST, term ASC NULLS FIRST) AS INT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    "x27_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |perdoc AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id),
+        |r AS (SELECT term, doc_id, tf,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC NULLS FIRST) AS rn
+        |  FROM perdoc)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 8)), ',')
+        |    AS postings_head
+        |FROM r
+        |GROUP BY term
+        |HAVING COUNT(*) >= 20
+        |ORDER BY term ASC NULLS FIRST""".stripMargin,
+
+    "x28_repetition_stats" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, ws,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq
+        |  FROM b),
+        |bg AS (SELECT doc_id, n_words, n_uniq,
+        |    unnest(list_transform(generate_series(1, CAST(len(ws) AS INT) - 1),
+        |                          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        |  FROM base WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, n_words, n_uniq, bg, COUNT(*) AS c
+        |  FROM bg GROUP BY doc_id, n_words, n_uniq, bg),
+        |t AS (SELECT doc_id, n_words, n_uniq, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        |  FROM c GROUP BY doc_id, n_words, n_uniq)
+        |SELECT doc_id, n_words, n_uniq,
+        |  CAST(n_uniq AS DOUBLE) / n_words AS uniq_ratio,
+        |  top_bigram_n,
+        |  CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac,
+        |  (CAST(n_uniq AS DOUBLE) / n_words >= 0.2
+        |   AND CAST(top_bigram_n AS DOUBLE) / (n_words - 1) <= 0.2) AS quality_pass
+        |FROM t
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x29_token_chunks" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM b),
+        |st AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(1, greatest(n, 1), 24)) AS start
+        |  FROM s),
+        |c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+        |    list_slice(ws, start, least(start + 31, n)) AS chunk
+        |  FROM st)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM c
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
+
+    "x30_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS total FROM tok),
+        |scored AS (
+        |  SELECT tok.doc_id,
+        |    CAST(floor(ROUND(-ln(CAST(freq.c AS DOUBLE) / tot.total), 6) * 1e6 + 0.5)
+        |         AS BIGINT) AS nll_u
+        |  FROM tok JOIN freq USING (term) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(nll_u) AS BIGINT) AS sum_u
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  CAST(sum_u AS DOUBLE) / 1e6 / n_tok AS avg_nll,
+        |  CAST(floor(CAST(sum_u AS DOUBLE) / 1e6 / n_tok) AS BIGINT) AS nll_bucket,
+        |  (CAST(sum_u AS DOUBLE) / 1e6 / n_tok <= 3.5) AS lm_pass
+        |FROM agg
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+}
