@@ -136,6 +136,31 @@ object Corpus {
           md5(array_join(col("chunk"), " ")).as("chunk_fp"))
     },
 
+    // ---- Misra–Gries heavy hitters per language: the top-5 exact terms
+    // with the sketch's guarantee checked per row. The sketch's counter
+    // values are merge-order-dependent, so the contract exposes only the
+    // ORDER-INVARIANT facts (est ≤ exact, exact − est ≤ N/(k+1)) — true
+    // under any partitioning, hence driver-hashable; raw estimates are
+    // asserted in MisraGriesSpec instead.
+    "x31_mg_heavyhitters" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("term"))
+      val exact = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+      val mg = tok.groupBy(col("lang"))
+        .agg(graft.functions.MisraGries.topkSketch(col("term"), 32).as("mg"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .join(tot, "lang")
+        .join(mg, "lang")
+        .withColumn("est", coalesce(element_at(col("mg"), col("term")), lit(0L)))
+        .select(col("lang"), col("rk"), col("term"), col("n"),
+          (col("est") <= col("n") &&
+            (col("n") - col("est")).cast(DoubleType) <=
+              col("n_tok").cast(DoubleType) / 33.0).as("mg_ok"))
+    },
+
     // ---- unigram-LM scoring (CCNet-style perplexity filter, honest
     // unigram version): corpus term frequencies give p(term); each doc is
     // scored by its mean negative log-likelihood. Per-token nll is rounded
@@ -241,6 +266,19 @@ object Corpus {
         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
         |FROM c
         |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
+
+    "x31_mg_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |exact AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term),
+        |ranked AS (
+        |  SELECT lang, term, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC NULLS LAST, term ASC NULLS FIRST) AS INT) AS rk
+        |  FROM exact)
+        |SELECT lang, rk, term, n, TRUE AS mg_ok
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
 
     "x30_unigram_lm" ->
       """WITH tok AS (
