@@ -107,18 +107,15 @@ object TextAnalysis {
     // like any per-document pipeline.
     "x22_winnow_fingerprint" -> { (s, dir) =>
       // winnowing is per-document-local: gram hashes, sliding minima, and
-      // the distinct-selection all live in higher-order array functions
-      // inside ONE projection — zero shuffle, no exploded 2.5M-row window
-      // (the explode+Window formulation measured 2.4× slower at sf0.1 and
-      // shuffles the whole gram table; this shape is map-only at any SF)
+      // the distinct-selection run inside the fused native
+      // [[graft.functions.WinnowFingerprints]] expression — zero shuffle,
+      // one pass, no per-gram substring/hex/conv allocation (the
+      // higher-order-function composition it replaced allocated all three
+      // per gram and measured ~2.5× slower; the explode+Window formulation
+      // before that also shuffled the whole gram table). Map-only at any SF.
       Tables(s, dir, "documents")
         .filter(length(col("text")) >= 11) // at least one full 4-gram window
-        .withColumn("hs", expr(
-          """transform(sequence(1, length(text) - 7),
-            |  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10)
-            |            AS BIGINT))""".stripMargin))
-        .withColumn("fps", array_distinct(expr(
-          "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))")))
+        .withColumn("fps", graft.functions.WinnowFingerprints.winnowFps(col("text")))
         .select(
           col("doc_id"),
           size(col("fps")).cast(LongType).as("n_fp"),
