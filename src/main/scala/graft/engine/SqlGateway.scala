@@ -47,7 +47,7 @@ class SqlGateway(val spark: SparkSession) {
   private val CtasRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
   private val InsertPrefixRe =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(.*)""".r
+    """(?is)\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([\w.]+)\s*(.*)""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)\s*""".r
   private val DeleteRe =
@@ -59,25 +59,45 @@ class SqlGateway(val spark: SparkSession) {
     sql match {
       case CtasRe(ine, table, query) => ctas(table, query, ine != null)
       case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
-      case InsertPrefixRe(table, rest) =>
+      case InsertPrefixRe(orMode, table, rest) =>
         // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
         // non-conflicting rows; `ON CONFLICT DO UPDATE SET ...` merges
         // (the SET expressions may reference `excluded.<col>` = the
-        // incoming row, DuckDB semantics)
+        // incoming row, DuckDB semantics). `INSERT OR IGNORE` / `INSERT OR
+        // REPLACE` are DuckDB sugar for DO NOTHING / replace-whole-row.
         val OnConflictNothingRe =
           """(?is)(.*?)\s+ON\s+CONFLICT\s*(?:\([^)]*\))?\s+DO\s+NOTHING\s*""".r
         val OnConflictUpdateRe =
           """(?is)(.*?)\s+ON\s+CONFLICT\s*(?:\([^)]*\))?\s+DO\s+UPDATE\s+SET\s+(.*)""".r
-        rest.trim match {
-          case OnConflictUpdateRe(body, sets) =>
-            val (cols, source) = parseInsertBody(body.trim)
-            insert(table, cols, source, upsertSet = Some(sets.trim))
-          case OnConflictNothingRe(body) =>
-            val (cols, source) = parseInsertBody(body.trim)
+        Option(orMode).map(_.toUpperCase) match {
+          case Some("IGNORE") =>
+            val (cols, source) = parseInsertBody(rest.trim)
             insert(table, cols, source, skipConflicts = true)
-          case body =>
-            val (cols, source) = parseInsertBody(body)
-            insert(table, cols, source)
+          case Some("REPLACE") =>
+            // replace the whole conflicting row: DO UPDATE SET <every
+            // non-PK column> = excluded.<col> (matching DuckDB's OR REPLACE)
+            val (cols, source) = parseInsertBody(rest.trim)
+            val (pk, _) = constraints.getOrElse(table.toLowerCase, (Nil, Nil))
+            if (pk.isEmpty)
+              throw new IllegalArgumentException(
+                s"INSERT OR REPLACE requires a PRIMARY KEY on $table")
+            val nonPk = spark.table(table).columns
+              .filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
+            if (nonPk.isEmpty) insert(table, cols, source, skipConflicts = true)
+            else insert(table, cols, source,
+              upsertSet = Some(nonPk.map(c => s"$c = excluded.$c").mkString(", ")))
+          case _ =>
+            rest.trim match {
+              case OnConflictUpdateRe(body, sets) =>
+                val (cols, source) = parseInsertBody(body.trim)
+                insert(table, cols, source, upsertSet = Some(sets.trim))
+              case OnConflictNothingRe(body) =>
+                val (cols, source) = parseInsertBody(body.trim)
+                insert(table, cols, source, skipConflicts = true)
+              case body =>
+                val (cols, source) = parseInsertBody(body)
+                insert(table, cols, source)
+            }
         }
       case UpdateRe(table, rest) =>
         // split SET-list from WHERE at the first *top-level* WHERE — a

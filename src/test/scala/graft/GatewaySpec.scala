@@ -229,6 +229,25 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT note FROM exlit WHERE id = 1").values.head.head == "got: new")
   }
 
+  test("INSERT OR REPLACE swaps the conflicting row; OR IGNORE keeps it") {
+    gw.execute("DROP TABLE IF EXISTS orrep")
+    gw.execute("CREATE TABLE orrep (id integer not null primary key, name text, v integer)")
+    gw.execute("INSERT INTO orrep VALUES (1, 'a', 10), (2, 'b', 20)")
+    val r = gw.execute("INSERT OR REPLACE INTO orrep VALUES (2, 'B2', 99), (3, 'c', 30)")
+    assert(r.rowsAffected == 2)
+    val rows = gw.query("SELECT id, name, v FROM orrep ORDER BY id").values
+    assert(rows == Seq(Seq(1, "a", 10), Seq(2, "B2", 99), Seq(3, "c", 30)))
+    val r2 = gw.execute("INSERT OR IGNORE INTO orrep VALUES (1, 'zzz', 0), (4, 'd', 40)")
+    assert(r2.rowsAffected == 1) // only id 4 lands
+    assert(gw.query("SELECT name FROM orrep WHERE id = 1").values.head.head == "a")
+    // OR REPLACE without a PK is rejected (DuckDB requires a conflict target)
+    gw.execute("DROP TABLE IF EXISTS nopk")
+    gw.execute("CREATE TABLE nopk (id integer)")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT OR REPLACE INTO nopk VALUES (1)")
+    }
+  }
+
   test("UPDATE with an unknown SET column throws instead of silently succeeding") {
     gw.execute("DROP TABLE IF EXISTS typo")
     gw.execute("CREATE TABLE typo (id integer, v integer)")

@@ -56,4 +56,33 @@ class PlanRegressionSpec extends SparkTestBase {
     val plan = planOf("x19_embed_dedup")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("x25: heavy hitters aggregate partially before the shuffle, then TakeOrdered") {
+    val plan = planOf("x25_frequent_terms")
+    // map-side combine: two HashAggregate nodes around one term shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("x22: winnowing stays map-only — no shuffle at all before the sink") {
+    val plan = planOf("x22_winnow_fingerprint")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    // the fused expression runs inside whole-stage codegen (the `*(n)`
+    // prefix in toString marks WholeStageCodegenExec spans)
+    assert(plan.contains("*(1)"), plan.take(3000))
+  }
+
+  test("x29: token chunking is map-only (explode without shuffle)") {
+    val plan = planOf("x29_token_chunks")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+  }
+
+  test("x27: postings heads never hash-aggregate unbounded lists — window then agg") {
+    val plan = planOf("x27_inverted_index")
+    // per-term window (row_number ≤ 8) feeds the aggregation; the
+    // collect_list sees ≤ 8 doc_ids per term, not a stop word's millions
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("collect_list"), plan.take(3000))
+  }
 }
