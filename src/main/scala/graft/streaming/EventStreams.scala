@@ -39,6 +39,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** DECLARATIVE session windows via the built-in `session_window()` —
+    * Catalyst merges overlapping per-event windows and manages the state
+    * store itself, the preferred formulation when the per-session output
+    * is expressible as an aggregate (vs [[sessionize]]'s custom-state
+    * `flatMapGroupsWithState`, which this complements: same 30-minute gap,
+    * but window end = last event + gap by session_window semantics). */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id, with
     * the watermark bounding how long each id is remembered — state stays
     * finite on an infinite stream (the streaming face of ext.Dedup x01). */

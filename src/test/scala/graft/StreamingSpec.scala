@@ -116,6 +116,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window: declarative sessions merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events 20' apart merge into one session; the 2h-later event
+      // starts a new one and (with a follow-up) closes the first
+      input.addData(Event(1, ts(0), 3, "click", 1.0), Event(2, ts(20), 3, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(180), 3, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(400), 4, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select($"user_id", $"n_events", $"total_value",
+          $"sess_start".cast("long"), $"sess_end".cast("long"))
+        .as[(Long, Long, Double, Long, Long)].collect()
+      val first = rows.find(r => r._1 == 3 && r._2 == 2)
+      assert(first.isDefined, s"expected closed 2-event session, got ${rows.toSeq}")
+      assert(first.get._3 == 3.0)
+      // session_window end = last event (t=20') + 30' gap = t=50'
+      assert(first.get._5 - first.get._4 == 50 * 60L)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
