@@ -136,6 +136,59 @@ object Corpus {
           md5(array_join(col("chunk"), " ")).as("chunk_fp"))
     },
 
+    // ---- eval-set decontamination: for each held-out doc (source src0),
+    // the fraction of its winnowing fingerprints that also occur anywhere
+    // in the training split (every other source) — the standard
+    // n-gram-overlap contamination check run before any benchmark eval.
+    // Scale shape: explode to (doc, fp), distinct the train fp set, one
+    // equi-join on the fingerprint (shuffle keys are uniform hashes, so
+    // the join partitions evenly); left-semi keeps the probe side lean.
+    "x32_decontamination" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(length(col("text")) >= 11)
+      val fp = d
+        .withColumn("fps", graft.functions.WinnowFingerprints.winnowFps(col("text")))
+        .select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+      val train = fp.filter(col("source") =!= "src0").select(col("fp")).distinct()
+      val test = fp.filter(col("source") === "src0").select(col("doc_id"), col("fp"))
+      val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val ov = test.join(train, Seq("fp"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      tot.join(ov, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .select(
+          col("doc_id"), col("n_fp"), col("n_overlap"),
+          (col("n_overlap").cast(DoubleType) / col("n_fp")).as("contam_ratio"),
+          (col("n_overlap").cast(DoubleType) / col("n_fp") >= 0.5).as("contaminated"))
+    },
+
+    // ---- deterministic token-budget mixture allocation: distribute a
+    // 100k-token budget across sources proportionally to their token
+    // counts, largest-remainder rounding (quotas sum EXACTLY to the
+    // budget). Pure integer arithmetic end to end — bit-reproducible on
+    // any engine — over per-source aggregates (metadata-sized, however
+    // big the corpus: the only window runs over |sources| rows).
+    "x33_mixture_allocation" -> { (s, dir) =>
+      val budget = 100000L
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), size(words(col("text"))).cast(LongType).as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      val tot = toks.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_src"))
+      val base = toks.crossJoin(broadcast(tot))
+        .withColumn("floor_q", expr(s"CAST($budget * n_tokens DIV total AS BIGINT)"))
+        .withColumn("rem", expr(s"CAST($budget * n_tokens % total AS BIGINT)"))
+      // leftover = budget − Σ floor_q seats, handed to the largest
+      // remainders (ties → source name): the classic apportionment rule
+      val wRem = Window.orderBy(col("rem").desc_nulls_last, col("source").asc_nulls_first)
+      val wAll = Window.partitionBy(lit(1))
+      base
+        .withColumn("rrank", row_number().over(wRem))
+        .withColumn("leftover", lit(budget) - sum(col("floor_q")).over(wAll))
+        .select(
+          col("source"), col("n_tokens"),
+          (col("floor_q") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+    },
+
     // ---- Misra–Gries heavy hitters per language: the top-5 exact terms
     // with the sketch's guarantee checked per row. The sketch's counter
     // values are merge-order-dependent, so the contract exposes only the
@@ -266,6 +319,60 @@ object Corpus {
         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
         |FROM c
         |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
+
+    "x32_decontamination" ->
+      """WITH d AS (SELECT doc_id, text, source FROM documents WHERE len(text) >= 11),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos, len(text) AS L,
+        |    md5(substr(text, CAST(i AS INT), 8)) AS hx
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 7)) AS i
+        |        FROM d)),
+        |h AS (SELECT doc_id, pos, L, CAST(
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS BIGINT) AS h
+        |  FROM g),
+        |m AS (SELECT doc_id, pos, L,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, winmin FROM m WHERE pos <= L - 10),
+        |tr AS (SELECT DISTINCT winmin FROM fp JOIN d USING (doc_id)
+        |       WHERE source <> 'src0'),
+        |te AS (SELECT fp.doc_id, fp.winmin FROM fp JOIN d USING (doc_id)
+        |       WHERE source = 'src0'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM te GROUP BY doc_id),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_overlap FROM te
+        |       WHERE winmin IN (SELECT winmin FROM tr) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_fp, COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_fp AS contam_ratio,
+        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_fp >= 0.5 AS contaminated
+        |FROM tot t LEFT JOIN ov o USING (doc_id)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x33_mixture_allocation" ->
+      """WITH toks AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM toks),
+        |base AS (SELECT source, n_tokens,
+        |    CAST(100000 * n_tokens // total AS BIGINT) AS floor_q,
+        |    CAST(100000 * n_tokens % total AS BIGINT) AS rem
+        |  FROM toks CROSS JOIN tot),
+        |r AS (SELECT source, n_tokens, floor_q, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC NULLS LAST, source ASC NULLS FIRST)
+        |      AS rrank,
+        |    100000 - SUM(floor_q) OVER () AS leftover
+        |  FROM base)
+        |SELECT source, n_tokens,
+        |  CAST(floor_q + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "x31_mg_heavyhitters" ->
       """WITH tok AS (
