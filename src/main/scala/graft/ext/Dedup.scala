@@ -74,8 +74,24 @@ object Dedup {
     * bit (3 − j%4) of hex digit j/4) rather than xxhash64: any hash family
     * works for SimHash, and md5 exists verbatim in DuckDB — which makes
     * the ENTIRE pipeline (hash → sign-sum → signature → band blocking →
-    * Hamming verify) oracle-checkable end-to-end instead of rows-only. */
-  def simhash(docs: DataFrame): DataFrame = {
+    * Hamming verify) oracle-checkable end-to-end instead of rows-only.
+    *
+    * r3: the digit pattern is exactly the first 8 md5 bytes big-endian, so
+    * the per-word hash is one fused [[graft.functions.Md5Head64]] digest
+    * and the sign sums are a single bit-count `Aggregator`
+    * ([[graft.functions.SimhashAgg]]: 65 longs of exact-integer buffer per
+    * group) instead of 16 substring+conv decodes and a 64-column-wide
+    * aggregate. Bit-identical output ([[simhashComposed]] kept as the
+    * spec's equivalence oracle; the SQL oracle is untouched). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), graft.functions.Md5Head64.md5Head64(col("word")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAgg.simhash64(col("p")).as("simhash"))
+
+  /** The composed md5-hex formulation [[simhash]] replaced — retained as
+    * the equivalence comparator in ExtensionsSpec. */
+  private[graft] def simhashComposed(docs: DataFrame): DataFrame = {
     // hoist the 16 hex-digit decodes into one projection so each digit is
     // parsed once per word, not once per bit (4× less substring/conv work)
     val digitCols = (0 until 16).map(i =>
@@ -217,6 +233,36 @@ object Dedup {
       connectedComponents(pairs)
     },
 
+    // ---- dedup MANIFEST: the keep/drop decision list a dedup pipeline
+    // actually ships. Every doc in the window gets its cluster (own id if
+    // un-clustered — the min-label convention makes the representative =
+    // cluster_id, so keep ⟺ doc_id = cluster_id), plus the cluster size
+    // for audit. Per-cluster window: keys are cluster ids, so the state
+    // distributes like any per-group aggregation.
+    "x34_dedup_manifest" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = shingleTable(docs)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("sa")
+        .join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .filter(col("n_inter").cast(DoubleType) /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) >= 0.5)
+        .select(col("a"), col("b"))
+      val assigned = docs.select(col("doc_id"))
+        .join(connectedComponents(pairs), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val members = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      assigned.join(members, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("keep"), col("n_members"))
+    },
+
     // ---- exact n-gram Jaccard over a bounded window (oracle-checked):
     // all-pairs via shingle-key join (not a cross join), doc_id < 500
     "x04_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -320,6 +366,38 @@ object Dedup {
         |SELECT src AS doc_id, MIN(dst) AS cluster_id
         |FROM reach
         |GROUP BY src
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x34_dedup_manifest" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM t)
+        |  WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id),
+        |p AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz za ON a = za.doc_id
+        |  JOIN sz zb ON b = zb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |asg AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM t d LEFT JOIN lab l USING (doc_id)),
+        |cnt AS (SELECT cluster_id, COUNT(*) AS n_members FROM asg GROUP BY cluster_id)
+        |SELECT a.doc_id, a.cluster_id, a.doc_id = a.cluster_id AS keep, c.n_members
+        |FROM asg a JOIN cnt c USING (cluster_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "x04_dedup_ngram_jaccard" ->

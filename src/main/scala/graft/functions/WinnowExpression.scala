@@ -110,3 +110,40 @@ object WinnowFingerprints {
   def winnowFps(c: Column): Column =
     ColumnShim.column(WinnowFingerprints(ColumnShim.expression(c)))
 }
+
+/** First 8 md5 digest bytes of a string, big-endian, as one LONG — bit
+  * (63−j) equals bit (3−j%4) of hex digit j/4, i.e. exactly the
+  * per-word bit pattern the SimHash sign sums read digit-by-digit out of
+  * `md5()` hex (`ext.Dedup.simhash`). One fused digest per word instead
+  * of 16 substring+conv decodes; the md5 hex formulation stays the SQL
+  * oracle's spelling of the same 64 bits. */
+case class Md5Head64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Head64.head64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Head64.head64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Head64 =
+    copy(child = newChild)
+}
+
+object Md5Head64 {
+  private val md5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def head64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(s.getBytes)
+    val h = d.digest()
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
+  def md5Head64(c: Column): Column =
+    ColumnShim.column(Md5Head64(ColumnShim.expression(c)))
+}

@@ -46,6 +46,15 @@ class ExtensionsSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) < 16)
   }
 
+  test("fused simhash (Md5Head64 + bit-count aggregator) == composed md5-hex form") {
+    val docs = Tables(spark, sfDir, "documents")
+    val fused = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashComposed(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.size == 500 && fused == composed)
+  }
+
   test("connected components: chain, separate pair, min-label clusters") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
