@@ -46,4 +46,19 @@ class ScaleJoinsSpec extends SparkTestBase {
       .select("id", "iid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
   }
+
+  test("bloom filter: zero false negatives, and the filter actually prunes") {
+    import graft.functions.BloomFilterAgg
+    val keys = (0 until 200).map(i => i * 7L).toDF("k")
+    val bloom = keys.select(BloomFilterAgg.explodedPositions($"k").as("pos"))
+      .agg(BloomFilterAgg.bloomAgg($"pos").as("bits"))
+    val probes = (0 until 20000).map(_.toLong).toDF("p")
+      .crossJoin(broadcast(bloom))
+      .withColumn("hit", BloomFilterAgg.mightContain($"bits", $"p"))
+    val present = probes.filter($"p" % 7 === 0 && $"p" < 1400)
+    assert(present.filter(!$"hit").count() == 0, "bloom false negative!")
+    // fp sanity: at 200 keys / 2^17 bits the pass-through must stay tiny
+    val passed = probes.filter($"hit").count()
+    assert(passed < 600, s"bloom passed $passed of 20000 — not pruning")
+  }
 }
