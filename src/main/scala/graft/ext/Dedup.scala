@@ -23,27 +23,28 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** 64-wide MinHash signature per doc. The shingle *string* is hashed
-    * ONCE (xxhash64); each of the 64 permutations re-mixes that 8-byte
-    * long with a seed — far cheaper than re-hashing the string, and safe
-    * under ANSI mode (a multiply-add wraparound family would throw on
-    * long overflow in Spark 4). One shuffle (groupBy doc_id) with
-    * map-side combine keeps it at 64 longs per doc at any corpus size. */
+  /** 64-wide MinHash signature per doc (doc_id, sig: array<bigint>). The
+    * shingle *string* is hashed ONCE (xxhash64); the 64 permutation minima
+    * run inside [[graft.functions.MinHashAgg]] — one tight JVM mixing loop
+    * per shingle instead of 64 separate `min(xxhash64(...))` aggregate
+    * expressions (r3 fusion; the LSH band join and the exact-verify
+    * contract are unchanged, and the oracle still equates the output to
+    * the full-corpus exact Jaccard pairs). One shuffle (groupBy doc_id)
+    * with map-side combine keeps it at 64 longs per doc at any corpus
+    * size. */
   def minhashSignature(docs: DataFrame): DataFrame =
     minhashSignatureFromShingles(shingleTable(docs))
 
-  def minhashSignatureFromShingles(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("h", xxhash64(col("sh")))
-    val mins = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  def minhashSignatureFromShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("h", xxhash64(col("sh")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash64(col("h")).as("sig"))
 
   /** (doc_id, band, band_key) — docs sharing any band key are candidates. */
   def lshBands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
