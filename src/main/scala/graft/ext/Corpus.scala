@@ -189,6 +189,31 @@ object Corpus {
             .as("quota"))
     },
 
+    // ---- per-label embedding centroids (class prototypes — the
+    // nearest-class-mean building block): elementwise means via exact
+    // decimal sums (partition-invariant, the lloydIteration contract),
+    // reassembled in position order. Shuffle volume is |corpus|·d scalars;
+    // the per-label reassembly state is one 64-double array per label.
+    "x36_label_centroids" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val e = emb.select(col("label"),
+        posexplode(col("embedding").cast(ArrayType(DoubleType))).as(Seq("pos", "val")))
+      val means = e.groupBy(col("label"), col("pos"))
+        .agg((sum(col("val").cast(DecimalType(28, 18))).cast(DoubleType) /
+          count(col("val"))).as("m"))
+      val cents = means.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, x -> x.m)").as("cv"))
+      val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      cents.join(counts, "label")
+        .select(col("label"), col("n_vecs"),
+          round(Similarity.l2norm(col("cv")), 6).as("centroid_norm"),
+          round(element_at(col("cv"), 1), 6).as("m0"),
+          round(element_at(col("cv"), 2), 6).as("m1"),
+          round(element_at(col("cv"), 3), 6).as("m2"),
+          round(element_at(col("cv"), 4), 6).as("m3"))
+    },
+
     // ---- Misra–Gries heavy hitters per language: the top-5 exact terms
     // with the sketch's guarantee checked per row. The sketch's counter
     // values are merge-order-dependent, so the contract exposes only the
@@ -319,6 +344,26 @@ object Corpus {
         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
         |FROM c
         |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
+
+    "x36_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pv AS (SELECT label,
+        |    unnest(list_transform(range(len(v)), i -> {'pos': i, 'val': v[i+1]})) AS s
+        |  FROM e),
+        |m AS (SELECT label, s.pos AS pos,
+        |    CAST(SUM(CAST(s.val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM pv GROUP BY label, s.pos),
+        |c AS (SELECT label,
+        |    list_transform(list_sort(list({'pos': pos, 'm': m})), x -> x.m) AS cv
+        |  FROM m GROUP BY label),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT c.label, n.n_vecs,
+        |  ROUND(sqrt(list_inner_product(cv, cv)), 6) AS centroid_norm,
+        |  ROUND(cv[1], 6) AS m0, ROUND(cv[2], 6) AS m1,
+        |  ROUND(cv[3], 6) AS m2, ROUND(cv[4], 6) AS m3
+        |FROM c JOIN n USING (label)
+        |ORDER BY label ASC NULLS FIRST""".stripMargin,
 
     "x32_decontamination" ->
       """WITH d AS (SELECT doc_id, text, source FROM documents WHERE len(text) >= 11),
