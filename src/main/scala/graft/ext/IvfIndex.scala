@@ -47,6 +47,34 @@ object IvfIndex {
     s.read.parquet(path)
   }
 
+  private val assignCache = new ConcurrentHashMap[(SparkSession, String, Int, Int), String]()
+
+  /** Persisted corpus→cell ASSIGNMENT table (vec_id, v, nrm, cell) — the
+    * other half of a real IVF index (vectors stored grouped by cell):
+    * queries read the artifact and assign only the query vectors, instead
+    * of re-assigning the whole corpus per query. Built lazily once per
+    * (session, corpus, k, iters), like [[centroids]]. */
+  def assignments(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame = {
+    val path = assignCache.computeIfAbsent(
+      (s, dir, k, iters),
+      new JFunction[(SparkSession, String, Int, Int), String] {
+        def apply(key: (SparkSession, String, Int, Int)): String = {
+          val a = Similarity.assignCells(
+            Similarity.normed(s, dir), centroids(s, dir, k, iters))
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-ivf-assign").toString + "/assigned"
+          a.write.mode("overwrite").parquet(out)
+          out
+        }
+      })
+    s.read.parquet(path)
+  }
+
+  /** Per-cell angular radii of the persisted assignment — index metadata
+    * (k rows), derived on read (one aggregate over the assignment table). */
+  def radii(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
+    Similarity.cellRadii(assignments(s, dir, k, iters), centroids(s, dir, k, iters))
+
   /** One full offline index build; returns the centroid table's location. */
   private def train(s: SparkSession, dir: String, k: Int, iters: Int): String = {
     val e = Similarity.normed(s, dir).localCheckpoint(eager = true)

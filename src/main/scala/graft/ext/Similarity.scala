@@ -159,11 +159,24 @@ object Similarity {
     * @param qPred picks the query vectors out of `e`
     */
   def probedTopK(e: DataFrame, cents: DataFrame, qPred: Column, k: Int = 5,
-      probes: Int = 2): DataFrame = {
-    val assigned = assignCells(e, cents)
-    val radii = cellRadii(assigned, cents)
-    val q = e.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      probes: Int = 2): DataFrame =
+    probedTopKFromIndex(
+      assignCells(e, cents), cellRadii(assignCells(e, cents), cents),
+      e.filter(qPred)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm")),
+      cents, k, probes)
+
+  /** [[probedTopK]] over PRE-BUILT index artifacts ([[IvfIndex.assignments]]
+    * / [[IvfIndex.radii]]): query-time work is assign-the-queries + probe —
+    * the corpus assignment is read, not recomputed, which is how an IVF
+    * index serves at 100 TB.
+    *
+    * @param assigned (vec_id, v, nrm, cell) index table
+    * @param radii    (cell, rad) index metadata
+    * @param q        query vectors as (q_id, qv, qnrm)
+    */
+  def probedTopKFromIndex(assigned: DataFrame, radii: DataFrame, q: DataFrame,
+      cents: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
     // query × cell: probe rank and the cell's best-possible similarity.
     // radii LEFT-joined: an empty cell has no radius row — treat as 0
     // (the centroid itself bounds nothing, the cell scans as empty)
@@ -246,11 +259,12 @@ object Similarity {
     // losing recall. No training in the query path — at 100 TB the index
     // build is a separate job.
     "x11_ann_ivf" -> { (s, dir) =>
-      // no eager checkpoints here: the corpus scan is served by the
-      // session's pinned cache (Tables.pin) and the norm/assignment
-      // recompute is cheaper than extra materialization jobs; at real
-      // scale the assignment is itself a persisted index table
-      probedTopK(normed(s, dir), IvfIndex.centroids(s, dir), col("vec_id") < 8)
+      // query-time = read the persisted index artifacts (centroids +
+      // corpus assignment), assign only the 8 query vectors, probe
+      val asg = IvfIndex.assignments(s, dir)
+      val q = asg.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      probedTopKFromIndex(asg, IvfIndex.radii(s, dir), q, IvfIndex.centroids(s, dir))
     },
 
     // ---- embedding-cosine near-dup detection (the embedding face of the
@@ -263,12 +277,12 @@ object Similarity {
     // corpus×corpus cross join. Bounded window (vec_id < 2000) keeps the
     // oracle's work constant at any SF; the operator itself has no bound.
     "x19_embed_dedup" -> { (s, dir) =>
-      val bounded = normed(s, dir).filter(col("vec_id") < 2000)
-      val cents = IvfIndex.centroids(s, dir)
-      // no checkpoint: the reused assignment subtree reads the pinned
-      // corpus cache; at real scale it is a persisted index table
-      val assigned = assignCells(bounded, cents)
-      thresholdPairs(assigned, cents, 0.4)
+      // the bounded window is a FILTER of the persisted assignment table
+      // (per-vector nearest centroid doesn't depend on the window);
+      // radii are recomputed on the window inside thresholdPairs for the
+      // tightest lossless pruning bound
+      val assigned = IvfIndex.assignments(s, dir).filter(col("vec_id") < 2000)
+      thresholdPairs(assigned, IvfIndex.centroids(s, dir), 0.4)
         .select(col("a"), col("b"), round(col("sim"), 5).as("sim"))
     },
 
