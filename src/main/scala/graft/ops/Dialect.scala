@@ -86,6 +86,17 @@ object Dialect {
           |FROM months LEFT JOIN orders_rec
           |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
           |GROUP BY m""".stripMargin)
+    },
+
+    // ---- COLUMNS('regex') projection: DuckDB selects by column-name
+    // pattern; the Spark rewrite resolves the pattern against the schema
+    // at plan time (a pure metadata operation — the scan is pruned to the
+    // matched columns exactly as with an explicit list)
+    "q52_columns_regex" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      val picked = li.columns
+        .filter(c => c == "l_orderkey" || c.matches("l_.*price|l_discount"))
+      li.select(picked.map(col).toIndexedSeq: _*)
     })
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +148,12 @@ object Dialect {
         |FROM months LEFT JOIN orders
         |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
         |GROUP BY m
-        |ORDER BY month_start ASC NULLS FIRST""".stripMargin)
+        |ORDER BY month_start ASC NULLS FIRST""".stripMargin,
+
+    "q52_columns_regex" ->
+      """SELECT l_orderkey, COLUMNS('l_.*price|l_discount')
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
+        |  l_discount ASC NULLS FIRST""".stripMargin)
 }
