@@ -97,6 +97,28 @@ object Dialect {
       val picked = li.columns
         .filter(c => c == "l_orderkey" || c.matches("l_.*price|l_discount"))
       li.select(picked.map(col).toIndexedSeq: _*)
+    },
+
+    // ---- SUMMARIZE-style table profiling (the data-audit statement a
+    // pipeline runs before trusting a new drop): one aggregation pass per
+    // profiled column — count, exact distinct, nulls, min/max rendered as
+    // strings (deterministic for int/date/varchar; double rendering
+    // differs between engines, so doubles profile via their own queries).
+    // Each per-column aggregate is partial+final; the union is metadata.
+    "q53_profile" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      def prof(c: String) = o
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col(c)).as("n_distinct"),
+          count(when(col(c).isNull, 1)).as("n_null"),
+          min(col(c)).cast(StringType).as("min_v"),
+          max(col(c)).cast(StringType).as("max_v"))
+        .select(lit(c).as("column_name"), col("n"), col("n_distinct"),
+          col("n_null"), col("min_v"), col("max_v"))
+      prof("o_orderkey")
+        .unionByName(prof("o_orderstatus"))
+        .unionByName(prof("o_orderdate"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +177,24 @@ object Dialect {
         |FROM lineitem
         |WHERE l_orderkey < 1000
         |ORDER BY l_orderkey ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
-        |  l_discount ASC NULLS FIRST""".stripMargin)
+        |  l_discount ASC NULLS FIRST""".stripMargin,
+
+    "q53_profile" ->
+      """SELECT 'o_orderkey' AS column_name, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(DISTINCT o_orderstatus),
+        |  COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+        |  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(DISTINCT o_orderdate),
+        |  COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+        |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |ORDER BY column_name ASC NULLS FIRST""".stripMargin)
 }
