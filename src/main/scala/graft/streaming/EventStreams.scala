@@ -55,6 +55,22 @@ object EventStreams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming heavy-hitter detection: a Misra–Gries sketch per tumbling
+    * window (the streaming face of x31) — state per window is k-bounded
+    * however many distinct users flow through, which is what makes
+    * frequency monitoring viable on an unbounded stream. The MG guarantee
+    * holds per closed window: any user with more than N/(k+1) of the
+    * window's events is in `candidates`. */
+  def heavyUsers(events: DataFrame, k: Int = 8): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.MisraGries
+        .topkSketch(col("user_id").cast("string"), k).as("mg"))
+      .select(
+        col("window.start").as("win_start"),
+        array_sort(map_keys(col("mg"))).as("candidates"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id, with
     * the watermark bounding how long each id is remembered — state stays
     * finite on an infinite stream (the streaming face of ext.Dedup x01). */

@@ -116,6 +116,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: a dominant user is guaranteed into the sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.heavyUsers(input.toDF(), k = 4)
+      .writeStream.format("memory").queryName("heavy")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7 sends 12 of 18 events in the window — far above N/(k+1)
+      val burst = (0 until 12).map(i => Event(100 + i, ts(i % 9), 7, "click", 1.0)) ++
+        (0 until 6).map(i => Event(200 + i, ts(i), 20 + i, "view", 1.0))
+      input.addData(burst: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, ts(120), 99, "view", 0.0)) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("heavy")
+        .select($"candidates").as[Seq[String]].collect()
+      assert(rows.nonEmpty && rows.exists(_.contains("7")),
+        s"dominant user missing from sketch: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("session_window: declarative sessions merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
