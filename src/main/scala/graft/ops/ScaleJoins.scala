@@ -69,25 +69,29 @@ object ScaleJoins {
 
     // ---- Bloom-pruned semi join (the runtime-filter pattern): build a
     // 16 KiB distributed Bloom filter over the qualifying part keys
-    // (mergeable bit-OR Aggregator), broadcast it, and prune lineitem
-    // BEFORE its shuffle; the exact semi join then touches only survivors
-    // (~0.6% of rows here). No false negatives, so the result — and the
-    // oracle, the PLAIN IN-subquery — is exact; false positives only cost
-    // extra rows into the verify join. At 100 TB this is the difference
-    // between shuffling the whole fact table and shuffling a sliver.
+    // (mergeable bit-OR Aggregator), materialize it to the driver — the
+    // same bounded index-metadata collect Spark's own runtime bloom/
+    // InSubquery filters perform — and inline the bits as a LITERAL
+    // predicate on the fact scan. A joined-relation formulation lets
+    // Catalyst reorder the exact semi join below the bloom filter (making
+    // it useless); the literal predicate is guaranteed to sit on the scan,
+    // pruning lineitem to ~0.6% BEFORE any join. No false negatives, so
+    // the result — and the oracle, the PLAIN IN-subquery — is exact;
+    // false positives only cost extra rows into the verify join. At
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling a sliver.
     "x35_bloom_semi_join" -> { (s, dir) =>
       import graft.functions.BloomFilterAgg
       val keys = Tables(s, dir, "part")
         .filter(col("p_brand") === "Brand#13" && col("p_size") < 10)
         .select(col("p_partkey").as("k"))
-      val bloom = keys
+      val bits: Seq[Long] = keys
         .select(BloomFilterAgg.explodedPositions(col("k")).as("pos"))
         .agg(BloomFilterAgg.bloomAgg(col("pos")).as("bits"))
+        .collect()(0).getSeq[Long](0)
       val pruned = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        .crossJoin(broadcast(bloom))
-        .filter(BloomFilterAgg.mightContain(col("bits"), col("l_partkey")))
-        .drop("bits")
+        .filter(BloomFilterAgg.mightContain(typedlit(bits), col("l_partkey")))
       pruned.join(broadcast(keys), pruned("l_partkey") === keys("k"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))

@@ -78,6 +78,18 @@ class PlanRegressionSpec extends SparkTestBase {
     assert(plan.contains("Generate explode"), plan.take(3000))
   }
 
+  test("x35: bloom predicate sits on the fact scan, below the semi join") {
+    val plan = planOf("x35_bloom_semi_join")
+    // the literal-bits formulation must NOT plan a nested-loop join for
+    // the filter, and the semi join must still be present above it
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    val filterAt = plan.indexOf("element_at")
+    val semiAt = plan.indexOf("LeftSemi")
+    assert(filterAt >= 0 && semiAt >= 0 && filterAt > semiAt,
+      s"bloom filter not below the semi join\n${plan.take(3000)}")
+  }
+
   test("x27: postings heads never hash-aggregate unbounded lists — window then agg") {
     val plan = planOf("x27_inverted_index")
     // per-term window (row_number ≤ 8) feeds the aggregation; the
