@@ -118,8 +118,30 @@ class SqlGateway(val spark: SparkSession) {
     }
   }
 
-  /** Read path (reference `db/db.go:67-117`): local, lock-free. */
-  def query(sql: String): QueryResult = Results.fromDataFrame(spark.sql(sql))
+  private val SummarizeRe = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
+
+  /** Read path (reference `db/db.go:67-117`): local, lock-free.
+    * `SUMMARIZE t` (DuckDB's table-profiling statement, reachable through
+    * the passthrough) rewrites to a per-column profile union — one
+    * partial+final aggregation per column, min/max rendered as strings. */
+  def query(sql: String): QueryResult = sql match {
+    case SummarizeRe(table) => Results.fromDataFrame(summarize(spark.table(table)))
+    case _ => Results.fromDataFrame(spark.sql(sql))
+  }
+
+  private def summarize(df: org.apache.spark.sql.DataFrame): DataFrame = {
+    val profiles = df.schema.fields.map { f =>
+      df.agg(
+        count(lit(1)).as("count"),
+        countDistinct(col(f.name)).as("approx_unique"),
+        count(when(col(f.name).isNull, 1)).as("null_count"),
+        min(col(f.name)).cast("string").as("min"),
+        max(col(f.name)).cast("string").as("max"))
+        .select(lit(f.name).as("column_name"), lit(f.dataType.sql).as("column_type"),
+          col("min"), col("max"), col("approx_unique"), col("null_count"), col("count"))
+    }
+    profiles.reduce(_.unionByName(_))
+  }
 
   // --- storage layout helpers (versioned data directories) --------------
 

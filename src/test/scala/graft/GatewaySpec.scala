@@ -256,6 +256,19 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT v FROM typo").values.head.head == 1)
   }
 
+  test("SUMMARIZE profiles every column of a table") {
+    gw.execute("DROP TABLE IF EXISTS prof")
+    gw.execute("CREATE TABLE prof (id integer, name text)")
+    gw.execute("INSERT INTO prof VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    val r = gw.query("SUMMARIZE prof")
+    assert(r.columns == Seq("column_name", "column_type", "min", "max",
+      "approx_unique", "null_count", "count"))
+    assert(r.values.length == 2)
+    val byCol = r.values.map(v => v.head -> v).toMap
+    assert(byCol("id") == Seq("id", "INT", "1", "3", 3L, 0L, 3L))
+    assert(byCol("name") == Seq("name", "STRING", "a", "b", 2L, 1L, 3L))
+  }
+
   test("TABLESAMPLE and EXPLAIN are reachable through the gateway") {
     gw.execute("DROP TABLE IF EXISTS samp")
     gw.execute("CREATE TABLE samp (id integer)")
