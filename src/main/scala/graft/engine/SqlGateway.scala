@@ -119,14 +119,53 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   private val SummarizeRe = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
+  private val PivotRe =
+    """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)(?:\s+GROUP\s+BY\s+(.*?))?\s*""".r
+  private val UnpivotRe =
+    """(?is)\s*UNPIVOT\s+([\w.]+)\s+ON\s+(.*?)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)\s*""".r
 
-  /** Read path (reference `db/db.go:67-117`): local, lock-free.
-    * `SUMMARIZE t` (DuckDB's table-profiling statement, reachable through
-    * the passthrough) rewrites to a per-column profile union — one
-    * partial+final aggregation per column, min/max rendered as strings. */
+  /** Read path (reference `db/db.go:67-117`): local, lock-free. The
+    * dialect's top-level analysis statements rewrite to their Spark
+    * equivalents before `spark.sql`:
+    *  - `SUMMARIZE t` → per-column profile union (one partial+final
+    *    aggregation per column, min/max rendered as strings);
+    *  - `PIVOT t ON c USING agg(x) [GROUP BY g,...]` → `groupBy.pivot.agg`
+    *    (two-phase: distinct pivot values, then the pivoted aggregate —
+    *    grouping defaults to every other column, DuckDB semantics);
+    *  - `UNPIVOT t ON a,b,... INTO NAME k VALUE v` → `Dataset.unpivot`. */
   def query(sql: String): QueryResult = sql match {
     case SummarizeRe(table) => Results.fromDataFrame(summarize(spark.table(table)))
+    case PivotRe(table, on, fn, arg, grp) =>
+      Results.fromDataFrame(pivotStatement(table, on, fn, arg, Option(grp)))
+    case UnpivotRe(table, onList, nameCol, valueCol) =>
+      val df = spark.table(table)
+      val values = splitTopLevel(onList).map(c => col(c.trim))
+      val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
+      val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
+      Results.fromDataFrame(
+        df.unpivot(ids.toArray, values.toArray, nameCol, valueCol))
     case _ => Results.fromDataFrame(spark.sql(sql))
+  }
+
+  private def pivotStatement(table: String, on: String, fn: String, arg: String,
+      grp: Option[String]): DataFrame = {
+    val df = spark.table(table)
+    val aggExpr = fn.toLowerCase match {
+      case "sum" => sum(col(arg))
+      case "count" => if (arg == "*") count(lit(1)) else count(col(arg))
+      case "min" => min(col(arg))
+      case "max" => max(col(arg))
+      case "avg" => avg(col(arg))
+      case other => throw new IllegalArgumentException(s"PIVOT USING $other unsupported")
+    }
+    val groupCols = grp match {
+      case Some(g) => splitTopLevel(g).map(c => col(c.trim))
+      case None => // DuckDB default: group by every non-pivot, non-value column
+        df.columns
+          .filterNot(c => c.equalsIgnoreCase(on) || c.equalsIgnoreCase(arg))
+          .map(col).toSeq
+    }
+    df.groupBy(groupCols: _*).pivot(on).agg(aggExpr)
   }
 
   private def summarize(df: org.apache.spark.sql.DataFrame): DataFrame = {

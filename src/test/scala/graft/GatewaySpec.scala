@@ -269,6 +269,25 @@ class GatewaySpec extends SparkTestBase {
     assert(byCol("name") == Seq("name", "STRING", "a", "b", 2L, 1L, 3L))
   }
 
+  test("PIVOT and UNPIVOT statements rewrite to Spark pivot/unpivot") {
+    gw.execute("DROP TABLE IF EXISTS pvt")
+    gw.execute("CREATE TABLE pvt (region text, quarter text, amount integer)")
+    gw.execute(
+      "INSERT INTO pvt VALUES ('east','q1',10), ('east','q2',20), ('west','q1',5), ('west','q1',7)")
+    val p = gw.query("PIVOT pvt ON quarter USING sum(amount)")
+    assert(p.columns == Seq("region", "q1", "q2"))
+    val rows = p.values.map(v => v.head -> v.tail).toMap
+    assert(rows("east") == Seq(10L, 20L) && rows("west") == Seq(12L, null))
+    // round-trip back to long form
+    gw.execute("DROP TABLE IF EXISTS wide")
+    gw.execute("CREATE TABLE wide (region text, q1 integer, q2 integer)")
+    gw.execute("INSERT INTO wide VALUES ('east', 10, 20)")
+    val u = gw.query("UNPIVOT wide ON q1, q2 INTO NAME quarter VALUE amount")
+    assert(u.columns == Seq("region", "quarter", "amount"))
+    assert(u.values.map(_.toSeq).toSet ==
+      Set(Seq("east", "q1", 10), Seq("east", "q2", 20)))
+  }
+
   test("TABLESAMPLE and EXPLAIN are reachable through the gateway") {
     gw.execute("DROP TABLE IF EXISTS samp")
     gw.execute("CREATE TABLE samp (id integer)")
