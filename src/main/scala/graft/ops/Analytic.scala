@@ -233,6 +233,45 @@ object Analytic {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- ordered funnel (first-touch): users who viewed, then clicked
+    // AFTER their first view, then purchased AFTER that first qualifying
+    // click. Each stage is one aggregation + an equi-join on user_id —
+    // the standard funnel plan, partitioned by user at every step.
+    "q54_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val tc = ev.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      tv.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_purchased")))
+    },
+
+    // ---- retention cohorts: users grouped by first-activity week, the
+    // count still active k weeks later (k ≤ 3). Pure integer week
+    // arithmetic (epoch-day difference DIV 7) — deterministic on both
+    // engines; the activity set is distinct (user, week) so the shuffle
+    // is bounded by users × weeks, not raw events.
+    "q55_retention" -> { (s, dir) =>
+      val act = Tables(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(col("ts").cast(DateType), lit("2024-01-01")) / 7)
+            .cast(LongType).as("wk"))
+        .distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      act.join(coh, "user_id")
+        .withColumn("k", col("wk") - col("cohort_wk"))
+        .filter(col("k") <= 3)
+        .groupBy(col("cohort_wk"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     // ---- approximate aggregates. The sketch VALUES are engine-specific
     // (HLL++/KLL), so the contract output is the oracle-checkable exact
     // count plus booleans asserting each estimate landed inside its
@@ -420,6 +459,38 @@ object Analytic {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q54_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS tv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > tv.tv
+        |  GROUP BY e.user_id),
+        |tp AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > tc.tc
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM tv) AS n_viewed,
+        |       (SELECT COUNT(*) FROM tc) AS n_clicked,
+        |       (SELECT COUNT(*) FROM tp) AS n_purchased""".stripMargin,
+
+    "q55_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+        |         AS BIGINT) AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+        |SELECT coh.cohort_wk, act.wk - coh.cohort_wk AS k,
+        |  COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |WHERE act.wk - coh.cohort_wk <= 3
+        |GROUP BY coh.cohort_wk, act.wk - coh.cohort_wk
+        |ORDER BY cohort_wk ASC NULLS FIRST, k ASC NULLS FIRST""".stripMargin,
 
     // every event belongs to exactly the two 5-min-aligned starts in
     // (ts − 10 min, ts]: floor5(ts) and floor5(ts) − 5 min
