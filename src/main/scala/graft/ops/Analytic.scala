@@ -233,6 +233,31 @@ object Analytic {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- batch sessionization (the oracle-checked twin of
+    // streaming.EventStreams.sessionize): gap > 30 min starts a new
+    // session — lag + running sum of session starts, then one aggregate
+    // per (user, session). Ordering key is (ts, event_id): a total order,
+    // so lag/sum are deterministic even with equal timestamps. All gap
+    // arithmetic in integer microseconds.
+    "q56_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      Tables(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          dsum(col("value")).as("sum_value"))
+    },
+
     // ---- ordered funnel (first-touch): users who viewed, then clicked
     // AFTER their first view, then purchased AFTER that first qualifying
     // click. Each stage is one aggregation + an equi-join on user_id —
@@ -459,6 +484,35 @@ object Analytic {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q56_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, "value",
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |l AS (
+         |  SELECT user_id, event_id, "value", us,
+         |    LAG(us, 1) OVER (PARTITION BY user_id
+         |      ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_us
+         |  FROM e),
+         |m AS (
+         |  SELECT user_id, "value", us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
+         |      AS new_sess,
+         |    event_id
+         |  FROM l),
+         |s AS (
+         |  SELECT user_id, "value", us,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+         |  FROM m)
+         |SELECT user_id, sess_no, COUNT(*) AS n_events,
+         |  CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+         |  ${dsumSql("\"value\"")} AS sum_value
+         |FROM s
+         |GROUP BY user_id, sess_no
+         |ORDER BY user_id ASC NULLS FIRST, sess_no ASC NULLS FIRST""".stripMargin,
 
     "q54_funnel" ->
       """WITH tv AS (
