@@ -40,4 +40,40 @@ object Positions {
     }
     df.sparkSession.createDataFrame(numbered, schema)
   }
+
+  /** Returns `df` with an extra `outCol: BIGINT` column holding the INCLUSIVE
+    * running total of `weightCol` (an existing BIGINT column) in the total
+    * order given by `keys` — the distributed prefix sum.
+    *
+    * Same shape as [[withGlobalPosition]] generalized from count-weights to
+    * arbitrary weights: total sort (range exchange, fully parallel), then one
+    * lightweight job collecting a single per-partition subtotal (bounded
+    * driver metadata — one long per partition), then each task scans its
+    * partition locally from its exclusive offset. Equivalent to
+    * `sum(w) OVER (ORDER BY keys)` WITHOUT the single-partition window that
+    * formulation plans — this is what lets offset assignment (sequence
+    * packing, byte layout, file splitting) run over an arbitrarily large
+    * relation.
+    */
+  def withRunningTotal(df: DataFrame, keys: Seq[Column], weightCol: String,
+                       outCol: String): DataFrame = {
+    val sorted = df.orderBy(keys: _*)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val rdd = sorted.rdd
+    // one subtotal per partition; the scan below re-runs the deterministic
+    // sorted lineage (exactly zipWithIndex's two-job contract)
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val scanned = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(wIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    df.sparkSession.createDataFrame(scanned, schema)
+  }
 }
