@@ -120,6 +120,58 @@ class GatewaySpec extends SparkTestBase {
     }
   }
 
+  test("EXPORT/IMPORT DATABASE as SQL statements round trip (store/store.go:263,314)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-sql").toString
+    gw.execute("DROP TABLE IF EXISTS snapsql")
+    gw.execute("CREATE TABLE snapsql (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO snapsql VALUES (1, 'one'), (2, 'two')")
+    // the exact SQL text the reference's store sends through its passthrough
+    val ex = gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    assert(ex.rowsAffected >= 1) // table count exported
+    gw.execute("DROP TABLE snapsql")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    val res = gw.query("SELECT * FROM snapsql ORDER BY id")
+    assert(res.values.map(_.toList) == Seq(List(1, "one"), List(2, "two")))
+    // constraint metadata travelled through the SQL statements too
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO snapsql VALUES (1, 'dup')")
+    }
+  }
+
+  test("ALTER TABLE RENAME COLUMN keeps the constraint registry coherent") {
+    gw.execute("DROP TABLE IF EXISTS altt")
+    gw.execute("CREATE TABLE altt (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO altt VALUES (1, 'a')")
+    gw.execute("ALTER TABLE altt RENAME COLUMN id TO doc_id")
+    assert(gw.query("SELECT * FROM altt").columns == Seq("doc_id", "name"))
+    // PK enforcement follows the renamed column — the stale-registry bug
+    // would look the old name up in the new schema and blow up or no-op
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO altt VALUES (1, 'dup')")
+    }
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO altt VALUES (NULL, 'n')")
+    }
+    gw.execute("INSERT INTO altt VALUES (2, 'b')")
+    assert(gw.query("SELECT count(*) AS n FROM altt").values.head.head == 2L)
+  }
+
+  test("ALTER TABLE DROP COLUMN updates NOT NULL registry, refuses PK columns") {
+    gw.execute("DROP TABLE IF EXISTS aldt")
+    gw.execute("CREATE TABLE aldt (id integer primary key, tag text not null, note text)")
+    gw.execute("INSERT INTO aldt VALUES (1, 't', NULL)")
+    // dropping a key column while the constraint stands is an error (DuckDB
+    // refuses the same way) — not a silent un-keying
+    intercept[IllegalArgumentException] {
+      gw.execute("ALTER TABLE aldt DROP COLUMN id")
+    }
+    gw.execute("ALTER TABLE aldt DROP COLUMN tag")
+    assert(gw.query("SELECT * FROM aldt").columns == Seq("id", "note"))
+    // the dropped column's NOT NULL must not haunt later inserts
+    gw.execute("INSERT INTO aldt VALUES (2, NULL)")
+    assert(gw.query("SELECT count(*) AS n FROM aldt").values.head.head == 2L)
+  }
+
   test("reachable type surface round-trips with DuckDB-style type names") {
     gw.execute("DROP TABLE IF EXISTS typet")
     gw.execute(
