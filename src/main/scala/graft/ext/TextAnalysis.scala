@@ -98,6 +98,29 @@ object TextAnalysis {
           min(when(col("keep"), col("doc_id"))).as("first_kept"))
     },
 
+    // ---- sequence packing (training-data batch layout): assign every
+    // document a global token offset range and a fixed-capacity training
+    // bin by cumulative end-offset. The running total is the distributed
+    // prefix sum [[graft.ops.Positions.withRunningTotal]] — range-exchange
+    // sort + per-partition scan, NOT the `sum(w) OVER (ORDER BY ...)`
+    // window, which plans an Exchange SinglePartition and serializes the
+    // whole corpus through one task. The oracle replays exactly that
+    // window formulation in DuckDB (same math, single-node engine).
+    "x37_sequence_pack" -> { (s, dir) =>
+      val binTokens = 2048L
+      val weighted = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast(LongType).as("n_tokens"))
+      graft.ops.Positions
+        .withRunningTotal(weighted, Seq(col("doc_id")), "n_tokens", "seq_end")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("seq_end") - col("n_tokens")).as("seq_start"),
+          col("seq_end"),
+          expr(s"CAST((seq_end - 1) DIV $binTokens AS BIGINT)").as("bin"))
+    },
+
     // ---- winnowing fingerprints (MOSS-style rolling k-gram selection):
     // hash every 8-char gram, keep the MINIMUM of each 4-gram sliding
     // window — the classic near-copy detection fingerprint whose density
@@ -172,6 +195,22 @@ object TextAnalysis {
       """SELECT doc_id, md5(lower(text)) AS fp,
         |  substring(md5(lower(text)), 1, 4) AS bucket
         |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x37_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq_end
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  seq_end - n_tokens AS seq_start, seq_end,
+        |  CAST((seq_end - 1) // 2048 AS BIGINT) AS bin
+        |FROM r
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "x24_stratified_sample" ->

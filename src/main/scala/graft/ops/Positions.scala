@@ -57,22 +57,31 @@ object Positions {
     */
   def withRunningTotal(df: DataFrame, keys: Seq[Column], weightCol: String,
                        outCol: String): DataFrame = {
+    require(df.schema(weightCol).dataType == LongType,
+      s"$weightCol must be BIGINT, got ${df.schema(weightCol).dataType.sql}")
     val sorted = df.orderBy(keys: _*)
     val wIdx = sorted.schema.fieldIndex(weightCol)
     val rdd = sorted.rdd
     // one subtotal per partition; the scan below re-runs the deterministic
-    // sorted lineage (exactly zipWithIndex's two-job contract)
+    // sorted lineage (exactly zipWithIndex's two-job contract). collect()
+    // returns results in partition-index order. NULL weights contribute
+    // nothing, matching `sum(w) OVER (...)`'s null-skipping semantics.
     val partTotals = rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+      .mapPartitionsWithIndex { (_, it) =>
+        var s = 0L
+        it.foreach(r => if (!r.isNullAt(wIdx)) s += r.getLong(wIdx))
+        Iterator(s)
       }
-      .collect().sortBy(_._1).map(_._2)
+      .collect()
     val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
     val scanned = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
-      it.map { r => acc += r.getLong(wIdx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r =>
+        if (!r.isNullAt(wIdx)) acc += r.getLong(wIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
     }
     df.sparkSession.createDataFrame(scanned, schema)
   }

@@ -111,6 +111,35 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("distributed running total equals sum(w) OVER (ORDER BY keys), nulls skipped") {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    datasets(4).foreach { data =>
+      val df = data.toDF("k", "v", "s").dropDuplicates("k", "v", "s")
+        // weight derived from the row, with NULLs sprinkled in — SQL sum
+        // semantics say a NULL weight leaves the running total unchanged
+        .withColumn("w",
+          when(col("v") % 7 === 0, expr("CAST(NULL AS BIGINT)"))
+            .otherwise((col("v").cast("bigint") % 100 + 100)))
+      val got = ops.Positions
+        .withRunningTotal(df, Seq($"k".asc, $"v".asc, $"s".asc), "w", "rt")
+        .select($"k", $"v", $"s", $"rt")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+      var acc = 0L
+      val want = rows.map { case (k, v, s, w) => acc += w; (k, v, s, acc) }.toSeq
+      assert(got == want)
+    }
+    // a non-BIGINT weight column is a call-time error, not a deep executor crash
+    val bad = Seq((1L, 1, "a")).toDF("k", "w", "s")
+    intercept[IllegalArgumentException] {
+      ops.Positions.withRunningTotal(bad, Seq($"k".asc), "w", "rt")
+    }
+  }
+
   test("union counts add; intersect bounded by both") {
     val ds = datasets(8)
     ds.grouped(2).filter(_.size == 2).foreach { case Seq(d1, d2) =>
