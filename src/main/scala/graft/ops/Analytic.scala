@@ -166,6 +166,25 @@ object Analytic {
         .select(col("click_id"), col("p_id").as("matched_purchase"))
     },
 
+    // ---- ASOF variants (VERDICT r3 item 6): forward direction with a
+    // tolerance bound — for each click, the EARLIEST same-user purchase
+    // at-or-after it, nulled when more than one hour later. The right side
+    // is deduplicated per (user, µs-instant) so forward ties are
+    // well-defined in both engines; tolerance runs inside the merge exec,
+    // the oracle applies the equivalent CASE post-filter to DuckDB's
+    // forward ASOF (`ON c.ts <= p.ts`).
+    "x38_asof_forward_tolerance" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min(col("event_id")).as("p_id"))
+      graft.plans.Asof.join(clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+          forward = true, tolerance = Some(3600L * 1000000L)) // 1 h in µs
+        .select(col("click_id"), col("p_id").as("next_purchase"))
+    },
+
     // ---- explode/unnest: word frequencies over documents
     "q24_explode_words" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -432,6 +451,22 @@ object Analytic {
         |ASOF LEFT JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
         |      WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id ASC NULLS FIRST""".stripMargin,
+
+    "x38_asof_forward_tolerance" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+        |         MIN(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT c.click_id,
+        |  CASE WHEN p.p_ts IS NOT NULL AND p.p_ts <= c.ts + INTERVAL 1 HOUR
+        |       THEN p.p_id END AS next_purchase
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.p_user AND c.ts <= p.p_ts
         |ORDER BY click_id ASC NULLS FIRST""".stripMargin,
 
     "q24_explode_words" ->

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -11,18 +11,27 @@ import org.apache.spark.sql.graft.ColumnShim
 
 /** ASOF join as a first-class Catalyst operator (SURVEY.md §2.4 — the one
   * reference-dialect operator with no Spark built-in; DuckDB 1.1 ships it
-  * natively).
+  * natively, in both directions: the inequality in `ASOF JOIN ... ON` may
+  * be any of >=, >, <=, <).
   *
   * Semantics (= DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >=
-  * r.ts`): for every left row, attach the right row with the same key and
-  * the greatest ts <= left ts; nulls when none exists.
+  * r.ts`, or `l.ts <= r.ts` for the forward direction): for every left
+  * row, attach the right row with the same key and
+  *  - backward: the greatest right ts <= left ts;
+  *  - forward:  the least   right ts >= left ts;
+  * nulls when none exists. An optional tolerance bounds the match
+  * distance (|left ts - right ts| <= tolerance, in the column's internal
+  * long unit — micros for timestamps); a nearest match outside the bound
+  * yields nulls, exactly the `CASE WHEN r.ts <= l.ts + tol THEN ...`
+  * post-filter a SQL formulation applies.
   *
   * Physical strategy: both sides hash-clustered on key and sorted by
   * (key, ts) — then one streaming merge pass per partition, O(|L|+|R|)
-  * with O(1) state (the last matching right row). Cost profile is exactly
-  * a sort-merge join: one shuffle per side, no buffering of groups — this
-  * is the 100 TB-correct plan (the union+window rewrite in q23 does the
-  * same shuffle but sorts the *union*, and a true window keeps more state).
+  * with O(1) state (backward keeps the last matching right row; forward
+  * only ever peeks the cursor head, since lefts arrive in ascending ts
+  * order and a right row ahead of the current left stays ahead of later
+  * lefts). Cost profile is exactly a sort-merge join: one shuffle per
+  * side, no buffering of groups — this is the 100 TB-correct plan.
   *
   * Keys are compared as Long, timestamps as their internal long (micros) —
   * covering integral and timestamp key/ts types (cast in the API).
@@ -30,7 +39,8 @@ import org.apache.spark.sql.graft.ColumnShim
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false, tolerance: Option[Long] = None) extends BinaryNode {
   // right side is nullable in the output (left outer semantics)
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -41,7 +51,8 @@ case class AsofJoin(
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean, tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -63,6 +74,8 @@ case class AsofJoinExec(
     val rTsB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
+    val fwd = forward
+    val tol = tolerance.getOrElse(-1L) // -1 = unbounded
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -73,6 +86,7 @@ case class AsofJoinExec(
       var matchKey = 0L
       var haveMatch = false
       var lastMatch: InternalRow = null
+      var lastMatchTs = 0L
 
       lIter.map { lRow =>
         val lkBoxed = lKeyB.eval(lRow).asInstanceOf[java.lang.Long]
@@ -83,8 +97,12 @@ case class AsofJoinExec(
         } else {
           val lk = lkBoxed.longValue()
           val lt = ltBoxed.longValue()
-          // advance the right cursor through all rows usable by this (and
-          // any later) left row: key < lk entirely, or key == lk && ts <= lt
+          // advance the right cursor through every row no longer usable by
+          // this (or, since lefts arrive in ascending (key, ts) order, any
+          // later) left row. Backward additionally CONSUMES its candidate
+          // matches, remembering the latest; forward stops AT the first
+          // candidate and only peeks it, because the same right row may
+          // also be the nearest follower of later left rows.
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
@@ -93,14 +111,30 @@ case class AsofJoinExec(
               else rTsB.eval(head).asInstanceOf[java.lang.Long]
             if (rkBoxed == null || rtBoxed == null) { rBuf.next() } // unmatchable
             else if (rkBoxed.longValue() < lk) { rBuf.next() } // done for good
-            else if (rkBoxed.longValue() == lk && rtBoxed.longValue() <= lt) {
-              lastMatch = rBuf.next().copy()
-              matchKey = rkBoxed.longValue()
-              haveMatch = true
+            else if (rkBoxed.longValue() == lk &&
+                (if (fwd) rtBoxed.longValue() < lt else rtBoxed.longValue() <= lt)) {
+              if (fwd) { rBuf.next() } // strictly before this left: dead
+              else {
+                lastMatch = rBuf.next().copy()
+                matchKey = rkBoxed.longValue()
+                lastMatchTs = rtBoxed.longValue()
+                haveMatch = true
+              }
             } else advancing = false
           }
           val r =
-            if (haveMatch && matchKey == lk) lastMatch
+            if (fwd) {
+              // candidate = cursor head, iff same key and within tolerance
+              if (rBuf.hasNext) {
+                val head = rBuf.head
+                val rkBoxed = rKeyB.eval(head).asInstanceOf[java.lang.Long]
+                if (rkBoxed != null && rkBoxed.longValue() == lk) {
+                  val rt = rTsB.eval(head).asInstanceOf[java.lang.Long].longValue()
+                  if (tol < 0 || rt - lt <= tol) head else nullRight
+                } else nullRight
+              } else nullRight
+            } else if (haveMatch && matchKey == lk &&
+                (tol < 0 || lt - lastMatchTs <= tol)) lastMatch
             else nullRight
           proj(joined(lRow, r))
         }
@@ -115,19 +149,23 @@ case class AsofJoinExec(
 
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
 object Asof {
   /** DataFrame API: ASOF LEFT JOIN `left` to `right` on equal `key` with
-    * the greatest `right.ts <= left.ts`. Key columns must be integral,
-    * ts columns timestamp/integral; referenced by name against each side.
-    * Registers the planner strategy on first use (idempotent). */
+    * the nearest `right.ts` at-or-before `left.ts` (default backward) or
+    * at-or-after (`forward = true`), optionally bounded by `tolerance`
+    * (in the ts column's internal long unit — MICROSECONDS for timestamp
+    * columns, plain units for integral columns). Key columns must be
+    * integral, ts columns timestamp/integral; referenced by name against
+    * each side. Registers the planner strategy on first use (idempotent). */
   def join(leftDf: DataFrame, rightDf: DataFrame,
-      leftKey: String, rightKey: String, leftTs: String, rightTs: String): DataFrame = {
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      forward: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
@@ -150,9 +188,10 @@ object Asof {
           s"ASOF key/ts column $name must be integral or timestamp, got $other")
       }
     }
+    require(tolerance.forall(_ >= 0), "ASOF tolerance must be >= 0")
     val node = AsofJoin(lPlan, rPlan,
       resolve(leftKey, lPlan), resolve(rightKey, rPlan),
-      resolve(leftTs, lPlan), resolve(rightTs, rPlan))
+      resolve(leftTs, lPlan), resolve(rightTs, rPlan), forward, tolerance)
     ColumnShim.ofRows(spark, node)
   }
 }

@@ -49,6 +49,71 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("forward direction picks the least right ts >= left ts, per key") {
+    val quotes = Seq(
+      (1L, t(0), 100.0), (1L, t(10), 101.0), (1L, t(20), 102.0),
+      (2L, t(5), 200.0)).toDF("q_key", "q_ts", "px")
+    val trades = Seq(
+      (1L, t(0)),  // equal ts → inclusive match (100.0)
+      (1L, t(15)), // between → next is t(20) → 102.0
+      (1L, t(99)), // after all → null
+      (2L, t(4)),  // before key-2's only quote → 200.0
+      (3L, t(50))) // key absent on right → null
+      .toDF("t_key", "t_ts")
+    val out = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        forward = true)
+      .select($"t_key", $"t_ts", $"px").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    assert(out == Set(
+      (1L, t(0), 100.0), (1L, t(15), 102.0), (1L, t(99), null),
+      (2L, t(4), 200.0), (3L, t(50), null)))
+  }
+
+  test("a forward right row is reusable by several left rows") {
+    val quotes = Seq((1L, t(50), 9.0)).toDF("q_key", "q_ts", "px")
+    val trades = Seq((1L, t(1)), (1L, t(2)), (1L, t(3))).toDF("t_key", "t_ts")
+    val out = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        forward = true)
+      .select($"px").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(9.0, 9.0, 9.0))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val quotes = Seq(
+      (1L, t(0), 100.0), (1L, t(30), 103.0)).toDF("q_key", "q_ts", "px")
+    val trades = Seq((1L, t(10)), (1L, t(25))).toDF("t_key", "t_ts")
+    val tolMicros = 10L * 60L * 1000000L // 10 minutes
+    // backward: t(10) is 10 min after t(0) → in; t(25) is 25 min after → out
+    val back = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = Some(tolMicros))
+      .select($"t_ts", $"px").collect()
+      .map(r => (r.getTimestamp(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(back == Set((t(10), 100.0), (t(25), null)))
+    // forward: t(10)→t(30) is 20 min → out; t(25)→t(30) is 5 min → in
+    val fwd = Asof.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        forward = true, tolerance = Some(tolMicros))
+      .select($"t_ts", $"px").collect()
+      .map(r => (r.getTimestamp(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(fwd == Set((t(10), null), (t(25), 103.0)))
+  }
+
+  test("forward multi-partition agrees with a brute-force computation") {
+    val right = (0 until 1000).map(i => (i.toLong % 50, t(i / 50), i.toDouble))
+      .toDF("rk", "rts", "v").repartition(7)
+    val left = (0 until 500).map(i => (i.toLong % 50, t(i % 100)))
+      .toDF("k", "ts").repartition(5)
+    val joined = Asof.join(left, right, "k", "rk", "ts", "rts", forward = true)
+    assert(joined.count() == 500)
+    val sample = left.limit(1).collect().head
+    val (sk, st) = (sample.getLong(0), sample.getTimestamp(1))
+    val expected = right.filter($"rk" === sk && $"rts" >= st)
+      .orderBy($"rts".asc).limit(1).select($"v").collect().headOption.map(_.getDouble(0))
+    val got = joined.filter($"k" === sk && $"ts" === st)
+      .select($"v").collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got == expected)
+  }
+
   test("plan is one AsofJoinExec with sorted-exchange children, no window") {
     val a = Seq((1L, t(1))).toDF("k", "ts")
     val b = Seq((1L, t(0), 5.0)).toDF("k2", "ts2", "v")
