@@ -19,6 +19,21 @@ final case class QueryResult(
     truncated: Boolean = false)
 
 object Results {
+  /** Field metadata key carrying a declared DuckDB type that Spark has no
+    * native equivalent for (UUID, TIME, HUGEINT, ENUM, TIMESTAMPTZ). The
+    * gateway's CREATE TABLE stamps it; `DatabaseTypeName` rendering
+    * (`db/db.go:89-93`) then surfaces the declared name, not the storage
+    * type. Spark persists field metadata in the catalog schema AND in
+    * parquet footers, so the declaration survives DML rewrites and
+    * EXPORT/IMPORT round trips. */
+  val DuckTypeKey = "graft.ducktype"
+
+  /** Declared-type-aware rendering: the column's declared DuckDB type if
+    * the field carries one, else the storage type's mapping. */
+  def duckTypeName(f: StructField): String =
+    if (f.metadata.contains(DuckTypeKey)) f.metadata.getString(DuckTypeKey)
+    else duckTypeName(f.dataType)
+
   /** Spark DataType → DuckDB-style type name. */
   def duckTypeName(dt: DataType): String = dt match {
     case BooleanType => "BOOLEAN"
@@ -59,7 +74,7 @@ object Results {
     val rows = df.limit(cap + 1).collect()
     QueryResult(
       columns = schema.fields.map(_.name).toSeq,
-      types = schema.fields.map(f => duckTypeName(f.dataType)).toSeq,
+      types = schema.fields.map(f => duckTypeName(f)).toSeq,
       values = rows.take(cap).map(_.toSeq).toSeq,
       truncated = rows.length > cap)
   }

@@ -218,13 +218,25 @@ class SqlGateway(val spark: SparkSession) {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Create the catalog entry for `table` over the parquet dir `loc` with
+    * an explicit schema. Goes through the catalog API, not DDL text,
+    * because `schema.toDDL` drops field METADATA — which carries declared
+    * DuckDB types ([[Results.DuckTypeKey]]) through DML rewrites and
+    * snapshot round trips (parquet footers persist it too). */
+  private def createCatalogEntry(table: String,
+      schema: org.apache.spark.sql.types.StructType, loc: String): Unit = {
+    spark.catalog.createTable(table, "parquet", schema,
+      Map("path" -> loc))
+    ()
+  }
+
   /** Create `table` populated from `df`, versioned from birth (v0). Used
     * by CTAS and by snapshot import. */
   private[engine] def createFromData(table: String, df: DataFrame): Unit = {
     val loc = s"${tableRoot(table)}/v0"
     deleteDir(tableRoot(table))
     df.write.parquet(loc)
-    spark.sql(s"CREATE TABLE $table (${df.schema.toDDL}) USING parquet LOCATION '$loc'")
+    createCatalogEntry(table, df.schema, loc)
     versions(tableKey(table)) = 0
   }
 
@@ -248,7 +260,10 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   // --- CREATE TABLE: strip constraint syntax Spark's parser rejects,
-  //     normalize DuckDB-isms (TEXT), and remember the constraints.
+  //     normalize DuckDB-isms (TEXT), map the DuckDB-only types Spark
+  //     lacks (UUID/TIME/TIMESTAMPTZ/HUGEINT/ENUM) onto storage types with
+  //     the declared name stamped into field metadata for DatabaseTypeName
+  //     fidelity (db/db.go:89-93), and remember the constraints.
   private def createTable(table: String, colSpec: String, ifNotExists: Boolean): ExecuteResult = {
     // IF NOT EXISTS on an existing table is a no-op (DuckDB semantics) —
     // and must NOT overwrite the live table's constraint metadata
@@ -274,12 +289,40 @@ class SqlGateway(val spark: SparkSession) {
             spec = spec.replaceAll("(?i)\\bNOT\\s+NULL\\b", " ")
           }
           spec = spec.replaceAll("(?i)\\bTEXT\\b", "STRING").trim
-          Some(s"$name $spec")
+          Some((name, spec))
+      }
+    }
+    // DuckDB type-surface corners reachable through the reference
+    // passthrough (SURVEY §1.2 via db/db.go:70) with no Spark native type:
+    // store in the closest Spark type, declare the DuckDB name in metadata.
+    def cornerType(spec: String): Option[(String, String)] = {
+      val u = spec.trim.toUpperCase
+      u match {
+        case "UUID" => Some(("STRING", "UUID"))
+        case "TIME" => Some(("STRING", "TIME"))
+        case "TIMESTAMPTZ" | "TIMESTAMP WITH TIME ZONE" =>
+          Some(("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"))
+        case "HUGEINT" => Some(("DECIMAL(38,0)", "HUGEINT"))
+        case e if e.startsWith("ENUM") => Some(("STRING", spec.trim))
+        case _ => None
+      }
+    }
+    val fields = cleaned.map { case (name, spec) =>
+      cornerType(spec) match {
+        case Some((storage, duckName)) =>
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.DataType.fromDDL(storage),
+            nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(Results.DuckTypeKey, duckName).build())
+        case None =>
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.DataType.fromDDL(spec), nullable = true)
       }
     }
     val loc = s"${tableRoot(table)}/v0"
     deleteDir(tableRoot(table)) // stale files from a prior incarnation must not resurface
-    spark.sql(s"CREATE TABLE $table (${cleaned.mkString(", ")}) USING parquet LOCATION '$loc'")
+    createCatalogEntry(table, org.apache.spark.sql.types.StructType(fields), loc)
     versions(tableKey(table)) = 0
     if (pk.nonEmpty || notNull.nonEmpty)
       constraints(tableKey(table)) = (pk, (notNull ++ pk).distinct)
@@ -564,8 +607,7 @@ class SqlGateway(val spark: SparkSession) {
         deleteDir(loc)
         df.write.parquet(loc)
         spark.sql(s"DROP TABLE $table")
-        spark.sql(
-          s"CREATE TABLE $table (${df.schema.toDDL}) USING parquet LOCATION '$loc'")
+        createCatalogEntry(table, df.schema, loc)
         versions(tableKey(table)) = next
         if (next >= 2) deleteDir(s"${tableRoot(table)}/v${next - 2}")
       case None =>

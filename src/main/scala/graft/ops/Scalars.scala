@@ -200,6 +200,45 @@ object Scalars {
     },
 
     // ---- inline VALUES relation joined against a table (E2 family)
+    // ---- type-surface corners (SURVEY §1.2 via db/db.go:70): DECIMAL(38)
+    // arithmetic beyond BIGINT range (= DuckDB HUGEINT territory), UUID
+    // round-trip formatting, TIME-of-day and TIMESTAMPTZ-instant
+    // renderings. Every value is stringified identically in both engines
+    // so the compare is on the VALUES, not fetch-layer type accidents;
+    // the gateway-level DatabaseTypeName fidelity for these types is
+    // spec-asserted in GatewaySpec (metadata-declared corner types).
+    "q57_type_corners" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val ev = Tables(s, dir, "events")
+      val docs = Tables(s, dir, "documents")
+      def metric(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("metric"), col("val").cast(StringType).as("val"))
+      // Σ (l_orderkey · 10^12) exceeds 2^63 — exact only in 128-bit ints
+      // (DuckDB HUGEINT) / DECIMAL(38,0) (Spark)
+      val hugeSum = li.agg(
+        sum(col("l_orderkey").cast(DecimalType(38, 0)) *
+          lit("1000000000000").cast(DecimalType(38, 0))).as("val"))
+      // DECIMAL(38,2) sum — wide-precision decimal arithmetic
+      val decSum = li.agg(
+        sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("val"))
+      // deterministic UUID per document from its content hash, min over
+      // the corpus; DuckDB round-trips it through the UUID type
+      val h = md5(col("text"))
+      val uuid = docs.agg(min(concat_ws("-",
+        substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+        substring(h, 17, 4), substring(h, 21, 12))).as("val"))
+      // TIME rendering (second-truncated time of day, min over events)
+      val tod = ev.agg(min(date_format(date_trunc("second", col("ts")),
+        "HH:mm:ss")).as("val"))
+      // TIMESTAMPTZ instant semantics: epoch micros of the max event
+      val epoch = ev.agg(max(unix_micros(col("ts"))).as("val"))
+      metric("dec38_sum", decSum)
+        .unionByName(metric("hugeint_sum", hugeSum))
+        .unionByName(metric("uuid_min", uuid))
+        .unionByName(metric("time_min", tod))
+        .unionByName(metric("tstz_epoch_max", epoch))
+    },
+
     "q35_values_inline" -> { (s, dir) =>
       val seg = s.sql(
         """SELECT * FROM VALUES ('BUILDING', 1), ('MACHINERY', 2), ('FURNITURE', 3)
@@ -358,6 +397,30 @@ object Scalars {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q57_type_corners" ->
+      """SELECT 'dec38_sum' AS metric,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'hugeint_sum',
+        |  CAST(SUM(CAST(l_orderkey AS HUGEINT) * 1000000000000) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'uuid_min',
+        |  CAST(CAST(MIN(substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+        |    substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12))
+        |    AS UUID) AS VARCHAR)
+        |FROM (SELECT md5(text) AS h FROM documents)
+        |UNION ALL
+        |SELECT 'time_min',
+        |  CAST(MIN(CAST(date_trunc('second', CAST(ts AS TIMESTAMP)) AS TIME))
+        |    AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'tstz_epoch_max',
+        |  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS VARCHAR)
+        |FROM events""".stripMargin,
 
     "q35_values_inline" ->
       s"""SELECT seg, prio, COUNT(*) AS n, ${davgSql("c_acctbal")} AS avg_bal

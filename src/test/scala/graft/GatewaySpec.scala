@@ -172,6 +172,32 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT count(*) AS n FROM aldt").values.head.head == 2L)
   }
 
+  test("DuckDB-only corner types render their declared names (db/db.go:89-93)") {
+    gw.execute("DROP TABLE IF EXISTS cornert")
+    gw.execute(
+      """CREATE TABLE cornert (id uuid, tod time, tz timestamptz,
+        |big hugeint, mood ENUM('ok','sad'))""".stripMargin)
+    gw.execute(
+      """INSERT INTO cornert VALUES
+        |('123e4567-e89b-12d3-a456-426614174000', '03:04:05',
+        | TIMESTAMP '2024-01-02 03:04:05', 99999999999999999999999999, 'ok')""".stripMargin)
+    val res = gw.query("SELECT * FROM cornert")
+    assert(res.types == Seq("UUID", "TIME", "TIMESTAMP WITH TIME ZONE",
+      "HUGEINT", "ENUM('ok','sad')"), res.types)
+    assert(res.values.head(0) == "123e4567-e89b-12d3-a456-426614174000")
+    assert(res.values.head(3).toString == "99999999999999999999999999") // > 2^63
+    // the declared types survive a DML rewrite (UPDATE swaps the data dir)
+    gw.execute("UPDATE cornert SET mood = 'sad' WHERE mood = 'ok'")
+    assert(gw.query("SELECT * FROM cornert").types.head == "UUID")
+    // ... and an EXPORT/IMPORT round trip (footer-persisted metadata)
+    val dir = java.nio.file.Files.createTempDirectory("graft-corner").toString
+    gw.execute(s"EXPORT DATABASE '$dir'")
+    gw.execute("DROP TABLE cornert")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    assert(gw.query("SELECT * FROM cornert").types == Seq("UUID", "TIME",
+      "TIMESTAMP WITH TIME ZONE", "HUGEINT", "ENUM('ok','sad')"))
+  }
+
   test("reachable type surface round-trips with DuckDB-style type names") {
     gw.execute("DROP TABLE IF EXISTS typet")
     gw.execute(
