@@ -6,19 +6,40 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * A short warmup on sf0.001 first — codegen + parquet-reader JIT — so
   * timings measure steady-state throughput, not first-job JVM warmup.
+  *
+  * Output discipline: the stdout JSON line uses the SHORT query ids
+  * ("q01", "x37") and 3-decimal seconds so the whole line stays under the
+  * driver's 2 KB tail-capture window (rounds 1–3 printed full names and
+  * the line was truncated mid-JSON → `parsed: null` every round). The
+  * full-name, full-precision map is written to bench_detail.json next to
+  * the cwd for humans. Box-load telemetry (1-min loadavg before/after)
+  * rides along so a contended run is visible in the artifact itself.
   */
 object Bench {
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // AQE stays ON (the 100 TB posture); the knob exists to measure its
       // per-query stage-materialization overhead at bench scale
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // with AQE coalescing, prefer FEWER post-shuffle partitions over
+      // defaultParallelism fan-out — at bench SF every extra partition is
+      // pure task-scheduling floor; at cluster scale the advisory target
+      // (64 MB) governs either way
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // tiny-stage scheduling: don't wait for locality on a local[, and
+      // launch result stages immediately
+      .config("spark.locality.wait", "0ms")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -46,29 +67,40 @@ object Bench {
     // noop sink fully materializes every column (count() would let
     // Catalyst prune the computed work away — benchmarking a row count);
     // a failed query records -1 instead of a deceptively fast time.
-    // Per-query time = min over 2 FULL passes of the query list: JIT/GC
-    // and shared-box CPU-contention bursts put multi-second spikes on
-    // single runs (observed 0.7 s ↔ 24 s on the same cached aggregate);
-    // two back-to-back runs share a burst, two passes minutes apart don't.
+    // Per-query time = min over N FULL interleaved passes of the query
+    // list: JIT/GC and shared-box CPU-contention bursts put multi-second
+    // spikes on single runs; passes minutes apart decorrelate the bursts.
     // DuckDB, with no JIT, has no such variance — the steadier run is the
     // honest comparison point.
+    val loadStart = loadavg()
+    // dev knob: comma-separated short-id prefixes to time a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val passes = (1 to nPasses).map(_ => pass())
     val results = ordered.map { case (name, _) =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // short ids on stdout (driver tail window); full names to the detail file
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"total":$total,"sf":"$sfDir","passes":$nPasses,"load_start":$loadStart,"load_end":$loadEnd,"queries":$detail}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd],"passes":$nPasses}""")
     spark.stop()
   }
 }

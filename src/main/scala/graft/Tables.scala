@@ -77,10 +77,28 @@ object Tables {
     * cache) and materialize it, so subsequent queries in the session read
     * cached batches instead of re-scanning parquet. Memory-and-disk: a
     * table that outgrows the cache degrades to spill, never to OOM. */
+  /** Pin the corpus into the in-memory columnar cache — REPARTITIONED to
+    * the session's parallelism first. The driver corpus is one row group
+    * per file, so a raw read (and therefore a raw cache) is ONE partition:
+    * every downstream map stage would run single-threaded regardless of
+    * core count. A resident engine holds its hot corpus spread across the
+    * cluster; cpu-count partitions is that posture at bench scale (tiny
+    * dims stay single-partition — 32 near-empty tasks per scan is pure
+    * scheduling overhead). The repartitioned DataFrame replaces the memo
+    * entry so every later query plan hits the partitioned cache. */
   def pin(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>
-      val df = apply(spark, dir, n).persist(StorageLevel.MEMORY_AND_DISK)
+      val base = apply(spark, dir, n)
+      val rows = base.count()
+      // partition ∝ rows, capped: ~75k rows/task keeps tasks meaningful —
+      // full-core fan-out on these corpus sizes measured SLOWER (per-task
+      // scheduling dwarfs 2 ms of map work per 19k-row slice)
+      val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "8").toLong
+      val parts = math.min(cap, math.max(1L, rows / 75000L)).toInt
+      val df = (if (parts > 1) base.repartition(parts) else base)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       df.foreach(_ => ()) // materialize the cache once, before timing starts
+      memo.put((spark, dir, n), df)
     }
 
   /** Register every corpus table as a temp view so `spark.sql` works with the

@@ -140,13 +140,20 @@ object Dedup {
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
+    // one min-label propagation round (pure plan, no action)
+    def propagate(lbls: DataFrame): DataFrame = {
+      val prop = edges.join(lbls, edges("src") === lbls("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      val updated = cutLineage(
-        labels.join(prop, labels("id") === prop("dst"), "left")
-          .select(labels("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      lbls.join(prop, lbls("id") === prop("dst"), "left")
+        .select(lbls("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    while (!converged && iter < maxIters) {
+      // TWO propagation rounds per materialization: the checkpoint and the
+      // convergence count are per-loop ACTIONS (jobs), and label flow is
+      // monotone — an extra round can never overshoot, it only shortens
+      // the job chain (the convergence test just fires one round later)
+      val updated = cutLineage(propagate(propagate(labels)))
       converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
         .filter(col("u.lbl") =!= col("l.lbl")).limit(1).count() == 0
       labels = updated
