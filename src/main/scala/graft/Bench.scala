@@ -40,6 +40,10 @@ object Bench {
       // tiny-stage scheduling: don't wait for locality on a local[, and
       // launch result stages immediately
       .config("spark.locality.wait", "0ms")
+      // a 128 GiB box broadcasts a 64 MB build side without blinking; the
+      // 10 MB default left the mid-size dimension joins (customer, part at
+      // 10× data) on sort-merge exchanges
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

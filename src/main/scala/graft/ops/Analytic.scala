@@ -56,16 +56,6 @@ object Analytic {
       val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val moving = byUser.rowsBetween(-3, Window.currentRow)
       val ev = Tables(s, dir, "events")
-      val userSums = ev.select(
-        col("event_id"),
-        // scaled-long exact window sums (same Det construction as the
-        // aggregates): the sliding-frame re-summation runs on primitive
-        // longs instead of precision-28 decimals, bit-identical to the
-        // oracle's decimal window sums after the one final /100.0
-        (sum(round(col("value") * 100).cast(LongType)).over(running) / 100.0)
-          .as("running_sum"),
-        (sum(round(col("value") * 100).cast(LongType)).over(moving) / 100.0)
-          .as("moving_sum"))
       // n_near_value = COUNT(*) OVER (PARTITION BY event_type ORDER BY
       // value RANGE 10 PRECEDING..CURRENT) — the naive plan partitions by
       // event_type (5 values), capping window parallelism at 5 forever
@@ -81,13 +71,16 @@ object Analytic {
       // with the value range instead of pinning to 5; the oracle replays
       // the plain RANGE-frame window, certifying the decomposition.
       val width = 10.0
-      val data = ev.select(col("event_id"), col("event_type"), col("value"),
+      val data = ev.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
         floor(col("value") / width).cast(LongType).as("bkt"))
       val wIn = Window.partitionBy(col("event_type"), col("bkt"))
         .orderBy(col("value"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val part1 = data.select(col("event_id"), col("event_type"), col("bkt"),
-        count(lit(1)).over(wIn).as("n_same_le"))
+      // carries user_id/ts/value through, so the per-user window sums run
+      // AFTER the probe join instead of costing a third event_id-keyed side
+      val part1 = data.select(col("event_id"), col("user_id"), col("ts"),
+        col("value"), count(lit(1)).over(wIn).as("n_same_le"))
       val counts = data.groupBy(col("event_type"), col("bkt"))
         .agg(count(lit(1)).as("n_bkt"))
       val dataU = data.select(col("event_type"), col("bkt"),
@@ -107,10 +100,19 @@ object Analytic {
       val part2 = nLt.join(counts, Seq("event_type", "bkt"), "left")
         .select(col("probe_id").as("event_id"),
           (coalesce(col("n_bkt"), lit(0L)) - col("n_lt")).as("n_prev"))
-      userSums
-        .join(part1.select(col("event_id"), col("n_same_le")), Seq("event_id"))
-        .join(part2, Seq("event_id"))
-        .select(col("event_id"), col("running_sum"), col("moving_sum"),
+      // ONE event_id join (probe counts onto part1), then the per-user
+      // window sums over the joined relation — scaled-long exact sums
+      // (same Det construction as the aggregates): the sliding-frame
+      // re-summation runs on primitive longs instead of precision-28
+      // decimals, bit-identical to the oracle's decimal window sums after
+      // the one final /100.0
+      part1.join(part2, Seq("event_id"))
+        .select(
+          col("event_id"),
+          (sum(round(col("value") * 100).cast(LongType)).over(running) / 100.0)
+            .as("running_sum"),
+          (sum(round(col("value") * 100).cast(LongType)).over(moving) / 100.0)
+            .as("moving_sum"),
           (col("n_same_le") + col("n_prev")).as("n_near_value"))
     },
 
@@ -368,19 +370,35 @@ object Analytic {
     // expects the envelopes to hold — a drifting sketch turns the driver
     // row red instead of hiding behind `no_oracle`.
     "q28_approx" -> { (s, dir) =>
-      Tables(s, dir, "events")
+      // sketch accuracy made driver-visible (error-envelope booleans), at
+      // SCALABLE cost: the old formulation verified the approx median
+      // against `percentile(value, array(...))` — an exact-percentile
+      // buffer that collects EVERY value per group (and forces the whole
+      // mixed aggregate down the sort-based path); at 10× data it was the
+      // single slowest query. The envelope is the same claim expressed as
+      // a rank check: |{v < am}| .. |{v <= am}| must overlap the central
+      // 45–55% mass band — one conditional-count pass against the
+      // broadcast approx medians, exact, and O(1) state per group.
+      val ev = Tables(s, dir, "events")
+      val aggD = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("au"))
+      val aggP = ev.groupBy(col("event_type")).agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+        count(col("value")).as("n_vals"))
+      val ranks = ev
+        .join(broadcast(aggP), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("au"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
-          // one exact-percentile pass for both band edges
-          expr("percentile(value, array(0.45, 0.55))").as("band"))
+          count(when(col("value") <= col("am"), 1)).as("n_le"),
+          count(when(col("value") < col("am"), 1)).as("n_lt"))
+      aggD.join(broadcast(aggP), Seq("event_type"))
+        .join(broadcast(ranks), Seq("event_type"))
         .select(
           col("event_type"), col("exact_users"),
           (abs(col("au") - col("exact_users")) <= col("exact_users") * 0.1).as("hll_ok"),
-          col("am").between(element_at(col("band"), 1), element_at(col("band"), 2))
-            .as("median_ok"))
+          (col("n_le") >= col("n_vals") * 0.45 &&
+            col("n_lt") <= col("n_vals") * 0.55).as("median_ok"))
     })
 
   val oracles: Map[String, String] = Map(
