@@ -19,21 +19,62 @@ object Analytic {
 
   val queries: Map[String, Q] = Map(
     // ---- ranking window functions (ties exercised via bucketed key)
+    // Ranking windows, decomposed so NOTHING sorts a full status partition
+    // (o_orderstatus has 3 values — the naive plan's parallelism cap AND
+    // a full per-status sort of every row):
+    //  - rank/dense_rank/percent_rank/cume_dist order by the price BUCKET
+    //    → pure class-level math on the (status, bucket) table: rank =
+    //    rows-above + 1, dense = bucket index, percent/cume = the same
+    //    counts over n; tiny windows over ~dozens of classes.
+    //  - row_number/ntile order by (price, key) — row-level, but only
+    //    rn <= 50 survives, and rows in a bucket with >= 50 rows strictly
+    //    above it can never qualify (every higher-bucket row has strictly
+    //    greater price). The full sort therefore runs ONLY on the
+    //    candidate prefix (buckets with rows_above < 50); ntile(4) is
+    //    reconstructed from rn and the exact per-status row count, so it
+    //    still reflects the FULL partition. Oracle replays the plain
+    //    windows, certifying the decomposition.
     "q16_window_rank" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
+      val bkt = floor(col("o_totalprice") / lit(10000.0)).cast(IntegerType)
+      val rows = o.select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice"), bkt.as("bkt"))
+      val cls = rows.groupBy(col("o_orderstatus"), col("bkt"))
+        .agg(count(lit(1)).as("n_b"))
+      val wDesc = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("bkt").desc_nulls_last)
+      val clsStats = cls.select(col("o_orderstatus"), col("bkt"), col("n_b"),
+        (sum(col("n_b")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_b")).as("above"),
+        row_number().over(wDesc).as("drnk"))
+      val totals = cls.groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_b")).as("n_st"))
+      val stats = clsStats
+        .join(broadcast(totals), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("bkt"),
+          (col("above") + 1).cast(IntegerType).as("rnk"), col("drnk"),
+          (col("above").cast(DoubleType) / (col("n_st") - 1)).as("prnk"),
+          ((col("above") + col("n_b")).cast(DoubleType) / col("n_st")).as("cd"),
+          col("above"), col("n_st"))
       val unique = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
-      val tied = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(floor(col("o_totalprice") / lit(10000.0)).cast(IntegerType).desc_nulls_last)
-      o.select(
-          col("o_orderstatus"), col("o_orderkey"),
-          row_number().over(unique).as("rn"),
-          ntile(4).over(unique).as("quartile"),
-          rank().over(tied).as("rnk"),
-          dense_rank().over(tied).as("drnk"),
-          percent_rank().over(tied).as("prnk"),
-          cume_dist().over(tied).as("cd"))
+      val ranked = rows
+        .join(broadcast(stats.filter(col("above") < 50)), Seq("o_orderstatus", "bkt"))
+        .withColumn("rn", row_number().over(unique))
         .filter(col("rn") <= 50)
+      // ntile(4) over the FULL partition from (rn, n): first n%4 tiles
+      // hold n/4+1 rows, the rest n/4
+      val base = (col("n_st") / 4).cast(IntegerType)
+      val rem = (col("n_st") % 4).cast(IntegerType)
+      val tile = when(col("rn") <= (base + 1) * rem,
+        ((col("rn") - 1) / (base + 1)).cast(IntegerType) + 1)
+        .otherwise(rem +
+          ((col("rn") - (base + 1) * rem - 1) / base).cast(IntegerType) + 1)
+      ranked.select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("rn"), tile.as("quartile"),
+        col("rnk"), col("drnk"), col("prnk"), col("cd"))
     },
 
     // ---- analytic window functions: lead/lag/first/nth
