@@ -264,6 +264,59 @@ object Corpus {
           floor(col("sum_u").cast(DoubleType) / 1e6 / col("n_tok")).cast(LongType)
             .as("nll_bucket"),
           (col("sum_u").cast(DoubleType) / 1e6 / col("n_tok") <= 3.5).as("lm_pass"))
+    },
+
+    // ---- cross-document duplicated-passage detection: the chunk-level
+    // companion of whole-document dedup (x01/x02) — boilerplate passages
+    // (headers, license blocks, templated paragraphs) repeat across
+    // otherwise-distinct documents and get dropped chunk-wise at training
+    // time. Chunks are the x29 grid (32-token windows, stride 24); a chunk
+    // fingerprint appearing in ≥2 distinct documents is a duplicated
+    // passage. Scale shape: explode to the chunk table, one shuffle keyed
+    // by the (uniform md5) fingerprint, partial+final agg — never a
+    // doc × doc comparison.
+    "x40_chunk_dedup" -> { (s, dir) =>
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(1, greatest(n, 1), 24)")).as("start"))
+        .select(col("doc_id"),
+          md5(array_join(expr("slice(ws, start, 32)"), " ")).as("chunk_fp"))
+      chunks.groupBy(col("chunk_fp"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_docs") >= 2)
+    },
+
+    // ---- count–min-sketch heavy hitters: per-language top-5 exact term
+    // counts, each checked against the CMS point estimate
+    // ([[graft.functions.CountMinSketch]]). The mirror of x31: MG's
+    // estimate can only undershoot, CMS's can only overshoot, and the
+    // contract row goes red if either bound breaks. The sketch shuffle is
+    // constant-size (depth×width longs per group) however large the
+    // vocabulary — the property that matters when the corpus has a
+    // billion-term tail.
+    "x42_cms_heavyhitters" -> { (s, dir) =>
+      import graft.functions.CountMinSketch
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("term"))
+      val exact = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+      val cms = tok.groupBy(col("lang"))
+        .agg(CountMinSketch.sketch(col("term")).as("cms"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc_nulls_last, col("term").asc_nulls_first)
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .join(tot, "lang")
+        .join(cms, "lang")
+        .withColumn("est", CountMinSketch.estimate(col("cms"), col("term")))
+        .select(col("lang"), col("rk"), col("term"), col("n"),
+          (col("est") >= col("n") &&
+            (col("est") - col("n")).cast(DoubleType) <=
+              col("n_tok").cast(DoubleType) / 64.0).as("cms_ok"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -449,5 +502,37 @@ object Corpus {
         |  CAST(floor(CAST(sum_u AS DOUBLE) / 1e6 / n_tok) AS BIGINT) AS nll_bucket,
         |  (CAST(sum_u AS DOUBLE) / 1e6 / n_tok <= 3.5) AS lm_pass
         |FROM agg
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x40_chunk_dedup" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM b),
+        |st AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(1, greatest(n, 1), 24)) AS start
+        |  FROM s),
+        |c AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(ws, start, least(start + 31, n)), ' '))
+        |      AS chunk_fp
+        |  FROM st),
+        |g AS (SELECT chunk_fp,
+        |    COUNT(DISTINCT doc_id) AS n_docs,
+        |    COUNT(*) AS n_occ,
+        |    MIN(doc_id) AS canonical_doc
+        |  FROM c GROUP BY chunk_fp)
+        |SELECT chunk_fp, n_docs, n_occ, canonical_doc
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY chunk_fp ASC NULLS FIRST""".stripMargin,
+
+    "x42_cms_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |exact AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term),
+        |ranked AS (
+        |  SELECT lang, term, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC NULLS LAST, term ASC NULLS FIRST) AS INT) AS rk
+        |  FROM exact)
+        |SELECT lang, rk, term, n, TRUE AS cms_ok
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,6 +145,54 @@ object TextAnalysis {
           size(col("fps")).cast(LongType).as("n_fp"),
           aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"),
           array_min(col("fps")).as("fp_min"))
+    },
+
+    // ---- per-source document caps (the per-domain cap every crawl
+    // pipeline applies before mixing: no single domain may contribute more
+    // than K documents). Selection order is a salted uniform hash of the
+    // doc id — a deterministic "random K of each domain" both engines
+    // replay exactly, unlike TABLESAMPLE. Scale shape: the window
+    // partitions by source, so parallelism is domain-count-bounded (a
+    // 100 TB crawl has millions of domains); for a pathological hot domain
+    // the uniform order key admits a lossless-in-practice candidate
+    // prefilter (keep hash-fraction < c·K/|domain| before ranking), which
+    // this bench-scale corpus doesn't need.
+    "x39_source_cap" -> { (s, dir) =>
+      val capK = 10
+      val w = Window.partitionBy(col("source")).orderBy(
+        md5(concat(lit("cap-v1:"), col("doc_id").cast(StringType))).asc_nulls_first,
+        col("doc_id").asc_nulls_first)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= capK)
+    },
+
+    // ---- composite quality filter (Gopher-style rules, Rae et al. 2021):
+    // word-count band, mean-word-length band, stopword floor, and a
+    // distinct-ratio repetition screen, each reported as the FIRST failing
+    // rule so downstream can audit drop reasons. Pure per-document column
+    // arithmetic — map-only, no shuffle, embarrassingly parallel at any
+    // corpus size. All ratios are exact-integer divisions evaluated in
+    // DOUBLE on both engines, so the thresholds compare bit-identically.
+    "x41_quality_filter" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast(LongType))
+        .withColumn("n_distinct", size(array_distinct(col("ws"))).cast(LongType))
+        .withColumn("n_stop",
+          size(filter(col("ws"), w => w === "the" || w === "a")).cast(LongType))
+        .withColumn("avg_wl",
+          length(replace(col("text"), lit(" "), lit(""))).cast(DoubleType)
+            / col("n_words"))
+        .withColumn("reason",
+          when(col("n_words") < 10 || col("n_words") > 5000, "word_count")
+            .when(col("avg_wl") < 2.0 || col("avg_wl") > 12.0, "word_length")
+            .when(col("n_stop").cast(DoubleType) / col("n_words") < 0.01, "stopword_ratio")
+            .when(col("n_distinct").cast(DoubleType) / col("n_words") < 0.3, "repetition")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_words"), col("reason"),
+          (col("reason") === "ok").as("keep"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +311,34 @@ object TextAnalysis {
         |  CAST(MIN(winmin) AS BIGINT) AS fp_min
         |FROM m WHERE pos <= L - 10
         |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x39_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('cap-v1:' || CAST(doc_id AS VARCHAR)) ASC NULLS FIRST,
+        |               doc_id ASC NULLS FIRST) AS INT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY source ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "x41_quality_filter" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS avg_wl
+        |  FROM b),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words < 10 OR n_words > 5000 THEN 'word_count'
+        |         WHEN avg_wl < 2.0 OR avg_wl > 12.0 THEN 'word_length'
+        |         WHEN CAST(n_stop AS DOUBLE) / n_words < 0.01 THEN 'stopword_ratio'
+        |         WHEN CAST(n_distinct AS DOUBLE) / n_words < 0.3 THEN 'repetition'
+        |         ELSE 'ok' END AS reason
+        |  FROM s)
+        |SELECT doc_id, n_words, reason, (reason = 'ok') AS keep
+        |FROM r
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
 }
