@@ -64,6 +64,18 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterDropColRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+  // COPY, reachable through the reference's passthrough like every other
+  // DuckDB statement (`db/db.go:52`, `db/db.go:70`): `COPY t TO 'p'
+  // (FORMAT ...)`, `COPY (SELECT ...) TO 'p' (...)`, `COPY t FROM 'p'
+  // (...)`. DuckDB writes ONE file; the Spark-idiomatic equivalent is a
+  // directory of part files (what a cluster can write in parallel), and
+  // COPY FROM reads either shape.
+  private val CopyQueryToRe =
+    """(?is)\s*COPY\s+\((.+)\)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+  private val CopyTableToRe =
+    """(?is)\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+  private val CopyFromRe =
+    """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*""".r
 
   /** Write path (reference `db/db.go:49-65`). */
   def execute(sql: String): ExecuteResult = writeLock.synchronized {
@@ -125,6 +137,12 @@ class SqlGateway(val spark: SparkSession) {
         alterRenameColumn(table, from, to)
       case AlterDropColRe(table, colName) =>
         alterDropColumn(table, colName)
+      case CopyQueryToRe(query, path, optSpec) =>
+        copyTo(spark.sql(query), path, optSpec)
+      case CopyTableToRe(table, path, optSpec) =>
+        copyTo(spark.table(table), path, optSpec)
+      case CopyFromRe(table, path, optSpec) =>
+        copyFrom(table, path, optSpec)
       case other =>
         // Any INSERT reaches InsertPrefixRe above; an INSERT variant we
         // can't parse must FAIL here, not silently skip PK/NOT NULL
@@ -591,6 +609,68 @@ class SqlGateway(val spark: SparkSession) {
       case None => None
     }
     ExecuteResult(0L)
+  }
+
+  // --- COPY (reference passthrough surface; DuckDB Copy semantics:
+  //     rows_affected = rows copied, COPY FROM obeys table constraints)
+
+  /** Parse a DuckDB COPY option list into (spark format, reader/writer
+    * options). Defaults mirror DuckDB: no FORMAT means CSV, and DuckDB's
+    * CSV writer emits a header unless HEADER false. */
+  private def copyOptions(spec: String): (String, Map[String, String]) = {
+    var format = "csv"
+    val opts = scala.collection.mutable.Map("header" -> "true")
+    Option(spec).toSeq.flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty).foreach { o =>
+      val parts = o.split("\\s+", 2)
+      parts(0).toUpperCase match {
+        case "FORMAT" => format = parts(1).trim.toLowerCase
+        case "HEADER" =>
+          opts("header") =
+            if (parts.length == 1) "true"
+            else (parts(1).trim.toLowerCase != "false" && parts(1).trim != "0").toString
+        case "DELIMITER" | "DELIM" | "SEP" =>
+          opts("delimiter") = parts(1).trim.stripPrefix("'").stripSuffix("'")
+        case _ => throw new IllegalArgumentException(s"unsupported COPY option: $o")
+      }
+    }
+    format match {
+      case "parquet" | "json" => (format, Map.empty)
+      case "csv" => ("csv", opts.toMap)
+      case f => throw new IllegalArgumentException(s"unsupported COPY format: $f")
+    }
+  }
+
+  /** `COPY <t|(query)> TO 'path' (...)`: distributed export — every
+    * partition writes its own part file (the 100 TB posture; DuckDB's
+    * single file would serialize the write through one thread). Staged
+    * via persist so the count and the write share one computation. */
+  private def copyTo(df: DataFrame, path: String, optSpec: String): ExecuteResult = {
+    val (fmt, opts) = copyOptions(optSpec)
+    val staged = df.persist()
+    try {
+      val n = staged.count()
+      staged.write.format(fmt).options(opts).mode("overwrite").save(path)
+      ExecuteResult(n)
+    } finally staged.unpersist()
+  }
+
+  /** `COPY t FROM 'path' (...)`: reads the file(s) and routes through the
+    * same constraint-checked [[insert]] path as INSERT — PK and NOT NULL
+    * hold on every ingest path, exactly as DuckDB enforces them on COPY. */
+  private def copyFrom(table: String, path: String, optSpec: String): ExecuteResult = {
+    val (fmt, opts) = copyOptions(optSpec)
+    val target = spark.table(table) // errors like DuckDB if the table is absent
+    val reader = spark.read.format(fmt).options(opts)
+    val src = fmt match {
+      // CSV carries no types: read against the target schema (DuckDB
+      // casts CSV text to the table's column types the same way)
+      case "csv" => reader.schema(target.schema).load(path)
+      case _ => reader.load(path)
+    }
+    val view = s"graft_copy_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    src.createOrReplaceTempView(view)
+    try insert(table, None, s"SELECT * FROM $view")
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Schema-changing table rewrite (ALTER): write the new contents to the

@@ -393,4 +393,39 @@ class GatewaySpec extends SparkTestBase {
     assert(st("version").startsWith("4."))
     assert(st.contains("uptimeMs"))
   }
+
+  test("COPY TO / COPY FROM round trip: parquet and CSV, through SQL text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    gw.execute("DROP TABLE IF EXISTS cpt")
+    gw.execute("CREATE TABLE cpt (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO cpt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    // table → parquet → fresh table
+    val out = gw.execute(s"COPY cpt TO '$dir/cpt_pq' (FORMAT PARQUET)")
+    assert(out.rowsAffected == 3)
+    gw.execute("DROP TABLE IF EXISTS cpt2")
+    gw.execute("CREATE TABLE cpt2 (id integer not null primary key, name text)")
+    val in = gw.execute(s"COPY cpt2 FROM '$dir/cpt_pq' (FORMAT PARQUET)")
+    assert(in.rowsAffected == 3)
+    assert(gw.query("SELECT count(*) AS n FROM cpt2").values.head.head == 3L)
+
+    // query form → CSV with header → append into existing table
+    val q = gw.execute(s"COPY (SELECT id + 10 AS id, name FROM cpt) TO '$dir/cpt_csv' (FORMAT CSV, HEADER)")
+    assert(q.rowsAffected == 3)
+    val csvIn = gw.execute(s"COPY cpt2 FROM '$dir/cpt_csv' (FORMAT CSV, HEADER)")
+    assert(csvIn.rowsAffected == 3)
+    assert(gw.query("SELECT count(*) AS n FROM cpt2").values.head.head == 6L)
+  }
+
+  test("COPY FROM enforces the table's PRIMARY KEY like any insert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy2").toString
+    gw.execute("DROP TABLE IF EXISTS cpk")
+    gw.execute("CREATE TABLE cpk (id integer not null primary key, name text)")
+    gw.execute("INSERT INTO cpk VALUES (1, 'a')")
+    gw.execute(s"COPY cpk TO '$dir/dup' (FORMAT PARQUET)")
+    intercept[IllegalArgumentException] {
+      gw.execute(s"COPY cpk FROM '$dir/dup' (FORMAT PARQUET)") // id=1 again
+    }
+    assert(gw.query("SELECT count(*) AS n FROM cpk").values.head.head == 1L)
+  }
 }
