@@ -321,7 +321,13 @@ class SqlGateway(val spark: SparkSession) {
         case "TIMESTAMPTZ" | "TIMESTAMP WITH TIME ZONE" =>
           Some(("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"))
         case "HUGEINT" => Some(("DECIMAL(38,0)", "HUGEINT"))
+        case "BIT" | "BITSTRING" => Some(("STRING", "BIT"))
         case e if e.startsWith("ENUM") => Some(("STRING", spec.trim))
+        // tagged UNION(tag TYPE, ...): DuckDB renders a union value as its
+        // active member cast to VARCHAR at the database/sql boundary, so
+        // string storage reproduces the wire value; the declared member
+        // list survives verbatim in DatabaseTypeName (db/db.go:89-93).
+        case e if e.startsWith("UNION(") => Some(("STRING", spec.trim))
         case _ => None
       }
     }

@@ -176,16 +176,21 @@ class GatewaySpec extends SparkTestBase {
     gw.execute("DROP TABLE IF EXISTS cornert")
     gw.execute(
       """CREATE TABLE cornert (id uuid, tod time, tz timestamptz,
-        |big hugeint, mood ENUM('ok','sad'))""".stripMargin)
+        |big hugeint, mood ENUM('ok','sad'),
+        |bits bit, u UNION(num INTEGER, str VARCHAR))""".stripMargin)
     gw.execute(
       """INSERT INTO cornert VALUES
         |('123e4567-e89b-12d3-a456-426614174000', '03:04:05',
-        | TIMESTAMP '2024-01-02 03:04:05', 99999999999999999999999999, 'ok')""".stripMargin)
+        | TIMESTAMP '2024-01-02 03:04:05', 99999999999999999999999999, 'ok',
+        | '10110', 42)""".stripMargin)
     val res = gw.query("SELECT * FROM cornert")
     assert(res.types == Seq("UUID", "TIME", "TIMESTAMP WITH TIME ZONE",
-      "HUGEINT", "ENUM('ok','sad')"), res.types)
+      "HUGEINT", "ENUM('ok','sad')", "BIT",
+      "UNION(num INTEGER, str VARCHAR)"), res.types)
     assert(res.values.head(0) == "123e4567-e89b-12d3-a456-426614174000")
     assert(res.values.head(3).toString == "99999999999999999999999999") // > 2^63
+    assert(res.values.head(5) == "10110")
+    assert(res.values.head(6) == "42") // active member rendered as VARCHAR
     // the declared types survive a DML rewrite (UPDATE swaps the data dir)
     gw.execute("UPDATE cornert SET mood = 'sad' WHERE mood = 'ok'")
     assert(gw.query("SELECT * FROM cornert").types.head == "UUID")
@@ -195,7 +200,8 @@ class GatewaySpec extends SparkTestBase {
     gw.execute("DROP TABLE cornert")
     gw.execute(s"IMPORT DATABASE '$dir'")
     assert(gw.query("SELECT * FROM cornert").types == Seq("UUID", "TIME",
-      "TIMESTAMP WITH TIME ZONE", "HUGEINT", "ENUM('ok','sad')"))
+      "TIMESTAMP WITH TIME ZONE", "HUGEINT", "ENUM('ok','sad')", "BIT",
+      "UNION(num INTEGER, str VARCHAR)"))
   }
 
   test("reachable type surface round-trips with DuckDB-style type names") {
