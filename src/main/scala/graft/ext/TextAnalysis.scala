@@ -193,6 +193,28 @@ object TextAnalysis {
             .otherwise("ok"))
         .select(col("doc_id"), col("n_words"), col("reason"),
           (col("reason") === "ok").as("keep"))
+    },
+
+    // ---- blocklist scrubbing / PII-shaped redaction: globally rewrite
+    // every blocklisted term to a fixed tag, report the per-document hit
+    // count, the redacted length delta, and an md5 of the REWRITTEN text so
+    // the oracle certifies the rewrite byte-for-byte (not just the counts).
+    // The real pipeline swaps the term list for email/phone/SSN patterns —
+    // mechanics identical. Pattern discipline: word-boundary anchors plus
+    // an alternation of non-overlapping literals, the regex subset where
+    // Java's leftmost-first and RE2's leftmost-longest agree. Map-only, no
+    // shuffle — embarrassingly parallel at any corpus size.
+    "x43_redact" -> { (s, dir) =>
+      val pat = "\\b(customer|spark|vector)\\b"
+      Tables(s, dir, "documents")
+        .withColumn("n_hits",
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast(LongType))
+        .withColumn("red", regexp_replace(col("text"), pat, "<TERM>"))
+        .select(
+          col("doc_id"),
+          col("n_hits"),
+          (length(col("red")) - length(col("text"))).cast(LongType).as("len_delta"),
+          md5(col("red")).as("red_fp"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +362,16 @@ object TextAnalysis {
         |  FROM s)
         |SELECT doc_id, n_words, reason, (reason = 'ok') AS keep
         |FROM r
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x43_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|spark|vector)\b'))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(length(regexp_replace(text, '\b(customer|spark|vector)\b',
+        |    '<TERM>', 'g')) - length(text) AS BIGINT) AS len_delta,
+        |  md5(regexp_replace(text, '\b(customer|spark|vector)\b',
+        |    '<TERM>', 'g')) AS red_fp
+        |FROM documents
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
 }
