@@ -274,15 +274,49 @@ object Analytic {
         .limit(30)
     },
 
-    // ---- exact quantiles (interpolated, matches DuckDB quantile_cont)
+    // ---- exact quantiles (interpolated, matches DuckDB quantile_cont).
+    // NOT `percentile(...)`: that aggregate buffers EVERY group value in
+    // one task's memory — with 3 return flags that is |rows|/3 doubles per
+    // task, a scale-killer on a fact table. l_quantity is a bounded value
+    // class (integral 1..50), so the exact order statistics come from a
+    // (flag, quantity) COUNT histogram instead: one partial+final hash agg
+    // over the fact rows, then rank arithmetic on the ~150-row histogram.
+    // Interpolation replays Spark's percentile math ((1-g)·lo + g·hi) so
+    // the result is bit-identical to the buffering formulation.
     "q25_quantiles" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val h = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val byQty = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = h
+        .withColumn("hi_rank", sum(col("cnt")).over(byQty)) // 1-based inclusive cum count
+        .withColumn("lo_rank", col("hi_rank") - col("cnt")) // 0-based exclusive start
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+        .withColumn("v", col("l_quantity").cast(DoubleType))
+      // 0-based order-statistic index of quantile p, and the histogram class
+      // holding a given index i: lo_rank <= i < hi_rank
+      def pos(p: Double) = lit(p) * (col("n") - 1).cast(DoubleType)
+      def vAt(i: org.apache.spark.sql.Column) =
+        max(when(col("lo_rank") <= i && i < col("hi_rank"), col("v")))
+      val agg = marked.groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          vAt(floor(pos(0.5))).as("lo50"), vAt(ceil(pos(0.5))).as("hi50"),
+          vAt(floor(pos(0.9))).as("lo90"), vAt(ceil(pos(0.9))).as("hi90"),
+          max(col("n")).as("nn"),
           min(col("l_quantity")).as("qmin"),
           max(col("l_quantity")).as("qmax"))
+      def g(p: Double) = {
+        val px = lit(p) * (col("nn") - 1).cast(DoubleType)
+        px - floor(px).cast(DoubleType)
+      }
+      agg.select(
+        col("l_returnflag"),
+        round((lit(1.0) - g(0.5)) * col("lo50") + g(0.5) * col("hi50"), 4).as("p50"),
+        round((lit(1.0) - g(0.9)) * col("lo90") + g(0.9) * col("hi90"), 4).as("p90"),
+        col("qmin"),
+        col("qmax"))
     },
 
     // ---- ordered string aggregation (sorted to be engine-independent)
