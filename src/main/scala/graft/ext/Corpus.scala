@@ -118,6 +118,39 @@ object Corpus {
             .as("quality_pass"))
     },
 
+    // ---- content-defined chunking (rolling-hash boundaries, the CDC
+    // discipline storage dedup uses): a chunk ends after any word whose
+    // md5 starts with '0' or '1' (P = 1/8, ~8-word expected chunks), so
+    // chunk boundaries move WITH the content — an insertion early in a
+    // document re-chunks only its neighborhood, unlike x29's fixed grid
+    // where every downstream chunk shifts. Boundary positions, chunk
+    // spans, and per-chunk fingerprints are all array arithmetic inside
+    // one projection — map-only, no shuffle, no per-doc window. Only the
+    // trailing span can be empty (boundary on the last word); it is
+    // filtered identically on both engines.
+    "x44_cdc_chunks" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("bpos",
+          filter(expr("sequence(1, n)"),
+            i => substring(md5(element_at(col("ws"), i)), 1, 1).isin("0", "1")))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("bpos"), p => p + 1)))
+        .withColumn("ends", concat(col("bpos"), array(col("n"))))
+        .withColumn("j", explode(expr("sequence(1, size(starts))")))
+        .filter(element_at(col("ends"), col("j")) >= element_at(col("starts"), col("j")))
+        .select(
+          col("doc_id"),
+          (col("j") - 1).cast(LongType).as("chunk_id"),
+          (element_at(col("ends"), col("j")) - element_at(col("starts"), col("j")) + 1)
+            .cast(LongType).as("n_tokens"),
+          md5(array_join(
+            slice(col("ws"), element_at(col("starts"), col("j")),
+              element_at(col("ends"), col("j")) - element_at(col("starts"), col("j")) + 1),
+            " ")).as("chunk_fp"))
+    },
+
     // ---- token-window chunking (context-window prep): 32-token chunks at
     // stride 24, per-chunk md5 fingerprint. Chunk boundaries are pure
     // arithmetic on the token array — map-only, no shuffle, and the chunk
@@ -383,6 +416,25 @@ object Corpus {
         |   AND CAST(top_bigram_n AS DOUBLE) / (n_words - 1) <= 0.2) AS quality_pass
         |FROM t
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "x44_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n,
+        |    list_filter(generate_series(1, CAST(len(ws) AS INT)),
+        |      i -> substr(md5(ws[i]), 1, 1) IN ('0','1')) AS bpos
+        |  FROM b),
+        |t AS (SELECT doc_id, ws, n,
+        |    list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+        |    list_append(bpos, n) AS ends
+        |  FROM s),
+        |c AS (SELECT doc_id, ws, starts, ends,
+        |    unnest(generate_series(1, len(starts))) AS j
+        |  FROM t)
+        |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+        |  CAST(ends[j] - starts[j] + 1 AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(ws, starts[j], ends[j]), ' ')) AS chunk_fp
+        |FROM c WHERE ends[j] >= starts[j]
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
 
     "x29_token_chunks" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
