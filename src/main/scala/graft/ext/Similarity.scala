@@ -347,6 +347,34 @@ object Similarity {
           graft.functions.VectorExpressions.cosineSim(col("v"), col("qv")))
         .select(col("q_id"), col("vec_id"), col("sim"))
       topkPerQuery(pairs, 5)
+    },
+
+    // ---- one ORACLE-CHECKED distributed Lloyd step — the k-means
+    // primitive [[IvfIndex]] trains with, surfaced as a registered
+    // operator. Seeds are the per-label exact decimal-mean centroids
+    // (both engines hold bit-identical centroid doubles — x36's
+    // construction via [[lloydIteration]]), then every vector reassigns
+    // to its nearest centroid by fused-codegen cosine, ties → lowest
+    // centroid id. This is THE assignment shape at any scale: the k·d
+    // centroid table broadcasts, the corpus streams through one cosine
+    // pass (work ∝ |corpus|·k, never corpus×corpus), and the row_number
+    // window partitions on vec_id — parallelism scales with the corpus.
+    "x46_kmeans_step" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val cents = lloydIteration(
+        emb.select(col("label").as("cell"), col("v")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc_nulls_last, col("cid").asc_nulls_first)
+      emb.crossJoin(broadcast(cents.select(col("cid"), col("cv"))))
+        .withColumn("sim",
+          graft.functions.VectorExpressions.cosineSim(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), col("cid").as("assigned"),
+          (col("label") =!= col("cid")).as("moved"),
+          round(col("sim"), 5).as("sim_r"))
     })
 
   /** Shared by x10 (composed higher-order fns) and x14 (fused codegen
@@ -375,6 +403,36 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "x10_cosine_topk" -> bruteForceOracle,
     "x14_cosine_topk_fused" -> bruteForceOracle,
+    // centroid CTE mirrors x36's exact-decimal-mean construction; the
+    // assignment replays the same fold order as the fused cosine
+    "x46_kmeans_step" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |pv AS (SELECT label,
+        |    unnest(list_transform(range(len(v)), i -> {'pos': i, 'val': v[i+1]})) AS s
+        |  FROM e),
+        |m AS (SELECT label AS cid, s.pos AS pos,
+        |    CAST(SUM(CAST(s.val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM pv GROUP BY label, s.pos),
+        |c AS (SELECT cid,
+        |    list_transform(list_sort(list({'pos': pos, 'm': m})), x -> x.m) AS cv
+        |  FROM m GROUP BY cid),
+        |cn AS (SELECT cid, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c),
+        |sc AS (SELECT n.vec_id, n.label, cn.cid,
+        |    list_inner_product(n.v, cn.cv) / (n.nrm * cn.cnrm) AS sim
+        |  FROM n, cn),
+        |rk AS (SELECT vec_id, label, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC NULLS LAST, cid ASC NULLS FIRST) AS rk
+        |  FROM sc)
+        |SELECT vec_id, label, cid AS assigned, (label <> cid) AS moved,
+        |  ROUND(sim, 5) AS sim_r
+        |FROM rk WHERE rk = 1
+        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     // x11 is exact by construction (bounded cell scan) — same result set,
     // same accumulation order ⇒ shares the brute-force oracle verbatim
     "x11_ann_ivf" -> bruteForceOracle,

@@ -390,6 +390,38 @@ object Analytic {
           dsum(col("value")).as("sum_value"))
     },
 
+    // ---- time-grid densification + LOCF gap filling: one row per
+    // (user, day) across each user's active span, with the day's last
+    // observation carried forward over silent days — the standard
+    // time-series regularization pass before any per-entity modeling.
+    // Daily-last is the deterministic row_number=1 pick under the
+    // (ts, event_id) total order (no arg_max on a double); the grid is a
+    // per-user sequence() explode whose size is bounded by the calendar
+    // span, not the event count; the fill is last(ignoreNulls) over a
+    // user-partitioned ROWS window. Every stage is keyed by user_id, so
+    // parallelism scales with the entity count — no global sort, no
+    // driver-side calendar.
+    "x45_gapfill_locf" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("day", col("ts").cast(DateType))
+      val wLast = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wFill = Window.partitionBy(col("user_id"))
+        .orderBy(col("day").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          col("v").isNotNull.as("observed"),
+          last(col("v"), ignoreNulls = true).over(wFill).as("value_locf"))
+    },
+
     // ---- ordered funnel (first-touch): users who viewed, then clicked
     // AFTER their first view, then purchased AFTER that first qualifying
     // click. Each stage is one aggregation + an equi-join on user_id —
@@ -677,6 +709,29 @@ object Analytic {
          |FROM s
          |GROUP BY user_id, sess_no
          |ORDER BY user_id ASC NULLS FIRST, sess_no ASC NULLS FIRST""".stripMargin,
+
+    "x45_gapfill_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, "value",
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day, "value" AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        |  FROM ev),
+        |daily AS (SELECT user_id, day, v FROM r WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b)
+        |SELECT g.user_id, g.day, d.v IS NOT NULL AS observed,
+        |  last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id ASC NULLS FIRST, g.day ASC NULLS FIRST""".stripMargin,
 
     "q54_funnel" ->
       """WITH tv AS (

@@ -119,6 +119,36 @@ object Dialect {
       prof("o_orderkey")
         .unionByName(prof("o_orderstatus"))
         .unionByName(prof("o_orderdate"))
+    },
+
+    // ---- window frame EXCLUDE (DuckDB: EXCLUDE CURRENT ROW / GROUP /
+    // TIES): Spark has no EXCLUDE clause, but over a whole-partition
+    // frame each variant is exact frame arithmetic on two windows —
+    // partition totals and the RANGE CURRENT ROW peer group:
+    //   EXCLUDE CURRENT ROW = total − current
+    //   EXCLUDE GROUP       = total − peer_sum
+    //   EXCLUDE TIES        = total − peer_sum + current
+    // Sums run on exact scaled longs (Det contract) so the subtraction
+    // is partition-order invariant; empty post-exclusion frames yield
+    // NULL exactly where SQL's SUM-over-empty does. Both windows are
+    // user-partitioned — no global sort, parallelism scales with users.
+    "q58_frame_exclude" -> { (s, dir) =>
+      val part = Window.partitionBy(col("user_id"))
+      val peers = part.orderBy(col("day").asc_nulls_first)
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("day", col("ts").cast(DateType))
+        .withColumn("c", round(col("value") * 100).cast(LongType))
+        .withColumn("n_part", count(lit(1)).over(part))
+        .withColumn("n_peer", count(lit(1)).over(peers))
+        .withColumn("sum_part", sum(col("c")).over(part))
+        .withColumn("sum_peer", sum(col("c")).over(peers))
+        .select(col("event_id"), col("user_id"), col("day"), col("value"),
+          when(col("n_part") > 1,
+            (col("sum_part") - col("c")) / 100.0).as("excl_current"),
+          when(col("n_part") > col("n_peer"),
+            (col("sum_part") - col("sum_peer")) / 100.0).as("excl_group"),
+          ((col("sum_part") - col("sum_peer") + col("c")) / 100.0).as("excl_ties"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +226,21 @@ object Dialect {
         |  COUNT(*) FILTER (WHERE o_orderdate IS NULL),
         |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
         |FROM orders
-        |ORDER BY column_name ASC NULLS FIRST""".stripMargin)
+        |ORDER BY column_name ASC NULLS FIRST""".stripMargin,
+
+    "q58_frame_exclude" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS day, "value",
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE CURRENT ROW) AS DOUBLE) AS excl_current,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS DATE) ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS DATE) ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
 }
