@@ -123,32 +123,22 @@ object Corpus {
     // md5 starts with '0' or '1' (P = 1/8, ~8-word expected chunks), so
     // chunk boundaries move WITH the content — an insertion early in a
     // document re-chunks only its neighborhood, unlike x29's fixed grid
-    // where every downstream chunk shifts. Boundary positions, chunk
-    // spans, and per-chunk fingerprints are all array arithmetic inside
-    // one projection — map-only, no shuffle, no per-doc window. Only the
-    // trailing span can be empty (boundary on the last word); it is
-    // filtered identically on both engines.
+    // where every downstream chunk shifts. The whole classify→span→
+    // fingerprint pass is ONE fused native expression
+    // (functions/CdcChunkExpression.scala — same discipline as x22's
+    // WinnowFingerprints): map-only, no shuffle, no per-doc window, and
+    // the r4 interpreted filter/transform lambdas plus per-chunk re-join/
+    // re-hash are gone. CdcChunksSpec proves it bit-identical to the
+    // composed formulation; the SQL oracle is unchanged.
     "x44_cdc_chunks" -> { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .withColumn("n", size(col("ws")))
-        .withColumn("bpos",
-          filter(expr("sequence(1, n)"),
-            i => substring(md5(element_at(col("ws"), i)), 1, 1).isin("0", "1")))
-        .withColumn("starts",
-          concat(array(lit(1)), transform(col("bpos"), p => p + 1)))
-        .withColumn("ends", concat(col("bpos"), array(col("n"))))
-        .withColumn("j", explode(expr("sequence(1, size(starts))")))
-        .filter(element_at(col("ends"), col("j")) >= element_at(col("starts"), col("j")))
+        .select(col("doc_id"),
+          explode(graft.functions.CdcChunks.cdcChunks(words(col("text")))).as("ch"))
         .select(
           col("doc_id"),
-          (col("j") - 1).cast(LongType).as("chunk_id"),
-          (element_at(col("ends"), col("j")) - element_at(col("starts"), col("j")) + 1)
-            .cast(LongType).as("n_tokens"),
-          md5(array_join(
-            slice(col("ws"), element_at(col("starts"), col("j")),
-              element_at(col("ends"), col("j")) - element_at(col("starts"), col("j")) + 1),
-            " ")).as("chunk_fp"))
+          col("ch.chunk_id").as("chunk_id"),
+          col("ch.n_tokens").as("n_tokens"),
+          col("ch.chunk_fp").as("chunk_fp"))
     },
 
     // ---- token-window chunking (context-window prep): 32-token chunks at

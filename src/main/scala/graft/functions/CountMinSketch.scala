@@ -38,11 +38,24 @@ object CountMinSketch {
   val DefaultWidth = 1024
   val DefaultDepth = 4
 
-  private def bucket(d: Int, t: String, width: Int, md: MessageDigest): Int = {
+  /** Bucket for row `d`, term `t`: identical value to
+    * `parseLong(hex(md5("$d#$t")).take(15), 16) % width` — the first 15 hex
+    * chars of a digest ARE its first 8 bytes read as an unsigned big-endian
+    * long shifted right 4 bits, so the bucket is derived arithmetically from
+    * the digest bytes with no hex formatting or re-parsing (the r4 hot path
+    * spent ~32 boxed `f"%02x"` calls per token here). `tb` is the term's
+    * UTF-8 bytes, computed once per term and reused across the `depth` rows. */
+  private def bucket(d: Int, tb: Array[Byte], width: Int, md: MessageDigest): Int = {
     md.reset()
-    val hex = md.digest(s"$d#$t".getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex chars; take 15 below
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+    if (d < 10) md.update(('0' + d).toByte)
+    else md.update(d.toString.getBytes("UTF-8"))
+    md.update('#'.toByte)
+    md.update(tb)
+    val dg = md.digest()
+    var long = 0L
+    var i = 0
+    while (i < 8) { long = (long << 8) | (dg(i) & 0xffL); i += 1 }
+    (((long >>> 4) % width)).toInt // >>>4 keeps the top 60 bits: non-negative
   }
 
   final class CmsAggregator(width: Int, depth: Int)
@@ -52,9 +65,10 @@ object CountMinSketch {
     override def zero: Array[Long] = new Array[Long](width * depth)
 
     override def reduce(arr: Array[Long], t: String): Array[Long] = {
+      val tb = t.getBytes("UTF-8")
       var d = 0
       while (d < depth) {
-        arr(d * width + bucket(d, t, width, md)) += 1L
+        arr(d * width + bucket(d, tb, width, md)) += 1L
         d += 1
       }
       arr

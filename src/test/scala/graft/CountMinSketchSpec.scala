@@ -44,6 +44,29 @@ class CountMinSketchSpec extends SparkTestBase {
     }
   }
 
+  test("arithmetic bucket equals the md5-hex-parse definition (incl. non-ASCII)") {
+    // One tricky term per singleton sketch: the single increment must land in
+    // the bucket the SQL-side definition (parseLong(hex.take(15),16) % width)
+    // computes, for every depth row. Covers empty, non-ASCII, and separator
+    // collisions ("1#x" as a term vs d=1 prefix).
+    val tricky = Seq("", "héllo wörld", "日本語テキスト", "1#x", "emoji 🎉🎉", "a" * 300)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tricky.foreach { t =>
+      val sk = Seq(t).toDF("term")
+        .agg(CountMinSketch.sketch($"term").as("cms"))
+        .collect()(0).getSeq[Long](0)
+      (0 until CountMinSketch.DefaultDepth).foreach { d =>
+        md.reset()
+        val hex = md.digest(s"$d#$t".getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+        val want = (java.lang.Long.parseLong(hex.substring(0, 15), 16) %
+          CountMinSketch.DefaultWidth).toInt
+        assert(sk(d * CountMinSketch.DefaultWidth + want) == 1L,
+          s"term '$t' depth $d: increment not at hex-parse bucket $want")
+      }
+    }
+  }
+
   test("estimate of an absent term is bounded by eps*N (pure collision mass)") {
     val df = spark.sparkContext.parallelize(terms, 4).toDF("term")
     val sk = df.agg(CountMinSketch.sketch($"term").as("cms"))
