@@ -52,6 +52,11 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
+  // DuckDB's join-form DELETE (`DELETE FROM t [AS a] USING u WHERE ...`,
+  // reachable via db/db.go:52); the USING clause text is split at the
+  // top-level WHERE by the handler (it may contain an alias)
+  private val DeleteUsingRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.*)""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   // snapshot statements, reachable through the same passthrough a client
   // uses in the reference (`store/store.go:263` sends `EXPORT DATABASE
@@ -123,10 +128,20 @@ class SqlGateway(val spark: SparkSession) {
             }
         }
       case UpdateRe(table, rest) =>
-        // split SET-list from WHERE at the first *top-level* WHERE — a
-        // regex split would match 'where' inside a string literal
-        val (setClause, where) = splitAtTopLevelWhere(rest)
-        update(table, setClause, where)
+        // split SET-list from FROM/WHERE at the first *top-level* keyword —
+        // a regex split would match 'where' inside a string literal. A
+        // top-level FROM marks DuckDB's join-form UPDATE.
+        splitAtTopLevelKw(rest, "from") match {
+          case (setClause, Some(fromRest)) =>
+            val (fromClause, where) = splitAtTopLevelWhere(fromRest)
+            updateFrom(table, setClause, fromClause, where)
+          case (_, None) =>
+            val (setClause, where) = splitAtTopLevelWhere(rest)
+            update(table, setClause, where)
+        }
+      case DeleteUsingRe(table, tAlias, usingRest) =>
+        val (usingClause, where) = splitAtTopLevelWhere(usingRest)
+        deleteUsing(table, Option(tAlias), usingClause, where)
       case DeleteRe(table, where) => delete(table, Option(where))
       case DropRe(table) => dropTable(table)
       case ExportDbRe(dir) =>
@@ -138,7 +153,7 @@ class SqlGateway(val spark: SparkSession) {
       case AlterDropColRe(table, colName) =>
         alterDropColumn(table, colName)
       case CopyQueryToRe(query, path, optSpec) =>
-        copyTo(spark.sql(query), path, optSpec)
+        copyTo(spark.sql(rewriteReadFunctions(query)), path, optSpec)
       case CopyTableToRe(table, path, optSpec) =>
         copyTo(spark.table(table), path, optSpec)
       case CopyFromRe(table, path, optSpec) =>
@@ -150,7 +165,7 @@ class SqlGateway(val spark: SparkSession) {
         if (other.trim.take(6).equalsIgnoreCase("INSERT"))
           throw new IllegalArgumentException(
             s"unsupported INSERT form (would bypass constraint checks): ${other.trim}")
-        spark.sql(other)
+        spark.sql(rewriteReadFunctions(other))
         ExecuteResult(0L)
     }
   }
@@ -169,20 +184,90 @@ class SqlGateway(val spark: SparkSession) {
     *  - `PIVOT t ON c USING agg(x) [GROUP BY g,...]` → `groupBy.pivot.agg`
     *    (two-phase: distinct pivot values, then the pivoted aggregate —
     *    grouping defaults to every other column, DuckDB semantics);
-    *  - `UNPIVOT t ON a,b,... INTO NAME k VALUE v` → `Dataset.unpivot`. */
-  def query(sql: String): QueryResult = sql match {
-    case SummarizeRe(table) => Results.fromDataFrame(summarize(spark.table(table)))
+    *  - `UNPIVOT t ON a,b,... INTO NAME k VALUE v` → `Dataset.unpivot`;
+    *  - `read_parquet/read_csv/read_json('path')` table functions →
+    *    temp views over the file sources ([[rewriteReadFunctions]]). */
+  def query(sql: String): QueryResult = Results.fromDataFrame(queryDf(sql))
+
+  /** The read path as a DataFrame (what [[query]] wraps) — also the hook
+    * the registered oracle queries use to exercise the SQL-text surface. */
+  def queryDf(sql: String): DataFrame = sql match {
+    case SummarizeRe(table) => summarize(spark.table(table))
     case PivotRe(table, on, fn, arg, grp) =>
-      Results.fromDataFrame(pivotStatement(table, on, fn, arg, Option(grp)))
+      pivotStatement(table, on, fn, arg, Option(grp))
     case UnpivotRe(table, onList, nameCol, valueCol) =>
       val df = spark.table(table)
       val values = splitTopLevel(onList).map(c => col(c.trim))
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
-      Results.fromDataFrame(
-        df.unpivot(ids.toArray, values.toArray, nameCol, valueCol))
-    case _ => Results.fromDataFrame(spark.sql(sql))
+      df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
+    case _ => spark.sql(rewriteReadFunctions(sql))
   }
+
+  // --- DuckDB file-reading table functions (a client's most common ad-hoc
+  //     idiom, reachable through the reference passthrough `db/db.go:70`):
+  //     `SELECT * FROM read_parquet('f.parquet')`, `read_csv(...)`,
+  //     `read_json(...)`. Spark has no SQL-text table functions over bare
+  //     paths, so each call site is rewritten to a temp view over the
+  //     matching `sources/FileSources`-style reader before `spark.sql`.
+  //     The scan stays a plain DataFrame source: pushdown and pruning work
+  //     exactly as on a registered table.
+
+  private val ReadFnRe =
+    """(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)""".r
+  private val readViewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  /** Replace every `read_*('path'[, opts])` outside string literals with a
+    * temp view name registered over that file. Quote parity decides
+    * "outside": the path argument's own quotes sit INSIDE the match, so a
+    * match starting at even parity is real syntax, not text in a literal. */
+  private[engine] def rewriteReadFunctions(sql: String): String = {
+    val matches = ReadFnRe.findAllMatchIn(sql).toList
+    if (matches.isEmpty) return sql
+    val sb = new StringBuilder
+    var last = 0
+    matches.foreach { m =>
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (outside && m.start >= last) {
+        val kind = m.group(1).toLowerCase
+        val path = m.group(2)
+        val opts = Option(m.group(3)).getOrElse("")
+        val df = readFunction(kind, path, opts)
+        val view = s"graft_read_${readViewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        sb.append(sql.substring(last, m.start)).append(view)
+        last = m.end
+      }
+    }
+    sb.append(sql.substring(last))
+    sb.toString
+  }
+
+  /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common
+    * named options (`header=`, `delim=`/`sep=`); types are inferred like
+    * DuckDB's sniffer (ad-hoc reads — registered tables carry schemas). */
+  private def readFunction(kind: String, path: String, optsText: String): DataFrame =
+    kind match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv" | "csv_auto" =>
+        var header = true
+        var delim = ","
+        splitTopLevel(optsText.stripPrefix(",")).map(_.trim).filter(_.nonEmpty).foreach { o =>
+          val kv = o.split("=", 2).map(_.trim)
+          kv(0).toLowerCase match {
+            case "header" => header = kv(1).toLowerCase != "false" && kv(1) != "0"
+            case "delim" | "sep" | "delimiter" =>
+              delim = kv(1).stripPrefix("'").stripSuffix("'")
+            case "auto_detect" => () // inference is already the default here
+            case other =>
+              throw new IllegalArgumentException(s"read_csv: unsupported option $other")
+          }
+        }
+        spark.read.option("header", header.toString).option("delimiter", delim)
+          .option("inferSchema", "true").csv(path)
+      case "json" | "json_auto" => spark.read.json(path)
+      case other => throw new IllegalArgumentException(s"read_$other unsupported")
+    }
 
   private def pivotStatement(table: String, on: String, fn: String, arg: String,
       grp: Option[String]): DataFrame = {
@@ -272,7 +357,7 @@ class SqlGateway(val spark: SparkSession) {
   //     count; a CTAS table carries no declared constraints.
   private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
-    createFromData(table, spark.sql(query))
+    createFromData(table, spark.sql(rewriteReadFunctions(query)))
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
   }
@@ -385,26 +470,31 @@ class SqlGateway(val spark: SparkSession) {
     throw new IllegalArgumentException(s"unbalanced parentheses in INSERT: $s")
   }
 
-  /** Find the first WHERE keyword outside quotes/parens and split there. */
-  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+  /** Find the first `kw` keyword outside quotes/parens and split there. */
+  private def splitAtTopLevelKw(s: String, kw: String): (String, Option[String]) = {
     var depth = 0; var inStr = false
     var i = 0
+    val k = kw.length
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' => inStr = !inStr
         case '(' if !inStr => depth += 1
         case ')' if !inStr => depth -= 1
-        case c if !inStr && depth == 0 && (c == 'w' || c == 'W') &&
-            i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+        case c if !inStr && depth == 0 &&
+            Character.toLowerCase(c) == kw.charAt(0) &&
+            i + k <= s.length && s.substring(i, i + k).equalsIgnoreCase(kw) &&
             (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
-          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+            (i + k == s.length || s.charAt(i + k).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + k).trim))
         case _ => ()
       }
       i += 1
     }
     (s.trim, None)
   }
+
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) =
+    splitAtTopLevelKw(s, "where")
 
   /** Split a column-spec / SET list on top-level commas — aware of paren
     * depth AND single-quoted string literals (a comma inside 'x, y' must
@@ -433,7 +523,7 @@ class SqlGateway(val spark: SparkSession) {
       case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
       case None => valuesToSelect(source, "")
     }
-    var batch = spark.sql(batchSql)
+    var batch = spark.sql(rewriteReadFunctions(batchSql))
     val target = spark.table(table)
     // align batch columns to target schema (explicit column list or position)
     batch = cols match {
@@ -731,6 +821,89 @@ class SqlGateway(val spark: SparkSession) {
       }
     }.toIndexedSeq: _*)
     overwriteTable(table, updated)
+    ExecuteResult(affected)
+  }
+
+  /** `FROM u` / `USING u` clause text → (source DataFrame, alias). Accepts
+    * `u`, `u a`, `u AS a`. */
+  private def sourceClause(clause: String): (DataFrame, String) = {
+    val (name, alias) = clause.trim.split("\\s+").toList match {
+      case n :: Nil => (n, n.split("\\.").last)
+      case n :: a :: Nil => (n, a)
+      case n :: as_ :: a :: Nil if as_.equalsIgnoreCase("AS") => (n, a)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported FROM/USING clause (single table [AS alias] only): $clause")
+    }
+    (spark.table(name), alias)
+  }
+
+  // --- UPDATE ... FROM (DuckDB's join-form update, reachable through the
+  //     reference passthrough `db/db.go:52`): each target row matching at
+  //     least one source row under WHERE takes the SET expressions, which
+  //     may reference the matched source row's columns. One distributed
+  //     plan: tag target rows with a row id, join on the predicate, keep
+  //     ONE deterministic match per target row (DuckDB's own pick among
+  //     multiple matches is unspecified; sorting by the source row makes
+  //     ours stable), left-join the per-row SET values back, swap via the
+  //     versioned-dir rewrite. No driver loop anywhere.
+  private def updateFrom(table: String, setClause: String, fromClause: String,
+      where: Option[String]): ExecuteResult = {
+    val target = spark.table(table)
+    val (src, srcAlias) = sourceClause(fromClause)
+    val tAlias = table.split("\\.").last
+    val actualByLower = target.columns.map(c => c.toLowerCase -> c).toMap
+    val assignments = splitTopLevel(setClause).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      val cn = c.trim.toLowerCase
+      if (!actualByLower.contains(cn))
+        throw new IllegalArgumentException(s"UPDATE $table: unknown column ${c.trim}")
+      cn -> e.trim
+    }
+    // pin row ids: the id column feeds two plans (hit count + merge-back)
+    // and must not be re-derived differently on re-execution
+    val t = target.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint(eager = true)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val pickW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rid"))
+      .orderBy(src.columns.map(c => col(s"$srcAlias.$c")).toIndexedSeq: _*)
+    // SET expressions evaluate against the OLD target row + matched source
+    // row (both visible in the join), exactly like simple UPDATE's
+    // simultaneous projection
+    val hits = t.alias(tAlias).join(src.alias(srcAlias), cond, "inner")
+      .withColumn("__rn", row_number().over(pickW)).filter(col("__rn") === 1)
+      .select(col("__rid").as("__hit_rid") +: assignments.map { case (cn, e) =>
+        expr(e).cast(target.schema(actualByLower(cn)).dataType).as(s"__set_$cn")
+      }.toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+    val affected = hits.count()
+    val updated = t.join(hits, col("__rid") === col("__hit_rid"), "left")
+      .select(target.columns.map { c =>
+        val cn = c.toLowerCase
+        if (assignments.exists(_._1 == cn))
+          when(col("__hit_rid").isNotNull, col(s"__set_$cn")).otherwise(col(c)).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+    overwriteTable(table, updated)
+    ExecuteResult(affected)
+  }
+
+  // --- DELETE ... USING (DuckDB's join-form delete): drop every target
+  //     row with at least one WHERE-matching source row. A left-anti join
+  //     IS that semantics (NULL predicate → no match → row kept, as SQL
+  //     requires); the affected count is the matching left-semi.
+  private def deleteUsing(table: String, tAliasOpt: Option[String],
+      usingClause: String, where: Option[String]): ExecuteResult = {
+    val w = where.getOrElse(throw new IllegalArgumentException(
+      s"DELETE FROM $table USING ... requires a WHERE clause"))
+    val target = spark.table(table)
+    val (src, srcAlias) = sourceClause(usingClause)
+    val tAlias = tAliasOpt.getOrElse(table.split("\\.").last)
+    val pred = expr(w)
+    val affected = target.alias(tAlias)
+      .join(src.alias(srcAlias), pred, "left_semi").count()
+    val remaining = target.alias(tAlias).join(src.alias(srcAlias), pred, "left_anti")
+    overwriteTable(table, remaining)
     ExecuteResult(affected)
   }
 

@@ -416,7 +416,7 @@ object Similarity {
         |    unnest(list_transform(range(len(v)), i -> {'pos': i, 'val': v[i+1]})) AS s
         |  FROM e),
         |m AS (SELECT label AS cid, s.pos AS pos,
-        |    CAST(SUM(CAST(s.val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+        |    CAST(SUM(CAST(s.val AS DECIMAL(28,18))) AS DOUBLE) / COUNT(s.val) AS m
         |  FROM pv GROUP BY label, s.pos),
         |c AS (SELECT cid,
         |    list_transform(list_sort(list({'pos': pos, 'm': m})), x -> x.m) AS cv

@@ -128,10 +128,15 @@ object Dialect {
     //   EXCLUDE CURRENT ROW = total − current
     //   EXCLUDE GROUP       = total − peer_sum
     //   EXCLUDE TIES        = total − peer_sum + current
-    // Sums run on exact scaled longs (Det contract) so the subtraction
-    // is partition-order invariant; empty post-exclusion frames yield
-    // NULL exactly where SQL's SUM-over-empty does. Both windows are
-    // user-partitioned — no global sort, parallelism scales with users.
+    // Sums run on exact scaled longs (Det contract; `value` is 2-decimal
+    // by data contract — round(value*100) and the oracle's DECIMAL(18,2)
+    // cast agree on exactly-2-decimal doubles) so the subtraction is
+    // partition-order invariant. NULL handling matches native EXCLUDE (a
+    // NULL row contributes nothing whether included or excluded): the
+    // arithmetic coalesces the excluded terms to 0 and each result is
+    // NULL exactly when its post-exclusion frame holds no NON-NULL value
+    // — gates count `c`, not rows. Both windows are user-partitioned —
+    // no global sort, parallelism scales with users.
     "q58_frame_exclude" -> { (s, dir) =>
       val part = Window.partitionBy(col("user_id"))
       val peers = part.orderBy(col("day").asc_nulls_first)
@@ -139,16 +144,78 @@ object Dialect {
       Tables(s, dir, "events")
         .withColumn("day", col("ts").cast(DateType))
         .withColumn("c", round(col("value") * 100).cast(LongType))
-        .withColumn("n_part", count(lit(1)).over(part))
-        .withColumn("n_peer", count(lit(1)).over(peers))
-        .withColumn("sum_part", sum(col("c")).over(part))
-        .withColumn("sum_peer", sum(col("c")).over(peers))
+        .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
+        .withColumn("nn_part", count(col("c")).over(part))
+        .withColumn("nn_peer", count(col("c")).over(peers))
+        .withColumn("sum_part", sum(coalesce(col("c"), lit(0L))).over(part))
+        .withColumn("sum_peer", sum(coalesce(col("c"), lit(0L))).over(peers))
         .select(col("event_id"), col("user_id"), col("day"), col("value"),
-          when(col("n_part") > 1,
-            (col("sum_part") - col("c")) / 100.0).as("excl_current"),
-          when(col("n_part") > col("n_peer"),
+          when(col("nn_part") - col("c_nn") > 0,
+            (col("sum_part") - coalesce(col("c"), lit(0L))) / 100.0).as("excl_current"),
+          when(col("nn_part") - col("nn_peer") > 0,
             (col("sum_part") - col("sum_peer")) / 100.0).as("excl_group"),
-          ((col("sum_part") - col("sum_peer") + col("c")) / 100.0).as("excl_ties"))
+          when(col("nn_part") - col("nn_peer") + col("c_nn") > 0,
+            (col("sum_part") - col("sum_peer") + coalesce(col("c"), lit(0L))) / 100.0)
+            .as("excl_ties"))
+    },
+
+    // ---- frame EXCLUDE over BOUNDED frames (closing q58's partial):
+    //   - EXCLUDE CURRENT ROW composes with an arbitrary ROWS frame under
+    //     a fully deterministic ordering (day, event_id): frame sum minus
+    //     the current row.
+    //   - EXCLUDE GROUP / TIES compose with a bounded RANGE frame: RANGE
+    //     bounds are VALUE-based, so the peer group (equal order key) is
+    //     always wholly inside the frame and the arithmetic
+    //     frame − peers (+ current) is exact. A ROWS frame that cuts
+    //     through a peer group is nondeterministic ACROSS ENGINES by
+    //     construction — which peers land in the frame depends on tie
+    //     order — so the RANGE spelling is the one with a well-defined
+    //     answer to verify against.
+    // Same Det scaled-long + non-null-count gating as q58; windows stay
+    // user-partitioned.
+    "q58b_frame_exclude_bounded" -> { (s, dir) =>
+      val byRows = Window.partitionBy(col("user_id"))
+        .orderBy(col("day_num").asc_nulls_first, col("event_id").asc_nulls_first)
+        .rowsBetween(-3, 3)
+      val byRange = Window.partitionBy(col("user_id"))
+        .orderBy(col("day_num").asc_nulls_first).rangeBetween(-3, 3)
+      val peers = Window.partitionBy(col("user_id"))
+        .orderBy(col("day_num").asc_nulls_first).rangeBetween(0, 0)
+      Tables(s, dir, "events")
+        .withColumn("day", col("ts").cast(DateType))
+        .withColumn("day_num", datediff(col("day"), to_date(lit("1990-01-01"))))
+        .withColumn("c", round(col("value") * 100).cast(LongType))
+        .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
+        .withColumn("rows_sum", sum(coalesce(col("c"), lit(0L))).over(byRows))
+        .withColumn("rows_nn", count(col("c")).over(byRows))
+        .withColumn("rng_sum", sum(coalesce(col("c"), lit(0L))).over(byRange))
+        .withColumn("rng_nn", count(col("c")).over(byRange))
+        .withColumn("peer_sum", sum(coalesce(col("c"), lit(0L))).over(peers))
+        .withColumn("peer_nn", count(col("c")).over(peers))
+        .select(col("event_id"), col("user_id"), col("day"), col("value"),
+          when(col("rows_nn") - col("c_nn") > 0,
+            (col("rows_sum") - coalesce(col("c"), lit(0L))) / 100.0)
+            .as("excl_current_rows"),
+          when(col("rng_nn") - col("peer_nn") > 0,
+            (col("rng_sum") - col("peer_sum")) / 100.0).as("excl_group_range"),
+          when(col("rng_nn") - col("peer_nn") + col("c_nn") > 0,
+            (col("rng_sum") - col("peer_sum") + coalesce(col("c"), lit(0L))) / 100.0)
+            .as("excl_ties_range"))
+    },
+
+    // ---- read_parquet table function in PURE SQL TEXT through the
+    // gateway (db/db.go:70 — a DuckDB client's most common ad-hoc idiom):
+    // the gateway rewrites `FROM read_parquet('path')` to a temp view over
+    // the file, so pushdown/pruning work exactly as on a registered table.
+    // The oracle runs DuckDB's native read_* machinery on the same file
+    // (the driver's `documents` view IS that parquet), certifying the
+    // whole SQL-text path end to end.
+    "q59_read_fn" -> { (s, dir) =>
+      new graft.engine.SqlGateway(s).queryDf(
+        s"""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+           |FROM read_parquet('$dir/documents.parquet')
+           |GROUP BY source""".stripMargin)
     })
 
   val oracles: Map[String, String] = Map(
@@ -242,5 +309,29 @@ object Dialect {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
         |    EXCLUDE TIES) AS DOUBLE) AS excl_ties
         |FROM events
-        |ORDER BY event_id ASC NULLS FIRST""".stripMargin)
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "q58b_frame_exclude_bounded" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS day, "value",
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS DATE) ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        |    EXCLUDE CURRENT ROW) AS DOUBLE) AS excl_current_rows,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY (CAST(ts AS DATE) - DATE '1990-01-01') ASC NULLS FIRST
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS excl_group_range,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY (CAST(ts AS DATE) - DATE '1990-01-01') ASC NULLS FIRST
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS excl_ties_range
+        |FROM events
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+
+    "q59_read_fn" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin)
 }

@@ -434,4 +434,79 @@ class GatewaySpec extends SparkTestBase {
     }
     assert(gw.query("SELECT count(*) AS n FROM cpk").values.head.head == 1L)
   }
+
+  test("read_parquet table function in pure SQL text (db/db.go:70 idiom)") {
+    val res = gw.query(
+      s"SELECT count(*) AS n, count(DISTINCT source) AS s FROM read_parquet('$sfDir/documents.parquet')")
+    assert(res.columns == Seq("n", "s"))
+    assert(res.values.head.head.asInstanceOf[Long] > 0)
+    // joins against registered tables work too, and a read_* inside a
+    // string literal is NOT rewritten
+    val lit = gw.query("SELECT 'use read_parquet(''x'') here' AS msg")
+    assert(lit.values.head.head.toString.contains("read_parquet"))
+  }
+
+  test("read_csv / read_json table functions over written files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readfn").toString
+    gw.execute("DROP TABLE IF EXISTS rft")
+    gw.execute("CREATE TABLE rft (id integer, name text)")
+    gw.execute("INSERT INTO rft VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    gw.execute(s"COPY rft TO '$dir/rf_csv' (FORMAT CSV, HEADER)")
+    gw.execute(s"COPY rft TO '$dir/rf_json' (FORMAT JSON)")
+    val c = gw.query(s"SELECT count(*) AS n FROM read_csv('$dir/rf_csv', header=true)")
+    assert(c.values.head.head == 3L)
+    val j = gw.query(
+      s"SELECT sum(id) AS s FROM read_json('$dir/rf_json') WHERE name <> 'a'")
+    assert(j.values.head.head == 5L)
+    // CTAS from a file path — the ad-hoc ingest idiom
+    gw.execute("DROP TABLE IF EXISTS rft2")
+    val ct = gw.execute(
+      s"CREATE TABLE rft2 AS SELECT * FROM read_csv('$dir/rf_csv') WHERE id >= 2")
+    assert(ct.rowsAffected == 2)
+  }
+
+  test("UPDATE ... FROM joins the source and applies SET per matched row") {
+    gw.execute("DROP TABLE IF EXISTS jt")
+    gw.execute("DROP TABLE IF EXISTS ju")
+    gw.execute("CREATE TABLE jt (id integer not null primary key, v integer, tag text)")
+    gw.execute("CREATE TABLE ju (id integer, delta integer)")
+    gw.execute("INSERT INTO jt VALUES (1, 10, 'keep'), (2, 20, 'keep'), (3, 30, 'keep')")
+    gw.execute("INSERT INTO ju VALUES (1, 100), (3, 300)")
+    val r = gw.execute(
+      "UPDATE jt SET v = jt.v + ju.delta, tag = 'hit' FROM ju WHERE jt.id = ju.id")
+    assert(r.rowsAffected == 2) // DuckDB reports the same: 2 rows updated
+    val rows = gw.query("SELECT id, v, tag FROM jt ORDER BY id").values
+    assert(rows == Seq(Seq(1, 110, "hit"), Seq(2, 20, "keep"), Seq(3, 330, "hit")))
+  }
+
+  test("UPDATE ... FROM with multiple matches updates each target row once") {
+    gw.execute("DROP TABLE IF EXISTS jm")
+    gw.execute("DROP TABLE IF EXISTS jv")
+    gw.execute("CREATE TABLE jm (id integer, v integer)")
+    gw.execute("CREATE TABLE jv (id integer, w integer)")
+    gw.execute("INSERT INTO jm VALUES (1, 0), (2, 0)")
+    gw.execute("INSERT INTO jv VALUES (1, 7), (1, 9)") // two matches for id=1
+    val r = gw.execute("UPDATE jm SET v = jv.w FROM jv WHERE jm.id = jv.id")
+    assert(r.rowsAffected == 1)
+    val rows = gw.query("SELECT id, v FROM jm ORDER BY id").values
+    assert(rows.head == Seq(1, 7)) // deterministic pick: smallest source row
+    assert(rows(1) == Seq(2, 0))
+  }
+
+  test("DELETE ... USING removes rows with a matching source row") {
+    gw.execute("DROP TABLE IF EXISTS dt")
+    gw.execute("DROP TABLE IF EXISTS du")
+    gw.execute("CREATE TABLE dt (id integer, name text)")
+    gw.execute("CREATE TABLE du (ref integer)")
+    gw.execute("INSERT INTO dt VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    gw.execute("INSERT INTO du VALUES (2), (4), (99)")
+    val r = gw.execute("DELETE FROM dt USING du WHERE dt.id = du.ref")
+    assert(r.rowsAffected == 2) // DuckDB reports the same: 2 rows deleted
+    val left = gw.query("SELECT id FROM dt ORDER BY id").values.map(_.head)
+    assert(left == Seq(1, 3))
+    // aliased form
+    gw.execute("INSERT INTO dt VALUES (2, 'back')")
+    val r2 = gw.execute("DELETE FROM dt t USING du AS u WHERE t.id = u.ref AND t.name = 'back'")
+    assert(r2.rowsAffected == 1)
+  }
 }
