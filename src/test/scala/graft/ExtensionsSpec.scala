@@ -63,6 +63,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converges on a 96-node chain (depth guard)") {
+    // worst-case diameter graph: a path 0-1-2-...-95. Min-label propagation
+    // needs O(diameter) rounds (the repo runs 2 per materialized iteration),
+    // so this is the case that (a) proves convergence isn't an artifact of
+    // the shallow fixtures, (b) proves per-round lineage cutting holds up
+    // at depth — ~50 chained join+agg rounds without checkpoints would
+    // blow the plan stack long before 100 TB does.
+    import spark.implicits._
+    val n = 96
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, maxIters = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n)
+    assert(cc.values.forall(_ == 0L), "every chain node must reach label 0")
+  }
+
+  test("connected components REFUSES to return unconverged labels") {
+    // same chain, too few rounds: the guard must throw, not silently hand
+    // back a half-propagated clustering (which downstream dedup would
+    // treat as distinct clusters — wrong data, no error)
+    import spark.implicits._
+    val pairs = (0L until 95L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components uses RELIABLE checkpoints when a dir is configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
