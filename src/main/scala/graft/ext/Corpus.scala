@@ -91,23 +91,22 @@ object Corpus {
     },
 
     // ---- Gopher-style repetition/quality stats: unique-word ratio and
-    // the most-frequent-bigram share. Bigram counting shuffles on
-    // (doc_id, bigram) — per-document keys, so it partitions evenly at
-    // any corpus size. Both fractions are single fp divisions of
-    // integer-valued doubles (exact, no rounding needed).
+    // the most-frequent-bigram share. r5: the bigram count is ONE fused
+    // native expression (functions/BigramExpression.scala) — per-document
+    // state is bounded by document length, so the whole query is MAP-ONLY
+    // and inherits the corpus partitioning; the r4 composition shuffled
+    // |docs × distinct bigrams| rows twice. BigramSpec proves bit-identity
+    // with the composed formulation; the SQL oracle is unchanged. Both
+    // fractions are single fp divisions of integer-valued doubles (exact).
     "x28_repetition_stats" -> { (s, dir) =>
-      val base = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("ws"))
         .withColumn("n_words", size(col("ws")).cast(LongType))
-        .withColumn("n_uniq", size(array_distinct(col("ws"))).cast(LongType))
-      val bg = base.filter(col("n_words") >= 2)
-        .select(col("doc_id"), col("n_words"), col("n_uniq"),
-          explode(expr(
-            "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("bg"))
-      bg.groupBy(col("doc_id"), col("n_words"), col("n_uniq"), col("bg"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_words"), col("n_uniq"))
-        .agg(max(col("c")).as("top_bigram_n"))
+        .filter(col("n_words") >= 2)
+        .select(
+          col("doc_id"), col("n_words"),
+          size(array_distinct(col("ws"))).cast(LongType).as("n_uniq"),
+          graft.functions.TopBigramCount.topBigramCount(col("ws")).as("top_bigram_n"))
         .select(
           col("doc_id"), col("n_words"), col("n_uniq"),
           (col("n_uniq").cast(DoubleType) / col("n_words")).as("uniq_ratio"),

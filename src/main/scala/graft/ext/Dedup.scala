@@ -136,8 +136,12 @@ object Dedup {
     val edges = cutLineage(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    var labels = cutLineage(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    // initial labels stay a LAZY plan: one distinct over the already-
+    // checkpointed in-memory edges — not worth a blocking checkpoint job
+    // of its own (iteration 1 re-derives it once in its propagate chain;
+    // every later round rebinds `labels` to a checkpointed frame)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
     var converged = false
     var iter = 0
     // one min-label propagation round (pure plan, no action)
