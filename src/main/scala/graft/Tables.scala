@@ -101,22 +101,33 @@ object Tables {
     * tiny dims stay single-partition — 32 near-empty tasks per scan is
     * pure scheduling overhead. The repartitioned DataFrame replaces the
     * memo entry so every later query plan hits the partitioned cache. */
-  def pin(spark: SparkSession, dir: String): Unit =
+  def pin(spark: SparkSession, dir: String): Unit = {
+    val rows = all.map(n => n -> apply(spark, dir, n).count()).toMap
+    // partition ∝ rows, capped: ~75k rows/task keeps tasks meaningful —
+    // full-core fan-out on these corpus sizes measured SLOWER (per-task
+    // scheduling dwarfs 2 ms of map work per 19k-row slice)
+    val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "32").toLong
+    def partsFor(rs: Long) = math.min(cap, math.max(1L, rs / 75000L)).toInt
+    // co-partition JOIN-RELATED tables with the SAME partition count:
+    // hashpartitioning(l_orderkey, N) and hashpartitioning(o_orderkey, M)
+    // are compatible for a zero-Exchange join ONLY when N == M — sized
+    // independently they diverge (6M lineitem → 32, 1.5M orders → 20) and
+    // every orders ⋈ lineitem plan silently re-exchanges a side. Sized off
+    // the larger table so the big side's task balance governs.
+    val orderGroupParts = partsFor(math.max(rows("lineitem"), rows("orders")))
     all.foreach { n =>
-      val base = apply(spark, dir, n)
-      val rows = base.count()
-      // partition ∝ rows, capped: ~75k rows/task keeps tasks meaningful —
-      // full-core fan-out on these corpus sizes measured SLOWER (per-task
-      // scheduling dwarfs 2 ms of map work per 19k-row slice)
-      val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "32").toLong
-      val parts = math.min(cap, math.max(1L, rows / 75000L)).toInt
+      val parts =
+        if (n == "lineitem" || n == "orders") orderGroupParts
+        else partsFor(rows(n))
       val df = (if (parts > 1)
-        base.repartition(parts, org.apache.spark.sql.functions.col(pinKeys(n)))
-      else base)
+        apply(spark, dir, n)
+          .repartition(parts, org.apache.spark.sql.functions.col(pinKeys(n)))
+      else apply(spark, dir, n))
         .persist(StorageLevel.MEMORY_AND_DISK)
       df.foreach(_ => ()) // materialize the cache once, before timing starts
       memo.put((spark, dir, n), df)
     }
+  }
 
   /** Register every corpus table as a temp view so `spark.sql` works with the
     * same table names the DuckDB oracle uses. */

@@ -144,23 +144,29 @@ object Dedup {
       .withColumn("lbl", col("id"))
     var converged = false
     var iter = 0
-    // one min-label propagation round (pure plan, no action)
+    // one min-label propagation round (pure plan, no action); extra
+    // columns on `lbls` (the round-start label below) pass through
     def propagate(lbls: DataFrame): DataFrame = {
-      val prop = edges.join(lbls, edges("src") === lbls("id"))
+      val prop = edges.join(lbls.select(col("id"), col("lbl")),
+          edges("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       lbls.join(prop, lbls("id") === prop("dst"), "left")
-        .select(lbls("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("__old") +: lbls("id") +:
+          least(lbls("lbl"), coalesce(col("nlbl"), lbls("lbl"))).as("lbl") +: Nil: _*)
     }
     while (!converged && iter < maxIters) {
       // TWO propagation rounds per materialization: the checkpoint and the
       // convergence count are per-loop ACTIONS (jobs), and label flow is
       // monotone — an extra round can never overshoot, it only shortens
-      // the job chain (the convergence test just fires one round later)
-      val updated = cutLineage(propagate(propagate(labels)))
-      converged = updated.as("u").join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.lbl") =!= col("l.lbl")).limit(1).count() == 0
-      labels = updated
+      // the job chain (the convergence test just fires one round later).
+      // The round-start label rides along as __old, so the convergence
+      // test is a trivial filter over the just-checkpointed frame instead
+      // of a join against the previous round's table.
+      val updated = cutLineage(
+        propagate(propagate(labels.withColumn("__old", col("lbl")))))
+      converged =
+        updated.filter(col("lbl") =!= col("__old")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("lbl"))
       iter += 1
     }
     if (!converged)

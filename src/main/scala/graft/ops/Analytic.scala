@@ -445,12 +445,20 @@ object Analytic {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn("day", col("ts").cast(DateType))
-      val wLast = Window.partitionBy(col("user_id"), col("day"))
-        .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
-      val daily = ev.withColumn("rn", row_number().over(wLast))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), col("value").as("v"))
-      val grid = ev.groupBy(col("user_id"))
+      // last observation per (user, day) as ONE partial+final aggregate:
+      // max(struct(ts, event_id, value)) picks the row with the greatest
+      // (ts, event_id) — identical to the ROW_NUMBER()-over-desc pick
+      // (event_id is unique, so value never decides) without sorting whole
+      // user-day partitions. The calendar span then derives from the DAILY
+      // table, not a second full events scan (min/max day agree by
+      // construction). One corpus pass total; everything stays keyed by
+      // user_id.
+      val daily = ev
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("day"), col("m.value").as("v"))
+        .localCheckpoint(eager = true) // feeds both the grid span and the join
+      val grid = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
       val wFill = Window.partitionBy(col("user_id"))

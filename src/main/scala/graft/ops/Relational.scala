@@ -179,10 +179,14 @@ object Relational {
 
     // ---- set operations: UNION / INTERSECT / EXCEPT as labeled counts
     "q10_setops" -> { (s, dir) =>
+      // stage the two filtered key sets ONCE: all six set-operator branches
+      // (the §2.7 demo — they must stay the real union/intersect/except
+      // operators) read the pinned inputs instead of re-scanning and
+      // re-filtering customer/orders per branch
       val a = Tables(s, dir, "customer").filter(col("c_acctbal") < 1000.0)
-        .select(col("c_custkey").as("k"))
+        .select(col("c_custkey").as("k")).localCheckpoint(eager = true)
       val b = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
-        .select(col("o_custkey").as("k"))
+        .select(col("o_custkey").as("k")).localCheckpoint(eager = true)
       def counted(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n")).withColumn("op", lit(name)).select(col("op"), col("n"))
       counted("union", a.union(b).distinct())

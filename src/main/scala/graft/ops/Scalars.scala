@@ -213,30 +213,35 @@ object Scalars {
       val docs = Tables(s, dir, "documents")
       def metric(name: String, df: org.apache.spark.sql.DataFrame) =
         df.select(lit(name).as("metric"), col("val").cast(StringType).as("val"))
+      // ONE aggregation pass per table (r5 — was one scan per metric):
+      // lineitem carries both wide-decimal sums, events both time metrics.
       // Σ (l_orderkey · 10^12) exceeds 2^63 — exact only in 128-bit ints
       // (DuckDB HUGEINT) / DECIMAL(38,0) (Spark)
-      val hugeSum = li.agg(
+      // the two-metric tables melt through explode(map(...)) so each is
+      // guaranteed ONE scan (separate selects off the same agg can replan
+      // the aggregate per branch)
+      val liM = li.agg(
+        sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("dec38"),
         sum(col("l_orderkey").cast(DecimalType(38, 0)) *
-          lit("1000000000000").cast(DecimalType(38, 0))).as("val"))
-      // DECIMAL(38,2) sum — wide-precision decimal arithmetic
-      val decSum = li.agg(
-        sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("val"))
+          lit("1000000000000").cast(DecimalType(38, 0))).as("huge"))
+        .select(explode(map(
+          lit("dec38_sum"), col("dec38").cast(StringType),
+          lit("hugeint_sum"), col("huge").cast(StringType))).as(Seq("metric", "val")))
       // deterministic UUID per document from its content hash, min over
       // the corpus; DuckDB round-trips it through the UUID type
       val h = md5(col("text"))
       val uuid = docs.agg(min(concat_ws("-",
         substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
         substring(h, 17, 4), substring(h, 21, 12))).as("val"))
-      // TIME rendering (second-truncated time of day, min over events)
-      val tod = ev.agg(min(date_format(date_trunc("second", col("ts")),
-        "HH:mm:ss")).as("val"))
-      // TIMESTAMPTZ instant semantics: epoch micros of the max event
-      val epoch = ev.agg(max(unix_micros(col("ts"))).as("val"))
-      metric("dec38_sum", decSum)
-        .unionByName(metric("hugeint_sum", hugeSum))
-        .unionByName(metric("uuid_min", uuid))
-        .unionByName(metric("time_min", tod))
-        .unionByName(metric("tstz_epoch_max", epoch))
+      // TIME rendering (second-truncated min-of-events) + TIMESTAMPTZ
+      // instant semantics (epoch micros of the max event), one pass
+      val evM = ev.agg(
+        min(date_format(date_trunc("second", col("ts")), "HH:mm:ss")).as("tod"),
+        max(unix_micros(col("ts"))).as("epoch"))
+        .select(explode(map(
+          lit("time_min"), col("tod").cast(StringType),
+          lit("tstz_epoch_max"), col("epoch").cast(StringType))).as(Seq("metric", "val")))
+      liM.unionByName(metric("uuid_min", uuid)).unionByName(evM)
     },
 
     "q35_values_inline" -> { (s, dir) =>
