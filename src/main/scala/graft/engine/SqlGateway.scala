@@ -213,8 +213,13 @@ class SqlGateway(val spark: SparkSession) {
   //     The scan stays a plain DataFrame source: pushdown and pruning work
   //     exactly as on a registered table.
 
+  // path argument: one quoted path (globs pass through to the reader,
+  // which expands them exactly like DuckDB) or a bracketed list
+  // ['a','b',...] — DuckDB's multi-file form
   private val ReadFnRe =
-    """(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto)\s*\(\s*'([^']+)'\s*((?:,[^)]*)?)\)""".r
+    ("""(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto)\s*\(\s*""" +
+      """('[^']+'|\[\s*'[^']+'(?:\s*,\s*'[^']+')*\s*\])\s*((?:,[^)\[\]]*)?)\)""").r
+  private val PathLitRe = """'([^']+)'""".r
   private val readViewCounter = new java.util.concurrent.atomic.AtomicLong
 
   /** Replace every `read_*('path'[, opts])` outside string literals with a
@@ -230,9 +235,9 @@ class SqlGateway(val spark: SparkSession) {
       val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
       if (outside && m.start >= last) {
         val kind = m.group(1).toLowerCase
-        val path = m.group(2)
+        val paths = PathLitRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
         val opts = Option(m.group(3)).getOrElse("")
-        val df = readFunction(kind, path, opts)
+        val df = readFunction(kind, paths, opts)
         val view = s"graft_read_${readViewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
         sb.append(sql.substring(last, m.start)).append(view)
@@ -246,9 +251,9 @@ class SqlGateway(val spark: SparkSession) {
   /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common
     * named options (`header=`, `delim=`/`sep=`); types are inferred like
     * DuckDB's sniffer (ad-hoc reads — registered tables carry schemas). */
-  private def readFunction(kind: String, path: String, optsText: String): DataFrame =
+  private def readFunction(kind: String, path: Seq[String], optsText: String): DataFrame =
     kind match {
-      case "parquet" => spark.read.parquet(path)
+      case "parquet" => spark.read.parquet(path: _*)
       case "csv" | "csv_auto" =>
         var header = true
         var delim = ","
@@ -264,8 +269,8 @@ class SqlGateway(val spark: SparkSession) {
           }
         }
         spark.read.option("header", header.toString).option("delimiter", delim)
-          .option("inferSchema", "true").csv(path)
-      case "json" | "json_auto" => spark.read.json(path)
+          .option("inferSchema", "true").csv(path: _*)
+      case "json" | "json_auto" => spark.read.json(path: _*)
       case other => throw new IllegalArgumentException(s"read_$other unsupported")
     }
 

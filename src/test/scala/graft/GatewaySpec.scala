@@ -465,6 +465,22 @@ class GatewaySpec extends SparkTestBase {
     assert(ct.rowsAffected == 2)
   }
 
+  test("read_parquet list form and glob paths (DuckDB multi-file idioms)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readmulti").toString
+    gw.execute("DROP TABLE IF EXISTS rml")
+    gw.execute("CREATE TABLE rml (id integer, name text)")
+    gw.execute("INSERT INTO rml VALUES (1, 'a'), (2, 'b')")
+    gw.execute(s"COPY rml TO '$dir/part1' (FORMAT PARQUET)")
+    gw.execute(s"COPY (SELECT id + 10 AS id, name FROM rml) TO '$dir/part2' (FORMAT PARQUET)")
+    // bracketed list of paths
+    val lst = gw.query(
+      s"SELECT count(*) AS n, sum(id) AS s FROM read_parquet(['$dir/part1', '$dir/part2'])")
+    assert(lst.values.head == Seq(4L, 26L))
+    // glob — the reader expands it exactly like DuckDB
+    val glb = gw.query(s"SELECT count(*) AS n FROM read_parquet('$dir/part*')")
+    assert(glb.values.head.head == 4L)
+  }
+
   test("UPDATE ... FROM joins the source and applies SET per matched row") {
     gw.execute("DROP TABLE IF EXISTS jt")
     gw.execute("DROP TABLE IF EXISTS ju")
