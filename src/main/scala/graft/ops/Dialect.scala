@@ -106,6 +106,11 @@ object Dialect {
     // differs between engines, so doubles profile via their own queries).
     // Each per-column aggregate is partial+final; the union is metadata.
     "q53_profile" -> { (s, dir) =>
+      // one scan per profiled column, deliberately: an all-columns fused
+      // agg was A/B-measured 4× SLOWER at the 10× corpus (three
+      // multi-column count-distincts force one Expand carrying every
+      // distinct column through the shuffle — 3 narrow passes beat 1 wide
+      // one; same conclusion as r4's q14 split-distinct A/B)
       val o = Tables(s, dir, "orders")
       def prof(c: String) = o
         .agg(
