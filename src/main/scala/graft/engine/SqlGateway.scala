@@ -171,6 +171,9 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   private val SummarizeRe = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
+  // DESCRIBE/DESC only — Spark's own SHOW TABLES/DATABASES etc. must keep
+  // passing through to spark.sql untouched
+  private val DescribeRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*""".r
   private val PivotRe =
     """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)(?:\s+GROUP\s+BY\s+(.*?))?\s*""".r
   private val UnpivotRe =
@@ -193,6 +196,7 @@ class SqlGateway(val spark: SparkSession) {
     * the registered oracle queries use to exercise the SQL-text surface. */
   def queryDf(sql: String): DataFrame = sql match {
     case SummarizeRe(table) => summarize(spark.table(table))
+    case DescribeRe(table) => describe(table)
     case PivotRe(table, on, fn, arg, grp) =>
       pivotStatement(table, on, fn, arg, Option(grp))
     case UnpivotRe(table, onList, nameCol, valueCol) =>
@@ -273,6 +277,26 @@ class SqlGateway(val spark: SparkSession) {
       case "json" | "json_auto" => spark.read.json(path: _*)
       case other => throw new IllegalArgumentException(s"read_$other unsupported")
     }
+
+  /** `DESCRIBE t` — DuckDB's column listing (reachable through
+    * `db/db.go:70`): (column_name, column_type, "null", key, default,
+    * extra). Declared DuckDB type names come from the same field metadata
+    * that powers DatabaseTypeName fidelity; YES/NO nullability and the PRI
+    * key flag come from the gateway's constraint registry. Pure metadata —
+    * no scan. */
+  private def describe(table: String): DataFrame = {
+    val df = spark.table(table)
+    val (pk, notNull) = constraints.getOrElse(tableKey(table), (Nil, Nil))
+    val rows = df.schema.fields.map { f =>
+      val nn = notNull.exists(_.equalsIgnoreCase(f.name))
+      (f.name, Results.duckTypeName(f),
+        if (nn) "NO" else "YES",
+        if (pk.exists(_.equalsIgnoreCase(f.name))) "PRI" else null,
+        null: String, null: String)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
 
   private def pivotStatement(table: String, on: String, fn: String, arg: String,
       grp: Option[String]): DataFrame = {
@@ -718,8 +742,9 @@ class SqlGateway(val spark: SparkSession) {
   /** Parse a DuckDB COPY option list into (spark format, reader/writer
     * options). Defaults mirror DuckDB: no FORMAT means CSV, and DuckDB's
     * CSV writer emits a header unless HEADER false. */
-  private def copyOptions(spec: String): (String, Map[String, String]) = {
+  private def copyOptions(spec: String): (String, Map[String, String], Seq[String]) = {
     var format = "csv"
+    var partitionBy = Seq.empty[String]
     val opts = scala.collection.mutable.Map("header" -> "true")
     Option(spec).toSeq.flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty).foreach { o =>
       val parts = o.split("\\s+", 2)
@@ -731,12 +756,16 @@ class SqlGateway(val spark: SparkSession) {
             else (parts(1).trim.toLowerCase != "false" && parts(1).trim != "0").toString
         case "DELIMITER" | "DELIM" | "SEP" =>
           opts("delimiter") = parts(1).trim.stripPrefix("'").stripSuffix("'")
+        case "PARTITION_BY" =>
+          // DuckDB's hive-layout export: PARTITION_BY (a, b) or PARTITION_BY a
+          partitionBy = parts(1).trim.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case _ => throw new IllegalArgumentException(s"unsupported COPY option: $o")
       }
     }
     format match {
-      case "parquet" | "json" => (format, Map.empty)
-      case "csv" => ("csv", opts.toMap)
+      case "parquet" | "json" => (format, Map.empty, partitionBy)
+      case "csv" => ("csv", opts.toMap, partitionBy)
       case f => throw new IllegalArgumentException(s"unsupported COPY format: $f")
     }
   }
@@ -746,11 +775,14 @@ class SqlGateway(val spark: SparkSession) {
     * single file would serialize the write through one thread). Staged
     * via persist so the count and the write share one computation. */
   private def copyTo(df: DataFrame, path: String, optSpec: String): ExecuteResult = {
-    val (fmt, opts) = copyOptions(optSpec)
+    val (fmt, opts, partitionBy) = copyOptions(optSpec)
     val staged = df.persist()
     try {
       val n = staged.count()
-      staged.write.format(fmt).options(opts).mode("overwrite").save(path)
+      // PARTITION_BY → hive directory layout (key=value dirs), the pruning
+      // lever a partition-key filter uses to skip whole directories
+      staged.write.format(fmt).options(opts)
+        .partitionBy(partitionBy: _*).mode("overwrite").save(path)
       ExecuteResult(n)
     } finally staged.unpersist()
   }
@@ -759,7 +791,7 @@ class SqlGateway(val spark: SparkSession) {
     * same constraint-checked [[insert]] path as INSERT — PK and NOT NULL
     * hold on every ingest path, exactly as DuckDB enforces them on COPY. */
   private def copyFrom(table: String, path: String, optSpec: String): ExecuteResult = {
-    val (fmt, opts) = copyOptions(optSpec)
+    val (fmt, opts, _) = copyOptions(optSpec)
     val target = spark.table(table) // errors like DuckDB if the table is absent
     val reader = spark.read.format(fmt).options(opts)
     val src = fmt match {

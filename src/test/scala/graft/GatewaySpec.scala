@@ -465,6 +465,45 @@ class GatewaySpec extends SparkTestBase {
     assert(ct.rowsAffected == 2)
   }
 
+  test("DESCRIBE reports declared DuckDB types, nullability, and PK flag") {
+    gw.execute("DROP TABLE IF EXISTS dsc")
+    gw.execute(
+      "CREATE TABLE dsc (id integer not null primary key, tag uuid, note text)")
+    val d = gw.query("DESCRIBE dsc")
+    assert(d.columns == Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    val byName = d.values.map(r => r.head -> r).toMap
+    assert(byName("id")(1) == "INTEGER" && byName("id")(2) == "NO" && byName("id")(3) == "PRI")
+    assert(byName("tag")(1) == "UUID" && byName("tag")(2) == "YES" && byName("tag")(3) == null)
+    assert(byName("note")(1) == "VARCHAR")
+    // Spark's own SHOW statements still pass through untouched
+    assert(gw.query("SHOW TABLES").columns.nonEmpty)
+  }
+
+  test("COPY TO PARTITION_BY writes hive layout; filters prune directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copypart").toString
+    gw.execute("DROP TABLE IF EXISTS cpp")
+    gw.execute("CREATE TABLE cpp (id integer, grp text)")
+    gw.execute("INSERT INTO cpp VALUES (1,'a'), (2,'a'), (3,'b'), (4,'c')")
+    val out = gw.execute(
+      s"COPY cpp TO '$dir/part' (FORMAT PARQUET, PARTITION_BY (grp))")
+    assert(out.rowsAffected == 4)
+    // key=value directories exist — the pruning lever
+    val dirs = new java.io.File(s"$dir/part").listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("grp=a", "grp=b", "grp=c"))
+    val back = gw.query(s"SELECT count(*) AS n FROM read_parquet('$dir/part') WHERE grp = 'a'")
+    assert(back.values.head.head == 2L)
+  }
+
+  test("CREATE VIEW / DROP VIEW pass through and compose with gateway tables") {
+    gw.execute("DROP TABLE IF EXISTS vt")
+    gw.execute("CREATE TABLE vt (id integer, v integer)")
+    gw.execute("INSERT INTO vt VALUES (1, 10), (2, 20)")
+    gw.execute("CREATE OR REPLACE TEMPORARY VIEW vtop AS SELECT id, v * 2 AS v2 FROM vt")
+    assert(gw.query("SELECT sum(v2) AS s FROM vtop").values.head.head == 60L)
+    gw.execute("DROP VIEW vtop")
+    intercept[Exception] { gw.query("SELECT * FROM vtop") }
+  }
+
   test("read_parquet list form and glob paths (DuckDB multi-file idioms)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-readmulti").toString
     gw.execute("DROP TABLE IF EXISTS rml")
