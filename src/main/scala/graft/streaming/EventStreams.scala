@@ -71,6 +71,23 @@ object EventStreams {
         col("window.start").as("win_start"),
         array_sort(map_keys(col("mg"))).as("candidates"))
 
+  /** Streaming point-frequency sketch: a count–min sketch per tumbling
+    * window (the streaming face of x42, complementing [[heavyUsers]]'
+    * Misra–Gries: MG never overestimates, CMS never underestimates).
+    * State per window is the fixed depth×width counter array however many
+    * distinct keys flow through, and the counters are purely additive, so
+    * partial aggregation merges them exactly in any order — the property
+    * that makes the sketch safe in streaming partial/final aggregation. */
+  def frequencySketch(events: DataFrame,
+      width: Int = graft.functions.CountMinSketch.DefaultWidth,
+      depth: Int = graft.functions.CountMinSketch.DefaultDepth): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.CountMinSketch
+        .sketch(col("user_id").cast("string"), width, depth).as("cms"))
+      .select(col("window.start").as("win_start"), col("cms"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id, with
     * the watermark bounding how long each id is remembered — state stays
     * finite on an infinite stream (the streaming face of ext.Dedup x01). */

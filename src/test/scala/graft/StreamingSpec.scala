@@ -137,6 +137,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS window is bit-identical to the batch sketch of the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.frequencySketch(input.toDF(), width = 64, depth = 4)
+      .writeStream.format("memory").queryName("freq_sketch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // all inside one 10' window; micro-batched in two adds so the sketch
+      // goes through streaming partial/final merge across batches
+      val a = (0 until 9).map(i => Event(300 + i, ts(i % 9), i % 3, "click", 1.0))
+      val b = (0 until 7).map(i => Event(400 + i, ts(i % 9), 7, "view", 1.0))
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      input.addData(Event(999, ts(120), 99, "view", 0.0)) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("freq_sketch")
+        .orderBy($"win_start").select($"cms").as[Seq[Long]].collect()
+      assert(streamed.nonEmpty)
+      // additive counters: the 16 events straddle two tumbling windows
+      // (epoch-aligned boundaries), and the ELEMENT-WISE SUM of the closed
+      // windows' sketches must be bit-identical to one batch pass over the
+      // same rows — the mergeability law, across streaming micro-batches
+      val summed = streamed.reduce((x, y) => x.zip(y).map { case (p, q) => p + q })
+      val batch = (a ++ b).toDF()
+        .agg(graft.functions.CountMinSketch.sketch($"user_id".cast("string"), 64, 4))
+        .collect()(0).getSeq[Long](0)
+      assert(summed == batch, "summed streamed sketches diverged from batch sketch")
+      assert(summed.sum == (a.size + b.size).toLong * 4)
+    } finally q.stop()
+  }
+
   test("session_window: declarative sessions merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
