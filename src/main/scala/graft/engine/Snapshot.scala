@@ -9,7 +9,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * plus a manifest of names + constraint metadata.
   */
 object Snapshot {
-  private val ManifestName = "manifest.txt" // one line per table: name|pk,cols|notnull,cols
+  // one line per table: name|pk,cols|notnull,cols|b64check;b64check
+  // (CHECK expressions are base64-encoded — raw SQL text may contain the
+  // field and list separators, e.g. `||` concat)
+  private val ManifestName = "manifest.txt"
 
   def exportDatabase(gw: SqlGateway, dir: String): Seq[String] = {
     val spark = gw.spark
@@ -24,7 +27,9 @@ object Snapshot {
     }
     val manifest = tables.map { t =>
       val (pk, nn) = gw.constraints.getOrElse(t.toLowerCase, (Nil, Nil))
-      s"$t|${pk.mkString(",")}|${nn.mkString(",")}"
+      val ck = gw.checks.getOrElse(t.toLowerCase, Nil).map(e =>
+        java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8")))
+      s"$t|${pk.mkString(",")}|${nn.mkString(",")}|${ck.mkString(";")}"
     }
     Files.write(Paths.get(dir, ManifestName),
       manifest.mkString("\n").getBytes("UTF-8"))
@@ -40,10 +45,14 @@ object Snapshot {
       val (t, pk, nn) = (parts(0),
         parts.lift(1).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
         parts.lift(2).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      val ck = parts.lift(3).filter(_.nonEmpty).map(_.split(";").toSeq.map(b =>
+        new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))).getOrElse(Nil)
       gw.dropTable(t)
       gw.createFromData(t, spark.read.parquet(s"$dir/$t"))
       if (pk.nonEmpty || nn.nonEmpty) gw.constraints(t.toLowerCase) = (pk, nn)
       else gw.constraints.remove(t.toLowerCase)
+      if (ck.nonEmpty) gw.checks(t.toLowerCase) = ck
+      else gw.checks.remove(t.toLowerCase)
       t
     }
     // IMPORT DATABASE replaces whole-database state in the reference
@@ -52,6 +61,7 @@ object Snapshot {
     // unrelated tables recreated later under the same name
     val keep = imported.map(_.toLowerCase).toSet
     gw.constraints.keys.filterNot(keep).foreach(gw.constraints.remove)
+    gw.checks.keys.filterNot(keep).foreach(gw.checks.remove)
     imported
   }
 

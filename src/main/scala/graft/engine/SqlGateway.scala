@@ -39,6 +39,10 @@ class SqlGateway(val spark: SparkSession) {
   private val writeLock = new Object
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
+  /** table → CHECK expressions (SQL text; enforced on insert/update like
+    * DuckDB — a row violates only when the expression is FALSE, NULL
+    * passes, per the SQL standard). */
+  private[engine] val checks = new TrieMap[String, Seq[String]]
   /** table → current data-directory version (versioned-location tables). */
   private val versions = new TrieMap[String, Int]
 
@@ -375,6 +379,7 @@ class SqlGateway(val spark: SparkSession) {
   private[engine] def dropTable(table: String): ExecuteResult = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     constraints.remove(tableKey(table))
+    checks.remove(tableKey(table))
     versions.remove(tableKey(table))
     // DROP TABLE leaves the files of a LOCATION-backed table in place —
     // remove our versioned data dirs so a re-CREATE starts empty
@@ -402,12 +407,16 @@ class SqlGateway(val spark: SparkSession) {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
     var pk = Vector.empty[String]
     var notNull = Vector.empty[String]
+    var checkExprs = Vector.empty[String]
     val cleaned = splitTopLevel(colSpec).flatMap { raw =>
       val item = raw.trim
       val pkTable = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+      val checkTable = """(?is)CHECK\s*\((.*)\)\s*""".r
       item match {
         case pkTable(cols) =>
           pk ++= cols.split(",").map(_.trim.toLowerCase); None
+        case checkTable(e) => // table-level CHECK (expr)
+          checkExprs :+= e.trim; None
         case _ =>
           val parts = item.split("\\s+", 2)
           val name = parts(0)
@@ -419,6 +428,14 @@ class SqlGateway(val spark: SparkSession) {
           if ("""(?i).*\bNOT\s+NULL\b.*""".r.matches(spec)) {
             notNull :+= name.toLowerCase
             spec = spec.replaceAll("(?i)\\bNOT\\s+NULL\\b", " ")
+          }
+          // column-level CHECK (expr) — same enforcement as table-level
+          val colCheck = """(?is)(.*?)\bCHECK\s*\((.*)\)\s*(.*)""".r
+          spec match {
+            case colCheck(pre, e, post) =>
+              checkExprs :+= e.trim
+              spec = (pre + " " + post).trim
+            case _ => ()
           }
           spec = spec.replaceAll("(?i)\\bTEXT\\b", "STRING").trim
           Some((name, spec))
@@ -465,6 +482,8 @@ class SqlGateway(val spark: SparkSession) {
     if (pk.nonEmpty || notNull.nonEmpty)
       constraints(tableKey(table)) = (pk, (notNull ++ pk).distinct)
     else constraints.remove(tableKey(table))
+    if (checkExprs.nonEmpty) checks(tableKey(table)) = checkExprs
+    else checks.remove(tableKey(table))
     ExecuteResult(0L)
   }
 
@@ -542,6 +561,25 @@ class SqlGateway(val spark: SparkSession) {
     out.result()
   }
 
+  /** Throw if any row of `df` violates a registered CHECK of `table`.
+    * SQL semantics: a row fails only when the expression is FALSE — NULL
+    * passes (`expr === false` is NULL for NULL, dropped by the filter).
+    * One distributed filter per check; no driver loop. */
+  private def enforceChecks(table: String, df: DataFrame): Unit =
+    checks.getOrElse(tableKey(table), Nil).foreach { e =>
+      if (df.filter(expr(e) === lit(false)).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint failed: $table CHECK ($e)")
+    }
+
+  /** True iff `colName` appears as an identifier in any CHECK of `table` —
+    * the guard ALTER RENAME/DROP uses (DuckDB refuses to mutate a column a
+    * CHECK depends on). */
+  private def checkReferences(table: String, colName: String): Boolean =
+    checks.getOrElse(tableKey(table), Nil).exists(e =>
+      ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(colName) + "(?![\\w])").r
+        .findFirstIn(e).isDefined)
+
   // --- INSERT with constraint enforcement (anti-join uniqueness check).
   //     skipConflicts = ON CONFLICT DO NOTHING: PK collisions (in-batch
   //     dups keep the first occurrence; existing keys drop) are filtered
@@ -590,6 +628,7 @@ class SqlGateway(val spark: SparkSession) {
       if (stats.getAs[Long](s"__null_$c") > 0)
         throw new IllegalArgumentException(s"NOT NULL constraint failed: $table.$c")
     }
+    enforceChecks(table, staged) // CHECK holds on every ingest path, like DuckDB
     if (upsertSet.isDefined) return upsertMerge(table, target, staged, pk, stats, upsertSet.get)
     if (pk.nonEmpty && !skipConflicts) {
       if (stats.getAs[Long]("__pk_dups") > 0)
@@ -653,6 +692,7 @@ class SqlGateway(val spark: SparkSession) {
         .otherwise(updated) // conflict → SET expressions
         .as(c)
     }.toIndexedSeq: _*)
+    enforceChecks(table, merged) // upserted + merged rows must satisfy CHECK
     overwriteTable(table, merged)
     ExecuteResult(stats.getAs[Long]("__n"))
   }
@@ -707,6 +747,11 @@ class SqlGateway(val spark: SparkSession) {
       throw new IllegalArgumentException(s"ALTER $table: unknown column $from"))
     if (target.columns.exists(_.equalsIgnoreCase(to)))
       throw new IllegalArgumentException(s"ALTER $table: column $to already exists")
+    // renaming a column a CHECK references would orphan the expression
+    // text (DuckDB rewrites it; refusing is the honest subset)
+    if (checkReferences(table, from))
+      throw new IllegalArgumentException(
+        s"ALTER $table: column $from is referenced by a CHECK constraint")
     replaceSchema(table, target.withColumnRenamed(actual, to))
     constraints.updateWith(tableKey(table)) {
       case Some((pk, nn)) =>
@@ -728,6 +773,9 @@ class SqlGateway(val spark: SparkSession) {
     if (pk.exists(_.equalsIgnoreCase(colName)))
       throw new IllegalArgumentException(
         s"ALTER $table: cannot drop PRIMARY KEY column $colName")
+    if (checkReferences(table, colName))
+      throw new IllegalArgumentException(
+        s"ALTER $table: cannot drop column $colName referenced by a CHECK constraint")
     replaceSchema(table, target.drop(actual))
     constraints.updateWith(tableKey(table)) {
       case Some((p, nn)) => Some((p, nn.filterNot(_.equalsIgnoreCase(colName))))
@@ -857,6 +905,7 @@ class SqlGateway(val spark: SparkSession) {
         case None => col(c)
       }
     }.toIndexedSeq: _*)
+    enforceChecks(table, updated.filter(pred)) // rewritten rows must still satisfy CHECK
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }
@@ -921,6 +970,7 @@ class SqlGateway(val spark: SparkSession) {
           when(col("__hit_rid").isNotNull, col(s"__set_$cn")).otherwise(col(c)).as(c)
         else col(c)
       }.toIndexedSeq: _*)
+    enforceChecks(table, updated) // merged rows must still satisfy CHECK
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }

@@ -465,6 +465,33 @@ class GatewaySpec extends SparkTestBase {
     assert(ct.rowsAffected == 2)
   }
 
+  test("CHECK constraints enforce on insert/update, pass NULL, survive snapshots") {
+    gw.execute("DROP TABLE IF EXISTS ckt")
+    gw.execute(
+      "CREATE TABLE ckt (id integer primary key, qty integer CHECK (qty >= 0), " +
+        "lo integer, hi integer, CHECK (lo <= hi))")
+    gw.execute("INSERT INTO ckt VALUES (1, 5, 1, 10)")
+    // FALSE fails — column-level and table-level
+    intercept[IllegalArgumentException] { gw.execute("INSERT INTO ckt VALUES (2, -1, 1, 10)") }
+    intercept[IllegalArgumentException] { gw.execute("INSERT INTO ckt VALUES (2, 5, 10, 1)") }
+    // NULL passes (SQL semantics)
+    gw.execute("INSERT INTO ckt VALUES (3, NULL, NULL, 2)")
+    assert(gw.query("SELECT count(*) AS n FROM ckt").values.head.head == 2L)
+    // UPDATE must not break a CHECK either
+    intercept[IllegalArgumentException] { gw.execute("UPDATE ckt SET qty = -7 WHERE id = 1") }
+    gw.execute("UPDATE ckt SET qty = 9 WHERE id = 1")
+    // ALTER refuses to orphan a CHECK's column; dropping an unreferenced one is fine
+    intercept[IllegalArgumentException] { gw.execute("ALTER TABLE ckt DROP COLUMN qty") }
+    // checks survive EXPORT/IMPORT DATABASE
+    val dir = java.nio.file.Files.createTempDirectory("graft-cksnap").toString
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("DROP TABLE ckt")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    intercept[IllegalArgumentException] { gw.execute("INSERT INTO ckt VALUES (4, -3, 1, 2)") }
+    gw.execute("INSERT INTO ckt VALUES (4, 3, 1, 2)")
+    assert(gw.query("SELECT count(*) AS n FROM ckt").values.head.head == 3L)
+  }
+
   test("DESCRIBE reports declared DuckDB types, nullability, and PK flag") {
     gw.execute("DROP TABLE IF EXISTS dsc")
     gw.execute(
