@@ -31,15 +31,26 @@ object Snapshot {
         java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8")))
       s"$t|${pk.mkString(",")}|${nn.mkString(",")}|${ck.mkString(";")}"
     }
+    // database-level metadata (DuckDB's EXPORT DATABASE writes sequences
+    // and macros into schema.sql): `#`-prefixed lines, bodies base64'd
+    def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val meta =
+      gw.sequences.toSeq.sortBy(_._1).map { case (n, (next, inc)) =>
+        s"#seq|$n|$next|$inc" } ++
+      gw.macros.toSeq.sortBy(_._1).map { case (n, (params, body)) =>
+        s"#macro|$n|${params.mkString(",")}|${b64(body)}" } ++
+      gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
+        s"#index|$n|$t|${cols.mkString(",")}|$uniq" }
     Files.write(Paths.get(dir, ManifestName),
-      manifest.mkString("\n").getBytes("UTF-8"))
+      (manifest ++ meta).mkString("\n").getBytes("UTF-8"))
     tables
   }
 
   def importDatabase(gw: SqlGateway, dir: String): Seq[String] = {
     val spark = gw.spark
-    val lines = new String(Files.readAllBytes(Paths.get(dir, ManifestName)), "UTF-8")
+    val allLines = new String(Files.readAllBytes(Paths.get(dir, ManifestName)), "UTF-8")
       .split("\n").filter(_.nonEmpty).toSeq
+    val (metaLines, lines) = allLines.partition(_.startsWith("#"))
     val imported = lines.map { line =>
       val parts = line.split("\\|", -1)
       val (t, pk, nn) = (parts(0),
@@ -62,6 +73,21 @@ object Snapshot {
     val keep = imported.map(_.toLowerCase).toSet
     gw.constraints.keys.filterNot(keep).foreach(gw.constraints.remove)
     gw.checks.keys.filterNot(keep).foreach(gw.checks.remove)
+    // database-level metadata replaces wholesale, like the tables
+    def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    gw.sequences.clear(); gw.macros.clear(); gw.indexes.clear()
+    metaLines.foreach { line =>
+      line.split("\\|", -1).toList match {
+        case "#seq" :: n :: next :: inc :: Nil =>
+          gw.sequences(n) = (next.toLong, inc.toLong)
+        case "#macro" :: n :: params :: body :: Nil =>
+          gw.macros(n) =
+            (params.split(",").map(_.trim).filter(_.nonEmpty).toSeq, unb64(body))
+        case "#index" :: n :: t :: cols :: uniq :: Nil =>
+          gw.indexes(n) = (t, cols.split(",").toSeq, uniq.toBoolean)
+        case _ => () // unknown metadata line — forward compatibility
+      }
+    }
     imported
   }
 

@@ -43,6 +43,30 @@ class SqlGateway(val spark: SparkSession) {
     * DuckDB — a row violates only when the expression is FALSE, NULL
     * passes, per the SQL standard). */
   private[engine] val checks = new TrieMap[String, Seq[String]]
+  /** sequence → (next value to hand out, increment). `nextval`/`currval`
+    * are rewritten to literals before `spark.sql` — the counter lives on
+    * the driver, matching DuckDB where the sequence is database metadata,
+    * not data. Like PostgreSQL, sequence advancement is NOT transactional
+    * (a rolled-back insert does not refund its ids). */
+  private[engine] val sequences = new TrieMap[String, (Long, Long)]
+  /** sequence → last value returned by nextval (for currval). */
+  private val seqLast = new TrieMap[String, Long]
+  /** macro → (parameter names, body SQL). Scalar macros, expanded
+    * textually (DuckDB expands them at bind time — same effect). */
+  private[engine] val macros = new TrieMap[String, (Seq[String], String)]
+  /** index → (table, key columns, unique?). A non-unique index is pure
+    * metadata here (Spark scans have no secondary-index access path, and
+    * an index never changes results — accepting it is semantically exact);
+    * a UNIQUE index is verified at creation and enforced on every
+    * insert/update path like the PK. */
+  private[engine] val indexes = new TrieMap[String, (String, Seq[String], Boolean)]
+  /** prepared-statement name → SQL text with $1/$2… or ? placeholders. */
+  private val prepared = new TrieMap[String, String]
+  /** `SET key = value` session settings (DuckDB accepts engine-tuning
+    * keys like memory_limit/threads; Spark's executor sizing is cluster
+    * config, so the values are recorded and readable via
+    * `current_setting()` rather than silently dropped). */
+  private[engine] val settings = new TrieMap[String, String]
   /** table → current data-directory version (versioned-location tables). */
   private val versions = new TrieMap[String, Int]
 
@@ -85,10 +109,101 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*""".r
   private val CopyFromRe =
     """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+  private val TruncateRe = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
+  // sequences / macros / indexes / prepared statements — all plain DuckDB
+  // statements a client can send through the reference passthrough
+  // (db/db.go:52, db/db.go:70)
+  private val CreateSeqRe =
+    """(?is)\s*CREATE\s+SEQUENCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)(.*)""".r
+  private val DropSeqRe =
+    """(?is)\s*DROP\s+SEQUENCE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
+  private val CreateMacroRe =
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?MACRO\s+([\w.]+)\s*\(([^)]*)\)\s+AS\s+(.*)""".r
+  private val DropMacroRe =
+    """(?is)\s*DROP\s+MACRO\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
+  private val CreateIndexRe =
+    ("""(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+""" +
+      """ON\s+([\w.]+)\s*\(([^)]*)\)\s*""").r
+  private val DropIndexRe =
+    """(?is)\s*DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
+  private val PrepareRe = """(?is)\s*PREPARE\s+(\w+)\s+AS\s+(.*)""".r
+  private val ExecuteStmtRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*""".r
+  private val DeallocateRe =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+  private val BeginRe = """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*""".r
+  private val CommitRe = """(?is)\s*COMMIT\s*""".r
+  private val RollbackRe = """(?is)\s*(?:ROLLBACK|ABORT)\s*""".r
+  // CHECKPOINT flushes DuckDB's WAL to the database file; every gateway
+  // write is already durable parquet when the statement returns, so the
+  // no-op is semantically exact (same for VACUUM, a no-op in DuckDB too)
+  private val CheckpointRe = """(?is)\s*(?:FORCE\s+)?CHECKPOINT\s*""".r
+  private val VacuumRe = """(?is)\s*VACUUM(?:\s+ANALYZE)?\s*""".r
+  // ANALYZE recomputes optimizer statistics — Spark has the real thing
+  private val AnalyzeRe = """(?is)\s*ANALYZE(?:\s+([\w.]+))?\s*""".r
+  private val SetRe = """(?is)\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*(?:=|TO)\s*(.+?)\s*""".r
+  private val ResetRe = """(?is)\s*RESET\s+(\w+)\s*""".r
 
   /** Write path (reference `db/db.go:49-65`). */
   def execute(sql: String): ExecuteResult = writeLock.synchronized {
     sql match {
+      case BeginRe() => beginTxn()
+      case CommitRe() => commitTxn()
+      case RollbackRe() => rollbackTxn()
+      case PrepareRe(name, body) =>
+        prepared(name.toLowerCase) = body.trim; ExecuteResult(0L)
+      case DeallocateRe(name) =>
+        prepared.remove(name.toLowerCase); ExecuteResult(0L)
+      case ExecuteStmtRe(name, args) =>
+        execute(bindPrepared(name, Option(args)))
+      case TruncateRe(table) => delete(table, None)
+      case CheckpointRe() | VacuumRe() => ExecuteResult(0L)
+      case AnalyzeRe(table) =>
+        // real statistics for Catalyst's CBO, not an accept-and-ignore:
+        // row counts + per-column NDV/nulls/min/max on the named table
+        // (or every catalog table, DuckDB's bare-ANALYZE scope)
+        val targets = Option(table).map(Seq(_)).getOrElse(
+          spark.catalog.listTables().collect()
+            .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+            .map(_.name).toSeq)
+        targets.foreach { t =>
+          // column stats only exist for atomic types; complex columns
+          // still get table-level stats from the base statement
+          val atomic = spark.table(t).schema.fields.collect {
+            case f if !f.dataType.typeName.matches("array|map|struct|binary") =>
+              f.name
+          }
+          if (atomic.isEmpty) spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+          else spark.sql(
+            s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
+        }
+        ExecuteResult(targets.size.toLong)
+      case SetRe(key, value) =>
+        settings(key.toLowerCase) = value.stripPrefix("'").stripSuffix("'")
+        ExecuteResult(0L)
+      case ResetRe(key) =>
+        settings.remove(key.toLowerCase); ExecuteResult(0L)
+      case CreateSeqRe(ine, name, spec) => createSequence(name, spec, ine != null)
+      case DropSeqRe(ife, name) =>
+        if (sequences.remove(name.toLowerCase).isEmpty && ife == null)
+          throw new IllegalArgumentException(s"unknown sequence $name")
+        seqLast.remove(name.toLowerCase); ExecuteResult(0L)
+      case CreateMacroRe(orReplace, name, params, body) =>
+        val key = name.toLowerCase
+        if (macros.contains(key) && orReplace == null)
+          throw new IllegalArgumentException(s"macro $name already exists")
+        macros(key) = (params.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq,
+          body.trim); ExecuteResult(0L)
+      case DropMacroRe(ife, name) =>
+        if (macros.remove(name.toLowerCase).isEmpty && ife == null)
+          throw new IllegalArgumentException(s"unknown macro $name")
+        ExecuteResult(0L)
+      case CreateIndexRe(unique, idx, table, cols) =>
+        createIndex(idx, table, splitTopLevel(cols).map(_.trim.toLowerCase),
+          unique != null)
+      case DropIndexRe(ife, idx) =>
+        if (indexes.remove(idx.toLowerCase).isEmpty && ife == null)
+          throw new IllegalArgumentException(s"unknown index $idx")
+        ExecuteResult(0L)
       case CtasRe(ine, table, query) => ctas(table, query, ine != null)
       case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
       case InsertPrefixRe(orMode, table, rest) =>
@@ -157,7 +272,7 @@ class SqlGateway(val spark: SparkSession) {
       case AlterDropColRe(table, colName) =>
         alterDropColumn(table, colName)
       case CopyQueryToRe(query, path, optSpec) =>
-        copyTo(spark.sql(rewriteReadFunctions(query)), path, optSpec)
+        copyTo(spark.sql(rewriteSql(query)), path, optSpec)
       case CopyTableToRe(table, path, optSpec) =>
         copyTo(spark.table(table), path, optSpec)
       case CopyFromRe(table, path, optSpec) =>
@@ -169,7 +284,7 @@ class SqlGateway(val spark: SparkSession) {
         if (other.trim.take(6).equalsIgnoreCase("INSERT"))
           throw new IllegalArgumentException(
             s"unsupported INSERT form (would bypass constraint checks): ${other.trim}")
-        spark.sql(rewriteReadFunctions(other))
+        spark.sql(rewriteSql(other))
         ExecuteResult(0L)
     }
   }
@@ -198,7 +313,16 @@ class SqlGateway(val spark: SparkSession) {
 
   /** The read path as a DataFrame (what [[query]] wraps) — also the hook
     * the registered oracle queries use to exercise the SQL-text surface. */
+  private val PragmaTableInfoRe =
+    """(?is)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
+  private val PragmaShowTablesRe = """(?is)\s*PRAGMA\s+show_tables\s*""".r
+
   def queryDf(sql: String): DataFrame = sql match {
+    case ExecuteStmtRe(name, args) if prepared.contains(name.toLowerCase) =>
+      queryDf(bindPrepared(name, Option(args)))
+    case PragmaTableInfoRe(table) => pragmaTableInfo(table)
+    case PragmaShowTablesRe() =>
+      spark.sql("SHOW TABLES").select(col("tableName").as("name"))
     case SummarizeRe(table) => summarize(spark.table(table))
     case DescribeRe(table) => describe(table)
     case PivotRe(table, on, fn, arg, grp) =>
@@ -209,7 +333,7 @@ class SqlGateway(val spark: SparkSession) {
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
       df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
-    case _ => spark.sql(rewriteReadFunctions(sql))
+    case _ => spark.sql(rewriteSql(sql))
   }
 
   // --- DuckDB file-reading table functions (a client's most common ad-hoc
@@ -281,6 +405,212 @@ class SqlGateway(val spark: SparkSession) {
       case "json" | "json_auto" => spark.read.json(path: _*)
       case other => throw new IllegalArgumentException(s"read_$other unsupported")
     }
+
+  // --- sequences / macros / indexes / prepared statements ---------------
+
+  /** `CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] k]`. */
+  private def createSequence(name: String, spec: String,
+      ifNotExists: Boolean): ExecuteResult = {
+    val key = name.toLowerCase
+    if (sequences.contains(key)) {
+      if (ifNotExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(s"sequence $name already exists")
+    }
+    val StartRe = """(?is).*\bSTART\s+(?:WITH\s+)?(-?\d+).*""".r
+    val IncRe = """(?is).*\bINCREMENT\s+(?:BY\s+)?(-?\d+).*""".r
+    val start = spec match { case StartRe(n) => n.toLong; case _ => 1L }
+    val inc = spec match { case IncRe(n) => n.toLong; case _ => 1L }
+    sequences(key) = (start, inc)
+    ExecuteResult(0L)
+  }
+
+  /** Advance `seq` and return the value handed out (thread-safe: the read
+    * path can call nextval outside the writer lock). */
+  private def nextval(seq: String): Long = sequences.synchronized {
+    val key = seq.toLowerCase
+    val (next, inc) = sequences.getOrElse(key,
+      throw new IllegalArgumentException(s"unknown sequence $seq"))
+    sequences(key) = (next + inc, inc)
+    seqLast(key) = next
+    next
+  }
+
+  private def currval(seq: String): Long =
+    seqLast.getOrElse(seq.toLowerCase,
+      throw new IllegalArgumentException(
+        s"currval: nextval has not been called for sequence $seq"))
+
+  private val SeqFnRe =
+    """(?i)(?<![\w.])(nextval|currval)\s*\(\s*'([\w.]+)'\s*\)""".r
+
+  /** Replace `nextval('s')` / `currval('s')` with literals. Each textual
+    * occurrence advances once — exact for VALUES lists (one call site per
+    * tuple) and scalar selects; a nextval inside a multi-row SELECT source
+    * is refused upstream ([[insert]]) rather than silently handing every
+    * row the same id. */
+  private def rewriteSequenceFunctions(sql: String): String =
+    if (!sql.toLowerCase.contains("val")) sql
+    else SeqFnRe.replaceAllIn(sql, m => {
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val v = if (m.group(1).equalsIgnoreCase("nextval")) nextval(m.group(2))
+        else currval(m.group(2))
+        s"CAST($v AS BIGINT)"
+      }
+    })
+
+  /** Expand scalar macro invocations textually (parameters substituted
+    * parenthesized, arguments split on top-level commas), repeatedly so a
+    * macro body may call another macro; depth-capped against cycles. */
+  private def rewriteMacros(sql: String): String = {
+    if (macros.isEmpty) return sql
+    var cur = sql
+    var depth = 0
+    var changed = true
+    while (changed && depth < 10) {
+      changed = false
+      depth += 1
+      macros.foreach { case (name, (params, body)) =>
+        val callRe = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(name) +
+          """\s*\(""").r
+        val out = new StringBuilder
+        var last = 0
+        var matched = false
+        callRe.findAllMatchIn(cur).foreach { m =>
+          val outside = cur.substring(0, m.start).count(_ == '\'') % 2 == 0
+          if (outside && m.start >= last) {
+            val open = m.end - 1
+            val close = open + matchingParen(cur.substring(open))
+            val argText = cur.substring(open + 1, close)
+            val args = splitTopLevel(argText).map(_.trim)
+            if (args.count(_.nonEmpty) != params.length)
+              throw new IllegalArgumentException(
+                s"macro $name expects ${params.length} argument(s), got ${args.count(_.nonEmpty)}")
+            var expanded = body
+            params.zip(args).foreach { case (p, a) =>
+              expanded = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(p) +
+                """(?![\w])""").r.replaceAllIn(expanded,
+                java.util.regex.Matcher.quoteReplacement(s"($a)"))
+            }
+            out.append(cur.substring(last, m.start)).append(s"($expanded)")
+            last = close + 1
+            matched = true
+          }
+        }
+        if (matched) {
+          out.append(cur.substring(last)); cur = out.toString; changed = true
+        }
+      }
+    }
+    if (depth >= 10 && changed)
+      throw new IllegalArgumentException("macro expansion exceeded depth 10 (cycle?)")
+    cur
+  }
+
+  private val CurrentSettingRe =
+    """(?i)(?<![\w.])current_setting\s*\(\s*'([\w.]+)'\s*\)""".r
+
+  /** `current_setting('k')` → the recorded SET value as a string literal. */
+  private def rewriteCurrentSetting(sql: String): String =
+    if (!sql.toLowerCase.contains("current_setting")) sql
+    else CurrentSettingRe.replaceAllIn(sql, m => {
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val v = settings.getOrElse(m.group(1).toLowerCase,
+          throw new IllegalArgumentException(s"unknown setting ${m.group(1)}"))
+        java.util.regex.Matcher.quoteReplacement(s"'${v.replace("'", "''")}'")
+      }
+    })
+
+  /** The full SQL-text rewrite pipeline every passthrough statement goes
+    * through: macros first (their bodies may use sequences or read_*),
+    * then sequence functions, then file-reading table functions. */
+  private[engine] def rewriteSql(sql: String): String =
+    rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(rewriteMacros(sql))))
+
+  /** `CREATE [UNIQUE] INDEX` — a plain index is catalog metadata (no
+    * secondary-index access path in Spark scans; results are identical
+    * with or without it, so accepting it is exact, not a shortcut). A
+    * UNIQUE index is verified against the current data NOW and enforced on
+    * every subsequent ingest/update path, like the PK. */
+  private def createIndex(idx: String, table: String, cols: Seq[String],
+      unique: Boolean): ExecuteResult = {
+    val t = spark.table(table) // also validates the table exists
+    val missing = cols.filterNot(c => t.columns.exists(_.equalsIgnoreCase(c)))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CREATE INDEX $idx: unknown column(s) ${missing.mkString(",")} on $table")
+    if (indexes.contains(idx.toLowerCase))
+      throw new IllegalArgumentException(s"index $idx already exists")
+    if (unique) enforceUniqueKey(table, t, cols, s"UNIQUE INDEX $idx")
+    indexes(idx.toLowerCase) = (tableKey(table), cols, unique)
+    ExecuteResult(0L)
+  }
+
+  /** Throw unless `cols` is duplicate-free in `df` (rows with a NULL in
+    * the key are exempt — SQL unique indexes treat NULLs as distinct).
+    * One distributed aggregate; no driver loop. */
+  private def enforceUniqueKey(table: String, df: DataFrame, cols: Seq[String],
+      what: String): Unit = {
+    val nonNull = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val dups = nonNull
+      .agg((count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+        .as("__d")).collect().head.getAs[Long]("__d")
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        s"$what constraint failed: duplicate key on $table(${cols.mkString(",")})")
+  }
+
+  /** Enforce every UNIQUE index of `table` against its prospective full
+    * contents (called by the update/merge paths before the swap). */
+  private def enforceUniqueIndexes(table: String, full: DataFrame): Unit =
+    indexes.values.foreach {
+      case (t, cols, true) if t == tableKey(table) =>
+        enforceUniqueKey(table, full, cols, "UNIQUE INDEX")
+      case _ => ()
+    }
+
+  /** `EXECUTE name(args)` → the prepared text with `$1`/`$2`… or `?`
+    * placeholders bound to the argument literals. */
+  private def bindPrepared(name: String, argText: Option[String]): String = {
+    val body = prepared.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown prepared statement $name"))
+    val args = argText.map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    var out = body
+    args.zipWithIndex.foreach { case (a, i) =>
+      out = out.replaceAll("\\$" + (i + 1) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(a))
+    }
+    // positional ?-placeholders, bound left to right (quote-aware)
+    if (out.contains("?") && args.nonEmpty) {
+      val sb = new StringBuilder; var inStr = false; var n = 0
+      out.foreach {
+        case '\'' => inStr = !inStr; sb += '\''
+        case '?' if !inStr && n < args.length => sb.append(args(n)); n += 1
+        case c => sb += c
+      }
+      out = sb.toString
+    }
+    out
+  }
+
+  /** `PRAGMA table_info('t')` — DuckDB's SQLite-compatible column pragma:
+    * (cid, name, type, notnull, dflt_value, pk). Same metadata as DESCRIBE
+    * in the pragma's column shape. */
+  private def pragmaTableInfo(table: String): DataFrame = {
+    val df = spark.table(table)
+    val (pk, notNull) = constraints.getOrElse(tableKey(table), (Nil, Nil))
+    val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      (i.toLong, f.name, Results.duckTypeName(f),
+        notNull.exists(_.equalsIgnoreCase(f.name)),
+        null: String, pk.exists(_.equalsIgnoreCase(f.name)))
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+  }
 
   /** `DESCRIBE t` — DuckDB's column listing (reachable through
     * `db/db.go:70`): (column_name, column_type, "null", key, default,
@@ -369,18 +699,27 @@ class SqlGateway(val spark: SparkSession) {
   /** Create `table` populated from `df`, versioned from birth (v0). Used
     * by CTAS and by snapshot import. */
   private[engine] def createFromData(table: String, df: DataFrame): Unit = {
+    if (spark.catalog.tableExists(table))
+      throw new IllegalArgumentException(s"table $table already exists")
     val loc = s"${tableRoot(table)}/v0"
     deleteDir(tableRoot(table))
     df.write.parquet(loc)
     createCatalogEntry(table, df.schema, loc)
     versions(tableKey(table)) = 0
+    txn.foreach(_.created += tableKey(table)) // rollback will drop it
   }
 
   private[engine] def dropTable(table: String): ExecuteResult = {
+    if (inTxn)
+      throw new IllegalArgumentException(
+        "DROP TABLE inside a transaction is not supported " +
+          "(CREATE/INSERT/UPDATE/DELETE are)")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     constraints.remove(tableKey(table))
     checks.remove(tableKey(table))
     versions.remove(tableKey(table))
+    indexes.toSeq.filter(_._2._1 == tableKey(table))
+      .foreach { case (k, _) => indexes.remove(k) }
     // DROP TABLE leaves the files of a LOCATION-backed table in place —
     // remove our versioned data dirs so a re-CREATE starts empty
     deleteDir(tableRoot(table))
@@ -391,7 +730,7 @@ class SqlGateway(val spark: SparkSession) {
   //     count; a CTAS table carries no declared constraints.
   private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
-    createFromData(table, spark.sql(rewriteReadFunctions(query)))
+    createFromData(table, spark.sql(rewriteSql(query)))
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
   }
@@ -405,6 +744,8 @@ class SqlGateway(val spark: SparkSession) {
     // IF NOT EXISTS on an existing table is a no-op (DuckDB semantics) —
     // and must NOT overwrite the live table's constraint metadata
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
+    if (spark.catalog.tableExists(table))
+      throw new IllegalArgumentException(s"table $table already exists")
     var pk = Vector.empty[String]
     var notNull = Vector.empty[String]
     var checkExprs = Vector.empty[String]
@@ -479,6 +820,7 @@ class SqlGateway(val spark: SparkSession) {
     deleteDir(tableRoot(table)) // stale files from a prior incarnation must not resurface
     createCatalogEntry(table, org.apache.spark.sql.types.StructType(fields), loc)
     versions(tableKey(table)) = 0
+    txn.foreach(_.created += tableKey(table)) // rollback will drop it
     if (pk.nonEmpty || notNull.nonEmpty)
       constraints(tableKey(table)) = (pk, (notNull ++ pk).distinct)
     else constraints.remove(tableKey(table))
@@ -590,7 +932,16 @@ class SqlGateway(val spark: SparkSession) {
       case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
       case None => valuesToSelect(source, "")
     }
-    var batch = spark.sql(rewriteReadFunctions(batchSql))
+    // a nextval in a multi-row SELECT source would hand every row the SAME
+    // id (the rewrite binds one literal per call site) — refuse it rather
+    // than corrupt; VALUES lists carry one call site per tuple and are exact
+    val macroExpanded = rewriteMacros(batchSql)
+    if (SeqFnRe.findFirstIn(macroExpanded).isDefined &&
+        !source.trim.toUpperCase.startsWith("VALUES"))
+      throw new IllegalArgumentException(
+        "nextval/currval in a SELECT insert source is not supported " +
+          "(each row would receive the same value) — use a VALUES list")
+    var batch = spark.sql(rewriteReadFunctions(rewriteSequenceFunctions(macroExpanded)))
     val target = spark.table(table)
     // align batch columns to target schema (explicit column list or position)
     batch = cols match {
@@ -650,10 +1001,12 @@ class SqlGateway(val spark: SparkSession) {
         .join(target, pk.toSeq, "left_anti")
         .localCheckpoint(eager = true)
       val n = surviving.count()
-      surviving.write.mode("append").insertInto(table)
+      enforceUniqueIndexes(table, target.union(surviving))
+      appendRows(table, surviving)
       ExecuteResult(n)
     } else {
-      staged.write.mode("append").insertInto(table)
+      enforceUniqueIndexes(table, target.union(staged))
+      appendRows(table, staged)
       ExecuteResult(stats.getAs[Long]("__n"))
     }
   }
@@ -693,6 +1046,7 @@ class SqlGateway(val spark: SparkSession) {
         .as(c)
     }.toIndexedSeq: _*)
     enforceChecks(table, merged) // upserted + merged rows must satisfy CHECK
+    enforceUniqueIndexes(table, merged)
     overwriteTable(table, merged)
     ExecuteResult(stats.getAs[Long]("__n"))
   }
@@ -860,7 +1214,10 @@ class SqlGateway(val spark: SparkSession) {
     * the name in that window fails (readers already resolved keep their
     * `v<N>` snapshot, whose files stay on disk). DDL is not a hot path;
     * writers are serialized by the gateway lock. */
-  private def replaceSchema(table: String, df: DataFrame): Unit =
+  private def replaceSchema(table: String, df: DataFrame): Unit = {
+    if (inTxn)
+      throw new IllegalArgumentException(
+        "ALTER TABLE inside a transaction is not supported")
     versions.get(tableKey(table)) match {
       case Some(cur) =>
         val next = cur + 1
@@ -876,6 +1233,7 @@ class SqlGateway(val spark: SparkSession) {
         spark.sql(s"DROP TABLE $table")
         createFromData(table, staged)
     }
+  }
 
   // --- UPDATE: read-filter-rewrite (write temp, swap via overwrite).
   private def update(table: String, setClause: String, where: Option[String]): ExecuteResult = {
@@ -906,6 +1264,7 @@ class SqlGateway(val spark: SparkSession) {
       }
     }.toIndexedSeq: _*)
     enforceChecks(table, updated.filter(pred)) // rewritten rows must still satisfy CHECK
+    enforceUniqueIndexes(table, updated)
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }
@@ -971,6 +1330,7 @@ class SqlGateway(val spark: SparkSession) {
         else col(c)
       }.toIndexedSeq: _*)
     enforceChecks(table, updated) // merged rows must still satisfy CHECK
+    enforceUniqueIndexes(table, updated)
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }
@@ -1012,6 +1372,94 @@ class SqlGateway(val spark: SparkSession) {
     }
   }
 
+  // --- transactions (`BEGIN` / `COMMIT` / `ROLLBACK`, reachable like any
+  //     other DuckDB statement through the passthrough `db/db.go:52`).
+  //     Single-connection semantics, exactly the shape the reference has:
+  //     it holds ONE shared DB handle, so every statement between BEGIN
+  //     and COMMIT joins the transaction. The versioned-dir storage makes
+  //     this natural on Spark: in-txn writes land in NEW version dirs that
+  //     the catalog does not reference yet — a temp view shadowing the
+  //     table name gives the transaction its own-writes visibility, while
+  //     every reader outside keeps resolving the catalog location (the
+  //     pre-txn snapshot). COMMIT is metadata-only: repoint each table's
+  //     location (the cheap `ALTER ... SET LOCATION` swap, no data move —
+  //     the same O(1) commit at 100 TB); ROLLBACK deletes the orphan dirs.
+  //     Honest subset, documented: DROP TABLE and ALTER inside a
+  //     transaction are refused (not silently non-transactional), and
+  //     sequences do not refund ids on rollback (PostgreSQL semantics).
+
+  private final class TxnState {
+    val baseVersions: Map[String, Int] = versions.toMap
+    val baseConstraints: Map[String, (Seq[String], Seq[String])] = constraints.toMap
+    val baseChecks: Map[String, Seq[String]] = checks.toMap
+    val baseIndexes: Map[String, (String, Seq[String], Boolean)] = indexes.toMap
+    /** tableKey → latest uncommitted version dir written in this txn. */
+    val pending = scala.collection.mutable.Map.empty[String, Int]
+    /** tables created inside the txn (rollback drops them). */
+    val created = scala.collection.mutable.Set.empty[String]
+  }
+  @volatile private var txn: Option[TxnState] = None
+  private def inTxn: Boolean = txn.isDefined
+
+  private def beginTxn(): ExecuteResult = {
+    if (inTxn) throw new IllegalStateException("a transaction is already active")
+    txn = Some(new TxnState)
+    ExecuteResult(0L)
+  }
+
+  private def commitTxn(): ExecuteResult = {
+    val t = txn.getOrElse(throw new IllegalStateException("no transaction is active"))
+    // repoint each touched table to its pending version — metadata ops
+    // only; the data files were already written by the statements
+    t.pending.foreach { case (key, ver) =>
+      try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
+      val loc = s"${tableRoot(key)}/v$ver"
+      spark.sql(s"ALTER TABLE $key SET LOCATION '$loc'")
+      spark.catalog.refreshTable(key)
+      versions(key) = ver
+    }
+    txn = None
+    // GC to the usual retain-current+previous AFTER the swap
+    t.pending.foreach { case (key, ver) =>
+      val base = t.baseVersions.getOrElse(key, 0)
+      (math.max(0, base - 1) to ver - 2).foreach(v =>
+        deleteDir(s"${tableRoot(key)}/v$v"))
+    }
+    ExecuteResult(t.pending.size.toLong)
+  }
+
+  private def rollbackTxn(): ExecuteResult = {
+    val t = txn.getOrElse(throw new IllegalStateException("no transaction is active"))
+    txn = None // clear first: dropTable below must run its non-txn path
+    t.pending.keys.foreach { key =>
+      try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
+    }
+    t.created.foreach { tbl =>
+      try dropTable(tbl) catch { case _: Throwable => () }
+    }
+    // discard uncommitted version dirs — the catalog never referenced
+    // them, so no reader ever saw these rows
+    t.pending.foreach { case (key, ver) =>
+      if (!t.created.contains(key)) {
+        val base = t.baseVersions.getOrElse(key, 0)
+        (base + 1 to ver).foreach(v => deleteDir(s"${tableRoot(key)}/v$v"))
+      }
+    }
+    constraints.clear(); constraints ++= t.baseConstraints
+    checks.clear(); checks ++= t.baseChecks
+    indexes.clear(); indexes ++= t.baseIndexes
+    versions.clear(); versions ++= t.baseVersions
+    ExecuteResult(0L)
+  }
+
+  /** Append path: outside a transaction, a plain file append into the live
+    * version dir; inside one, the append becomes a copy-on-write version
+    * like every other txn write (the live dir must stay untouched so
+    * ROLLBACK can simply forget the new files). */
+  private def appendRows(table: String, rows: DataFrame): Unit =
+    if (inTxn) overwriteTable(table, spark.table(table).union(rows))
+    else rows.write.mode("append").insertInto(table)
+
   /** Atomic table rewrite. For versioned tables (anything created through
     * the gateway): write the new contents COMPLETELY to `v<N+1>` — the
     * rewrite plan reads the live `v<N>` files, so no self-read staging is
@@ -1025,8 +1473,30 @@ class SqlGateway(val spark: SparkSession) {
     * version dir; they fall back to checkpoint + in-place overwrite, which
     * is atomic only against failure after the checkpoint, not against
     * concurrent reads — the versioned path is the supported one. */
-  private def overwriteTable(table: String, df: DataFrame): Unit =
-    versions.get(tableKey(table)) match {
+  private def overwriteTable(table: String, df: DataFrame): Unit = txn match {
+    case Some(t) =>
+      val key = tableKey(table)
+      if (key.contains("."))
+        throw new IllegalArgumentException(
+          s"DML on qualified table name $table inside a transaction is not supported")
+      val cur = t.pending.get(key).orElse(versions.get(key)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table is not a gateway-managed table — transactional DML requires one"))
+      val next = cur + 1
+      val loc = s"${tableRoot(table)}/v$next"
+      deleteDir(loc)
+      df.write.parquet(loc)
+      // own-writes visibility: shadow the catalog name with the pending
+      // files. Temp views are session-scoped, so every reader of THIS
+      // session sees the txn's writes — single-connection semantics,
+      // exactly what the reference's one shared DB handle gives all its
+      // HTTP clients. A reader on a separate SparkSession (the
+      // multi-connection shape) resolves the catalog location = the
+      // pre-txn snapshot (spec-asserted). No GC here — the live pre-txn
+      // dir must survive until COMMIT decides its fate.
+      spark.read.parquet(loc).createOrReplaceTempView(key)
+      t.pending(key) = next
+    case None => versions.get(tableKey(table)) match {
       case Some(cur) =>
         val next = cur + 1
         val loc = s"${tableRoot(table)}/v$next"
@@ -1040,4 +1510,5 @@ class SqlGateway(val spark: SparkSession) {
         val staged = df.localCheckpoint(eager = true)
         staged.write.mode("overwrite").insertInto(table)
     }
+  }
 }

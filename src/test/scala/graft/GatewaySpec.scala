@@ -492,6 +492,183 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT count(*) AS n FROM ckt").values.head.head == 3L)
   }
 
+  test("TRUNCATE empties the table and reports the removed count") {
+    gw.execute("DROP TABLE IF EXISTS trc")
+    gw.execute("CREATE TABLE trc (id integer)")
+    gw.execute("INSERT INTO trc VALUES (1), (2), (3)")
+    assert(gw.execute("TRUNCATE trc").rowsAffected == 3)
+    assert(gw.query("SELECT count(*) AS n FROM trc").values.head.head == 0L)
+  }
+
+  test("sequences: nextval/currval in VALUES and scalar reads; SELECT-source refused") {
+    gw.execute("DROP TABLE IF EXISTS seqt")
+    gw.execute("DROP SEQUENCE IF EXISTS ids")
+    gw.execute("CREATE SEQUENCE ids START WITH 10 INCREMENT BY 5")
+    gw.execute("CREATE TABLE seqt (id bigint, name text)")
+    gw.execute("INSERT INTO seqt VALUES (nextval('ids'), 'a'), (nextval('ids'), 'b')")
+    assert(gw.query("SELECT id FROM seqt ORDER BY id").values.map(_.head) ==
+      Seq(10L, 15L))
+    // currval = last handed-out value; scalar nextval through the read path
+    assert(gw.query("SELECT currval('ids') AS c").values.head.head == 15L)
+    assert(gw.query("SELECT nextval('ids') AS n").values.head.head == 20L)
+    // a SELECT source would bind ONE literal for every row — refused
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO seqt SELECT nextval('ids'), name FROM seqt")
+    }
+    intercept[IllegalArgumentException] { gw.query("SELECT nextval('nope')") }
+    gw.execute("DROP SEQUENCE ids")
+    intercept[IllegalArgumentException] { gw.query("SELECT nextval('ids')") }
+  }
+
+  test("scalar macros expand in queries and DML, including nested macros") {
+    gw.execute("DROP TABLE IF EXISTS mct")
+    gw.execute("CREATE MACRO plus_one(x) AS x + 1")
+    gw.execute("CREATE MACRO double_inc(v) AS plus_one(v) * 2")
+    gw.execute("CREATE TABLE mct (a integer, b integer)")
+    gw.execute("INSERT INTO mct VALUES (1, plus_one(1)), (2, double_inc(2))")
+    assert(gw.query("SELECT b FROM mct ORDER BY a").values.map(_.head) ==
+      Seq(2, 6))
+    // precedence: substituted args stay parenthesized
+    assert(gw.query("SELECT plus_one(2) * 3 AS r").values.head.head == 9)
+    intercept[IllegalArgumentException] { gw.query("SELECT plus_one(1, 2)") }
+    // a macro name inside a string literal is NOT an invocation
+    assert(gw.query("SELECT 'plus_one(9)' AS s").values.head.head == "plus_one(9)")
+    gw.execute("DROP MACRO double_inc")
+    intercept[IllegalArgumentException] { gw.execute("DROP MACRO double_inc") }
+  }
+
+  test("UNIQUE INDEX verifies at creation and enforces on insert/update") {
+    gw.execute("DROP TABLE IF EXISTS uit")
+    gw.execute("CREATE TABLE uit (id integer primary key, email text, bio text)")
+    gw.execute("INSERT INTO uit VALUES (1, 'a@x', 'one'), (2, 'b@x', 'two'), (3, NULL, 'n1'), (4, NULL, 'n2')")
+    // NULLs are distinct — creation succeeds despite two NULL emails
+    gw.execute("CREATE UNIQUE INDEX uix ON uit (email)")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO uit VALUES (5, 'a@x', 'dup')")
+    }
+    intercept[IllegalArgumentException] {
+      gw.execute("UPDATE uit SET email = 'b@x' WHERE id = 1")
+    }
+    gw.execute("INSERT INTO uit VALUES (5, 'c@x', 'ok'), (6, NULL, 'n3')")
+    assert(gw.query("SELECT count(*) AS n FROM uit").values.head.head == 6L)
+    // a non-unique index is metadata only (results unchanged); duplicate
+    // index names are refused; creation over duplicate data is refused
+    gw.execute("CREATE INDEX bix ON uit (bio)")
+    intercept[IllegalArgumentException] { gw.execute("CREATE INDEX bix ON uit (bio)") }
+    gw.execute("DROP INDEX uix")
+    gw.execute("INSERT INTO uit VALUES (7, 'a@x', 'now fine')")
+    intercept[IllegalArgumentException] {
+      gw.execute("CREATE UNIQUE INDEX uix2 ON uit (email)")
+    }
+  }
+
+  test("PRAGMA table_info and show_tables") {
+    gw.execute("DROP TABLE IF EXISTS prg")
+    gw.execute("CREATE TABLE prg (id integer not null primary key, v text)")
+    val info = gw.query("PRAGMA table_info('prg')")
+    assert(info.columns == Seq("cid", "name", "type", "notnull", "dflt_value", "pk"))
+    assert(info.values.map(r => (r(1), r(3), r(5))) ==
+      Seq(("id", true, true), ("v", false, false)))
+    val names = gw.query("PRAGMA show_tables").values.map(_.head.toString)
+    assert(names.contains("prg"))
+  }
+
+  test("PREPARE/EXECUTE/DEALLOCATE bind positional parameters") {
+    gw.execute("DROP TABLE IF EXISTS pst")
+    gw.execute("CREATE TABLE pst (id integer, name text)")
+    gw.execute("PREPARE ins AS INSERT INTO pst VALUES ($1, $2)")
+    gw.execute("EXECUTE ins(1, 'alpha')")
+    gw.execute("EXECUTE ins(2, 'beta')")
+    gw.execute("PREPARE firstn AS SELECT name FROM pst WHERE id = ?")
+    assert(gw.query("EXECUTE firstn(2)").values.head.head == "beta")
+    gw.execute("DEALLOCATE ins")
+    intercept[IllegalArgumentException] { gw.execute("EXECUTE ins(3, 'c')") }
+  }
+
+  test("transactions: COMMIT applies atomically, ROLLBACK discards") {
+    gw.execute("DROP TABLE IF EXISTS txa")
+    gw.execute("DROP TABLE IF EXISTS txb")
+    gw.execute("CREATE TABLE txa (id integer primary key, v text)")
+    gw.execute("INSERT INTO txa VALUES (1, 'base')")
+    // rollback: multi-statement work on two tables disappears wholesale
+    gw.execute("BEGIN")
+    gw.execute("INSERT INTO txa VALUES (2, 'txn')")
+    gw.execute("UPDATE txa SET v = 'mut' WHERE id = 1")
+    gw.execute("CREATE TABLE txb AS SELECT * FROM txa")
+    // own-writes visibility inside the txn
+    assert(gw.query("SELECT count(*) AS n FROM txa").values.head.head == 2L)
+    assert(gw.query("SELECT count(*) AS n FROM txb").values.head.head == 2L)
+    // …while a SEPARATE SparkSession (= another connection) still reads
+    // the pre-txn snapshot: the catalog location is untouched until COMMIT
+    assert(spark.newSession().table("txa").count() == 1L)
+    gw.execute("ROLLBACK")
+    assert(gw.query("SELECT v FROM txa ORDER BY id").values.map(_.head) == Seq("base"))
+    assert(!spark.catalog.tableExists("txb"))
+    // commit: the same shape sticks
+    gw.execute("BEGIN TRANSACTION")
+    gw.execute("INSERT INTO txa VALUES (2, 'txn')")
+    gw.execute("DELETE FROM txa WHERE id = 1")
+    gw.execute("COMMIT")
+    assert(gw.query("SELECT v FROM txa ORDER BY id").values.map(_.head) == Seq("txn"))
+    // constraint enforcement still applies inside a txn
+    gw.execute("BEGIN")
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO txa VALUES (2, 'dup pk')")
+    }
+    gw.execute("ROLLBACK")
+    // protocol errors
+    intercept[IllegalStateException] { gw.execute("COMMIT") }
+    intercept[IllegalStateException] { gw.execute("ROLLBACK") }
+    gw.execute("BEGIN")
+    intercept[IllegalStateException] { gw.execute("BEGIN") }
+    intercept[IllegalArgumentException] { gw.execute("DROP TABLE txa") }
+    gw.execute("ROLLBACK")
+  }
+
+  test("sequences, macros, and indexes survive EXPORT/IMPORT DATABASE") {
+    gw.execute("DROP TABLE IF EXISTS snapm")
+    gw.execute("DROP SEQUENCE IF EXISTS snap_ids")
+    gw.execute("CREATE TABLE snapm (id bigint, email text)")
+    gw.execute("CREATE SEQUENCE snap_ids START WITH 7")
+    gw.execute("CREATE MACRO snap_twice(x) AS x * 2")
+    gw.execute("CREATE UNIQUE INDEX snap_uix ON snapm (email)")
+    gw.execute("INSERT INTO snapm VALUES (nextval('snap_ids'), 'a@x')")
+    val dir = java.nio.file.Files.createTempDirectory("graft-metasnap").toString
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("DROP TABLE snapm")
+    gw.execute("DROP SEQUENCE snap_ids")
+    gw.execute("DROP MACRO snap_twice")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    // sequence continues where it left off; macro and unique index enforce
+    gw.execute("INSERT INTO snapm VALUES (nextval('snap_ids'), 'b@x')")
+    assert(gw.query("SELECT id FROM snapm ORDER BY id").values.map(_.head) ==
+      Seq(7L, 8L))
+    assert(gw.query("SELECT snap_twice(21) AS r").values.head.head == 42)
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO snapm VALUES (9, 'a@x')")
+    }
+  }
+
+  test("CHECKPOINT/VACUUM no-op; ANALYZE computes real stats; SET/current_setting") {
+    gw.execute("DROP TABLE IF EXISTS anz")
+    gw.execute("CREATE TABLE anz (id integer, v text)")
+    gw.execute("INSERT INTO anz VALUES (1, 'a'), (2, 'b')")
+    assert(gw.execute("CHECKPOINT").rowsAffected == 0)
+    assert(gw.execute("VACUUM").rowsAffected == 0)
+    assert(gw.execute("ANALYZE anz").rowsAffected == 1)
+    // the statistics are real: the catalog entry now carries a row count
+    val statLine = spark.sql("DESCRIBE TABLE EXTENDED anz").collect()
+      .find(_.getString(0) == "Statistics").map(_.getString(1)).getOrElse("")
+    assert(statLine.contains("2 rows"), s"catalog stats: $statLine")
+    gw.execute("SET memory_limit = '2GB'")
+    assert(gw.query("SELECT current_setting('memory_limit') AS m")
+      .values.head.head == "2GB")
+    gw.execute("RESET memory_limit")
+    intercept[IllegalArgumentException] {
+      gw.query("SELECT current_setting('memory_limit')")
+    }
+  }
+
   test("DESCRIBE reports declared DuckDB types, nullability, and PK flag") {
     gw.execute("DROP TABLE IF EXISTS dsc")
     gw.execute(
