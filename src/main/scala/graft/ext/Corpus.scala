@@ -167,9 +167,14 @@ object Corpus {
     // the join partitions evenly); left-semi keeps the probe side lean.
     "x32_decontamination" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(length(col("text")) >= 11)
+      // the fingerprint table feeds THREE branches (train set, test set,
+      // per-doc totals) — cache it lazily so the winnow pass runs once per
+      // job, not once per branch (at 100 TB you'd persist it as a derived
+      // table, same as x02's shingles)
       val fp = d
         .withColumn("fps", graft.functions.WinnowFingerprints.winnowFps(col("text")))
         .select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+        .localCheckpoint(eager = false)
       val train = fp.filter(col("source") =!= "src0").select(col("fp")).distinct()
       val test = fp.filter(col("source") === "src0").select(col("doc_id"), col("fp"))
       val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))

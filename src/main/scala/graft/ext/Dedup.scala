@@ -128,9 +128,9 @@ object Dedup {
     * (`spark.sparkContext.setCheckpointDir` → HDFS/object store in a real
     * deployment), iterative ops use reliable checkpoints instead, so a
     * 100 TB clustering job survives executor loss mid-iteration. */
-  private def cutLineage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def cutLineage(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = cutLineage(
@@ -155,15 +155,17 @@ object Dedup {
           least(lbls("lbl"), coalesce(col("nlbl"), lbls("lbl"))).as("lbl") +: Nil: _*)
     }
     while (!converged && iter < maxIters) {
-      // TWO propagation rounds per materialization: the checkpoint and the
-      // convergence count are per-loop ACTIONS (jobs), and label flow is
+      // TWO propagation rounds per materialization: label flow is
       // monotone — an extra round can never overshoot, it only shortens
       // the job chain (the convergence test just fires one round later).
       // The round-start label rides along as __old, so the convergence
       // test is a trivial filter over the just-checkpointed frame instead
-      // of a join against the previous round's table.
+      // of a join against the previous round's table. ONE action per
+      // round: the checkpoint is lazy and the convergence count is the
+      // action that materializes it (an eager checkpoint would be a
+      // second, redundant pass over the same frame).
       val updated = cutLineage(
-        propagate(propagate(labels.withColumn("__old", col("lbl")))))
+        propagate(propagate(labels.withColumn("__old", col("lbl")))), eager = false)
       converged =
         updated.filter(col("lbl") =!= col("__old")).limit(1).count() == 0
       labels = updated.select(col("id"), col("lbl"))

@@ -138,7 +138,7 @@ object Analytic {
       // The class table is pinned once (it feeds classes, probes, and
       // bucket totals); rows then pick up their class result by broadcast.
       val classes = ev.groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("n_c")).localCheckpoint(true)
+        .agg(count(lit(1)).as("n_c")).localCheckpoint(eager = false)
       val classesU = classes.select(col("event_type"),
         col("value").as("v"), col("n_c"),
         lit(null).cast(DoubleType).as("probe_v"))
@@ -457,7 +457,8 @@ object Analytic {
         .groupBy(col("user_id"), col("day"))
         .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
         .select(col("user_id"), col("day"), col("m.value").as("v"))
-        .localCheckpoint(eager = true) // feeds both the grid span and the join
+        .localCheckpoint(eager = false) // feeds both the grid span and the join
+        // (lazy: the final job materializes it once; no separate blocking pass)
       val grid = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))

@@ -184,9 +184,9 @@ object Relational {
       // operators) read the pinned inputs instead of re-scanning and
       // re-filtering customer/orders per branch
       val a = Tables(s, dir, "customer").filter(col("c_acctbal") < 1000.0)
-        .select(col("c_custkey").as("k")).localCheckpoint(eager = true)
+        .select(col("c_custkey").as("k")).localCheckpoint(eager = false)
       val b = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
-        .select(col("o_custkey").as("k")).localCheckpoint(eager = true)
+        .select(col("o_custkey").as("k")).localCheckpoint(eager = false)
       def counted(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n")).withColumn("op", lit(name)).select(col("op"), col("n"))
       counted("union", a.union(b).distinct())

@@ -46,6 +46,32 @@ class ServiceSpec extends SparkTestBase {
     assert(c == 200 && b.contains(""""values": [[1]]"""))
   }
 
+  test("transaction statements drive over HTTP (BEGIN/INSERT/ROLLBACK/COMMIT)") {
+    val exec = (sql: String) =>
+      http("POST", "/db/execute", Some(s"""{"sql": "$sql"}"""))
+    assert(exec("CREATE TABLE htx (id integer primary key)")._1 == 200)
+    assert(exec("INSERT INTO htx VALUES (1)")._1 == 200)
+    assert(exec("BEGIN")._1 == 200)
+    assert(exec("INSERT INTO htx VALUES (2)")._1 == 200)
+    assert(exec("ROLLBACK")._1 == 200)
+    val (_, afterRb) = http("POST", "/db/query",
+      Some("""{"sql": "SELECT count(*) AS n FROM htx"}"""))
+    assert(afterRb.contains("[[1]]"), afterRb)
+    assert(exec("BEGIN")._1 == 200)
+    assert(exec("INSERT INTO htx VALUES (2)")._1 == 200)
+    assert(exec("COMMIT")._1 == 200)
+    val (_, afterCm) = http("POST", "/db/query",
+      Some("""{"sql": "SELECT count(*) AS n FROM htx"}"""))
+    assert(afterCm.contains("[[2]]"), afterCm)
+    // statement errors inside a txn surface in the error field; the txn
+    // stays usable (DuckDB single-connection behavior differs — it aborts
+    // the txn — but our refused statements never half-applied anything)
+    assert(exec("BEGIN")._1 == 200)
+    val (c, b) = exec("DROP TABLE htx")
+    assert(c == 200 && b.contains("\"error\""))
+    assert(exec("ROLLBACK")._1 == 200)
+  }
+
   test("SQL error is reported in the error field, HTTP 200 (reference shape)") {
     val (c, b) = http("POST", "/db/query", Some("""{"sql": "SELECT * FROM no_such"}"""))
     assert(c == 200 && b.contains("\"error\""))
