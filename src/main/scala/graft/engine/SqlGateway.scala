@@ -1395,6 +1395,10 @@ class SqlGateway(val spark: SparkSession) {
     val baseIndexes: Map[String, (String, Seq[String], Boolean)] = indexes.toMap
     /** tableKey → latest uncommitted version dir written in this txn. */
     val pending = scala.collection.mutable.Map.empty[String, Int]
+    /** tableKey → uncommitted append-delta dirs (txn INSERTs stay O(batch):
+      * each lands in its own dir beside the live version; COMMIT renames
+      * the part files into the live dir — metadata ops, no data copy). */
+    val deltas = scala.collection.mutable.Map.empty[String, Vector[String]]
     /** tables created inside the txn (rollback drops them). */
     val created = scala.collection.mutable.Set.empty[String]
   }
@@ -1409,7 +1413,7 @@ class SqlGateway(val spark: SparkSession) {
 
   private def commitTxn(): ExecuteResult = {
     val t = txn.getOrElse(throw new IllegalStateException("no transaction is active"))
-    // repoint each touched table to its pending version — metadata ops
+    // repoint each rewritten table to its pending version — metadata ops
     // only; the data files were already written by the statements
     t.pending.foreach { case (key, ver) =>
       try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
@@ -1418,6 +1422,26 @@ class SqlGateway(val spark: SparkSession) {
       spark.catalog.refreshTable(key)
       versions(key) = ver
     }
+    // append-only tables: rename the delta part files into the live dir —
+    // O(files) metadata ops, no data copy (the same visibility caveat as
+    // the non-txn append path, which also adds files to a live dir)
+    t.deltas.foreach { case (key, dirs) =>
+      if (!t.pending.contains(key)) {
+        try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
+        val live = new org.apache.hadoop.fs.Path(
+          s"${tableRoot(key)}/v${versions(key)}")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(live)) fs.mkdirs(live)
+        dirs.foreach { d =>
+          val dp = new org.apache.hadoop.fs.Path(d)
+          fs.listStatus(dp).filter(_.getPath.getName.startsWith("part-"))
+            .foreach(f => fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+          deleteDir(d)
+        }
+        spark.catalog.refreshTable(key)
+      }
+    }
     txn = None
     // GC to the usual retain-current+previous AFTER the swap
     t.pending.foreach { case (key, ver) =>
@@ -1425,15 +1449,17 @@ class SqlGateway(val spark: SparkSession) {
       (math.max(0, base - 1) to ver - 2).foreach(v =>
         deleteDir(s"${tableRoot(key)}/v$v"))
     }
-    ExecuteResult(t.pending.size.toLong)
+    ExecuteResult((t.pending.keySet ++ t.deltas.keySet).size.toLong)
   }
 
   private def rollbackTxn(): ExecuteResult = {
     val t = txn.getOrElse(throw new IllegalStateException("no transaction is active"))
     txn = None // clear first: dropTable below must run its non-txn path
-    t.pending.keys.foreach { key =>
+    (t.pending.keySet ++ t.deltas.keySet).foreach { key =>
       try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
     }
+    // discard uncommitted append deltas — the live dir never saw them
+    t.deltas.values.foreach(_.foreach(deleteDir))
     t.created.foreach { tbl =>
       try dropTable(tbl) catch { case _: Throwable => () }
     }
@@ -1453,12 +1479,48 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   /** Append path: outside a transaction, a plain file append into the live
-    * version dir; inside one, the append becomes a copy-on-write version
-    * like every other txn write (the live dir must stay untouched so
-    * ROLLBACK can simply forget the new files). */
-  private def appendRows(table: String, rows: DataFrame): Unit =
-    if (inTxn) overwriteTable(table, spark.table(table).union(rows))
-    else rows.write.mode("append").insertInto(table)
+    * version dir. Inside one, the batch lands in its own DELTA dir — the
+    * live dir stays untouched for ROLLBACK, the txn's reads see base ∪
+    * deltas through the shadowing view, and COMMIT renames the part files
+    * into the live dir (metadata ops — a transactional ingest stays
+    * O(batch) however big the table, not a copy-on-write of 100 TB).
+    * Once the txn has REWRITTEN the table (UPDATE/DELETE), later appends
+    * fold into rewrites — the rewrite path already owns the full image. */
+  private def appendRows(table: String, rows: DataFrame): Unit = txn match {
+    case Some(t) =>
+      val key = tableKey(table)
+      if (key.contains("."))
+        throw new IllegalArgumentException(
+          s"DML on qualified table name $table inside a transaction is not supported")
+      if (t.pending.contains(key))
+        overwriteTable(table, spark.table(table).union(rows))
+      else {
+        val base = versions.getOrElse(key,
+          throw new IllegalArgumentException(
+            s"$table is not a gateway-managed table — transactional DML requires one"))
+        val k = t.deltas.getOrElse(key, Vector.empty).size
+        val dir = s"${tableRoot(table)}/v${base}_txd$k"
+        deleteDir(dir)
+        rows.write.parquet(dir)
+        t.deltas(key) = t.deltas.getOrElse(key, Vector.empty) :+ dir
+        refreshTxnView(key, t)
+      }
+    case None => rows.write.mode("append").insertInto(table)
+  }
+
+  /** (Re)register the session temp view giving this txn its own-writes
+    * visibility for `key`: the pending rewrite if one exists, else the
+    * live catalog table (resolved QUALIFIED, which bypasses the temp view
+    * itself) unioned with any append deltas. */
+  private def refreshTxnView(key: String, t: TxnState): Unit = {
+    val base = t.pending.get(key) match {
+      case Some(v) => spark.read.parquet(s"${tableRoot(key)}/v$v")
+      case None => spark.table(s"default.$key")
+    }
+    val df = t.deltas.getOrElse(key, Vector.empty)
+      .foldLeft(base)((d, dir) => d.union(spark.read.parquet(dir)))
+    df.createOrReplaceTempView(key)
+  }
 
   /** Atomic table rewrite. For versioned tables (anything created through
     * the gateway): write the new contents COMPLETELY to `v<N+1>` — the
@@ -1494,8 +1556,12 @@ class SqlGateway(val spark: SparkSession) {
       // multi-connection shape) resolves the catalog location = the
       // pre-txn snapshot (spec-asserted). No GC here — the live pre-txn
       // dir must survive until COMMIT decides its fate.
-      spark.read.parquet(loc).createOrReplaceTempView(key)
       t.pending(key) = next
+      // the rewrite read base ∪ deltas through the view, so any append
+      // deltas are now folded into the pending image — their dirs are
+      // no longer referenced by anything
+      t.deltas.remove(key).foreach(_.foreach(deleteDir))
+      refreshTxnView(key, t)
     case None => versions.get(tableKey(table)) match {
       case Some(cur) =>
         val next = cur + 1

@@ -625,6 +625,40 @@ class GatewaySpec extends SparkTestBase {
     gw.execute("ROLLBACK")
   }
 
+  test("transactional appends stay O(batch): delta dirs, rename-commit") {
+    gw.execute("DROP TABLE IF EXISTS txd")
+    gw.execute("CREATE TABLE txd (id integer primary key, v text)")
+    gw.execute("INSERT INTO txd VALUES (1, 'pre')")
+    // append-only txn: no table rewrite anywhere; commit renames the
+    // delta part files into the live dir (metadata ops)
+    gw.execute("BEGIN")
+    gw.execute("INSERT INTO txd VALUES (2, 'd1')")
+    gw.execute("INSERT INTO txd VALUES (3, 'd2')")
+    // own-writes: the txn sees base ∪ deltas; PK checks run against both
+    assert(gw.query("SELECT count(*) AS n FROM txd").values.head.head == 3L)
+    intercept[IllegalArgumentException] {
+      gw.execute("INSERT INTO txd VALUES (2, 'dup of delta row')")
+    }
+    // another connection still sees only the pre-txn row
+    assert(spark.newSession().table("txd").count() == 1L)
+    gw.execute("COMMIT")
+    assert(gw.query("SELECT v FROM txd ORDER BY id").values.map(_.head) ==
+      Seq("pre", "d1", "d2"))
+    assert(spark.newSession().table("txd").count() == 3L)
+    // rolled-back deltas vanish without the live dir ever changing
+    gw.execute("BEGIN")
+    gw.execute("INSERT INTO txd VALUES (4, 'gone')")
+    gw.execute("ROLLBACK")
+    assert(gw.query("SELECT count(*) AS n FROM txd").values.head.head == 3L)
+    // append then UPDATE folds the deltas into the rewrite and still commits
+    gw.execute("BEGIN")
+    gw.execute("INSERT INTO txd VALUES (4, 'd3')")
+    gw.execute("UPDATE txd SET v = 'mut' WHERE id = 1")
+    gw.execute("COMMIT")
+    assert(gw.query("SELECT v FROM txd ORDER BY id").values.map(_.head) ==
+      Seq("mut", "d1", "d2", "d3"))
+  }
+
   test("sequences, macros, and indexes survive EXPORT/IMPORT DATABASE") {
     gw.execute("DROP TABLE IF EXISTS snapm")
     gw.execute("DROP SEQUENCE IF EXISTS snap_ids")
