@@ -40,7 +40,9 @@ object Snapshot {
       gw.macros.toSeq.sortBy(_._1).map { case (n, (params, body)) =>
         s"#macro|$n|${params.mkString(",")}|${b64(body)}" } ++
       gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
-        s"#index|$n|$t|${cols.mkString(",")}|$uniq" }
+        s"#index|$n|$t|${cols.mkString(",")}|$uniq" } ++
+      gw.namedTypes.toSeq.sortBy(_._1).map { case (n, spec) =>
+        s"#type|$n|${b64(spec)}" }
     Files.write(Paths.get(dir, ManifestName),
       (manifest ++ meta).mkString("\n").getBytes("UTF-8"))
     tables
@@ -76,8 +78,11 @@ object Snapshot {
     // database-level metadata replaces wholesale, like the tables
     def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
     gw.sequences.clear(); gw.macros.clear(); gw.indexes.clear()
+    gw.namedTypes.clear()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
+        case "#type" :: n :: spec :: Nil =>
+          gw.namedTypes(n) = unb64(spec)
         case "#seq" :: n :: next :: inc :: Nil =>
           gw.sequences(n) = (next.toLong, inc.toLong)
         case "#macro" :: n :: params :: body :: Nil =>

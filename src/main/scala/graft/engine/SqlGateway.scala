@@ -67,6 +67,9 @@ class SqlGateway(val spark: SparkSession) {
     * config, so the values are recorded and readable via
     * `current_setting()` rather than silently dropped). */
   private[engine] val settings = new TrieMap[String, String]
+  /** CREATE TYPE name AS ENUM(...) — name → definition, expanded when the
+    * name appears as a column type in CREATE TABLE. */
+  private[engine] val namedTypes = new TrieMap[String, String]
   /** table → current data-directory version (versioned-location tables). */
   private val versions = new TrieMap[String, Int]
 
@@ -142,6 +145,12 @@ class SqlGateway(val spark: SparkSession) {
   private val AnalyzeRe = """(?is)\s*ANALYZE(?:\s+([\w.]+))?\s*""".r
   private val SetRe = """(?is)\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*(?:=|TO)\s*(.+?)\s*""".r
   private val ResetRe = """(?is)\s*RESET\s+(\w+)\s*""".r
+  // named types: CREATE TYPE mood AS ENUM ('sad','ok','happy') — the
+  // declared name then usable as a column type in CREATE TABLE
+  private val CreateTypeRe =
+    """(?is)\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+(ENUM\s*\([^)]*\))\s*""".r
+  private val DropTypeRe =
+    """(?is)\s*DROP\s+TYPE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
 
   /** Write path (reference `db/db.go:49-65`). */
   def execute(sql: String): ExecuteResult = writeLock.synchronized {
@@ -182,6 +191,14 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(0L)
       case ResetRe(key) =>
         settings.remove(key.toLowerCase); ExecuteResult(0L)
+      case CreateTypeRe(name, spec) =>
+        if (namedTypes.contains(name.toLowerCase))
+          throw new IllegalArgumentException(s"type $name already exists")
+        namedTypes(name.toLowerCase) = spec.trim; ExecuteResult(0L)
+      case DropTypeRe(ife, name) =>
+        if (namedTypes.remove(name.toLowerCase).isEmpty && ife == null)
+          throw new IllegalArgumentException(s"unknown type $name")
+        ExecuteResult(0L)
       case CreateSeqRe(ine, name, spec) => createSequence(name, spec, ine != null)
       case DropSeqRe(ife, name) =>
         if (sequences.remove(name.toLowerCase).isEmpty && ife == null)
@@ -317,9 +334,25 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
   private val PragmaShowTablesRe = """(?is)\s*PRAGMA\s+show_tables\s*""".r
 
+  private val ExplainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.*)""".r
+
   def queryDf(sql: String): DataFrame = sql match {
     case ExecuteStmtRe(name, args) if prepared.contains(name.toLowerCase) =>
       queryDf(bindPrepared(name, Option(args)))
+    case ExplainAnalyzeRe(q) =>
+      // DuckDB's EXPLAIN ANALYZE runs the query with timers; here: run it
+      // (noop sink — full materialization, nothing collected), report the
+      // executed plan + wall time in DuckDB's (explain_key, explain_value)
+      // two-column shape
+      val df = queryDf(q)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      spark.createDataFrame(Seq(
+        ("analyzed_plan", plan), ("runtime_s", f"$secs%.3f")))
+        .toDF("explain_key", "explain_value")
     case PragmaTableInfoRe(table) => pragmaTableInfo(table)
     case PragmaShowTablesRe() =>
       spark.sql("SHOW TABLES").select(col("tableName").as("name"))
@@ -786,7 +819,9 @@ class SqlGateway(val spark: SparkSession) {
     // passthrough (SURVEY §1.2 via db/db.go:70) with no Spark native type:
     // store in the closest Spark type, declare the DuckDB name in metadata.
     def cornerType(spec: String): Option[(String, String)] = {
-      val u = spec.trim.toUpperCase
+      // a registered named type (CREATE TYPE) expands to its definition
+      val resolved = namedTypes.getOrElse(spec.trim.toLowerCase, spec)
+      val u = resolved.trim.toUpperCase
       u match {
         case "UUID" => Some(("STRING", "UUID"))
         case "TIME" => Some(("STRING", "TIME"))
@@ -794,12 +829,12 @@ class SqlGateway(val spark: SparkSession) {
           Some(("TIMESTAMP", "TIMESTAMP WITH TIME ZONE"))
         case "HUGEINT" => Some(("DECIMAL(38,0)", "HUGEINT"))
         case "BIT" | "BITSTRING" => Some(("STRING", "BIT"))
-        case e if e.startsWith("ENUM") => Some(("STRING", spec.trim))
+        case e if e.startsWith("ENUM") => Some(("STRING", resolved.trim))
         // tagged UNION(tag TYPE, ...): DuckDB renders a union value as its
         // active member cast to VARCHAR at the database/sql boundary, so
         // string storage reproduces the wire value; the declared member
         // list survives verbatim in DatabaseTypeName (db/db.go:89-93).
-        case e if e.startsWith("UNION(") => Some(("STRING", spec.trim))
+        case e if e.startsWith("UNION(") => Some(("STRING", resolved.trim))
         case _ => None
       }
     }

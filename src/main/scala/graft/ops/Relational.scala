@@ -123,13 +123,24 @@ object Relational {
       val l = Tables(s, dir, "lineitem")
       // broadcast hints only on the bounded dims (nation: 25 rows, region:
       // 5 rows — fixed at any scale factor); customer/supplier grow with
-      // the corpus, so their join strategy stays with Catalyst/AQE
+      // the corpus, so their join strategy stays with Catalyst/AQE.
+      // The region restriction is pushed THROUGH the join graph by hand:
+      // only ASIA nations' customers and suppliers can survive the final
+      // joins, so both fact-side dims shrink ~5× BEFORE the expensive
+      // shuffles — a transitive pushdown Catalyst cannot infer from the
+      // c_nationkey = s_nationkey link (inner joins commute, so the plan
+      // is semantically identical; the oracle replays the stock shape)
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cA = c.join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val supA = sup.join(broadcast(asiaN.select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(sup,
+        .join(cA, col("o_custkey") === col("c_custkey"))
+        .join(supA,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
     },

@@ -659,6 +659,28 @@ class GatewaySpec extends SparkTestBase {
       Seq("mut", "d1", "d2", "d3"))
   }
 
+  test("CREATE TYPE names an ENUM usable in DDL; EXPLAIN ANALYZE runs with timers") {
+    gw.execute("DROP TABLE IF EXISTS ty")
+    gw.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    intercept[IllegalArgumentException] {
+      gw.execute("CREATE TYPE mood AS ENUM ('x')")
+    }
+    gw.execute("CREATE TABLE ty (id integer, m mood)")
+    gw.execute("INSERT INTO ty VALUES (1, 'happy')")
+    // the declared type name is the ENUM definition (DatabaseTypeName
+    // fidelity, like inline ENUM columns)
+    val res = gw.query("SELECT m FROM ty")
+    assert(res.types.head.startsWith("ENUM"))
+    assert(res.values.head.head == "happy")
+    gw.execute("DROP TYPE mood")
+    intercept[IllegalArgumentException] { gw.execute("DROP TYPE mood") }
+    val ea = gw.query("EXPLAIN ANALYZE SELECT count(*) AS n FROM ty")
+    assert(ea.columns == Seq("explain_key", "explain_value"))
+    val kv = ea.values.map(r => r(0).toString -> r(1).toString).toMap
+    assert(kv("analyzed_plan").contains("Aggregate"))
+    assert(kv("runtime_s").toDouble >= 0.0)
+  }
+
   test("sequences, macros, and indexes survive EXPORT/IMPORT DATABASE") {
     gw.execute("DROP TABLE IF EXISTS snapm")
     gw.execute("DROP SEQUENCE IF EXISTS snap_ids")
