@@ -68,11 +68,18 @@ object Relational {
       val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-06-01").cast(TimestampType))
       // no broadcast hint on customer: it scales with the corpus, so the
       // join strategy must stay a stats/AQE decision (broadcast at small
-      // SF, shuffle join at 100 TB)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      // SF, shuffle join at 100 TB).
+      // Revenue pre-aggregates BELOW the joins (q04's r2 rewrite): the
+      // group keys are functionally just l_orderkey (orders is unique per
+      // key, so o_orderdate/o_orderpriority are constant within a group),
+      // and the aggregation runs on the pinned orderkey layout — zero
+      // exchange — shrinking the join input from line items to orders.
+      // Joining orders AFTER the per-order aggregate is exact: both the
+      // customer-segment and order-date predicates drop whole orders.
+      val lAgg = l.groupBy(col("l_orderkey"))
         .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      lAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(
           col("l_orderkey"),
           col("revenue"),
