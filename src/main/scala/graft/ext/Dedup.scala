@@ -133,9 +133,34 @@ object Dedup {
     else df.localCheckpoint(eager)
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val sess = pairs.sparkSession
+    val nPart = sess.sessionState.conf.numShufflePartitions
+    val lblType = pairs.schema("a").dataType
+    // Pin the plan for the loop ([[graft.ops.Det.withAqeOff]]): every round
+    // re-runs the SAME tiny-shape plan, and AQE's per-exchange
+    // materialization jobs are pure sequential-barrier overhead for a
+    // shape that never changes. Skew inside a round is already bounded —
+    // message fan-in per id is the node's degree, not the corpus. Every
+    // label frame is materialized inside the loop (checkpoints), so
+    // nothing lazy escapes the pinned scope.
+    graft.ops.Det.withAqeOff(sess) {
+      connectedComponentsLoop(pairs, maxIters, nPart, lblType)
+    }
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int,
+      nPart: Int, lblType: org.apache.spark.sql.types.DataType): DataFrame = {
+    // undirected edge list, hash-partitioned by src ONCE before the
+    // lineage cut: every round's message join re-reads this static table,
+    // and a checkpointed layout that already satisfies the join's required
+    // distribution (Dataset checkpoints preserve outputPartitioning
+    // through LogicalRDD) means the edges are never re-shuffled — at
+    // 100 TB the per-iteration cost is one label shuffle, not an edge
+    // shuffle plus a label shuffle
     val edges = cutLineage(
       pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(nPart, col("src")))
     // initial labels stay a LAZY plan: one distinct over the already-
     // checkpointed in-memory edges — not worth a blocking checkpoint job
     // of its own (iteration 1 re-derives it once in its propagate chain;
@@ -144,15 +169,23 @@ object Dedup {
       .withColumn("lbl", col("id"))
     var converged = false
     var iter = 0
-    // one min-label propagation round (pure plan, no action); extra
-    // columns on `lbls` (the round-start label below) pass through
+    // one min-label propagation round (pure plan, no action): forward each
+    // src's label along its out-edges, then fold self + incoming labels in
+    // a SINGLE keyed aggregation. vs the join-back formulation this is one
+    // exchange fewer per round (no second join against the label table) —
+    // at bench scale each avoided exchange is one AQE stage job off the
+    // floor; at cluster scale it is one barrier fewer per round. The
+    // round-start label rides the self rows (`__old`); message rows carry
+    // NULL there and min(ignoring nulls) restores it — each id has exactly
+    // one self row (labels are unique by id), so the min IS that value.
     def propagate(lbls: DataFrame): DataFrame = {
-      val prop = edges.join(lbls.select(col("id"), col("lbl")),
+      val msgs = edges.join(lbls.select(col("id"), col("lbl")),
           edges("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      lbls.join(prop, lbls("id") === prop("dst"), "left")
-        .select(col("__old") +: lbls("id") +:
-          least(lbls("lbl"), coalesce(col("nlbl"), lbls("lbl"))).as("lbl") +: Nil: _*)
+        .select(col("dst").as("id"), col("lbl"),
+          lit(null).cast(lblType).as("__old"))
+      lbls.unionByName(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("__old")).as("__old"))
     }
     while (!converged && iter < maxIters) {
       // TWO propagation rounds per materialization: label flow is

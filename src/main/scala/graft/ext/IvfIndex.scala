@@ -5,6 +5,7 @@ import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Offline-trained IVF centroid index over the `embeddings` corpus
   * (extension surface, SURVEY.md §2.11).
@@ -22,58 +23,69 @@ import org.apache.spark.sql.functions._
   *    centroid means use decimal sums ([[graft.ops.Det]] contract) so the
   *    trained index — and every query served from it — is bit-identical at
   *    any partitioning/executor count;
-  *  - **persistence**: centroids land in a parquet table; queries reload
-  *    them from storage (memoized per session+corpus+params), exactly the
-  *    shape of a production index-build pipeline.
+  *  - **persistence**: centroids land in a parquet table; a serving session
+  *    holds the ANALYZED, memory-resident frames (metadata: k rows;
+  *    assignment: pinned columnar like `Tables.pin`'s base corpus) — a
+  *    query must not pay parquet listing + schema inference + a radius
+  *    re-aggregation per execution the way a cold `spark.read` would.
+  *    Cold processes still reload from the parquet artifacts.
   */
 object IvfIndex {
   // keyed by the session OBJECT (identity equality — identityHashCode keys
   // can collide across live sessions); stopped sessions pruned on access
-  private val cache = new ConcurrentHashMap[(SparkSession, String, Int, Int), String]()
+  private type Key = (SparkSession, String, Int, Int)
+  // loaded-artifact cache: the resolved in-memory frames, not just paths
+  private val cache = new ConcurrentHashMap[Key, (DataFrame, DataFrame, DataFrame)]()
+
+  private def prune(): Unit =
+    cache.keySet.removeIf(new java.util.function.Predicate[Key] {
+      def test(key: Key): Boolean = key._1.sparkContext.isStopped
+    })
+
+  private def loaded(s: SparkSession, dir: String, k: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    prune()
+    cache.computeIfAbsent(
+      (s, dir, k, iters),
+      new JFunction[Key, (DataFrame, DataFrame, DataFrame)] {
+        def apply(key: Key): (DataFrame, DataFrame, DataFrame) = {
+          val centPath = train(s, dir, k, iters)
+          val cents = s.read.parquet(centPath)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val asgPath = java.nio.file.Files
+            .createTempDirectory("graft-ivf-assign").toString + "/assigned"
+          Similarity.assignCells(Similarity.normed(s, dir), cents)
+            .write.mode("overwrite").parquet(asgPath)
+          val asg = s.read.parquet(asgPath)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // per-cell angular radii are index METADATA (k rows) — computed
+          // once at build time from the just-written assignment, resident
+          // beside the centroids
+          val rad = Similarity.cellRadii(asg, cents)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rad.count() // materialize: metadata must be warm before serving
+          (cents, asg, rad)
+        }
+      })
+  }
 
   /** The trained centroid table (cid, cv: array<double>, cnrm), building
     * and persisting it on first use for a given (session, corpus, k, iters). */
-  def centroids(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame = {
-    cache.keySet.removeIf(
-      new java.util.function.Predicate[(SparkSession, String, Int, Int)] {
-        def test(key: (SparkSession, String, Int, Int)): Boolean =
-          key._1.sparkContext.isStopped
-      })
-    val path = cache.computeIfAbsent(
-      (s, dir, k, iters),
-      new JFunction[(SparkSession, String, Int, Int), String] {
-        def apply(key: (SparkSession, String, Int, Int)): String = train(s, dir, k, iters)
-      })
-    s.read.parquet(path)
-  }
+  def centroids(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
+    loaded(s, dir, k, iters)._1
 
-  private val assignCache = new ConcurrentHashMap[(SparkSession, String, Int, Int), String]()
-
-  /** Persisted corpus→cell ASSIGNMENT table (vec_id, v, nrm, cell) — the
-    * other half of a real IVF index (vectors stored grouped by cell):
+  /** Memory-resident corpus→cell ASSIGNMENT table (vec_id, v, nrm, cell) —
+    * the other half of a real IVF index (vectors stored grouped by cell):
     * queries read the artifact and assign only the query vectors, instead
     * of re-assigning the whole corpus per query. Built lazily once per
     * (session, corpus, k, iters), like [[centroids]]. */
-  def assignments(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame = {
-    val path = assignCache.computeIfAbsent(
-      (s, dir, k, iters),
-      new JFunction[(SparkSession, String, Int, Int), String] {
-        def apply(key: (SparkSession, String, Int, Int)): String = {
-          val a = Similarity.assignCells(
-            Similarity.normed(s, dir), centroids(s, dir, k, iters))
-          val out = java.nio.file.Files
-            .createTempDirectory("graft-ivf-assign").toString + "/assigned"
-          a.write.mode("overwrite").parquet(out)
-          out
-        }
-      })
-    s.read.parquet(path)
-  }
+  def assignments(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
+    loaded(s, dir, k, iters)._2
 
   /** Per-cell angular radii of the persisted assignment — index metadata
-    * (k rows), derived on read (one aggregate over the assignment table). */
+    * (k rows), built once with the assignment artifact. */
   def radii(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
-    Similarity.cellRadii(assignments(s, dir, k, iters), centroids(s, dir, k, iters))
+    loaded(s, dir, k, iters)._3
 
   /** One full offline index build; returns the centroid table's location. */
   private def train(s: SparkSession, dir: String, k: Int, iters: Int): String = {

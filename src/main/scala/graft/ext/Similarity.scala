@@ -259,12 +259,20 @@ object Similarity {
     // losing recall. No training in the query path — at 100 TB the index
     // build is a separate job.
     "x11_ann_ivf" -> { (s, dir) =>
-      // query-time = read the persisted index artifacts (centroids +
-      // corpus assignment), assign only the 8 query vectors, probe
-      val asg = IvfIndex.assignments(s, dir)
-      val q = asg.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      probedTopKFromIndex(asg, IvfIndex.radii(s, dir), q, IvfIndex.centroids(s, dir))
+      // query-time = read the resident index artifacts (centroids +
+      // corpus assignment), assign only the 8 query vectors, probe.
+      // The probe is driver-sequenced into phases by construction (phase 2
+      // needs phase 1's t5 threshold) over statically-known shapes with
+      // explicit broadcasts — pin the plan and run it as one non-adaptive
+      // action ([[graft.ops.Det.withAqeOff]]), materializing the (8×k)-row
+      // result inside the pinned scope
+      graft.ops.Det.withAqeOff(s) {
+        val asg = IvfIndex.assignments(s, dir)
+        val q = asg.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        probedTopKFromIndex(asg, IvfIndex.radii(s, dir), q, IvfIndex.centroids(s, dir))
+          .localCheckpoint(eager = true)
+      }
     },
 
     // ---- embedding-cosine near-dup detection (the embedding face of the

@@ -74,4 +74,25 @@ object Det {
   /** Oracle-side SQL for [[davg]]. */
   def davgSql(expr: String, scale: Int = 2): String =
     s"(CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr))"
+
+  /** Run `body` with adaptive execution pinned OFF, restoring the session
+    * conf after. For one-shot queries AQE is the right default (runtime
+    * stats pick join strategies and coalesce partitions) — but a few
+    * operators execute a STATICALLY KNOWN, stable plan shape repeatedly or
+    * in driver-sequenced phases (iterative graph loops, the phased IVF
+    * probe): there AQE's one-materialization-job-per-exchange turns a
+    * handful of stages into a long chain of sequential barrier jobs and
+    * re-derives the same tiny-stat decisions every round. Pinning the plan
+    * for exactly that scope is the classic iterative-superstep execution
+    * model; everything else in the session keeps AQE.
+    *
+    * Only safe when the caller materializes INSIDE `body` (checkpoint or
+    * action) — a lazy frame returned from `body` would execute under
+    * whatever conf the session has later. */
+  def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val was = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally s.conf.set("spark.sql.adaptive.enabled", was)
+  }
 }
