@@ -105,9 +105,14 @@ object Tables {
     val rows = all.map(n => n -> apply(spark, dir, n).count()).toMap
     // partition ∝ rows, capped: ~75k rows/task keeps tasks meaningful —
     // full-core fan-out on these corpus sizes measured SLOWER (per-task
-    // scheduling dwarfs 2 ms of map work per 19k-row slice)
+    // scheduling dwarfs 2 ms of map work per 19k-row slice). FLOOR of 4
+    // for keyed tables: a pinned cache that carries NO hash partitioning
+    // (a raw scan reports UnknownPartitioning even at one partition)
+    // forces an Exchange under every keyed groupBy/window/join over that
+    // table — the whole point of key-aware pinning. Four small tasks cost
+    // ~10 ms of scheduling; the avoided exchange per query costs more.
     val cap = sys.env.getOrElse("SPARK_GRAFT_PIN_CAP", "32").toLong
-    def partsFor(rs: Long) = math.min(cap, math.max(1L, rs / 75000L)).toInt
+    def partsFor(rs: Long) = math.min(cap, math.max(4L, rs / 75000L)).toInt
     // co-partition JOIN-RELATED tables with the SAME partition count:
     // hashpartitioning(l_orderkey, N) and hashpartitioning(o_orderkey, M)
     // are compatible for a zero-Exchange join ONLY when N == M — sized
@@ -119,7 +124,9 @@ object Tables {
       val parts =
         if (n == "lineitem" || n == "orders") orderGroupParts
         else partsFor(rows(n))
-      val df = (if (parts > 1)
+      // un-keyed tiny dims (region, nation) stay as-read: nothing keys on
+      // them, and a 4-way spread of 5 rows is pure scheduling noise
+      val df = (if (pinKeys.contains(n))
         apply(spark, dir, n)
           .repartition(parts, org.apache.spark.sql.functions.col(pinKeys(n)))
       else apply(spark, dir, n))

@@ -478,13 +478,19 @@ object Analytic {
     "q54_funnel" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
+      // every stage keys on user_id: with events resident hash(user_id)
+      // the whole funnel is exchange-free IF the joins stay partitioned —
+      // so pin them shuffle-hash. Broadcasting tv/tc would be wrong at
+      // scale anyway (they are user-count-sized, not dimension-sized) and
+      // at bench it breaks the shared partitioning and forces the
+      // downstream aggs to re-shuffle.
       val tv = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
       val tc = ev.filter(col("event_type") === "click")
-        .join(tv, "user_id").filter(col("ts") > col("tv"))
+        .join(tv.hint("shuffle_hash"), "user_id").filter(col("ts") > col("tv"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
       val tp = ev.filter(col("event_type") === "purchase")
-        .join(tc, "user_id").filter(col("ts") > col("tc"))
+        .join(tc.hint("shuffle_hash"), "user_id").filter(col("ts") > col("tc"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
       tv.agg(count(lit(1)).as("n_viewed"))
         .crossJoin(tc.agg(count(lit(1)).as("n_clicked")))
