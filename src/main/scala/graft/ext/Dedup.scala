@@ -150,65 +150,82 @@ object Dedup {
 
   private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int,
       nPart: Int, lblType: org.apache.spark.sql.types.DataType): DataFrame = {
-    // undirected edge list, hash-partitioned by src ONCE before the
-    // lineage cut: every round's message join re-reads this static table,
-    // and a checkpointed layout that already satisfies the join's required
-    // distribution (Dataset checkpoints preserve outputPartitioning
-    // through LogicalRDD) means the edges are never re-shuffled — at
-    // 100 TB the per-iteration cost is one label shuffle, not an edge
-    // shuffle plus a label shuffle
-    val edges = cutLineage(
+    val sess = pairs.sparkSession
+    // materialize the raw undirected edge list first: its COUNT decides the
+    // loop's parallelism. The session's shuffle-partition conf sizes for
+    // the corpus, but the edge table is |near-dup pairs|·2 — usually orders
+    // of magnitude smaller — and an iterative loop that runs conf-many
+    // near-empty tasks per round pays the whole scheduling floor each
+    // iteration. ~100k edges/partition, capped at the session conf (a
+    // 100 TB pair list still fans out cluster-wide).
+    val rawEdges = cutLineage(
       pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(nPart, col("src")))
-    // initial labels stay a LAZY plan: one distinct over the already-
-    // checkpointed in-memory edges — not worth a blocking checkpoint job
-    // of its own (iteration 1 re-derives it once in its propagate chain;
-    // every later round rebinds `labels` to a checkpointed frame)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-    var converged = false
-    var iter = 0
-    // one min-label propagation round (pure plan, no action): forward each
-    // src's label along its out-edges, then fold self + incoming labels in
-    // a SINGLE keyed aggregation. vs the join-back formulation this is one
-    // exchange fewer per round (no second join against the label table) —
-    // at bench scale each avoided exchange is one AQE stage job off the
-    // floor; at cluster scale it is one barrier fewer per round. The
-    // round-start label rides the self rows (`__old`); message rows carry
-    // NULL there and min(ignoring nulls) restores it — each id has exactly
-    // one self row (labels are unique by id), so the min IS that value.
-    def propagate(lbls: DataFrame): DataFrame = {
-      val msgs = edges.join(lbls.select(col("id"), col("lbl")),
-          edges("src") === col("id"))
-        .select(col("dst").as("id"), col("lbl"),
-          lit(null).cast(lblType).as("__old"))
-      lbls.unionByName(msgs)
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"), min(col("__old")).as("__old"))
-    }
-    while (!converged && iter < maxIters) {
-      // TWO propagation rounds per materialization: label flow is
-      // monotone — an extra round can never overshoot, it only shortens
-      // the job chain (the convergence test just fires one round later).
-      // The round-start label rides along as __old, so the convergence
-      // test is a trivial filter over the just-checkpointed frame instead
-      // of a join against the previous round's table. ONE action per
-      // round: the checkpoint is lazy and the convergence count is the
-      // action that materializes it (an eager checkpoint would be a
-      // second, redundant pass over the same frame).
-      val updated = cutLineage(
-        propagate(propagate(labels.withColumn("__old", col("lbl")))), eager = false)
-      converged =
-        updated.filter(col("lbl") =!= col("__old")).limit(1).count() == 0
-      labels = updated.select(col("id"), col("lbl"))
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          "(component diameter too large) — raise maxIters")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val loopParts = math.max(1L, math.min(nPart.toLong,
+      rawEdges.count() / 100000L + 1L)).toInt
+    // hash-partition by src ONCE before the second lineage cut: every
+    // round's message join re-reads this static table, and a checkpointed
+    // layout that already satisfies the join's required distribution
+    // (Dataset checkpoints preserve outputPartitioning through LogicalRDD)
+    // means the edges are never re-shuffled — at 100 TB the per-iteration
+    // cost is one label shuffle, not an edge shuffle plus a label shuffle
+    val edges = cutLineage(rawEdges.repartition(loopParts, col("src")))
+    // pin the LOOP's shuffle width to the same count (saved/restored
+    // here): label tables are no bigger than the edge table, and matching
+    // widths keep the message join exchange-free every round
+    val shuffleWas = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      // initial labels stay a LAZY plan: one distinct over the already-
+      // checkpointed in-memory edges — not worth a blocking checkpoint job
+      // of its own (iteration 1 re-derives it once in its propagate chain;
+      // every later round rebinds `labels` to a checkpointed frame)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var converged = false
+      var iter = 0
+      // one min-label propagation round (pure plan, no action): forward
+      // each src's label along its out-edges, then fold self + incoming
+      // labels in a SINGLE keyed aggregation. vs the join-back formulation
+      // this is one exchange fewer per round (no second join against the
+      // label table) — at bench scale each avoided exchange is one stage
+      // job off the floor; at cluster scale it is one barrier fewer per
+      // round. The round-start label rides the self rows (`__old`);
+      // message rows carry NULL there and min(ignoring nulls) restores it
+      // — each id has exactly one self row (labels are unique by id), so
+      // the min IS that value.
+      def propagate(lbls: DataFrame): DataFrame = {
+        val msgs = edges.join(lbls.select(col("id"), col("lbl")),
+            edges("src") === col("id"))
+          .select(col("dst").as("id"), col("lbl"),
+            lit(null).cast(lblType).as("__old"))
+        lbls.unionByName(msgs)
+          .groupBy(col("id"))
+          .agg(min(col("lbl")).as("lbl"), min(col("__old")).as("__old"))
+      }
+      while (!converged && iter < maxIters) {
+        // TWO propagation rounds per materialization: label flow is
+        // monotone — an extra round can never overshoot, it only shortens
+        // the job chain (the convergence test just fires one round later).
+        // The round-start label rides along as __old, so the convergence
+        // test is a trivial filter over the just-checkpointed frame
+        // instead of a join against the previous round's table. ONE action
+        // per round: the checkpoint is lazy and the convergence count is
+        // the action that materializes it (an eager checkpoint would be a
+        // second, redundant pass over the same frame).
+        val updated = cutLineage(
+          propagate(propagate(labels.withColumn("__old", col("lbl")))), eager = false)
+        converged =
+          updated.filter(col("lbl") =!= col("__old")).limit(1).count() == 0
+        labels = updated.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(component diameter too large) — raise maxIters")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally sess.conf.set("spark.sql.shuffle.partitions", shuffleWas)
   }
 
   val queries: Map[String, Q] = Map(
@@ -228,11 +245,13 @@ object Dedup {
     // compare. The hash family itself stays engine-side.
     "x02_dedup_minhash" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      // the shingle table feeds the signature and both verification joins;
-      // re-deriving it from the pinned documents cache is cheaper than an
-      // extra materialization job at bench scale — at 100 TB you'd persist
-      // it once per corpus like any derived table
-      val sh = shingleTable(docs)
+      // the shingle table feeds the signature and BOTH sides of the
+      // verification join — three derivations of the same explode in one
+      // plan. A lazy lineage cut materializes it once on first use and the
+      // other two branches read the stored blocks (the multi-branch
+      // pattern the r5 lazy-checkpoint change set); at 100 TB you'd
+      // persist it once per corpus like any derived table
+      val sh = shingleTable(docs).localCheckpoint(false)
       val bands = lshBands(minhashSignatureFromShingles(sh))
       val cand = bands.as("l")
         .join(bands.as("r"),
@@ -270,7 +289,9 @@ object Dedup {
     // near-dup pairs (doc_id < 500 window); oracle = DuckDB recursive CTE
     "x20_dedup_clusters" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
-      val sh = shingleTable(docs)
+      // sh feeds both self-join sides AND the size table — cut once, read
+      // the stored blocks three times (see x02)
+      val sh = shingleTable(docs).localCheckpoint(false)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("sa")
         .join(sh.as("sb"),
@@ -294,7 +315,9 @@ object Dedup {
     // distributes like any per-group aggregation.
     "x34_dedup_manifest" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
-      val sh = shingleTable(docs)
+      // sh feeds both self-join sides AND the size table — cut once, read
+      // the stored blocks three times (see x02)
+      val sh = shingleTable(docs).localCheckpoint(false)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("sa")
         .join(sh.as("sb"),
@@ -320,7 +343,9 @@ object Dedup {
     // all-pairs via shingle-key join (not a cross join), doc_id < 500
     "x04_dedup_ngram_jaccard" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").filter(col("doc_id") < 500)
-      val sh = shingleTable(docs)
+      // sh feeds both self-join sides AND the size table — cut once, read
+      // the stored blocks three times (see x02)
+      val sh = shingleTable(docs).localCheckpoint(false)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = sh.as("sa")
         .join(sh.as("sb"),
