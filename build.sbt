@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all 32 executor threads in ONE JVM: the pinned
+  // corpus, broadcast builds, and per-query lineage-cut blocks all share
+  // this heap. 8g left ~2.3g of storage memory and the full 106-query
+  // bench spent its interleave gap in GC + block eviction churn; the box
+  // has 128 GiB, so size the single-JVM heap like the sum of executors it
+  // stands in for.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

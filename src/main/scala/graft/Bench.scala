@@ -64,6 +64,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      // the pinned-cache columnar batches skip per-column compression in
+      // the resident bench profile: the corpus fits the (now properly
+      // sized) heap many times over, and decompression was measured as
+      // 25-50% of scan-bound query time (q01 0.39->0.28, q06 0.29->0.14).
+      // A capacity-constrained cluster keeps the storage-efficiency
+      // default: SPARK_GRAFT_CACHE_COMPRESS=true restores it
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

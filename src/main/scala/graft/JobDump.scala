@@ -1,8 +1,17 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
+/** Dev tool: print every Spark JOB one query launches (with its stage
+  * count and description) under the bench session profile. [[StageAudit]]
+  * gives the per-query totals; this shows WHERE they come from — e.g. AQE
+  * materializing each exchange as its own sequential job, per-read parquet
+  * schema-inference jobs, broadcast builds. Not part of the driver
+  * contract.
+  *
+  * Usage: runMain graft.JobDump <sfDir> <queryName>
+  */
 object JobDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val q = args(1)

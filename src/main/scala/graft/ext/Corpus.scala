@@ -50,13 +50,15 @@ object Corpus {
     // score (round-6, the libm contract) so both engines rank identical
     // values; ties break on the term.
     "x26_tfidf_topterms" -> { (s, dir) =>
-      // tok feeds both the tf and df aggregations — cut once, read the
-      // stored blocks twice instead of re-exploding the corpus per branch
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
-        .localCheckpoint(false)
+      // tf has exactly one row per (doc, term), so document frequency is a
+      // plain COUNT over tf — the corpus is exploded and shuffled ONCE and
+      // the df pass runs over the (much smaller) aggregate, not the raw
+      // token stream. The aggregate feeds both join sides → one lazy cut.
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        .localCheckpoint(false)
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nTotal = Tables(s, dir, "documents").select(count(lit(1)).as("n_total"))
       // df is vocabulary-sized: plain equi-join, AQE picks the strategy
       // (broadcast here, shuffle join at real vocabulary scale)
