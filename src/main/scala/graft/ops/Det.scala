@@ -67,6 +67,31 @@ object Det {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
+  /** Exact charge sum: SUM(price·(1−discount)·(1+tax)) as double — the
+    * three-factor cousin of [[revenueSum]], whose per-row scaled-long
+    * product (cents × bp × bp ≤ 4·10^11 at scale 6) no longer leaves
+    * single-long headroom for big group sums. Until r5 this was the one
+    * aggregate left on the decimal path, and its per-row BigDecimal
+    * multiply chain dominated q01 (measured ~3× the whole rest of the
+    * query at the 10× corpus). Exact long-only fix: SPLIT each product
+    * around 2^20 and sum the two halves separately —
+    * hi ≤ 4·10^5 and lo < 2^20 per row, so even 10^12-row groups stay
+    * orders of magnitude inside long — then recombine ONCE PER GROUP in
+    * DECIMAL(38): hi·2^20 + lo is the same exact integer a decimal sum
+    * would hold, /10^6 is exact at scale 6, and the final double cast is
+    * the oracle's single rounding. Bit-identical to
+    * CAST(SUM(decimal product) AS DOUBLE) by construction, at codegen'd
+    * integer-multiply cost per row. */
+  def chargeSum(price: Column, discount: Column, tax: Column): Column = {
+    val x = round(price * 100).cast(LongType) *
+      (lit(100L) - round(discount * 100).cast(LongType)) *
+      (lit(100L) + round(tax * 100).cast(LongType))
+    val hi = sum(shiftright(x, 20))
+    val lo = sum(x.bitwiseAND(lit((1L << 20) - 1)))
+    ((hi.cast(DecimalType(38, 0)) * lit(1L << 20) + lo.cast(DecimalType(38, 0))) /
+      lit(1000000L).cast(DecimalType(7, 0))).cast(DoubleType)
+  }
+
   /** Oracle-side SQL for [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"

@@ -37,9 +37,8 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          sum(money(col("l_extendedprice")) * (oneRate - rate(col("l_discount")))
-              * (oneRate + rate(col("l_tax"))))
-            .cast(DoubleType).as("sum_charge"),
+          chargeSum(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+            .as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
