@@ -240,7 +240,12 @@ object Relational {
         .filter(col("n_cust") >= 5)
     },
 
-    // ---- DISTINCT aggregates
+    // ---- DISTINCT aggregates. Stock Expand-based plan, kept after TWO
+    // A/Bs against the split formulation (per-distinct-column dedup +
+    // joins): r4 measured a wash, r5 re-measured under the uncompressed
+    // pinned cache at the 10× corpus — stock 1.19 s vs split 1.34 s
+    // (Expand's ×3 row fan-out partial-aggregates map-side; the split
+    // pays two extra shuffled joins).
     "q14_count_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
