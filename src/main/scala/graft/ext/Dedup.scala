@@ -136,33 +136,37 @@ object Dedup {
     val sess = pairs.sparkSession
     val nPart = sess.sessionState.conf.numShufflePartitions
     val lblType = pairs.schema("a").dataType
-    // Pin the plan for the loop ([[graft.ops.Det.withAqeOff]]): every round
-    // re-runs the SAME tiny-shape plan, and AQE's per-exchange
+    // Materialize the raw edge list UNDER THE CALLER'S ADAPTIVE CONF: the
+    // pair derivation feeding it is an arbitrary user plan (self-joins,
+    // aggregates, filters) that benefits from AQE's runtime decisions —
+    // pinning it alongside the loop measurably regressed the dedup
+    // queries (their sizes joins lost broadcast conversion). Its COUNT
+    // then decides the loop's parallelism: the edge table is
+    // |near-dup pairs|·2 — usually orders of magnitude smaller than the
+    // corpus — and an iterative loop that runs conf-many near-empty tasks
+    // per round pays the whole scheduling floor each iteration.
+    // ~100k edges/partition, capped at the session conf (a 100 TB pair
+    // list still fans out cluster-wide).
+    val rawEdges = cutLineage(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val loopParts = math.max(1L, math.min(nPart.toLong,
+      rawEdges.count() / 100000L + 1L)).toInt
+    // Pin the plan for the LOOP only ([[graft.ops.Det.withAqeOff]]): every
+    // round re-runs the SAME tiny-shape plan, and AQE's per-exchange
     // materialization jobs are pure sequential-barrier overhead for a
     // shape that never changes. Skew inside a round is already bounded —
     // message fan-in per id is the node's degree, not the corpus. Every
     // label frame is materialized inside the loop (checkpoints), so
     // nothing lazy escapes the pinned scope.
     graft.ops.Det.withAqeOff(sess) {
-      connectedComponentsLoop(pairs, maxIters, nPart, lblType)
+      connectedComponentsLoop(rawEdges, maxIters, loopParts, lblType)
     }
   }
 
-  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int,
-      nPart: Int, lblType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val sess = pairs.sparkSession
-    // materialize the raw undirected edge list first: its COUNT decides the
-    // loop's parallelism. The session's shuffle-partition conf sizes for
-    // the corpus, but the edge table is |near-dup pairs|·2 — usually orders
-    // of magnitude smaller — and an iterative loop that runs conf-many
-    // near-empty tasks per round pays the whole scheduling floor each
-    // iteration. ~100k edges/partition, capped at the session conf (a
-    // 100 TB pair list still fans out cluster-wide).
-    val rawEdges = cutLineage(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    val loopParts = math.max(1L, math.min(nPart.toLong,
-      rawEdges.count() / 100000L + 1L)).toInt
+  private def connectedComponentsLoop(rawEdges: DataFrame, maxIters: Int,
+      loopParts: Int, lblType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sess = rawEdges.sparkSession
     // hash-partition by src ONCE before the second lineage cut: every
     // round's message join re-reads this static table, and a checkpointed
     // layout that already satisfies the join's required distribution
