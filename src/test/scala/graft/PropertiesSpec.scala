@@ -150,4 +150,38 @@ class PropertiesSpec extends SparkTestBase {
       assert(i <= a.distinct().count() && i <= b.distinct().count())
     }
   }
+
+  test("chargeSum equals the decimal formulation bit-for-bit (random money)") {
+    // the r5 high/low-split scaled-long sum must reproduce the decimal
+    // chain it replaced EXACTLY (same exact rational, one double
+    // rounding), on random 2-dp prices and rates and at any partitioning
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val gen = Gen.listOfN(400, Gen.zip(
+      Gen.chooseNum(0L, 30L),                       // group key
+      Gen.chooseNum(0L, 9999999L).map(_ / 100.0),   // price, 2dp
+      Gen.chooseNum(0L, 99L).map(_ / 100.0),        // discount, 2dp
+      Gen.chooseNum(0L, 99L).map(_ / 100.0)))       // tax, 2dp
+    (0 until 4).foreach { i =>
+      val data = gen.apply(Gen.Parameters.default, Seed(1234L + i)).get
+      val df = data.toDF("k", "p", "d", "t").repartition(3 + i)
+      val got = df.groupBy($"k")
+        .agg(ops.Det.chargeSum($"p", $"d", $"t").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy($"k")
+        .agg(sum($"p".cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(4, 2)) - $"d".cast(DecimalType(4, 2))) *
+            (lit(1).cast(DecimalType(4, 2)) + $"t".cast(DecimalType(4, 2))))
+          .cast(DoubleType).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want) // == on doubles: BIT equality, no tolerance
+    }
+  }
+
+  test("connected components of an empty pair list is empty (no iteration blow-up)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    assert(ext.Dedup.connectedComponents(empty).count() == 0)
+  }
 }
