@@ -118,9 +118,10 @@ object Dedup {
     * Min-label propagation (Pregel-style): each round, every node takes
     * the min of its own label and its neighbors'; converges in
     * O(component diameter) rounds. The driver only coordinates rounds and
-    * checks convergence — each round is a distributed join+agg, and
-    * lineage is cut per round with an eager checkpoint, so this scales
-    * like any iterative graph job. */
+    * checks convergence — each round is one message join + one keyed
+    * aggregation, lineage cut per materialization (the convergence count
+    * is the materializing action), so this scales like any iterative
+    * graph job. */
   /** Cut lineage between iterations. `localCheckpoint` stores blocks on
     * executors — fast, but NOT fault-tolerant (a lost executor kills the
     * job since the truncated lineage can't recompute). When the session
