@@ -201,6 +201,12 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(0L)
       case CreateSeqRe(ine, name, spec) => createSequence(name, spec, ine != null)
       case DropSeqRe(ife, name) =>
+        // refused in a txn: rollback could only restore the counter by
+        // refunding already-handed-out ids (same honest-subset posture as
+        // DROP TABLE)
+        if (inTxn)
+          throw new IllegalArgumentException(
+            "DROP SEQUENCE inside a transaction is not supported")
         if (sequences.remove(name.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown sequence $name")
         seqLast.remove(name.toLowerCase); ExecuteResult(0L)
@@ -289,7 +295,7 @@ class SqlGateway(val spark: SparkSession) {
       case AlterDropColRe(table, colName) =>
         alterDropColumn(table, colName)
       case CopyQueryToRe(query, path, optSpec) =>
-        copyTo(spark.sql(rewriteSql(query)), path, optSpec)
+        copyTo(runSql(query), path, optSpec)
       case CopyTableToRe(table, path, optSpec) =>
         copyTo(spark.table(table), path, optSpec)
       case CopyFromRe(table, path, optSpec) =>
@@ -301,7 +307,7 @@ class SqlGateway(val spark: SparkSession) {
         if (other.trim.take(6).equalsIgnoreCase("INSERT"))
           throw new IllegalArgumentException(
             s"unsupported INSERT form (would bypass constraint checks): ${other.trim}")
-        spark.sql(rewriteSql(other))
+        runSql(other)
         ExecuteResult(0L)
     }
   }
@@ -366,7 +372,7 @@ class SqlGateway(val spark: SparkSession) {
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
       df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
-    case _ => spark.sql(rewriteSql(sql))
+    case _ => runSql(sql)
   }
 
   // --- DuckDB file-reading table functions (a client's most common ad-hoc
@@ -391,10 +397,14 @@ class SqlGateway(val spark: SparkSession) {
     * temp view name registered over that file. Quote parity decides
     * "outside": the path argument's own quotes sit INSIDE the match, so a
     * match starting at even parity is real syntax, not text in a literal. */
-  private[engine] def rewriteReadFunctions(sql: String): String = {
+  private[engine] def rewriteReadFunctions(sql: String): String =
+    rewriteReadFunctionsTracked(sql)._1
+
+  private def rewriteReadFunctionsTracked(sql: String): (String, Seq[String]) = {
     val matches = ReadFnRe.findAllMatchIn(sql).toList
-    if (matches.isEmpty) return sql
+    if (matches.isEmpty) return (sql, Nil)
     val sb = new StringBuilder
+    val views = Seq.newBuilder[String]
     var last = 0
     matches.foreach { m =>
       val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
@@ -405,12 +415,25 @@ class SqlGateway(val spark: SparkSession) {
         val df = readFunction(kind, paths, opts)
         val view = s"graft_read_${readViewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
+        views += view
         sb.append(sql.substring(last, m.start)).append(view)
         last = m.end
       }
     }
     sb.append(sql.substring(last))
-    sb.toString
+    (sb.toString, views.result())
+  }
+
+  /** `spark.sql` over text whose read_* calls became temp views, dropping
+    * the views right after — `spark.sql` analyzes eagerly, so the returned
+    * DataFrame has already resolved the view into its file relation, and a
+    * long-lived gateway session does not accumulate `graft_read_*` views
+    * (which would otherwise leak into SHOW TABLES output forever). */
+  private def sqlWithReadViews(text: String): DataFrame = {
+    val (rewritten, views) = rewriteReadFunctionsTracked(text)
+    try spark.sql(rewritten)
+    finally views.foreach(v =>
+      try spark.catalog.dropTempView(v) catch { case _: Throwable => () })
   }
 
   /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common
@@ -560,8 +583,37 @@ class SqlGateway(val spark: SparkSession) {
   /** The full SQL-text rewrite pipeline every passthrough statement goes
     * through: macros first (their bodies may use sequences or read_*),
     * then sequence functions, then file-reading table functions. */
-  private[engine] def rewriteSql(sql: String): String =
-    rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(rewriteMacros(sql))))
+  /** nextval over a table source would bind ONE literal for every result
+    * row (DuckDB advances per row) — refuse like the insert path rather
+    * than return silently-wrong repeats. currval is exempt: it does not
+    * advance, so a repeated literal IS its per-row value. */
+  private def guardMultiRowNextval(expanded: String): Unit = {
+    val hasNextval = SeqFnRe.findAllMatchIn(expanded).exists(m =>
+      m.group(1).equalsIgnoreCase("nextval") &&
+        expanded.substring(0, m.start).count(_ == '\'') % 2 == 0)
+    if (hasNextval) {
+      val hasFrom = """(?i)(?<![\w.])FROM(?![\w])""".r.findAllMatchIn(expanded)
+        .exists(m => expanded.substring(0, m.start).count(_ == '\'') % 2 == 0)
+      if (hasFrom)
+        throw new IllegalArgumentException(
+          "nextval in a query with a FROM clause is not supported " +
+            "(each row would receive the same value)")
+    }
+  }
+
+  private[engine] def rewriteSql(sql: String): String = {
+    val expanded = rewriteMacros(sql)
+    guardMultiRowNextval(expanded)
+    rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
+  }
+
+  /** The statement-execution form of [[rewriteSql]]: same pipeline, but
+    * read_* temp views are dropped after eager analysis resolves them. */
+  private def runSql(sql: String): DataFrame = {
+    val expanded = rewriteMacros(sql)
+    guardMultiRowNextval(expanded)
+    sqlWithReadViews(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
+  }
 
   /** `CREATE [UNIQUE] INDEX` — a plain index is catalog metadata (no
     * secondary-index access path in Spark scans; results are identical
@@ -612,10 +664,23 @@ class SqlGateway(val spark: SparkSession) {
       throw new IllegalArgumentException(s"unknown prepared statement $name"))
     val args = argText.map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
-    var out = body
-    args.zipWithIndex.foreach { case (a, i) =>
-      out = out.replaceAll("\\$" + (i + 1) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(a))
+    // $n placeholders, quote-aware (same scan discipline as the `?` pass
+    // below — a literal `$1` inside a string constant must stay untouched)
+    var out = {
+      val sb = new StringBuilder; var inStr = false; var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\'') { inStr = !inStr; sb += c; i += 1 }
+        else if (c == '$' && !inStr && i + 1 < body.length &&
+            body.charAt(i + 1).isDigit) {
+          var j = i + 1
+          while (j < body.length && body.charAt(j).isDigit) j += 1
+          val n = body.substring(i + 1, j).toInt
+          if (n >= 1 && n <= args.length) { sb.append(args(n - 1)); i = j }
+          else { sb += c; i += 1 }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
     }
     // positional ?-placeholders, bound left to right (quote-aware)
     if (out.contains("?") && args.nonEmpty) {
@@ -763,7 +828,7 @@ class SqlGateway(val spark: SparkSession) {
   //     count; a CTAS table carries no declared constraints.
   private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
-    createFromData(table, spark.sql(rewriteSql(query)))
+    createFromData(table, runSql(query))
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
   }
@@ -976,7 +1041,7 @@ class SqlGateway(val spark: SparkSession) {
       throw new IllegalArgumentException(
         "nextval/currval in a SELECT insert source is not supported " +
           "(each row would receive the same value) — use a VALUES list")
-    var batch = spark.sql(rewriteReadFunctions(rewriteSequenceFunctions(macroExpanded)))
+    var batch = sqlWithReadViews(rewriteSequenceFunctions(macroExpanded))
     val target = spark.table(table)
     // align batch columns to target schema (explicit column list or position)
     batch = cols match {
@@ -1298,7 +1363,12 @@ class SqlGateway(val spark: SparkSession) {
         case None => col(c)
       }
     }.toIndexedSeq: _*)
-    enforceChecks(table, updated.filter(pred)) // rewritten rows must still satisfy CHECK
+    // enforce on the FULL updated frame, not `updated.filter(pred)`: the
+    // WHERE predicate references post-update values here, so a SET that
+    // changes a WHERE column would make the filter miss the rewritten rows
+    // and skip the CHECK entirely (unchanged rows are known-valid, so the
+    // full-frame check is equivalent and safe — same as updateFrom)
+    enforceChecks(table, updated)
     enforceUniqueIndexes(table, updated)
     overwriteTable(table, updated)
     ExecuteResult(affected)
@@ -1428,6 +1498,15 @@ class SqlGateway(val spark: SparkSession) {
     val baseConstraints: Map[String, (Seq[String], Seq[String])] = constraints.toMap
     val baseChecks: Map[String, Seq[String]] = checks.toMap
     val baseIndexes: Map[String, (String, Seq[String], Boolean)] = indexes.toMap
+    // catalog DDL snapshot: macros and named types restore fully on
+    // rollback (pure definitions — a snapshot restore also undoes CREATE
+    // OR REPLACE). Sequences restore by KEY SET only: a sequence created
+    // in the txn is removed, but a pre-existing sequence keeps its
+    // advanced counter (the documented PostgreSQL non-refund semantics —
+    // restoring the counter would hand out duplicate ids).
+    val baseMacros: Map[String, (Seq[String], String)] = macros.toMap
+    val baseNamedTypes: Map[String, String] = namedTypes.toMap
+    val baseSequenceKeys: Set[String] = sequences.keySet.toSet
     /** tableKey → latest uncommitted version dir written in this txn. */
     val pending = scala.collection.mutable.Map.empty[String, Int]
     /** tableKey → uncommitted append-delta dirs (txn INSERTs stay O(batch):
@@ -1510,6 +1589,11 @@ class SqlGateway(val spark: SparkSession) {
     checks.clear(); checks ++= t.baseChecks
     indexes.clear(); indexes ++= t.baseIndexes
     versions.clear(); versions ++= t.baseVersions
+    macros.clear(); macros ++= t.baseMacros
+    namedTypes.clear(); namedTypes ++= t.baseNamedTypes
+    (sequences.keySet -- t.baseSequenceKeys).foreach { k =>
+      sequences.remove(k); seqLast.remove(k)
+    }
     ExecuteResult(0L)
   }
 

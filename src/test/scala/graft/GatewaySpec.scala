@@ -824,4 +824,83 @@ class GatewaySpec extends SparkTestBase {
     val r2 = gw.execute("DELETE FROM dt t USING du AS u WHERE t.id = u.ref AND t.name = 'back'")
     assert(r2.rowsAffected == 1)
   }
+
+  test("UPDATE enforces CHECK even when SET changes a WHERE column") {
+    // WHERE is evaluated against post-update values in the rewrite, so a
+    // SET that mutates its own WHERE column used to dodge the CHECK
+    gw.execute("DROP TABLE IF EXISTS ckw")
+    gw.execute("CREATE TABLE ckw (id integer primary key, qty integer CHECK (qty >= 0))")
+    gw.execute("INSERT INTO ckw VALUES (1, 9), (2, 3)")
+    intercept[IllegalArgumentException] {
+      gw.execute("UPDATE ckw SET qty = -7 WHERE qty = 9")
+    }
+    assert(gw.query("SELECT qty FROM ckw ORDER BY id").values.map(_.head) ==
+      Seq(9, 3))
+    // the legitimate same-column update still works
+    gw.execute("UPDATE ckw SET qty = qty + 1 WHERE qty = 9")
+    assert(gw.query("SELECT qty FROM ckw ORDER BY id").values.map(_.head) ==
+      Seq(10, 3))
+  }
+
+  test("ROLLBACK undoes catalog DDL: sequences, macros, named types") {
+    gw.execute("DROP TABLE IF EXISTS txc")
+    gw.execute("DROP SEQUENCE IF EXISTS txc_pre")
+    gw.execute("DROP MACRO IF EXISTS txc_m")
+    gw.execute("CREATE TABLE txc (id integer)")
+    gw.execute("CREATE SEQUENCE txc_pre START WITH 100")
+    gw.execute("CREATE MACRO txc_m(x) AS x + 1")
+    gw.execute("BEGIN")
+    gw.execute("CREATE SEQUENCE txc_new")
+    gw.execute("CREATE OR REPLACE MACRO txc_m(x) AS x + 1000")
+    gw.execute("CREATE TYPE txc_mood AS ENUM ('sad', 'happy')")
+    // DROP SEQUENCE can't be rolled back without refunding ids — refused
+    intercept[IllegalArgumentException] { gw.execute("DROP SEQUENCE txc_pre") }
+    // nextval on a pre-existing sequence advances (and must NOT refund)
+    gw.execute("INSERT INTO txc VALUES (nextval('txc_pre'))")
+    gw.execute("ROLLBACK")
+    // created-in-txn catalog objects are gone…
+    intercept[IllegalArgumentException] { gw.query("SELECT nextval('txc_new')") }
+    gw.execute("CREATE TYPE txc_mood AS ENUM ('sad', 'happy')") // no "already exists"
+    // …the replaced macro is back to its pre-txn body…
+    assert(gw.query("SELECT txc_m(1) AS r").values.head.head == 2)
+    // …and the pre-existing sequence kept its advanced counter (no refund)
+    assert(gw.query("SELECT nextval('txc_pre') AS n").values.head.head == 101L)
+    gw.execute("DROP TYPE txc_mood")
+  }
+
+  test("nextval over a table source is refused on the read path too") {
+    gw.execute("DROP TABLE IF EXISTS nvt")
+    gw.execute("DROP SEQUENCE IF EXISTS nv_ids")
+    gw.execute("CREATE SEQUENCE nv_ids")
+    gw.execute("CREATE TABLE nvt (id integer)")
+    gw.execute("INSERT INTO nvt VALUES (1), (2), (3)")
+    // would bind ONE literal for all three rows — refuse, don't mis-answer
+    intercept[IllegalArgumentException] {
+      gw.query("SELECT nextval('nv_ids') AS n FROM nvt")
+    }
+    // scalar read still fine, and the refusal did not advance the counter
+    assert(gw.query("SELECT nextval('nv_ids') AS n").values.head.head == 1L)
+    // currval does not advance — per-row repetition is its correct value
+    assert(gw.query("SELECT currval('nv_ids') AS c, id FROM nvt")
+      .values.map(_.head) == Seq(1L, 1L, 1L))
+  }
+
+  test("read_* temp views are dropped after the statement resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rvleak").toString
+    spark.range(3).toDF("id").write.parquet(s"$dir/t")
+    val r = gw.query(s"SELECT count(*) AS n FROM read_parquet('$dir/t')")
+    assert(r.values.head.head == 3L)
+    val names = gw.query("PRAGMA show_tables").values.map(_.head.toString)
+    assert(!names.exists(_.startsWith("graft_read_")),
+      s"leaked read views: ${names.filter(_.startsWith("graft_read_"))}")
+  }
+
+  test("prepared $n binding is quote-aware (a literal $1 in a string stays)") {
+    gw.execute("DROP TABLE IF EXISTS ppq")
+    gw.execute("CREATE TABLE ppq (id integer, tag text)")
+    gw.execute("PREPARE ptag AS INSERT INTO ppq VALUES ($1, 'costs $1 only')")
+    gw.execute("EXECUTE ptag(7)")
+    assert(gw.query("SELECT id, tag FROM ppq").values.head == Seq(7, "costs $1 only"))
+    gw.execute("DEALLOCATE ptag")
+  }
 }
