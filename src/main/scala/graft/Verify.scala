@@ -9,8 +9,13 @@ object Verify {
     // optional third arg: comma-separated name filter for fast local iteration
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honor an externally-provided master (spark-submit --master spark://…
+    // — the cluster-mode smoke gate) instead of forcing local[]: the same
+    // plans must run unchanged on a real cluster, and this is where that
+    // claim gets demonstrated
+    val builder = SparkSession.builder()
+    if (!sys.props.contains("spark.master")) builder.master(s"local[$cpus]")
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

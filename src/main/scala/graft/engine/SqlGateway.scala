@@ -583,6 +583,36 @@ class SqlGateway(val spark: SparkSession) {
   /** The full SQL-text rewrite pipeline every passthrough statement goes
     * through: macros first (their bodies may use sequences or read_*),
     * then sequence functions, then file-reading table functions. */
+  /** Remove SQL comments (`-- … EOL`, `/* … */`) OUTSIDE string literals.
+    * Every textual rewrite pass (macros, sequences, read_* functions)
+    * scans by quote parity and top-level parens; an apostrophe or paren
+    * inside a comment (`-- don't`) would desynchronize those scans and
+    * mis-rewrite real syntax later in the statement. Comments are
+    * semantically void, so stripping them BEFORE any rewrite looks at the
+    * text makes the grammar subset honest: what the scanners see is what
+    * the engine executes. Doubled quotes ('' escapes) flip parity twice —
+    * consistent with every other scan here. */
+  private[engine] def stripComments(sql: String): String = {
+    if (!sql.contains("--") && !sql.contains("/*")) return sql
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1 // keep the \n
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+        sb += ' ' // a comment is a token separator: SELECT/**/1 stays SELECT 1
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** nextval over a table source would bind ONE literal for every result
     * row (DuckDB advances per row) — refuse like the insert path rather
     * than return silently-wrong repeats. currval is exempt: it does not
@@ -602,7 +632,7 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   private[engine] def rewriteSql(sql: String): String = {
-    val expanded = rewriteMacros(sql)
+    val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
     rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
   }
@@ -610,7 +640,7 @@ class SqlGateway(val spark: SparkSession) {
   /** The statement-execution form of [[rewriteSql]]: same pipeline, but
     * read_* temp views are dropped after eager analysis resolves them. */
   private def runSql(sql: String): DataFrame = {
-    val expanded = rewriteMacros(sql)
+    val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
     sqlWithReadViews(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
   }
@@ -1035,7 +1065,7 @@ class SqlGateway(val spark: SparkSession) {
     // a nextval in a multi-row SELECT source would hand every row the SAME
     // id (the rewrite binds one literal per call site) — refuse it rather
     // than corrupt; VALUES lists carry one call site per tuple and are exact
-    val macroExpanded = rewriteMacros(batchSql)
+    val macroExpanded = rewriteMacros(stripComments(batchSql))
     if (SeqFnRe.findFirstIn(macroExpanded).isDefined &&
         !source.trim.toUpperCase.startsWith("VALUES"))
       throw new IllegalArgumentException(

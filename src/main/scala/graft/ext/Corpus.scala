@@ -212,8 +212,19 @@ object Corpus {
       // remainders (ties → source name): the classic apportionment rule
       val wRem = Window.orderBy(col("rem").desc_nulls_last, col("source").asc_nulls_first)
       val wAll = Window.partitionBy(lit(1))
+      // runtime guard on the PlanLintSpec whitelist: this is the suite's
+      // ONE sanctioned global window, legal only because it ranks
+      // per-SOURCE aggregates (catalog-sized). If a future edit re-keys
+      // the input to document granularity, fail the job loudly instead of
+      // silently funneling the corpus through one task (assert_true is
+      // NULL when the bound holds, so the filter keeps every row and the
+      // check rides the existing window pass — no extra action)
+      val maxSources = 1000000L
       base
         .withColumn("rrank", row_number().over(wRem))
+        .filter(assert_true(col("rrank") <= maxSources,
+          lit(s"x33 global window exceeded $maxSources rows — input is no " +
+            "longer per-source metadata")).isNull)
         .withColumn("leftover", lit(budget) - sum(col("floor_q")).over(wAll))
         .select(
           col("source"), col("n_tokens"),

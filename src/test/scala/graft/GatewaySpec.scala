@@ -895,6 +895,31 @@ class GatewaySpec extends SparkTestBase {
       s"leaked read views: ${names.filter(_.startsWith("graft_read_"))}")
   }
 
+  test("textual rewrites survive comments, quoted strings, nested parens") {
+    gw.execute("DROP SEQUENCE IF EXISTS hseq")
+    gw.execute("DROP MACRO IF EXISTS hmac")
+    gw.execute("CREATE SEQUENCE hseq")
+    gw.execute("CREATE MACRO hmac(x) AS x + 1")
+    // an apostrophe inside a comment must not desynchronize the quote
+    // scan — real syntax AFTER the comment still rewrites
+    assert(gw.query("SELECT /* don't */ hmac(4) AS r").values.head.head == 5)
+    assert(gw.query("SELECT hmac(1) AS r -- don't trip\n").values.head.head == 2)
+    // comment markers INSIDE string literals are content, not comments
+    assert(gw.query("SELECT 'a -- not a comment' AS a").values.head.head ==
+      "a -- not a comment")
+    assert(gw.query("SELECT '/* kept */' AS a").values.head.head == "/* kept */")
+    // macro/sequence/read_* names inside comments are not invocations…
+    assert(gw.query("SELECT 1 AS r /* hmac(9) read_parquet('/no/such') */")
+      .values.head.head == 1)
+    gw.query("SELECT 2 AS r -- nextval('hseq')")
+    // …and the commented-out nextval did NOT advance the counter
+    assert(gw.query("SELECT nextval('hseq') AS n").values.head.head == 1L)
+    // a macro argument carrying quoted commas/parens splits at top level
+    assert(gw.query("SELECT hmac(length('a,b)')) AS r").values.head.head == 5)
+    // block comment is a token separator
+    assert(gw.query("SELECT/**/hmac(2) AS r").values.head.head == 3)
+  }
+
   test("prepared $n binding is quote-aware (a literal $1 in a string stays)") {
     gw.execute("DROP TABLE IF EXISTS ppq")
     gw.execute("CREATE TABLE ppq (id integer, tag text)")

@@ -126,5 +126,48 @@ class ServiceSpec extends SparkTestBase {
     assert(b.contains("\n"))
   }
 
+  test("reference demo-client scenario, line by line (cmd/cli/client.go:100-110)") {
+    // the reference client drives THREE tables through /db/execute?pretty
+    // and /db/query?pretty across its 3-node cluster; the reference's
+    // read-scaling means any node answers any query over the shared
+    // replicated database. Here Spark is the distribution layer, so one
+    // service IS that shared database — the statement sequence, endpoints,
+    // ?pretty flag, and result shapes replay verbatim.
+    for (t <- Seq("abc", "def", "ghi")) http("POST", "/db/execute",
+      Some(s"""{"sql": "DROP TABLE IF EXISTS $t"}"""))
+    val steps = Seq(
+      ("/db/execute?pretty", "CREATE TABLE abc (id integer not null primary key, name text)"),
+      ("/db/execute?pretty", "CREATE TABLE def (id integer not null primary key, name text)"),
+      ("/db/execute?pretty", "CREATE TABLE ghi (id integer not null primary key, name text)"),
+      ("/db/execute?pretty", "INSERT INTO def(id,name) VALUES(1,'def')"),
+      ("/db/execute?pretty", "INSERT INTO abc(id,name) VALUES(1,'abc')"),
+      ("/db/execute?pretty", "INSERT INTO ghi(id,name) VALUES(1,'ghi')"),
+      ("/db/query?pretty", "SELECT * FROM def"),
+      ("/db/query?pretty", "SELECT * FROM ghi"),
+      ("/db/query?pretty", "SELECT * FROM abc"))
+    val responses = steps.map { case (path, sql) =>
+      val (code, body) = http("POST", path, Some(s"""{"sql": "$sql"}"""))
+      assert(code == 200, s"$path $sql -> $code: $body")
+      assert(!body.contains("\"error\""), s"$path $sql errored: $body")
+      body
+    }
+    // ?pretty splits arrays across indented lines — normalize whitespace
+    // to assert the JSON content, and the raw body for the indentation
+    def flat(b: String) = b.replaceAll("\\s+", "")
+    // execute responses carry rows_affected (db/db.go:49-65 shape):
+    // 1 for each single-row INSERT
+    responses.slice(3, 6).foreach(b =>
+      assert(flat(b).contains("\"rows_affected\":1"), b))
+    // query responses carry the {columns,types,values,time} shape of
+    // db/db.go:43-47, with DuckDB type names, ?pretty-indented
+    responses.drop(6).zip(Seq("def", "ghi", "abc")).foreach { case (b, name) =>
+      val f = flat(b)
+      assert(f.contains(""""columns":["id","name"]"""), b)
+      assert(f.contains(""""types":["INTEGER","VARCHAR"]"""), b)
+      assert(f.contains(s"""[1,"$name"]"""), b)
+      assert(f.contains("\"time\"") && b.contains("\n"), b)
+    }
+  }
+
   override def afterAll(): Unit = { service.stop(); super.afterAll() }
 }
