@@ -143,8 +143,18 @@ object Relational {
       val supA = sup.join(broadcast(asiaN.select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(cA, col("o_custkey") === col("c_custkey"))
+      // join ORDER matters for shuffle volume (r5 regression, A/B'd r6):
+      // l⋈o first kept lineitem's pinned orderkey layout free, but then
+      // re-shuffled the whole l⋈o RESULT by custkey — the fattest possible
+      // re-key. Joining o⋈cA first shuffles only orders by custkey; the
+      // ASIA-filtered result re-keys back to orderkey (~1/5 of orders) and
+      // lineitem — the biggest table — joins on its native layout and is
+      // never exchanged before the final agg. supA's keying stays an
+      // AQE/stats decision (broadcast at bench SF, shuffle at 100 TB,
+      // where it re-keys the ASIA-filtered fifth of the join result).
+      val oc = o.join(cA, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      l.join(oc, col("l_orderkey") === col("o_orderkey"))
         .join(supA,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
