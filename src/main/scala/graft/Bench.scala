@@ -111,8 +111,13 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
+      // statically-shaped queries run their pinned plan (ops.PlanProfile);
+      // the rest keep AQE — the per-query decision the probe measured
+      val ok = try {
+        ops.PlanProfile.withProfile(spark, name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }; true
+      } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
