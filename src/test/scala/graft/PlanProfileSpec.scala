@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.PlanProfile
+
+/** Pins [[graft.ops.PlanProfile]] to the query registry: a profile entry
+  * that stops matching a registered query (rename, removal) is a silent
+  * perf regression, so it fails loudly here instead. */
+class PlanProfileSpec extends SparkTestBase {
+
+  test("every static-plan id resolves to exactly one registered query") {
+    val shortIds = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val dangling = PlanProfile.staticPlan -- shortIds
+    assert(dangling.isEmpty, s"profile entries matching no query: $dangling")
+    // short ids are unique in the registry (q58 vs q58b are distinct ids)
+    val collisions = SparkEntry.queries.keySet
+      .groupBy(_.takeWhile(_ != '_')).filter(_._2.size > 1)
+    assert(collisions.isEmpty, s"ambiguous short ids: $collisions")
+  }
+
+  test("withProfile flips AQE off around the action for pinned queries only") {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key, "true")
+    var seenInside: Option[String] = None
+    PlanProfile.withProfile(spark, "q05_star_join") {
+      seenInside = Some(spark.conf.get(key))
+    }
+    assert(seenInside.contains("false"), "pinned query must run AQE-off")
+    assert(spark.conf.get(key, "true") == before, "conf must be restored")
+    PlanProfile.withProfile(spark, "q18_window_frames") {
+      seenInside = Some(spark.conf.get(key, "true"))
+    }
+    assert(seenInside.contains(before), "unpinned query keeps session AQE")
+  }
+
+  test("runtime-shaped queries stay unpinned (AQE measured faster there)") {
+    // the probe's biggest AQE-on wins — pinning any of these is a regression
+    val mustKeepAqe = Set("q18", "x20", "q16", "x26", "x31", "q10")
+    val pinned = mustKeepAqe.intersect(PlanProfile.staticPlan)
+    assert(pinned.isEmpty, s"runtime-shaped queries pinned: $pinned")
+  }
+}

@@ -2,7 +2,9 @@
 """Time DuckDB executing each oracle SQL at a given scale factor — the
 performance yardstick (BASELINE.md: DuckDB is both oracle and baseline).
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json>
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [namePrefixes]
+  namePrefixes: optional comma-separated query-name prefixes (e.g. "x") to
+  time a subset — mirrors Bench's SPARK_GRAFT_ONLY knob for chain runs.
 """
 import json
 import sys
@@ -22,6 +24,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads(Path(oracle_path).read_text())
+    if len(sys.argv) > 3:
+        prefixes = tuple(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k.startswith(prefixes)}
     total = 0.0
     times = {}
     for name in sorted(oracle):

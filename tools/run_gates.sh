@@ -13,3 +13,19 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gates_sf001" >/dev/n
 python3 tools/oracle_diff.py /root/testdata/sf0.01 /tmp/gates_sf001 | tail -1
 echo "== bench sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>&1 | grep -oE '\{"metric".*' | tail -1
+echo "== duckdb sf0.1 (within-chain yardstick) =="
+python3 tools/bench_duckdb.py /root/testdata/sf0.1 /tmp/gates_sf001/oracle_sql.json | tail -1
+# 10x-documents chain (r5 verdict item 8): the extension-suite crossover
+# (Spark beats DuckDB on the scaled corpus) stays measured every round.
+# Derived corpus is built once and reused; SKIP_10X=1 skips the leg.
+if [ -z "$SKIP_10X" ]; then
+  DERIVED=${DERIVED_DIR:-/tmp/derived10xdocs}
+  if [ ! -f "$DERIVED/documents.parquet" ]; then
+    echo "== building 10x-docs derived corpus ($DERIVED) =="
+    python3 tools/make_derived.py /root/testdata/sf0.1 "$DERIVED" 10 --scale-docs
+  fi
+  echo "== bench 10x-docs (extension suite) =="
+  SPARK_GRAFT_SF_DIR="$DERIVED" SPARK_GRAFT_ONLY=x sbt -batch "runMain graft.Bench" 2>&1 | grep -oE '\{"metric".*' | tail -1
+  echo "== duckdb 10x-docs (extension suite) =="
+  python3 tools/bench_duckdb.py "$DERIVED" /tmp/gates_sf001/oracle_sql.json x | tail -1
+fi
