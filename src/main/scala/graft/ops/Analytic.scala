@@ -183,9 +183,9 @@ object Analytic {
       ev.join(broadcast(classResult), Seq("event_type", "value"))
         .select(
           col("event_id"),
-          (sum(round(col("value") * 100).cast(LongType)).over(running) / 100.0)
+          (sum(graft.functions.ScaledLong(col("value"), 2)).over(running) / 100.0)
             .as("running_sum"),
-          (sum(round(col("value") * 100).cast(LongType)).over(moving) / 100.0)
+          (sum(graft.functions.ScaledLong(col("value"), 2)).over(moving) / 100.0)
             .as("moving_sum"),
           col("n_near_value"))
     },

@@ -33,7 +33,7 @@ object Det {
     * magnitude of headroom at the bench SFs; the decimal construction
     * remains the fallback past that envelope, see q01's sum_charge). */
   private def scaledLongSum(c: Column, scale: Int): Column =
-    sum(round(c * math.pow(10, scale)).cast(LongType))
+    sum(graft.functions.ScaledLong(c, scale))
 
   /** Exact sum rendered as double. */
   def dsum(c: Column, scale: Int = 2): Column =
@@ -60,8 +60,8 @@ object Det {
     * per-row products and the group sum stay exact integers, one rounding
     * to double at the end — identical to the oracle's decimal expression. */
   def revenueSum(price: Column, discount: Column): Column =
-    sum(round(price * 100).cast(LongType) *
-      (lit(100L) - round(discount * 100).cast(LongType))) / lit(1e4)
+    sum(graft.functions.ScaledLong(price, 2) *
+      (lit(100L) - graft.functions.ScaledLong(discount, 2))) / lit(1e4)
 
   val revenueSumSql: String =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
@@ -83,9 +83,9 @@ object Det {
     * CAST(SUM(decimal product) AS DOUBLE) by construction, at codegen'd
     * integer-multiply cost per row. */
   def chargeSum(price: Column, discount: Column, tax: Column): Column = {
-    val x = round(price * 100).cast(LongType) *
-      (lit(100L) - round(discount * 100).cast(LongType)) *
-      (lit(100L) + round(tax * 100).cast(LongType))
+    val x = graft.functions.ScaledLong(price, 2) *
+      (lit(100L) - graft.functions.ScaledLong(discount, 2)) *
+      (lit(100L) + graft.functions.ScaledLong(tax, 2))
     val hi = sum(shiftright(x, 20))
     val lo = sum(x.bitwiseAND(lit((1L << 20) - 1)))
     ((hi.cast(DecimalType(38, 0)) * lit(1L << 20) + lo.cast(DecimalType(38, 0))) /

@@ -153,7 +153,7 @@ object Dialect {
         .rangeBetween(Window.currentRow, Window.currentRow)
       Tables(s, dir, "events")
         .withColumn("day", col("ts").cast(DateType))
-        .withColumn("c", round(col("value") * 100).cast(LongType))
+        .withColumn("c", graft.functions.ScaledLong(col("value"), 2))
         .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
         .withColumn("nn_part", count(col("c")).over(part))
         .withColumn("nn_peer", count(col("c")).over(peers))
@@ -194,7 +194,7 @@ object Dialect {
       Tables(s, dir, "events")
         .withColumn("day", col("ts").cast(DateType))
         .withColumn("day_num", datediff(col("day"), to_date(lit("1990-01-01"))))
-        .withColumn("c", round(col("value") * 100).cast(LongType))
+        .withColumn("c", graft.functions.ScaledLong(col("value"), 2))
         .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
         .withColumn("rows_sum", sum(coalesce(col("c"), lit(0L))).over(byRows))
         .withColumn("rows_nn", count(col("c")).over(byRows))
