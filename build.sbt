@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // has 128 GiB, so size the single-JVM heap like the sum of executors it
   // stands in for.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-)
+  // GC A/B (r6): G1's small committed heap gives ~114 young pauses/2-pass
+  // run (3.3 s total, 25-330 ms each) — but pinning -Xms28g made it WORSE
+  // (37 pauses, 4.1 s, max 1.25 s, plus 28 GB first-touch faults through
+  // pass 1). Default adaptive sizing wins; the interleave tax is box
+  // contention + scheduling, not GC. Left at default.
+  // measured no-op at 768m (run3 34.5s vs run1 32.6s baseline): the JIT
+  // code cache is NOT the interleave tax; left at default.
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq

@@ -19,8 +19,20 @@ import java.nio.charset.StandardCharsets
   * `results` or `error` plus `time` in fractional milliseconds, matching
   * `Response{Result, Error, Took}` (`http/service.go:20-24`, `:241`).
   * `?pretty` pretty-prints (`http/service.go:301-307`).
+  *
+  * Leader-redirect parity (`http/service.go:231-234`): the reference
+  * accepts writes only on the Raft leader; a follower answers
+  * `301 Moved Permanently` with the leader's URL in `Location`, and the
+  * reference CLI re-POSTs there (`cmd/cli/client.go:52-63`). Our
+  * distribution model keeps ONE writing gateway (Spark executors are the
+  * scale-out; SURVEY §3.3), but the same read-scaling deployment exists
+  * here as read-replica service instances: construct with
+  * `leaderUrl = Some(...)` and the instance serves `/db/query` locally
+  * while answering writes with the identical 301 + `Location` contract,
+  * so a reference client pointed at any replica keeps working unchanged.
   */
-class Service(gateway: SqlGateway, port: Int = 0) {
+class Service(gateway: SqlGateway, port: Int = 0,
+              leaderUrl: Option[String] = None) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/db/execute", handler(handleExecute))
   server.createContext("/db/query", handler(handleQuery))
@@ -71,6 +83,14 @@ class Service(gateway: SqlGateway, port: Int = 0) {
 
   private def handleExecute(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
+    // read replica: redirect the write to the leader, reference-style —
+    // 301 with Location, body carries the target for non-following clients
+    leaderUrl.foreach { base =>
+      val target = s"$base/db/execute"
+      ex.getResponseHeaders.add("Location", target)
+      return (301, obj("error" -> Json.str("not leader"),
+        "leader" -> Json.str(target)))
+    }
     try {
       val (res, ms) = timed(gateway.execute(readSql(ex)))
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
@@ -101,7 +121,11 @@ class Service(gateway: SqlGateway, port: Int = 0) {
   }
 
   private def handleStatus(ex: HttpExchange): (Int, String) = {
-    val st = Snapshot.status(gateway)
+    // role mirrors the reference's raft state field (leader serves writes,
+    // follower names its leader — http/service.go:144-193)
+    val role = Seq("role" -> (if (leaderUrl.isEmpty) "leader" else "follower")) ++
+      leaderUrl.map("leader" -> _)
+    val st = Snapshot.status(gateway) ++ role
     (200, obj(st.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.str(v) }: _*))
   }
 

@@ -169,5 +169,55 @@ class ServiceSpec extends SparkTestBase {
     }
   }
 
+  test("read replica redirects writes to the leader, serves reads (http/service.go:231-234)") {
+    // reference contract: a follower answers writes with 301 + the
+    // leader's URL in Location; the CLI re-POSTs there
+    // (cmd/cli/client.go:52-63); reads are served by any node.
+    val replica = new Service(new SqlGateway(spark),
+      leaderUrl = Some(s"http://localhost:$port"))
+    val rPort = replica.start()
+    try {
+      // write against the replica — raw connection, redirects NOT followed
+      // (HttpURLConnection won't re-POST a body through a 301 anyway;
+      // re-POSTing is the client's job, as in the reference CLI)
+      val conn = URI.create(s"http://localhost:$rPort/db/execute").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setInstanceFollowRedirects(false)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val sql = """{"sql": "CREATE TABLE repl_t (id integer not null primary key, name text)"}"""
+      conn.getOutputStream.write(sql.getBytes(StandardCharsets.UTF_8))
+      assert(conn.getResponseCode == 301)
+      val loc = conn.getHeaderField("Location")
+      assert(loc == s"http://localhost:$port/db/execute")
+      conn.disconnect()
+      // re-POST to the advertised leader — the reference client's move
+      val relative = loc.stripPrefix(s"http://localhost:$port")
+      val (c2, b2) = http("POST", relative, Some(sql))
+      assert(c2 == 200 && b2.contains("rows_affected"), b2)
+      val (c3, _) = http("POST", "/db/execute",
+        Some("""{"sql": "INSERT INTO repl_t VALUES (7, 'via-leader')"}"""))
+      assert(c3 == 200)
+      // reads ARE served by the replica (read-scaling), and see the write
+      val rconn = URI.create(
+        s"http://localhost:$rPort/db/query?q=SELECT%20*%20FROM%20repl_t").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      rconn.setRequestMethod("GET")
+      assert(rconn.getResponseCode == 200)
+      val rb = new String(rconn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(rb.contains("""[7, "via-leader"]"""), rb)
+      rconn.disconnect()
+      // status reports the role either side
+      val sconn = URI.create(s"http://localhost:$rPort/status").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val sb = new String(sconn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(sb.contains("\"role\": \"follower\"") &&
+        sb.contains(s"http://localhost:$port"), sb)
+      sconn.disconnect()
+      val (_, lb) = http("GET", "/status")
+      assert(lb.contains("\"role\": \"leader\""), lb)
+    } finally replica.stop()
+  }
+
   override def afterAll(): Unit = { service.stop(); super.afterAll() }
 }
