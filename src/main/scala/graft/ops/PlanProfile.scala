@@ -50,8 +50,20 @@ object PlanProfile {
     // extension family: shingle/fingerprint pipelines keyed once (x02/x03/
     // x04 dedup, x10 brute top-k, x11 IVF probe over the persisted index,
     // x18 binned range join, x19 cell-pair pruning, x27 postings, x30
-    // unigram LM, x32 decontamination, x34 manifest assembly)
-    "x02", "x03", "x04", "x10", "x11", "x18", "x19", "x27", "x30", "x32", "x34"
+    // unigram LM, x32 decontamination). x34 was pinned in r6a but its two
+    // probe runs disagreed (−0.06 vs +0.28 s) — mixed evidence keeps the
+    // AQE default (the manifest assembly joins CC output whose size is
+    // genuinely runtime-shaped).
+    "x02", "x03", "x04", "x10", "x11", "x18", "x19", "x27", "x30", "x32",
+    // consistent wins across BOTH FloorProbe sessions (r6a and r6b, same
+    // sign both times): fully-static scans and single-agg shapes —
+    // q35 VALUES inline, q41/q42/q43 map-only string/regex scans, q07
+    // broadcast semi/anti, q36 keyed time-window agg, q49 broadcast
+    // lateral top-k, q57 type corners, x07 map-only lang-id, x15 one
+    // sketch aggregation, x17 fixed salting demo, x44 map-only CDC
+    // chunking, x45 keyed gap-fill windows on the pinned layout
+    "q07", "q35", "q36", "q41", "q42", "q43", "q49", "q57",
+    "x07", "x15", "x17", "x44", "x45"
   )
 
   private def enabled: Boolean =
