@@ -177,6 +177,28 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("ScaledLong equals round() on random money at every scale used (property)") {
+    // the r6 codegen'd HALF_UP replacement must agree with Spark's
+    // BigDecimal-path round() on the fixed-dp envelope Det applies it to:
+    // random 2-dp money up to 10^9, 2-dp rates, negatives included
+    import org.apache.spark.sql.types.LongType
+    val gen = Gen.listOfN(500, Gen.zip(
+      Gen.chooseNum(-99999999999L, 99999999999L).map(_ / 100.0), // ±1e9 money
+      Gen.chooseNum(-999L, 999L).map(_ / 100.0)))                // rates
+    (0 until 4).foreach { i =>
+      val data = gen.apply(Gen.Parameters.default, Seed(777L + i)).get
+      val df = data.toDF("m", "r")
+      Seq(("m", 2), ("m", 4), ("r", 2), ("r", 4)).foreach { case (c, s) =>
+        val diff = df.select(
+            graft.functions.ScaledLong(col(c), s).as("fast"),
+            round(col(c) * math.pow(10, s)).cast(LongType).as("slow"))
+          .filter($"fast" =!= $"slow" ||
+            ($"fast".isNull !== $"slow".isNull)).count()
+        assert(diff == 0, s"col=$c scale=$s seed=${777 + i}")
+      }
+    }
+  }
+
   test("connected components of an empty pair list is empty (no iteration blow-up)") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val empty = spark.createDataFrame(
