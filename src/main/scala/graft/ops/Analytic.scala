@@ -179,7 +179,9 @@ object Analytic {
       // (same Det construction as the aggregates): the sliding-frame
       // re-summation runs on primitive longs instead of precision-28
       // decimals, bit-identical to the oracle's decimal window sums after
-      // the one final /100.0
+      // the one final /100.0. PRECONDITION: events.value is an exact 2-dp
+      // double (generator contract, TESTDATA.md) — the regime where
+      // ScaledLong's truncation provably equals round(v*100)
       ev.join(broadcast(classResult), Seq("event_type", "value"))
         .select(
           col("event_id"),

@@ -153,6 +153,10 @@ object Dialect {
         .rangeBetween(Window.currentRow, Window.currentRow)
       Tables(s, dir, "events")
         .withColumn("day", col("ts").cast(DateType))
+        // PRECONDITION: events.value is an exact 2-dp double (generator
+        // contract, TESTDATA.md) — only then ScaledLong ≡ round(v*100)
+        // (ScaledLong.apply scaladoc); a non-2-dp column here would
+        // silently change rounding vs the oracle's DECIMAL(18,2) cast
         .withColumn("c", graft.functions.ScaledLong(col("value"), 2))
         .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
         .withColumn("nn_part", count(col("c")).over(part))
@@ -194,6 +198,7 @@ object Dialect {
       Tables(s, dir, "events")
         .withColumn("day", col("ts").cast(DateType))
         .withColumn("day_num", datediff(col("day"), to_date(lit("1990-01-01"))))
+        // PRECONDITION: exact-2-dp events.value (see q58's note)
         .withColumn("c", graft.functions.ScaledLong(col("value"), 2))
         .withColumn("c_nn", when(col("c").isNotNull, 1).otherwise(0))
         .withColumn("rows_sum", sum(coalesce(col("c"), lit(0L))).over(byRows))

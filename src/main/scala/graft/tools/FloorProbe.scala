@@ -77,9 +77,14 @@ object FloorProbe {
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           val t1 = System.nanoTime()
+          // drain the async listener bus around reset AND read: events are
+          // delivered off-thread, so without the barrier a previous query's
+          // stragglers land in this query's counters (ADVICE r6)
+          org.apache.spark.graft.ListenerShim.waitUntilEmpty(spark.sparkContext)
           jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
           try df.write.format("noop").mode("overwrite").save() catch { case _: Throwable => () }
           val t2 = System.nanoTime()
+          org.apache.spark.graft.ListenerShim.waitUntilEmpty(spark.sparkContext)
           val build = (t1 - t0) / 1e9; val exec = (t2 - t1) / 1e9
           if (build + exec < bBuild + bExec) {
             bBuild = build; bExec = exec

@@ -43,4 +43,23 @@ class ScaledLongSpec extends SparkTestBase {
     val r = both(Seq[java.lang.Double](0.125, -0.125), 2)
     assert(r(0)._1 == 13L && r(1)._1 == -13L)
   }
+
+  test("non-double child is rejected at analysis time (ADVICE r6)") {
+    val df = Seq(1, 2).toDF("i")
+    val e = intercept[Exception] {
+      df.select(graft.functions.ScaledLong(col("i"), 2)).collect()
+    }
+    // AnalysisException (DATATYPE_MISMATCH), not a runtime ClassCastException
+    assert(e.getMessage.toLowerCase.contains("datatype") ||
+      e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
+  test("NaN and out-of-envelope inputs fail loudly, not plausibly (ADVICE r6)") {
+    intercept[ArithmeticException](graft.functions.ScaledLong.scaled(Double.NaN, 100.0))
+    intercept[ArithmeticException](graft.functions.ScaledLong.scaled(1e15, 100.0))
+    intercept[ArithmeticException](
+      graft.functions.ScaledLong.scaled(Double.NegativeInfinity, 100.0))
+    // the envelope boundary itself still works
+    assert(graft.functions.ScaledLong.scaled(4.5e13, 100.0) == 4500000000000000L)
+  }
 }
