@@ -35,7 +35,9 @@ object IvfIndex {
   // can collide across live sessions); stopped sessions pruned on access
   private type Key = (SparkSession, String, Int, Int)
   // loaded-artifact cache: the resolved in-memory frames, not just paths
-  private val cache = new ConcurrentHashMap[Key, (DataFrame, DataFrame, DataFrame)]()
+  // (centroids, assignment, radii, probe metadata)
+  private val cache =
+    new ConcurrentHashMap[Key, (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private def prune(): Unit =
     cache.keySet.removeIf(new java.util.function.Predicate[Key] {
@@ -43,12 +45,12 @@ object IvfIndex {
     })
 
   private def loaded(s: SparkSession, dir: String, k: Int, iters: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     prune()
     cache.computeIfAbsent(
       (s, dir, k, iters),
-      new JFunction[Key, (DataFrame, DataFrame, DataFrame)] {
-        def apply(key: Key): (DataFrame, DataFrame, DataFrame) = {
+      new JFunction[Key, (DataFrame, DataFrame, DataFrame, DataFrame)] {
+        def apply(key: Key): (DataFrame, DataFrame, DataFrame, DataFrame) = {
           val centPath = train(s, dir, k, iters)
           val cents = s.read.parquet(centPath)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -63,8 +65,15 @@ object IvfIndex {
           // beside the centroids
           val rad = Similarity.cellRadii(asg, cents)
             .persist(StorageLevel.MEMORY_AND_DISK)
-          rad.count() // materialize: metadata must be warm before serving
-          (cents, asg, rad)
+          // the probe-side metadata frame (centroid ⋈ radius, empty cells
+          // coalesced to radius 0) is ALSO built once: every probed query
+          // otherwise re-runs this k-row join + its broadcast build per
+          // execution — r6 verdict measured it as x11's dominant fixed
+          // cost. k rows, resident beside the centroids.
+          val meta = Similarity.probeMeta(cents, rad)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          meta.count() // materialize: metadata must be warm before serving
+          (cents, asg, rad, meta)
         }
       })
   }
@@ -86,6 +95,11 @@ object IvfIndex {
     * (k rows), built once with the assignment artifact. */
   def radii(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
     loaded(s, dir, k, iters)._3
+
+  /** Probe-side metadata (cid, cv, cnrm, rad) — the centroid⋈radius frame
+    * every probe broadcasts, built and pinned once with the index. */
+  def probeMeta(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2): DataFrame =
+    loaded(s, dir, k, iters)._4
 
   /** One full offline index build; returns the centroid table's location. */
   private def train(s: SparkSession, dir: String, k: Int, iters: Int): String = {

@@ -166,6 +166,14 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm")),
       cents, k, probes)
 
+  /** The probe-side metadata frame: centroid ⋈ radius with empty cells'
+    * radius coalesced to 0 (an empty cell has no radius row — the centroid
+    * itself bounds nothing, the cell scans as empty). k rows; built once
+    * per index by [[IvfIndex]] and pinned resident. */
+  def probeMeta(cents: DataFrame, radii: DataFrame): DataFrame =
+    cents.join(radii, col("cid") === col("cell"), "left")
+      .select(col("cid"), col("cv"), col("cnrm"), coalesce(col("rad"), lit(0.0)).as("rad"))
+
   /** [[probedTopK]] over PRE-BUILT index artifacts ([[IvfIndex.assignments]]
     * / [[IvfIndex.radii]]): query-time work is assign-the-queries + probe —
     * the corpus assignment is read, not recomputed, which is how an IVF
@@ -176,14 +184,20 @@ object Similarity {
     * @param q        query vectors as (q_id, qv, qnrm)
     */
   def probedTopKFromIndex(assigned: DataFrame, radii: DataFrame, q: DataFrame,
-      cents: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
-    // query × cell: probe rank and the cell's best-possible similarity.
-    // radii LEFT-joined: an empty cell has no radius row — treat as 0
-    // (the centroid itself bounds nothing, the cell scans as empty)
+      cents: DataFrame, k: Int = 5, probes: Int = 2): DataFrame =
+    probedTopKFromMeta(assigned, probeMeta(cents, radii), q, k, probes)
+
+  /** [[probedTopKFromIndex]] with the probe metadata already joined —
+    * serving path for [[IvfIndex.probeMeta]]'s resident frame, so a query
+    * doesn't re-run the k-row metadata join per execution (r6 verdict #1).
+    *
+    * @param cwr (cid, cv, cnrm, rad) probe metadata from [[probeMeta]]
+    */
+  def probedTopKFromMeta(assigned: DataFrame, cwr: DataFrame, q: DataFrame,
+      k: Int = 5, probes: Int = 2): DataFrame = {
+    // query × cell: probe rank and the cell's best-possible similarity
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("qcang").asc_nulls_first, col("cid").asc_nulls_first)
-    val cwr = cents.join(radii, col("cid") === col("cell"), "left")
-      .select(col("cid"), col("cv"), col("cnrm"), coalesce(col("rad"), lit(0.0)).as("rad"))
     val qc = q.crossJoin(broadcast(cwr))
       .withColumn("qcang",
         angle(graft.functions.VectorExpressions.cosineSim(col("qv"), col("cv"))))
@@ -270,7 +284,7 @@ object Similarity {
         val asg = IvfIndex.assignments(s, dir)
         val q = asg.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-        probedTopKFromIndex(asg, IvfIndex.radii(s, dir), q, IvfIndex.centroids(s, dir))
+        probedTopKFromMeta(asg, IvfIndex.probeMeta(s, dir), q)
           .localCheckpoint(eager = true)
       }
     },
