@@ -160,15 +160,23 @@ object Analytic {
       val bn = classes.groupBy(col("event_type"),
         floor(col("value") / 10.0).cast(LongType).as("b"))
         .agg(sum(col("n_c")).as("bn"))
-      val bn1 = bn.select(col("event_type").as("et1"),
-        col("b").as("b1"), col("bn").as("bn1"))
-      val bn2 = bn.select(col("event_type").as("et2"),
-        col("b").as("b2"), col("bn").as("bn2"))
+      // ONE broadcast lookup for both intervening buckets (r6 verdict #2 —
+      // the two-join form built two broadcasts from the same bucket table):
+      // key the lookup at bucket b_c−1 and let each row carry its own
+      // total (bn1) AND its predecessor's (bn2, = bucket b_c−2) via a
+      // shifted self-union — buckets are sparse, so a window lag would
+      // fetch the previous EXISTING bucket, not b−1. Still one row per
+      // (type, bucket): bounded metadata.
+      val bnx = bn.select(col("event_type").as("etx"), col("b").as("bx"),
+          col("bn").as("bn1"), lit(null).cast(LongType).as("bn2"))
+        .unionByName(bn.select(col("event_type").as("etx"),
+          (col("b") + 1).as("bx"), lit(null).cast(LongType).as("bn1"),
+          col("bn").as("bn2")))
+        .groupBy(col("etx"), col("bx"))
+        .agg(max(col("bn1")).as("bn1"), max(col("bn2")).as("bn2"))
       val classResult = pair
-        .join(broadcast(bn1),
-          col("event_type") === col("et1") && col("b_c") - 1 === col("b1"), "left")
-        .join(broadcast(bn2),
-          col("event_type") === col("et2") && col("b_c") - 2 === col("b2"), "left")
+        .join(broadcast(bnx),
+          col("event_type") === col("etx") && col("b_c") - 1 === col("bx"), "left")
         .select(col("event_type"), col("value"),
           (col("d_lrun") +
             when(col("b_p") < col("b_c"), coalesce(col("bn1"), lit(0L))).otherwise(0L) +
