@@ -138,4 +138,42 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().head.getSeq[Long](0)
     assert(hist == Seq.fill(8)(32L))
   }
+
+  test("BMP encode produces a real image file; ImageIO decode round-trips " +
+       "dims, pixels, and channel means per the documented contract") {
+    import org.apache.spark.sql.functions.{col, md5, unhex}
+    val df = Seq("hello world", "graft", "a longer document with more text")
+      .toDF("text")
+      .select(col("text"), Multimodal.encodeBmp(unhex(md5(col("text")))).as("bmp"))
+      .withColumn("img", Multimodal.decodeImage(col("bmp")))
+      .select(col("text"), col("bmp"), col("img.width"), col("img.height"),
+        col("img.mean_r"), col("img.mean_g"), col("img.mean_b"), col("img.pixels"))
+    df.collect().foreach { r =>
+      val text = r.getString(0)
+      val bmp = r.getAs[Array[Byte]](1)
+      // a genuine BMP file: magic "BM" header
+      assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+      val seed = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val w = 3 + (seed(0) & 0xFF) % 4
+      val h = 2 + (seed(1) & 0xFF) % 3
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      val expectedPix = Array.tabulate(w * h * 3)(k => seed(k % 16))
+      assert(r.getAs[Array[Byte]](7).sameElements(expectedPix))
+      def mean(c: Int): Double =
+        (0 until w * h).map(p => (seed((3 * p + c) % 16) & 0xFF).toLong)
+          .sum.toDouble / (w * h)
+      assert(r.getDouble(4) == mean(0))
+      assert(r.getDouble(5) == mean(1))
+      assert(r.getDouble(6) == mean(2))
+    }
+  }
+
+  test("DecodeImage fails loudly on an undecodable payload") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Tuple1(Array[Byte](1, 2, 3, 4))).toDF("b")
+      .select(Multimodal.decodeImage(col("b")).as("img"))
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage != null)
+  }
 }
