@@ -121,10 +121,12 @@ object Tables {
     // every orders ⋈ lineitem plan silently re-exchanges a side. Sized off
     // the larger table so the big side's task balance governs.
     val orderGroupParts = partsFor(math.max(rows("lineitem"), rows("orders")))
+    val partsUsed = Map.newBuilder[String, Int]
     all.foreach { n =>
       val parts =
         if (n == "lineitem" || n == "orders") orderGroupParts
         else partsFor(rows(n))
+      partsUsed += n -> parts
       // un-keyed tiny dims (region, nation) stay as-read: nothing keys on
       // them, and a 4-way spread of 5 rows is pure scheduling noise
       val df = (if (pinKeys.contains(n))
@@ -135,6 +137,40 @@ object Tables {
       df.foreach(_ => ()) // materialize the cache once, before timing starts
       memo.put((spark, dir, n), df)
     }
+    pinnedParts.put((spark, dir), partsUsed.result())
+  }
+
+  // partition counts chosen at pin time, so secondary layouts can co-size
+  private val pinnedParts =
+    new ConcurrentHashMap[(SparkSession, String), Map[String, Int]]()
+
+  /** Secondary resident layout: the same table cached under a DIFFERENT
+    * hash key — the in-memory twin of writing a second bucketed projection
+    * of the table (engine/Bucketing.scala is the durable form). Orders is
+    * orderkey-clustered ([[pinKeys]]); every custkey-side join or distinct
+    * over it re-exchanges the fact side each query. A resident engine
+    * declares the second layout once and every such plan becomes
+    * exchange-free — sized to `partner`'s pinned partition count so the
+    * co-located join really is co-located (same key, same N).
+    *
+    * Outside a pinned session (Verify, tests) this is the PLAIN table —
+    * layout is a bench/deployment concern, never a correctness one. */
+  def keyed(spark: SparkSession, dir: String, table: String, key: String,
+      partner: String): DataFrame = {
+    val pp = pinnedParts.get((spark, dir))
+    if (pp == null) return apply(spark, dir, table)
+    memo.computeIfAbsent(
+      (spark, dir, s"$table#$key"),
+      new JFunction[(SparkSession, String, String), DataFrame] {
+        def apply(k: (SparkSession, String, String)): DataFrame = {
+          val parts = pp.getOrElse(partner, pp(table))
+          val df = Tables(spark, dir, table)
+            .repartition(parts, org.apache.spark.sql.functions.col(key))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          df.foreach(_ => ())
+          df
+        }
+      })
   }
 
   /** Register every corpus table as a temp view so `spark.sql` works with the

@@ -74,9 +74,9 @@ class SqlGateway(val spark: SparkSession) {
   private val versions = new TrieMap[String, Int]
 
   private val CreateRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
   private val CtasRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
+    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
   private val InsertPrefixRe =
     """(?is)\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([\w.]+)\s*(.*)""".r
   private val UpdateRe =
@@ -227,8 +227,12 @@ class SqlGateway(val spark: SparkSession) {
         if (indexes.remove(idx.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown index $idx")
         ExecuteResult(0L)
-      case CtasRe(ine, table, query) => ctas(table, query, ine != null)
-      case CreateRe(ine, table, colSpec) => createTable(table, colSpec, ine != null)
+      case CtasRe(orReplace, ine, table, query) =>
+        if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
+        ctas(table, query, ine != null)
+      case CreateRe(orReplace, ine, table, colSpec) =>
+        if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
+        createTable(table, colSpec, ine != null)
       case InsertPrefixRe(orMode, table, rest) =>
         // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
         // non-conflicting rows; `ON CONFLICT DO UPDATE SET ...` merges
@@ -339,6 +343,13 @@ class SqlGateway(val spark: SparkSession) {
   private val PragmaTableInfoRe =
     """(?is)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
   private val PragmaShowTablesRe = """(?is)\s*PRAGMA\s+show_tables\s*""".r
+  private val PragmaVersionRe = """(?is)\s*PRAGMA\s+version\s*""".r
+  private val PragmaDbSizeRe = """(?is)\s*PRAGMA\s+database_size\s*""".r
+  // DuckDB FROM-first sugar, minimal forms: `FROM t` (full scan) and
+  // `FROM t SELECT <list>` — anything richer refuses rather than guessing
+  // at clause reordering.
+  private val FromOnlyRe = """(?is)\s*FROM\s+([\w.]+)\s*""".r
+  private val FromSelectRe = """(?is)\s*FROM\s+([\w.]+)\s+SELECT\s+(.*)""".r
 
   private val ExplainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.*)""".r
 
@@ -362,6 +373,32 @@ class SqlGateway(val spark: SparkSession) {
     case PragmaTableInfoRe(table) => pragmaTableInfo(table)
     case PragmaShowTablesRe() =>
       spark.sql("SHOW TABLES").select(col("tableName").as("name"))
+    case PragmaVersionRe() =>
+      // DuckDB's (library_version, source_id) shape with this engine's info
+      spark.createDataFrame(Seq((s"graft-spark-${spark.version}", "spark")))
+        .toDF("library_version", "source_id")
+    case PragmaDbSizeRe() =>
+      // real on-disk bytes across the catalog's table locations
+      val bytes = spark.catalog.listTables().collect()
+        .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+        .map { t =>
+          try {
+            spark.sql(s"DESCRIBE EXTENDED ${t.name}").collect()
+              .find(_.getString(0) == "Location").map(_.getString(1))
+              .map { loc =>
+                val p = new org.apache.hadoop.fs.Path(loc)
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .getContentSummary(p).getLength
+              }.getOrElse(0L)
+          } catch { case _: Throwable => 0L }
+        }.sum
+      spark.createDataFrame(Seq(("graft", s"$bytes bytes",
+        settings.getOrElse("memory_limit", "unset"))))
+        .toDF("database_name", "database_size", "memory_limit")
+    case FromSelectRe(table, sel) if spark.catalog.tableExists(table) =>
+      queryDf(s"SELECT $sel FROM $table")
+    case FromOnlyRe(table) if spark.catalog.tableExists(table) =>
+      spark.table(table)
     case SummarizeRe(table) => summarize(spark.table(table))
     case DescribeRe(table) => describe(table)
     case PivotRe(table, on, fn, arg, grp) =>
@@ -580,6 +617,118 @@ class SqlGateway(val spark: SparkSession) {
       }
     })
 
+  // --- DuckDB-spelled function compatibility ---------------------------
+  // A client porting real DuckDB SQL spells functions DuckDB-style
+  // (reachable through the reference passthrough `db/db.go:70`). Where
+  // Spark has an exactly-semantics-identical function under another name,
+  // rename it; where DuckDB's DEFAULT differs from Spark's for the same
+  // name (1-arg `log` is log10 in DuckDB but ln in Spark; 2-arg
+  // `regexp_extract` returns group 0 in DuckDB but group 1 in Spark), pin
+  // DuckDB's default explicitly — those two would otherwise be SILENTLY
+  // wrong, the one failure mode this grammar subset must never have.
+  // Anything not provably identical is left alone and refuses downstream.
+  // Measured against a DuckDB-documentation statement corpus in
+  // DuckDbCorpusSpec.
+  private val DuckFnAliases: Seq[(String, String)] = Seq(
+    "strpos" -> "instr",               // both 1-based substring position
+    "starts_with" -> "startswith",
+    "ends_with" -> "endswith",
+    "regexp_matches" -> "regexp_like", // both unanchored partial match
+    "list_value" -> "array",
+    "list_transform" -> "transform",   // same lambda arrow syntax
+    "list_filter" -> "filter",
+    "list_contains" -> "array_contains", // same (list, elem) arg order
+    "array_length" -> "array_size",    // both NULL-in NULL-out
+    "len" -> "length",                 // strings/blobs; lists refuse in Spark
+    "arg_max" -> "max_by",             // both ignore NULL keys
+    "arg_min" -> "min_by",
+    "list" -> "collect_list",          // both order-nondeterministic bags
+    "quantile_cont" -> "percentile")   // same (col, q) interpolation
+
+  private val DuckFnRe = (
+    """(?i)(?<![\w.$])(""" +
+      DuckFnAliases.map(_._1).sortBy(-_.length).mkString("|") +
+      """)\s*\(""").r
+  private val DuckFnLookup = DuckFnAliases.toMap
+
+  private def rewriteDuckAliases(sql: String): String =
+    DuckFnRe.replaceAllIn(sql, m => {
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else DuckFnLookup(m.group(1).toLowerCase) + "("
+    })
+
+  /** Pin DuckDB defaults where Spark's same-named function defaults
+    * differently. Balanced-paren + quote-parity scan; only the exact
+    * arity is rewritten — other arities already agree and pass through. */
+  private def rewriteDuckDefaults(sql: String): String = {
+    def fix(s: String, name: String, arity: Int,
+        rebuild: Seq[String] => String): String = {
+      val re = ("""(?i)(?<![\w.$])""" + name + """\s*\(""").r
+      val matches = re.findAllMatchIn(s).toList
+      if (matches.isEmpty) return s
+      val sb = new StringBuilder; var last = 0
+      matches.foreach { m =>
+        if (m.start >= last &&
+            s.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+          var i = m.end; var depth = 1; var inStr = false
+          while (i < s.length && depth > 0) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else if (c == '\'') inStr = true
+            else if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            i += 1
+          }
+          if (depth == 0) {
+            val args = splitTopLevel(s.substring(m.end, i - 1)).map(_.trim)
+            if (args.length == arity) {
+              sb.append(s.substring(last, m.start)).append(rebuild(args))
+              last = i
+            }
+          }
+        }
+      }
+      sb.append(s.substring(last)); sb.toString
+    }
+    var out = sql
+    if (out.toLowerCase.contains("log"))
+      out = fix(out, "log", 1, a => s"log10(${a.head})")
+    if (out.toLowerCase.contains("regexp_extract"))
+      out = fix(out, "regexp_extract", 2,
+        a => s"regexp_extract(${a(0)}, ${a(1)}, 0)")
+    out
+  }
+
+  /** DuckDB clause-level sugar with an exactly-equivalent Spark spelling:
+    * bare VARCHAR/BLOB cast targets, `USING SAMPLE` → TABLESAMPLE, and
+    * bare `SEMI/ANTI JOIN` → `LEFT SEMI/ANTI JOIN` (DuckDB's SEMI is left
+    * semi). Word-level patterns that cannot occur inside identifiers;
+    * string literals containing them would be pathological SQL-in-SQL,
+    * which this grammar subset does not claim. */
+  private def rewriteDuckClauses(sql: String): String = {
+    var out = sql
+    if (out.toLowerCase.contains("varchar"))
+      out = out.replaceAll("(?i)::\\s*varchar(?![\\w(])", "::STRING")
+        .replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
+    if (out.toLowerCase.contains("blob"))
+      out = out.replaceAll("(?i)::\\s*blob\\b", "::BINARY")
+        .replaceAll("(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
+    if (out.toLowerCase.contains("using sample"))
+      out = out
+        .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+)\\s+rows\\b",
+          "TABLESAMPLE ($1 ROWS)")
+        .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+(?:\\.\\d+)?)\\s*(?:%|percent\\b)",
+          "TABLESAMPLE ($1 PERCENT)")
+    if (out.toLowerCase.contains("join"))
+      out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
+        "LEFT $1 JOIN")
+    out
+  }
+
+  private[engine] def duckCompat(sql: String): String =
+    rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(sql)))
+
   /** The full SQL-text rewrite pipeline every passthrough statement goes
     * through: macros first (their bodies may use sequences or read_*),
     * then sequence functions, then file-reading table functions. */
@@ -634,7 +783,7 @@ class SqlGateway(val spark: SparkSession) {
   private[engine] def rewriteSql(sql: String): String = {
     val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
-    rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
+    rewriteReadFunctions(rewriteCurrentSetting(rewriteSequenceFunctions(duckCompat(expanded))))
   }
 
   /** The statement-execution form of [[rewriteSql]]: same pipeline, but
@@ -642,7 +791,7 @@ class SqlGateway(val spark: SparkSession) {
   private def runSql(sql: String): DataFrame = {
     val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
-    sqlWithReadViews(rewriteCurrentSetting(rewriteSequenceFunctions(expanded)))
+    sqlWithReadViews(rewriteCurrentSetting(rewriteSequenceFunctions(duckCompat(expanded))))
   }
 
   /** `CREATE [UNIQUE] INDEX` — a plain index is catalog metadata (no
@@ -800,9 +949,15 @@ class SqlGateway(val spark: SparkSession) {
   private def tableKey(table: String): String = table.toLowerCase
 
   /** Per-table root for versioned data dirs — distinct from the managed
-    * location Spark would pick, so the two never collide. */
+    * location Spark would pick, so the two never collide. The root honors
+    * the session-level `graft.data.dir` conf when set (warehouse.dir is a
+    * STATIC conf, one per JVM): each gateway instance — e.g. a snapshot-
+    * synced read replica on its own SparkSession (ReplicaSpec) — gets its
+    * own storage root, the way each reference node has its own store dir
+    * (`store/store.go:81`). */
   private def tableRoot(table: String): String = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val wh = spark.conf.getOption("graft.data.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")).stripSuffix("/")
     s"$wh/${tableKey(table).replace('.', '_')}__graft"
   }
 
@@ -942,8 +1097,15 @@ class SqlGateway(val spark: SparkSession) {
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString(Results.DuckTypeKey, duckName).build())
         case None =>
+          // DuckDB's bare VARCHAR has no length parameter and its binary
+          // type is spelled BLOB; normalize for Spark's fromDDL — but only
+          // HERE, after cornerType: a VARCHAR inside a declared corner
+          // spec (UNION member list) must keep its DuckDB spelling in the
+          // surfaced DatabaseTypeName
+          val norm = spec.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+            .replaceAll("(?i)\\bBLOB\\b", "BINARY")
           org.apache.spark.sql.types.StructField(name,
-            org.apache.spark.sql.types.DataType.fromDDL(spec), nullable = true)
+            org.apache.spark.sql.types.DataType.fromDDL(norm), nullable = true)
       }
     }
     val loc = s"${tableRoot(table)}/v0"
@@ -1071,7 +1233,7 @@ class SqlGateway(val spark: SparkSession) {
       throw new IllegalArgumentException(
         "nextval/currval in a SELECT insert source is not supported " +
           "(each row would receive the same value) — use a VALUES list")
-    var batch = sqlWithReadViews(rewriteSequenceFunctions(macroExpanded))
+    var batch = sqlWithReadViews(rewriteSequenceFunctions(duckCompat(macroExpanded)))
     val target = spark.table(table)
     // align batch columns to target schema (explicit column list or position)
     batch = cols match {

@@ -125,7 +125,6 @@ object Relational {
       val n = Tables(s, dir, "nation")
       val c = Tables(s, dir, "customer")
       val sup = Tables(s, dir, "supplier")
-      val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
       // broadcast hints only on the bounded dims (nation: 25 rows, region:
       // 5 rows — fixed at any scale factor); customer/supplier grow with
@@ -152,7 +151,12 @@ object Relational {
       // never exchanged before the final agg. supA's keying stays an
       // AQE/stats decision (broadcast at bench SF, shuffle at 100 TB,
       // where it re-keys the ASIA-filtered fifth of the join result).
-      val oc = o.join(cA, col("o_custkey") === col("c_custkey"))
+      // custkey-side of the star reads the custkey-keyed resident layout
+      // (Tables.keyed — the in-memory twin of a second bucketed projection)
+      // so o⋈cA is co-located when customer outgrows the broadcast
+      // threshold; outside a pinned session it is the plain table
+      val oCust = Tables.keyed(s, dir, "orders", "o_custkey", "customer")
+      val oc = oCust.join(cA, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
       l.join(oc, col("l_orderkey") === col("o_orderkey"))
         .join(supA,
@@ -175,7 +179,12 @@ object Relational {
     // ---- semi/anti join semantics (EXISTS / NOT EXISTS decorrelated)
     "q07_semi_anti" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
-      val oKeys = Tables(s, dir, "orders").select(col("o_custkey")).distinct()
+      // custkey-keyed resident layout: the distinct over 1.5M order rows
+      // folds map-side into the existing hash(custkey) partitioning
+      // instead of exchanging the fact side every run (plain table when
+      // the session has no pinned corpus)
+      val oKeys = Tables.keyed(s, dir, "orders", "o_custkey", "customer")
+        .select(col("o_custkey")).distinct()
       c.join(oKeys, col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -187,7 +196,8 @@ object Relational {
     "q08_full_outer" -> { (s, dir) =>
       val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
         .select(col("c_custkey").as("k")).distinct()
-      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      val big = Tables.keyed(s, dir, "orders", "o_custkey", "customer")
+        .filter(col("o_totalprice") > 150000.0)
         .select(col("o_custkey").as("k2")).distinct()
       rich.join(big, col("k") === col("k2"), "full")
         .agg(

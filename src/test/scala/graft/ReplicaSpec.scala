@@ -1,0 +1,148 @@
+package graft
+
+import graft.engine.{Snapshot, SqlGateway}
+import graft.http.Service
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+/** Snapshot-synced read-replica deployment, end to end — the reference's
+  * multi-node shape (leader + N read nodes, writes redirected to the
+  * leader, state shipped by snapshot: `store/store.go:174-194` Raft
+  * apply, `:257-320` snapshot/restore) re-expressed in this engine's
+  * distribution model.
+  *
+  * Each replica here is a fully independent stack: its OWN SparkSession
+  * (separate session state), its OWN warehouse directory, its OWN
+  * database namespace, its OWN SqlGateway — hydrated exclusively through
+  * `Snapshot.exportDatabase`/`importDatabase` (the E5/E6 surface). The
+  * spec proves the three properties that make it a real replica, not a
+  * façade over shared state:
+  *
+  *   1. reads are served from the replica's LOCAL copy (its table files
+  *      live under its own warehouse dir),
+  *   2. replica state is INDEPENDENT: a post-snapshot leader write is not
+  *      visible on the replica until the next snapshot ships,
+  *   3. the wire contract holds: writes against a replica answer 301 +
+  *      leader Location (re-POST succeeds, `cmd/cli/client.go:52-63`),
+  *      reads answer locally, /status reports the role.
+  */
+class ReplicaSpec extends SparkTestBase {
+
+  private def newHttp(port: Int, method: String, path: String,
+      body: Option[String] = None, follow: Boolean = true): (Int, String, String) = {
+    val conn = URI.create(s"http://localhost:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setInstanceFollowRedirects(follow)
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    val loc = Option(conn.getHeaderField("Location")).getOrElse("")
+    conn.disconnect()
+    (code, out, loc)
+  }
+
+  test("leader + two snapshot-synced replicas: local reads, independent " +
+       "state, 301 write redirect (store/store.go:257-320 parity)") {
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+    // --- leader stack: its own session state + warehouse ---
+    val leaderSess = spark.newSession()
+    // warehouse.dir is STATIC (one per JVM); graft.data.dir is the
+    // gateway's session-level storage root — each stack gets its own
+    leaderSess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-leader-wh").toString)
+    leaderSess.sql("CREATE DATABASE IF NOT EXISTS leader_ns")
+    leaderSess.catalog.setCurrentDatabase("leader_ns")
+    val leaderGw = new SqlGateway(leaderSess)
+    val leader = new Service(leaderGw)
+    val lPort = leader.start()
+
+    val replicas = (1 to 2).map { i =>
+      val sess = spark.newSession()
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-replica$i-wh").toString
+      sess.conf.set("graft.data.dir", wh)
+      sess.sql(s"CREATE DATABASE IF NOT EXISTS replica${i}_ns")
+      sess.catalog.setCurrentDatabase(s"replica${i}_ns")
+      val gw = new SqlGateway(sess)
+      val svc = new Service(gw, leaderUrl = Some(s"http://localhost:$lPort"))
+      (gw, svc, svc.start(), wh, sess)
+    }
+
+    try {
+      // --- seed the leader through the wire (demo-client statements) ---
+      val (c1, _, _) = newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE fleet_t (id integer not null primary key, name text)"}"""))
+      assert(c1 == 200)
+      val (c2, _, _) = newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO fleet_t VALUES (1, 'alpha'), (2, 'beta')"}"""))
+      assert(c2 == 200)
+
+      // --- ship the snapshot: export once, import on each replica ---
+      Snapshot.exportDatabase(leaderGw, snapDir)
+      replicas.foreach { case (gw, _, _, _, _) => Snapshot.importDatabase(gw, snapDir) }
+
+      // 1. replica reads serve the LOCAL copy over the wire...
+      replicas.foreach { case (_, _, rPort, _, _) =>
+        val (rc, rb, _) = newHttp(rPort, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20fleet_t")
+        assert(rc == 200 && rb.contains("[2]"), rb)
+      }
+      // ...and the copy physically lives under the replica's OWN warehouse
+      replicas.foreach { case (_, _, _, wh, sess) =>
+        val loc = sess.sql("DESCRIBE EXTENDED fleet_t").collect()
+          .find(_.getString(0) == "Location").map(_.getString(1)).getOrElse("")
+        assert(loc.contains(new java.io.File(wh).getName),
+          s"replica table not replica-local: $loc vs $wh")
+      }
+
+      // 2. independence: a post-snapshot leader write is NOT visible on
+      //    the replicas until the next snapshot ships
+      val (c3, _, _) = newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO fleet_t VALUES (3, 'gamma')"}"""))
+      assert(c3 == 200)
+      val (_, lCount, _) = newHttp(lPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20fleet_t")
+      assert(lCount.contains("[3]"), lCount)
+      replicas.foreach { case (_, _, rPort, _, _) =>
+        val (_, rb, _) = newHttp(rPort, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20fleet_t")
+        assert(rb.contains("[2]"), s"replica not independent of leader state: $rb")
+      }
+      // next snapshot ship closes the gap
+      Snapshot.exportDatabase(leaderGw, snapDir)
+      replicas.foreach { case (gw, _, _, _, _) => Snapshot.importDatabase(gw, snapDir) }
+      replicas.foreach { case (_, _, rPort, _, _) =>
+        val (_, rb, _) = newHttp(rPort, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20fleet_t")
+        assert(rb.contains("[3]"), rb)
+      }
+
+      // 3. wire contract: write to a replica → 301 + leader Location;
+      //    re-POST to the advertised URL succeeds (the reference CLI's move)
+      val insert = """{"sql": "INSERT INTO fleet_t VALUES (4, 'delta')"}"""
+      val (rc, _, loc) = newHttp(replicas.head._3, "POST", "/db/execute",
+        Some(insert), follow = false)
+      assert(rc == 301 && loc == s"http://localhost:$lPort/db/execute", s"$rc $loc")
+      val (rc2, rb2, _) = newHttp(lPort, "POST",
+        loc.stripPrefix(s"http://localhost:$lPort"), Some(insert))
+      assert(rc2 == 200 && rb2.contains("rows_affected"), rb2)
+
+      // roles over /status
+      val (_, ls, _) = newHttp(lPort, "GET", "/status")
+      assert(ls.contains("\"role\": \"leader\""), ls)
+      replicas.foreach { case (_, _, rPort, _, _) =>
+        val (_, rs, _) = newHttp(rPort, "GET", "/status")
+        assert(rs.contains("\"role\": \"follower\"") &&
+          rs.contains(s"http://localhost:$lPort"), rs)
+      }
+    } finally {
+      replicas.foreach(_._2.stop())
+      leader.stop()
+    }
+  }
+}
