@@ -11,9 +11,11 @@ import java.nio.charset.StandardCharsets
   *   - `POST /db/execute`  — write statement  (`http/service.go:196-227`)
   *   - `GET|POST /db/query` — read statement  (`http/service.go:249-288`)
   *   - `GET /status`        — engine status   (`http/service.go:144-193`)
-  *   - `POST /join`         — cluster join; Spark owns cluster membership,
-  *     so this reports that fact instead of mutating a Raft config
-  *     (`http/service.go:98-141`, SURVEY.md §3.3)
+  *   - `POST /join`         — mutating cluster join: validates and
+  *     registers `{"id", "addr"}` in the leader's membership roster with
+  *     the reference's exact validation/idempotence/conflict semantics
+  *     (`http/service.go:98-141`, `store/store.go:201-234`); roster
+  *     surfaces in `/status` as `nodes`
   *
   * Request body `{"sql": "..."}` (`http/service.go:16-18`); responses carry
   * `results` or `error` plus `time` in fractional milliseconds, matching
@@ -32,8 +34,16 @@ import java.nio.charset.StandardCharsets
   * so a reference client pointed at any replica keeps working unchanged.
   */
 class Service(gateway: SqlGateway, port: Int = 0,
-              leaderUrl: Option[String] = None) {
+              leaderUrl: Option[String] = None, nodeId: String = "node0") {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  // cluster membership (id → addr), owned by the leader — the engine's
+  // twin of the reference's Raft voter configuration, which starts with
+  // the bootstrapping node as sole member (`store/store.go:149-156`) and
+  // grows via /join (`store/store.go:201-234`). Replicas here are
+  // snapshot-synced read nodes (ReplicaSpec), so membership is a served
+  // roster, not a quorum — but the join/validation/idempotence contract
+  // is kept identical so a reference operator's tooling works unchanged.
+  private val members = new java.util.concurrent.ConcurrentHashMap[String, String]()
   server.createContext("/db/execute", handler(handleExecute))
   server.createContext("/db/query", handler(handleQuery))
   server.createContext("/status", handler(handleStatus))
@@ -41,7 +51,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
-  def start(): Int = { server.start(); server.getAddress.getPort }
+  def start(): Int = {
+    server.start()
+    // the bootstrapping node is its own first member (store/store.go:149-156)
+    if (leaderUrl.isEmpty)
+      members.put(nodeId, s"http://localhost:${server.getAddress.getPort}")
+    server.getAddress.getPort
+  }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
@@ -125,16 +141,48 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // follower names its leader — http/service.go:144-193)
     val role = Seq("role" -> (if (leaderUrl.isEmpty) "leader" else "follower")) ++
       leaderUrl.map("leader" -> _)
-    val st = Snapshot.status(gateway) ++ role
+    // membership roster — the reference surfaces its Raft configuration
+    // through store.Stats() in /status; same observability here
+    import scala.jdk.CollectionConverters._
+    val nodes = Seq("nodes" ->
+      members.asScala.toSeq.sortBy(_._1).map { case (i, a) => s"$i=$a" }.mkString(","))
+    val st = Snapshot.status(gateway) ++ role ++ nodes
     (200, obj(st.toSeq.sortBy(_._1).map { case (k, v) => k -> Json.str(v) }: _*))
   }
 
-  private def handleJoin(ex: HttpExchange): (Int, String) =
-    // Spark is the distribution layer; there is no Raft config to mutate
-    // (SURVEY.md §3.3). Report topology instead of redirecting.
-    (200, obj(
-      "message" -> Json.str("cluster membership is managed by Spark"),
-      "master" -> Json.str(gateway.spark.sparkContext.master)))
+  /** Mutating cluster join, matching the reference contract end to end:
+    * body is `{"id": ..., "addr": ...}` with EXACTLY two parameters
+    * (`http/service.go:109-132` — missing/extra fields → 400); a member
+    * re-joining with the same id+addr is an idempotent no-op, while a
+    * conflicting id OR addr evicts the stale entry before the add
+    * (`store/store.go:210-226` remove-then-AddVoter). Only the leader
+    * mutates membership — on a follower the reference's AddVoter fails
+    * and store.Join surfaces the error as HTTP 500 (it does NOT redirect
+    * joins the way it redirects writes), so a follower answers 500 here. */
+  private def handleJoin(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val fields = Json.stringFields(body)
+    if (fields.size != 2)
+      return (400, obj("error" ->
+        Json.str(s"invalid join request: expected 2 parameters, got ${fields.size}")))
+    val addr = fields.getOrElse("addr",
+      return (400, obj("error" -> Json.str("missing 'addr' in join request"))))
+    val id = fields.getOrElse("id",
+      return (400, obj("error" -> Json.str("missing 'id' in join request"))))
+    if (leaderUrl.isDefined)
+      return (500, obj("error" ->
+        Json.str("node is not the leader; send join requests to the leader")))
+    if (addr != members.get(id)) { // same id+addr → nothing to do (idempotent)
+      members.entrySet.removeIf(
+        new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
+          def test(e: java.util.Map.Entry[String, String]): Boolean =
+            e.getKey == id || e.getValue == addr
+        })
+      members.put(id, addr)
+    }
+    (200, obj("id" -> Json.str(id), "addr" -> Json.str(addr)))
+  }
 
   private def executeJson(r: ExecuteResult): String =
     obj("rows_affected" -> r.rowsAffected.toString)
@@ -189,6 +237,16 @@ object Json {
       m.map { case (k, mv) => s"${str(String.valueOf(k))}: ${value(mv)}" }
         .mkString("{", ", ", "}")
     case other => str(String.valueOf(other))
+  }
+
+  /** All top-level string fields of a flat JSON object — the join body's
+    * shape (the reference unmarshals it into a `map[string]string`,
+    * `http/service.go:108-115`, so non-string values are a client error
+    * there too; here they simply don't count toward the field total). */
+  def stringFields(json: String): Map[String, String] = {
+    val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    re.findAllMatchIn(json)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
   }
 
   /** Extract a string field from a one-level JSON object (the request

@@ -140,6 +140,38 @@ class ReplicaSpec extends SparkTestBase {
         assert(rs.contains("\"role\": \"follower\"") &&
           rs.contains(s"http://localhost:$lPort"), rs)
       }
+
+      // 4. mutating /join (http/service.go:98-141, store/store.go:201-234):
+      //    each replica registers itself; the roster surfaces in /status
+      replicas.zipWithIndex.foreach { case ((_, _, rPort, _, _), i) =>
+        val (jc, _, _) = newHttp(lPort, "POST", "/join",
+          Some(s"""{"id": "replica${i + 1}", "addr": "http://localhost:$rPort"}"""))
+        assert(jc == 200)
+      }
+      val (_, ls2, _) = newHttp(lPort, "GET", "/status")
+      assert(ls2.contains(s"replica1=http://localhost:${replicas(0)._3}") &&
+        ls2.contains(s"replica2=http://localhost:${replicas(1)._3}"), ls2)
+      // re-join with the same id+addr is an idempotent no-op
+      val (jc2, _, _) = newHttp(lPort, "POST", "/join",
+        Some(s"""{"id": "replica1", "addr": "http://localhost:${replicas(0)._3}"}"""))
+      assert(jc2 == 200)
+      // a join with a conflicting addr evicts the stale member first
+      val (jc3, _, _) = newHttp(lPort, "POST", "/join",
+        Some(s"""{"id": "replica1b", "addr": "http://localhost:${replicas(0)._3}"}"""))
+      assert(jc3 == 200)
+      val (_, ls3, _) = newHttp(lPort, "GET", "/status")
+      assert(ls3.contains("replica1b=") && !ls3.contains("replica1="), ls3)
+      // validation: wrong arity → 400 (reference: expected 2 parameters)
+      val (jb1, _, _) = newHttp(lPort, "POST", "/join", Some("""{"id": "x"}"""))
+      assert(jb1 == 400)
+      val (jb2, _, _) = newHttp(lPort, "POST", "/join", Some(
+        """{"id": "x", "addr": "http://h:1", "extra": "y"}"""))
+      assert(jb2 == 400)
+      // a follower cannot mutate membership: 500, as the reference's
+      // AddVoter-on-follower error surfaces (no redirect for joins)
+      val (jf, _, _) = newHttp(replicas.head._3, "POST", "/join",
+        Some("""{"id": "y", "addr": "http://localhost:1"}"""))
+      assert(jf == 500)
     } finally {
       replicas.foreach(_._2.stop())
       leader.stop()

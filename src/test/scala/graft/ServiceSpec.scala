@@ -116,9 +116,11 @@ class ServiceSpec extends SparkTestBase {
     assert(c == 200 && b.contains("\"engine\": \"spark\"") && b.contains("uptimeMs"))
   }
 
-  test("join reports spark-managed membership") {
-    val (c, b) = http("POST", "/join", Some("""{"addr": "x", "id": "y"}"""))
-    assert(c == 200 && b.contains("managed by Spark"))
+  test("join registers the member and surfaces it in /status") {
+    val (c, b) = http("POST", "/join", Some("""{"addr": "http://h:9", "id": "y"}"""))
+    assert(c == 200 && b.contains("\"y\""), b)
+    val (sc, sb) = http("GET", "/status")
+    assert(sc == 200 && sb.contains("y=http://h:9"), sb)
   }
 
   test("pretty param indents output") {
