@@ -409,7 +409,150 @@ class SqlGateway(val spark: SparkSession) {
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
       df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
-    case _ => runSql(sql)
+    case _ => dialectQuery(stripComments(sql)).getOrElse(runSql(sql))
+  }
+
+  // --- DuckDB SELECT-dialect statements -------------------------------
+  // QUALIFY, star EXCLUDE/REPLACE, DISTINCT ON, COLUMNS(regex),
+  // POSITIONAL JOIN, UNION [ALL] BY NAME. Every one of these operators
+  // already exists first-class in the engine (ops/Dialect, ops/Positions
+  // — q33, q45–q53); these handlers give them their DuckDB SQL spelling
+  // through the gateway (all reachable via the reference passthrough,
+  // `db/db.go:70`). Each matches a conservative statement shape and
+  // otherwise declines — the statement then refuses downstream, never
+  // gets guessed at.
+
+  /** First top-level (outside string literals and parens) match of the
+    * case-insensitive `pattern`, as (start, end). */
+  private def topLevel(sql: String, pattern: String): Option[(Int, Int)] = {
+    val re = ("(?i)" + pattern).r
+    re.findAllMatchIn(sql).find { m =>
+      var depth = 0; var inStr = false
+      sql.substring(0, m.start).foreach { c =>
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+      }
+      !inStr && depth == 0
+    }.map(m => (m.start, m.end))
+  }
+
+  private val ExcludeRe =
+    """(?is)^\s*SELECT\s+\*\s+EXCLUDE\s*(?:\(\s*([^)]+?)\s*\)|([A-Za-z_]\w*))\s+(FROM\b.*)$""".r
+  private val ReplaceStarRe =
+    """(?is)^\s*SELECT\s+\*\s+REPLACE\s*\((.+?)\)\s+(FROM\b.*)$""".r
+  private val DistinctOnRe =
+    ("""(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(\s*([^)]+?)\s*\)\s+(.+?)\s+""" +
+     """(FROM\s+[\w.]+)\s*(?:ORDER\s+BY\s+(.+?))?\s*(LIMIT\s+\d+)?\s*$""").r
+  private val ColumnsSelRe =
+    """(?is)^\s*SELECT\s+COLUMNS\s*\(\s*'([^']+)'\s*\)\s+FROM\s+([\w.]+)\s*$""".r
+  private val PositionalRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+     """\s+POSITIONAL\s+JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""").r
+
+  private def dialectQuery(sql: String): Option[DataFrame] = {
+    // UNION [ALL] BY NAME: split at the top level, each side re-enters
+    // queryDf; missing columns NULL-fill exactly like DuckDB
+    topLevel(sql, """\bUNION\s+(?:ALL\s+)?BY\s+NAME\b""").foreach { case (s, e) =>
+      val all = sql.substring(s, e).toLowerCase.contains("all")
+      val u = queryDf(sql.substring(0, s).trim)
+        .unionByName(queryDf(sql.substring(e).trim), allowMissingColumns = true)
+      return Some(if (all) u else u.distinct())
+    }
+    // QUALIFY: the window predicate becomes an appended projection item
+    // (windows are legal in a SELECT list, not in WHERE), filtered and
+    // dropped outside — semantically DuckDB's post-window filter
+    topLevel(sql, """\bQUALIFY\b""").foreach { case (qs, qe) =>
+      val head = sql.substring(0, qs)
+      val rest = sql.substring(qe)
+      val cut = topLevel(rest, """\b(?:ORDER\s+BY|LIMIT|OFFSET)\b""")
+        .map(_._1).getOrElse(rest.length)
+      val pred = rest.substring(0, cut).trim
+      val tail = rest.substring(cut)
+      return topLevel(head, """\bFROM\b""").map { case (fs, _) =>
+        val inner = head.substring(0, fs) +
+          s", ($pred) AS graft_qual " + head.substring(fs)
+        runSql(s"SELECT * FROM ( $inner ) graft_qsub WHERE graft_qual $tail")
+          .drop("graft_qual")
+      }
+    }
+    sql match {
+      case ExcludeRe(parenCols, bareCol, from) =>
+        val cols = Option(parenCols).map(splitTopLevel(_).map(_.trim))
+          .getOrElse(Seq(bareCol))
+        Some(cols.foldLeft(runSql(s"SELECT * $from"))((d, c) => d.drop(c)))
+      case ReplaceStarRe(items, from) =>
+        val AsRe = """(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$""".r
+        val parsed = splitTopLevel(items).map(_.trim).map {
+          case AsRe(e, n) => Some(n.toLowerCase -> e)
+          case _ => None
+        }
+        if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+        else {
+          val reps = parsed.flatten.toMap
+          val base = runSql(s"SELECT * $from")
+          // every replacement evaluates against the ORIGINAL row (DuckDB
+          // semantics), so build one select, not chained withColumns
+          Some(base.select(base.columns.map(c =>
+            reps.get(c.toLowerCase).map(e => expr(e).as(c))
+              .getOrElse(col(s"`$c`"))).toSeq: _*))
+        }
+      case DistinctOnRe(on, sel, from, ord, limit) =>
+        // DuckDB keeps the FIRST row per ON-group in ORDER BY order (the
+        // ON prefix of the ORDER BY orders groups, the remainder orders
+        // within); with no ORDER BY the pick is arbitrary — the window
+        // then orders by the ON columns themselves. DuckDB's default null
+        // placement is NULLS LAST in BOTH directions (Spark's ASC default
+        // is NULLS FIRST) — the constructed window text pins it so the
+        // picked row is DuckDB's.
+        val order = splitTopLevel(
+          Option(ord).map(_.trim).filter(_.nonEmpty).getOrElse(on))
+          .map(_.trim)
+          .map(o => if ("(?i)NULLS\\s+(FIRST|LAST)".r.findFirstIn(o).isDefined) o
+                    else s"$o NULLS LAST")
+          .mkString(", ")
+        val inner = s"SELECT $sel, row_number() OVER " +
+          s"(PARTITION BY $on ORDER BY $order) AS graft_rn $from"
+        val outerOrd = Option(ord).map(o => s" ORDER BY $o").getOrElse("")
+        val lim = Option(limit).map(" " + _).getOrElse("")
+        Some(runSql(
+          s"SELECT * FROM ( $inner ) graft_don WHERE graft_rn = 1$outerOrd$lim")
+          .drop("graft_rn"))
+      case ColumnsSelRe(pattern, table) =>
+        val df = spark.table(table)
+        val re = pattern.r
+        val cols = df.columns.filter(c => re.findFirstIn(c).isDefined)
+        if (cols.isEmpty) throw new IllegalArgumentException(
+          s"COLUMNS('$pattern') matched no columns of $table")
+        Some(df.select(cols.map(c => col(s"`$c`")).toSeq: _*))
+      case PositionalRe(sel, lt, la, rt, ra) =>
+        Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
+      case _ => None
+    }
+  }
+
+  /** DuckDB POSITIONAL JOIN: rows pair by their position in each table's
+    * natural order, shorter side NULL-padded. Positions come from
+    * `zipWithIndex` over the scan order (the distributed numbering of
+    * ops/Positions, without a sort — natural order IS the contract here,
+    * same as DuckDB's insertion order). */
+  private def positionalJoin(sel: String, lt: String, la: Option[String],
+      rt: String, ra: Option[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def zipIdx(df: DataFrame): DataFrame = {
+      val schema = StructType(df.schema.fields :+
+        StructField("graft_pos", LongType, nullable = false))
+      df.sparkSession.createDataFrame(
+        df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }
+    val l = zipIdx(spark.table(lt)).alias(la.getOrElse(lt))
+    val r = zipIdx(spark.table(rt)).alias(ra.getOrElse(rt))
+    l.join(r, Seq("graft_pos"), "full_outer")
+      .orderBy(col("graft_pos"))
+      .selectExpr(splitTopLevel(sel).map(_.trim): _*)
   }
 
   // --- DuckDB file-reading table functions (a client's most common ad-hoc
@@ -643,7 +786,9 @@ class SqlGateway(val spark: SparkSession) {
     "arg_max" -> "max_by",             // both ignore NULL keys
     "arg_min" -> "min_by",
     "list" -> "collect_list",          // both order-nondeterministic bags
-    "quantile_cont" -> "percentile")   // same (col, q) interpolation
+    "quantile_cont" -> "percentile",   // same (col, q) interpolation
+    "unnest" -> "explode")             // SELECT-list list flattening; a
+                                       // non-list input fails analysis loudly
 
   private val DuckFnRe = (
     """(?i)(?<![\w.$])(""" +
@@ -662,8 +807,10 @@ class SqlGateway(val spark: SparkSession) {
     * differently. Balanced-paren + quote-parity scan; only the exact
     * arity is rewritten — other arities already agree and pass through. */
   private def rewriteDuckDefaults(sql: String): String = {
+    // arity < 0 = any arity; rebuild returning None leaves the call
+    // untouched (it then refuses downstream rather than being guessed at)
     def fix(s: String, name: String, arity: Int,
-        rebuild: Seq[String] => String): String = {
+        rebuild: Seq[String] => Option[String]): String = {
       val re = ("""(?i)(?<![\w.$])""" + name + """\s*\(""").r
       val matches = re.findAllMatchIn(s).toList
       if (matches.isEmpty) return s
@@ -682,9 +829,11 @@ class SqlGateway(val spark: SparkSession) {
           }
           if (depth == 0) {
             val args = splitTopLevel(s.substring(m.end, i - 1)).map(_.trim)
-            if (args.length == arity) {
-              sb.append(s.substring(last, m.start)).append(rebuild(args))
-              last = i
+            if (args.length == arity || arity < 0) {
+              rebuild(args).foreach { built =>
+                sb.append(s.substring(last, m.start)).append(built)
+                last = i
+              }
             }
           }
         }
@@ -693,11 +842,126 @@ class SqlGateway(val spark: SparkSession) {
     }
     var out = sql
     if (out.toLowerCase.contains("log"))
-      out = fix(out, "log", 1, a => s"log10(${a.head})")
+      out = fix(out, "log", 1, a => Some(s"log10(${a.head})"))
     if (out.toLowerCase.contains("regexp_extract"))
       out = fix(out, "regexp_extract", 2,
-        a => s"regexp_extract(${a(0)}, ${a(1)}, 0)")
+        a => Some(s"regexp_extract(${a(0)}, ${a(1)}, 0)"))
+    // DuckDB's 4th regexp_replace arg is a FLAG string ('g' = global);
+    // Spark's 4th arg is a position. Exactly the literal 'g' flag equals
+    // Spark's replace-all default — drop it. Any other flag ('i', 's',
+    // combinations, or first-match-only 3-arg) has no safe spelling and
+    // keeps refusing (Spark's ANSI cast of a flag string to a position
+    // errors loudly).
+    if (out.toLowerCase.contains("regexp_replace"))
+      out = fix(out, "regexp_replace", 4, a =>
+        if (a(3) == "'g'") Some(s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})")
+        else None)
+    // struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x); an arg
+    // not of `ident := expr` shape leaves the whole call to refuse
+    if (out.toLowerCase.contains("struct_pack")) {
+      val Kv = """(?s)([A-Za-z_]\w*)\s*:=\s*(.+)""".r
+      out = fix(out, "struct_pack", -1, args => {
+        val kvs = args.map {
+          case Kv(k, v) => Some(s"'$k', $v")
+          case _ => None
+        }
+        if (kvs.nonEmpty && kvs.forall(_.isDefined))
+          Some(kvs.flatten.mkString("named_struct(", ", ", ")"))
+        else None
+      })
+    }
+    // date_diff('unit', a, b) (and DuckDB's datediff alias) counts UNIT
+    // BOUNDARY CROSSINGS (duckdb 1.0 verified: month 01-31→02-01 = 1,
+    // hour 01:59→03:01 = 2), not elapsed full units — so Spark's
+    // timestampdiff is NOT equivalent. Exact spellings: day → datediff
+    // (date-boundary count), year/month → calendar-field arithmetic,
+    // hour/minute/second → truncate-then-divide on epoch micros (exact
+    // integers: truncated stamps are whole multiples of the unit).
+    for (fn <- Seq("date_diff", "datediff")
+         if out.toLowerCase.contains(fn.replace("_", "")) ||
+           out.toLowerCase.contains(fn))
+      out = fix(out, fn, 3, a => {
+        def trunc(unit: String, micros: Long) = Some(
+          s"((unix_micros(date_trunc('$unit', ${a(2)})) - " +
+          s"unix_micros(date_trunc('$unit', ${a(1)}))) div ${micros}L)")
+        a(0).toLowerCase.replaceAll("'", "").stripSuffix("s") match {
+          case "day" => Some(s"datediff(${a(2)}, ${a(1)})")
+          case "year" => Some(s"(year(${a(2)}) - year(${a(1)}))")
+          case "month" => Some(s"((year(${a(2)}) - year(${a(1)})) * 12 + " +
+            s"(month(${a(2)}) - month(${a(1)})))")
+          case "hour" => trunc("hour", 3600000000L)
+          case "minute" => trunc("minute", 60000000L)
+          case "second" => trunc("second", 1000000L)
+          case _ => None
+        }
+      })
+    // epoch(ts) → seconds since epoch as DOUBLE with fraction (duckdb 1.0
+    // verified: 00:01:30.5 → 90.5); unix_micros keeps the fraction that
+    // unix_timestamp truncates, and BIGINT/INT division is double in Spark
+    if (out.toLowerCase.contains("epoch("))
+      out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
+    // format('{} and {}', args...) — fmt-style template. Only the plain
+    // positional `{}` placeholder translates exactly (→ %s, which renders
+    // ints/strings as DuckDB does); indexed or spec'd placeholders refuse.
+    if (out.toLowerCase.contains("format("))
+      out = fix(out, "format", -1, args =>
+        if (args.length >= 2 && args.head.length >= 2 &&
+            args.head.head == '\'' && args.head.last == '\'' &&
+            !args.head.drop(1).dropRight(1).exists(c => c == '\'' || c == '%') &&
+            "\\{[^}]+\\}".r.findFirstIn(args.head).isEmpty &&
+            "\\{\\}".r.findAllIn(args.head).length == args.length - 1)
+          Some((s"format_string(${args.head.replace("{}", "%s")}" +
+            args.tail.mkString(", ", ", ", "")) + ")")
+        else None)
+    // strftime/strptime with a LITERAL format string whose every %-code
+    // has an exactly-equivalent JVM pattern → date_format / to_timestamp;
+    // an unsupported code (e.g. %-d, %f) leaves the call to refuse
+    for ((duck, sparkFn) <- Seq("strftime" -> "date_format",
+        "strptime" -> "to_timestamp") if out.toLowerCase.contains(duck))
+      out = fix(out, duck, 2, a => {
+        val lit = a(1)
+        if (lit.length >= 2 && lit.head == '\'' && lit.last == '\'' &&
+            !lit.drop(1).dropRight(1).contains('\''))
+          strftimeToJavaPattern(lit.drop(1).dropRight(1)).map(p =>
+            s"$sparkFn(${a(0)}, '${p.replace("'", "''")}')")
+        else None
+      })
     out
+  }
+
+  /** C-style strftime codes → JVM datetime pattern, only for codes whose
+    * Spark rendering is exactly DuckDB's (both engines document these):
+    * full/abbrev day + month names agree, zero-padded numerics agree.
+    * Literal text is pattern-quoted. Returns None on any unknown code. */
+  private def strftimeToJavaPattern(fmt: String): Option[String] = {
+    val codes = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'p' -> "a",
+      'j' -> "DDD", 'B' -> "MMMM", 'b' -> "MMM", 'A' -> "EEEE",
+      'a' -> "EEE")
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      // quote literal runs so letters aren't read as pattern codes
+      if (lit.exists(c => c.isLetter || c == '\''))
+        sb.append("'").append(lit.toString.replace("'", "''")).append("'")
+      else sb.append(lit)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        if (code == '%') { lit += '%'; i += 2 }
+        else codes.get(code) match {
+          case Some(p) => flushLit(); sb.append(p); i += 2
+          case None => return None
+        }
+      } else if (c == '%') return None
+      else { lit += c; i += 1 }
+    }
+    flushLit()
+    Some(sb.toString)
   }
 
   /** DuckDB clause-level sugar with an exactly-equivalent Spark spelling:
@@ -726,8 +990,196 @@ class SqlGateway(val spark: SparkSession) {
     out
   }
 
+  /** DuckDB container literals → Spark constructors, one quote-aware
+    * left-to-right pass:
+    *
+    *   - `[a, b, c]` at EXPRESSION position (start of an expression:
+    *     after an operator, comma, open paren, or SQL keyword) →
+    *     `array(a, b, c)`;
+    *   - `{'k': v, ...}` → `named_struct('k', v, ...)`, and
+    *     `MAP {'k': v}` → `map('k', v)` — inside a brace scope a single
+    *     top-level `:` becomes `,` (a `::` cast is left intact);
+    *   - `'lit'[n]` (string-literal subscript, integer n ≥ 1 or ≤ -1) →
+    *     `substr('lit', n, 1)` — DuckDB's 1-based character pick;
+    *   - `(...)[e]` (subscript on a parenthesized/function-call result) →
+    *     `element_at(..., e)` — 1-based with negative-from-end, exactly
+    *     DuckDB's list indexing (out-of-range errors loudly under ANSI
+    *     rather than DuckDB's NULL — never silently the wrong element);
+    *   - `ident[...]` is left VERBATIM: it is a DDL array-type suffix
+    *     (`INTEGER[]`) or a bare-column subscript whose operand type is
+    *     unknowable from text — Spark's own 0-based `col[i]` would be
+    *     silently off-by-one for a DuckDB client, so that spelling is a
+    *     documented divergence in DuckDbCorpusSpec, not a guess here;
+    *   - `read_*(...)` calls are copied untouched — their bracketed path
+    *     lists belong to [[rewriteReadFunctionsTracked]]'s grammar.
+    *
+    * Slices (`l[2:3]`) and anything else unrecognized pass through and
+    * refuse in the parser. */
+  private[engine] def rewriteDuckLiterals(sql: String): String = {
+    if (!sql.exists(c => c == '[' || c == '{')) return sql
+    // SQL keywords after which a '[' opens a list literal even though the
+    // preceding CHARACTER is a letter ("SELECT [1,2]")
+    val kw = Set("select", "from", "where", "and", "or", "not", "in",
+      "when", "then", "else", "end", "as", "on", "by", "having", "limit",
+      "offset", "union", "all", "intersect", "except", "distinct",
+      "values", "set", "returning", "between", "like", "ilike", "is",
+      "case", "order", "group", "join", "using", "exists", "array")
+    val readSpans: Map[Int, Int] =
+      ReadFnRe.findAllMatchIn(sql).map(m => m.start -> m.end).toMap
+    val sb = new StringBuilder
+    val stack = scala.collection.mutable.Stack[Char]()
+    var i = 0; var inStr = false
+    def lastWord: String = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+      val e = j
+      while (j >= 0 && (sb.charAt(j).isLetterOrDigit || sb.charAt(j) == '_' ||
+        sb.charAt(j) == '$')) j -= 1
+      sb.substring(j + 1, e + 1)
+    }
+    def lastSig: Char = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+      if (j >= 0) sb.charAt(j) else ' '
+    }
+    // copy sql[i ..] verbatim through the ']' matching the '[' at i
+    def copyBracketVerbatim(): Unit = {
+      var depth = 0; var s = false
+      var done = false
+      while (i < sql.length && !done) {
+        val c = sql.charAt(i); sb += c
+        if (s) { if (c == '\'') s = false }
+        else if (c == '\'') s = true
+        else if (c == '[') depth += 1
+        else if (c == ']') { depth -= 1; if (depth == 0) done = true }
+        i += 1
+      }
+    }
+    // the span of sql[from..) up to the ']' matching the '[' at `from`
+    def indexSpan(from: Int): Option[(String, Int)] = {
+      var j = from + 1; var depth = 1; var s = false
+      while (j < sql.length && depth > 0) {
+        val c = sql.charAt(j)
+        if (s) { if (c == '\'') s = false }
+        else if (c == '\'') s = true
+        else if (c == '[') depth += 1
+        else if (c == ']') depth -= 1
+        j += 1
+      }
+      if (depth == 0) Some(sql.substring(from + 1, j - 1) -> j) else None
+    }
+    // does this top-level index expression look like a slice?
+    def isSlice(ix: String): Boolean = {
+      var d = 0; var s = false
+      ix.exists { c =>
+        if (s) { if (c == '\'') s = false; false }
+        else if (c == '\'') { s = true; false }
+        else if (c == '(' || c == '[') { d += 1; false }
+        else if (c == ')' || c == ']') { d -= 1; false }
+        else c == ':' && d == 0
+      }
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (readSpans.contains(i)) {
+        val end = readSpans(i); sb.append(sql.substring(i, end)); i = end
+      } else c match {
+        case '\'' => inStr = true; sb += c; i += 1
+        case '[' =>
+          val p = lastSig
+          val afterKeyword = (p.isLetter || p == '_') && kw(lastWord.toLowerCase)
+          if (p == '\'') {
+            // 'lit'[n] → substr('lit', n, 1)
+            indexSpan(i) match {
+              case Some((ix, after))
+                  if ix.trim.matches("-?\\d+") && ix.trim.toLong != 0 =>
+                // locate the literal's opening quote in sb (reject if the
+                // literal contains doubled quotes — ambiguous backwards)
+                var j = sb.length - 1
+                while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+                val closeQ = j; j -= 1
+                while (j >= 0 && sb.charAt(j) != '\'') j -= 1
+                if (j >= 0 && (j == 0 || sb.charAt(j - 1) != '\'') && closeQ > j) {
+                  val lit = sb.substring(j, closeQ + 1)
+                  sb.delete(j, sb.length)
+                  sb.append(s"substr($lit, ${ix.trim}, 1)")
+                  i = after
+                } else copyBracketVerbatim()
+              case _ => copyBracketVerbatim()
+            }
+          } else if (p == ')') {
+            // (...)[e] → element_at(..., e)
+            indexSpan(i) match {
+              case Some((ix, after)) if !isSlice(ix) =>
+                // operand = balanced (...) plus any call-name before it.
+                // The backward scan ignores quote escapes; a mis-balance
+                // from a pathological quoted paren yields malformed SQL
+                // that refuses in the parser — never a silent wrong span.
+                var j = sb.length - 1
+                while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+                var depth = 0; var open = -1
+                while (j >= 0 && open < 0) {
+                  val ch = sb.charAt(j)
+                  if (ch == ')') depth += 1
+                  else if (ch == '(') { depth -= 1; if (depth == 0) open = j }
+                  if (open < 0) j -= 1
+                }
+                if (j >= 0) {
+                  j -= 1
+                  while (j >= 0 && (sb.charAt(j).isLetterOrDigit ||
+                    sb.charAt(j) == '_' || sb.charAt(j) == '.' ||
+                    sb.charAt(j) == '$')) j -= 1
+                  val at = j + 1
+                  val operand = sb.substring(at)
+                  sb.delete(at, sb.length)
+                  sb.append(s"element_at($operand, ${rewriteDuckLiterals(ix.trim)})")
+                  i = after
+                } else copyBracketVerbatim()
+              case _ => copyBracketVerbatim()
+            }
+          } else if ((p.isLetterOrDigit || p == '_' || p == '"' || p == ']')
+              && !afterKeyword) {
+            copyBracketVerbatim() // type suffix / bare-column subscript
+          } else {
+            // ARRAY[1,2] (the explicit-keyword spelling) folds into array(
+            if (lastWord.equalsIgnoreCase("array")) {
+              val w = sb.lastIndexOf(lastWord); sb.delete(w, sb.length)
+            }
+            sb.append("array("); stack.push('['); i += 1
+          }
+        case '{' =>
+          if (lastWord.equalsIgnoreCase("map") && stack.isEmpty) {
+            val w = sb.lastIndexOf(lastWord)
+            sb.delete(w, sb.length); sb.append("map(")
+          } else sb.append("named_struct(")
+          stack.push('{'); i += 1
+        case '}' =>
+          if (stack.nonEmpty && stack.top == '{') { stack.pop(); sb += ')' }
+          else sb += c
+          i += 1
+        case ']' =>
+          if (stack.nonEmpty && stack.top == '[') { stack.pop(); sb += ')' }
+          else sb += c
+          i += 1
+        case '(' => if (stack.nonEmpty) stack.push('('); sb += c; i += 1
+        case ')' =>
+          if (stack.nonEmpty && stack.top == '(') stack.pop()
+          sb += c; i += 1
+        case ':' =>
+          if (i + 1 < sql.length && sql.charAt(i + 1) == ':') {
+            sb.append("::"); i += 2
+          } else if (stack.nonEmpty && stack.top == '{') { sb += ','; i += 1 }
+          else { sb += c; i += 1 }
+        case _ => sb += c; i += 1
+      }
+    }
+    sb.toString
+  }
+
   private[engine] def duckCompat(sql: String): String =
-    rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(sql)))
+    rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
+      rewriteDuckLiterals(sql))))
 
   /** The full SQL-text rewrite pipeline every passthrough statement goes
     * through: macros first (their bodies may use sequences or read_*),

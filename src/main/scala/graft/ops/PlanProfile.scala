@@ -37,33 +37,51 @@ object PlanProfile {
     * justified safe — under their static plan. Everything else keeps AQE. */
   val staticPlan: Set[String] = Set(
     // single fixed-key hash-agg over the pinned layout; AQE's only move
-    // (post-shuffle coalescing) is already static via shuffle.partitions
+    // (post-shuffle coalescing) is already static via shuffle.partitions.
+    // r7 probe adds the rest of the fixed-key agg family (q11 rollup,
+    // q12 cube, q13 having, q25 histogram quantiles, q27 fixed-value
+    // pivot, q38 grouping sets): Expand + hash-agg with keys known at
+    // analysis time, both sessions negative
     "q01", "q06", "q14", "q26", "q28", "q39", "q48",
+    "q11", "q12", "q13", "q25", "q27", "q38",
     // join trees with every strategy pinned: bounded dims broadcast-hinted,
-    // growing sides pre-partitioned (q05 star, q44 right, q03 top-k fusion,
-    // q54/q55/q56 funnel/retention/sessionize on the events layout)
-    "q03", "q05", "q22", "q44", "q54", "q55", "q56",
+    // growing sides pre-partitioned (q05 star, q03 top-k fusion,
+    // q54/q55/q56 funnel/retention/sessionize on the events layout).
+    // r7 probe adds q04/q08 (orders ⋈ lineitem-agg, both sides on the
+    // SAME pinned orderkey partitioning — zero strategy left to choose),
+    // q09 (bounded-aggregate cross demo), q10 (one-shuffle set-op bag
+    // algebra over staged inputs), q15 (1-row scalar-subquery broadcast).
+    // q44 was pinned through r6 but its r7 probes disagreed (−0.20 vs
+    // +0.05) — mixed evidence restores the AQE default.
+    "q03", "q05", "q22", "q54", "q55", "q56",
+    "q04", "q08", "q09", "q10", "q15",
     // window/dialect queries over one fixed partitioning (q45 QUALIFY,
     // q46 DISTINCT ON, q47 star modifiers, q58 frame EXCLUDE, q20 dates,
-    // q23 asof rewrite, q50's unrolled month spine, q59 read_* scan)
+    // q23 asof rewrite, q50's unrolled month spine, q59 read_* scan).
+    // r7 adds q16/q17 (ranking/analytic windows on the pinned user_id
+    // layout), q58b bounded EXCLUDE, and the map-only scans q19/q21 —
+    // all double-confirmed negative
     "q20", "q23", "q45", "q46", "q47", "q50", "q58", "q59",
-    // extension family: shingle/fingerprint pipelines keyed once (x02/x03/
+    "q16", "q17", "q19", "q21", "q58b",
+    // extension family: shingle/fingerprint pipelines keyed once (x02/
     // x04 dedup, x10 brute top-k, x11 IVF probe over the persisted index,
-    // x18 binned range join, x19 cell-pair pruning, x27 postings, x30
-    // unigram LM, x32 decontamination). x34 was pinned in r6a but its two
-    // probe runs disagreed (−0.06 vs +0.28 s) — mixed evidence keeps the
-    // AQE default (the manifest assembly joins CC output whose size is
-    // genuinely runtime-shaped).
-    "x02", "x03", "x04", "x10", "x11", "x18", "x19", "x27", "x30", "x32",
-    // consistent wins across BOTH FloorProbe sessions (r6a and r6b, same
-    // sign both times): fully-static scans and single-agg shapes —
+    // x18 binned range join, x19 cell-pair pruning, x27 postings).
+    // r7 UNpins on mixed probe evidence — the protocol's sign-flip rule:
+    // x03 (−0.28/+0.05), x30 (+0.98/−0.01), x32 (+0.25/−0.35); their
+    // band-bucket / LM / decontamination join widths are genuinely
+    // runtime-shaped, so AQE keeps them (same reasoning as x34 in r6).
+    "x02", "x04", "x10", "x11", "x18", "x19", "x27",
+    // consistent wins across BOTH FloorProbe sessions (same sign both
+    // times): fully-static scans and single-agg shapes —
     // q35 VALUES inline, q41/q42/q43 map-only string/regex scans, q07
     // broadcast semi/anti, q36 keyed time-window agg, q49 broadcast
-    // lateral top-k, q57 type corners, x07 map-only lang-id, x15 one
-    // sketch aggregation, x17 fixed salting demo, x44 map-only CDC
-    // chunking, x45 keyed gap-fill windows on the pinned layout
+    // lateral top-k, q57 type corners, x07 map-only lang-id, x17 fixed
+    // salting demo, x44 map-only CDC chunking, x45 keyed gap-fill
+    // windows on the pinned layout. x15 (one sketch aggregation) was
+    // pinned r6 but its r7 probes split (+0.03/−0.02, pure floor noise
+    // on a 0.1 s query) — the sign-flip rule unpins it.
     "q07", "q35", "q36", "q41", "q42", "q43", "q49", "q57",
-    "x07", "x15", "x17", "x44", "x45"
+    "x07", "x17", "x44", "x45"
   )
 
   private def enabled: Boolean =

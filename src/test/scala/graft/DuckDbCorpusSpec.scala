@@ -91,7 +91,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT md5('abc') AS h", Seq("900150983cd24fb0d6963f7d28e17f72")),
     q("SELECT levenshtein('duck', 'db') AS l", Seq(3)),
     q("SELECT printf('%d wins', 42) AS p", Seq("42 wins")),
-    s("SELECT format('{} wins', 42) AS f"),    // fmt-style: DuckDB-only
+    q("SELECT format('{} wins', 42) AS f", Seq("42 wins")),  // plain {} placeholders (r7)
+    q("SELECT format('{} and {}', 1, 'two') AS f", Seq("1 and two")),
+    s("SELECT format('{:.2f}', 3.14159) AS f"),  // spec'd placeholder: refuse
 
     // --- regex ---
     q("SELECT regexp_replace('hello', 'l+', 'L') AS r", Seq("heLo")),
@@ -99,7 +101,8 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "DuckDB regexp_replace replaces FIRST match only (needs 'g' for all); " +
         "Spark replaces all — no safe rewrite expresses first-only",
       Seq("baa")),
-    s("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r"), // flag arg: must refuse (Spark 4th arg = position)
+    q("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r", Seq("bbb")), // 'g' flag = Spark's replace-all default (r7 rewrite)
+    s("SELECT regexp_replace('aaa', 'A', 'b', 'i') AS r"), // other flags: must refuse
     q("SELECT regexp_extract('abc123', '[0-9]+') AS e", Seq("123")), // 2-arg = group 0 (pinned)
     q("SELECT regexp_extract('hello', '([a-z])([a-z])', 2) AS e", Seq("e")),
     q("SELECT regexp_matches('anabanana', '(an)*') AS m", Seq(true)),
@@ -118,7 +121,12 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("2024-03-01")),
     q("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-10') AS d", Seq(9)),
     q("SELECT epoch(TIMESTAMP '1970-01-01 00:01:00') AS e", Seq(60)),
-    s("SELECT strftime(DATE '1992-01-01', '%Y') AS s"),   // DuckDB-only fmt
+    q("SELECT strftime(DATE '1992-01-01', '%Y') AS s", Seq("1992")),
+    q("SELECT strftime(DATE '1992-01-01', 'year %Y!') AS s", Seq("year 1992!")),
+    q("SELECT strftime(DATE '2022-11-07', '%A %d %B') AS s",
+      Seq("Monday 07 November")),
+    q("SELECT strptime('1992-03-02', '%Y-%m-%d') AS t", Seq("1992-03-02")),
+    s("SELECT strftime(DATE '1992-01-01', '%-d') AS s"),  // no-pad code: refuse
     div("SELECT dayname(DATE '2022-11-07') AS d",
       "DuckDB returns the full day name ('Monday'); Spark 4's dayname " +
         "returns the abbreviation ('Mon')",
@@ -141,13 +149,22 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT ifnull(NULL, 42) AS i", Seq(42)),
     q("SELECT nullif(5, 5) AS n", Seq(null)),
 
-    // --- DuckDB-only literal syntax (must refuse, never guess) ---
-    s("SELECT [1, 2, 3] AS l"),
-    s("SELECT {'a': 1} AS s"),
-    s("SELECT struct_pack(a := 1) AS s"),
-    s("SELECT unnest([1, 2, 3]) AS u"),
+    // --- DuckDB container literals (r7 rewrite: exact Spark constructors) ---
+    q("SELECT [1, 2, 3] AS l", Seq(Seq(1, 2, 3))),
+    q("SELECT [1, 2, 3][2] AS v", Seq(2)),       // 1-based list subscript
+    q("SELECT [1, 2, 3][-1] AS v", Seq(3)),      // negative = from the end
+    q("SELECT list_value(1, 2, 3)[2] AS v", Seq(2)),
+    q("SELECT 'abc'[2] AS c", Seq("b")),         // 1-based char pick
+    q("SELECT ['a', 'b'] || ['c'] AS l", Seq(Seq("a", "b", "c"))),
+    q("SELECT {'a': 1} AS s", Seq(Seq(1))),
+    q("SELECT {'a': 1, 'b': 'x'}.b AS v", Seq("x")),
+    q("SELECT {'p': {'q': 7}}.p.q AS v", Seq(7)),
+    q("SELECT struct_pack(a := 1) AS s", Seq(Seq(1))),
+    q("SELECT struct_pack(a := 1, b := 'x').b AS v", Seq("x")),
+    s("SELECT MAP {'k': 42} AS m"),
+    q("SELECT unnest([1, 2, 3]) AS u", Seq(1), Seq(2), Seq(3)),
+    // --- DuckDB-only syntax with no safe spelling (must refuse, never guess) ---
     s("SELECT 5 // 2 AS d"),
-    s("SELECT 'abc'[2] AS c"),
 
     // --- list functions (DuckDB spellings over array() inputs) ---
     q("SELECT list_value(1, 2, 3) AS l", Seq(Seq(1, 2, 3))),
@@ -198,7 +215,10 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT * REPLACE (v * 2 AS v) FROM corpus_t WHERE id = 1", Seq(1, "a", 20)),
     q("SELECT DISTINCT ON (grp) grp, v FROM corpus_t ORDER BY grp, v",
       Seq("a", 10), Seq("b", 5)),
-    s("SELECT COLUMNS('v') FROM corpus_t"),
+    q("SELECT COLUMNS('v') FROM corpus_t", Seq(10), Seq(20), Seq(5), Seq(null)),
+    q("SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS d", Seq(1)),
+    q("SELECT date_diff('hour', TIMESTAMP '2024-01-01 01:59:00', " +
+      "TIMESTAMP '2024-01-01 03:01:00') AS d", Seq(2)),  // boundary crossings
     s("FROM corpus_t SELECT id"),
     C("FROM corpus_t",
       Some(Seq(Seq(1, "a", 10), Seq(2, "a", 20), Seq(3, "b", 5), Seq(4, "b", null)))),
@@ -219,7 +239,11 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(1), Seq(2), Seq(3), Seq(4)),
     q("SELECT a.id AS i FROM corpus_t a ANTI JOIN corpus_t b ON a.id = b.id + 10",
       Seq(1), Seq(2), Seq(3), Seq(4)),
-    s("SELECT a.id FROM corpus_t a POSITIONAL JOIN corpus_t b"),
+    // positional pairing property (row ORDER without ORDER BY is
+    // unspecified SQL; the corpus compares row-sorted): every row pairs
+    // with its same-position partner
+    q("SELECT a.id AS ai, b.id AS bi FROM corpus_t a POSITIONAL JOIN corpus_t b",
+      Seq(1, 1), Seq(2, 2), Seq(3, 3), Seq(4, 4)),
     q("SELECT t.id AS i, u.x FROM corpus_t t, LATERAL (SELECT t.v * 2 AS x) u WHERE t.id = 1",
       Seq(1, 20)),
     q("SELECT (SELECT max(v) FROM corpus_t) AS m", Seq(20)),

@@ -33,8 +33,10 @@ class PlanProfileSpec extends SparkTestBase {
   }
 
   test("runtime-shaped queries stay unpinned (AQE measured faster there)") {
-    // the probe's biggest AQE-on wins — pinning any of these is a regression
-    val mustKeepAqe = Set("q18", "x20", "q16", "x26", "x31", "q10")
+    // the r7 probes' consistent AQE-on wins (both sessions positive) plus
+    // the sign-flip unpins — pinning any of these is a regression
+    val mustKeepAqe = Set("q18", "x13", "x25", "x31", "x42",
+      "q44", "x03", "x15", "x30", "x32", "x34", "x20")
     val pinned = mustKeepAqe.intersect(PlanProfile.staticPlan)
     assert(pinned.isEmpty, s"runtime-shaped queries pinned: $pinned")
   }
