@@ -450,6 +450,10 @@ class SqlGateway(val spark: SparkSession) {
   private val PositionalRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
      """\s+POSITIONAL\s+JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""").r
+  private val RangeTvfRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+range\s*\(([^)]*)\)\s*$""".r
+  private val SeriesTvfRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+generate_series\s*\(([^)]*)\)\s*$""".r
 
   private def dialectQuery(sql: String): Option[DataFrame] = {
     // UNION [ALL] BY NAME: split at the top level, each side re-enters
@@ -528,6 +532,27 @@ class SqlGateway(val spark: SparkSession) {
         Some(df.select(cols.map(c => col(s"`$c`")).toSeq: _*))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
+      case RangeTvfRe(args) =>
+        // Spark's native range TVF is exactly DuckDB's half-open table
+        // form (1/2/3 args, negative steps, empty ranges) — only the
+        // column name differs (id vs range). spark.sql directly: the
+        // scalar range() rewrite must not see this call.
+        Some(spark.sql(s"SELECT id AS range FROM range($args)"))
+      case SeriesTvfRe(args) =>
+        // inclusive table series: literal ints compute exactly (empty
+        // corner included); 3-arg expressions (timestamp + INTERVAL step
+        // included) map to sequence(), whose bounds are inclusive too
+        val a = splitTopLevel(args).map(_.trim)
+        val listSql = intArgs(a) match {
+          case Some(Seq(n)) => series(0, n, 1, inclusive = true)
+          case Some(Seq(s, e)) => series(s, e, 1, inclusive = true)
+          case Some(Seq(s, e, st)) => series(s, e, st, inclusive = true)
+          case None if a.length == 3 =>
+            Some(s"sequence(${a(0)}, ${a(1)}, ${a(2)})")
+          case _ => None
+        }
+        listSql.map(l =>
+          spark.sql(s"SELECT explode($l) AS generate_series"))
       case _ => None
     }
   }
@@ -787,8 +812,16 @@ class SqlGateway(val spark: SparkSession) {
     "arg_min" -> "min_by",
     "list" -> "collect_list",          // both order-nondeterministic bags
     "quantile_cont" -> "percentile",   // same (col, q) interpolation
-    "unnest" -> "explode")             // SELECT-list list flattening; a
+    "unnest" -> "explode",             // SELECT-list list flattening; a
                                        // non-list input fails analysis loudly
+    "string_split_regex" -> "split",   // both regex-split, trailing empties kept
+    "str_split_regex" -> "split",
+    "regexp_split_to_array" -> "split",
+    "list_position" -> "array_position", // both 1-based, 0 when absent,
+    "list_indexof" -> "array_position",  // NULL element → NULL (verified)
+    "list_append" -> "array_append",
+    "list_max" -> "array_max",         // both skip NULL elements
+    "list_min" -> "array_min")
 
   private val DuckFnRe = (
     """(?i)(?<![\w.$])(""" +
@@ -808,15 +841,17 @@ class SqlGateway(val spark: SparkSession) {
     * arity is rewritten — other arities already agree and pass through. */
   private def rewriteDuckDefaults(sql: String): String = {
     // arity < 0 = any arity; rebuild returning None leaves the call
-    // untouched (it then refuses downstream rather than being guessed at)
+    // untouched (it then refuses downstream rather than being guessed at);
+    // allowAt can veto a call site by its position (e.g. table vs scalar)
     def fix(s: String, name: String, arity: Int,
-        rebuild: Seq[String] => Option[String]): String = {
+        rebuild: Seq[String] => Option[String],
+        allowAt: (String, Int) => Boolean = (_, _) => true): String = {
       val re = ("""(?i)(?<![\w.$])""" + name + """\s*\(""").r
       val matches = re.findAllMatchIn(s).toList
       if (matches.isEmpty) return s
       val sb = new StringBuilder; var last = 0
       matches.foreach { m =>
-        if (m.start >= last &&
+        if (m.start >= last && allowAt(s, m.start) &&
             s.substring(0, m.start).count(_ == '\'') % 2 == 0) {
           var i = m.end; var depth = 1; var inStr = false
           while (i < s.length && depth > 0) {
@@ -913,6 +948,100 @@ class SqlGateway(val spark: SparkSession) {
           Some((s"format_string(${args.head.replace("{}", "%s")}" +
             args.tail.mkString(", ", ", ", "")) + ")")
         else None)
+    // ---- list-function spellings whose exact twin needs an argument
+    //      reshape (all corner semantics verified against DuckDB 1.0) ----
+    val IntLit = """^-?\d+$""".r
+    // string_split family: DuckDB's separator is PLAIN TEXT, Spark's is a
+    // regex — a literal separator is regex-escaped char by char; a
+    // non-literal separator has no safe spelling and refuses
+    for (fn <- Seq("string_split", "str_split", "string_to_array")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
+        val sep = a(1)
+        if (sep.length >= 2 && sep.head == '\'' && sep.last == '\'' &&
+            !sep.drop(1).dropRight(1).contains('\'')) {
+          val esc = sep.drop(1).dropRight(1).flatMap {
+            case c if "\\^$.|?*+()[]{}".contains(c) => s"\\\\$c"
+            case c => c.toString
+          }
+          Some(s"split(${a(0)}, '$esc')")
+        } else None
+      })
+    // list_sort/list_reverse_sort: DuckDB default is NULLS LAST both ways;
+    // array_sort is asc-nulls-last, sort_array(_, false) desc-nulls-last
+    if (out.toLowerCase.contains("list_sort"))
+      out = fix(out, "list_sort", -1, a => a.length match {
+        case 1 => Some(s"array_sort(${a.head})")
+        case 2 if a(1).equalsIgnoreCase("'ASC'") => Some(s"array_sort(${a.head})")
+        case 2 if a(1).equalsIgnoreCase("'DESC'") => Some(s"sort_array(${a.head}, false)")
+        case _ => None
+      })
+    if (out.toLowerCase.contains("list_reverse_sort"))
+      out = fix(out, "list_reverse_sort", 1,
+        a => Some(s"sort_array(${a.head}, false)"))
+    // DuckDB list_prepend(elem, list) vs Spark array_prepend(list, elem)
+    if (out.toLowerCase.contains("list_prepend"))
+      out = fix(out, "list_prepend", 2,
+        a => Some(s"array_prepend(${a(1)}, ${a(0)})"))
+    // list_unique = COUNT of distinct non-null elements (verified: NULL
+    // not counted); list_distinct drops NULLs (Spark array_distinct keeps)
+    if (out.toLowerCase.contains("list_unique"))
+      out = fix(out, "list_unique", 1, a => Some(
+        s"size(array_distinct(filter(${a.head}, graft_e -> graft_e IS NOT NULL)))"))
+    if (out.toLowerCase.contains("list_distinct"))
+      out = fix(out, "list_distinct", 1, a => Some(
+        s"array_distinct(filter(${a.head}, graft_e -> graft_e IS NOT NULL))"))
+    // array_to_string: DuckDB yields NULL for an EMPTY list (verified),
+    // array_join yields '' — and '' is a legitimate output for [''], so
+    // the guard must test emptiness, not the result
+    if (out.toLowerCase.contains("array_to_string"))
+      out = fix(out, "array_to_string", 2, a => Some(
+        s"(CASE WHEN size(${a(0)}) = 0 THEN NULL " +
+        s"ELSE array_join(${a(0)}, ${a(1)}) END)"))
+    // list_slice/array_slice: 1-based INCLUSIVE [a,b] (clamped) → slice's
+    // (start, length); only positive literal bounds are provably
+    // equivalent (negative indexes count from the end differently)
+    for (fn <- Seq("list_slice", "array_slice")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 3, a =>
+        (a(1), a(2)) match {
+          case (IntLit(), IntLit()) if a(1).toLong > 0 && a(2).toLong > 0 =>
+            Some(s"slice(${a(0)}, ${a(1)}, ${math.max(0L, a(2).toLong - a(1).toLong + 1)})")
+          case _ => None
+        })
+    // range/generate_series (scalar list form): range is half-open,
+    // generate_series inclusive. Literal-int arguments compute the exact
+    // list here (covers the empty corners Spark's sequence() errors on);
+    // non-literal generate_series maps to sequence(), whose inclusive
+    // semantics match — an empty-range input errors loudly there rather
+    // than silently mismatching.
+    // table position (`FROM range(...)`, `JOIN range(...)`) is NOT the
+    // scalar list form: Spark's native range TVF serves it (and the
+    // SELECT * shape gets DuckDB's column name in dialectQuery) — the
+    // scalar rewrite must leave it alone
+    def scalarPos(s: String, start: Int): Boolean = {
+      var j = start - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      val e = j
+      while (j >= 0 && s.charAt(j).isLetter) j -= 1
+      val w = s.substring(j + 1, e + 1).toLowerCase
+      w != "from" && w != "join"
+    }
+    if (out.toLowerCase.contains("range("))
+      out = fix(out, "range", -1, a => intArgs(a).flatMap {
+        case Seq(n) => series(0, n, 1, inclusive = false)
+        case Seq(s, e) => series(s, e, 1, inclusive = false)
+        case Seq(s, e, st) => series(s, e, st, inclusive = false)
+        case _ => None
+      }, allowAt = scalarPos)
+    if (out.toLowerCase.contains("generate_series"))
+      out = fix(out, "generate_series", -1, a => (intArgs(a) match {
+        case Some(Seq(n)) => series(0, n, 1, inclusive = true)
+        case Some(Seq(s, e)) => series(s, e, 1, inclusive = true)
+        case Some(Seq(s, e, st)) => series(s, e, st, inclusive = true)
+        case None if a.length == 3 => Some(s"sequence(${a(0)}, ${a(1)}, ${a(2)})")
+        case _ => None
+      }), allowAt = scalarPos)
     // strftime/strptime with a LITERAL format string whose every %-code
     // has an exactly-equivalent JVM pattern → date_format / to_timestamp;
     // an unsupported code (e.g. %-d, %f) leaves the call to refuse
@@ -927,6 +1056,30 @@ class SqlGateway(val spark: SparkSession) {
         else None
       })
     out
+  }
+
+  private def intArgs(a: Seq[String]): Option[Seq[Long]] = {
+    val IntLit = """^-?\d+$""".r
+    if (a.forall(s => IntLit.findFirstIn(s).isDefined)) Some(a.map(_.toLong))
+    else None
+  }
+
+  /** A literal integer series as an `array(...)` SQL literal — the exact
+    * spelling of DuckDB's range (half-open) / generate_series (inclusive)
+    * for literal bounds, including the empty corners that Spark's
+    * `sequence()` raises on. Bounded at 100k elements (literal lists only;
+    * anything bigger refuses rather than exploding the SQL text). */
+  private def series(start: Long, stop: Long, step: Long,
+      inclusive: Boolean): Option[String] = {
+    if (step == 0) return None
+    val b = scala.collection.mutable.ListBuffer[Long]()
+    var v = start
+    while (if (step > 0) (if (inclusive) v <= stop else v < stop)
+           else (if (inclusive) v >= stop else v > stop)) {
+      b += v; v += step
+      if (b.length > 100000) return None
+    }
+    Some(if (b.isEmpty) "array()" else b.mkString("array(", ", ", ")"))
   }
 
   /** C-style strftime codes → JVM datetime pattern, only for codes whose

@@ -174,6 +174,36 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(Seq(2, 3, 4))),
     q("SELECT list_filter(list_value(1, 2, 3), x -> x > 1) AS f",
       Seq(Seq(2, 3))),
+    // --- list/range spellings, r7 third batch (corners verified vs duckdb) ---
+    q("SELECT list_sort([3, 1, NULL, 2]) AS l", Seq(Seq(1, 2, 3, null))),
+    q("SELECT list_sort([3, 1], 'DESC') AS l", Seq(Seq(3, 1))),
+    q("SELECT list_reverse_sort([3, NULL, 1]) AS l", Seq(Seq(3, 1, null))),
+    q("SELECT list_unique([1, 1, NULL, 2]) AS u", Seq(2)),
+    q("SELECT list_sort(list_distinct([1, 1, NULL, 2])) AS d", Seq(Seq(1, 2))),
+    q("SELECT list_position([4, 5, 6], 5) AS p", Seq(2)),
+    q("SELECT list_position([4, 5, 6], 9) AS p", Seq(0)),
+    q("SELECT list_append([1, 2], 3) AS l", Seq(Seq(1, 2, 3))),
+    q("SELECT list_prepend(0, [1, 2]) AS l", Seq(Seq(0, 1, 2))),
+    q("SELECT list_max([1, 9, 2]) AS mx, list_min([1, 9, 2]) AS mn", Seq(9, 1)),
+    q("SELECT list_slice([1, 2, 3, 4], 2, 3) AS s", Seq(Seq(2, 3))),
+    q("SELECT list_slice([1, 2, 3, 4], 2, 10) AS s", Seq(Seq(2, 3, 4))),
+    q("SELECT flatten([[1, 2], [3]]) AS f", Seq(Seq(1, 2, 3))),
+    q("SELECT array_to_string([1, NULL, 3], '-') AS s", Seq("1-3")),
+    q("SELECT array_to_string([], '-') AS s", Seq(null)),  // empty → NULL
+    q("SELECT string_split('a,b,', ',') AS l", Seq(Seq("a", "b", ""))),
+    q("SELECT string_split('a.b', '.') AS l", Seq(Seq("a", "b"))), // plain-text sep
+    q("SELECT string_split_regex('a1b2c', '[0-9]') AS l", Seq(Seq("a", "b", "c"))),
+    q("SELECT range(5) AS r", Seq(Seq(0, 1, 2, 3, 4))),        // half-open
+    q("SELECT range(2, 5) AS r", Seq(Seq(2, 3, 4))),
+    q("SELECT range(5, 0, -2) AS r", Seq(Seq(5, 3, 1))),
+    q("SELECT range(0, 0) AS r", Seq(Seq())),                  // empty corner
+    q("SELECT generate_series(1, 4) AS g", Seq(Seq(1, 2, 3, 4))), // inclusive
+    q("SELECT generate_series(0, 10, 3) AS g", Seq(Seq(0, 3, 6, 9))),
+    q("SELECT generate_series(1, 0) AS g", Seq(Seq())),        // empty corner
+    q("SELECT * FROM range(3)", Seq(0), Seq(1), Seq(2)),
+    q("SELECT * FROM generate_series(1, 4)", Seq(1), Seq(2), Seq(3), Seq(4)),
+    q("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-03-01', " +
+      "INTERVAL 1 MONTH)", Seq("2024-01-01"), Seq("2024-02-01"), Seq("2024-03-01")),
 
     // --- DDL + DML flow (gateway write path) ---
     s("CREATE TABLE corpus_t (id INTEGER, grp VARCHAR, v INTEGER)"),
