@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
 import scala.collection.concurrent.TrieMap
 
 /** The `db/db.go:49-117` equivalent: a two-method SQL passthrough —
@@ -37,6 +38,20 @@ import scala.collection.concurrent.TrieMap
   */
 class SqlGateway(val spark: SparkSession) {
   private val writeLock = new Object
+
+  // DuckDB-exact regexp_replace (first-match default, RE2 rewrite syntax,
+  // option letters — graft.functions.DuckRegexpReplace scaladoc): every
+  // DuckDB-dialect regexp_replace call is rewritten to this name, so the
+  // flag/backref semantics never silently fall back to Spark's builtin.
+  // Native Catalyst expression, not a UDF (idempotent re-registration).
+  org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+    "duck_regexp_replace", {
+      case Seq(s, p, r) => graft.functions.DuckRegexpReplace(s, p, r,
+        org.apache.spark.sql.catalyst.expressions.Literal(""))
+      case Seq(s, p, r, f) => graft.functions.DuckRegexpReplace(s, p, r, f)
+      case args => throw new IllegalArgumentException(
+        s"regexp_replace takes 3 or 4 arguments, got ${args.length}")
+    })
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
   /** table → CHECK expressions (SQL text; enforced on insert/update like
@@ -636,9 +651,31 @@ class SqlGateway(val spark: SparkSession) {
     * (which would otherwise leak into SHOW TABLES output forever). */
   private def sqlWithReadViews(text: String): DataFrame = {
     val (rewritten, views) = rewriteReadFunctionsTracked(text)
-    try spark.sql(rewritten)
+    try duckDivSql(rewritten)
     finally views.foreach(v =>
       try spark.catalog.dropTempView(v) catch { case _: Throwable => () })
+  }
+
+  private val DivWordRe = """(?i)(?<![\w.$])div(?![\w.$])""".r
+
+  /** Execute rewritten SQL, giving every `div` node DuckDB's `//`
+    * semantics. The `//` token rewrite (rewriteDuckClauses) emits ` div `;
+    * Spark's parser turns that into `IntegralDivide`, which truncates
+    * DECIMAL/DOUBLE operands to BIGINT — DuckDB 1.0 plain-divides them.
+    * Swapping the node on the PARSED (pre-analysis) plan for
+    * [[graft.functions.DuckFloorDiv]] pins the exact typed behavior; on
+    * all-integral operands DuckFloorDiv ≡ IntegralDivide, so the rewrites
+    * this gateway itself emits with `div` (date_diff's truncate-divide)
+    * are unchanged. Statements without a `div` token skip the extra parse. */
+  private def duckDivSql(sql: String): DataFrame = {
+    def outsideQuotes(pos: Int) = sql.substring(0, pos).count(_ == '\'') % 2 == 0
+    if (!DivWordRe.findAllMatchIn(sql).exists(m => outsideQuotes(m.start)))
+      return spark.sql(sql)
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val swapped = ColumnShim.parsePlan(spark, sql).transformAllExpressionsWithSubqueries {
+      case d: IntegralDivide => graft.functions.DuckFloorDiv(d.left, d.right)
+    }
+    ColumnShim.ofRows(spark, swapped)
   }
 
   /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common
@@ -881,16 +918,19 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("regexp_extract"))
       out = fix(out, "regexp_extract", 2,
         a => Some(s"regexp_extract(${a(0)}, ${a(1)}, 0)"))
-    // DuckDB's 4th regexp_replace arg is a FLAG string ('g' = global);
-    // Spark's 4th arg is a position. Exactly the literal 'g' flag equals
-    // Spark's replace-all default — drop it. Any other flag ('i', 's',
-    // combinations, or first-match-only 3-arg) has no safe spelling and
-    // keeps refusing (Spark's ANSI cast of a flag string to a position
-    // errors loudly).
-    if (out.toLowerCase.contains("regexp_replace"))
+    // DuckDB regexp_replace differs from Spark's builtin in default scope
+    // (FIRST match unless the 'g' option), replacement syntax (RE2 `\1`
+    // backrefs vs Java `$1`), and a 4th OPTIONS arg (Spark's 4th arg is a
+    // position). Every call routes to the native duck_regexp_replace
+    // expression, which carries the exact DuckDB semantics for all three
+    // (graft.functions.DuckRegexpReplace) — unknown option letters still
+    // refuse loudly inside the expression, like DuckDB.
+    if (out.toLowerCase.contains("regexp_replace")) {
       out = fix(out, "regexp_replace", 4, a =>
-        if (a(3) == "'g'") Some(s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})")
-        else None)
+        Some(s"duck_regexp_replace(${a(0)}, ${a(1)}, ${a(2)}, ${a(3)})"))
+      out = fix(out, "regexp_replace", 3, a =>
+        Some(s"duck_regexp_replace(${a(0)}, ${a(1)}, ${a(2)}, '')"))
+    }
     // struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x); an arg
     // not of `ident := expr` shape leaves the whole call to refuse
     if (out.toLowerCase.contains("struct_pack")) {
@@ -935,18 +975,16 @@ class SqlGateway(val spark: SparkSession) {
     // unix_timestamp truncates, and BIGINT/INT division is double in Spark
     if (out.toLowerCase.contains("epoch("))
       out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
-    // format('{} and {}', args...) — fmt-style template. Only the plain
-    // positional `{}` placeholder translates exactly (→ %s, which renders
-    // ints/strings as DuckDB does); indexed or spec'd placeholders refuse.
+    // format('…{spec}…', args...) — fmt-style template → format_string
+    // with printf specs, for the spec subset whose Java rendering is
+    // verified identical to DuckDB's fmt (see fmtTemplateToJava). Anything
+    // outside the subset refuses rather than guessing.
     if (out.toLowerCase.contains("format("))
       out = fix(out, "format", -1, args =>
         if (args.length >= 2 && args.head.length >= 2 &&
             args.head.head == '\'' && args.head.last == '\'' &&
-            !args.head.drop(1).dropRight(1).exists(c => c == '\'' || c == '%') &&
-            "\\{[^}]+\\}".r.findFirstIn(args.head).isEmpty &&
-            "\\{\\}".r.findAllIn(args.head).length == args.length - 1)
-          Some((s"format_string(${args.head.replace("{}", "%s")}" +
-            args.tail.mkString(", ", ", ", "")) + ")")
+            !args.head.drop(1).dropRight(1).contains('\''))
+          fmtTemplateToJava(args.head.drop(1).dropRight(1), args.tail)
         else None)
     // ---- list-function spellings whose exact twin needs an argument
     //      reshape (all corner semantics verified against DuckDB 1.0) ----
@@ -1082,6 +1120,145 @@ class SqlGateway(val spark: SparkSession) {
     Some(if (b.isEmpty) "array()" else b.mkString("array(", ", ", ")"))
   }
 
+  /** fmt-style `format()` template + argument texts → a complete
+    * `format_string(...)` call, for the spec subset whose printf rendering
+    * is bit-identical to DuckDB's fmt (every mapping probed against
+    * DuckDB 1.0): `{}`/`{N}` (→ `%N$s` over a STRING-cast argument —
+    * Spark's string cast renders int/double/bool/date exactly as fmt
+    * does), types d/s/f/e/E/x/X/o, width, `<`/`>` align (fmt's
+    * string-left default included), `0`-pad, `+`/space sign, `#` alt
+    * form, `,` grouping (integers only — fmt REFUSES `{:,.2f}`, so comma
+    * with a float type refuses here too), precision for f/e/E/s, and
+    * `{{`/`}}`/`%` literals. Outside the subset (bare width with no
+    * type or align — fmt aligns by ARGUMENT type there; `g` — Java keeps
+    * trailing zeros fmt trims; `b` binary; fill chars; `^` centering;
+    * mixed auto+indexed) → None, and the whole call refuses. */
+  private def fmtTemplateToJava(template: String,
+      args: Seq[String]): Option[String] = {
+    case class Ph(idx: Option[Int], spec: String)
+    val pieces = scala.collection.mutable.ListBuffer[Either[String, Ph]]()
+    val lit = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      val c = template.charAt(i)
+      if (c == '{' && i + 1 < template.length && template.charAt(i + 1) == '{') {
+        lit += '{'; i += 2
+      } else if (c == '}' && i + 1 < template.length &&
+          template.charAt(i + 1) == '}') {
+        lit += '}'; i += 2
+      } else if (c == '{') {
+        val j = template.indexOf('}', i)
+        if (j < 0) return None
+        val inside = template.substring(i + 1, j)
+        val (idxTxt, spec) = inside.indexOf(':') match {
+          case -1 => (inside, "")
+          case k => (inside.substring(0, k), inside.substring(k + 1))
+        }
+        val idx =
+          if (idxTxt.isEmpty) None
+          else if (idxTxt.nonEmpty && idxTxt.forall(_.isDigit)) Some(idxTxt.toInt)
+          else return None
+        pieces += Left(lit.toString); lit.clear()
+        pieces += Right(Ph(idx, spec))
+        i = j + 1
+      } else if (c == '}') return None
+      else { lit += c; i += 1 }
+    }
+    pieces += Left(lit.toString)
+
+    val phs = pieces.collect { case Right(p) => p }
+    // fmt errors on mixing automatic and manual indexing — refuse the mix
+    if (!phs.forall(_.idx.isEmpty) && !phs.forall(_.idx.isDefined)) return None
+
+    /** spec → (java spec after `%idx$`, arg cast: 'n' none, 's' STRING,
+      * 'd' DOUBLE — %f/%e reject Catalyst Decimal args, so float convs
+      * take the argument through an explicit DOUBLE cast). */
+    def specToJava(spec: String): Option[(String, Char)] = {
+      if (spec.isEmpty) return Some(("s", 's'))
+      var s = spec
+      if (s.length >= 2 && "<>^".contains(s.charAt(1))) return None // fill char
+      var align = ' '
+      if ("<>^".contains(s.charAt(0))) { align = s.charAt(0); s = s.drop(1) }
+      if (align == '^') return None
+      var sign: Option[Char] = None
+      if (s.nonEmpty && "+- ".contains(s.charAt(0))) {
+        sign = Some(s.charAt(0)); s = s.drop(1)
+      }
+      var hash = false
+      if (s.startsWith("#")) { hash = true; s = s.drop(1) }
+      var zero = false
+      if (s.startsWith("0")) { zero = true; s = s.drop(1) }
+      val wEnd = s.indexWhere(!_.isDigit) match { case -1 => s.length; case k => k }
+      val width = s.substring(0, wEnd); s = s.substring(wEnd)
+      var comma = false
+      if (s.startsWith(",")) { comma = true; s = s.drop(1) }
+      var prec = ""
+      if (s.startsWith(".")) {
+        val p = s.drop(1)
+        val pEnd = p.indexWhere(!_.isDigit) match { case -1 => p.length; case k => k }
+        if (pEnd == 0) return None
+        prec = "." + p.substring(0, pEnd); s = p.substring(pEnd)
+      }
+      val signFlag = sign match {
+        case Some('+') => "+"; case Some(' ') => " "; case _ => "" // '-' = default
+      }
+      val leftFlag = if (align == '<') "-" else ""
+      val zeroFlag = if (zero) "0" else ""
+      s match { // the remaining text must be exactly the type letter
+        case "d" =>
+          if (hash || prec.nonEmpty) None
+          else Some((leftFlag + signFlag + zeroFlag + (if (comma) "," else "") +
+            width + "d", 'n'))
+        case "f" | "e" | "E" =>
+          if (hash || comma) None
+          else Some((leftFlag + signFlag + zeroFlag + width + prec + s, 'd'))
+        case "x" | "X" | "o" =>
+          if (sign.nonEmpty || comma || prec.nonEmpty) None
+          else Some((leftFlag + (if (hash) "#" else "") + zeroFlag + width + s,
+            'n'))
+        case "s" =>
+          if (sign.nonEmpty || hash || zero || comma) None
+          // fmt left-aligns strings by default; Java right-aligns → '-'
+          else Some(((if (align != '>') "-" else "") + width + prec + "s", 's'))
+        case "" =>
+          if (comma && align == ' ' && sign.isEmpty && !hash && !zero &&
+              width.isEmpty && prec.isEmpty) Some((",d", 'n'))
+          else if (width.nonEmpty && align == '<' && sign.isEmpty && !hash &&
+              !zero && !comma && prec.isEmpty) Some(("-" + width + "s", 's'))
+          else if (width.nonEmpty && align == '>' && sign.isEmpty && !hash &&
+              !zero && !comma && prec.isEmpty) Some((width + "s", 's'))
+          else None // bare width aligns by ARGUMENT type in fmt — unknowable
+        case _ => None
+      }
+    }
+
+    var autoCount = 0
+    val argCast = Array.fill(args.length)(Option.empty[Char])
+    val out = new StringBuilder
+    for (p <- pieces) p match {
+      case Left(text) =>
+        text.foreach { case '%' => out ++= "%%"; case ch => out += ch }
+      case Right(ph) =>
+        val argIdx = ph.idx.getOrElse { val k = autoCount; autoCount += 1; k }
+        if (argIdx >= args.length) return None
+        specToJava(ph.spec) match {
+          case None => return None
+          case Some((conv, cast)) =>
+            argCast(argIdx) match {
+              case Some(prev) if prev != cast => return None // conflicting uses
+              case _ => argCast(argIdx) = Some(cast)
+            }
+            out ++= "%"; out ++= (argIdx + 1).toString; out ++= "$"; out ++= conv
+        }
+    }
+    val wrapped = args.zipWithIndex.map { case (a, k) => argCast(k) match {
+      case Some('s') => s"CAST($a AS STRING)"
+      case Some('d') => s"CAST($a AS DOUBLE)"
+      case _ => a
+    } }
+    Some(s"format_string('${out.toString}', ${wrapped.mkString(", ")})")
+  }
+
   /** C-style strftime codes → JVM datetime pattern, only for codes whose
     * Spark rendering is exactly DuckDB's (both engines document these):
     * full/abbrev day + month names agree, zero-padded numerics agree.
@@ -1091,6 +1268,12 @@ class SqlGateway(val spark: SparkSession) {
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'p' -> "a",
       'j' -> "DDD", 'B' -> "MMMM", 'b' -> "MMM", 'A' -> "EEEE",
       'a' -> "EEE")
+    // `%-X` = X without zero padding; the single-letter JVM pattern is
+    // exactly the unpadded field (verified vs DuckDB 1.0: %-d→"5",
+    // %-H:%-M:%-S→"3:7:9", %-j→"5"). %-y has no JVM twin (DuckDB prints
+    // year%100 unpadded; "y" is the FULL year) and stays refused.
+    val noPad = Map('d' -> "d", 'm' -> "M", 'H' -> "H", 'I' -> "h",
+      'M' -> "m", 'S' -> "s", 'j' -> "D")
     val sb = new StringBuilder
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
@@ -1106,6 +1289,10 @@ class SqlGateway(val spark: SparkSession) {
       if (c == '%' && i + 1 < fmt.length) {
         val code = fmt.charAt(i + 1)
         if (code == '%') { lit += '%'; i += 2 }
+        else if (code == '-' && i + 2 < fmt.length &&
+            noPad.contains(fmt.charAt(i + 2))) {
+          flushLit(); sb.append(noPad(fmt.charAt(i + 2))); i += 3
+        }
         else codes.get(code) match {
           case Some(p) => flushLit(); sb.append(p); i += 2
           case None => return None
@@ -1140,6 +1327,25 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("join"))
       out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
         "LEFT $1 JOIN")
+    // DuckDB's `//` division operator → Spark's `div` keyword (SAME
+    // multiplicative precedence in both grammars, so operand grouping is
+    // preserved exactly); the parsed IntegralDivide is then swapped for
+    // DuckFloorDiv, which carries DuckDB 1.0's exact typed semantics
+    // (see duckDivSql). Quote-parity scan: `'//'` inside a string literal
+    // stays text. Comments are stripped before any rewrite sees the text.
+    if (out.contains("//")) {
+      val sb = new StringBuilder(out.length + 8)
+      var i = 0; var inStr = false
+      while (i < out.length) {
+        val c = out.charAt(i)
+        if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { inStr = true; sb += c; i += 1 }
+        else if (c == '/' && i + 1 < out.length && out.charAt(i + 1) == '/') {
+          sb ++= " div "; i += 2
+        } else { sb += c; i += 1 }
+      }
+      out = sb.toString
+    }
     out
   }
 
@@ -1332,7 +1538,31 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteDuckLiterals(sql))))
+      rewriteDuckLiterals(escapeLiteralBackslashes(sql)))))
+
+  /** DuckDB's standard single-quoted strings carry NO escape processing
+    * (`'[\1]'` is four characters; escapes need the e'…' prefix, which
+    * Spark's parser rejects → refuses); Spark's parser treats `\` as an
+    * escape character by default. Doubling every backslash inside string
+    * literals makes Spark parse exactly the characters DuckDB would —
+    * a DIALECT-level fix applied once, before any other rewrite, so every
+    * path (regex replacements, LIKE patterns, Windows-style paths) gets
+    * verbatim-literal semantics. Quote-parity scan; '' escapes flip
+    * parity twice like every other scan here. Rewrites that synthesize
+    * literals AFTER this pass intentionally spell Spark-escaped text. */
+  private def escapeLiteralBackslashes(sql: String): String = {
+    if (!sql.contains('\\')) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inStr = !inStr; sb += c }
+      else if (c == '\\' && inStr) sb ++= "\\\\"
+      else sb += c
+      i += 1
+    }
+    sb.toString
+  }
 
   /** The full SQL-text rewrite pipeline every passthrough statement goes
     * through: macros first (their bodies may use sequences or read_*),

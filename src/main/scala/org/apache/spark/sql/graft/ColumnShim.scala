@@ -17,4 +17,22 @@ object ColumnShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Parse SQL text to the UNRESOLVED logical plan (pre-analysis, so
+    * operator nodes like `IntegralDivide` appear with their original
+    * children, before coercion casts) — `sessionState` lives on the
+    * classic session. */
+  def parsePlan(spark: SparkSession,
+      sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sql)
+
+  /** Register a NATIVE Catalyst expression builder under a SQL-callable
+    * name (`FunctionRegistry` is behind private[sql] session state). Not a
+    * UDF: the built expression keeps codegen and Catalyst optimization. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -93,16 +93,49 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT printf('%d wins', 42) AS p", Seq("42 wins")),
     q("SELECT format('{} wins', 42) AS f", Seq("42 wins")),  // plain {} placeholders (r7)
     q("SELECT format('{} and {}', 1, 'two') AS f", Seq("1 and two")),
-    s("SELECT format('{:.2f}', 3.14159) AS f"),  // spec'd placeholder: refuse
+    // fmt spec subset (r7 third batch — every rendering duckdb-1.0-verified)
+    q("SELECT format('{:.2f}', 3.14159) AS f", Seq("3.14")),
+    q("SELECT format('{:d}', 42) AS f", Seq("42")),
+    q("SELECT format('{:,}', 1234567) AS f", Seq("1,234,567")),
+    q("SELECT format('{:x}', 255) AS f", Seq("ff")),
+    q("SELECT format('{:X}', 255) AS f", Seq("FF")),
+    q("SELECT format('{:o}', 8) AS f", Seq("10")),
+    q("SELECT format('{:5d}|', 42) AS f", Seq("   42|")),
+    q("SELECT format('{:05d}|', 42) AS f", Seq("00042|")),
+    q("SELECT format('{:08.2f}', 3.14159) AS f", Seq("00003.14")),
+    q("SELECT format('{:+.1f}', 3.14) AS f", Seq("+3.1")),
+    q("SELECT format('{:.3e}', 12345.678) AS f", Seq("1.235e+04")),
+    q("SELECT format('{:E}', 12345.678) AS f", Seq("1.234568E+04")),
+    q("SELECT format('{:>6}|', 'x') AS f", Seq("     x|")),
+    q("SELECT format('{:<6}|', 'x') AS f", Seq("x     |")),
+    q("SELECT format('{:6s}|', 'x') AS f", Seq("x     |")), // fmt strings left-align by default
+    q("SELECT format('{:6d}|', 42) AS f", Seq("    42|")),  // fmt numbers right-align
+    q("SELECT format('{1} {0}', 'a', 'b') AS f", Seq("b a")), // manual indexing
+    q("SELECT format('{0} {1} {0}', 'a', 'b') AS f", Seq("a b a")),
+    q("SELECT format('{{}} {}', 1) AS f", Seq("{} 1")),     // {{ }} brace escapes
+    q("SELECT format('100%: {}', 42) AS f", Seq("100%: 42")), // literal % passes through
+    q("SELECT format('{}', 2.5) AS f", Seq("2.5")),
+    s("SELECT format('{:g}', 12345.678) AS f"), // %g: Java keeps trailing zeros fmt trims — refuse
+    s("SELECT format('{:b}', 5) AS f"),         // binary: no printf twin — refuse
+    s("SELECT format('{:6}|', 42) AS f"),       // bare width aligns by ARG TYPE in fmt — refuse
+    s("SELECT format('{:,.2f}', 1234.567) AS f"), // fmt itself errors (grouping on float)
+    s("SELECT format('{0} {}', 'a', 'b') AS f"),  // mixed manual+auto: fmt errors
 
     // --- regex ---
     q("SELECT regexp_replace('hello', 'l+', 'L') AS r", Seq("heLo")),
-    div("SELECT regexp_replace('aaa', 'a', 'b') AS r",
-      "DuckDB regexp_replace replaces FIRST match only (needs 'g' for all); " +
-        "Spark replaces all — no safe rewrite expresses first-only",
-      Seq("baa")),
-    q("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r", Seq("bbb")), // 'g' flag = Spark's replace-all default (r7 rewrite)
-    s("SELECT regexp_replace('aaa', 'A', 'b', 'i') AS r"), // other flags: must refuse
+    // DuckDB replaces the FIRST match only unless 'g' — r7: exact via the
+    // native duck_regexp_replace expression (was a documented divergence)
+    q("SELECT regexp_replace('aaa', 'a', 'b') AS r", Seq("baa")),
+    q("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r", Seq("bbb")),
+    q("SELECT regexp_replace('aaa', 'A', 'b', 'i') AS r", Seq("baa")), // 'i' keeps first-only
+    q("SELECT regexp_replace('aAa', 'a', 'b', 'gi') AS r", Seq("bbb")),
+    q("SELECT regexp_replace('abcb', '(b)', '[\\1]') AS r", Seq("a[b]cb")), // RE2 \1 backref
+    q("SELECT regexp_replace('abcb', '(b)', '[\\1]', 'g') AS r", Seq("a[b]c[b]")),
+    q("SELECT regexp_replace('a+b', '+', 'X', 'l') AS r", Seq("aXb")), // 'l' literal pattern
+    q("SELECT regexp_replace('a+b+c', '+', 'X', 'lg') AS r", Seq("aXbXc")),
+    q("SELECT regexp_replace('abc', 'x*', 'Y') AS r", Seq("Yabc")), // zero-width first match
+    s("SELECT regexp_replace('x', 'x', 'y', 'z') AS r"), // unknown option: refuse (duckdb errors too)
+    s("SELECT regexp_replace('x', '^x', 'y', 'm') AS r"), // newline options: no Java twin
     q("SELECT regexp_extract('abc123', '[0-9]+') AS e", Seq("123")), // 2-arg = group 0 (pinned)
     q("SELECT regexp_extract('hello', '([a-z])([a-z])', 2) AS e", Seq("e")),
     q("SELECT regexp_matches('anabanana', '(an)*') AS m", Seq(true)),
@@ -126,7 +159,14 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT strftime(DATE '2022-11-07', '%A %d %B') AS s",
       Seq("Monday 07 November")),
     q("SELECT strptime('1992-03-02', '%Y-%m-%d') AS t", Seq("1992-03-02")),
-    s("SELECT strftime(DATE '1992-01-01', '%-d') AS s"),  // no-pad code: refuse
+    // %-X no-pad codes (r7: single-letter JVM patterns are the exact twins)
+    q("SELECT strftime(DATE '1992-01-01', '%-d') AS s", Seq("1")),
+    q("SELECT strftime(DATE '1992-01-05', '%-d/%-m/%Y') AS s", Seq("5/1/1992")),
+    q("SELECT strftime(DATE '1992-01-10', '%-d') AS s", Seq("10")),
+    q("SELECT strftime(TIMESTAMP '1992-01-05 03:07:09', '%-H:%-M:%-S') AS s",
+      Seq("3:7:9")),
+    q("SELECT strftime(DATE '1992-01-05', '%-j') AS s", Seq("5")),
+    s("SELECT strftime(DATE '1992-01-01', '%-y') AS s"), // year%100 unpadded: no JVM twin
     div("SELECT dayname(DATE '2022-11-07') AS d",
       "DuckDB returns the full day name ('Monday'); Spark 4's dayname " +
         "returns the abbreviation ('Mon')",
@@ -163,8 +203,17 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT struct_pack(a := 1, b := 'x').b AS v", Seq("x")),
     s("SELECT MAP {'k': 42} AS m"),
     q("SELECT unnest([1, 2, 3]) AS u", Seq(1), Seq(2), Seq(3)),
-    // --- DuckDB-only syntax with no safe spelling (must refuse, never guess) ---
-    s("SELECT 5 // 2 AS d"),
+
+    // --- `//` division (r7: ` div ` + DuckFloorDiv plan swap; every corner
+    //     is DuckDB 1.0's typed behavior, including truncation toward zero
+    //     on integers and PLAIN division on any fractional operand) ---
+    q("SELECT 5 // 2 AS d", Seq(2)),
+    q("SELECT -5 // 2 AS d", Seq(-2)),  // truncates toward zero, not floor
+    q("SELECT -7 // 2 AS d", Seq(-3)),
+    q("SELECT 7 // 2 + 1 AS d", Seq(4)),  // multiplicative precedence kept
+    q("SELECT 5.5 // 2 AS d", Seq(2.75)), // duckdb 1.0: fractional → plain /
+    q("SELECT 5 // 0 AS d", Seq(null)),   // divide by zero → NULL
+    q("SELECT '//' AS s", Seq("//")),     // quoted // stays text
 
     // --- list functions (DuckDB spellings over array() inputs) ---
     q("SELECT list_value(1, 2, 3) AS l", Seq(Seq(1, 2, 3))),
