@@ -651,29 +651,60 @@ class SqlGateway(val spark: SparkSession) {
     * (which would otherwise leak into SHOW TABLES output forever). */
   private def sqlWithReadViews(text: String): DataFrame = {
     val (rewritten, views) = rewriteReadFunctionsTracked(text)
-    try duckDivSql(rewritten)
+    try duckDialectSql(rewritten)
     finally views.foreach(v =>
       try spark.catalog.dropTempView(v) catch { case _: Throwable => () })
   }
 
   private val DivWordRe = """(?i)(?<![\w.$])div(?![\w.$])""".r
+  private val IntCastTargetRe =
+    """(?i)(?:\bas\s+|::\s*)(?:tinyint|smallint|int1|int2|int4|integer|int|bigint|int8|signed)\b""".r
+  private val OrderByRe = """(?i)\border\s+by\b""".r
+  private val NullsRe = """(?i)\bnulls\b""".r
 
-  /** Execute rewritten SQL, giving every `div` node DuckDB's `//`
-    * semantics. The `//` token rewrite (rewriteDuckClauses) emits ` div `;
-    * Spark's parser turns that into `IntegralDivide`, which truncates
-    * DECIMAL/DOUBLE operands to BIGINT — DuckDB 1.0 plain-divides them.
-    * Swapping the node on the PARSED (pre-analysis) plan for
-    * [[graft.functions.DuckFloorDiv]] pins the exact typed behavior; on
-    * all-integral operands DuckFloorDiv ≡ IntegralDivide, so the rewrites
-    * this gateway itself emits with `div` (date_diff's truncate-divide)
-    * are unchanged. Statements without a `div` token skip the extra parse. */
-  private def duckDivSql(sql: String): DataFrame = {
-    def outsideQuotes(pos: Int) = sql.substring(0, pos).count(_ == '\'') % 2 == 0
-    if (!DivWordRe.findAllMatchIn(sql).exists(m => outsideQuotes(m.start)))
-      return spark.sql(sql)
-    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+  /** Execute rewritten SQL with DuckDB's expression-level semantics pinned
+    * on the PARSED (pre-analysis) plan — the three places where Spark's
+    * parser produces a node whose behavior differs from DuckDB's for the
+    * same accepted spelling, each swapped only when the statement text can
+    * contain it (cheap gates; statements outside all three skip the extra
+    * parse entirely):
+    *
+    *  - `div` (emitted by the `//` token rewrite): Spark's IntegralDivide
+    *    truncates DECIMAL/DOUBLE operands to BIGINT — DuckDB 1.0
+    *    plain-divides them → [[graft.functions.DuckFloorDiv]]. On
+    *    all-integral operands the two agree, so the gateway's own
+    *    div-emitting rewrites (date_diff's truncate-divide) are unchanged.
+    *  - explicit `CAST(x AS <int>)` / `x::<int>`: Spark truncates
+    *    fractional values; DuckDB rounds (mode depends on source type) →
+    *    [[graft.functions.DuckIntCast]]. Only USER casts exist in the
+    *    parsed plan — the analyzer's implicit coercion casts are inserted
+    *    later and keep Spark semantics, exactly as DuckDB's own implicit
+    *    coercions are not user-visible rounding sites.
+    *  - default null ordering: DuckDB sorts NULLS LAST for ASC (DESC
+    *    agrees with Spark already). Applied only when the statement spells
+    *    NO explicit NULLS FIRST/LAST anywhere — the parsed tree cannot
+    *    distinguish an explicit `NULLS FIRST` from the parser default, so
+    *    a statement that mixes explicit and default orderings keeps Spark
+    *    defaults for the unspelled keys (documented corpus divergence). */
+  private def duckDialectSql(sql: String): DataFrame = {
+    def outside(pos: Int) = sql.substring(0, pos).count(_ == '\'') % 2 == 0
+    val needDiv = DivWordRe.findAllMatchIn(sql).exists(m => outside(m.start))
+    val needCast = IntCastTargetRe.findAllMatchIn(sql).exists(m => outside(m.start))
+    val needNulls = OrderByRe.findAllMatchIn(sql).exists(m => outside(m.start)) &&
+      !NullsRe.findAllMatchIn(sql).exists(m => outside(m.start))
+    if (!needDiv && !needCast && !needNulls) return spark.sql(sql)
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, EvalMode, IntegralDivide, NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTargets: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
     val swapped = ColumnShim.parsePlan(spark, sql).transformAllExpressionsWithSubqueries {
-      case d: IntegralDivide => graft.functions.DuckFloorDiv(d.left, d.right)
+      case d: IntegralDivide if needDiv =>
+        graft.functions.DuckFloorDiv(d.left, d.right)
+      case c: Cast if needCast && intTargets.contains(c.dataType) =>
+        graft.functions.DuckIntCast(c.child, c.dataType,
+          tryMode = c.evalMode == EvalMode.TRY)
+      case so @ SortOrder(_, Ascending, NullsFirst, _) if needNulls =>
+        so.copy(nullOrdering = NullsLast)
     }
     ColumnShim.ofRows(spark, swapped)
   }
@@ -915,6 +946,13 @@ class SqlGateway(val spark: SparkSession) {
     var out = sql
     if (out.toLowerCase.contains("log"))
       out = fix(out, "log", 1, a => Some(s"log10(${a.head})"))
+    // dayname/monthname return the FULL name in DuckDB ('Monday',
+    // 'November'); Spark 4's same-named builtins abbreviate ('Mon',
+    // 'Nov') — date_format's EEEE/MMMM patterns are the exact twins
+    if (out.toLowerCase.contains("dayname"))
+      out = fix(out, "dayname", 1, a => Some(s"date_format(${a.head}, 'EEEE')"))
+    if (out.toLowerCase.contains("monthname"))
+      out = fix(out, "monthname", 1, a => Some(s"date_format(${a.head}, 'MMMM')"))
     if (out.toLowerCase.contains("regexp_extract"))
       out = fix(out, "regexp_extract", 2,
         a => Some(s"regexp_extract(${a(0)}, ${a(1)}, 0)"))

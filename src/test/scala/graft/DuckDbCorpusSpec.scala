@@ -167,10 +167,8 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("3:7:9")),
     q("SELECT strftime(DATE '1992-01-05', '%-j') AS s", Seq("5")),
     s("SELECT strftime(DATE '1992-01-01', '%-y') AS s"), // year%100 unpadded: no JVM twin
-    div("SELECT dayname(DATE '2022-11-07') AS d",
-      "DuckDB returns the full day name ('Monday'); Spark 4's dayname " +
-        "returns the abbreviation ('Mon')",
-      Seq("Monday")),
+    q("SELECT dayname(DATE '2022-11-07') AS d", Seq("Monday")), // full name (r7: date_format twin)
+    q("SELECT monthname(DATE '2022-11-07') AS m", Seq("November")),
     s("SELECT current_date AS d"),
     q("SELECT '2024-01-01'::DATE AS d", Seq("2024-01-01")),
     q("SELECT '3.14'::DOUBLE AS d", Seq(3.14)),
@@ -179,9 +177,17 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // --- casts ---
     q("SELECT CAST('42' AS INTEGER) AS i", Seq(42)),
     q("SELECT TRY_CAST('abc' AS INTEGER) AS i", Seq(null)),
-    div("SELECT CAST(3.7 AS INTEGER) AS i",
-      "DuckDB rounds decimal→int (3.7 → 4); Spark truncates (→ 3)",
-      Seq(4)),
+    // r7: explicit casts to integer types round like DuckDB (DuckIntCast —
+    // DECIMAL/VARCHAR half-away-from-zero, DOUBLE half-to-even)
+    q("SELECT CAST(3.7 AS INTEGER) AS i", Seq(4)),
+    q("SELECT CAST(2.5 AS INTEGER) AS i", Seq(3)),   // decimal: half away
+    q("SELECT CAST(-2.5 AS INTEGER) AS i", Seq(-3)),
+    q("SELECT CAST(2.5::DOUBLE AS INTEGER) AS i", Seq(2)), // double: half even
+    q("SELECT CAST(3.5::DOUBLE AS INTEGER) AS i", Seq(4)),
+    q("SELECT CAST('3.9' AS INTEGER) AS i", Seq(4)), // string parses then rounds
+    q("SELECT TRY_CAST(3.7 AS INTEGER) AS i", Seq(4)),
+    q("SELECT CAST(2.7 AS BIGINT) AS i", Seq(3)),
+    q("SELECT 2.5::INTEGER AS i", Seq(3)),
 
     // --- conditional / null handling ---
     q("SELECT CASE WHEN 1 < 2 THEN 'yes' ELSE 'no' END AS c", Seq("yes")),
@@ -302,12 +308,22 @@ class DuckDbCorpusSpec extends SparkTestBase {
     C("FROM corpus_t",
       Some(Seq(Seq(1, "a", 10), Seq(2, "a", 20), Seq(3, "b", 5), Seq(4, "b", null)))),
     s("SELECT * FROM corpus_t USING SAMPLE 2 ROWS"),
+    // r7: DuckDB's default null ordering (NULLS LAST for ASC; DESC already
+    // agrees) is applied whenever the statement spells no explicit NULLS
     C("SELECT v FROM corpus_t ORDER BY v",
-      Some(Seq(Seq(5), Seq(10), Seq(20), Seq(null))), ordered = true,
-      divergent = Some("default null ordering differs: DuckDB sorts NULLS " +
-        "LAST for ASC, Spark NULLS FIRST — spell NULLS FIRST/LAST to port")),
+      Some(Seq(Seq(5), Seq(10), Seq(20), Seq(null))), ordered = true),
+    C("SELECT v FROM corpus_t ORDER BY v DESC",
+      Some(Seq(Seq(20), Seq(10), Seq(5), Seq(null))), ordered = true),
     C("SELECT v FROM corpus_t ORDER BY v NULLS LAST",
       Some(Seq(Seq(5), Seq(10), Seq(20), Seq(null))), ordered = true),
+    // ...but a statement MIXING explicit and default orderings keeps the
+    // Spark default on the unspelled key: the parsed tree cannot tell an
+    // explicit NULLS FIRST from the parser's own default spelling
+    C("SELECT grp, v FROM corpus_t WHERE grp = 'b' ORDER BY grp NULLS FIRST, v",
+      Some(Seq(Seq("b", 5), Seq("b", null))), ordered = true,
+      divergent = Some("explicit NULLS on one key disables the default-" +
+        "null-order transform for the whole statement; DuckDB still sorts " +
+        "the unspelled v key NULLS LAST, Spark NULLS FIRST")),
 
     // --- joins / subqueries ---
     q("SELECT a.id AS i FROM corpus_t a JOIN corpus_t b USING (id) WHERE a.id = 1", Seq(1)),
