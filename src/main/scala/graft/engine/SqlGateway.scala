@@ -52,6 +52,15 @@ class SqlGateway(val spark: SparkSession) {
       case args => throw new IllegalArgumentException(
         s"regexp_replace takes 3 or 4 arguments, got ${args.length}")
     })
+  // DuckDB-exact strftime with the complete code table (DuckStrftime
+  // scaladoc) — the fallback when the compile-time date_format translation
+  // can't express a literal format, and the ONLY path for per-row formats.
+  org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+    "duck_strftime", {
+      case Seq(ts, fmt) => graft.functions.DuckStrftime(ts, fmt)
+      case args => throw new IllegalArgumentException(
+        s"strftime takes 2 arguments, got ${args.length}")
+    })
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
   /** table → CHECK expressions (SQL text; enforced on insert/update like
@@ -1118,17 +1127,30 @@ class SqlGateway(val spark: SparkSession) {
         case None if a.length == 3 => Some(s"sequence(${a(0)}, ${a(1)}, ${a(2)})")
         case _ => None
       }), allowAt = scalarPos)
-    // strftime/strptime with a LITERAL format string whose every %-code
-    // has an exactly-equivalent JVM pattern → date_format / to_timestamp;
-    // an unsupported code (e.g. %-d, %f) leaves the call to refuse
-    for ((duck, sparkFn) <- Seq("strftime" -> "date_format",
-        "strptime" -> "to_timestamp") if out.toLowerCase.contains(duck))
-      out = fix(out, duck, 2, a => {
+    // strftime with a LITERAL format string whose every %-code has an
+    // exactly-equivalent JVM pattern → codegen'd date_format; any other
+    // format (exotic codes like %-y/%U/%f, or a PER-ROW format column)
+    // falls back to the native full-code-table duck_strftime expression.
+    // strptime keeps the translate-or-refuse posture (parsing has no
+    // native fallback).
+    if (out.toLowerCase.contains("strftime"))
+      out = fix(out, "strftime", 2, a => {
+        val lit = a(1)
+        val translated =
+          if (lit.length >= 2 && lit.head == '\'' && lit.last == '\'' &&
+              !lit.drop(1).dropRight(1).contains('\''))
+            strftimeToJavaPattern(lit.drop(1).dropRight(1)).map(p =>
+              s"date_format(${a(0)}, '${p.replace("'", "''")}')")
+          else None
+        translated.orElse(Some(s"duck_strftime(${a(0)}, ${a(1)})"))
+      })
+    if (out.toLowerCase.contains("strptime"))
+      out = fix(out, "strptime", 2, a => {
         val lit = a(1)
         if (lit.length >= 2 && lit.head == '\'' && lit.last == '\'' &&
             !lit.drop(1).dropRight(1).contains('\''))
           strftimeToJavaPattern(lit.drop(1).dropRight(1)).map(p =>
-            s"$sparkFn(${a(0)}, '${p.replace("'", "''")}')")
+            s"to_timestamp(${a(0)}, '${p.replace("'", "''")}')")
         else None
       })
     out
@@ -1279,7 +1301,22 @@ class SqlGateway(val spark: SparkSession) {
       case Right(ph) =>
         val argIdx = ph.idx.getOrElse { val k = autoCount; autoCount += 1; k }
         if (argIdx >= args.length) return None
-        specToJava(ph.spec) match {
+        // arg-shape-aware specs: a BARE width aligns by argument type in
+        // fmt (numbers right, strings left) — decidable here only for
+        // literal arguments; `b` (binary) spells as conv(x, 10, 2) for
+        // non-negative integer literals (conv would two's-complement a
+        // negative). Non-literal arguments refuse.
+        val argText = args(argIdx)
+        val special: Option[(String, Char)] = ph.spec match {
+          case "b" if argText.matches("""\d+""") => Some(("s", 'b'))
+          case sp if sp.nonEmpty && sp.forall(_.isDigit) =>
+            if (argText.matches("""-?\d+(\.\d+)?""")) Some((sp + "s", 's'))
+            else if (argText.length >= 2 && argText.head == '\'' &&
+              argText.last == '\'') Some(("-" + sp + "s", 's'))
+            else None
+          case _ => None
+        }
+        special.orElse(specToJava(ph.spec)) match {
           case None => return None
           case Some((conv, cast)) =>
             argCast(argIdx) match {
@@ -1292,6 +1329,7 @@ class SqlGateway(val spark: SparkSession) {
     val wrapped = args.zipWithIndex.map { case (a, k) => argCast(k) match {
       case Some('s') => s"CAST($a AS STRING)"
       case Some('d') => s"CAST($a AS DOUBLE)"
+      case Some('b') => s"conv($a, 10, 2)"
       case _ => a
     } }
     Some(s"format_string('${out.toString}', ${wrapped.mkString(", ")})")

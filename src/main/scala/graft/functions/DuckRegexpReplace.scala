@@ -79,6 +79,10 @@ object DuckRegexpReplace {
           case 's' => jflags |= Pattern.DOTALL
           case 'l' => literal = true
           case 'c' => () // case-sensitive: already the default
+          // DuckDB 1.0's newline options select newline-SENSITIVE matching
+          // ('.' stops at \n, ^$ anchor the whole text) — probed to be
+          // bit-identical to its default, which Java's default matches too
+          case 'm' | 'n' | 'p' => ()
           case other => throw new IllegalArgumentException(
             s"Unrecognized Regex option $other")
         }

@@ -116,8 +116,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT format('100%: {}', 42) AS f", Seq("100%: 42")), // literal % passes through
     q("SELECT format('{}', 2.5) AS f", Seq("2.5")),
     s("SELECT format('{:g}', 12345.678) AS f"), // %g: Java keeps trailing zeros fmt trims — refuse
-    s("SELECT format('{:b}', 5) AS f"),         // binary: no printf twin — refuse
-    s("SELECT format('{:6}|', 42) AS f"),       // bare width aligns by ARG TYPE in fmt — refuse
+    q("SELECT format('{:b}', 5) AS f", Seq("101")), // binary via conv() (literal args)
+    q("SELECT format('{:6}|', 42) AS f", Seq("    42|")),  // bare width: literal arg
+    q("SELECT format('{:6}|', 'x') AS f", Seq("x     |")), // type decides alignment
     s("SELECT format('{:,.2f}', 1234.567) AS f"), // fmt itself errors (grouping on float)
     s("SELECT format('{0} {}', 'a', 'b') AS f"),  // mixed manual+auto: fmt errors
 
@@ -135,7 +136,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT regexp_replace('a+b+c', '+', 'X', 'lg') AS r", Seq("aXbXc")),
     q("SELECT regexp_replace('abc', 'x*', 'Y') AS r", Seq("Yabc")), // zero-width first match
     s("SELECT regexp_replace('x', 'x', 'y', 'z') AS r"), // unknown option: refuse (duckdb errors too)
-    s("SELECT regexp_replace('x', '^x', 'y', 'm') AS r"), // newline options: no Java twin
+    // 'm'/'n' select newline-SENSITIVE matching — probed identical to the
+    // DuckDB 1.0 default (and Java's): accepted as a no-op
+    q("SELECT regexp_replace('x', '^x', 'y', 'm') AS r", Seq("y")),
     q("SELECT regexp_extract('abc123', '[0-9]+') AS e", Seq("123")), // 2-arg = group 0 (pinned)
     q("SELECT regexp_extract('hello', '([a-z])([a-z])', 2) AS e", Seq("e")),
     q("SELECT regexp_matches('anabanana', '(an)*') AS m", Seq(true)),
@@ -166,7 +169,19 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT strftime(TIMESTAMP '1992-01-05 03:07:09', '%-H:%-M:%-S') AS s",
       Seq("3:7:9")),
     q("SELECT strftime(DATE '1992-01-05', '%-j') AS s", Seq("5")),
-    s("SELECT strftime(DATE '1992-01-01', '%-y') AS s"), // year%100 unpadded: no JVM twin
+    // full code table via the native duck_strftime fallback (r7)
+    q("SELECT strftime(DATE '1992-01-01', '%-y') AS s", Seq("92")),
+    q("SELECT strftime(DATE '2007-06-01', '%-y') AS s", Seq("7")),
+    q("SELECT strftime(DATE '2007-01-01', '%U %W %w %u') AS s", Seq("00 01 1 1")),
+    q("SELECT strftime(DATE '2006-01-01', '%U %W %w %u') AS s", Seq("01 00 0 7")),
+    q("SELECT strftime(DATE '2010-12-31', '%V %G') AS s", Seq("52 2010")),
+    q("SELECT strftime(TIMESTAMP '2007-03-04 05:06:07.123456', '%g %f %n') AS s",
+      Seq("123 123456 123456000")),
+    q("SELECT strftime(TIMESTAMP '2020-06-01 00:30:00', '%I %p') AS s", Seq("12 AM")),
+    q("SELECT strftime(TIMESTAMP '2007-03-04 05:06:07', '%c / %x / %X') AS s",
+      Seq("2007-03-04 05:06:07 / 2007-03-04 / 05:06:07")),
+    q("SELECT strftime(TIMESTAMP '0044-03-15 01:02:03', '%Y %y') AS s", Seq("0044 44")),
+    s("SELECT strftime(DATE '1992-01-01', '%e') AS s"), // unknown code: refuse (duckdb errors too)
     q("SELECT dayname(DATE '2022-11-07') AS d", Seq("Monday")), // full name (r7: date_format twin)
     q("SELECT monthname(DATE '2022-11-07') AS m", Seq("November")),
     s("SELECT current_date AS d"),
