@@ -474,10 +474,88 @@ class SqlGateway(val spark: SparkSession) {
   private val PositionalRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
      """\s+POSITIONAL\s+JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$""").r
+  private val AsofJoinStmtRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+     """\s+ASOF\s+(LEFT\s+)?JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+     """\s+ON\s+(.+?)\s*((?:WHERE|ORDER|LIMIT)\b.*)?$""").r
   private val RangeTvfRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+range\s*\(([^)]*)\)\s*$""".r
   private val SeriesTvfRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+generate_series\s*\(([^)]*)\)\s*$""".r
+
+  /** DuckDB's `ASOF [LEFT] JOIN` statement spelling, routed to the
+    * engine's first-class [[graft.plans.AsofJoin]] operator (merge-join
+    * exec, hash-partitioned by key — the operator q23/x16/x38 already
+    * exercise). Conservative shape: two catalog tables, an ON clause of
+    * exactly one alias-qualified equality plus one `>=`/`<=` inequality
+    * (DuckDB's backward/forward forms), and distinct column names across
+    * the sides so alias-stripped select/tail references are unambiguous.
+    * Anything else declines and refuses downstream — never guessed.
+    * DuckDB semantics preserved: default ASOF JOIN is INNER (unmatched
+    * left rows drop); `ASOF LEFT JOIN` keeps them NULL-padded; strict
+    * `>`/`<` spellings decline (the operator is at-or-before/after). */
+  private def asofStatement(sel: String, lTable: String,
+      lAliasOpt: Option[String], leftJoin: Boolean, rTable: String,
+      rAliasOpt: Option[String], cond: String,
+      tail: Option[String]): Option[DataFrame] = {
+    if (!spark.catalog.tableExists(lTable) ||
+        !spark.catalog.tableExists(rTable)) return None
+    val lAlias = lAliasOpt.getOrElse(lTable.split('.').last).toLowerCase
+    val rAlias = rAliasOpt.getOrElse(rTable.split('.').last).toLowerCase
+    val CmpRe = """(?is)^\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*$""".r
+    var eq: Option[(String, String)] = None // (left col, right col)
+    var ts: Option[(String, String, Boolean)] = None // (lts, rts, forward)
+    cond.split("""(?i)\bAND\b""").map(_.trim).foreach {
+      case CmpRe(a1, c1, op, a2, c2) =>
+        // normalize to left-side-first; `flip` marks a right-first spelling
+        val (lc, rc, flip) =
+          if (a1.toLowerCase == lAlias && a2.toLowerCase == rAlias)
+            (c1, c2, false)
+          else if (a1.toLowerCase == rAlias && a2.toLowerCase == lAlias)
+            (c2, c1, true)
+          else return None
+        op match {
+          case "=" =>
+            if (eq.isDefined) return None
+            eq = Some((lc, rc))
+          case ">=" => // l.ts >= r.ts = backward; r.ts >= l.ts = forward
+            if (ts.isDefined) return None
+            ts = Some((lc, rc, flip))
+          case "<=" =>
+            if (ts.isDefined) return None
+            ts = Some((lc, rc, !flip))
+        }
+      case _ => return None
+    }
+    (eq, ts) match {
+      case (Some((lk, rk)), Some((lts, rts, fwd))) =>
+        val lDf = spark.table(lTable)
+        val rDf = spark.table(rTable)
+        if (lDf.columns.map(_.toLowerCase).toSet
+            .intersect(rDf.columns.map(_.toLowerCase).toSet).nonEmpty)
+          return None
+        val joined = graft.plans.Asof.join(lDf, rDf, lk, rk, lts, rts,
+          forward = fwd)
+        // matched rows carry a non-null right key (equality); unmatched
+        // left rows are NULL-padded - filtering them is exactly INNER
+        val shaped = if (leftJoin) joined else joined.filter(col(rk).isNotNull)
+        def strip(s: String): String =
+          s.replaceAll(s"(?i)\\b(?:$lAlias|$rAlias)\\.", "")
+        if (sel.trim == "*" && tail.forall(_.trim.isEmpty)) Some(shaped)
+        else {
+          val v = s"graft_asof_${viewSeq.incrementAndGet()}"
+          shaped.createOrReplaceTempView(v)
+          // duckDialectSql keeps the DuckDB default null ordering etc. on
+          // the projected/ordered shell around the join
+          try Some(duckDialectSql(
+            s"SELECT ${strip(sel)} FROM $v ${tail.map(strip).getOrElse("")}"))
+          finally spark.catalog.dropTempView(v)
+        }
+      case _ => None
+    }
+  }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def dialectQuery(sql: String): Option[DataFrame] = {
     // UNION [ALL] BY NAME: split at the top level, each side re-enters
@@ -506,6 +584,9 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
     sql match {
+      case AsofJoinStmtRe(sel, lTable, lAlias, leftKw, rTable, rAlias, cond, tail) =>
+        asofStatement(sel, lTable, Option(lAlias), leftKw != null,
+          rTable, Option(rAlias), cond, Option(tail))
       case ExcludeRe(parenCols, bareCol, from) =>
         val cols = Option(parenCols).map(splitTopLevel(_).map(_.trim))
           .getOrElse(Seq(bareCol))

@@ -340,6 +340,30 @@ class DuckDbCorpusSpec extends SparkTestBase {
         "null-order transform for the whole statement; DuckDB still sorts " +
         "the unspelled v key NULLS LAST, Spark NULLS FIRST")),
 
+    // --- ASOF JOIN statements (r7: routed to the engine's first-class
+    //     AsofJoin operator; every expectation duckdb-1.0-verified) ---
+    s("CREATE TABLE trades(tk INTEGER, tts INTEGER, qty INTEGER)"),
+    s("CREATE TABLE quotes(qk INTEGER, qts INTEGER, px INTEGER)"),
+    s("INSERT INTO trades VALUES (1, 10, 100), (1, 25, 200), (2, 15, 300), (3, 5, 400)"),
+    s("INSERT INTO quotes VALUES (1, 8, 50), (1, 20, 55), (2, 15, 70), (2, 30, 75)"),
+    C("SELECT * FROM trades t ASOF JOIN quotes q ON t.tk = q.qk AND " +
+      "t.tts >= q.qts ORDER BY t.tts", // INNER: unmatched tk=3 row drops
+      Some(Seq(Seq(1, 10, 100, 1, 8, 50), Seq(2, 15, 300, 2, 15, 70),
+        Seq(1, 25, 200, 1, 20, 55))), ordered = true),
+    C("SELECT * FROM trades t ASOF LEFT JOIN quotes q ON t.tk = q.qk AND " +
+      "t.tts >= q.qts ORDER BY t.tts", // LEFT keeps tk=3 NULL-padded
+      Some(Seq(Seq(3, 5, 400, null, null, null), Seq(1, 10, 100, 1, 8, 50),
+        Seq(2, 15, 300, 2, 15, 70), Seq(1, 25, 200, 1, 20, 55))),
+      ordered = true),
+    q("SELECT t.qty AS qty, q.px AS px FROM trades t ASOF JOIN quotes q " +
+      "ON t.tk = q.qk AND t.tts <= q.qts ORDER BY t.qty", // forward form
+      Seq(100, 55), Seq(300, 70)),
+    q("SELECT qty, px FROM trades ASOF JOIN quotes ON trades.tk = quotes.qk " +
+      "AND trades.tts >= quotes.qts ORDER BY qty", // bare table names as aliases
+      Seq(100, 50), Seq(200, 55), Seq(300, 70)),
+    s("SELECT * FROM trades t ASOF JOIN quotes q ON t.tk = q.qk AND t.tts > q.qts"),
+    // ^ strict inequality: the operator is at-or-before — refuse, never guess
+
     // --- joins / subqueries ---
     q("SELECT a.id AS i FROM corpus_t a JOIN corpus_t b USING (id) WHERE a.id = 1", Seq(1)),
     // NULL = NULL is not true, so the v-NULL row drops in BOTH engines
