@@ -1133,6 +1133,69 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"split(${a(0)}, '$esc')")
         } else None
       })
+    // list_aggregate(l, 'name') — the common aggregate names with exact
+    // spellings (sum over a BIGINT accumulator: integer lists are exact,
+    // a non-integer list fails lambda type-check loudly); unknown names
+    // refuse
+    if (out.toLowerCase.contains("list_aggr"))
+      for (fn <- Seq("list_aggregate", "list_aggr"))
+        out = fix(out, fn, 2, a => a(1).trim.toLowerCase match {
+          case "'sum'" =>
+            Some(s"aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          case "'min'" => Some(s"array_min(${a(0)})")
+          case "'max'" => Some(s"array_max(${a(0)})")
+          case "'avg'" | "'mean'" => Some(
+            s"(aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
+              s" / size(${a(0)}))")
+          case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
+          case _ => None
+        })
+    // list_reduce(l, (a,b) -> …): first element is the seed, the lambda
+    // folds left over the rest — exactly Spark's aggregate over slice(2…)
+    if (out.toLowerCase.contains("list_reduce"))
+      out = fix(out, "list_reduce", 2, a => {
+        val Lam = """(?is)^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.+)$""".r
+        a(1).trim match {
+          case Lam(x, y, body) => Some(
+            s"aggregate(slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0)), " +
+              s"element_at(${a(0)}, 1), ($x, $y) -> $body)")
+          case _ => None
+        }
+      })
+    if (out.toLowerCase.contains("to_base"))
+      out = fix(out, "to_base", 2, a => Some(s"conv(${a(0)}, 10, ${a(1)})"))
+    if (out.toLowerCase.contains("unicode"))
+      out = fix(out, "unicode", 1, a => Some(s"ascii(${a.head})"))
+    // ORDER-BY-inside-aggregate, for the self-ordered forms whose Spark
+    // spelling is exact: array_agg(x ORDER BY x [DESC]) → sorted collect,
+    // string_agg(x, sep ORDER BY x) → join of sorted collect, and
+    // first/last(x ORDER BY x) → min/max. Ordering by a DIFFERENT
+    // expression has no exact spelling and refuses.
+    val AggOrd = """(?is)^(.+?)\s+ORDER\s+BY\s+(.+?)(?:\s+(ASC|DESC))?\s*$""".r
+    def same(a: String, b: String) = a.trim.equalsIgnoreCase(b.trim)
+    if (out.toLowerCase.contains("array_agg"))
+      out = fix(out, "array_agg", 1, a => a.head.trim match {
+        case AggOrd(e, o, dir) if same(e, o) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          Some(s"sort_array(array_agg($e)${if (asc) "" else ", false"})")
+        case _ => None
+      })
+    if (out.toLowerCase.contains("string_agg"))
+      out = fix(out, "string_agg", 2, a => a(1).trim match {
+        case AggOrd(sep, o, dir) if same(o, a(0)) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          Some(s"array_join(sort_array(collect_list(${a(0)})" +
+            s"${if (asc) "" else ", false"}), $sep)")
+        case _ => None
+      })
+    for (fn <- Seq("first", "last") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => a.head.trim match {
+        case AggOrd(e, o, dir) if same(e, o) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          val wantMax = (fn == "last") == asc
+          Some(s"${if (wantMax) "max" else "min"}($e)")
+        case _ => None
+      })
     // list_sort/list_reverse_sort: DuckDB default is NULLS LAST both ways;
     // array_sort is asc-nulls-last, sort_array(_, false) desc-nulls-last
     if (out.toLowerCase.contains("list_sort"))
@@ -1484,6 +1547,13 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("join"))
       out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
         "LEFT $1 JOIN")
+    // DuckDB's bare aggregate-FILTER shorthand `agg(...) FILTER (cond)` →
+    // the standard `FILTER (WHERE cond)` both engines accept. Anchored on
+    // the aggregate call's closing paren, so the higher-order function
+    // `filter(arr, …)` (which never directly follows `)`) is untouched.
+    if (out.toLowerCase.contains("filter"))
+      out = out.replaceAll("(?i)(\\))\\s*filter\\s*\\(\\s*(?!where\\b)",
+        "$1 FILTER (WHERE ")
     // DuckDB's `//` division operator → Spark's `div` keyword (SAME
     // multiplicative precedence in both grammars, so operand grouping is
     // preserved exactly); the parsed IntegralDivide is then swapped for
@@ -1584,6 +1654,54 @@ class SqlGateway(val spark: SparkSession) {
       }
       if (depth == 0) Some(sql.substring(from + 1, j - 1) -> j) else None
     }
+    // `[expr for x in list [if cond]]` (DuckDB list comprehension) at the
+    // '[' at `from` → Some((spark spelling, index after the span)); the
+    // pieces are recursively rewritten so nested list literals work
+    def comprehension(from: Int): Option[(String, Int)] = {
+      // first top-level (outside quotes/brackets) word occurrence in s
+      def topWord(s: String, word: String, start: Int): Int = {
+        var d = 0; var q = false; var j = 0; var found = -1
+        while (j <= s.length - word.length && found < 0) {
+          val c = s.charAt(j)
+          if (q) { if (c == '\'') q = false }
+          else if (c == '\'') q = true
+          else if (c == '(' || c == '[' || c == '{') d += 1
+          else if (c == ')' || c == ']' || c == '}') d -= 1
+          else if (j >= start && d == 0 &&
+              s.regionMatches(true, j, word, 0, word.length) &&
+              (j == 0 || (!s.charAt(j - 1).isLetterOrDigit && s.charAt(j - 1) != '_')) &&
+              (j + word.length >= s.length ||
+                (!s.charAt(j + word.length).isLetterOrDigit &&
+                  s.charAt(j + word.length) != '_')))
+            found = j
+          j += 1
+        }
+        found
+      }
+      indexSpan(from).flatMap { case (body, after) =>
+        val forAt = topWord(body, "for", 0)
+        val inAt = if (forAt < 0) -1 else topWord(body, "in", forAt + 3)
+        if (forAt < 0 || inAt < 0) None
+        else {
+          val expr = body.substring(0, forAt).trim
+          val v = body.substring(forAt + 3, inAt).trim
+          val rest = body.substring(inAt + 2)
+          val ifAt = topWord(rest, "if", 0)
+          val listTxt = (if (ifAt < 0) rest else rest.substring(0, ifAt)).trim
+          val condTxt = if (ifAt < 0) None else Some(rest.substring(ifAt + 2).trim)
+          if (!v.matches("""[A-Za-z_]\w*""") || expr.isEmpty ||
+              listTxt.isEmpty || condTxt.exists(_.isEmpty)) None
+          else {
+            val lst = rewriteDuckLiterals(listTxt)
+            val src = condTxt match {
+              case Some(c) => s"filter($lst, $v -> ${rewriteDuckLiterals(c)})"
+              case None => lst
+            }
+            Some((s"transform($src, $v -> ${rewriteDuckLiterals(expr)})", after))
+          }
+        }
+      }
+    }
     // does this top-level index expression look like a slice?
     def isSlice(ix: String): Boolean = {
       var d = 0; var s = false
@@ -1658,11 +1776,21 @@ class SqlGateway(val spark: SparkSession) {
               && !afterKeyword) {
             copyBracketVerbatim() // type suffix / bare-column subscript
           } else {
-            // ARRAY[1,2] (the explicit-keyword spelling) folds into array(
-            if (lastWord.equalsIgnoreCase("array")) {
-              val w = sb.lastIndexOf(lastWord); sb.delete(w, sb.length)
+            // [expr for x in list [if cond]] — DuckDB list comprehension →
+            // transform(/filter(…)) with the pieces recursively rewritten
+            comprehension(i) match {
+              case Some((built, after)) =>
+                if (lastWord.equalsIgnoreCase("array")) {
+                  val w = sb.lastIndexOf(lastWord); sb.delete(w, sb.length)
+                }
+                sb.append(built); i = after
+              case None =>
+                // ARRAY[1,2] (the explicit-keyword spelling) folds into array(
+                if (lastWord.equalsIgnoreCase("array")) {
+                  val w = sb.lastIndexOf(lastWord); sb.delete(w, sb.length)
+                }
+                sb.append("array("); stack.push('['); i += 1
             }
-            sb.append("array("); stack.push('['); i += 1
           }
         case '{' =>
           if (lastWord.equalsIgnoreCase("map") && stack.isEmpty) {

@@ -236,6 +236,39 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT 5 // 0 AS d", Seq(null)),   // divide by zero → NULL
     q("SELECT '//' AS s", Seq("//")),     // quoted // stays text
 
+    // --- list comprehensions (r7 fourth batch: transform/filter rewrite) ---
+    q("SELECT [x*2 for x in [1,2,3]] AS l", Seq(Seq(2, 4, 6))),
+    q("SELECT [x for x in [1,2,3] if x > 1] AS l", Seq(Seq(2, 3))),
+    q("SELECT [upper(x) for x in ['a','b']] AS l", Seq(Seq("A", "B"))),
+
+    // --- list folds (r7 fourth batch) ---
+    q("SELECT list_aggregate([1,2,3], 'sum') AS s", Seq(6)),
+    q("SELECT list_aggregate([1,2,3], 'min') AS m", Seq(1)),
+    q("SELECT list_aggregate([1,2,3], 'max') AS x", Seq(3)),
+    q("SELECT list_aggregate([1,2,3], 'avg') AS a", Seq(2)),
+    q("SELECT list_aggregate([1,NULL,3], 'count') AS c", Seq(2)),
+    s("SELECT list_aggregate([1,2,3], 'median') AS m"), // unknown name: refuse
+    q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
+    q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
+
+    // --- aggregate sugar (r7 fourth batch) ---
+    q("SELECT array_agg(x ORDER BY x DESC) AS a FROM (VALUES (1),(3),(2)) t(x)",
+      Seq(Seq(3, 2, 1))),
+    q("SELECT string_agg(x, ',' ORDER BY x) AS s FROM (VALUES ('b'),('a')) t(x)",
+      Seq("a,b")),
+    q("SELECT last(x ORDER BY x) AS l FROM (VALUES (2),(9),(1)) t(x)", Seq(9)),
+    q("SELECT first(x ORDER BY x DESC) AS f FROM (VALUES (2),(9),(1)) t(x)", Seq(9)),
+    q("SELECT count(*) FILTER (x > 1) AS c FROM (VALUES (1),(2),(3)) t(x)",
+      Seq(2)), // DuckDB's bare FILTER shorthand (no WHERE keyword)
+    q("SELECT bool_and(x > 0) AS b FROM (VALUES (1),(2)) t(x)", Seq(true)),
+    q("SELECT bool_or(x > 8) AS b FROM (VALUES (1),(9)) t(x)", Seq(true)),
+
+    // --- misc scalar spellings (r7 fourth batch) ---
+    q("SELECT to_base(255, 16) AS h", Seq("FF")),
+    q("SELECT to_base(7, 2) AS b", Seq("111")),
+    q("SELECT unicode('ü') AS u", Seq(252)),
+    q("SELECT bit_count(7::BIGINT) AS b", Seq(3)),
+
     // --- list functions (DuckDB spellings over array() inputs) ---
     q("SELECT list_value(1, 2, 3) AS l", Seq(Seq(1, 2, 3))),
     q("SELECT list_contains(list_value(1, 2, 3), 2) AS c", Seq(true)),
