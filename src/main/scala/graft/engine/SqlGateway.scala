@@ -61,6 +61,29 @@ class SqlGateway(val spark: SparkSession) {
       case args => throw new IllegalArgumentException(
         s"strftime takes 2 arguments, got ${args.length}")
     })
+  // DuckDB scalar functions Spark has no builtin for — string similarity
+  // kernels + integer gcd/lcm (DuckTextDistance scaladoc). Registered
+  // under their DuckDB names directly; no text rewrite involved.
+  locally {
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def two(name: String)(mk: (Expression, Expression) => Expression): Unit =
+      org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, name, {
+        case Seq(a, b) => mk(a, b)
+        case args => throw new IllegalArgumentException(
+          s"$name takes 2 arguments, got ${args.length}")
+      })
+    two("jaccard")(DuckJaccard(_, _))
+    two("hamming")(DuckHamming(_, _))
+    two("mismatches")(DuckHamming(_, _))
+    two("damerau_levenshtein")(DuckDamerauLevenshtein(_, _))
+    two("jaro_similarity")(DuckJaro(_, _))
+    two("jaro_winkler_similarity")(DuckJaroWinkler(_, _))
+    two("gcd")(DuckGcd(_, _))
+    two("lcm")(DuckLcm(_, _))
+    two("greatest_common_divisor")(DuckGcd(_, _))
+    two("least_common_multiple")(DuckLcm(_, _))
+  }
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
   /** table → CHECK expressions (SQL text; enforced on insert/update like

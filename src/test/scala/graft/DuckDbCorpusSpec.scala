@@ -263,6 +263,23 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT bool_and(x > 0) AS b FROM (VALUES (1),(2)) t(x)", Seq(true)),
     q("SELECT bool_or(x > 8) AS b FROM (VALUES (1),(9)) t(x)", Seq(true)),
 
+    // --- string-similarity kernels + integer gcd/lcm (r7: native
+    //     expressions under the DuckDB names; Spark has no builtins) ---
+    q("SELECT jaccard('duck', 'luck') AS j", Seq(0.6)),
+    q("SELECT jaccard('aab', 'ab') AS j", Seq(1)), // char-SET jaccard
+    q("SELECT hamming('duck', 'luck') AS h", Seq(1)),
+    q("SELECT mismatches('duck', 'luck') AS m", Seq(1)),
+    s("SELECT hamming('ab', 'abc') AS h"), // unequal length: loud (duckdb errors too)
+    q("SELECT damerau_levenshtein('ca', 'abc') AS d", Seq(2)), // full DL, not OSA's 3
+    q("SELECT damerau_levenshtein('ab', 'ba') AS d", Seq(1)),
+    q("SELECT jaro_similarity('martha', 'marhta') AS j", Seq(0.9444444444444445)),
+    q("SELECT jaro_winkler_similarity('dwayne', 'duane') AS j", Seq(0.8400000000000001)),
+    q("SELECT jaro_winkler_similarity('duck', 'luck') AS j", Seq(0.8333333333333334)),
+    q("SELECT gcd(-4, 6) AS g", Seq(2)),
+    q("SELECT gcd(0, 0) AS g", Seq(0)),
+    q("SELECT lcm(4, 6) AS l", Seq(12)),
+    q("SELECT lcm(0, 5) AS l", Seq(0)),
+
     // --- misc scalar spellings (r7 fourth batch) ---
     q("SELECT to_base(255, 16) AS h", Seq("FF")),
     q("SELECT to_base(7, 2) AS b", Seq("111")),
