@@ -185,6 +185,14 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT dayname(DATE '2022-11-07') AS d", Seq("Monday")), // full name (r7: date_format twin)
     q("SELECT monthname(DATE '2022-11-07') AS m", Seq("November")),
     s("SELECT current_date AS d"),
+    q("SELECT DATE '2024-01-01' + 5 AS d", Seq("2024-01-06")), // date ± int agree
+    q("SELECT DATE '2024-01-10' - 3 AS d", Seq("2024-01-07")),
+    div("SELECT DATE '2024-01-10' - DATE '2024-01-01' AS d",
+      "DuckDB's DATE - DATE is BIGINT days; Spark yields INTERVAL DAY — " +
+        "spell datediff(d2, d1) to port",
+      Seq(9)),
+    q("SELECT 'abc' || 123 AS c", Seq("abc123")),
+    q("SELECT 1 = '1' AS e", Seq(true)),
     q("SELECT '2024-01-01'::DATE AS d", Seq("2024-01-01")),
     q("SELECT '3.14'::DOUBLE AS d", Seq(3.14)),
     q("SELECT 42::VARCHAR AS s", Seq("42")),

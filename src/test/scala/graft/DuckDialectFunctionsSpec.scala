@@ -83,6 +83,50 @@ class DuckDialectFunctionsSpec extends SparkTestBase {
     assert(r == Seq(5L)) // 2 boundary crossings + 3
   }
 
+  test("similarity kernels over columns (codegen path, not constant-folded)") {
+    import spark.implicits._
+    Seq(("duck", "luck"), ("martha", "marhta"), ("ca", "abc"))
+      .toDF("a", "b").createOrReplaceTempView("sim_t")
+    val rows = gw.query(
+      "SELECT jaccard(a, b) AS j, damerau_levenshtein(a, b) AS d, " +
+        "jaro_similarity(a, b) AS js FROM sim_t ORDER BY a").values
+    assert(rows.map(_.toList) == Seq(                    // all duckdb-verified
+      List(0.6666666666666666, 2L, 0.0),                 // ca/abc
+      List(0.6, 1L, 0.8333333333333334),                 // duck/luck
+      List(1.0, 1L, 0.9444444444444445)), s"got $rows")  // martha/marhta
+    spark.catalog.dropTempView("sim_t")
+  }
+
+  test("gcd/lcm over columns with implicit int->long cast") {
+    import spark.implicits._
+    Seq((-4, 6), (0, 5), (12, 18)).toDF("a", "b").createOrReplaceTempView("gcd_t")
+    val rows = gw.query(
+      "SELECT gcd(a, b) AS g, lcm(a, b) AS l FROM gcd_t ORDER BY a").values
+    assert(rows.map(_.toList) == Seq(List(2L, 12L), List(5L, 0L), List(6L, 36L)))
+    spark.catalog.dropTempView("gcd_t")
+  }
+
+  test("duck_strftime over columns with a PER-ROW format string") {
+    import spark.implicits._
+    Seq(("2007-03-04", "%-d/%-m/%y"), ("2007-03-04", "%U"), ("2007-03-04", "%A"))
+      .toDF("d", "f").createOrReplaceTempView("sft_t")
+    val rows = gw.query(
+      "SELECT strftime(CAST(d AS DATE), f) AS s FROM sft_t").values.map(_.head)
+    assert(rows == Seq("4/3/07", "09", "Sunday"))
+    spark.catalog.dropTempView("sft_t")
+  }
+
+  test("DuckIntCast over columns: per-source-type rounding in one projection") {
+    import spark.implicits._
+    Seq((2.5, "2.5"), (3.5, "3.49")).toDF("d", "s").createOrReplaceTempView("ic_t")
+    val rows = gw.query(
+      "SELECT CAST(d AS INTEGER) AS di, CAST(s AS INTEGER) AS si " +
+        "FROM ic_t ORDER BY d").values
+    // DOUBLE column: half-to-even (2.5→2, 3.5→4); VARCHAR: half away (2.5→3)
+    assert(rows.map(_.toList) == Seq(List(2, 3), List(4, 3)), s"got $rows")
+    spark.catalog.dropTempView("ic_t")
+  }
+
   test("column-API entry: DuckRegexpReplace composes as a Column expression") {
     import spark.implicits._
     val df = Seq("mississippi").toDF("s")
