@@ -805,7 +805,8 @@ class SqlGateway(val spark: SparkSession) {
     val needCast = IntCastTargetRe.findAllMatchIn(sql).exists(m => outside(m.start))
     val needNulls = OrderByRe.findAllMatchIn(sql).exists(m => outside(m.start)) &&
       !NullsRe.findAllMatchIn(sql).exists(m => outside(m.start))
-    if (!needDiv && !needCast && !needNulls) return spark.sql(sql)
+    if (!needDiv && !needCast && !needNulls)
+      return subtractDatesAsDays(spark.sql(sql))
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, EvalMode, IntegralDivide, NullsFirst, NullsLast, SortOrder}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val intTargets: Set[org.apache.spark.sql.types.DataType] =
@@ -819,7 +820,26 @@ class SqlGateway(val spark: SparkSession) {
       case so @ SortOrder(_, Ascending, NullsFirst, _) if needNulls =>
         so.copy(nullOrdering = NullsLast)
     }
-    ColumnShim.ofRows(spark, swapped)
+    subtractDatesAsDays(ColumnShim.ofRows(spark, swapped))
+  }
+
+  /** DuckDB's `DATE - DATE` is a BIGINT day count; Spark's is INTERVAL
+    * DAY. The analyzer inserts `SubtractDates` ONLY for a user-written
+    * subtraction of two date operands — it never synthesizes one — so
+    * swapping the node on the ANALYZED plan for `datediff` is exactly
+    * scoped to the user's spelling, with no textual type guessing. Cheap:
+    * the plan scan short-circuits for the overwhelming majority of
+    * statements that subtract no dates. */
+  private def subtractDatesAsDays(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
+    import org.apache.spark.sql.types.LongType
+    val analyzed = df.queryExecution.analyzed
+    val hasIt = analyzed.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[SubtractDates])))
+    if (!hasIt) df
+    else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
+      case sd: SubtractDates => Cast(DateDiff(sd.left, sd.right), LongType)
+    })
   }
 
   /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common

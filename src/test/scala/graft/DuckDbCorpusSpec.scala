@@ -187,10 +187,10 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("SELECT current_date AS d"),
     q("SELECT DATE '2024-01-01' + 5 AS d", Seq("2024-01-06")), // date ± int agree
     q("SELECT DATE '2024-01-10' - 3 AS d", Seq("2024-01-07")),
-    div("SELECT DATE '2024-01-10' - DATE '2024-01-01' AS d",
-      "DuckDB's DATE - DATE is BIGINT days; Spark yields INTERVAL DAY — " +
-        "spell datediff(d2, d1) to port",
-      Seq(9)),
+    // DATE - DATE = BIGINT day count like DuckDB (analyzed-plan
+    // SubtractDates swap — Spark alone would yield INTERVAL DAY)
+    q("SELECT DATE '2024-01-10' - DATE '2024-01-01' AS d", Seq(9)),
+    q("SELECT DATE '2024-01-01' - DATE '2024-01-10' AS d", Seq(-9)),
     q("SELECT 'abc' || 123 AS c", Seq("abc123")),
     q("SELECT 1 = '1' AS e", Seq(true)),
     q("SELECT '2024-01-01'::DATE AS d", Seq("2024-01-01")),
