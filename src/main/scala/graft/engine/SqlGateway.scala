@@ -1467,6 +1467,14 @@ class SqlGateway(val spark: SparkSession) {
           if (sign.nonEmpty || hash || zero || comma) None
           // fmt left-aligns strings by default; Java right-aligns → '-'
           else Some(((if (align != '>') "-" else "") + width + prec + "s", 's'))
+        case "g" =>
+          // bare {:g} only: Java %g is fmt's %g EXCEPT it keeps trailing
+          // zeros fmt trims — the argument wrapper ('g' cast mode) trims
+          // them with two anchored regex passes (duckdb-verified corners:
+          // 12345.7, 1.5, 2, 1e+20, 1.2345e-05, 1.23457e+06)
+          if (align == ' ' && sign.isEmpty && !hash && !zero &&
+              width.isEmpty && !comma && prec.isEmpty) Some(("s", 'g'))
+          else None
         case "" =>
           if (comma && align == ' ' && sign.isEmpty && !hash && !zero &&
               width.isEmpty && prec.isEmpty) Some((",d", 'n'))
@@ -1517,6 +1525,11 @@ class SqlGateway(val spark: SparkSession) {
       case Some('s') => s"CAST($a AS STRING)"
       case Some('d') => s"CAST($a AS DOUBLE)"
       case Some('b') => s"conv($a, 10, 2)"
+      case Some('g') =>
+        // %g then trim trailing mantissa zeros (and a bare trailing dot)
+        "regexp_replace(regexp_replace(format_string('%g', CAST(" + a +
+          " AS DOUBLE)), '(\\\\.[0-9]*?)0+(e[+-][0-9]+)?$', '$1$2'), " +
+          "'\\\\.(?=e|$)', '')"
       case _ => a
     } }
     Some(s"format_string('${out.toString}', ${wrapped.mkString(", ")})")

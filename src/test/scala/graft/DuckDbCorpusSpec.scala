@@ -115,7 +115,12 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT format('{{}} {}', 1) AS f", Seq("{} 1")),     // {{ }} brace escapes
     q("SELECT format('100%: {}', 42) AS f", Seq("100%: 42")), // literal % passes through
     q("SELECT format('{}', 2.5) AS f", Seq("2.5")),
-    s("SELECT format('{:g}', 12345.678) AS f"), // %g: Java keeps trailing zeros fmt trims — refuse
+    // {:g}: Java %g + trailing-zero trim = fmt's %g (r7)
+    q("SELECT format('{:g}', 12345.678) AS f", Seq("12345.7")),
+    q("SELECT format('{:g}', 1.5) AS f", Seq("1.5")),
+    q("SELECT format('{:g}', 2.0) AS f", Seq("2")),
+    q("SELECT format('{:g}', 1234567.0) AS f", Seq("1.23457e+06")),
+    q("SELECT format('{:g}', 0.000012345) AS f", Seq("1.2345e-05")),
     q("SELECT format('{:b}', 5) AS f", Seq("101")), // binary via conv() (literal args)
     q("SELECT format('{:6}|', 42) AS f", Seq("    42|")),  // bare width: literal arg
     q("SELECT format('{:6}|', 'x') AS f", Seq("x     |")), // type decides alignment
