@@ -525,10 +525,18 @@ class SqlGateway(val spark: SparkSession) {
         !spark.catalog.tableExists(rTable)) return None
     val lAlias = lAliasOpt.getOrElse(lTable.split('.').last).toLowerCase
     val rAlias = rAliasOpt.getOrElse(rTable.split('.').last).toLowerCase
-    val CmpRe = """(?is)^\s*(\w+)\.(\w+)\s*(>=|<=|=)\s*(\w+)\.(\w+)\s*$""".r
+    val CmpRe = """(?is)^\s*(\w+)\.(\w+)\s*(>=|<=|>|<)\s*(\w+)\.(\w+)\s*$""".r
+    val EqRe = """(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
     var eq: Option[(String, String)] = None // (left col, right col)
-    var ts: Option[(String, String, Boolean)] = None // (lts, rts, forward)
+    var ts: Option[(String, String, Boolean, Boolean)] = None // (lts, rts, forward, strict)
     cond.split("""(?i)\bAND\b""").map(_.trim).foreach {
+      case EqRe(a1, c1, a2, c2) =>
+        if (eq.isDefined) return None
+        if (a1.toLowerCase == lAlias && a2.toLowerCase == rAlias)
+          eq = Some((c1, c2))
+        else if (a1.toLowerCase == rAlias && a2.toLowerCase == lAlias)
+          eq = Some((c2, c1))
+        else return None
       case CmpRe(a1, c1, op, a2, c2) =>
         // normalize to left-side-first; `flip` marks a right-first spelling
         val (lc, rc, flip) =
@@ -537,28 +545,47 @@ class SqlGateway(val spark: SparkSession) {
           else if (a1.toLowerCase == rAlias && a2.toLowerCase == lAlias)
             (c2, c1, true)
           else return None
+        if (ts.isDefined) return None
         op match {
-          case "=" =>
-            if (eq.isDefined) return None
-            eq = Some((lc, rc))
-          case ">=" => // l.ts >= r.ts = backward; r.ts >= l.ts = forward
-            if (ts.isDefined) return None
-            ts = Some((lc, rc, flip))
-          case "<=" =>
-            if (ts.isDefined) return None
-            ts = Some((lc, rc, !flip))
+          case ">=" => ts = Some((lc, rc, flip, false)) // l>=r backward; flipped forward
+          case "<=" => ts = Some((lc, rc, !flip, false))
+          case ">" => ts = Some((lc, rc, flip, true)) // strict variants
+          case "<" => ts = Some((lc, rc, !flip, true))
         }
       case _ => return None
     }
     (eq, ts) match {
-      case (Some((lk, rk)), Some((lts, rts, fwd))) =>
+      case (Some((lk, rk)), Some((lts, rts, fwd, strict))) =>
         val lDf = spark.table(lTable)
         val rDf = spark.table(rTable)
         if (lDf.columns.map(_.toLowerCase).toSet
             .intersect(rDf.columns.map(_.toLowerCase).toSet).nonEmpty)
           return None
-        val joined = graft.plans.Asof.join(lDf, rDf, lk, rk, lts, rts,
-          forward = fwd)
+        // strict inequality over discrete ts types: `r.ts < l.ts` is
+        // exactly `r.ts' <= l.ts` with ts' shifted one unit toward the
+        // left side (+1 backward, −1 forward; microsecond for timestamps,
+        // day for dates) — joined on a hidden shifted column, dropped
+        // after. The visible right ts keeps its original values.
+        val shiftCol = "__graft_strict_ts"
+        val rJoin =
+          if (!strict) rDf
+          else {
+            val dt = rDf.schema.find(_.name.equalsIgnoreCase(rts))
+              .getOrElse(return None).dataType
+            val shifted = dt match {
+              case org.apache.spark.sql.types.TimestampType =>
+                if (fwd) col(rts) - expr("INTERVAL 1 MICROSECOND")
+                else col(rts) + expr("INTERVAL 1 MICROSECOND")
+              case org.apache.spark.sql.types.DateType =>
+                if (fwd) date_sub(col(rts), 1) else date_add(col(rts), 1)
+              case _ =>
+                if (fwd) col(rts) - lit(1) else col(rts) + lit(1)
+            }
+            rDf.withColumn(shiftCol, shifted)
+          }
+        val joined0 = graft.plans.Asof.join(lDf, rJoin, lk, rk, lts,
+          if (strict) shiftCol else rts, forward = fwd)
+        val joined = if (strict) joined0.drop(shiftCol) else joined0
         // matched rows carry a non-null right key (equality); unmatched
         // left rows are NULL-padded - filtering them is exactly INNER
         val shaped = if (leftJoin) joined else joined.filter(col(rk).isNotNull)
@@ -1191,6 +1218,9 @@ class SqlGateway(val spark: SparkSession) {
             s"(aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
               s" / size(${a(0)}))")
           case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
+          case "'median'" => Some( // sorted middle pair, interpolated (duckdb: DOUBLE)
+            s"((element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 1) div 2 AS INT)) + " +
+              s"element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 2) div 2 AS INT))) / 2)")
           case _ => None
         })
     // list_reduce(l, (a,b) -> …): first element is the seed, the lambda

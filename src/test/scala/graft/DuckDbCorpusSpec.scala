@@ -260,7 +260,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([1,2,3], 'max') AS x", Seq(3)),
     q("SELECT list_aggregate([1,2,3], 'avg') AS a", Seq(2)),
     q("SELECT list_aggregate([1,NULL,3], 'count') AS c", Seq(2)),
-    s("SELECT list_aggregate([1,2,3], 'median') AS m"), // unknown name: refuse
+    q("SELECT list_aggregate([1,2,3], 'median') AS m", Seq(2)),   // sorted-middle, interpolated
+    q("SELECT list_aggregate([1,2,3,4], 'median') AS m", Seq(2.5)),
+    s("SELECT list_aggregate([1,2,3], 'histogram') AS m"), // unknown name: refuse
     q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
     q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
 
@@ -424,8 +426,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT qty, px FROM trades ASOF JOIN quotes ON trades.tk = quotes.qk " +
       "AND trades.tts >= quotes.qts ORDER BY qty", // bare table names as aliases
       Seq(100, 50), Seq(200, 55), Seq(300, 70)),
-    s("SELECT * FROM trades t ASOF JOIN quotes q ON t.tk = q.qk AND t.tts > q.qts"),
-    // ^ strict inequality: the operator is at-or-before — refuse, never guess
+    // strict inequalities (r7: one-unit shift on a hidden right-ts column —
+    // exact over discrete ts types; duckdb-verified)
+    C("SELECT * FROM trades t ASOF JOIN quotes q ON t.tk = q.qk AND " +
+      "t.tts > q.qts ORDER BY t.tts", // tts=15 has only qts=15: strict drops it
+      Some(Seq(Seq(1, 10, 100, 1, 8, 50), Seq(1, 25, 200, 1, 20, 55))),
+      ordered = true),
+    q("SELECT t.qty AS qty, q.px AS px FROM trades t ASOF JOIN quotes q " +
+      "ON t.tk = q.qk AND t.tts < q.qts ORDER BY qty", // forward strict
+      Seq(100, 55), Seq(300, 75)),
 
     // --- joins / subqueries ---
     q("SELECT a.id AS i FROM corpus_t a JOIN corpus_t b USING (id) WHERE a.id = 1", Seq(1)),
