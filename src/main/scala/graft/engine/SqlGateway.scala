@@ -1218,6 +1218,10 @@ class SqlGateway(val spark: SparkSession) {
             s"(aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
               s" / size(${a(0)}))")
           case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
+          case "'histogram'" => Some( // sorted-key value→count map, nulls dropped
+            s"map_from_entries(transform(array_distinct(sort_array(" +
+              s"filter(${a(0)}, x -> x IS NOT NULL))), " +
+              s"v -> struct(v, size(filter(${a(0)}, x -> x = v)))))")
           case "'median'" => Some( // sorted middle pair, interpolated (duckdb: DOUBLE)
             s"((element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 1) div 2 AS INT)) + " +
               s"element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 2) div 2 AS INT))) / 2)")

@@ -262,7 +262,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([1,NULL,3], 'count') AS c", Seq(2)),
     q("SELECT list_aggregate([1,2,3], 'median') AS m", Seq(2)),   // sorted-middle, interpolated
     q("SELECT list_aggregate([1,2,3,4], 'median') AS m", Seq(2.5)),
-    s("SELECT list_aggregate([1,2,3], 'histogram') AS m"), // unknown name: refuse
+    q("SELECT list_aggregate([2,1,2], 'histogram') AS m",
+      Seq(Map(1 -> 1, 2 -> 2))),
+    s("SELECT list_aggregate([1,2,3], 'mode') AS m"), // unknown name: refuse
     q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
     q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
 
