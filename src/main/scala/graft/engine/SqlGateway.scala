@@ -1218,6 +1218,15 @@ class SqlGateway(val spark: SparkSession) {
             s"(aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
               s" / size(${a(0)}))")
           case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
+          case "'first'" => Some(s"element_at(${a(0)}, 1)")
+          case "'last'" => Some(s"element_at(${a(0)}, -1)")
+          case "'product'" => Some( // duckdb: DOUBLE product
+            s"aggregate(${a(0)}, CAST(1 AS DOUBLE), (acc, x) -> acc * x)")
+          case "'mode'" => Some( // max count, ties broken by FIRST occurrence
+            s"element_at(array_sort(transform(array_distinct(" +
+              s"filter(${a(0)}, x -> x IS NOT NULL)), " +
+              s"v -> struct(-size(filter(${a(0)}, x -> x = v)) AS c, " +
+              s"array_position(${a(0)}, v) AS p, v AS v))), 1).v")
           case "'histogram'" => Some( // sorted-key value→count map, nulls dropped
             s"map_from_entries(transform(array_distinct(sort_array(" +
               s"filter(${a(0)}, x -> x IS NOT NULL))), " +

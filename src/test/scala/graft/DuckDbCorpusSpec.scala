@@ -264,7 +264,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([1,2,3,4], 'median') AS m", Seq(2.5)),
     q("SELECT list_aggregate([2,1,2], 'histogram') AS m",
       Seq(Map(1 -> 1, 2 -> 2))),
-    s("SELECT list_aggregate([1,2,3], 'mode') AS m"), // unknown name: refuse
+    q("SELECT list_aggregate([1,1,2,2], 'mode') AS m", Seq(1)), // ties: first occurrence
+    q("SELECT list_aggregate([3,3,1,1], 'mode') AS m", Seq(3)),
+    q("SELECT list_aggregate([1,2,2], 'mode') AS m", Seq(2)),
+    q("SELECT list_aggregate([1,2,3], 'product') AS p", Seq(6)),
+    q("SELECT list_aggregate([1,2,3], 'first') AS f", Seq(1)),
+    q("SELECT list_aggregate([1,2,3], 'last') AS l", Seq(3)),
+    s("SELECT list_aggregate([1,2,3], 'xyzzy') AS m"), // unknown name: refuse (duckdb errors too)
     q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
     q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
 
