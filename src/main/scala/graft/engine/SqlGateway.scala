@@ -572,14 +572,20 @@ class SqlGateway(val spark: SparkSession) {
           else {
             val dt = rDf.schema.find(_.name.equalsIgnoreCase(rts))
               .getOrElse(return None).dataType
+            import org.apache.spark.sql.types._
             val shifted = dt match {
-              case org.apache.spark.sql.types.TimestampType =>
+              case TimestampType =>
                 if (fwd) col(rts) - expr("INTERVAL 1 MICROSECOND")
                 else col(rts) + expr("INTERVAL 1 MICROSECOND")
-              case org.apache.spark.sql.types.DateType =>
+              case DateType =>
                 if (fwd) date_sub(col(rts), 1) else date_add(col(rts), 1)
-              case _ =>
+              // one-unit shift is exact ONLY for discrete (integral) ts
+              // columns; for DOUBLE/FLOAT/DECIMAL `r.ts < l.ts` is NOT
+              // `r.ts+1 <= l.ts` (e.g. 4.5 < 5.0 but 5.5 > 5.0) — decline
+              // so the statement refuses rather than silently dropping rows
+              case ByteType | ShortType | IntegerType | LongType =>
                 if (fwd) col(rts) - lit(1) else col(rts) + lit(1)
+              case _ => return None
             }
             rDf.withColumn(shiftCol, shifted)
           }
@@ -802,6 +808,67 @@ class SqlGateway(val spark: SparkSession) {
   private val OrderByRe = """(?i)\border\s+by\b""".r
   private val NullsRe = """(?i)\bnulls\b""".r
 
+  /** Append DuckDB 1.0's default `NULLS LAST` (probed: the default for
+    * BOTH sort directions) to every ORDER BY key that spells no explicit
+    * NULLS FIRST/LAST — in the TEXT, before parsing, so explicit and
+    * default placements coexist exactly as DuckDB reads them. Scans
+    * quote- and paren-aware; a key list ends at a top-level
+    * LIMIT/OFFSET/FETCH, a window frame spelling (ROWS/RANGE/GROUPS), a
+    * set operator, a closing paren, `;`, or end of text. A bare `ALL`
+    * key has no per-key text to tag → returned flag tells the caller to
+    * fall back to the plan-level default transform. */
+  private def explicitNulls(sql0: String): (String, Boolean) = {
+    val NullsTail = """(?is).*\bnulls\s+(?:first|last)\s*$""".r
+    val AllKey = """(?is)^all(?:\s+(?:asc|desc))?$""".r
+    val Stop = """(?is)^(?:limit|offset|fetch|rows|range|groups|union|intersect|except|window)\b""".r
+    var text = sql0
+    var bareAll = false
+    var from = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val m = OrderByRe.findAllMatchIn(text).find(m => m.start >= from &&
+        text.substring(0, m.start).count(_ == '\'') % 2 == 0)
+      m match {
+        case None => return (text, bareAll)
+        case Some(mm) =>
+          val listStart = mm.end
+          var i = listStart; var depth = 0; var inStr = false
+          var end = text.length
+          var done = false
+          while (i < text.length && !done) {
+            val c = text.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false; i += 1 }
+            else if (c == '\'') { inStr = true; i += 1 }
+            else if (c == '(') { depth += 1; i += 1 }
+            else if (c == ')') {
+              if (depth == 0) { end = i; done = true } else { depth -= 1; i += 1 }
+            } else if (c == ';' && depth == 0) { end = i; done = true }
+            else if (depth == 0 && (i == listStart ||
+                !(Character.isLetterOrDigit(text.charAt(i - 1)) ||
+                  text.charAt(i - 1) == '_')) &&
+                Stop.findPrefixMatchOf(text.substring(i)).isDefined) {
+              end = i; done = true
+            } else i += 1
+          }
+          val items = splitTopLevel(text.substring(listStart, end))
+            .map(_.trim).filter(_.nonEmpty)
+          if (items.isEmpty) { from = listStart }
+          else {
+            val tagged = items.map {
+              case it if NullsTail.matches(it) => it
+              case it if AllKey.matches(it) => bareAll = true; it
+              case it => s"$it NULLS LAST"
+            }
+            val repl = " " + tagged.mkString(", ") + " "
+            text = text.substring(0, listStart) + repl + text.substring(end)
+            from = listStart + repl.length
+          }
+      }
+    }
+    (text, bareAll)
+  }
+
   /** Execute rewritten SQL with DuckDB's expression-level semantics pinned
     * on the PARSED (pre-analysis) plan — the three places where Spark's
     * parser produces a node whose behavior differs from DuckDB's for the
@@ -826,11 +893,25 @@ class SqlGateway(val spark: SparkSession) {
     *    distinguish an explicit `NULLS FIRST` from the parser default, so
     *    a statement that mixes explicit and default orderings keeps Spark
     *    defaults for the unspelled keys (documented corpus divergence). */
-  private def duckDialectSql(sql: String): DataFrame = {
+  private def duckDialectSql(sql0: String): DataFrame = {
+    // make each ORDER BY key's null placement explicit in the text first:
+    // the parsed tree cannot distinguish an explicit NULLS FIRST from the
+    // parser's own ASC default, so a statement MIXING explicit and default
+    // orderings is only reproducible by tagging the unspelled keys here
+    val (sql, bareAllKey) =
+      if (OrderByRe.findAllMatchIn(sql0).exists(m =>
+            sql0.substring(0, m.start).count(_ == '\'') % 2 == 0))
+        explicitNulls(sql0)
+      else (sql0, false)
     def outside(pos: Int) = sql.substring(0, pos).count(_ == '\'') % 2 == 0
     val needDiv = DivWordRe.findAllMatchIn(sql).exists(m => outside(m.start))
     val needCast = IntCastTargetRe.findAllMatchIn(sql).exists(m => outside(m.start))
-    val needNulls = OrderByRe.findAllMatchIn(sql).exists(m => outside(m.start)) &&
+    // plan-level default-null-order fallback: only for keys the text pass
+    // could not tag (ORDER BY ALL, or an early-stopped key list) — and
+    // only when the statement spells no explicit NULLS anywhere, exactly
+    // the old whole-statement condition
+    val needNulls = (bareAllKey ||
+        OrderByRe.findAllMatchIn(sql).exists(m => outside(m.start))) &&
       !NullsRe.findAllMatchIn(sql).exists(m => outside(m.start))
     if (!needDiv && !needCast && !needNulls)
       return subtractDatesAsDays(spark.sql(sql))
@@ -1209,19 +1290,26 @@ class SqlGateway(val spark: SparkSession) {
     // refuse
     if (out.toLowerCase.contains("list_aggr"))
       for (fn <- Seq("list_aggregate", "list_aggr"))
-        out = fix(out, fn, 2, a => a(1).trim.toLowerCase match {
+        out = fix(out, fn, 2, a => {
+          // DuckDB ignores NULL elements in sum/avg/product/median and
+          // returns NULL for an empty/all-NULL list (probed, v1.0) —
+          // fold over the non-null sublist, guarded by its emptiness
+          def nn = s"filter(${a(0)}, x -> x IS NOT NULL)"
+          def guarded(body: String) =
+            Some(s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $body END)")
+          a(1).trim.toLowerCase match {
           case "'sum'" =>
-            Some(s"aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            guarded(s"aggregate($nn, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
           case "'min'" => Some(s"array_min(${a(0)})")
           case "'max'" => Some(s"array_max(${a(0)})")
-          case "'avg'" | "'mean'" => Some(
-            s"(aggregate(${a(0)}, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
-              s" / size(${a(0)}))")
+          case "'avg'" | "'mean'" => guarded(
+            s"(aggregate($nn, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
+              s" / size($nn))")
           case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
           case "'first'" => Some(s"element_at(${a(0)}, 1)")
           case "'last'" => Some(s"element_at(${a(0)}, -1)")
-          case "'product'" => Some( // duckdb: DOUBLE product
-            s"aggregate(${a(0)}, CAST(1 AS DOUBLE), (acc, x) -> acc * x)")
+          case "'product'" => guarded( // duckdb: DOUBLE product
+            s"aggregate($nn, CAST(1 AS DOUBLE), (acc, x) -> acc * x)")
           case "'mode'" => Some( // max count, ties broken by FIRST occurrence
             s"element_at(array_sort(transform(array_distinct(" +
               s"filter(${a(0)}, x -> x IS NOT NULL)), " +
@@ -1231,11 +1319,12 @@ class SqlGateway(val spark: SparkSession) {
             s"map_from_entries(transform(array_distinct(sort_array(" +
               s"filter(${a(0)}, x -> x IS NOT NULL))), " +
               s"v -> struct(v, size(filter(${a(0)}, x -> x = v)))))")
-          case "'median'" => Some( // sorted middle pair, interpolated (duckdb: DOUBLE)
-            s"((element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 1) div 2 AS INT)) + " +
-              s"element_at(sort_array(${a(0)}), CAST((size(${a(0)}) + 2) div 2 AS INT))) / 2)")
+          case "'median'" => guarded( // sorted middle pair of the non-null
+            // sublist, interpolated (duckdb: DOUBLE; NULLs ignored — probed)
+            s"((element_at(sort_array($nn), CAST((size($nn) + 1) div 2 AS INT)) + " +
+              s"element_at(sort_array($nn), CAST((size($nn) + 2) div 2 AS INT))) / 2)")
           case _ => None
-        })
+        }})
     // list_reduce(l, (a,b) -> …): first element is the seed, the lambda
     // folds left over the rest — exactly Spark's aggregate over slice(2…)
     if (out.toLowerCase.contains("list_reduce"))
@@ -1274,12 +1363,19 @@ class SqlGateway(val spark: SparkSession) {
             s"${if (asc) "" else ", false"}), $sep)")
         case _ => None
       })
+    // DuckDB default null order is NULLS LAST both directions (probed):
+    // first ASC / first DESC never see the trailing NULLs → min/max are
+    // exact; last ASC / last DESC land ON a NULL whenever one exists →
+    // NULL if any element is NULL, else max/min
     for (fn <- Seq("first", "last") if out.toLowerCase.contains(fn))
       out = fix(out, fn, 1, a => a.head.trim match {
         case AggOrd(e, o, dir) if same(e, o) =>
           val asc = dir == null || dir.equalsIgnoreCase("ASC")
-          val wantMax = (fn == "last") == asc
-          Some(s"${if (wantMax) "max" else "min"}($e)")
+          if (fn == "first")
+            Some(s"${if (asc) "min" else "max"}($e)")
+          else
+            Some(s"(CASE WHEN count($e) < count(*) THEN NULL " +
+              s"ELSE ${if (asc) "max" else "min"}($e) END)")
         case _ => None
       })
     // list_sort/list_reverse_sort: DuckDB default is NULLS LAST both ways;
@@ -1650,9 +1746,26 @@ class SqlGateway(val spark: SparkSession) {
     // the standard `FILTER (WHERE cond)` both engines accept. Anchored on
     // the aggregate call's closing paren, so the higher-order function
     // `filter(arr, …)` (which never directly follows `)`) is untouched.
-    if (out.toLowerCase.contains("filter"))
-      out = out.replaceAll("(?i)(\\))\\s*filter\\s*\\(\\s*(?!where\\b)",
-        "$1 FILTER (WHERE ")
+    // Quote-parity scan (same discipline as the `//` rewrite below):
+    // `) filter(` inside a string literal is data, not syntax.
+    if (out.toLowerCase.contains("filter")) {
+      val FiltRe = """(?is)^\s*filter\s*\(\s*(?!where\b)""".r
+      val sb = new StringBuilder(out.length + 16)
+      var i = 0; var inStr = false
+      while (i < out.length) {
+        val c = out.charAt(i)
+        if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+        else if (c == '\'') { inStr = true; sb += c; i += 1 }
+        else if (c == ')') {
+          sb += c
+          FiltRe.findPrefixMatchOf(out.substring(i + 1)) match {
+            case Some(m) => sb ++= " FILTER (WHERE "; i += 1 + m.end
+            case None => i += 1
+          }
+        } else { sb += c; i += 1 }
+      }
+      out = sb.toString
+    }
     // DuckDB's `//` division operator → Spark's `div` keyword (SAME
     // multiplicative precedence in both grammars, so operand grouping is
     // preserved exactly); the parsed IntegralDivide is then swapped for

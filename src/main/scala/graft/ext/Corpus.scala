@@ -53,16 +53,18 @@ object Corpus {
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
       // tf has exactly one row per (doc, term), so document frequency is a
-      // plain COUNT over tf — the corpus is exploded and shuffled ONCE and
-      // the df pass runs over the (much smaller) aggregate, not the raw
-      // token stream. The aggregate feeds both join sides → one lazy cut.
+      // COUNT over tf's term partitions — spelled as a partition-only
+      // window so the plan is one linear pipeline: explode → agg(doc,term)
+      // → window(term) → window(doc). r8: this replaces the r7
+      // checkpoint + df-aggregate + join (three extra stages and a
+      // materialization job); at vocabulary scale it is also the better
+      // plan — the join form re-shuffles tf by term ANYWAY once df
+      // outgrows the broadcast threshold, and WindowExec's spillable
+      // buffer handles stop-word-sized term groups.
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nTotal = Tables(s, dir, "documents").select(count(lit(1)).as("n_total"))
-      // df is vocabulary-sized: plain equi-join, AQE picks the strategy
-      // (broadcast here, shuffle join at real vocabulary scale)
-      val scored = tf.join(df, "term")
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
         .crossJoin(broadcast(nTotal))
         .withColumn("score",
           round(col("tf") * log((col("n_total") + 1).cast(DoubleType) / (col("df") + 1)), 6))

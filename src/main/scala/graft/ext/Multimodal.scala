@@ -71,31 +71,51 @@ object Multimodal {
     * seed → (dims, pixels) is injective (the first 6 pixels already cycle
     * through all 16 seed bytes), so DISTINCT over encoded payloads equals
     * DISTINCT over seeds — x13 relies on that. */
+  /** Shared seed → pixels render (the documented contract above), then one
+    * JDK encoder pass in the requested lossless format ("bmp" or "png" —
+    * both pure-JVM ImageIO writers, so the SAME oracle derivation holds
+    * for either container). */
+  private def encodeSeed(seed: Array[Byte], fmt: String): Array[Byte] = {
+    imageIoInMemory
+    require(seed.length >= 2, s"image seed needs >=2 bytes, got ${seed.length}")
+    val w = 3 + (seed(0) & 0xFF) % 4
+    val h = 2 + (seed(1) & 0xFF) % 3
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val r = seed((3 * p) % seed.length) & 0xFF
+      val g = seed((3 * p + 1) % seed.length) & 0xFF
+      val b = seed((3 * p + 2) % seed.length) & 0xFF
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val out = new ByteArrayOutputStream(256)
+    val ok = ImageIO.write(img, fmt, out)
+    require(ok, s"JDK has no $fmt writer (should never happen on a JDK)")
+    out.toByteArray
+  }
+
   case class EncodeBmp(child: Expression)
       extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(input: Any): Any = {
-      imageIoInMemory
-      val seed = input.asInstanceOf[Array[Byte]]
-      require(seed.length >= 2, s"EncodeBmp seed needs >=2 bytes, got ${seed.length}")
-      val w = 3 + (seed(0) & 0xFF) % 4
-      val h = 2 + (seed(1) & 0xFF) % 3
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var p = 0
-      while (p < w * h) {
-        val r = seed((3 * p) % seed.length) & 0xFF
-        val g = seed((3 * p + 1) % seed.length) & 0xFF
-        val b = seed((3 * p + 2) % seed.length) & 0xFF
-        img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
-        p += 1
-      }
-      val out = new ByteArrayOutputStream(256)
-      val ok = ImageIO.write(img, "bmp", out)
-      require(ok, "JDK has no BMP writer (should never happen on a JDK)")
-      out.toByteArray
-    }
+    override def nullSafeEval(input: Any): Any =
+      encodeSeed(input.asInstanceOf[Array[Byte]], "bmp")
     override protected def withNewChildInternal(newChild: Expression): EncodeBmp =
+      copy(child = newChild)
+  }
+
+  /** Second codec path (r8): same pixel contract, PNG container — the
+    * decoder must undo a DEFLATE-compressed, filtered scanline format
+    * rather than BMP's raw rows, so agreement between the two paths
+    * certifies genuine codec work, not byte-copying. */
+  case class EncodePng(child: Expression)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      encodeSeed(input.asInstanceOf[Array[Byte]], "png")
+    override protected def withNewChildInternal(newChild: Expression): EncodePng =
       copy(child = newChild)
   }
 
@@ -155,6 +175,9 @@ object Multimodal {
 
   def encodeBmp(seed: Column): Column =
     ColumnShim.column(EncodeBmp(ColumnShim.expression(seed)))
+
+  def encodePng(seed: Column): Column =
+    ColumnShim.column(EncodePng(ColumnShim.expression(seed)))
 
   def decodeImage(payload: Column): Column =
     ColumnShim.column(DecodeImage(ColumnShim.expression(payload)))
@@ -249,6 +272,31 @@ object Multimodal {
           sum(col("img.width") * col("img.height") * lit(3))
             .cast(LongType).as("total_pixel_bytes"),
           countDistinct(col("payload")).as("n_distinct_payloads"))
+    },
+
+    // ---- codec breadth (r8): the SAME pixel contract encoded through
+    // BOTH pure-JVM lossless containers (BMP raw rows, PNG deflate +
+    // filtered scanlines), decoded back independently. The emitted
+    // features come from the PNG path — the oracle re-derives them from
+    // the md5 hex, certifying the deflate decode — and `codecs_agree`
+    // asserts dimensional + pixel-exact agreement between the two
+    // decoders row by row (TRUE for every row in the oracle). Map-only,
+    // per-row, no shuffle before the final sort-free projection.
+    "x47_multimodal_codecs" -> { (s, dir) =>
+      val mm = Tables(s, dir, "documents")
+        .select(col("doc_id"), seedBytes(col("text")).as("seed"))
+        .withColumn("bimg", decodeImage(encodeBmp(col("seed"))))
+        .withColumn("pimg", decodeImage(encodePng(col("seed"))))
+      mm.select(
+        col("doc_id"),
+        col("pimg.width").as("width"),
+        col("pimg.height").as("height"),
+        col("pimg.mean_r").as("mean_r"),
+        col("pimg.mean_g").as("mean_g"),
+        col("pimg.mean_b").as("mean_b"),
+        (col("bimg.width") === col("pimg.width") &&
+         col("bimg.height") === col("pimg.height") &&
+         col("bimg.pixels") === col("pimg.pixels")).as("codecs_agree"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -292,6 +340,31 @@ object Multimodal {
         |  COUNT(*) FILTER (WHERE bv < 32) AS b0,
         |  COUNT(*) FILTER (WHERE bv >= 32 AND bv < 64) AS b1
         |FROM pv GROUP BY doc_id, origin, w, hh
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // PNG-path features re-derived from the md5 hex exactly as x12's; the
+    // cross-codec agreement flag is provably TRUE when both decoders read
+    // their files correctly (same pixel contract), so the oracle pins it.
+    "x47_multimodal_codecs" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, i AS j,
+        |    (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INT), 1)) - 1) AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS i) r),
+        |dims AS (SELECT h.doc_id,
+        |    3 + MAX(CASE WHEN j = 1 THEN bv END) % 4 AS w,
+        |    2 + MAX(CASE WHEN j = 2 THEN bv END) % 3 AS hh
+        |  FROM h JOIN b ON b.doc_id = h.doc_id GROUP BY h.doc_id),
+        |px AS (SELECT doc_id, w, hh, unnest(range(0, w * hh * 3)) AS k FROM dims),
+        |pv AS (SELECT px.doc_id, px.w, px.hh, px.k % 3 AS c, b.bv
+        |  FROM px JOIN b ON b.doc_id = px.doc_id AND b.j = (px.k % 16) + 1)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(hh AS INT) AS height,
+        |  CAST(SUM(bv) FILTER (WHERE c = 0) AS DOUBLE) / (w * hh) AS mean_r,
+        |  CAST(SUM(bv) FILTER (WHERE c = 1) AS DOUBLE) / (w * hh) AS mean_g,
+        |  CAST(SUM(bv) FILTER (WHERE c = 2) AS DOUBLE) / (w * hh) AS mean_b,
+        |  TRUE AS codecs_agree
+        |FROM pv GROUP BY doc_id, w, hh
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // Dims re-derived from seed bytes 1-2; DISTINCT over seeds equals

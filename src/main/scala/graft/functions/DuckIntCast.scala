@@ -85,7 +85,8 @@ case class DuckIntCast(child: Expression, override val dataType: DataType,
           s"DuckIntCast target ${other.catalogString}")
       }
     } catch {
-      case e: Throwable if tryMode => null
+      // only expected cast failures become NULL; fatal errors propagate
+      case scala.util.control.NonFatal(_) if tryMode => null
     }
   }
 

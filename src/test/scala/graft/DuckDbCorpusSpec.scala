@@ -271,6 +271,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([1,2,3], 'first') AS f", Seq(1)),
     q("SELECT list_aggregate([1,2,3], 'last') AS l", Seq(3)),
     s("SELECT list_aggregate([1,2,3], 'xyzzy') AS m"), // unknown name: refuse (duckdb errors too)
+    // r8: NULL elements ignored; empty/all-NULL folds to NULL (probed)
+    q("SELECT list_aggregate([1,NULL,3], 'sum') AS s", Seq(4)),
+    q("SELECT list_aggregate([NULL,NULL], 'sum') AS s", Seq(null)),
+    q("SELECT list_aggregate([1,NULL,3], 'avg') AS a", Seq(2.0)),
+    q("SELECT list_aggregate([NULL], 'avg') AS a", Seq(null)),
+    q("SELECT list_aggregate([2,NULL,3], 'product') AS p", Seq(6.0)),
+    q("SELECT list_aggregate([NULL,NULL], 'product') AS p", Seq(null)),
+    q("SELECT list_aggregate([1,NULL,2], 'median') AS m", Seq(1.5)),
+    q("SELECT list_aggregate([NULL], 'median') AS m", Seq(null)),
     q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
     q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
 
@@ -281,6 +290,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("a,b")),
     q("SELECT last(x ORDER BY x) AS l FROM (VALUES (2),(9),(1)) t(x)", Seq(9)),
     q("SELECT first(x ORDER BY x DESC) AS f FROM (VALUES (2),(9),(1)) t(x)", Seq(9)),
+    // r8: default NULLS LAST ordering → last lands ON a NULL when one
+    // exists; first never sees the trailing NULLs (probed)
+    q("SELECT first(x ORDER BY x) AS f FROM (VALUES (1),(NULL),(3)) t(x)", Seq(1)),
+    q("SELECT last(x ORDER BY x) AS l FROM (VALUES (1),(NULL),(3)) t(x)", Seq(null)),
+    q("SELECT first(x ORDER BY x DESC) AS f FROM (VALUES (1),(NULL),(3)) t(x)", Seq(3)),
+    q("SELECT last(x ORDER BY x DESC) AS l FROM (VALUES (1),(NULL),(3)) t(x)", Seq(null)),
+    q("SELECT last(x ORDER BY x) AS l FROM (VALUES (CAST(NULL AS INT))) t(x)", Seq(null)),
     q("SELECT count(*) FILTER (x > 1) AS c FROM (VALUES (1),(2),(3)) t(x)",
       Seq(2)), // DuckDB's bare FILTER shorthand (no WHERE keyword)
     q("SELECT bool_and(x > 0) AS b FROM (VALUES (1),(2)) t(x)", Seq(true)),
@@ -404,14 +420,25 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Some(Seq(Seq(20), Seq(10), Seq(5), Seq(null))), ordered = true),
     C("SELECT v FROM corpus_t ORDER BY v NULLS LAST",
       Some(Seq(Seq(5), Seq(10), Seq(20), Seq(null))), ordered = true),
-    // ...but a statement MIXING explicit and default orderings keeps the
-    // Spark default on the unspelled key: the parsed tree cannot tell an
-    // explicit NULLS FIRST from the parser's own default spelling
+    // ...and a statement MIXING explicit and default orderings applies
+    // the per-key default only to the UNSPELLED keys (r8: explicitNulls
+    // text pass tags them before parsing — was a documented divergence)
     C("SELECT grp, v FROM corpus_t WHERE grp = 'b' ORDER BY grp NULLS FIRST, v",
-      Some(Seq(Seq("b", 5), Seq("b", null))), ordered = true,
-      divergent = Some("explicit NULLS on one key disables the default-" +
-        "null-order transform for the whole statement; DuckDB still sorts " +
-        "the unspelled v key NULLS LAST, Spark NULLS FIRST")),
+      Some(Seq(Seq("b", 5), Seq("b", null))), ordered = true),
+    C("SELECT grp, v FROM corpus_t ORDER BY grp NULLS FIRST, v",
+      Some(Seq(Seq("a", 10), Seq("a", 20), Seq("b", 5), Seq("b", null))),
+      ordered = true),
+    C("SELECT grp, v FROM corpus_t ORDER BY grp DESC, v NULLS FIRST",
+      Some(Seq(Seq("b", null), Seq("b", 5), Seq("a", 10), Seq("a", 20))),
+      ordered = true),
+    C("SELECT grp, v FROM corpus_t ORDER BY v DESC, grp NULLS LAST",
+      Some(Seq(Seq("a", 20), Seq("a", 10), Seq("b", 5), Seq("b", null))),
+      ordered = true),
+    C("SELECT v FROM corpus_t ORDER BY v DESC NULLS FIRST, v",
+      Some(Seq(Seq(null), Seq(20), Seq(10), Seq(5))), ordered = true),
+    C("SELECT grp, v FROM corpus_t ORDER BY grp, v DESC",
+      Some(Seq(Seq("a", 20), Seq("a", 10), Seq("b", 5), Seq("b", null))),
+      ordered = true),
 
     // --- ASOF JOIN statements (r7: routed to the engine's first-class
     //     AsofJoin operator; every expectation duckdb-1.0-verified) ---
@@ -443,6 +470,17 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT t.qty AS qty, q.px AS px FROM trades t ASOF JOIN quotes q " +
       "ON t.tk = q.qk AND t.tts < q.qts ORDER BY qty", // forward strict
       Seq(100, 55), Seq(300, 75)),
+    // strict over a FRACTIONAL ts column: the one-unit shift is NOT exact
+    // there (4.5 < 5.0 but 5.5 > 5.0) — the gateway must refuse rather
+    // than silently drop rows (r8; pinned with DuckDB's true rows so an
+    // accept is only counted when exact)
+    s("CREATE TABLE ftr(k INTEGER, fts DOUBLE, v INTEGER)"),
+    s("INSERT INTO ftr VALUES (1, 5.0, 10), (1, 6.5, 20)"),
+    s("CREATE TABLE fqu(k INTEGER, fts DOUBLE, p INTEGER)"),
+    s("INSERT INTO fqu VALUES (1, 4.5, 7), (1, 6.5, 9)"),
+    q("SELECT t.v AS v, q.p AS p FROM ftr t ASOF JOIN fqu q " +
+      "ON t.k = q.k AND t.fts > q.fts ORDER BY v",
+      Seq(10, 7), Seq(20, 7)),
 
     // --- joins / subqueries ---
     q("SELECT a.id AS i FROM corpus_t a JOIN corpus_t b USING (id) WHERE a.id = 1", Seq(1)),
