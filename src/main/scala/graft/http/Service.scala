@@ -34,7 +34,8 @@ import java.nio.charset.StandardCharsets
   * so a reference client pointed at any replica keeps working unchanged.
   */
 class Service(gateway: SqlGateway, port: Int = 0,
-              leaderUrl: Option[String] = None, nodeId: String = "node0") {
+              leaderUrl: Option[String] = None, nodeId: String = "node0",
+              followLog: Boolean = false) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   // cluster membership (id → addr), owned by the leader — the engine's
   // twin of the reference's Raft voter configuration, which starts with
@@ -44,10 +45,25 @@ class Service(gateway: SqlGateway, port: Int = 0,
   // roster, not a quorum — but the join/validation/idempotence contract
   // is kept identical so a reference operator's tooling works unchanged.
   private val members = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // --- continuous replica sync (r8): the leader's committed-write log —
+  // the engine's twin of the reference's Raft log (`store/store.go:242-250`
+  // Apply ships every Execute to every node). Each successful /db/execute
+  // appends its statement at a 1-based index; a log-following replica
+  // (`followLog = true`) pulls the suffix past its applied index over
+  // `GET /log?since=N` and replays it on its local gateway BEFORE serving
+  // a read — snapshot hydration + log replay, exactly Raft's recovery
+  // shape (`store/store.go:257-320` restore, then entries). Pull-on-read
+  // gives deterministic read-your-leader-writes freshness with no
+  // background thread; `markSynced` seats the replica's index at the
+  // snapshot's log position after hydration.
+  private val stmtLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private val lastApplied = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val syncLock = new Object
   server.createContext("/db/execute", handler(handleExecute))
   server.createContext("/db/query", handler(handleQuery))
   server.createContext("/status", handler(handleStatus))
   server.createContext("/join", handler(handleJoin))
+  server.createContext("/log", handler(handleLog))
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
@@ -108,11 +124,55 @@ class Service(gateway: SqlGateway, port: Int = 0,
         "leader" -> Json.str(target)))
     }
     try {
-      val (res, ms) = timed(gateway.execute(readSql(ex)))
+      val sql = readSql(ex)
+      val (res, ms) = timed(gateway.execute(sql))
+      stmtLog.add(sql) // committed → logged (an erroring statement never is)
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
       case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
       case e: Exception => (200, obj("error" -> Json.str(e.getMessage), "time" -> "0"))
+    }
+  }
+
+  /** The leader's log position (index of the last committed write). A
+    * snapshot shipped at this moment pairs with this index — pass it to
+    * the replica's [[markSynced]] so replay starts past the snapshot. */
+  def logIndex: Long = stmtLog.size.toLong
+
+  /** Seat this (replica) service's applied-log position — called after
+    * snapshot hydration with the leader's [[logIndex]] at export time. */
+  def markSynced(idx: Long): Unit = lastApplied.set(idx)
+
+  /** `GET /log?since=N` → the committed statements with index > N, as
+    * numbered string fields (`"s<idx>": "<sql>"`) plus `last_index`. */
+  private def handleLog(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "GET") return (405, obj("error" -> "\"GET only\""))
+    val since = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+      .find(_.startsWith("since=")).map(_.drop(6)))
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    val upTo = stmtLog.size.toLong // snapshot the bound; the list only grows
+    val entries = (since + 1) to upTo
+    (200, obj(entries.map(i =>
+      s"s$i" -> Json.str(stmtLog.get((i - 1).toInt))) :+
+      ("last_index" -> upTo.toString): _*))
+  }
+
+  /** Pull the leader's log suffix past our applied index and replay it
+    * locally. Serialized under [[syncLock]] so concurrent reads replay
+    * each statement exactly once and in log order. */
+  private def syncFromLeader(): Unit = if (followLog) leaderUrl.foreach { base =>
+    syncLock.synchronized {
+      val conn = java.net.URI.create(s"$base/log?since=${lastApplied.get}")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8) finally conn.disconnect()
+      val entries = Json.stringFields(body).collect {
+        case (k, sql) if k.startsWith("s") && k.drop(1).nonEmpty &&
+            k.drop(1).forall(_.isDigit) => k.drop(1).toLong -> sql
+      }.toSeq.sortBy(_._1)
+      entries.foreach { case (i, sql) =>
+        if (i > lastApplied.get) { gateway.execute(sql); lastApplied.set(i) }
+      }
     }
   }
 
@@ -128,6 +188,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
             java.net.URLDecoder.decode(p.drop(2), "UTF-8")))
         requireSql(qParam.orElse(bodySql(ex)))
       } else readSql(ex)
+      syncFromLeader() // log-following replica: catch up before serving
       val (res, ms) = timed(gateway.query(sql))
       (200, obj("results" -> queryJson(res), "time" -> Json.num(ms)))
     } catch {
@@ -140,7 +201,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // role mirrors the reference's raft state field (leader serves writes,
     // follower names its leader — http/service.go:144-193)
     val role = Seq("role" -> (if (leaderUrl.isEmpty) "leader" else "follower")) ++
-      leaderUrl.map("leader" -> _)
+      leaderUrl.map("leader" -> _) ++
+      (if (leaderUrl.isEmpty) Seq("log_index" -> logIndex.toString)
+       else Seq("applied_index" -> lastApplied.get.toString))
     // membership roster — the reference surfaces its Raft configuration
     // through store.Stats() in /status; same observability here
     import scala.jdk.CollectionConverters._

@@ -177,4 +177,81 @@ class ReplicaSpec extends SparkTestBase {
       leader.stop()
     }
   }
+
+  test("continuous sync: a write AFTER join reaches a log-following " +
+       "replica's local read without re-hydration (store/store.go:242-250 " +
+       "Apply parity via leader statement log)") {
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-snap2").toString
+
+    val leaderSess = spark.newSession()
+    leaderSess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-leader2-wh").toString)
+    leaderSess.sql("CREATE DATABASE IF NOT EXISTS leader2_ns")
+    leaderSess.catalog.setCurrentDatabase("leader2_ns")
+    val leaderGw = new SqlGateway(leaderSess)
+    val leader = new Service(leaderGw)
+    val lPort = leader.start()
+
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-follow-wh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS follow_ns")
+    sess.catalog.setCurrentDatabase("follow_ns")
+    val gw = new SqlGateway(sess)
+    val svc = new Service(gw, leaderUrl = Some(s"http://localhost:$lPort"),
+      nodeId = "follower1", followLog = true)
+    val rPort = svc.start()
+
+    try {
+      // seed the leader over the wire — these land in the statement log
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE sync_t (id integer, name text)"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO sync_t VALUES (1, 'alpha')"}"""))._1 == 200)
+
+      // join + hydrate once: snapshot paired with the leader's log index
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "follower1", "addr": "http://localhost:$rPort"}"""))._1 == 200)
+      val snapIdx = leader.logIndex
+      Snapshot.exportDatabase(leaderGw, snapDir)
+      Snapshot.importDatabase(gw, snapDir)
+      svc.markSynced(snapIdx)
+
+      val (c0, b0, _) = newHttp(rPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20sync_t")
+      assert(c0 == 200 && b0.contains("[1]"), b0)
+
+      // the write AFTER join: no snapshot ships, no re-join — the
+      // replica's next read pulls the log suffix and replays it
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO sync_t VALUES (2, 'beta'), (3, 'gamma')"}"""))._1 == 200)
+      val (c1, b1, _) = newHttp(rPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20sync_t")
+      assert(c1 == 200 && b1.contains("[3]"),
+        s"post-join write not visible on log-following replica: $b1")
+
+      // statements with escaped characters survive the wire round-trip
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO sync_t VALUES (4, 'de\nlta''s')"}"""))._1 == 200)
+      val (_, b2, _) = newHttp(rPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20sync_t")
+      assert(b2.contains("[4]"), b2)
+
+      // an erroring leader statement is NOT logged → replica unaffected
+      newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO nope_t VALUES (1)"}"""))
+      val (_, b3, _) = newHttp(rPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20sync_t")
+      assert(b3.contains("[4]"), b3)
+
+      // observability: /status carries log_index (leader) / applied_index
+      val (_, ls, _) = newHttp(lPort, "GET", "/status")
+      assert(ls.contains("\"log_index\": \"4\""), ls)
+      val (_, rs, _) = newHttp(rPort, "GET", "/status")
+      assert(rs.contains("\"applied_index\": \"4\""), rs)
+    } finally {
+      svc.stop()
+      leader.stop()
+    }
+  }
 }
