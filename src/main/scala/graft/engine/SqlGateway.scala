@@ -808,6 +808,17 @@ class SqlGateway(val spark: SparkSession) {
   private val OrderByRe = """(?i)\border\s+by\b""".r
   private val NullsRe = """(?i)\bnulls\b""".r
 
+  /** DuckDB string/list slice on a KNOWN string (probed, v1.0): 1-based
+    * INCLUSIVE bounds, index 0 behaves as 1, negative counts from the end
+    * (-1 = last), out-of-range clamps, inverted → empty. */
+  private def duckSliceLiteral(s: String, io: Option[Long], jo: Option[Long]): String = {
+    val n = s.length.toLong
+    val i0 = io.getOrElse(1L); val j0 = jo.getOrElse(n)
+    val start = math.max(if (i0 < 0) n + i0 + 1 else i0, 1L)
+    val end = math.min(if (j0 < 0) n + j0 + 1 else j0, n)
+    if (end < start) "" else s.substring((start - 1).toInt, end.toInt)
+  }
+
   /** Append DuckDB 1.0's default `NULLS LAST` (probed: the default for
     * BOTH sort directions) to every ORDER BY key that spells no explicit
     * NULLS FIRST/LAST — in the TEXT, before parsing, so explicit and
@@ -1130,7 +1141,11 @@ class SqlGateway(val spark: SparkSession) {
     "list_indexof" -> "array_position",  // NULL element → NULL (verified)
     "list_append" -> "array_append",
     "list_max" -> "array_max",         // both skip NULL elements
-    "list_min" -> "array_min")
+    "list_min" -> "array_min",
+    "list_reverse" -> "reverse",       // both NULL-in NULL-out (r8)
+    "array_reverse" -> "reverse",
+    "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
+                                       // NULLs (probed: list_zip([1,2,3],[4]))
 
   private val DuckFnRe = (
     """(?i)(?<![\w.$])(""" +
@@ -1394,6 +1409,62 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("list_prepend"))
       out = fix(out, "list_prepend", 2,
         a => Some(s"array_prepend(${a(1)}, ${a(0)})"))
+    // list_concat treats a NULL side as [] (probed) — Spark concat is
+    // NULL-in NULL-out, so spell the NULL handling out
+    if (out.toLowerCase.contains("list_concat"))
+      out = fix(out, "list_concat", 2, a => Some(
+        s"(CASE WHEN ${a(0)} IS NULL THEN ${a(1)} " +
+          s"WHEN ${a(1)} IS NULL THEN ${a(0)} " +
+          s"ELSE concat(${a(0)}, ${a(1)}) END)"))
+    // list_has_any: TRUE only on a shared NON-NULL element; FALSE when
+    // the only overlap is NULL (probed) — Spark arrays_overlap answers
+    // NULL there, so pin the FALSE arm; NULL list in → NULL out
+    if (out.toLowerCase.contains("list_has_any"))
+      out = fix(out, "list_has_any", 2, a => Some(
+        s"(CASE WHEN ${a(0)} IS NULL OR ${a(1)} IS NULL THEN NULL " +
+          s"ELSE coalesce(arrays_overlap(${a(0)}, ${a(1)}), false) END)"))
+    // list_has_all: NULL elements of the needle list are ignored (probed:
+    // [1,2] ⊇ [NULL] is TRUE); array_except is null-safe set difference
+    if (out.toLowerCase.contains("list_has_all"))
+      out = fix(out, "list_has_all", 2, a => Some(
+        s"(CASE WHEN ${a(0)} IS NULL OR ${a(1)} IS NULL THEN NULL " +
+          s"ELSE size(array_except(filter(${a(1)}, graft_e -> " +
+          s"graft_e IS NOT NULL), ${a(0)})) = 0 END)"))
+    // list_resize(l, n[, v]): truncate or pad with v (default NULL) to
+    // exactly n elements. sequence(0, n) sidesteps Spark's descending
+    // sequence(1, 0) corner; the CASE guards element_at in ANSI mode.
+    if (out.toLowerCase.contains("list_resize"))
+      out = fix(out, "list_resize", -1, a =>
+        if (a.length != 2 && a.length != 3) None
+        else {
+          val pad = if (a.length == 3) a(2) else "NULL"
+          Some(s"slice(transform(sequence(0, ${a(1)}), graft_i -> " +
+            s"CASE WHEN graft_i = 0 THEN NULL " +
+            s"WHEN graft_i <= size(${a(0)}) THEN element_at(${a(0)}, graft_i) " +
+            s"ELSE $pad END), 2, ${a(1)})")
+        })
+    // struct_insert on a struct-literal operand: append the named fields
+    // to the (already rewritten) named_struct constructor — the new field
+    // lands LAST, matching DuckDB's field order (probed). A non-literal
+    // struct operand has no textual field list and refuses.
+    if (out.toLowerCase.contains("struct_insert"))
+      out = fix(out, "struct_insert", -1, a => {
+        val NamedArg = """(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+        val base = a.head.trim
+        if (a.length < 2 || !base.toLowerCase.startsWith("named_struct(") ||
+            !base.endsWith(")")) None
+        else {
+          val adds = a.tail.map(_.trim).map {
+            case NamedArg(n, v) => Some(s"'$n', $v")
+            case _ => None
+          }
+          if (adds.exists(_.isEmpty)) None
+          else {
+            val inner = base.substring("named_struct(".length, base.length - 1)
+            Some(s"named_struct($inner, ${adds.flatten.mkString(", ")})")
+          }
+        }
+      })
     // list_unique = COUNT of distinct non-null elements (verified: NULL
     // not counted); list_distinct drops NULLs (Spark array_distinct keeps)
     if (out.toLowerCase.contains("list_unique"))
@@ -1414,12 +1485,20 @@ class SqlGateway(val spark: SparkSession) {
     // equivalent (negative indexes count from the end differently)
     for (fn <- Seq("list_slice", "array_slice")
          if out.toLowerCase.contains(fn))
-      out = fix(out, fn, 3, a =>
-        (a(1), a(2)) match {
-          case (IntLit(), IntLit()) if a(1).toLong > 0 && a(2).toLong > 0 =>
-            Some(s"slice(${a(0)}, ${a(1)}, ${math.max(0L, a(2).toLong - a(1).toLong + 1)})")
+      out = fix(out, fn, 3, a => {
+        // a string-literal operand slices HERE (duckdb's array_slice works
+        // on strings; Spark's slice() does not) — any int bounds, probed
+        val strLit = a(0).length >= 2 && a(0).head == '\'' &&
+          a(0).last == '\'' && !a(0).drop(1).dropRight(1).contains('\'')
+        (a(1).trim, a(2).trim) match {
+          case (i @ IntLit(), j @ IntLit()) if strLit =>
+            Some("'" + duckSliceLiteral(a(0).drop(1).dropRight(1),
+              Some(i.toLong), Some(j.toLong)) + "'")
+          case (i @ IntLit(), j @ IntLit()) if i.toLong > 0 && j.toLong > 0 =>
+            Some(s"slice(${a(0)}, $i, ${math.max(0L, j.toLong - i.toLong + 1)})")
           case _ => None
-        })
+        }
+      })
     // range/generate_series (scalar list form): range is half-open,
     // generate_series inclusive. Literal-int arguments compute the exact
     // list here (covers the empty corners Spark's sequence() errors on);
@@ -1742,6 +1821,63 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("join"))
       out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
         "LEFT $1 JOIN")
+    if (out.toLowerCase.contains("interval")) {
+      // DuckDB's single interval type mixes year-month and day-time
+      // units in one literal; Spark's two interval types cannot — a mixed
+      // `INTERVAL '1 year 2 months 3 days'` becomes make_interval(...)
+      // (CalendarIntervalType, which adds to dates and timestamps).
+      // Single-kind strings are left for Spark's own literal parser.
+      val Term = """(?i)(-?\d+(?:\.\d+)?)\s*(years?|yrs?|months?|mons?|weeks?|days?|hours?|hrs?|minutes?|mins?|seconds?|secs?)""".r
+      val Lit = """(?i)\binterval\s*'([^']+)'(?!\s*(?:year|month|week|day|hour|minute|second|yr|mon|min|sec|hr))""".r
+      out = Lit.replaceAllIn(out, m => {
+        val terms = Term.findAllMatchIn(m.group(1)).map(t =>
+          (t.group(1), t.group(2).toLowerCase)).toSeq
+        val joined = terms.map(t => t._1 + t._2).mkString
+        def kind(u: String) = if (u.startsWith("y") || u.startsWith("mon")) "ym" else "dt"
+        val kinds = terms.map(t => kind(t._2)).distinct
+        // rewrite only a well-formed, fully-consumed, MIXED literal
+        if (terms.isEmpty || kinds.size < 2 ||
+            m.group(1).replaceAll("""[\s,]""", "") != joined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          def slot(p: String*) =
+            terms.filter(t => p.exists(t._2.startsWith)).map(_._1)
+              .reduceOption((a, b) => s"$a + $b").getOrElse("0")
+          java.util.regex.Matcher.quoteReplacement(
+            s"make_interval(${slot("y")}, ${slot("mon")}, ${slot("w")}, " +
+            s"${slot("d")}, ${slot("ho", "hr")}, ${slot("min")}, ${slot("s")})")
+        }
+      })
+      // `INTERVAL (expr) UNIT` (parenthesized count) — Spark only accepts
+      // literal counts there; route through make_interval's typed slots
+      val Paren = """(?i)\binterval\s*\(([^()']*)\)\s*(year|month|week|day|hour|minute|second)s?\b""".r
+      out = Paren.replaceAllIn(out, m => {
+        val e = m.group(1)
+        val slots = Seq("year", "month", "week", "day", "hour", "minute", "second")
+          .map(u => if (u == m.group(2).toLowerCase) s"($e)" else "0")
+        java.util.regex.Matcher.quoteReplacement(
+          s"make_interval(${slots.mkString(", ")})")
+      })
+    }
+    // SQL-spelled frame `EXCLUDE CURRENT ROW` (Spark has no frame EXCLUDE
+    // grammar): sum/count over the same frame minus the current row's own
+    // contribution — algebraically exact for exactly these two aggregates
+    // (the engine's DataFrame-level EXCLUDE decomposition is q58); other
+    // aggregates or EXCLUDE TIES/GROUP stay verbatim and refuse loudly.
+    if (out.toLowerCase.contains("exclude")) {
+      val Excl = ("""(?is)\b(sum|count)\s*\(\s*(\*|[^()']+?)\s*\)\s*over\s*""" +
+        """\(([^()]*?)\s+exclude\s+current\s+row\s*\)""").r
+      out = Excl.replaceAllIn(out, m => {
+        val arg = m.group(2).trim; val win = m.group(3)
+        val repl = m.group(1).toLowerCase match {
+          case "sum" => s"(sum($arg) OVER ($win) - coalesce($arg, 0))"
+          case _ if arg == "*" => s"(count(*) OVER ($win) - 1)"
+          case _ => s"(count($arg) OVER ($win) - " +
+            s"CASE WHEN ($arg) IS NULL THEN 0 ELSE 1 END)"
+        }
+        java.util.regex.Matcher.quoteReplacement(repl)
+      })
+    }
     // DuckDB's bare aggregate-FILTER shorthand `agg(...) FILTER (cond)` →
     // the standard `FILTER (WHERE cond)` both engines accept. Anchored on
     // the aggregate call's closing paren, so the higher-order function
@@ -1925,6 +2061,35 @@ class SqlGateway(val spark: SparkSession) {
         else c == ':' && d == 0
       }
     }
+    // `[i:j]` with integer-literal (or absent) bounds → Some((iOpt, jOpt));
+    // anything fancier refuses (stays verbatim → loud parser error)
+    val SliceRe = """^\s*(-?\d+)?\s*:\s*(-?\d+)?\s*$""".r
+    def sliceBounds(ix: String): Option[(Option[Long], Option[Long])] =
+      ix match {
+        case SliceRe(a, b) =>
+          Some((Option(a).map(_.toLong), Option(b).map(_.toLong)))
+        case _ => None
+      }
+    // DuckDB slice semantics (probed, v1.0): 1-based INCLUSIVE bounds,
+    // index 0 behaves as 1, negative counts from the end (-1 = last),
+    // out-of-range clamps, inverted → empty
+    def sliceLiteral(s: String, io: Option[Long], jo: Option[Long]): String =
+      duckSliceLiteral(s, io, jo)
+    def sliceExpr(operand: String, io: Option[Long], jo: Option[Long]): String = {
+      val start = io match {
+        case None => "1"
+        case Some(i) if i > 0 => i.toString
+        case Some(0) => "1"
+        case Some(i) => s"greatest(size($operand) + ($i) + 1, 1)"
+      }
+      val end = jo match {
+        case None => s"size($operand)"
+        case Some(j) if j > 0 => s"least($j, size($operand))"
+        case Some(0) => "0"
+        case Some(j) => s"size($operand) + ($j) + 1"
+      }
+      s"slice($operand, $start, greatest(($end) - ($start) + 1, 0))"
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
@@ -1936,10 +2101,12 @@ class SqlGateway(val spark: SparkSession) {
           val p = lastSig
           val afterKeyword = (p.isLetter || p == '_') && kw(lastWord.toLowerCase)
           if (p == '\'') {
-            // 'lit'[n] → substr('lit', n, 1)
+            // 'lit'[n] → substr('lit', n, 1); 'lit'[i:j] → the sliced
+            // literal, computed here (the operand is known text)
             indexSpan(i) match {
               case Some((ix, after))
-                  if ix.trim.matches("-?\\d+") && ix.trim.toLong != 0 =>
+                  if (ix.trim.matches("-?\\d+") && ix.trim.toLong != 0) ||
+                    sliceBounds(ix).isDefined =>
                 // locate the literal's opening quote in sb (reject if the
                 // literal contains doubled quotes — ambiguous backwards)
                 var j = sb.length - 1
@@ -1949,14 +2116,43 @@ class SqlGateway(val spark: SparkSession) {
                 if (j >= 0 && (j == 0 || sb.charAt(j - 1) != '\'') && closeQ > j) {
                   val lit = sb.substring(j, closeQ + 1)
                   sb.delete(j, sb.length)
-                  sb.append(s"substr($lit, ${ix.trim}, 1)")
+                  sliceBounds(ix) match {
+                    case Some((io, jo)) =>
+                      val inner = lit.substring(1, lit.length - 1)
+                      sb.append(s"'${sliceLiteral(inner, io, jo)}'")
+                    case None =>
+                      sb.append(s"substr($lit, ${ix.trim}, 1)")
+                  }
                   i = after
                 } else copyBracketVerbatim()
               case _ => copyBracketVerbatim()
             }
           } else if (p == ')') {
-            // (...)[e] → element_at(..., e)
+            // (...)[e] → element_at(..., e); (...)[i:j] → slice(...)
             indexSpan(i) match {
+              case Some((ix, after)) if isSlice(ix) &&
+                  sliceBounds(ix).isDefined =>
+                var j = sb.length - 1
+                while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+                var depth = 0; var open = -1
+                while (j >= 0 && open < 0) {
+                  val ch = sb.charAt(j)
+                  if (ch == ')') depth += 1
+                  else if (ch == '(') { depth -= 1; if (depth == 0) open = j }
+                  if (open < 0) j -= 1
+                }
+                if (j >= 0) {
+                  j -= 1
+                  while (j >= 0 && (sb.charAt(j).isLetterOrDigit ||
+                    sb.charAt(j) == '_' || sb.charAt(j) == '.' ||
+                    sb.charAt(j) == '$')) j -= 1
+                  val at = j + 1
+                  val operand = sb.substring(at)
+                  sb.delete(at, sb.length)
+                  val (io, jo) = sliceBounds(ix).get
+                  sb.append(sliceExpr(operand, io, jo))
+                  i = after
+                } else copyBracketVerbatim()
               case Some((ix, after)) if !isSlice(ix) =>
                 // operand = balanced (...) plus any call-name before it.
                 // The backward scan ignores quote escapes; a mis-balance

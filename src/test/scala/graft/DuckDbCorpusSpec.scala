@@ -280,6 +280,63 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([NULL,NULL], 'product') AS p", Seq(null)),
     q("SELECT list_aggregate([1,NULL,2], 'median') AS m", Seq(1.5)),
     q("SELECT list_aggregate([NULL], 'median') AS m", Seq(null)),
+    // --- r8 breadth: list slicing + negative indexing (duckdb-probed) ---
+    q("SELECT [1,2,3,4,5][2:4] AS s", Seq(Seq(2, 3, 4))),
+    q("SELECT [1,2,3,4,5][:3] AS s", Seq(Seq(1, 2, 3))),
+    q("SELECT [1,2,3,4,5][3:] AS s", Seq(Seq(3, 4, 5))),
+    q("SELECT [1,2,3,4,5][-2:] AS s", Seq(Seq(4, 5))),
+    q("SELECT [1,2,3,4,5][:-2] AS s", Seq(Seq(1, 2, 3, 4))),
+    q("SELECT ['a','b','c'][-1] AS s", Seq("c")),
+    q("SELECT 'hello'[2:4] AS s", Seq("ell")),
+    q("SELECT 'hello'[-3:] AS s", Seq("llo")),
+    q("SELECT list_slice([1,2,3,4,5], 2, 4) AS s", Seq(Seq(2, 3, 4))),
+    q("SELECT array_slice('hello', 2, 4) AS s", Seq("ell")),
+
+    // --- r8 breadth: VALUES with column aliases ---
+    C("SELECT * FROM (VALUES (1,'x'),(2,'y')) AS t(a,b) ORDER BY a",
+      Some(Seq(Seq(1, "x"), Seq(2, "y"))), ordered = true),
+    q("SELECT t.b FROM (VALUES (1,'x')) t(a,b)", Seq("x")),
+
+    // --- r8 breadth: INTERVAL literal grammar variants ---
+    q("SELECT DATE '2020-01-15' + INTERVAL 2 MONTH AS d", Seq("2020-03-15")),
+    q("SELECT DATE '2020-01-15' + INTERVAL '2 months' AS d", Seq("2020-03-15")),
+    q("SELECT DATE '2020-01-15' + INTERVAL '1 year 2 months 3 days' AS d",
+      Seq("2021-03-18")),
+    q("SELECT TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '90 minutes' AS t",
+      Seq("2020-01-01 01:30:00")),
+    q("SELECT INTERVAL (1+1) DAY + DATE '2020-01-01' AS d", Seq("2020-01-03")),
+
+    // --- r8 breadth: TRY_CAST corners (duckdb: string→int rounds
+    //     half-away; out-of-range and malformed → NULL, never error) ---
+    q("SELECT TRY_CAST('abc' AS INTEGER) AS x", Seq(null)),
+    q("SELECT TRY_CAST('12.7' AS INTEGER) AS x", Seq(13)),
+    q("SELECT TRY_CAST('2020-13-40' AS DATE) AS x", Seq(null)),
+    q("SELECT TRY_CAST('2020-02-29' AS DATE) AS x", Seq("2020-02-29")),
+    q("SELECT TRY_CAST(1e30 AS INTEGER) AS x", Seq(null)),
+    q("SELECT TRY_CAST('inf' AS DOUBLE) AS x", Seq(Double.PositiveInfinity)),
+
+    // --- r8 breadth: list/struct update + constructor functions ---
+    q("SELECT list_append([1,2], 3) AS l", Seq(Seq(1, 2, 3))),
+    q("SELECT list_concat([1], [2,3]) AS l", Seq(Seq(1, 2, 3))),
+    q("SELECT list_resize([1,2], 4) AS l", Seq(Seq(1, 2, null, null))),
+    q("SELECT list_resize([1,2], 4, 9) AS l", Seq(Seq(1, 2, 9, 9))),
+    q("SELECT struct_insert({'a': 1}, b := 2) AS s", Seq(Seq(1, 2))),
+    q("SELECT list_zip([1,2],[3,4]) AS z",
+      Seq(Seq(Seq(1, 3), Seq(2, 4)))),
+    q("SELECT list_transform([1,2,3], x -> x * x) AS t", Seq(Seq(1, 4, 9))),
+    q("SELECT flatten([[1,2],[3]]) AS f", Seq(Seq(1, 2, 3))),
+    q("SELECT list_contains([1,2,3], 2) AS c", Seq(true)),
+    q("SELECT list_position([5,6,7], 7) AS p", Seq(3)),
+    q("SELECT array_reverse([1,2,3]) AS r", Seq(Seq(3, 2, 1))),
+    q("SELECT list_has_any([1,2],[2,5]) AS a, list_has_all([1,2,3],[1,3]) AS b",
+      Seq(true, true)),
+    q("SELECT range(1,6,2) AS r", Seq(Seq(1, 3, 5))),       // end EXCLUSIVE
+    q("SELECT generate_series(1,5,2) AS r", Seq(Seq(1, 3, 5))), // end INCLUSIVE
+    C("SELECT unnest(generate_series(1,3)) AS u",
+      Some(Seq(Seq(1), Seq(2), Seq(3)))),
+    q("SELECT [[y*2 for y in x] for x in [[1,2],[3]]] AS l",
+      Seq(Seq(Seq(2, 4), Seq(6)))),
+
     q("SELECT list_reduce([1,2,3], (a,b) -> a + b) AS r", Seq(6)),
     q("SELECT list_reduce([10,2,3], (a,b) -> a - b) AS r", Seq(5)), // left fold, seed = head
 
@@ -439,6 +496,41 @@ class DuckDbCorpusSpec extends SparkTestBase {
     C("SELECT grp, v FROM corpus_t ORDER BY grp, v DESC",
       Some(Seq(Seq("a", 20), Seq("a", 10), Seq("b", 5), Seq("b", null))),
       ordered = true),
+
+    // --- r8 breadth: JOIN ... USING (multi-key, LEFT with dedup) ---
+    q("SELECT a.grp AS g, b.v AS v FROM corpus_t a JOIN corpus_t b " +
+      "USING (id, grp) WHERE a.id = 1", Seq("a", 10)),
+    C("SELECT * FROM corpus_t a LEFT JOIN (SELECT 1 AS id, 9 AS w) b " +
+      "USING (id) ORDER BY a.id",
+      Some(Seq(Seq(1, "a", 10, 9), Seq(2, "a", 20, null),
+        Seq(3, "b", 5, null), Seq(4, "b", null, null))), ordered = true),
+
+    // --- r8 breadth: DISTINCT ON multi-key / expression keys ---
+    C("SELECT DISTINCT ON (grp) grp, v FROM corpus_t ORDER BY grp, v DESC",
+      Some(Seq(Seq("a", 20), Seq("b", 5))), ordered = true),
+    C("SELECT DISTINCT ON (grp, v IS NULL) grp, v FROM corpus_t " +
+      "ORDER BY grp, v IS NULL, v",
+      Some(Seq(Seq("a", 10), Seq("b", 5), Seq("b", null))), ordered = true),
+
+    // --- r8 breadth: SQL-spelled window frames through the gateway ---
+    C("SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND " +
+      "1 FOLLOWING) AS s FROM corpus_t ORDER BY id",
+      Some(Seq(Seq(1, 30), Seq(2, 35), Seq(3, 25), Seq(4, 5))), ordered = true),
+    C("SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND " +
+      "1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM corpus_t ORDER BY id",
+      Some(Seq(Seq(1, 20), Seq(2, 15), Seq(3, 20), Seq(4, 5))), ordered = true),
+    C("SELECT id, sum(v) OVER (ORDER BY id RANGE BETWEEN 1 PRECEDING AND " +
+      "1 FOLLOWING) AS s FROM corpus_t ORDER BY id",
+      Some(Seq(Seq(1, 30), Seq(2, 35), Seq(3, 25), Seq(4, 5))), ordered = true),
+    C("SELECT id, sum(v) OVER (PARTITION BY grp ORDER BY id ROWS UNBOUNDED " +
+      "PRECEDING) AS s FROM corpus_t ORDER BY id",
+      Some(Seq(Seq(1, 10), Seq(2, 30), Seq(3, 5), Seq(4, 5))), ordered = true),
+    C("SELECT id, sum(v) OVER w AS s FROM corpus_t WINDOW w AS (ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) ORDER BY id",
+      Some(Seq(Seq(1, 10), Seq(2, 30), Seq(3, 25), Seq(4, 5))), ordered = true),
+    C("SELECT id, first_value(v) OVER (ORDER BY id ROWS BETWEEN 1 FOLLOWING " +
+      "AND 2 FOLLOWING) AS s FROM corpus_t ORDER BY id",
+      Some(Seq(Seq(1, 20), Seq(2, 5), Seq(3, null), Seq(4, null))), ordered = true),
 
     // --- ASOF JOIN statements (r7: routed to the engine's first-class
     //     AsofJoin operator; every expectation duckdb-1.0-verified) ---
