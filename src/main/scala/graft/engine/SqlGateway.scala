@@ -1144,6 +1144,7 @@ class SqlGateway(val spark: SparkSession) {
     "list_min" -> "array_min",
     "list_reverse" -> "reverse",       // both NULL-in NULL-out (r8)
     "array_reverse" -> "reverse",
+    "to_hex" -> "hex",                 // both uppercase, no 0x prefix
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -1269,6 +1270,73 @@ class SqlGateway(val spark: SparkSession) {
     // unix_timestamp truncates, and BIGINT/INT division is double in Spark
     if (out.toLowerCase.contains("epoch("))
       out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
+    if (out.toLowerCase.contains("epoch_ms"))
+      out = fix(out, "epoch_ms", 1, a => Some(s"unix_millis(${a.head})"))
+    // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
+    // (probed: cos/sin differs in the last ulp)
+    if (out.toLowerCase.contains("xor("))
+      out = fix(out, "xor", 2, a => Some(s"((${a(0)}) ^ (${a(1)}))"))
+    if (out.toLowerCase.contains("cot("))
+      out = fix(out, "cot", 1, a => Some(s"(1 / tan(${a.head}))"))
+    // fdiv/fmod are FLOORED division/modulo returning DOUBLE (probed:
+    // fmod(-5.5, 2) = 0.5, sign of the divisor — not C fmod)
+    if (out.toLowerCase.contains("fdiv"))
+      out = fix(out, "fdiv", 2, a => Some(
+        s"CAST(floor((${a(0)}) / (${a(1)})) AS DOUBLE)"))
+    if (out.toLowerCase.contains("fmod"))
+      out = fix(out, "fmod", 2, a => Some(
+        s"CAST((${a(0)}) - floor((${a(0)}) / (${a(1)})) * (${a(1)}) AS DOUBLE)"))
+    // (cbrt is left as Spark's correctly-rounded Math.cbrt: DuckDB calls
+    // the SYSTEM libm cbrt, which is off by an ulp for some inputs
+    // (probed: 27 → 3.0000000000000004 but 1000 → 10.0) — platform noise
+    // under the repo's round-6 libm contract, not a semantic to copy.)
+    // isinf/isfinite have no Spark twin; NULL-in NULL-out via the CASE
+    if (out.toLowerCase.contains("isinf"))
+      out = fix(out, "isinf", 1, a => Some(
+        s"(CASE WHEN ${a.head} IS NULL THEN NULL " +
+          s"ELSE abs(${a.head}) = CAST('Infinity' AS DOUBLE) END)"))
+    if (out.toLowerCase.contains("isfinite"))
+      out = fix(out, "isfinite", 1, a => Some(
+        s"(CASE WHEN ${a.head} IS NULL THEN NULL " +
+          s"ELSE NOT isnan(${a.head}) AND " +
+          s"abs(${a.head}) <> CAST('Infinity' AS DOUBLE) END)"))
+    // 2-arg regexp_extract_all: DuckDB's default group is 0 (the whole
+    // match); Spark's is 1 — spell group 0 out
+    if (out.toLowerCase.contains("regexp_extract_all"))
+      out = fix(out, "regexp_extract_all", 2,
+        a => Some(s"regexp_extract_all(${a(0)}, ${a(1)}, 0)"))
+    // even(x): round away from zero to the next even number, DOUBLE
+    if (out.toLowerCase.contains("even("))
+      out = fix(out, "even", 1, a => Some(
+        s"CAST((CASE WHEN ${a.head} < 0 THEN -1 ELSE 1 END) * " +
+          s"ceil(abs(${a.head}) / 2) * 2 AS DOUBLE)"))
+    // regexp_full_match = anchored regexp_like; the pattern is wrapped in
+    // a non-capturing group so alternation anchors correctly
+    if (out.toLowerCase.contains("regexp_full_match"))
+      out = fix(out, "regexp_full_match", 2, a => Some(
+        s"regexp_like(${a(0)}, concat('^(?:', ${a(1)}, ')$$'))"))
+    // regexp_escape on a literal: escape RE2's metacharacters here
+    if (out.toLowerCase.contains("regexp_escape"))
+      out = fix(out, "regexp_escape", 1, a => {
+        val s = a.head
+        if (s.length >= 2 && s.head == '\'' && s.last == '\'' &&
+            !s.drop(1).dropRight(1).contains('\'')) {
+          // double the backslash: this emission is parsed by SPARK's
+          // string literal rules (escapeLiteralBackslashes already ran)
+          val esc = s.drop(1).dropRight(1).flatMap {
+            case c if "\\^$.|?*+()[]{}".contains(c) => s"\\\\$c"
+            case c => c.toString
+          }
+          Some(s"'$esc'")
+        } else None
+      })
+    // DuckDB dayofweek: 0 = Sunday .. 6 = Saturday; Spark's same-named
+    // function is 1 = Sunday — same name, off-by-one (probed)
+    if (out.toLowerCase.contains("dayofweek"))
+      out = fix(out, "dayofweek", 1, a => Some(s"(dayofweek(${a.head}) - 1)"))
+    // isodow: 1 = Monday .. 7 = Sunday; Spark weekday is 0 = Monday
+    if (out.toLowerCase.contains("isodow"))
+      out = fix(out, "isodow", 1, a => Some(s"(weekday(${a.head}) + 1)"))
     // format('…{spec}…', args...) — fmt-style template → format_string
     // with printf specs, for the spec subset whose Java rendering is
     // verified identical to DuckDB's fmt (see fmtTemplateToJava). Anything
@@ -1413,9 +1481,41 @@ class SqlGateway(val spark: SparkSession) {
     // NULL-in NULL-out, so spell the NULL handling out
     if (out.toLowerCase.contains("list_concat"))
       out = fix(out, "list_concat", 2, a => Some(
+        // flatten(array(..)) is array concat — NOT `concat`, which the
+        // concat→concat_ws(NULL-skip) rewrite below would re-capture
         s"(CASE WHEN ${a(0)} IS NULL THEN ${a(1)} " +
           s"WHEN ${a(1)} IS NULL THEN ${a(0)} " +
-          s"ELSE concat(${a(0)}, ${a(1)}) END)"))
+          s"ELSE flatten(array(${a(0)}, ${a(1)})) END)"))
+    // DuckDB's concat() stringifies every argument and SKIPS NULLs
+    // (probed: concat('a',NULL,'b')='ab', all-NULL=''); Spark's concat is
+    // NULL-strict. concat_ws('') has exactly DuckDB's skip semantics.
+    // (`||` stays NULL-strict in both engines — untouched.) Known corner:
+    // a LIST argument is stringified by DuckDB but flattened by
+    // concat_ws — lists in string concat are outside this subset.
+    if (out.toLowerCase.contains("concat"))
+      out = fix(out, "concat", -1, a =>
+        if (a.isEmpty) None else Some(s"concat_ws('', ${a.mkString(", ")})"))
+    // 2-arg ltrim/rtrim: DuckDB is (string, characters), Spark is
+    // (trimStr, srcStr) — REVERSED argument order (probed: Spark's
+    // ltrim('xxyx','x') silently yields ''); 2-arg trim has no Spark
+    // function form → TRIM(BOTH .. FROM ..) syntax
+    for (fn <- Seq("ltrim", "rtrim") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => Some(s"$fn(${a(1)}, ${a(0)})"))
+    if (out.toLowerCase.contains("trim"))
+      out = fix(out, "trim", 2, a => Some(s"trim(BOTH ${a(1)} FROM ${a(0)})"))
+    // left/right with a NEGATIVE count trim from the opposite end in
+    // DuckDB (probed: left('hello',-2)='hel'); Spark returns '' — spell
+    // the general form out
+    if (out.toLowerCase.contains("left"))
+      out = fix(out, "left", 2, a => Some(
+        s"substr(${a(0)}, 1, CASE WHEN ${a(1)} < 0 " +
+          s"THEN greatest(length(${a(0)}) + ${a(1)}, 0) ELSE ${a(1)} END)"))
+    if (out.toLowerCase.contains("right"))
+      out = fix(out, "right", 2, a => Some(
+        s"substr(${a(0)}, CASE WHEN ${a(1)} < 0 THEN (0 - (${a(1)})) + 1 " +
+          s"ELSE greatest(length(${a(0)}) - ${a(1)} + 1, 1) END, " +
+          s"CASE WHEN ${a(1)} < 0 THEN length(${a(0)}) " +
+          s"ELSE least(${a(1)}, length(${a(0)})) END)"))
     // list_has_any: TRUE only on a shared NON-NULL element; FALSE when
     // the only overlap is NULL (probed) — Spark arrays_overlap answers
     // NULL there, so pin the FALSE arm; NULL list in → NULL out

@@ -297,6 +297,114 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Some(Seq(Seq(1, "x"), Seq(2, "y"))), ordered = true),
     q("SELECT t.b FROM (VALUES (1,'x')) t(a,b)", Seq("x")),
 
+    // --- r8 breadth: string-function corners (duckdb-probed) ---
+    q("SELECT repeat('ab', 3) AS s", Seq("ababab")),
+    q("SELECT reverse('abc') AS s", Seq("cba")),
+    q("SELECT md5('x') AS s", Seq("9dd4e461268c8034f5c8564e155c67a6")),
+    q("SELECT left('hello', 2) AS s, right('hello', 2) AS t", Seq("he", "lo")),
+    q("SELECT left('hello', -2) AS s", Seq("hel")),   // negative trims the end
+    q("SELECT right('hello', -2) AS s", Seq("llo")),  // negative trims the start
+    q("SELECT ltrim('xxyx', 'x') AS a", Seq("yx")),
+    q("SELECT replace('aaa', 'a', 'b') AS s", Seq("bbb")),
+    q("SELECT contains('hello', 'ell') AS c", Seq(true)),
+    q("SELECT position('ll' IN 'hello') AS p", Seq(3)),
+    q("SELECT split_part('a,b,c', ',', 2) AS s", Seq("b")),
+    q("SELECT split_part('a,b,c', ',', 5) AS s", Seq("")),
+    q("SELECT split_part('a,b,c', ',', -1) AS s", Seq("c")),
+    q("SELECT chr(65) AS s, ascii('A') AS n", Seq("A", 65)),
+    q("SELECT lcase('AB') AS a, ucase('ab') AS b", Seq("ab", "AB")),
+    // concat SKIPS NULL arguments (probed; all-NULL → ''), unlike `||`
+    q("SELECT concat('a', NULL, 'b') AS s", Seq("ab")),
+    q("SELECT concat(NULL, NULL) AS s", Seq("")),
+    q("SELECT concat(1, 2.5, 'x') AS s", Seq("12.5x")),
+    q("SELECT 'a' || NULL AS s", Seq(null)),          // || stays NULL-strict
+    q("SELECT concat_ws('-', 'a', NULL, 'b') AS s", Seq("a-b")),
+    q("SELECT to_hex(255) AS s", Seq("FF")),
+    q("SELECT base64(CAST('abc' AS BLOB)) AS s", Seq("YWJj")),
+
+    // --- r8 breadth: date/time-function corners (duckdb-probed) ---
+    q("SELECT date_part('year', DATE '2020-03-15') AS y", Seq(2020)),
+    q("SELECT datepart('month', DATE '2020-03-15') AS m", Seq(3)),
+    q("SELECT date_diff('day', DATE '2020-01-01', DATE '2020-03-01') AS d",
+      Seq(60)),
+    q("SELECT datediff('month', DATE '2020-01-15', DATE '2020-04-10') AS m",
+      Seq(3)),
+    q("SELECT date_trunc('week', DATE '2020-03-15') AS d", Seq("2020-03-09")),
+    q("SELECT dayname(DATE '2020-03-15') AS s, monthname(DATE '2020-03-15') AS m",
+      Seq("Sunday", "March")),
+    q("SELECT dayofweek(DATE '2020-03-15') AS d, isodow(DATE '2020-03-15') AS i",
+      Seq(0, 7)),  // duckdb: 0 = Sunday; isodow 7 = Sunday
+    q("SELECT weekofyear(DATE '2020-03-15') AS w", Seq(11)),
+    q("SELECT last_day(DATE '2020-02-10') AS d", Seq("2020-02-29")),
+    q("SELECT make_date(2020, 3, 15) AS d", Seq("2020-03-15")),
+    q("SELECT make_timestamp(2020, 3, 15, 10, 30, 1.5) AS t",
+      Seq("2020-03-15 10:30:01.5")),
+    q("SELECT epoch(TIMESTAMP '2020-01-01 00:00:00') AS e", Seq(1577836800)),
+    q("SELECT epoch_ms(TIMESTAMP '2020-01-01 00:00:00') AS e",
+      Seq(1577836800000L)),
+    q("SELECT to_timestamp(1577836800) AS t", Seq("2020-01-01")),
+    q("SELECT greatest(DATE '2020-01-01', DATE '2021-01-01') AS d",
+      Seq("2021-01-01")),
+
+    // --- r8 breadth: math/regex corners (duckdb-probed) ---
+    q("SELECT factorial(5) AS f", Seq(120)),
+    q("SELECT even(2.5) AS e, even(-2.5) AS f", Seq(4.0, -4.0)),
+    q("SELECT even(2.0) AS e", Seq(2.0)),
+    q("SELECT cot(1.0) AS c", Seq(0.6420926159343306)),
+    q("SELECT atan2(1.0, 2.0) AS a", Seq(0.4636476090008061)),
+    q("SELECT log2(8) AS l, log10(100) AS m", Seq(3.0, 2.0)),
+    // cbrt differs from DuckDB by a platform-libm ulp on SOME inputs
+    // (duck calls system cbrt: 27 → 3.0000000000000004, 1000 → 10.0) —
+    // pinned under the repo's round-6 libm contract
+    q("SELECT round(cbrt(27), 6) AS c", Seq(3.0)),
+    q("SELECT round(cbrt(-27), 6) AS c", Seq(-3.0)),
+    q("SELECT degrees(pi()) AS d, radians(180) AS r",
+      Seq(180.0, 3.141592653589793)),
+    q("SELECT isnan('nan'::DOUBLE) AS n, isinf('inf'::DOUBLE) AS i, " +
+      "isfinite(1.0) AS f", Seq(true, true, true)),
+    q("SELECT bit_count(7) AS b", Seq(3)),
+    q("SELECT xor(5, 3) AS x", Seq(6)),
+    q("SELECT 5 % 3 AS m", Seq(2)),
+    q("SELECT -5 % 3 AS m, 5 % -3 AS n", Seq(-2, 2)), // truncated, both engines
+    q("SELECT fmod(5.5, 2) AS f, fdiv(5.5, 2) AS d", Seq(1.5, 2.0)),
+    q("SELECT fmod(-5.5, 2) AS f, fdiv(-7, 2) AS d", Seq(0.5, -4.0)), // FLOORED
+    q("SELECT regexp_extract('abc123', '([a-z]+)(\\d+)', 2) AS r", Seq("123")),
+    q("SELECT regexp_extract_all('a1b2', '\\d') AS r", Seq(Seq("1", "2"))),
+    q("SELECT regexp_full_match('abc', '[a-c]+') AS r", Seq(true)),
+    q("SELECT regexp_full_match('abcd', '[a-c]+') AS r", Seq(false)),
+    q("SELECT regexp_escape('a.b') AS r", Seq("a\\.b")),
+
+    // --- r8 breadth: aggregate-function corners (duckdb-probed; the
+    //     fixture mirrors corpus_t, which is created further down) ---
+    s("CREATE TABLE corpus_lit (id INTEGER, grp VARCHAR, v INTEGER)"),
+    s("INSERT INTO corpus_lit VALUES (1, 'a', 10), (2, 'a', 20), " +
+      "(3, 'b', 5), (4, 'b', NULL)"),
+    q("SELECT bool_and(v > 0) AS a, bool_or(v > 15) AS o FROM corpus_lit",
+      Seq(true, true)),
+    q("SELECT bit_and(v) AS a, bit_or(v) AS o, bit_xor(v) AS x FROM corpus_lit",
+      Seq(0, 31, 27)),
+    q("SELECT sum(DISTINCT v) AS s FROM corpus_lit", Seq(35)),
+    q("SELECT median(v) AS m FROM corpus_lit", Seq(10.0)),
+    // tie-free mode fixture (a tied mode breaks arbitrarily in BOTH
+    // engines — not pinnable); variance over small ints whose moments are
+    // exact dyadics, where the one-pass and two-pass algorithms agree
+    // bit-for-bit (corpus_lit's values differ in the last ulp)
+    q("SELECT mode(x) AS m FROM (VALUES (1),(2),(2)) t(x)", Seq(2)),
+    q("SELECT var_pop(x) AS v1, var_samp(x) AS v2 " +
+      "FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(1.25, 1.6666666666666667)),
+    q("SELECT stddev_pop(x) AS s1 FROM (VALUES (1),(2),(3),(4)) t(x)",
+      Seq(1.118033988749895)),
+    q("SELECT stddev_samp(v) AS s2 FROM corpus_lit", Seq(7.637626158259733)),
+    q("SELECT corr(id, v) AS c FROM corpus_lit", Seq(-0.3273268353539886)),
+    q("SELECT covar_pop(id, v) AS c FROM corpus_lit", Seq(-1.6666666666666667)),
+    q("SELECT any_value(grp) AS a FROM corpus_lit WHERE grp = 'a'", Seq("a")),
+    q("SELECT count(DISTINCT grp) FILTER (WHERE v > 5) AS c FROM corpus_lit",
+      Seq(1)),
+
+    // --- r8 breadth: struct field access chains ---
+    q("SELECT {'x': 1, 'y': 'two'}.y AS v", Seq("two")),
+    q("SELECT ({'a': {'b': 42}}).a.b AS v", Seq(42)),
+
     // --- r8 breadth: INTERVAL literal grammar variants ---
     q("SELECT DATE '2020-01-15' + INTERVAL 2 MONTH AS d", Seq("2020-03-15")),
     q("SELECT DATE '2020-01-15' + INTERVAL '2 months' AS d", Seq("2020-03-15")),
