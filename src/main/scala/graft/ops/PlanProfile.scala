@@ -42,8 +42,11 @@ object PlanProfile {
     // q12 cube, q13 having, q25 histogram quantiles, q27 fixed-value
     // pivot, q38 grouping sets): Expand + hash-agg with keys known at
     // analysis time, both sessions negative
+    // r8 probe UNpins q25 (+0.073/+0.072 — AQE-on faster in BOTH
+    // sessions; the histogram-quantile shuffle benefits from runtime
+    // coalescing)
     "q01", "q06", "q14", "q26", "q28", "q39", "q48",
-    "q11", "q12", "q13", "q25", "q27", "q38",
+    "q11", "q12", "q13", "q27", "q38",
     // join trees with every strategy pinned: bounded dims broadcast-hinted,
     // growing sides pre-partitioned (q05 star, q03 top-k fusion,
     // q54/q55/q56 funnel/retention/sessionize on the events layout).
@@ -81,7 +84,16 @@ object PlanProfile {
     // pinned r6 but its r7 probes split (+0.03/−0.02, pure floor noise
     // on a 0.1 s query) — the sign-flip rule unpins it.
     "q07", "q35", "q36", "q41", "q42", "q43", "q49", "q57",
-    "x07", "x17", "x44", "x45"
+    "x07", "x17", "x44", "x45",
+    // r8 two-session probe (floorprobe_r8_{a,b}): consistent AQE-off wins
+    // in BOTH sessions — q34 (−0.032/−0.039), q51 (−0.040/−0.043),
+    // x03 (−0.054/−0.091), x30 (−0.043/−0.052), x32 (−0.235/−0.211),
+    // x34 (−0.056/−0.051). x03/x30/x32 were unpinned in r7 on that
+    // round's SPLIT probes; this round both sessions agree, and the r8
+    // plan changes make their shuffles statically shaped enough that
+    // AQE's stage re-planning is pure materialization overhead. The
+    // sign-flip rule still applies next round: any split → unpin again.
+    "q34", "q51", "x03", "x30", "x32", "x34"
   )
 
   private def enabled: Boolean =

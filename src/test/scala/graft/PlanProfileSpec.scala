@@ -33,10 +33,13 @@ class PlanProfileSpec extends SparkTestBase {
   }
 
   test("runtime-shaped queries stay unpinned (AQE measured faster there)") {
-    // the r7 probes' consistent AQE-on wins (both sessions positive) plus
-    // the sign-flip unpins — pinning any of these is a regression
+    // queries whose latest two-session probe showed consistent AQE-on
+    // wins (or a split) — pinning any of these is a regression. r8:
+    // x03/x30/x32/x34 moved OUT of this set and into staticPlan on
+    // r8's double-confirmed AQE-off wins (floorprobe_r8_{a,b}); q25
+    // moved IN on its double-confirmed AQE-on win.
     val mustKeepAqe = Set("q18", "x13", "x25", "x31", "x42",
-      "q44", "x03", "x15", "x30", "x32", "x34", "x20")
+      "q44", "x15", "x20", "q25")
     val pinned = mustKeepAqe.intersect(PlanProfile.staticPlan)
     assert(pinned.isEmpty, s"runtime-shaped queries pinned: $pinned")
   }
