@@ -924,9 +924,15 @@ class SqlGateway(val spark: SparkSession) {
     val needNulls = (bareAllKey ||
         OrderByRe.findAllMatchIn(sql).exists(m => outside(m.start))) &&
       !NullsRe.findAllMatchIn(sql).exists(m => outside(m.start))
-    if (!needDiv && !needCast && !needNulls)
+    // DuckDB: division/modulo by zero is NULL, never an error (probed for
+    // INT/DOUBLE/DECIMAL `/` and `%`) — Spark's TRY eval mode is exactly
+    // that semantics, applied to the user's spelled / and %
+    val needTry = (sql.contains("/") || sql.contains("%")) &&
+      (sql.indexOf('/') >= 0 && outside(sql.indexOf('/')) ||
+       sql.indexOf('%') >= 0 && outside(sql.indexOf('%')))
+    if (!needDiv && !needCast && !needNulls && !needTry)
       return subtractDatesAsDays(spark.sql(sql))
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, EvalMode, IntegralDivide, NullsFirst, NullsLast, SortOrder}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, Divide, EvalMode, IntegralDivide, NullsFirst, NullsLast, Remainder, SortOrder}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val intTargets: Set[org.apache.spark.sql.types.DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
@@ -938,6 +944,10 @@ class SqlGateway(val spark: SparkSession) {
           tryMode = c.evalMode == EvalMode.TRY)
       case so @ SortOrder(_, Ascending, NullsFirst, _) if needNulls =>
         so.copy(nullOrdering = NullsLast)
+      case d: Divide if needTry && d.evalContext.evalMode != EvalMode.TRY =>
+        d.copy(evalContext = d.evalContext.copy(evalMode = EvalMode.TRY))
+      case r: Remainder if needTry && r.evalContext.evalMode != EvalMode.TRY =>
+        r.copy(evalContext = r.evalContext.copy(evalMode = EvalMode.TRY))
     }
     subtractDatesAsDays(ColumnShim.ofRows(spark, swapped))
   }
@@ -1958,6 +1968,92 @@ class SqlGateway(val spark: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(
           s"make_interval(${slots.mkString(", ")})")
       })
+    }
+    // --- DuckDB operator spellings with no Spark twin (r8) -------------
+    // CTE materialization hints are advisory — strip them
+    if (out.toLowerCase.contains("materialized"))
+      out = out.replaceAll("(?i)\\bAS\\s+(?:NOT\\s+)?MATERIALIZED\\s*\\(", "AS (")
+    // operand shape shared by the infix rewrites below: a quoted literal,
+    // a dotted identifier/number, or a simple (possibly named) call
+    val Operand = """('(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+)"""
+    // x [NOT] SIMILAR TO p and the ~ / !~ aliases: FULL-match regex
+    // (probed: 'abc' ~ 'b' is FALSE) → anchored regexp_like
+    def balancedBefore(s: String, pos: Int): Boolean =
+      s.substring(0, pos).count(_ == '\'') % 2 == 0
+    if (out.toLowerCase.contains("similar to") || out.contains("~")) {
+      val Sim = (s"(?i)$Operand\\s+(NOT\\s+)?SIMILAR\\s+TO\\s+$Operand").r
+      out = Sim.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(out, m.start)) m.matched
+          else s"${if (m.group(2) != null) "NOT " else ""}" +
+            s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+      val Tilde = (s"$Operand\\s*(!?)~\\s*$Operand").r
+      val tIn = out
+      out = Tilde.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(tIn, m.start)) m.matched
+          else s"${if (m.group(2) == "!") "NOT " else ""}" +
+            s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+    }
+    // x GLOB 'pattern' (literal patterns): glob → anchored regex (LIKE
+    // can't express [..] classes); non-literal patterns stay verbatim
+    if (out.toLowerCase.contains("glob")) {
+      val Glob = (s"(?i)$Operand\\s+GLOB\\s+('(?:[^']|'')*')").r
+      val gIn = out
+      out = Glob.replaceAllIn(out, m => if (!balancedBefore(gIn, m.start))
+          java.util.regex.Matcher.quoteReplacement(m.matched) else {
+        val pat = m.group(2).drop(1).dropRight(1)
+        val rx = new StringBuilder
+        pat.foreach {
+          case '*' => rx ++= ".*"
+          case '?' => rx += '.'
+          case c @ ('[' | ']' | '^' | '-') => rx += c // class chars pass through
+          case c if "\\$.|+(){}".contains(c) => rx ++= s"\\\\$c"
+          case c => rx += c
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"regexp_like(${m.group(1)}, '^(?:${rx.toString})$$')")
+      })
+    }
+    // x ** y → power(x, y): LEFT-associative, binds a leading unary minus
+    // into its left operand ((-2) ** 2 = 4, probed) — a unary-minus left
+    // operand has no safe textual spelling here, so it stays verbatim and
+    // refuses loudly rather than negating the wrong term
+    if (out.contains("**") &&
+        // a UNARY minus on the left operand ((-2) ** 2 = 4) has no safe
+        // textual spelling → refuse. Unary context = expression start:
+        // an operator/paren/comma or a clause keyword before the minus.
+        ("""(?i)(?:^|[(,=<>+*/%]|\b(?:select|where|when|then|else|and|or|""" +
+         """not|by|as|in|on|having|limit|offset|union|all)\b)""" +
+         """\s*-\s*[\w.]+\s*\*\*""").r.findFirstIn(out).isEmpty) {
+      val Pow = (s"$Operand\\s*\\*\\*\\s*$Operand").r
+      var guard = 0
+      var changed = true
+      while (guard < 8 && changed) { // leftmost-first = duck's left assoc
+        guard += 1
+        changed = false
+        Pow.findAllMatchIn(out).find(m => balancedBefore(out, m.start)).foreach { m =>
+          out = out.substring(0, m.start) +
+            s"power(${m.group(1)}, ${m.group(2)})" + out.substring(m.end)
+          changed = true
+        }
+      }
+    }
+    // postfix factorial on an integer literal: 5! → factorial(5)
+    if (out.contains("!")) {
+      val Fact = """\b(\d+)\s*!(?!=)""".r
+      val fIn = out
+      out = Fact.replaceAllIn(out, m =>
+        if (!balancedBefore(fIn, m.start))
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else s"factorial(${m.group(1)})")
+    }
+    // prefix @ is abs: @(expr) → abs(expr)
+    if (out.contains("@(")) {
+      val At = """(?<=^|[\s,(+*/%=<>-])@\s*\(""".r
+      val aIn = out
+      out = At.replaceAllIn(out, m =>
+        if (!balancedBefore(aIn, m.start)) m.matched else "abs(")
     }
     // SQL-spelled frame `EXCLUDE CURRENT ROW` (Spark has no frame EXCLUDE
     // grammar): sum/count over the same frame minus the current row's own

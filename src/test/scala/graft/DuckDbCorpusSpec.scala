@@ -374,6 +374,34 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT regexp_full_match('abcd', '[a-c]+') AS r", Seq(false)),
     q("SELECT regexp_escape('a.b') AS r", Seq("a\\.b")),
 
+    // --- r8 breadth: operator spellings (duckdb-probed) ---
+    q("SELECT 'abc' ILIKE 'A%' AS a, 'abc' NOT ILIKE 'B%' AS b",
+      Seq(true, true)),
+    q("SELECT 'abc' SIMILAR TO 'a.c' AS s", Seq(true)),
+    q("SELECT 'abc' SIMILAR TO 'b' AS s", Seq(false)),   // FULL match
+    q("SELECT 'abc' NOT SIMILAR TO 'xyz' AS s", Seq(true)),
+    q("SELECT 'abc' ~ 'a.c' AS r, 'abc' !~ 'xyz' AS n", Seq(true, true)),
+    q("SELECT 'abc' ~ 'b' AS r", Seq(false)),            // ~ is FULL match
+    q("SELECT 'a.c' GLOB 'a?c' AS g, 'abc' GLOB 'a[bc]c' AS h",
+      Seq(true, true)),
+    q("SELECT 'abc' GLOB 'a*' AS g, 'abc' GLOB 'b*' AS h", Seq(true, false)),
+    q("SELECT 1 IS DISTINCT FROM NULL AS a, " +
+      "NULL IS NOT DISTINCT FROM NULL AS b", Seq(true, true)),
+    q("SELECT IFNULL(NULL, 5) AS a", Seq(5)),
+    q("SELECT 2 ** 10 AS p", Seq(1024.0)),
+    q("SELECT 2 ** 3 ** 2 AS p", Seq(64.0)),   // LEFT-associative (probed)
+    q("SELECT 10 - 2 ** 2 AS p", Seq(6.0)),
+    q("SELECT 5! AS f", Seq(120)),
+    q("SELECT @(-7) AS a", Seq(7)),
+    q("SELECT 1/0 AS d", Seq(null)),    // duckdb: division by zero is NULL
+    q("SELECT 1//0 AS d", Seq(null)),
+    q("SELECT greatest(1, NULL, 3) AS g, least('b', 'a') AS l", Seq(3, "a")),
+    q("SELECT 0.1 + 0.2 = 0.3 AS exact", Seq(true)), // DECIMAL literal math
+    q("SELECT printf('%d-%s', 7, 'x') AS p", Seq("7-x")),
+    q("WITH m AS MATERIALIZED (SELECT 1 AS x) SELECT x FROM m", Seq(1)),
+    q("WITH m AS NOT MATERIALIZED (SELECT 2 AS x) SELECT x FROM m", Seq(2)),
+    q("SELECT [x*2 for x in [1,2,3] if x != 2] AS l", Seq(Seq(2, 6))),
+
     // --- r8 breadth: aggregate-function corners (duckdb-probed; the
     //     fixture mirrors corpus_t, which is created further down) ---
     s("CREATE TABLE corpus_lit (id INTEGER, grp VARCHAR, v INTEGER)"),
