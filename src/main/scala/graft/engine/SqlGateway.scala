@@ -500,7 +500,7 @@ class SqlGateway(val spark: SparkSession) {
   private val AsofJoinStmtRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
      """\s+ASOF\s+(LEFT\s+)?JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
-     """\s+ON\s+(.+?)\s*((?:WHERE|ORDER|LIMIT)\b.*)?$""").r
+     """\s+(?:ON\s+(.+?)|USING\s*\(([^)]+)\))\s*((?:WHERE|ORDER|LIMIT)\b.*)?$""").r
   private val RangeTvfRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+range\s*\(([^)]*)\)\s*$""".r
   private val SeriesTvfRe =
@@ -509,105 +509,186 @@ class SqlGateway(val spark: SparkSession) {
   /** DuckDB's `ASOF [LEFT] JOIN` statement spelling, routed to the
     * engine's first-class [[graft.plans.AsofJoin]] operator (merge-join
     * exec, hash-partitioned by key — the operator q23/x16/x38 already
-    * exercise). Conservative shape: two catalog tables, an ON clause of
-    * exactly one alias-qualified equality plus one `>=`/`<=` inequality
-    * (DuckDB's backward/forward forms), and distinct column names across
-    * the sides so alias-stripped select/tail references are unambiguous.
-    * Anything else declines and refuses downstream — never guessed.
-    * DuckDB semantics preserved: default ASOF JOIN is INNER (unmatched
-    * left rows drop); `ASOF LEFT JOIN` keeps them NULL-padded; strict
-    * `>`/`<` spellings decline (the operator is at-or-before/after). */
+    * exercise). Supported shape: two catalog tables, joined either
+    * `ON` 0..n alias-qualified equalities + exactly one `>=`/`<=`/`>`/`<`
+    * inequality (DuckDB's backward/forward forms, strict via the
+    * operator's exclusive-bound mode) + optional side-local extra
+    * conjuncts, or `USING (c1, …, cn)` where the LAST column is the
+    * backward inequality (DuckDB-probed). Anything else declines and
+    * refuses downstream — never guessed. DuckDB semantics preserved:
+    * default ASOF JOIN is INNER (unmatched left rows drop); `ASOF LEFT
+    * JOIN` keeps them NULL-padded; side-local extra ON conjuncts
+    * pre-filter their side (probed: they restrict the CANDIDATE set
+    * before the nearest-pick, and a left row failing its conjunct drops
+    * even under ASOF LEFT JOIN); multiple equalities join on a composite
+    * struct key; zero equalities (keyless) funnel through a constant key
+    * — a single global merge, which is the semantics. */
   private def asofStatement(sel: String, lTable: String,
       lAliasOpt: Option[String], leftJoin: Boolean, rTable: String,
-      rAliasOpt: Option[String], cond: String,
-      tail: Option[String]): Option[DataFrame] = {
+      rAliasOpt: Option[String], condOpt: Option[String],
+      usingOpt: Option[String], tail: Option[String]): Option[DataFrame] = {
     if (!spark.catalog.tableExists(lTable) ||
         !spark.catalog.tableExists(rTable)) return None
     val lAlias = lAliasOpt.getOrElse(lTable.split('.').last).toLowerCase
     val rAlias = rAliasOpt.getOrElse(rTable.split('.').last).toLowerCase
-    val CmpRe = """(?is)^\s*(\w+)\.(\w+)\s*(>=|<=|>|<)\s*(\w+)\.(\w+)\s*$""".r
-    val EqRe = """(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
-    var eq: Option[(String, String)] = None // (left col, right col)
+    val usingCols: Seq[String] = usingOpt
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq).getOrElse(Nil)
+    if (usingOpt.isDefined && usingCols.exists(!_.matches("""\w+""")))
+      return None
+    var eqs = Vector.empty[(String, String)] // (left col, right col)
     var ts: Option[(String, String, Boolean, Boolean)] = None // (lts, rts, forward, strict)
-    cond.split("""(?i)\bAND\b""").map(_.trim).foreach {
-      case EqRe(a1, c1, a2, c2) =>
-        if (eq.isDefined) return None
-        if (a1.toLowerCase == lAlias && a2.toLowerCase == rAlias)
-          eq = Some((c1, c2))
-        else if (a1.toLowerCase == rAlias && a2.toLowerCase == lAlias)
-          eq = Some((c2, c1))
-        else return None
-      case CmpRe(a1, c1, op, a2, c2) =>
-        // normalize to left-side-first; `flip` marks a right-first spelling
-        val (lc, rc, flip) =
-          if (a1.toLowerCase == lAlias && a2.toLowerCase == rAlias)
-            (c1, c2, false)
-          else if (a1.toLowerCase == rAlias && a2.toLowerCase == lAlias)
-            (c2, c1, true)
-          else return None
-        if (ts.isDefined) return None
-        op match {
-          case ">=" => ts = Some((lc, rc, flip, false)) // l>=r backward; flipped forward
-          case "<=" => ts = Some((lc, rc, !flip, false))
-          case ">" => ts = Some((lc, rc, flip, true)) // strict variants
-          case "<" => ts = Some((lc, rc, !flip, true))
-        }
-      case _ => return None
+    var lPreds = Vector.empty[String] // alias-stripped side-local conjuncts
+    var rPreds = Vector.empty[String]
+    // a side-local conjunct references exactly one side's alias and
+    // nothing bare (a bare shared name is ambiguous; DuckDB errors)
+    val PredKw = Set("and", "or", "not", "null", "true", "false", "is",
+      "in", "between", "like", "ilike", "escape", "exists", "case", "when",
+      "then", "else", "end", "distinct", "interval", "date", "timestamp")
+    def classify(conj: String): Option[(Boolean, String)] = {
+      val masked = conj.replaceAll("'(?:[^']|'')*'", "' '")
+      var side = 0 // 0 = none seen yet, 1 = left, 2 = right
+      for (m <- """[A-Za-z_]\w*(?:\.\w+)?""".r.findAllMatchIn(masked)) {
+        val tok = m.matched.toLowerCase
+        val isFn = masked.drop(m.end).dropWhile(_ == ' ').startsWith("(")
+        if (tok.startsWith(lAlias + ".")) { if (side == 2) return None; side = 1 }
+        else if (tok.startsWith(rAlias + ".")) { if (side == 1) return None; side = 2 }
+        else if (tok.contains(".")) return None // unknown qualifier
+        else if (!isFn && !PredKw(tok)) return None // bare column ref
+      }
+      if (side == 0) None
+      else Some((side == 1,
+        conj.replaceAll(s"(?i)\\b(?:$lAlias|$rAlias)\\.", "")))
     }
-    (eq, ts) match {
-      case (Some((lk, rk)), Some((lts, rts, fwd, strict))) =>
-        val lDf = spark.table(lTable)
-        val rDf = spark.table(rTable)
-        if (lDf.columns.map(_.toLowerCase).toSet
-            .intersect(rDf.columns.map(_.toLowerCase).toSet).nonEmpty)
-          return None
-        // strict inequality over discrete ts types: `r.ts < l.ts` is
-        // exactly `r.ts' <= l.ts` with ts' shifted one unit toward the
-        // left side (+1 backward, −1 forward; microsecond for timestamps,
-        // day for dates) — joined on a hidden shifted column, dropped
-        // after. The visible right ts keeps its original values.
-        val shiftCol = "__graft_strict_ts"
-        val rJoin =
-          if (!strict) rDf
-          else {
-            val dt = rDf.schema.find(_.name.equalsIgnoreCase(rts))
-              .getOrElse(return None).dataType
-            import org.apache.spark.sql.types._
-            val shifted = dt match {
-              case TimestampType =>
-                if (fwd) col(rts) - expr("INTERVAL 1 MICROSECOND")
-                else col(rts) + expr("INTERVAL 1 MICROSECOND")
-              case DateType =>
-                if (fwd) date_sub(col(rts), 1) else date_add(col(rts), 1)
-              // one-unit shift is exact ONLY for discrete (integral) ts
-              // columns; for DOUBLE/FLOAT/DECIMAL `r.ts < l.ts` is NOT
-              // `r.ts+1 <= l.ts` (e.g. 4.5 < 5.0 but 5.5 > 5.0) — decline
-              // so the statement refuses rather than silently dropping rows
-              case ByteType | ShortType | IntegerType | LongType =>
-                if (fwd) col(rts) - lit(1) else col(rts) + lit(1)
-              case _ => return None
+    if (usingOpt.isDefined) {
+      // USING (c1, …, cn): equality on all but the last column, backward
+      // at-or-before inequality on the last (DuckDB-probed order)
+      eqs = usingCols.dropRight(1).map(c => (c, c)).toVector
+      ts = Some((usingCols.last, usingCols.last, false, false))
+    } else {
+      val CmpRe = """(?is)^\s*(\w+)\.(\w+)\s*(>=|<=|>|<)\s*(\w+)\.(\w+)\s*$""".r
+      val EqRe = """(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
+      condOpt.get.split("""(?i)\bAND\b""").map(_.trim).foreach { conj =>
+        conj match {
+          case EqRe(a1, c1, a2, c2)
+              if a1.toLowerCase == lAlias && a2.toLowerCase == rAlias =>
+            eqs :+= ((c1, c2))
+          case EqRe(a1, c1, a2, c2)
+              if a1.toLowerCase == rAlias && a2.toLowerCase == lAlias =>
+            eqs :+= ((c2, c1))
+          case CmpRe(a1, c1, op, a2, c2)
+              if Set(a1.toLowerCase, a2.toLowerCase) == Set(lAlias, rAlias) =>
+            // normalize left-side-first; `flip` marks right-first spelling
+            val flip = a1.toLowerCase == rAlias
+            val (lc, rc) = if (flip) (c2, c1) else (c1, c2)
+            if (ts.isDefined) return None // DuckDB: one inequality only
+            op match {
+              case ">=" => ts = Some((lc, rc, flip, false))
+              case "<=" => ts = Some((lc, rc, !flip, false))
+              case ">" => ts = Some((lc, rc, flip, true))
+              case "<" => ts = Some((lc, rc, !flip, true))
             }
-            rDf.withColumn(shiftCol, shifted)
+          case other => classify(other) match {
+            case Some((true, p)) => lPreds :+= p
+            case Some((false, p)) => rPreds :+= p
+            case None => return None
           }
-        val joined0 = graft.plans.Asof.join(lDf, rJoin, lk, rk, lts,
-          if (strict) shiftCol else rts, forward = fwd)
-        val joined = if (strict) joined0.drop(shiftCol) else joined0
-        // matched rows carry a non-null right key (equality); unmatched
-        // left rows are NULL-padded - filtering them is exactly INNER
-        val shaped = if (leftJoin) joined else joined.filter(col(rk).isNotNull)
-        def strip(s: String): String =
-          s.replaceAll(s"(?i)\\b(?:$lAlias|$rAlias)\\.", "")
-        if (sel.trim == "*" && tail.forall(_.trim.isEmpty)) Some(shaped)
-        else {
-          val v = s"graft_asof_${viewSeq.incrementAndGet()}"
-          shaped.createOrReplaceTempView(v)
-          // duckDialectSql keeps the DuckDB default null ordering etc. on
-          // the projected/ordered shell around the join
-          try Some(duckDialectSql(
-            s"SELECT ${strip(sel)} FROM $v ${tail.map(strip).getOrElse("")}"))
-          finally spark.catalog.dropTempView(v)
         }
-      case _ => None
+      }
+    }
+    if (ts.isEmpty) return None
+    val (lts, rts, fwd, strict) = ts.get
+    try {
+      // side-local extra ON conjuncts pre-filter their side (semantics
+      // probed above); analysis errors decline to a downstream refusal
+      val lDf = lPreds.foldLeft(spark.table(lTable))((d, p) => d.filter(expr(p)))
+      val rDf = rPreds.foldLeft(spark.table(rTable))((d, p) => d.filter(expr(p)))
+      // column names shared by both sides: the right side's copies join
+      // under hidden names; textual references to a shared name must be
+      // alias-qualified (ambiguous bare spellings error in DuckDB too) —
+      // except USING columns, which DuckDB resolves to the left side
+      val overlap = lDf.columns.map(_.toLowerCase).toSet
+        .intersect(rDf.columns.map(_.toLowerCase).toSet)
+      val rename: Map[String, String] =
+        overlap.map(c => c -> s"__graft_r_$c").toMap
+      val ambiguous = overlap -- usingCols.toSet
+      if (ambiguous.nonEmpty) {
+        if (sel.trim == "*") return None
+        val refs = sel + " " + tail.getOrElse("")
+        if (ambiguous.exists(c =>
+            s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(c)}\\b"
+              .r.findFirstIn(refs).isDefined)) return None
+      }
+      val rJoin0 = rename.foldLeft(rDf) { case (df, (o, n)) =>
+        df.withColumnRenamed(o, n) }
+      val rtsJ = rename.getOrElse(rts.toLowerCase, rts)
+      val hiddenL = "__graft_lkey"; val hiddenR = "__graft_rkey"
+      // composite key: uniform field names so both sides' struct types
+      // align; nulled out when any field is NULL (NULL never matches)
+      def keyStruct(df: DataFrame,
+          cols: Seq[String]): org.apache.spark.sql.Column = {
+        val anyNull = cols.map(df(_).isNull).reduce(_ || _)
+        when(!anyNull, struct(cols.zipWithIndex.map {
+          case (c, i) => df(c).as(s"k$i") }: _*))
+      }
+      val (lJoin, rJoin, lkName, rkName, hidden) = eqs match {
+        case Vector((lk0, rk0)) =>
+          (lDf, rJoin0, lk0, rename.getOrElse(rk0.toLowerCase, rk0),
+            Seq.empty[String])
+        case Vector() =>
+          (lDf.withColumn(hiddenL, lit(0L)),
+           rJoin0.withColumn(hiddenR, lit(0L)),
+           hiddenL, hiddenR, Seq(hiddenL, hiddenR))
+        case many =>
+          (lDf.withColumn(hiddenL, keyStruct(lDf, many.map(_._1))),
+           rJoin0.withColumn(hiddenR, keyStruct(rJoin0, many.map {
+             case (_, rc) => rename.getOrElse(rc.toLowerCase, rc) })),
+           hiddenL, hiddenR, Seq(hiddenL, hiddenR))
+      }
+      // strict (`>`/`<`) inequalities are first-class in the operator
+      // (exclusive bound via the ts type's own ordering — exact for
+      // integral, timestamp AND fractional ts columns); an unsupported
+      // column type throws in Asof.join → decline to refuse downstream
+      val joined = graft.plans.Asof.join(lJoin, rJoin,
+        lkName, rkName, lts, rtsJ, forward = fwd, strict = strict)
+      // a matched row always carries a non-null right ts (null-ts right
+      // rows are unmatchable); unmatched left rows are NULL-padded —
+      // filtering on it is exactly INNER
+      val shaped0 = if (leftJoin) joined else joined.filter(col(rtsJ).isNotNull)
+      val shaped1 = hidden.foldLeft(shaped0)(_ drop _)
+      // `SELECT *` after USING dedups the join columns (left's survive)
+      val starUsing = usingOpt.isDefined && sel.trim == "*"
+      val shaped = if (starUsing)
+        usingCols.foldLeft(shaped1)((d, c) => d.drop(rename.getOrElse(c, c)))
+        else shaped1
+      if (starUsing && tail.exists(t => usingCols.exists(c =>
+          s"(?i)\\b$rAlias\\.$c\\b".r.findFirstIn(t).isDefined)))
+        return None // right USING copy already dropped; decline, not guess
+      def strip(s: String): String = {
+        var o = s
+        rename.foreach { case (c, n) =>
+          o = o.replaceAll(s"(?i)\\b$rAlias\\.$c\\b", n) }
+        o.replaceAll(s"(?i)\\b(?:$lAlias|$rAlias)\\.", "")
+      }
+      if (sel.trim == "*" && tail.forall(_.trim.isEmpty)) Some(shaped)
+      else {
+        val v = s"graft_asof_${viewSeq.incrementAndGet()}"
+        shaped.createOrReplaceTempView(v)
+        // duckDialectSql keeps the DuckDB default null ordering etc. on
+        // the projected/ordered shell around the join
+        try {
+          var res = duckDialectSql(
+            s"SELECT ${strip(sel)} FROM $v ${tail.map(strip).getOrElse("")}")
+          // a bare `q.col` projection (no AS) would leak the hidden name
+          rename.foreach { case (c, n) =>
+            if (res.columns.exists(_.equalsIgnoreCase(n)) &&
+                !res.columns.exists(_.equalsIgnoreCase(c)))
+              res = res.withColumnRenamed(n, c) }
+          Some(res)
+        } finally spark.catalog.dropTempView(v)
+      }
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: org.apache.spark.sql.AnalysisException => None
     }
   }
 
@@ -640,9 +721,11 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
     sql match {
-      case AsofJoinStmtRe(sel, lTable, lAlias, leftKw, rTable, rAlias, cond, tail) =>
+      case AsofJoinStmtRe(sel, lTable, lAlias, leftKw, rTable, rAlias,
+          cond, usingCols, tail) =>
         asofStatement(sel, lTable, Option(lAlias), leftKw != null,
-          rTable, Option(rAlias), cond, Option(tail))
+          rTable, Option(rAlias), Option(cond), Option(usingCols),
+          Option(tail))
       case ExcludeRe(parenCols, bareCol, from) =>
         val cols = Option(parenCols).map(splitTopLevel(_).map(_.trim))
           .getOrElse(Seq(bareCol))

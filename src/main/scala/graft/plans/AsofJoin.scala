@@ -17,8 +17,8 @@ import org.apache.spark.sql.graft.ColumnShim
   * Semantics (= DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >=
   * r.ts`, or `l.ts <= r.ts` for the forward direction): for every left
   * row, attach the right row with the same key and
-  *  - backward: the greatest right ts <= left ts;
-  *  - forward:  the least   right ts >= left ts;
+  *  - backward: the greatest right ts <= left ts (ts <  left ts if strict);
+  *  - forward:  the least   right ts >= left ts (ts >  left ts if strict);
   * nulls when none exists. An optional tolerance bounds the match
   * distance (|left ts - right ts| <= tolerance, in the column's internal
   * long unit — micros for timestamps); a nearest match outside the bound
@@ -33,14 +33,18 @@ import org.apache.spark.sql.graft.ColumnShim
   * lefts). Cost profile is exactly a sort-merge join: one shuffle per
   * side, no buffering of groups — this is the 100 TB-correct plan.
   *
-  * Keys are compared as Long, timestamps as their internal long (micros) —
-  * covering integral and timestamp key/ts types (cast in the API).
+  * Keys are compared as Long (integral, cast in the API); ts columns are
+  * compared with the Catalyst interpreted ordering of their type —
+  * timestamps as internal long micros, and DOUBLE/FLOAT/DECIMAL ts
+  * columns natively, which is what makes strict (`>`/`<`) inequalities
+  * exact for fractional ts (no one-unit-shift approximation).
   */
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    forward: Boolean = false, tolerance: Option[Long] = None) extends BinaryNode {
+    forward: Boolean = false, tolerance: Option[Long] = None,
+    strict: Boolean = false) extends BinaryNode {
   // right side is nullable in the output (left outer semantics)
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,7 +56,8 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    forward: Boolean, tolerance: Option[Long]) extends BinaryExecNode {
+    forward: Boolean, tolerance: Option[Long],
+    strict: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -75,7 +80,16 @@ case class AsofJoinExec(
     val rightWidth = right.output.size
     val outAttrs = output
     val fwd = forward
-    val tol = tolerance.getOrElse(-1L) // -1 = unbounded
+    val isStrict = strict
+    val tol = tolerance.getOrElse(-1L) // -1 = unbounded; long-backed ts only
+    // keys and ts values compare through the Catalyst ordering of their
+    // type — long-backed (integral/timestamp), fractional (double/
+    // decimal), and struct (composite keys) all included
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -83,20 +97,19 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
 
-      var matchKey = 0L
+      var matchKey: Any = null
       var haveMatch = false
       var lastMatch: InternalRow = null
-      var lastMatchTs = 0L
+      var lastMatchTs: Any = null
+      def asLong(a: Any): Long = a.asInstanceOf[java.lang.Long].longValue()
 
       lIter.map { lRow =>
-        val lkBoxed = lKeyB.eval(lRow).asInstanceOf[java.lang.Long]
-        val ltBoxed = lTsB.eval(lRow).asInstanceOf[java.lang.Long]
-        if (lkBoxed == null || ltBoxed == null) {
+        val lk = lKeyB.eval(lRow)
+        val lt = lTsB.eval(lRow)
+        if (lk == null || lt == null) {
           // SQL join semantics: NULL never equals anything → no match
           proj(joined(lRow, nullRight))
         } else {
-          val lk = lkBoxed.longValue()
-          val lt = ltBoxed.longValue()
           // advance the right cursor through every row no longer usable by
           // this (or, since lefts arrive in ascending (key, ts) order, any
           // later) left row. Backward additionally CONSUMES its candidate
@@ -106,35 +119,44 @@ case class AsofJoinExec(
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
-            val rkBoxed = rKeyB.eval(head).asInstanceOf[java.lang.Long]
-            val rtBoxed = if (rkBoxed == null) null
-              else rTsB.eval(head).asInstanceOf[java.lang.Long]
-            if (rkBoxed == null || rtBoxed == null) { rBuf.next() } // unmatchable
-            else if (rkBoxed.longValue() < lk) { rBuf.next() } // done for good
-            else if (rkBoxed.longValue() == lk &&
-                (if (fwd) rtBoxed.longValue() < lt else rtBoxed.longValue() <= lt)) {
-              if (fwd) { rBuf.next() } // strictly before this left: dead
-              else {
-                lastMatch = rBuf.next().copy()
-                matchKey = rkBoxed.longValue()
-                lastMatchTs = rtBoxed.longValue()
-                haveMatch = true
-              }
-            } else advancing = false
+            val rk = rKeyB.eval(head)
+            val rt = if (rk == null) null else rTsB.eval(head)
+            if (rk == null || rt == null) { rBuf.next() } // unmatchable
+            else {
+              // a struct key evaluated off a buffered row is only a view —
+              // copy the key when remembering it past rBuf.next()
+              val kCmp = keyOrd.compare(rk, lk)
+              if (kCmp < 0) { rBuf.next() } // done for good
+              else if (kCmp == 0 && {
+                  val c = tsOrd.compare(rt, lt)
+                  // fwd: kill rows that can never be an at-or-after
+                  // (strict: after) match; bwd: consume rows that ARE one
+                  if (fwd) { if (isStrict) c <= 0 else c < 0 }
+                  else { if (isStrict) c < 0 else c <= 0 } }) {
+                if (fwd) { rBuf.next() } // behind every later left too: dead
+                else {
+                  lastMatch = rBuf.next().copy()
+                  matchKey = rKeyB.eval(lastMatch)
+                  lastMatchTs = rTsB.eval(lastMatch)
+                  haveMatch = true
+                }
+              } else advancing = false
+            }
           }
           val r =
             if (fwd) {
               // candidate = cursor head, iff same key and within tolerance
               if (rBuf.hasNext) {
                 val head = rBuf.head
-                val rkBoxed = rKeyB.eval(head).asInstanceOf[java.lang.Long]
-                if (rkBoxed != null && rkBoxed.longValue() == lk) {
-                  val rt = rTsB.eval(head).asInstanceOf[java.lang.Long].longValue()
-                  if (tol < 0 || rt - lt <= tol) head else nullRight
+                val rk = rKeyB.eval(head)
+                if (rk != null && keyOrd.compare(rk, lk) == 0) {
+                  val rt = rTsB.eval(head)
+                  if (tol < 0 || asLong(rt) - asLong(lt) <= tol) head
+                  else nullRight
                 } else nullRight
               } else nullRight
-            } else if (haveMatch && matchKey == lk &&
-                (tol < 0 || lt - lastMatchTs <= tol)) lastMatch
+            } else if (haveMatch && keyOrd.compare(matchKey, lk) == 0 &&
+                (tol < 0 || asLong(lt) - asLong(lastMatchTs) <= tol)) lastMatch
             else nullRight
           proj(joined(lRow, r))
         }
@@ -149,8 +171,9 @@ case class AsofJoinExec(
 
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol, strict) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol,
+        strict) :: Nil
     case _ => Nil
   }
 }
@@ -158,40 +181,66 @@ object AsofStrategy extends SparkStrategy {
 object Asof {
   /** DataFrame API: ASOF LEFT JOIN `left` to `right` on equal `key` with
     * the nearest `right.ts` at-or-before `left.ts` (default backward) or
-    * at-or-after (`forward = true`), optionally bounded by `tolerance`
-    * (in the ts column's internal long unit — MICROSECONDS for timestamp
-    * columns, plain units for integral columns). Key columns must be
-    * integral, ts columns timestamp/integral; referenced by name against
-    * each side. Registers the planner strategy on first use (idempotent). */
+    * at-or-after (`forward = true`); `strict = true` makes the bound
+    * exclusive (strictly-before / strictly-after — DuckDB's `>`/`<`
+    * spellings). Optionally bounded by `tolerance` (in the ts column's
+    * internal long unit — MICROSECONDS for timestamp columns, plain units
+    * for integral columns; long-backed ts only). Key columns must be
+    * integral; ts columns timestamp/integral/date or fractional
+    * (double/float/decimal — both sides the same fractional type);
+    * referenced by name against each side. Registers the planner strategy
+    * on first use (idempotent). */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      forward: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+      forward: Boolean = false, tolerance: Option[Long] = None,
+      strict: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofStrategy
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
-    def resolve(name: String, plan: LogicalPlan): Expression = {
+    import org.apache.spark.sql.types._
+    def resolve(name: String, plan: LogicalPlan, tsCol: Boolean): Expression = {
       val attr = plan.output.find(_.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
       attr.dataType match {
         // timestamps are long micros internally; widen other integrals so
         // the exec's long comparisons are type-safe for INT/SHORT keys
-        case org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.TimestampType => attr
-        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DateType =>
-          org.apache.spark.sql.catalyst.expressions.Cast(attr,
-            org.apache.spark.sql.types.LongType)
+        case LongType | _: TimestampType => attr
+        case IntegerType | ShortType | ByteType | DateType =>
+          org.apache.spark.sql.catalyst.expressions.Cast(attr, LongType)
+        // fractional ts compare through the type's interpreted ordering
+        case DoubleType | FloatType | _: DecimalType if tsCol => attr
+        // composite (struct) keys — fields must be identically typed on
+        // both sides; the caller nulls the struct out when any field is
+        // NULL so SQL's NULL-never-matches equality holds
+        case s: StructType if !tsCol && s.fields.forall(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)) => attr
         case other => throw new IllegalArgumentException(
-          s"ASOF key/ts column $name must be integral or timestamp, got $other")
+          s"ASOF ${if (tsCol) "ts" else "key"} column $name has " +
+            s"unsupported type $other")
       }
     }
     require(tolerance.forall(_ >= 0), "ASOF tolerance must be >= 0")
-    val node = AsofJoin(lPlan, rPlan,
-      resolve(leftKey, lPlan), resolve(rightKey, rPlan),
-      resolve(leftTs, lPlan), resolve(rightTs, rPlan), forward, tolerance)
+    val ltE = resolve(leftTs, lPlan, tsCol = true)
+    val rtE = resolve(rightTs, rPlan, tsCol = true)
+    val lkE = resolve(leftKey, lPlan, tsCol = false)
+    val rkE = resolve(rightKey, rPlan, tsCol = false)
+    def longBacked(dt: DataType): Boolean =
+      dt == LongType || dt.isInstanceOf[TimestampType]
+    def comparable(a: DataType, b: DataType): Boolean =
+      (longBacked(a) && longBacked(b)) || a == b
+    require(comparable(ltE.dataType, rtE.dataType),
+      s"ASOF ts types must be comparable: ${ltE.dataType} vs ${rtE.dataType}")
+    require(comparable(lkE.dataType, rkE.dataType),
+      s"ASOF key types must be comparable: ${lkE.dataType} vs ${rkE.dataType}")
+    require(tolerance.isEmpty || longBacked(ltE.dataType),
+      "ASOF tolerance requires an integral/timestamp ts column")
+    val node = AsofJoin(lPlan, rPlan, lkE, rkE, ltE, rtE,
+      forward, tolerance, strict)
     ColumnShim.ofRows(spark, node)
   }
 }

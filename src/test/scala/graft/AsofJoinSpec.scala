@@ -140,4 +140,40 @@ class AsofJoinSpec extends SparkTestBase {
     val out = Asof.join(a, b, "k", "k2", "ts", "ts2").collect()
     assert(out.length == 2 && out.forall(_.isNullAt(2)))
   }
+
+  test("strict bound excludes equal ts — both directions, long ts") {
+    val a = Seq((1L, 10L), (1L, 20L)).toDF("k", "ts")
+    val b = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 20L, 3.0))
+      .toDF("k2", "ts2", "v")
+    def got(fwd: Boolean) = Asof.join(a, b, "k", "k2", "ts", "ts2",
+        forward = fwd, strict = true)
+      .orderBy($"ts").select($"v").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // backward strict: ts=10 has no right < 10; ts=20 picks 15 (not 20)
+    assert(got(fwd = false) == Seq(None, Some(2.0)))
+    // forward strict: ts=10 picks 15 (not 10); ts=20 has no right > 20
+    assert(got(fwd = true) == Seq(Some(2.0), None))
+  }
+
+  test("fractional (double) ts: strict semantics are exact, no shift") {
+    val a = Seq((1L, 5.0, 10), (1L, 6.5, 20)).toDF("k", "fts", "lv")
+    val b = Seq((1L, 4.5, 7), (1L, 6.5, 9)).toDF("k2", "rts", "p")
+    val out = Asof.join(a, b, "k", "k2", "fts", "rts", strict = true)
+      .orderBy($"lv").select($"p").collect().map(_.getInt(0)).toSeq
+    // DuckDB-probed: 4.5 < 5.0 matches; for lv=20 the 6.5 tie is excluded
+    // so 4.5 wins again — the one-unit-shift approximation got this wrong
+    assert(out == Seq(7, 7))
+    // non-strict: the 6.5 tie is admitted for lv=20
+    val ns = Asof.join(a, b, "k", "k2", "fts", "rts")
+      .orderBy($"lv").select($"p").collect().map(_.getInt(0)).toSeq
+    assert(ns == Seq(7, 9))
+  }
+
+  test("tolerance over fractional ts is rejected loudly") {
+    val a = Seq((1L, 5.0)).toDF("k", "fts")
+    val b = Seq((1L, 4.5, 7)).toDF("k2", "rts", "p")
+    intercept[IllegalArgumentException] {
+      Asof.join(a, b, "k", "k2", "fts", "rts", tolerance = Some(1L))
+    }
+  }
 }

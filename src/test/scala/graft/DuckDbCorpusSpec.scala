@@ -698,10 +698,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT t.qty AS qty, q.px AS px FROM trades t ASOF JOIN quotes q " +
       "ON t.tk = q.qk AND t.tts < q.qts ORDER BY qty", // forward strict
       Seq(100, 55), Seq(300, 75)),
-    // strict over a FRACTIONAL ts column: the one-unit shift is NOT exact
-    // there (4.5 < 5.0 but 5.5 > 5.0) — the gateway must refuse rather
-    // than silently drop rows (r8; pinned with DuckDB's true rows so an
-    // accept is only counted when exact)
+    // strict over a FRACTIONAL ts column (4.5 < 5.0 but ties at 6.5 must
+    // drop): exercised through the operator's native exclusive-bound mode
+    // (r8; pinned with DuckDB's true rows so an accept only counts exact)
     s("CREATE TABLE ftr(k INTEGER, fts DOUBLE, v INTEGER)"),
     s("INSERT INTO ftr VALUES (1, 5.0, 10), (1, 6.5, 20)"),
     s("CREATE TABLE fqu(k INTEGER, fts DOUBLE, p INTEGER)"),
@@ -709,6 +708,49 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT t.v AS v, q.p AS p FROM ftr t ASOF JOIN fqu q " +
       "ON t.k = q.k AND t.fts > q.fts ORDER BY v",
       Seq(10, 7), Seq(20, 7)),
+    // r8: richer ASOF statement shapes, each DuckDB-probed.
+    // Side-local extra ON conjuncts pre-filter their side — and a left
+    // row failing its conjunct drops even under ASOF LEFT JOIN (probed)
+    s("CREATE TABLE asof_l (k INTEGER, ts INTEGER, v INTEGER)"),
+    s("INSERT INTO asof_l VALUES (1, 20, 200), (1, 25, 40)"),
+    s("CREATE TABLE asof_r (k INTEGER, ts INTEGER, p INTEGER)"),
+    s("INSERT INTO asof_r VALUES (1, 10, 7), (1, 22, 9)"),
+    q("SELECT t.v AS v, q.p AS p FROM asof_l t ASOF LEFT JOIN asof_r q " +
+      "ON t.k = q.k AND t.ts >= q.ts AND q.p > 8 ORDER BY v",
+      Seq(40, 9), Seq(200, null)),
+    q("SELECT t.v AS v, q.p AS p FROM asof_l t ASOF LEFT JOIN asof_r q " +
+      "ON t.k = q.k AND t.ts >= q.ts AND t.v > 100 ORDER BY v",
+      Seq(200, 7)),
+    // the candidate set is filtered BEFORE the nearest-pick (probed:
+    // nearest overall is ts=22/p=9, but p<9 restricts to ts=10/p=7)
+    q("SELECT t.v AS v, q.p AS p FROM asof_l t ASOF JOIN asof_r q " +
+      "ON t.k = q.k AND t.ts >= q.ts AND q.p < 9 ORDER BY v",
+      Seq(40, 7), Seq(200, 7)),
+    // multiple equalities = composite key; NULL in any key never matches
+    s("CREATE TABLE asof_m1 (x INTEGER, y INTEGER, ts INTEGER, v INTEGER)"),
+    s("INSERT INTO asof_m1 VALUES (1,2,20,5), (1,3,20,6), (1,NULL,20,99)"),
+    s("CREATE TABLE asof_m2 (x INTEGER, y INTEGER, ts INTEGER, p INTEGER)"),
+    s("INSERT INTO asof_m2 VALUES (1,2,10,77), (1,3,15,88), (1,NULL,10,55)"),
+    q("SELECT a.v AS v, b.p AS p FROM asof_m1 a ASOF JOIN asof_m2 b " +
+      "ON a.x = b.x AND a.y = b.y AND a.ts >= b.ts ORDER BY v",
+      Seq(5, 77), Seq(6, 88)),
+    // USING: the LAST column is the backward inequality (probed); bare
+    // references to USING columns resolve to the left side
+    q("SELECT k, t.v AS v, q.p AS p FROM asof_l t ASOF LEFT JOIN asof_r q " +
+      "USING (k, ts) ORDER BY v",
+      Seq(1, 40, 9), Seq(1, 200, 7)),
+    q("SELECT * FROM asof_l ASOF JOIN asof_r USING (k, ts)",
+      Seq(1, 20, 200, 7), Seq(1, 25, 40, 9)),
+    // single-column USING = keyless ASOF (one global merge)
+    s("CREATE TABLE asof_s1 (ts INTEGER, v INTEGER)"),
+    s("INSERT INTO asof_s1 VALUES (20, 1)"),
+    s("CREATE TABLE asof_s2 (ts INTEGER, p INTEGER)"),
+    s("INSERT INTO asof_s2 VALUES (5, 6), (15, 7)"),
+    q("SELECT * FROM asof_s1 ASOF JOIN asof_s2 USING (ts)",
+      Seq(20, 1, 7)),
+    // three-column USING: two equalities + inequality on the last
+    q("SELECT a.v AS v, b.p AS p FROM asof_m1 a ASOF JOIN asof_m2 b " +
+      "USING (x, y, ts) ORDER BY v", Seq(5, 77), Seq(6, 88)),
 
     // --- joins / subqueries ---
     q("SELECT a.id AS i FROM corpus_t a JOIN corpus_t b USING (id) WHERE a.id = 1", Seq(1)),
