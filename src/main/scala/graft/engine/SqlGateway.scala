@@ -39,6 +39,11 @@ import scala.collection.concurrent.TrieMap
 class SqlGateway(val spark: SparkSession) {
   private val writeLock = new Object
 
+  // DuckDB map semantics: a duplicate key keeps the LAST value (probed:
+  // map_concat(MAP{'a':1}, MAP{'a':9}) → {'a':9}); Spark's default
+  // policy throws instead
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
   // DuckDB-exact regexp_replace (first-match default, RE2 rewrite syntax,
   // option letters — graft.functions.DuckRegexpReplace scaladoc): every
   // DuckDB-dialect regexp_replace call is rewritten to this name, so the
@@ -83,6 +88,50 @@ class SqlGateway(val spark: SparkSession) {
     two("lcm")(DuckLcm(_, _))
     two("greatest_common_divisor")(DuckGcd(_, _))
     two("least_common_multiple")(DuckLcm(_, _))
+    // text/path/bytes/time scalars with no Spark builtin (DuckPathText
+    // scaladoc — every corner probed against DuckDB 1.0)
+    def lit(s: String) =
+      org.apache.spark.sql.catalyst.expressions.Literal(s)
+    def one(name: String)(mk: Expression => Expression): Unit =
+      org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, name, {
+        case Seq(a) => mk(a)
+        case args => throw new IllegalArgumentException(
+          s"$name takes 1 argument, got ${args.length}")
+      })
+    one("strip_accents")(StripAccents(_))
+    one("nfc_normalize")(NfcNormalize(_))
+    one("format_bytes")(FormatBytes(_))
+    one("formatreadabledecimalsize")(FormatBytes(_))
+    def pathFn(name: String)(mk: (Expression, Expression) => Expression): Unit =
+      org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, name, {
+        case Seq(a) => mk(a, lit("both_slash"))
+        case Seq(a, s) => mk(a, s)
+        case args => throw new IllegalArgumentException(
+          s"$name takes 1-2 arguments, got ${args.length}")
+      })
+    pathFn("parse_path")(ParsePath(_, _))
+    pathFn("parse_dirname")(ParseDirname(_, _))
+    pathFn("parse_dirpath")(ParseDirpath(_, _))
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+      "parse_filename", {
+        case Seq(a) => ParseFilename(a, org.apache.spark.sql.catalyst
+          .expressions.Literal(false), lit("both_slash"))
+        // 2-arg second operand: boolean = trim_extension, string = the
+        // separator option (both probed DuckDB spellings)
+        case Seq(a, t) if scala.util.Try(t.dataType ==
+            org.apache.spark.sql.types.StringType).getOrElse(false) =>
+          ParseFilename(a,
+            org.apache.spark.sql.catalyst.expressions.Literal(false), t)
+        case Seq(a, t) => ParseFilename(a, t, lit("both_slash"))
+        case Seq(a, t, s) => ParseFilename(a, t, s)
+        case args => throw new IllegalArgumentException(
+          s"parse_filename takes 1-3 arguments, got ${args.length}")
+      })
+    two("time_bucket")(DuckTimeBucket(_, _))
+    one("typeof")(DuckTypeof(_))
+    // DuckDB's product aggregate (ProductAggregator scaladoc)
+    spark.udf.register("graft_product",
+      org.apache.spark.sql.functions.udaf(new ProductAggregator))
   }
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
@@ -694,6 +743,60 @@ class SqlGateway(val spark: SparkSession) {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  private val ColumnsAnyRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
+     """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
+
+  /** Expand every COLUMNS(...) in a select list against `table`'s
+    * schema; None declines (e.g. two COLUMNS in one item). */
+  private def expandColumnsSel(sel: String, table: String): Option[String] = {
+    val cols = spark.table(table).columns.toSeq
+    val ColsTok = """(?i)\bCOLUMNS\s*\(""".r
+    val expanded = splitTopLevel(sel).map(_.trim).map { item =>
+      ColsTok.findFirstMatchIn(item) match {
+        case None => Seq(item)
+        case Some(m) =>
+          var i = m.end; var depth = 1; var inStr = false
+          while (i < item.length && depth > 0) {
+            val ch = item.charAt(i)
+            if (inStr) { if (ch == '\'') inStr = false }
+            else if (ch == '\'') inStr = true
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            i += 1
+          }
+          if (depth != 0) return None
+          if (ColsTok.findFirstMatchIn(item.substring(i)).isDefined)
+            return None // two COLUMNS in one item: not attempted
+          val arg = item.substring(m.end, i - 1).trim
+          val matched: Seq[String] =
+            if (arg == "*") cols
+            else if (arg.length >= 2 && arg.startsWith("'") &&
+                arg.endsWith("'")) {
+              val re = arg.substring(1, arg.length - 1).r
+              cols.filter(c => re.findFirstIn(c).isDefined)
+            } else {
+              val Lam = """(?s)^([A-Za-z_]\w*)\s*->\s*(.+)$""".r
+              arg match {
+                case Lam(v, body) =>
+                  val values = cols.map(c =>
+                    s"('${c.replace("'", "''")}')").mkString(", ")
+                  spark.sql(s"SELECT $v FROM (VALUES $values) " +
+                      s"AS graft_cols($v) WHERE $body")
+                    .collect().map(_.getString(0)).toSeq
+                case _ => return None
+              }
+            }
+          if (matched.isEmpty) throw new IllegalArgumentException(
+            s"COLUMNS(...) matched no columns of $table")
+          val head = item.substring(0, m.start)
+          val rest = item.substring(i)
+          matched.map(c => s"$head`$c`$rest AS `$c`")
+      }
+    }
+    Some(expanded.flatten.mkString(", "))
+  }
+
   private def dialectQuery(sql: String): Option[DataFrame] = {
     // UNION [ALL] BY NAME: split at the top level, each side re-enters
     // queryDf; missing columns NULL-fill exactly like DuckDB
@@ -774,6 +877,17 @@ class SqlGateway(val spark: SparkSession) {
         if (cols.isEmpty) throw new IllegalArgumentException(
           s"COLUMNS('$pattern') matched no columns of $table")
         Some(df.select(cols.map(c => col(s"`$c`")).toSeq: _*))
+      // general COLUMNS expansion: COLUMNS(*) / COLUMNS('re') /
+      // COLUMNS(c -> predicate-on-the-name), possibly wrapped in an
+      // aggregate (`min(COLUMNS(*))`) — each matched column becomes its
+      // own select item named after the column (probed: DuckDB keeps the
+      // bare column names). Lambda predicates evaluate over the column-
+      // name list itself, so any string expression DuckDB admits works.
+      case ColumnsAnyRe(sel, table, tailPart)
+          if """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(sel).isDefined &&
+            spark.catalog.tableExists(table) =>
+        expandColumnsSel(sel, table).map(expanded =>
+          runSql(s"SELECT $expanded FROM $table $tailPart"))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
       case RangeTvfRe(args) =>
@@ -1238,6 +1352,11 @@ class SqlGateway(val spark: SparkSession) {
     "list_reverse" -> "reverse",       // both NULL-in NULL-out (r8)
     "array_reverse" -> "reverse",
     "to_hex" -> "hex",                 // both uppercase, no 0x prefix
+    "prefix" -> "startswith",          // r8 breadth (probed)
+    "suffix" -> "endswith",
+    "row" -> "struct",                 // both build an anonymous struct
+    "to_base64" -> "base64",           // blob → base64 text
+    "from_base64" -> "unbase64",       // base64 text → blob
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -1460,6 +1579,18 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"split(${a(0)}, '$esc')")
         } else None
       })
+    // list_<agg> shorthands spell as list_aggregate(l, '<agg>') — this
+    // runs BEFORE the list_aggregate fix below, which then expands them
+    locally {
+      val shorthands = Seq("list_sum" -> "sum", "list_avg" -> "avg",
+        "list_median" -> "median", "list_mode" -> "mode",
+        "list_product" -> "product", "list_first" -> "first",
+        "list_last" -> "last", "list_histogram" -> "histogram",
+        "list_count" -> "count")
+      for ((fn, agg) <- shorthands if out.toLowerCase.contains(fn))
+        out = fix(out, fn, 1, a =>
+          Some(s"list_aggregate(${a(0)}, '$agg')"))
+    }
     // list_aggregate(l, 'name') — the common aggregate names with exact
     // spellings (sum over a BIGINT accumulator: integer lists are exact,
     // a non-integer list fails lambda type-check loudly); unknown names
@@ -1482,12 +1613,12 @@ class SqlGateway(val spark: SparkSession) {
             s"(aggregate($nn, CAST(0 AS BIGINT), (acc, x) -> acc + x)" +
               s" / size($nn))")
           case "'count'" => Some(s"size(filter(${a(0)}, x -> x IS NOT NULL))")
-          case "'first'" => Some(s"element_at(${a(0)}, 1)")
-          case "'last'" => Some(s"element_at(${a(0)}, -1)")
+          case "'first'" => Some(s"try_element_at(${a(0)}, 1)")
+          case "'last'" => Some(s"try_element_at(${a(0)}, -1)")
           case "'product'" => guarded( // duckdb: DOUBLE product
             s"aggregate($nn, CAST(1 AS DOUBLE), (acc, x) -> acc * x)")
           case "'mode'" => Some( // max count, ties broken by FIRST occurrence
-            s"element_at(array_sort(transform(array_distinct(" +
+            s"try_element_at(array_sort(transform(array_distinct(" +
               s"filter(${a(0)}, x -> x IS NOT NULL)), " +
               s"v -> struct(-size(filter(${a(0)}, x -> x = v)) AS c, " +
               s"array_position(${a(0)}, v) AS p, v AS v))), 1).v")
@@ -1497,8 +1628,8 @@ class SqlGateway(val spark: SparkSession) {
               s"v -> struct(v, size(filter(${a(0)}, x -> x = v)))))")
           case "'median'" => guarded( // sorted middle pair of the non-null
             // sublist, interpolated (duckdb: DOUBLE; NULLs ignored — probed)
-            s"((element_at(sort_array($nn), CAST((size($nn) + 1) div 2 AS INT)) + " +
-              s"element_at(sort_array($nn), CAST((size($nn) + 2) div 2 AS INT))) / 2)")
+            s"((try_element_at(sort_array($nn), CAST((size($nn) + 1) div 2 AS INT)) + " +
+              s"try_element_at(sort_array($nn), CAST((size($nn) + 2) div 2 AS INT))) / 2)")
           case _ => None
         }})
     // list_reduce(l, (a,b) -> …): first element is the seed, the lambda
@@ -1509,7 +1640,7 @@ class SqlGateway(val spark: SparkSession) {
         a(1).trim match {
           case Lam(x, y, body) => Some(
             s"aggregate(slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0)), " +
-              s"element_at(${a(0)}, 1), ($x, $y) -> $body)")
+              s"try_element_at(${a(0)}, 1), ($x, $y) -> $body)")
           case _ => None
         }
       })
@@ -1596,6 +1727,269 @@ class SqlGateway(val spark: SparkSession) {
       out = fix(out, fn, 2, a => Some(s"$fn(${a(1)}, ${a(0)})"))
     if (out.toLowerCase.contains("trim"))
       out = fix(out, "trim", 2, a => Some(s"trim(BOTH ${a(1)} FROM ${a(0)})"))
+    // --- r8 function breadth (each corner probed against DuckDB 1.0) ---
+    // map_extract/element_at return a LIST in DuckDB: [value] when the
+    // key exists (even [NULL] for a NULL-valued key), [] when the key is
+    // absent or the map/key is NULL — membership via map_keys, never
+    // try_element_at alone (it conflates missing with NULL-valued).
+    // Runs BEFORE the rewrites below that themselves emit element_at
+    // text (fix never rescans its own output).
+    for (fn <- Seq("map_extract", "element_at")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => Some(
+        s"(CASE WHEN array_contains(map_keys(${a(0)}), ${a(1)}) " +
+          s"THEN array(try_element_at(${a(0)}, ${a(1)})) " +
+          s"ELSE array() END)"))
+    if (out.toLowerCase.contains("sha256"))
+      out = fix(out, "sha256", 1, a => Some(s"sha2(${a(0)}, 256)"))
+    // signbit is x < 0 in DuckDB (probed: -0.0 → false, '-inf' → true)
+    if (out.toLowerCase.contains("signbit"))
+      out = fix(out, "signbit", 1, a => Some(s"((${a(0)}) < 0)"))
+    // even: round away from zero to the next even DOUBLE (probed:
+    // even(0.1)=2, even(-0.1)=-2, even(2.0)=2, even(3)=4, even(0)=0)
+    if (out.toLowerCase.contains("even"))
+      out = fix(out, "even", 1, a => Some(
+        s"CAST(CASE WHEN (${a(0)}) >= 0 THEN ceil((${a(0)}) / 2.0) * 2 " +
+          s"ELSE 0 - ceil((0 - (${a(0)})) / 2.0) * 2 END AS DOUBLE)"))
+    if (out.toLowerCase.contains("isfinite"))
+      out = fix(out, "isfinite", 1, a => Some(
+        s"(NOT isnan(CAST(${a(0)} AS DOUBLE)) AND " +
+          s"abs(CAST(${a(0)} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))"))
+    if (out.toLowerCase.contains("isinf"))
+      out = fix(out, "isinf", 1, a => Some(
+        s"(abs(CAST(${a(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"))
+    if (out.toLowerCase.contains("xor"))
+      out = fix(out, "xor", 2, a => Some(s"((${a(0)}) ^ (${a(1)}))"))
+    // struct_extract with a literal field name → dot access
+    if (out.toLowerCase.contains("struct_extract"))
+      out = fix(out, "struct_extract", 2, a => {
+        val f = a(1).trim
+        if (f.length >= 2 && f.startsWith("'") && f.endsWith("'"))
+          Some(s"(${a(0)}).`${f.substring(1, f.length - 1)}`")
+        else None
+      })
+    if (out.toLowerCase.contains("regexp_split_to_table"))
+      out = fix(out, "regexp_split_to_table", 2, a =>
+        Some(s"explode(split(${a(0)}, ${a(1)}))"))
+    // unnest(x, recursive := true) arrives as explode(...) via the alias
+    // table; a list-of-struct flattens columns — exactly Spark's inline
+    if (out.toLowerCase.contains("explode"))
+      out = fix(out, "explode", 2, a =>
+        if (a(1).matches("(?is)recursive\\s*:=\\s*true"))
+          Some(s"inline(${a(0)})")
+        else if (a(1).matches("(?is)recursive\\s*:=\\s*false"))
+          Some(s"explode(${a(0)})")
+        else None)
+    // list_where keeps NULL data elements (probed: [1,NULL,3] masked →
+    // [1,NULL]); the struct detour survives them where IF(m,x,NULL)+
+    // filter would not. A short mask drops the tail (zip_with pads the
+    // mask with NULL and the filter drops it — probed equivalence).
+    if (out.toLowerCase.contains("list_where"))
+      out = fix(out, "list_where", 2, a => Some(
+        s"transform(filter(zip_with(${a(0)}, ${a(1)}, " +
+          s"(graft_v, graft_m) -> named_struct('m', graft_m, 'v', graft_v)), " +
+          s"graft_s -> graft_s.m), graft_s -> graft_s.v)"))
+    // list_select is 1-based; 0/negative/out-of-range indexes yield NULL
+    // elements (probed), so the guard never lets ANSI element_at throw
+    if (out.toLowerCase.contains("list_select"))
+      out = fix(out, "list_select", 2, a => Some(
+        s"transform(${a(1)}, graft_i -> CASE WHEN graft_i >= 1 AND " +
+          s"graft_i <= size(${a(0)}) THEN element_at(${a(0)}, graft_i) " +
+          s"ELSE NULL END)"))
+    // list_grade_up: 1-based indexes in ascending value order, NULLS
+    // LAST, ties stable by position (probed: [NULL,2,1]→[3,2,1],
+    // [2,2,1]→[3,1,2]) — the (is-null, value, index) sort key pins all 3
+    if (out.toLowerCase.contains("list_grade_up"))
+      out = fix(out, "list_grade_up", 1, a => Some(
+        s"(CASE WHEN (${a(0)}) IS NULL THEN NULL " +
+          s"WHEN size(${a(0)}) = 0 THEN array() " +
+          s"ELSE transform(array_sort(zip_with(${a(0)}, " +
+          s"sequence(1, size(${a(0)})), (graft_v, graft_i) -> " +
+          s"named_struct('n', graft_v IS NULL, 'v', graft_v, " +
+          s"'i', graft_i))), graft_s -> graft_s.i) END)"))
+    // quantile_disc/quantile: percentile_disc has the same lower-value
+    // discrete pick (probed: 0.5 of [1..4] → 2); a LIST of fractions
+    // expands to an array of WITHIN GROUP aggregates
+    for (fn <- Seq("quantile_disc", "quantile")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
+        val q = a(1).trim
+        val inner =
+          if (q.toLowerCase.startsWith("array(") && q.endsWith(")"))
+            Some(q.substring(6, q.length - 1))
+          else if (q.startsWith("[") && q.endsWith("]"))
+            Some(q.substring(1, q.length - 1))
+          else None
+        inner match {
+          case Some(qs) => Some("array(" + splitTopLevel(qs).map(_.trim)
+            .map(f => s"percentile_disc($f) WITHIN GROUP (ORDER BY ${a(0)})")
+            .mkString(", ") + ")")
+          case None => Some(
+            s"percentile_disc(${a(1)}) WITHIN GROUP (ORDER BY ${a(0)})")
+        }
+      })
+    // json_extract / the -> operator return JSON text (strings keep
+    // their quotes — probed: '$.a' of {"a":"x"} is '"x"'); Spark's
+    // variant path round-trips that exactly. json_extract_string/->>
+    // strip to raw text = get_json_object. Bare paths get '$.'.
+    def jsonPath(p: String): String =
+      if (p.startsWith("'") && !p.startsWith("'$"))
+        "'$." + p.stripPrefix("'") else p
+    if (out.toLowerCase.contains("json_extract_string"))
+      out = fix(out, "json_extract_string", 2, a =>
+        Some(s"get_json_object(${a(0)}, ${jsonPath(a(1))})"))
+    if (out.toLowerCase.contains("json_extract")) // _string can't match: no (
+      out = fix(out, "json_extract", 2, a =>
+        Some(s"to_json(variant_get(parse_json(${a(0)}), ${jsonPath(a(1))}))"))
+    if (out.contains("->>")) {
+      // x ->> 'path' (the distinct ->> token never collides with lambda
+      // arrows); quote-parity guarded like the other infix rewrites
+      val Arrow = ("""('(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+)""" +
+        """\s*->>\s*('(?:[^']|'')*')""").r
+      val aIn = out
+      out = Arrow.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (aIn.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"get_json_object(${m.group(1)}, ${jsonPath(m.group(2))})"))
+    }
+    if (out.toLowerCase.contains("json_keys"))
+      out = fix(out, "json_keys", 1, a =>
+        Some(s"json_object_keys(${a(0)})"))
+    if (out.toLowerCase.contains("json_valid"))
+      out = fix(out, "json_valid", 1, a =>
+        Some(s"(try_parse_json(${a(0)}) IS NOT NULL)"))
+    // century/decade (probed: century(2000)=20, 2001→21; decade(2020)=202)
+    if (out.toLowerCase.contains("century"))
+      out = fix(out, "century", 1, a => Some(
+        s"CAST(CASE WHEN year(${a(0)}) >= 0 THEN " +
+          s"ceil(year(${a(0)}) / 100.0) " +
+          s"ELSE 0 - ceil((0 - year(${a(0)})) / 100.0) END AS BIGINT)"))
+    if (out.toLowerCase.contains("decade"))
+      out = fix(out, "decade", 1, a =>
+        Some(s"CAST(floor(year(${a(0)}) / 10.0) AS BIGINT)"))
+    // to_days/to_hours/… interval constructors → make_interval slots
+    locally {
+      val slots = Seq("to_years" -> 0, "to_months" -> 1, "to_weeks" -> 2,
+        "to_days" -> 3, "to_hours" -> 4, "to_minutes" -> 5,
+        "to_seconds" -> 6)
+      for ((fn, slot) <- slots if out.toLowerCase.contains(fn))
+        out = fix(out, fn, 1, a => Some("make_interval(" +
+          (Seq.fill(slot)("0") :+ a(0)).mkString(", ") + ")"))
+    }
+    // constant_or_null(v, cond…): NULL when ANY condition arg is NULL
+    if (out.toLowerCase.contains("constant_or_null"))
+      out = fix(out, "constant_or_null", -1, a =>
+        if (a.length < 2) None else Some(
+          s"(CASE WHEN ${a.tail.map(c => s"($c) IS NULL").mkString(" OR ")} " +
+            s"THEN NULL ELSE ${a(0)} END)"))
+    if (out.toLowerCase.contains("strlen"))
+      out = fix(out, "strlen", 1, a => Some(s"octet_length(${a(0)})"))
+    if (out.toLowerCase.contains("current_schema"))
+      out = fix(out, "current_schema", -1, a =>
+        if (a.isEmpty || a == Seq("")) Some("'main'") else None)
+    // product: DOUBLE product aggregate (graft_product registration)
+    if (out.toLowerCase.contains("product"))
+      out = fix(out, "product", 1, a =>
+        Some(s"graft_product(CAST(${a(0)} AS DOUBLE))"),
+        allowAt = (s, i) => !s.substring(0, i).toLowerCase
+          .endsWith("graft_")) // never rewrap the registered name
+    // DuckDB skewness/kurtosis are SAMPLE statistics (bias-corrected G1 /
+    // excess G2) computed from raw power sums; Spark's same-named
+    // aggregates are population g1 / g2 AND use a different running-
+    // moment op order, so a correction-factor rewrite lands 1 ulp off.
+    // These spell out DuckDB's exact raw-sum formulas with DuckDB's exact
+    // left-associative op order — verified BIT-exact against the oracle
+    // on 5 datasets. NULL under n<3 / n<4 and zero variance (probed).
+    if (out.toLowerCase.contains("skewness"))
+      out = fix(out, "skewness", 1, a => {
+        val x = s"CAST(${a(0)} AS DOUBLE)" // duck sums doubles, not bigints
+        val n = s"count($x)"; val t = s"(1.0 / count($x))"
+        val s1 = s"sum($x)"; val s2 = s"sum(($x)*($x))"
+        val s3 = s"sum(($x)*($x)*($x))"
+        val m2 = s"($t * ($s2 - $s1 * $s1 * $t))"
+        Some(s"(CASE WHEN $n > 2 AND ($s2 - $s1 * $s1 * $t) <> 0 THEN " +
+          s"sqrt($n * ($n - 1.0)) / ($n - 2) * $t * " +
+          s"($s3 - 3 * $s1 * $s2 * $t + 2 * power($s1, 3) * $t * $t) / " +
+          s"sqrt(power($m2, 3)) ELSE NULL END)")
+      })
+    if (out.toLowerCase.contains("kurtosis"))
+      out = fix(out, "kurtosis", 1, a => {
+        val x = s"CAST(${a(0)} AS DOUBLE)" // duck sums doubles, not bigints
+        val n = s"count($x)"; val t = s"(1.0 / count($x))"
+        val s1 = s"sum($x)"; val s2 = s"sum(($x)*($x))"
+        val s3 = s"sum(($x)*($x)*($x))"
+        val s4 = s"sum(($x)*($x)*($x)*($x))"
+        val m2 = s"($t * ($s2 - $s1 * $s1 * $t))"
+        val m4 = s"($t * ($s4 - 4 * $s3 * $s1 * $t + " +
+          s"6 * $s2 * $s1 * $s1 * $t * $t - 3 * power($s1, 4) * " +
+          s"power($t, 3)))"
+        Some(s"(CASE WHEN $n > 3 AND ($s2 - $s1 * $s1 * $t) <> 0 THEN " +
+          s"($n - 1.0) * (($n + 1.0) * $m4 / ($m2 * $m2) - 3 * ($n - 1.0)) " +
+          s"/ (($n - 2.0) * ($n - 3.0)) ELSE NULL END)")
+      })
+    // --- r8 breadth batch 4 (probed) -----------------------------------
+    // embedding/list math: sequential left folds mirror DuckDB's loops
+    // (probed: cosine [1,2]·[2,4] = 0.9999999999999998 — the dot over
+    // sqrt(na)*sqrt(nb) op order); int lists go through DOUBLE like duck
+    def dotFold(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (gx, gy) -> CAST(gx AS DOUBLE) * gy), " +
+        s"CAST(0 AS DOUBLE), (gs, gv) -> gs + gv)"
+    def normFold(a: String): String =
+      s"aggregate($a, CAST(0 AS DOUBLE), " +
+        s"(gs, gx) -> gs + CAST(gx AS DOUBLE) * gx)"
+    for (fn <- Seq("list_dot_product", "list_inner_product")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => Some(dotFold(a(0), a(1))))
+    if (out.toLowerCase.contains("list_cosine_similarity"))
+      out = fix(out, "list_cosine_similarity", 2, a => Some(
+        s"(${dotFold(a(0), a(1))} / " +
+          s"(sqrt(${normFold(a(0))}) * sqrt(${normFold(a(1))})))"))
+    if (out.toLowerCase.contains("list_distance"))
+      out = fix(out, "list_distance", 2, a => Some(
+        s"sqrt(aggregate(zip_with(${a(0)}, ${a(1)}, (gx, gy) -> " +
+          s"(CAST(gx AS DOUBLE) - gy) * (CAST(gx AS DOUBLE) - gy)), " +
+          s"CAST(0 AS DOUBLE), (gs, gv) -> gs + gv))"))
+    // list_concat treats a NULL operand as empty (probed) — Spark's
+    // concat is NULL-strict; runs AFTER the string-concat fix above so
+    // the emitted concat() is never re-rewritten to concat_ws
+    for (fn <- Seq("list_concat", "list_cat", "array_concat", "array_cat")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, -1, a => if (a.isEmpty) None else Some(
+        s"concat(${a.map(x => s"ifnull($x, array())").mkString(", ")})"))
+    if (out.toLowerCase.contains("list_unique"))
+      out = fix(out, "list_unique", 1, a => Some(
+        s"size(array_distinct(filter(${a(0)}, gx -> gx IS NOT NULL)))"))
+    if (out.toLowerCase.contains("list_any_value"))
+      out = fix(out, "list_any_value", 1, a => Some(
+        s"try_element_at(filter(${a(0)}, gx -> gx IS NOT NULL), 1)"))
+    if (out.toLowerCase.contains("array_pop_front"))
+      out = fix(out, "array_pop_front", 1, a => Some(
+        s"slice(${a(0)}, 2, greatest(size(${a(0)}) - 1, 0))"))
+    if (out.toLowerCase.contains("array_pop_back"))
+      out = fix(out, "array_pop_back", 1, a => Some(
+        s"slice(${a(0)}, 1, greatest(size(${a(0)}) - 1, 0))"))
+    // LIKE-with-escape function spellings
+    if (out.toLowerCase.contains("like_escape")) {
+      out = fix(out, "like_escape", 3, a =>
+        Some(s"((${a(0)}) LIKE ${a(1)} ESCAPE ${a(2)})"))
+      out = fix(out, "not_like_escape", 3, a =>
+        Some(s"((${a(0)}) NOT LIKE ${a(1)} ESCAPE ${a(2)})"))
+      out = fix(out, "ilike_escape", 3, a =>
+        Some(s"(lower(${a(0)}) LIKE lower(${a(1)}) ESCAPE ${a(2)})"))
+      out = fix(out, "not_ilike_escape", 3, a =>
+        Some(s"(lower(${a(0)}) NOT LIKE lower(${a(1)}) ESCAPE ${a(2)})"))
+    }
+    if (out.toLowerCase.contains("ord"))
+      out = fix(out, "ord", 1, a => Some(s"ascii(${a(0)})"))
+    // histogram AGGREGATE: sorted-key value→count map, NULLs dropped
+    // (probed — the list_aggregate 'histogram' arm's aggregate twin)
+    if (out.toLowerCase.contains("histogram")) {
+      out = fix(out, "histogram", 1, a => {
+        val lst = s"sort_array(collect_list(${a(0)}))"
+        Some(s"map_from_entries(transform(array_distinct($lst), " +
+          s"gv -> struct(gv, size(filter($lst, ge -> ge = gv)))))")
+      })
+    }
     // left/right with a NEGATIVE count trim from the opposite end in
     // DuckDB (probed: left('hello',-2)='hel'); Spark returns '' — spell
     // the general form out
@@ -2454,7 +2848,7 @@ class SqlGateway(val spark: SparkSession) {
                   val at = j + 1
                   val operand = sb.substring(at)
                   sb.delete(at, sb.length)
-                  sb.append(s"element_at($operand, ${rewriteDuckLiterals(ix.trim)})")
+                  sb.append(s"try_element_at($operand, ${rewriteDuckLiterals(ix.trim)})")
                   i = after
                 } else copyBracketVerbatim()
               case _ => copyBracketVerbatim()

@@ -1,0 +1,356 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB scalar functions over text/paths/bytes/time Spark has no
+  * builtin for — `strip_accents`, `nfc_normalize`, `parse_path`,
+  * `parse_dirname`, `parse_dirpath`, `parse_filename`, `format_bytes`,
+  * `time_bucket`. Registered under their DuckDB names by the gateway
+  * (reachable through the reference passthrough `db/db.go:70`). Every
+  * corner probed against DuckDB 1.0:
+  *
+  *   - strip_accents = NFD + drop combining marks ('ž'→'z', 'ß' stays);
+  *   - parse_path splits on the separator set ('both_slash' default, also
+  *     'forward_slash'/'backslash'/'system'), a LEADING separator is its
+  *     own first component, empty components drop;
+  *   - parse_dirname = the FIRST component when ≥2 exist, else '';
+  *     parse_dirpath = the raw prefix before the LAST separator
+  *     ('/x' → '', '/a/b/c' → '/a/b');
+  *   - parse_filename = the suffix after the last separator; with
+  *     trim_extension, drops from the LAST '.' even at index 0
+  *     ('.hidden' → '', 'c.tar.gz' → 'c.tar');
+  *   - format_bytes: '<1024' spells 'N bytes', then one-decimal binary
+  *     units KiB..PiB, sign carried through ('-2.0 KiB'), values past
+  *     PiB stay in PiB ('1024.0 PiB');
+  *   - time_bucket aligns to origin 2000-01-03 00:00:00 for day/time
+  *     widths (a Monday, so '7 days' buckets start Mondays) and to
+  *     2000-01-01 for month widths; month widths with day/time parts are
+  *     a loud error, exactly DuckDB's.
+  *
+  * All are allocation-bounded per-row scalar kernels dispatched via a
+  * static call from generated code — they stay inside whole-stage
+  * codegen like the engine's other text kernels. */
+object DuckPathText {
+  def stripAccents(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val ch = n.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC))
+
+  /** separator option → the set of separator chars (probed names). */
+  private def sepChars(opt: String): String = opt match {
+    case "forward_slash" => "/"
+    case "backslash" => "\\"
+    case "system" => java.io.File.separator
+    case _ => "/\\" // 'both_slash' and the 1-arg default
+  }
+
+  private def componentsOf(path: String, sep: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (path.nonEmpty && sep.indexOf(path.charAt(0)) >= 0)
+      out += path.charAt(0).toString
+    var i = 0
+    val cur = new java.lang.StringBuilder
+    while (i < path.length) {
+      val ch = path.charAt(i)
+      if (sep.indexOf(ch) >= 0) {
+        if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
+      } else cur.append(ch)
+      i += 1
+    }
+    if (cur.length > 0) out += cur.toString
+    out.toArray
+  }
+
+  def parsePath(path: UTF8String, sepOpt: UTF8String): GenericArrayData =
+    new GenericArrayData(componentsOf(path.toString,
+      sepChars(sepOpt.toString)).map(UTF8String.fromString(_)))
+
+  def parseDirname(path: UTF8String, sepOpt: UTF8String): UTF8String = {
+    val comps = componentsOf(path.toString, sepChars(sepOpt.toString))
+    UTF8String.fromString(if (comps.length >= 2) comps(0) else "")
+  }
+
+  def parseDirpath(path: UTF8String, sepOpt: UTF8String): UTF8String = {
+    val p = path.toString
+    val sep = sepChars(sepOpt.toString)
+    var last = -1
+    var i = 0
+    while (i < p.length) { if (sep.indexOf(p.charAt(i)) >= 0) last = i; i += 1 }
+    UTF8String.fromString(if (last < 0) "" else p.substring(0, last))
+  }
+
+  def parseFilename(path: UTF8String, trimExt: Boolean,
+      sepOpt: UTF8String): UTF8String = {
+    val p = path.toString
+    val sep = sepChars(sepOpt.toString)
+    var last = -1
+    var i = 0
+    while (i < p.length) { if (sep.indexOf(p.charAt(i)) >= 0) last = i; i += 1 }
+    var f = p.substring(last + 1)
+    if (trimExt) {
+      val dot = f.lastIndexOf('.')
+      if (dot >= 0) f = f.substring(0, dot)
+    }
+    UTF8String.fromString(f)
+  }
+
+  def formatBytes(b: Long): UTF8String = {
+    val neg = b < 0
+    val a = math.abs(b)
+    UTF8String.fromString(
+      if (a >= 0 && a < 1024) s"$b bytes" // abs(MinValue) stays negative
+      else {
+        val units = Array("KiB", "MiB", "GiB", "TiB", "PiB")
+        var scaled = math.abs(b.toDouble) / 1024.0
+        var idx = 0
+        while (scaled >= 1024.0 && idx < units.length - 1) {
+          scaled /= 1024.0; idx += 1
+        }
+        String.format(java.util.Locale.ROOT, "%.1f %s",
+          Double.box(if (neg) -scaled else scaled), units(idx))
+      })
+  }
+
+  /** DuckDB's spelling of a Spark type (DuckTypeof scaladoc). */
+  def duckTypeName(dt: DataType): String = dt match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _: StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case _: DateType => "DATE"
+    case _: TimestampType => "TIMESTAMP"
+    case BinaryType => "BLOB"
+    case NullType => "\"NULL\""
+    case ArrayType(e, _) => duckTypeName(e) + "[]"
+    case s: StructType => "STRUCT(" +
+      s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+        .mkString(", ") + ")"
+    case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+    case CalendarIntervalType | _: DayTimeIntervalType |
+         _: YearMonthIntervalType => "INTERVAL"
+    case other => other.sql
+  }
+
+  /** eval-path dispatch mirroring the codegen static calls. */
+  def dispatch(kernel: String, a: UTF8String, b: UTF8String): Any =
+    kernel match {
+      case "parsePath" => parsePath(a, b)
+      case "parseDirname" => parseDirname(a, b)
+      case "parseDirpath" => parseDirpath(a, b)
+    }
+
+  private val OriginDays: Long = // 2000-01-03, a Monday (DuckDB's origin)
+    java.time.LocalDate.of(2000, 1, 3).toEpochDay
+  private val MicrosPerDay = 86400000000L
+
+  private def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+
+  /** width = (months, micros), exactly one nonzero (probed: DuckDB errors
+    * on month widths with day/time parts). `t` is days for DateType
+    * input, micros-since-epoch for TimestampType; returns the same unit. */
+  def timeBucket(months: Int, micros: Long, t: Long, isDate: Boolean): Long = {
+    if (months != 0 && micros != 0) throw new IllegalArgumentException(
+      "time_bucket: month intervals cannot have day or time parts")
+    if (months == 0 && micros == 0) throw new IllegalArgumentException(
+      "time_bucket: zero-width interval")
+    if (months != 0) {
+      val date = java.time.LocalDate.ofEpochDay(
+        if (isDate) t else floorDiv(t, MicrosPerDay))
+      val m = (date.getYear - 2000) * 12 + (date.getMonthValue - 1)
+      val b = floorDiv(m, months) * months
+      val bucket = java.time.LocalDate.of(2000 + Math.floorDiv(b.toInt, 12),
+        Math.floorMod(b.toInt, 12) + 1, 1)
+      if (isDate) bucket.toEpochDay else bucket.toEpochDay * MicrosPerDay
+    } else if (isDate) {
+      if (micros % MicrosPerDay != 0) throw new IllegalArgumentException(
+        "time_bucket: sub-day width over a DATE column")
+      val wd = micros / MicrosPerDay
+      floorDiv(t - OriginDays, wd) * wd + OriginDays
+    } else {
+      val origin = OriginDays * MicrosPerDay
+      floorDiv(t - origin, micros) * micros + origin
+    }
+  }
+}
+
+abstract class DuckPathScalar extends BinaryExpression {
+  def child: Expression
+  def sepOpt: Expression
+  override def left: Expression = child
+  override def right: Expression = sepOpt
+  def kernel: String
+  override def nullSafeEval(a: Any, b: Any): Any = DuckPathText.dispatch(
+    kernel, a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DuckPathText.$kernel($a, $b)")
+}
+
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    DuckPathText.stripAccents(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DuckPathText.stripAccents($a)")
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    DuckPathText.nfcNormalize(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DuckPathText.nfcNormalize($a)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+case class ParsePath(child: Expression, sepOpt: Expression)
+    extends DuckPathScalar {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def kernel: String = "parsePath"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ParsePath = copy(child = l, sepOpt = r)
+}
+
+case class ParseDirname(child: Expression, sepOpt: Expression)
+    extends DuckPathScalar {
+  override def dataType: DataType = StringType
+  override def kernel: String = "parseDirname"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ParseDirname = copy(child = l, sepOpt = r)
+}
+
+case class ParseDirpath(child: Expression, sepOpt: Expression)
+    extends DuckPathScalar {
+  override def dataType: DataType = StringType
+  override def kernel: String = "parseDirpath"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ParseDirpath = copy(child = l, sepOpt = r)
+}
+
+case class ParseFilename(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(p: Any, t: Any, s: Any): Any =
+    DuckPathText.parseFilename(p.asInstanceOf[UTF8String],
+      t.asInstanceOf[Boolean], s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, t, s) =>
+      s"graft.functions.DuckPathText.parseFilename($p, $t, $s)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): ParseFilename = copy(first = a, second = b, third = c)
+}
+
+case class FormatBytes(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    DuckPathText.formatBytes(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DuckPathText.formatBytes($a)")
+  override protected def withNewChildInternal(c: Expression): FormatBytes =
+    copy(child = c)
+}
+
+/** DuckDB's `typeof`: the argument's TYPE rendered in DuckDB's own
+  * spelling (probed: INTEGER / BIGINT / DOUBLE / DECIMAL(2,1) / VARCHAR /
+  * INTEGER[] / STRUCT(a INTEGER) / MAP(VARCHAR, INTEGER) / BLOB /
+  * INTERVAL, and the NULL literal prints `"NULL"`). Type-only — never
+  * evaluates the argument, so it is non-null even for NULL inputs,
+  * exactly like DuckDB. */
+case class DuckTypeof(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  private lazy val rendered =
+    UTF8String.fromString(DuckPathText.duckTypeName(child.dataType))
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = rendered
+  override protected def withNewChildInternal(c: Expression): DuckTypeof =
+    copy(child = c)
+}
+
+/** time_bucket(width, ts) — width may arrive as an ANSI year-month
+  * interval, an ANSI day-time interval, or a legacy CalendarInterval
+  * (the gateway's make_interval rewrite); `ts` is DATE or TIMESTAMP and
+  * the result keeps its type. */
+case class DuckTimeBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = right.dataType
+  private def isDate: Boolean = right.dataType.isInstanceOf[DateType]
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ivOk = left.dataType match {
+      case CalendarIntervalType | _: DayTimeIntervalType |
+           _: YearMonthIntervalType => true
+      case _ => false
+    }
+    val tsOk = right.dataType match {
+      case _: DateType | _: TimestampType => true
+      case _ => false
+    }
+    if (ivOk && tsOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"time_bucket(${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(iv: Any, t: Any): Any = {
+    val (months, micros) = left.dataType match {
+      case _: YearMonthIntervalType => (iv.asInstanceOf[Int], 0L)
+      case _: DayTimeIntervalType => (0, iv.asInstanceOf[Long])
+      case _ =>
+        val c = iv.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        (c.months, c.days * 86400000000L + c.microseconds)
+    }
+    val tl = t match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => other.asInstanceOf[Number].longValue()
+    }
+    val r = DuckPathText.timeBucket(months, micros, tl, isDate)
+    if (isDate) Int.box(r.toInt) else Long.box(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val extract: (String => String, String => String) = left.dataType match {
+      case _: YearMonthIntervalType => (iv => iv, _ => "0L")
+      case _: DayTimeIntervalType => (_ => "0", iv => iv)
+      case _ => (iv => s"$iv.months",
+        iv => s"($iv.days * 86400000000L + $iv.microseconds)")
+    }
+    val cast = if (isDate)
+      (r: String) => s"(int) $r" else (r: String) => r
+    defineCodeGen(ctx, ev, (iv, t) => cast(
+      s"graft.functions.DuckPathText.timeBucket(${extract._1(iv)}, " +
+        s"${extract._2(iv)}, (long) $t, $isDate)"))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DuckTimeBucket = copy(left = l, right = r)
+}

@@ -402,6 +402,207 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("WITH m AS NOT MATERIALIZED (SELECT 2 AS x) SELECT x FROM m", Seq(2)),
     q("SELECT [x*2 for x in [1,2,3] if x != 2] AS l", Seq(Seq(2, 6))),
 
+    // --- r8 breadth batch 2: text/path/bytes/time scalars (probed) ---
+    q("SELECT translate('abc','ab','xy') AS t, translate('abc','ab','x') AS u," +
+      " translate('abc','','x') AS w", Seq("xyc", "xc", "abc")),
+    q("SELECT strip_accents('ÁÉñü žß') AS s", Seq("AEnu zß")),
+    q("SELECT nfc_normalize('e\u0301') AS n, " +
+      "length(nfc_normalize('e\u0301')) AS l", Seq("\u00e9", 1)),
+    q("SELECT parse_path('/a/b/c.txt') AS p",
+      Seq(Seq("/", "a", "b", "c.txt"))),
+    q("SELECT parse_path('a//b') AS p, parse_path('') AS e",
+      Seq(Seq("a", "b"), Seq())),
+    q("SELECT parse_path('C:\\x\\y') AS p", Seq(Seq("C:", "x", "y"))),
+    q("SELECT parse_dirname('/a/b/c.txt') AS a, parse_dirpath('/a/b/c.txt') AS b",
+      Seq("/", "/a/b")),
+    q("SELECT parse_dirname('a/b/c') AS a, parse_dirpath('a/b/c') AS b, " +
+      "parse_dirname('x') AS c, parse_dirpath('/x') AS d",
+      Seq("a", "a/b", "", "")),
+    q("SELECT parse_filename('/a/b/c.txt') AS a, " +
+      "parse_filename('/a/b/c.txt', true) AS b", Seq("c.txt", "c")),
+    q("SELECT parse_filename('/a/b/.hidden', true) AS a, " +
+      "parse_filename('/a/b/c.tar.gz', true) AS b, " +
+      "parse_filename('/a/b/') AS c", Seq("", "c.tar", "")),
+    q("SELECT parse_path('\\a\\b', 'backslash') AS p, " +
+      "parse_filename('a/b\\c', 'forward_slash') AS f",
+      Seq(Seq("\\", "a", "b"), "b\\c")),
+    q("SELECT format_bytes(0) AS a, format_bytes(1023) AS b, " +
+      "format_bytes(1024) AS c, format_bytes(1536) AS d",
+      Seq("0 bytes", "1023 bytes", "1.0 KiB", "1.5 KiB")),
+    q("SELECT format_bytes(-2048) AS a, format_bytes(1152921504606846976) " +
+      "AS b, format_bytes(1075) AS c",
+      Seq("-2.0 KiB", "1024.0 PiB", "1.0 KiB")),
+    q("SELECT time_bucket(INTERVAL '15 minutes', " +
+      "TIMESTAMP '2024-01-01 10:23:00') AS t", Seq("2024-01-01 10:15:00")),
+    q("SELECT time_bucket(INTERVAL '2 hours', " +
+      "TIMESTAMP '2024-01-01 11:00:00') AS t", Seq("2024-01-01 10:00:00")),
+    q("SELECT time_bucket(INTERVAL '7 days', DATE '2024-01-10') AS w, " +
+      "time_bucket(INTERVAL '10 days', DATE '2024-01-01') AS t",
+      Seq("2024-01-08", "2023-12-28")),
+    q("SELECT time_bucket(INTERVAL '1 month', DATE '2024-05-15') AS m, " +
+      "time_bucket(INTERVAL '3 months', DATE '2024-05-15') AS q, " +
+      "time_bucket(INTERVAL '1 year', DATE '2024-05-15') AS y",
+      Seq("2024-05-01", "2024-04-01", "2024-01-01")),
+    q("SELECT time_bucket(INTERVAL '1 month', " +
+      "TIMESTAMP '2024-05-15 10:00:00') AS m", Seq("2024-05-01")),
+
+    // --- r8 breadth batch 2: map/struct corners (probed) ---
+    q("SELECT map_keys(MAP {'a': 1, 'b': 2}) AS k, " +
+      "map_values(MAP {'a': 1, 'b': 2}) AS v",
+      Seq(Seq("a", "b"), Seq(1, 2))),
+    q("SELECT map_entries(MAP {'a': 1}) AS e", Seq(Seq(Seq("a", 1)))),
+    q("SELECT cardinality(MAP {'a': 1, 'b': 2}) AS c", Seq(2)),
+    q("SELECT map_extract(MAP {'a': 1}, 'a') AS x, " +
+      "map_extract(MAP {'a': 1}, 'z') AS m", Seq(Seq(1), Seq())),
+    q("SELECT element_at(MAP {'a': 1}, 'a') AS e", Seq(Seq(1))),
+    q("SELECT map_extract(MAP {'a': NULL}, 'a') AS mn", Seq(Seq(null))),
+    q("SELECT map_entries(map_concat(MAP {'a':1}, MAP {'a':9, 'b':2})) AS m",
+      Seq(Seq(Seq("a", 9), Seq("b", 2)))),
+    q("SELECT map_entries(map_from_entries([{'k':'a','v':1}])) AS m",
+      Seq(Seq(Seq("a", 1)))),
+    q("SELECT struct_extract({'a': 7, 'b': 8}, 'b') AS x", Seq(8)),
+    q("SELECT {'a': 1}.a AS dot", Seq(1)),
+    q("SELECT row(1, 'x') AS r", Seq(Seq(1, "x"))),
+
+    // --- r8 breadth batch 2: list/regex/numeric scalars (probed) ---
+    q("SELECT list_where([1,NULL,3],[true,true,false]) AS a, " +
+      "list_where([1,2],[true]) AS c", Seq(Seq(1, null), Seq(1))),
+    q("SELECT list_select([10,20,30],[3,1]) AS s, " +
+      "list_select([10,20],[5]) AS oob, list_select([10,20],[0]) AS z",
+      Seq(Seq(30, 10), Seq(null), Seq(null))),
+    q("SELECT list_grade_up([30,10,20]) AS g", Seq(Seq(2, 3, 1))),
+    q("SELECT list_grade_up([NULL,2,1]) AS g, list_grade_up([2,2,1]) AS t",
+      Seq(Seq(3, 2, 1), Seq(3, 1, 2))),
+    q("SELECT regexp_split_to_table('a,b,,c', ',') AS t",
+      Seq("a"), Seq("b"), Seq(""), Seq("c")),
+    q("SELECT sha256('x') AS s",
+      Seq("2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")),
+    q("SELECT signbit(-3) AS a, signbit(0) AS b, signbit(3.0) AS c, " +
+      "signbit('-inf'::DOUBLE) AS d", Seq(true, false, false, true)),
+    q("SELECT even(2.5) AS a, even(-2.5) AS b, even(0.1) AS c, " +
+      "even(-0.1) AS d, even(0) AS e, even(3) AS f, even(2.0) AS g",
+      Seq(4, -4, 2, -2, 0, 4, 2)),
+    q("SELECT isfinite(1.0) AS f, isinf('inf'::DOUBLE) AS i, " +
+      "isfinite('nan'::DOUBLE) AS n, isinf(5.0) AS j",
+      Seq(true, true, false, false)),
+    q("SELECT xor(5, 3) AS x, xor(NULL, 3) AS n", Seq(6, null)),
+    // (cbrt deliberately unpinned: DuckDB rides glibc cbrt, Spark rides
+    // Java's — they disagree in the last ulp on e.g. cbrt(27))
+    q("SELECT bit_count(7) AS b, bit_count(255) AS b2", Seq(3, 8)),
+    q("SELECT position('b' IN 'abc') AS p", Seq(2)),
+    q("SELECT prefix('abc','ab') AS p, suffix('abc','bc') AS s",
+      Seq(true, true)),
+
+    // --- r8 breadth batch 2: aggregate corners (probed) ---
+    q("SELECT skewness(x) AS s, kurtosis(x) AS k " +
+      "FROM (VALUES (1.0),(2.0),(4.0),(8.0)) t(x)",
+      Seq(1.1376243669576889, 0.7576559546313808)),
+    q("SELECT skewness(x) AS s FROM (VALUES (1.0),(2.0)) t(x)", Seq(null)),
+    q("SELECT kurtosis(x) AS k FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+      Seq(null)),
+    q("SELECT skewness(x) AS s FROM (VALUES (1.0),(1.0),(1.0),(2.0)) t(x)",
+      Seq(2)),
+    q("SELECT kurtosis(x) AS k " +
+      "FROM (VALUES (1.0),(2.0),(4.0),(8.0),(16.0)) t(x)",
+      Seq(1.3037634408602148)),
+    q("SELECT regr_slope(y, x) AS r " +
+      "FROM (VALUES (1.0, 2.0),(2.0, 3.5),(3.0, 5.0)) t(x,y)", Seq(1.5)),
+    q("SELECT quantile_disc(x, 0.5) AS m FROM (VALUES (1),(2),(3),(4)) t(x)",
+      Seq(2)),
+    q("SELECT quantile_disc(x, [0.25, 0.75]) AS q " +
+      "FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(Seq(1, 3))),
+    q("SELECT quantile(x, 0.5) AS m FROM (VALUES (1),(2),(3),(4)) t(x)",
+      Seq(2)),
+    q("SELECT grouping(grp) AS g, count(*) AS c " +
+      "FROM (VALUES ('a'),('b')) t(grp) GROUP BY CUBE(grp)",
+      Seq(0, 1), Seq(0, 1), Seq(1, 2)),
+
+    // --- r8 breadth batch 3: json / typeof / date parts / misc (probed) ---
+    q("""SELECT json_extract('{"a":"x"}', '$.a') AS j""", Seq("\"x\"")),
+    q("""SELECT json_extract('{"a":{"b":1}}', '$.a') AS j""",
+      Seq("{\"b\":1}")),
+    q("""SELECT json_extract('{"a":[1,2]}', '$.a[1]') AS j""", Seq("2")),
+    q("""SELECT json_extract('{"a":1}', 'a') AS j""", Seq("1")),
+    q("""SELECT json_extract_string('{"a":"x"}', '$.a') AS s""", Seq("x")),
+    q("""SELECT json_extract_string('{"a":{"b":1}}', '$.a') AS s""",
+      Seq("{\"b\":1}")),
+    q("""SELECT '{"a":1}' ->> 'a' AS arrow""", Seq("1")),
+    q("""SELECT json_array_length('[1,2,3]') AS l""", Seq(3)),
+    q("""SELECT json_valid('{"a":1}') AS v, json_valid('[1,') AS n, """ +
+      """json_valid('1') AS s""", Seq(true, false, true)),
+    q("""SELECT json_keys('{"a":1,"b":2}') AS k, json_keys('{}') AS e""",
+      Seq(Seq("a", "b"), Seq())),
+    q("SELECT typeof(1) AS a, typeof(1::BIGINT) AS b, typeof('x') AS c, " +
+      "typeof(1.5) AS d, typeof(1.5::DOUBLE) AS e",
+      Seq("INTEGER", "BIGINT", "VARCHAR", "DECIMAL(2,1)", "DOUBLE")),
+    q("SELECT typeof(NULL) AS n, typeof([1,2]) AS l, typeof({'a':1}) AS s, " +
+      "typeof(DATE '2024-01-01') AS d",
+      Seq("\"NULL\"", "INTEGER[]", "STRUCT(a INTEGER)", "DATE")),
+    q("SELECT century(DATE '2000-12-31') AS a, century(DATE '2001-01-01') " +
+      "AS b, decade(DATE '2020-01-01') AS c", Seq(20, 21, 202)),
+    q("SELECT DATE '2024-01-01' + to_days(5) AS d", Seq("2024-01-06")),
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(3) AS h",
+      Seq("2024-01-01 03:00:00")),
+    q("SELECT constant_or_null(7, NULL) AS a, constant_or_null(7, 1) AS b, " +
+      "constant_or_null(7, 1, NULL) AS c", Seq(null, 7, null)),
+    q("SELECT strlen('héllo') AS b", Seq(6)),
+    q("SELECT string_to_array('a.b', '.') AS s", Seq(Seq("a", "b"))),
+    q("SELECT current_schema() AS s", Seq("main")),
+    q("SELECT count_if(x > 1) AS c FROM (VALUES (1),(2),(3)) t(x)", Seq(2)),
+    q("SELECT product(x) AS p FROM (VALUES (2),(3),(4)) t(x)", Seq(24.0)),
+    q("SELECT product(x) AS p FROM (VALUES (2),(NULL),(4)) t(x)", Seq(8.0)),
+    q("SELECT product(x) AS p FROM (VALUES (2.5),(-4.0)) t(x)", Seq(-10.0)),
+    q("SELECT product(x) AS p FROM (VALUES (1)) t(x) WHERE false",
+      Seq(null)),
+    q("SELECT v, cume_dist() OVER (ORDER BY v) AS c, percent_rank() OVER " +
+      "(ORDER BY v) AS p FROM (VALUES (1),(2),(2)) t(v)",
+      Seq(1, 1.0 / 3, 0.0), Seq(2, 1.0, 0.5), Seq(2, 1.0, 0.5)),
+    q("SELECT v, nth_value(v, 2) OVER (ORDER BY v) AS n " +
+      "FROM (VALUES (1),(2),(3)) t(v)",
+      Seq(1, null), Seq(2, 2), Seq(3, 2)),
+    q("SELECT v, first_value(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING " +
+      "AND 1 FOLLOWING) AS f FROM (VALUES (1),(2),(3)) t(v)",
+      Seq(1, 1), Seq(2, 1), Seq(3, 2)),
+
+    // --- r8 breadth batch 4: embedding/list math + misc (probed) ---
+    q("SELECT list_dot_product([1.0,2.0],[3.0,4.0]) AS d, " +
+      "list_inner_product([1.0,2.0],[3.0,4.0]) AS i, " +
+      "list_dot_product([1,2],[3,4]) AS ints", Seq(11.0, 11.0, 11.0)),
+    q("SELECT list_cosine_similarity([1.0,2.0],[2.0,4.0]) AS c",
+      Seq(0.9999999999999998)),
+    q("SELECT list_cosine_similarity([3.0,4.0],[4.0,3.0]) AS c", Seq(0.96)),
+    q("SELECT list_distance([0.0,0.0],[3.0,4.0]) AS e, " +
+      "list_distance([1,2],[4,6]) AS ints", Seq(5.0, 5.0)),
+    q("SELECT list_concat([1,2],[3]) AS c, list_cat([1],[2]) AS c2, " +
+      "array_concat([1],[2]) AS a", Seq(Seq(1, 2, 3), Seq(1, 2), Seq(1, 2))),
+    q("SELECT list_concat(NULL, [1]) AS ln, list_concat([1], NULL) AS rn",
+      Seq(Seq(1), Seq(1))),
+    q("SELECT list_unique([1,1,2,NULL]) AS u", Seq(2)),
+    q("SELECT list_any_value([NULL, 3, 4]) AS a, list_any_value([NULL]) AS n",
+      Seq(3, null)),
+    q("SELECT list_count([1,NULL,2]) AS c", Seq(2)),
+    q("SELECT list_sum([1,NULL,2]) AS s, list_avg([2,4]) AS a",
+      Seq(3, 3.0)),
+    q("SELECT array_pop_front([1,2,3]) AS f, array_pop_back([1,2,3]) AS b, " +
+      "array_pop_front([1]) AS e", Seq(Seq(2, 3), Seq(1, 2), Seq())),
+    q("SELECT list_prepend(0, [1,2]) AS p", Seq(Seq(0, 1, 2))),
+    q("SELECT like_escape('a%c', 'a$%c', '$') AS a, " +
+      "not_like_escape('abc', 'a$%c', '$') AS b, " +
+      "ilike_escape('A%C', 'a$%c', '$') AS c", Seq(true, true, true)),
+    q("SELECT ord('A') AS o, ord('€') AS e", Seq(65, 8364)),
+    q("SELECT map_entries(histogram(x)) AS h FROM (VALUES (1),(1),(2)) t(x)",
+      Seq(Seq(Seq(1, 2), Seq(2, 1)))),
+    q("SELECT map_entries(histogram(x)) AS h " +
+      "FROM (VALUES ('b'),('a'),('b')) t(x)",
+      Seq(Seq(Seq("a", 1), Seq("b", 2)))),
+    q("SELECT hex('ab'::BLOB) AS h", Seq("6162")),
+    q("SELECT to_base64('ab'::BLOB) AS b, from_base64('YWI=')::VARCHAR AS f",
+      Seq("YWI=", "ab")),
+
+    // --- r8 breadth batch 2: unnest corners (probed) ---
+    q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
+    q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
+
     // --- r8 breadth: aggregate-function corners (duckdb-probed; the
     //     fixture mirrors corpus_t, which is created further down) ---
     s("CREATE TABLE corpus_lit (id INTEGER, grp VARCHAR, v INTEGER)"),
@@ -566,6 +767,12 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT count(v) AS c FROM corpus_t", Seq(3)),
     q("SELECT count(DISTINCT grp) AS c FROM corpus_t", Seq(2)),
     q("SELECT min(v) AS mn, max(v) AS mx FROM corpus_t", Seq(5, 20)),
+    // r8: COLUMNS expansion — star, name-lambda, regex, aggregate-wrapped
+    q("SELECT min(COLUMNS(*)) FROM corpus_t", Seq(1, "a", 5)),
+    q("SELECT COLUMNS(c -> c LIKE 'v%') FROM corpus_t",
+      Seq(10), Seq(20), Seq(5), Seq(null)),
+    q("SELECT count(COLUMNS(*)) FROM corpus_t WHERE id < 3", Seq(2, 2, 2)),
+    q("SELECT max(COLUMNS('^.$')) FROM corpus_t", Seq(20)),
     q("SELECT grp, sum(v) AS s FROM corpus_t GROUP BY ALL ORDER BY grp",
       Seq("a", 30), Seq("b", 5)),
     q("SELECT count(*) FILTER (WHERE v > 10) AS c FROM corpus_t", Seq(1)),
