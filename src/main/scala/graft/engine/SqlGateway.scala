@@ -129,6 +129,7 @@ class SqlGateway(val spark: SparkSession) {
       })
     two("time_bucket")(DuckTimeBucket(_, _))
     one("typeof")(DuckTypeof(_))
+    two("nextafter")(NextAfter(_, _))
     // DuckDB's product aggregate (ProductAggregator scaladoc)
     spark.udf.register("graft_product",
       org.apache.spark.sql.functions.udaf(new ProductAggregator))
@@ -743,6 +744,21 @@ class SqlGateway(val spark: SparkSession) {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** DuckDB's temporal `range`/`generate_series` TVFs: both emit
+    * TIMESTAMP rows even for DATE bounds (probed); range excludes the
+    * stop, generate_series includes it. sequence() is inclusive, so the
+    * exclusive form filters the exact stop hit — direction-agnostic. */
+  private def temporalSeries(args: String, name: String,
+      exclusiveStop: Boolean): Option[DataFrame] = {
+    val a = splitTopLevel(args).map(_.trim)
+    if (a.length != 3) return None
+    val base = s"SELECT explode(sequence(CAST(${a(0)} AS TIMESTAMP), " +
+      s"CAST(${a(1)} AS TIMESTAMP), ${a(2)})) AS $name"
+    Some(if (!exclusiveStop) spark.sql(base)
+      else spark.sql(s"SELECT * FROM ($base) " +
+        s"WHERE $name <> CAST(${a(1)} AS TIMESTAMP)"))
+  }
+
   private val ColumnsAnyRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
      """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
@@ -798,6 +814,22 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   private def dialectQuery(sql: String): Option[DataFrame] = {
+    // percent LIMIT: floor(rows * p / 100) of the inner result (probed:
+    // 25% and 28% of 10 rows are both 2). One extra count() action —
+    // a dialect-gateway path, not a registered-query path.
+    val LimitPctRe = """(?is)^(.*\S)\s+LIMIT\s+(\d+(?:\.\d+)?)\s*%\s*$""".r
+    sql match {
+      case LimitPctRe(head, pct) =>
+        val df = queryDf(head)
+        return Some(df.limit(
+          math.floor(df.count() * pct.toDouble / 100.0).toInt))
+      case _ =>
+    }
+    // top-level VALUES statement: DuckDB names the columns col0, col1, …
+    if ("""(?is)^\s*VALUES\s*\(""".r.findFirstIn(sql).isDefined) {
+      val df = runSql(s"SELECT * FROM ($sql) graft_values")
+      return Some(df.toDF(df.columns.indices.map(i => s"col$i"): _*))
+    }
     // UNION [ALL] BY NAME: split at the top level, each side re-enters
     // queryDf; missing columns NULL-fill exactly like DuckDB
     topLevel(sql, """\bUNION\s+(?:ALL\s+)?BY\s+NAME\b""").foreach { case (s, e) =>
@@ -890,12 +922,18 @@ class SqlGateway(val spark: SparkSession) {
           runSql(s"SELECT $expanded FROM $table $tailPart"))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
+      case RangeTvfRe(args) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
+          .r.findFirstIn(args).isDefined =>
+        temporalSeries(args, "range", exclusiveStop = true)
       case RangeTvfRe(args) =>
         // Spark's native range TVF is exactly DuckDB's half-open table
         // form (1/2/3 args, negative steps, empty ranges) — only the
         // column name differs (id vs range). spark.sql directly: the
         // scalar range() rewrite must not see this call.
         Some(spark.sql(s"SELECT id AS range FROM range($args)"))
+      case SeriesTvfRe(args) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
+          .r.findFirstIn(args).isDefined =>
+        temporalSeries(args, "generate_series", exclusiveStop = false)
       case SeriesTvfRe(args) =>
         // inclusive table series: literal ints compute exactly (empty
         // corner included); 3-arg expressions (timestamp + INTERVAL step
@@ -1357,6 +1395,9 @@ class SqlGateway(val spark: SparkSession) {
     "row" -> "struct",                 // both build an anonymous struct
     "to_base64" -> "base64",           // blob → base64 text
     "from_base64" -> "unbase64",       // base64 text → blob
+    "list_apply" -> "transform",       // lambda-map aliases (probed)
+    "apply" -> "transform",
+    "list_pack" -> "array",
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -1663,12 +1704,21 @@ class SqlGateway(val spark: SparkSession) {
         case _ => None
       })
     if (out.toLowerCase.contains("string_agg"))
-      out = fix(out, "string_agg", 2, a => a(1).trim match {
-        case AggOrd(sep, o, dir) if same(o, a(0)) =>
-          val asc = dir == null || dir.equalsIgnoreCase("ASC")
-          Some(s"array_join(sort_array(collect_list(${a(0)})" +
-            s"${if (asc) "" else ", false"}), $sep)")
-        case _ => None
+      out = fix(out, "string_agg", 2, a => {
+        // DISTINCT dedups before joining (collect_set; string_agg skips
+        // NULLs in both engines, so set-collection loses nothing)
+        val Dist = """(?is)^DISTINCT\s+(.+)$""".r
+        val (arg0, coll) = a(0).trim match {
+          case Dist(e) => (e, s"collect_set($e)")
+          case e => (e, s"collect_list($e)")
+        }
+        a(1).trim match {
+          case AggOrd(sep, o, dir) if same(o, arg0) =>
+            val asc = dir == null || dir.equalsIgnoreCase("ASC")
+            Some(s"array_join(sort_array($coll" +
+              s"${if (asc) "" else ", false"}), $sep)")
+          case _ => None
+        }
       })
     // DuckDB default null order is NULLS LAST both directions (probed):
     // first ASC / first DESC never see the trailing NULLs → min/max are
@@ -1926,6 +1976,57 @@ class SqlGateway(val spark: SparkSession) {
         Some(s"(CASE WHEN $n > 3 AND ($s2 - $s1 * $s1 * $t) <> 0 THEN " +
           s"($n - 1.0) * (($n + 1.0) * $m4 / ($m2 * $m2) - 3 * ($n - 1.0)) " +
           s"/ (($n - 2.0) * ($n - 3.0)) ELSE NULL END)")
+      })
+    // DuckDB admits IGNORE/RESPECT NULLS INSIDE the window function's
+    // parens (`lag(v, 1 IGNORE NULLS)`); standard SQL (and Spark) spell
+    // it after the call — move it out (quote-parity guarded)
+    if (out.toLowerCase.contains("nulls")) {
+      val Ig = """(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*\)""".r
+      val gIn = out
+      out = Ig.replaceAllIn(out, m =>
+        if (gIn.substring(0, m.start).count(_ == '\'') % 2 != 0)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else ") " + m.group(1).toUpperCase + " NULLS ")
+    }
+    // aggregate FILTER over a WINDOW (Spark's FILTER clause is
+    // aggregation-only): fold the predicate into the argument —
+    // `fn(x) FILTER (WHERE p) OVER …` ≡ `fn(CASE WHEN p THEN x END)
+    // OVER …` for every NULL-skipping aggregate, and count(*) counts a
+    // CASE marker. Paren-free predicates only; others refuse downstream.
+    if (out.toLowerCase.contains("filter") && out.toLowerCase.contains("over")) {
+      val Fow = ("""(?i)\b(\w+)\s*\(\s*(\*|[^()]*?)\s*\)\s+FILTER\s*""" +
+        """\(\s*WHERE\s+([^()]+?)\s*\)\s*(?=OVER\b)""").r
+      val fIn = out
+      out = Fow.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (fIn.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else {
+            val fn = m.group(1); val arg = m.group(2); val cond = m.group(3)
+            if (fn.equalsIgnoreCase("count") && (arg == "*" || arg.isEmpty))
+              s"count(CASE WHEN $cond THEN 1 END) "
+            else s"$fn(CASE WHEN $cond THEN $arg END) "
+          }))
+    }
+    // regexp_extract with a NAME LIST third argument → a struct of the
+    // numbered groups (probed: struct field order follows the list)
+    if (out.toLowerCase.contains("regexp_extract"))
+      out = fix(out, "regexp_extract", 3, a => {
+        val lst = a(2).trim
+        val inner =
+          if (lst.toLowerCase.startsWith("array(") && lst.endsWith(")"))
+            Some(lst.substring(6, lst.length - 1))
+          else if (lst.startsWith("[") && lst.endsWith("]"))
+            Some(lst.substring(1, lst.length - 1))
+          else None
+        inner.flatMap { names0 =>
+          val names = splitTopLevel(names0).map(_.trim)
+          if (names.isEmpty || names.exists(n =>
+              !(n.startsWith("'") && n.endsWith("'")))) None
+          else Some("named_struct(" + names.zipWithIndex.map {
+            case (n, i) =>
+              s"$n, regexp_extract(${a(0)}, ${a(1)}, ${i + 1})"
+          }.mkString(", ") + ")")
+        }
       })
     // --- r8 breadth batch 4 (probed) -----------------------------------
     // embedding/list math: sequential left folds mirror DuckDB's loops

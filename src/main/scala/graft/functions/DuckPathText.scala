@@ -276,6 +276,23 @@ case class FormatBytes(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** DuckDB's `nextafter`: the next representable DOUBLE from a toward b
+  * — IEEE-defined, so Java's Math.nextAfter is bit-identical (probed:
+  * nextafter(1.0, 2.0) = 1.0000000000000002, nextafter(0.0, -1.0) =
+  * -5e-324). */
+case class NextAfter(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.nextAfter($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): NextAfter = copy(left = l, right = r)
+}
+
 /** DuckDB's `typeof`: the argument's TYPE rendered in DuckDB's own
   * spelling (probed: INTEGER / BIGINT / DOUBLE / DECIMAL(2,1) / VARCHAR /
   * INTEGER[] / STRUCT(a INTEGER) / MAP(VARCHAR, INTEGER) / BLOB /

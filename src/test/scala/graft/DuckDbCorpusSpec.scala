@@ -599,6 +599,55 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT to_base64('ab'::BLOB) AS b, from_base64('YWI=')::VARCHAR AS f",
       Seq("YWI=", "ab")),
 
+    // --- r8 breadth batch 5: order/limit/series/window sugar (probed) ---
+    q("SELECT 2 AS b, 1 AS a ORDER BY ALL", Seq(2, 1)),
+    C("SELECT v FROM (VALUES (3),(1),(2)) t(v) ORDER BY ALL DESC",
+      Some(Seq(Seq(3), Seq(2), Seq(1))), ordered = true),
+    C("SELECT v FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) " +
+      "t(v) ORDER BY v LIMIT 25%", Some(Seq(Seq(1), Seq(2))), ordered = true),
+    C("SELECT v FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) " +
+      "t(v) ORDER BY v LIMIT 28%", Some(Seq(Seq(1), Seq(2))), ordered = true),
+    q("VALUES (1, 'x'), (2, 'y')", Seq(1, "x"), Seq(2, "y")),
+    q("SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-03', " +
+      "INTERVAL 1 DAY)",
+      Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03")),
+    q("SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-04', " +
+      "INTERVAL 1 DAY)",
+      Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-01-03")),
+    q("SELECT * FROM range(TIMESTAMP '2024-01-01 00:00:00', " +
+      "TIMESTAMP '2024-01-01 03:00:00', INTERVAL 1 HOUR)",
+      Seq("2024-01-01"), Seq("2024-01-01 01:00:00"),
+      Seq("2024-01-01 02:00:00")),
+    q("""SELECT regexp_extract('a1', '([a-z])(\d)', ['l','d']) AS s""",
+      Seq(Seq("a", "1"))),
+    q("SELECT count(*) FILTER (WHERE v > 1) OVER () AS c " +
+      "FROM (VALUES (1),(2),(3)) t(v)", Seq(2), Seq(2), Seq(2)),
+    q("SELECT v, sum(v) FILTER (WHERE v <> 2) OVER (ORDER BY v) AS s " +
+      "FROM (VALUES (1),(2),(3)) t(v)",
+      Seq(1, 1), Seq(2, 1), Seq(3, 4)),
+    q("SELECT list_apply([1,2], x -> x * 2) AS la, " +
+      "apply([1,2], x -> x + 1) AS ap, list_pack(1,2,3) AS lp",
+      Seq(Seq(2, 4), Seq(2, 3), Seq(1, 2, 3))),
+    q("SELECT string_agg(DISTINCT v, ',' ORDER BY v) AS s " +
+      "FROM (VALUES ('b'),('a'),('b')) t(v)", Seq("a,b")),
+    q("SELECT i, last_value(v IGNORE NULLS) OVER (ORDER BY i) AS lv " +
+      "FROM (VALUES (1,1),(2,NULL)) t(i,v)", Seq(1, 1), Seq(2, 1)),
+    q("SELECT i, lag(v, 1 IGNORE NULLS) OVER (ORDER BY i) AS l " +
+      "FROM (VALUES (1,1),(2,NULL),(3,3)) t(i,v)",
+      Seq(1, null), Seq(2, 1), Seq(3, 1)),
+    q("SELECT i, lead(v, 1 IGNORE NULLS) OVER (ORDER BY i) AS l " +
+      "FROM (VALUES (1,1),(2,NULL),(3,3)) t(i,v)",
+      Seq(1, 3), Seq(2, 3), Seq(3, null)),
+    q("SELECT nextafter(1.0, 2.0) AS a, nextafter(0.0, -1.0) AS b",
+      Seq(1.0000000000000002, -4.9e-324)),
+    q("SELECT round(2.5::DOUBLE) AS a, round(-2.5::DOUBLE) AS b, " +
+      "round(3.5::DOUBLE) AS c", Seq(3.0, -3.0, 4.0)),
+    q("SELECT round(2.5) AS a, round(-2.5) AS b, round(1.2345, 2) AS c",
+      Seq(3, -3, 1.23)),
+    q("SELECT pow(2, 10) AS p", Seq(1024.0)),
+    q("SELECT DATE '2024-01-01' + 7 AS p, DATE '2024-01-01' - 7 AS m",
+      Seq("2024-01-08", "2023-12-25")),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
