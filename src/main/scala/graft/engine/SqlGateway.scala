@@ -1398,6 +1398,9 @@ class SqlGateway(val spark: SparkSession) {
     "list_apply" -> "transform",       // lambda-map aliases (probed)
     "apply" -> "transform",
     "list_pack" -> "array",
+    "datetrunc" -> "date_trunc",       // r8 batch 6 (probed)
+    "gen_random_uuid" -> "uuid",
+    "today" -> "current_date",
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -1515,6 +1518,43 @@ class SqlGateway(val spark: SparkSession) {
           case "hour" => trunc("hour", 3600000000L)
           case "minute" => trunc("minute", 60000000L)
           case "second" => trunc("second", 1000000L)
+          case _ => None
+        }
+      })
+    // date_sub('unit', a, b) (and datesub) counts ELAPSED FULL UNITS —
+    // NOT boundary crossings (probed: month Jan15→Mar10 = 1 where
+    // date_diff says 2; day over a 7.5-day span = 7; negatives truncate
+    // toward zero: -7.5 days → -7). Time units divide the exact micros
+    // span with `div`; month-family counts calendar months then backs
+    // off one when a + m months overshoots b (timestamp-aware, so times
+    // matter exactly as probed: Jan15 10:00 → Mar15 09:59 is 1 month).
+    for (fn <- Seq("date_sub", "datesub")
+         if out.toLowerCase.contains(fn.replace("_", "")) ||
+           out.toLowerCase.contains(fn))
+      out = fix(out, fn, 3, a => {
+        val (x, y) =
+          (s"CAST(${a(1)} AS TIMESTAMP)", s"CAST(${a(2)} AS TIMESTAMP)")
+        def span(unitMicros: Long) = Some(
+          s"((unix_micros($y) - unix_micros($x)) div ${unitMicros}L)")
+        def fullMonths: String = {
+          val m0 = s"((year(${a(2)}) - year(${a(1)})) * 12 + " +
+            s"(month(${a(2)}) - month(${a(1)})))"
+          s"(CASE WHEN $m0 >= 0 AND $x + make_interval(0, $m0) > $y " +
+            s"THEN $m0 - 1 " +
+            s"WHEN $m0 < 0 AND $x + make_interval(0, $m0) < $y " +
+            s"THEN $m0 + 1 ELSE $m0 END)"
+        }
+        a(0).toLowerCase.replaceAll("'", "").stripSuffix("s") match {
+          case "week" => span(7L * 86400000000L)
+          case "day" => span(86400000000L)
+          case "hour" => span(3600000000L)
+          case "minute" => span(60000000L)
+          case "second" => span(1000000L)
+          case "millisecond" => span(1000L)
+          case "microsecond" => span(1L)
+          case "month" => Some(fullMonths)
+          case "quarter" => Some(s"($fullMonths div 3)")
+          case "year" => Some(s"($fullMonths div 12)")
           case _ => None
         }
       })
@@ -2082,6 +2122,21 @@ class SqlGateway(val spark: SparkSession) {
     }
     if (out.toLowerCase.contains("ord"))
       out = fix(out, "ord", 1, a => Some(s"ascii(${a(0)})"))
+    // list element extraction spellings (1-based, NULL out of range —
+    // probed); array_extract on a STRING operand refuses downstream
+    for (fn <- Seq("list_extract", "list_element", "array_extract")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a =>
+        Some(s"try_element_at(${a(0)}, ${a(1)})"))
+    // array_slice with a STEP: elements at positions b, b+step, … e
+    // (1-based inclusive; negative steps walk backward — probed)
+    if (out.toLowerCase.contains("array_slice")) // 2/3-arg handled natively
+      out = fix(out, "array_slice", 4, a => Some(
+        s"transform(sequence(${a(1)}, ${a(2)}, ${a(3)}), " +
+          s"gi -> try_element_at(${a(0)}, gi))"))
+    if (out.toLowerCase.contains("version"))
+      out = fix(out, "version", -1, a =>
+        if (a.isEmpty || a == Seq("")) Some("'v1.0.0'") else None)
     // histogram AGGREGATE: sorted-key value→count map, NULLs dropped
     // (probed — the list_aggregate 'histogram' arm's aggregate twin)
     if (out.toLowerCase.contains("histogram")) {
@@ -2565,6 +2620,19 @@ class SqlGateway(val spark: SparkSession) {
           if (!balancedBefore(out, m.start)) m.matched
           else s"${if (m.group(2) != null) "NOT " else ""}" +
             s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+      // LIKE-operator aliases first — `~~` must not be eaten as `~`
+      // (probed: ~~ LIKE, !~~ NOT LIKE, ~~* ILIKE, !~~* NOT ILIKE)
+      val LikeOp = (s"$Operand\\s*(!~~\\*|!~~|~~\\*|~~)\\s*$Operand").r
+      val lIn = out
+      out = LikeOp.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(lIn, m.start)) m.matched
+          else {
+            val ci = m.group(2).endsWith("*")
+            val neg = if (m.group(2).startsWith("!")) "NOT " else ""
+            if (ci) s"(lower(${m.group(1)}) ${neg}LIKE lower(${m.group(3)}))"
+            else s"(${m.group(1)} ${neg}LIKE ${m.group(3)})"
+          }))
       val Tilde = (s"$Operand\\s*(!?)~\\s*$Operand").r
       val tIn = out
       out = Tilde.replaceAllIn(out, m =>
@@ -2572,6 +2640,15 @@ class SqlGateway(val spark: SparkSession) {
           if (!balancedBefore(tIn, m.start)) m.matched
           else s"${if (m.group(2) == "!") "NOT " else ""}" +
             s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+    }
+    // x ^@ y — starts_with operator (probed)
+    if (out.contains("^@")) {
+      val Sw = (s"$Operand\\s*\\^@\\s*$Operand").r
+      val sIn = out
+      out = Sw.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(sIn, m.start)) m.matched
+          else s"startswith(${m.group(1)}, ${m.group(2)})"))
     }
     // x GLOB 'pattern' (literal patterns): glob → anchored regex (LIKE
     // can't express [..] classes); non-literal patterns stay verbatim

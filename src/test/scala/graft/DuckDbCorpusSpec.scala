@@ -648,6 +648,44 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT DATE '2024-01-01' + 7 AS p, DATE '2024-01-01' - 7 AS m",
       Seq("2024-01-08", "2023-12-25")),
 
+    // --- r8 breadth batch 6: operator aliases / date_sub / misc (probed) ---
+    q("SELECT 'abc' ~~ 'a%' AS l, 'abc' !~~ 'b%' AS nl, 'ABC' ~~* 'a%' AS i",
+      Seq(true, true, true)),
+    q("SELECT 'abc' ^@ 'ab' AS sw, 'abc' ^@ 'bc' AS nsw", Seq(true, false)),
+    q("SELECT list_extract([1,2], 2) AS l, list_element([1,2], 1) AS e, " +
+      "array_extract([1,2], 9) AS oob", Seq(2, 1, null)),
+    q("SELECT array_slice([1,2,3,4,5], 2, 4, 2) AS s, " +
+      "array_slice([1,2,3,4,5], 4, 2, -2) AS n",
+      Seq(Seq(2, 4), Seq(4, 2))),
+    // date_sub counts ELAPSED FULL units; date_diff counts boundaries
+    q("SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-10') AS m, " +
+      "date_diff('month', DATE '2024-01-15', DATE '2024-03-10') AS b",
+      Seq(1, 2)),
+    q("SELECT date_sub('day', TIMESTAMP '2024-01-08 12:00:00', " +
+      "TIMESTAMP '2024-01-01 00:00:00') AS n", Seq(-7)),
+    q("SELECT date_sub('month', TIMESTAMP '2024-01-15 10:00:00', " +
+      "TIMESTAMP '2024-03-15 09:59:00') AS m", Seq(1)),
+    q("SELECT date_sub('month', DATE '2024-03-10', DATE '2024-01-15') AS m",
+      Seq(-1)),
+    q("SELECT date_sub('year', DATE '2023-06-01', DATE '2024-05-01') AS y, " +
+      "date_sub('quarter', DATE '2024-01-01', DATE '2024-07-15') AS q, " +
+      "date_sub('week', DATE '2024-01-01', DATE '2024-01-20') AS w",
+      Seq(0, 2, 2)),
+    q("SELECT datesub('day', DATE '2024-01-01', DATE '2024-01-08') AS d",
+      Seq(7)),
+    q("SELECT datetrunc('month', TIMESTAMP '2024-05-05 10:30:00') AS m",
+      Seq("2024-05-01")),
+    q("SELECT today() = current_date AS t", Seq(true)),
+    q("SELECT length(gen_random_uuid()::VARCHAR) AS l, uuid() <> uuid() AS d",
+      Seq(36, true)),
+    q("SELECT version() AS v", Seq("v1.0.0")),
+    q("SELECT quantile_cont(x::DOUBLE, [0.25, 0.75]) AS q " +
+      "FROM (VALUES (1.0),(2.0),(3.0),(4.0)) t(x)", Seq(Seq(1.75, 3.25))),
+    q("SELECT substring('abcdef', 2, 3) AS s, substring('abcdef', -3, 2) AS n",
+      Seq("bcd", "de")),
+    q("SELECT CAST('t' AS BOOLEAN) AS t1, CAST('0' AS BOOLEAN) AS f1",
+      Seq(true, false)),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
