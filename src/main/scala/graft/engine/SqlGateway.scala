@@ -2122,6 +2122,49 @@ class SqlGateway(val spark: SparkSession) {
     }
     if (out.toLowerCase.contains("ord"))
       out = fix(out, "ord", 1, a => Some(s"ascii(${a(0)})"))
+    // quantified subquery comparisons with exact IN twins: `= ANY (…)`
+    // ≡ IN, `<> ALL (…)` ≡ NOT IN (same NULL semantics); all other
+    // quantifier/operator combinations pass through and refuse
+    if (out.toLowerCase.contains("any") || out.toLowerCase.contains("all")) {
+      def rep(re: scala.util.matching.Regex, sub: String): Unit = {
+        val cur = out
+        out = re.replaceAllIn(cur, m =>
+          if (cur.substring(0, m.start).count(_ == '\'') % 2 == 0) sub
+          else java.util.regex.Matcher.quoteReplacement(m.matched))
+      }
+      rep("""(?is)=\s*ANY\s*\(""".r, " IN (")
+      rep("""(?is)(?:<>|!=)\s*ALL\s*\(""".r, " NOT IN (")
+    }
+    // frame `EXCLUDE NO OTHERS` is the default — strip it
+    if (out.toLowerCase.contains("exclude")) {
+      val eIn = out
+      out = """(?is)\s+EXCLUDE\s+NO\s+OTHERS""".r.replaceAllIn(out, m =>
+        if (eIn.substring(0, m.start).count(_ == '\'') % 2 == 0) " "
+        else java.util.regex.Matcher.quoteReplacement(m.matched))
+    }
+    // two-parameter lambdas: DuckDB passes a 1-BASED element index as
+    // the second parameter (probed: list_transform([1,2,3],(x,i)->x+i)
+    // = [2,4,6]); Spark's transform/filter pass 0-based. Every
+    // transform/filter in gateway SQL is the duck dialect (the names
+    // arrive via the list_transform/list_filter aliases), so each use of
+    // the index variable in the body shifts by one. Quote-parity-guarded
+    // word substitution; internal rewrites only emit 1-param lambdas.
+    for (fn <- Seq("transform", "filter")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
+        val Lam2 = ("""(?is)^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*""" +
+          """\)\s*->\s*(.+)$""").r
+        a(1).trim match {
+          case Lam2(x, i, body) =>
+            val re = s"\\b${java.util.regex.Pattern.quote(i)}\\b".r
+            val shifted = re.replaceAllIn(body, m =>
+              if (body.substring(0, m.start).count(_ == '\'') % 2 != 0)
+                m.matched
+              else s"($i + 1)")
+            Some(s"$fn(${a(0)}, ($x, $i) -> ${shifted})")
+          case _ => None // 1-param lambda: agreed semantics, untouched
+        }
+      })
     // list element extraction spellings (1-based, NULL out of range —
     // probed); array_extract on a STRING operand refuses downstream
     for (fn <- Seq("list_extract", "list_element", "array_extract")

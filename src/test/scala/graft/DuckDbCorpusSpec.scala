@@ -686,6 +686,33 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT CAST('t' AS BOOLEAN) AS t1, CAST('0' AS BOOLEAN) AS f1",
       Seq(true, false)),
 
+    // --- r8 breadth batch 7: indexed lambdas / quantifiers / frames ---
+    // DuckDB's 2-param lambdas pass a 1-BASED index (probed — the alias
+    // to Spark's 0-based transform/filter was silently wrong before r8)
+    q("SELECT list_transform([1,2,3], (x, i) -> x + i) AS t",
+      Seq(Seq(2, 4, 6))),
+    q("SELECT list_filter([10,20,30], (x, i) -> i > 1) AS f",
+      Seq(Seq(20, 30))),
+    q("SELECT 1 = ANY (SELECT 1) AS a, 3 <> ALL (SELECT 1) AS c",
+      Seq(true, true)),
+    q("SELECT v, sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND " +
+      "1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM (VALUES (1),(2)) t(v)",
+      Seq(1, 3), Seq(2, 3)),
+    q("SELECT v, avg(v) OVER w AS a, sum(v) OVER w AS s " +
+      "FROM (VALUES (1),(2)) t(v) WINDOW w AS (ORDER BY v)",
+      Seq(1, 1.0, 1), Seq(2, 1.5, 3)),
+    q("SELECT TRY_CAST('2024-13-01' AS DATE) AS bad, " +
+      "TRY_CAST('2024-01-01' AS DATE) AS ok", Seq(null, "2024-01-01")),
+    q("SELECT INTERVAL (7) DAY + DATE '2024-01-01' AS d",
+      Seq("2024-01-08")),
+    q("SELECT [[y for y in [1,x]] for x in [2,3]] AS ll",
+      Seq(Seq(Seq(1, 2), Seq(1, 3)))),
+    q("SELECT EXISTS (SELECT 1 WHERE false) AS e, " +
+      "(SELECT 1) + (SELECT 2) AS s", Seq(false, 3)),
+    q("SELECT CAST(1.50 AS VARCHAR) AS d, CAST(true AS VARCHAR) AS b, " +
+      "CAST(DATE '2024-01-01' AS VARCHAR) AS dt",
+      Seq("1.50", "true", "2024-01-01")),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
