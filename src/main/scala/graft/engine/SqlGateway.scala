@@ -417,6 +417,9 @@ class SqlGateway(val spark: SparkSession) {
   // DESCRIBE/DESC only — Spark's own SHOW TABLES/DATABASES etc. must keep
   // passing through to spark.sql untouched
   private val DescribeRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*""".r
+  // DESCRIBE/SUMMARIZE over an arbitrary SELECT (DuckDB statement forms)
+  private val SummarizeSelRe = """(?is)\s*SUMMARIZE\s+(SELECT\b.*)""".r
+  private val DescribeSelRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(SELECT\b.*)""".r
   private val PivotRe =
     """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)(?:\s+GROUP\s+BY\s+(.*?))?\s*""".r
   private val UnpivotRe =
@@ -493,9 +496,17 @@ class SqlGateway(val spark: SparkSession) {
         settings.getOrElse("memory_limit", "unset"))))
         .toDF("database_name", "database_size", "memory_limit")
     case FromSelectRe(table, sel) if spark.catalog.tableExists(table) =>
-      queryDf(s"SELECT $sel FROM $table")
+      // FROM-first SELECT may carry WHERE/GROUP/ORDER/LIMIT after the
+      // items — the FROM slots in before them
+      val cut = topLevel(sel,
+          """\b(?:WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|QUALIFY)\b""")
+        .map(_._1).getOrElse(sel.length)
+      queryDf(s"SELECT ${sel.substring(0, cut)} FROM $table " +
+        sel.substring(cut))
     case FromOnlyRe(table) if spark.catalog.tableExists(table) =>
       spark.table(table)
+    case SummarizeSelRe(sel) => summarize(queryDf(sel))
+    case DescribeSelRe(sel) => describeDf(queryDf(sel))
     case SummarizeRe(table) => summarize(spark.table(table))
     case DescribeRe(table) => describe(table)
     case PivotRe(table, on, fn, arg, grp) =>
@@ -744,6 +755,32 @@ class SqlGateway(val spark: SparkSession) {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Substitutes `expr AS name` select-list aliases referenced by the
+    * WHERE text with `(expr)`, skipping aliases shadowed by a real
+    * column (the column wins in DuckDB — probed). Some only when at
+    * least one substitution applied, so the caller's guard cannot loop. */
+  private def aliasIntoWhere(sel: String, table: String,
+      cond: String): Option[String] = {
+    val cols = spark.table(table).columns.map(_.toLowerCase).toSet
+    val AsRe = """(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$""".r
+    val aliases = splitTopLevel(sel).map(_.trim).collect {
+      case AsRe(e, n) if !cols(n.toLowerCase) => (n, e)
+    }
+    var changed = false
+    var c = cond
+    for ((n, e) <- aliases) {
+      val cur = c
+      // not a function call, not a qualified/member reference
+      val re = (s"(?i)(?<![\\w.$$])${java.util.regex.Pattern.quote(n)}" +
+        """\b(?!\s*\()""").r
+      c = re.replaceAllIn(cur, m =>
+        if (cur.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+        else { changed = true
+          java.util.regex.Matcher.quoteReplacement(s"($e)") })
+    }
+    if (changed) Some(c) else None
+  }
+
   /** DuckDB's temporal `range`/`generate_series` TVFs: both emit
     * TIMESTAMP rows even for DATE bounds (probed); range excludes the
     * stop, generate_series includes it. sequence() is inclusive, so the
@@ -823,6 +860,20 @@ class SqlGateway(val spark: SparkSession) {
         val df = queryDf(head)
         return Some(df.limit(
           math.floor(df.count() * pct.toDouble / 100.0).toInt))
+      case _ =>
+    }
+    // SELECT-list aliases are referenceable from WHERE in DuckDB (a real
+    // COLUMN of the same name wins — probed); Spark resolves WHERE
+    // against the child only. Substitute each non-shadowed alias's
+    // expression into the predicate, then re-enter.
+    val AliasWhereRe = ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
+      """\s+WHERE\s+(.+?)((?:\s+(?:GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
+    sql match {
+      case AliasWhereRe(sel, table, cond, tailPart)
+          if spark.catalog.tableExists(table) &&
+            aliasIntoWhere(sel, table, cond).isDefined =>
+        return aliasIntoWhere(sel, table, cond).map(c2 =>
+          runSql(s"SELECT $sel FROM $table WHERE $c2 $tailPart"))
       case _ =>
     }
     // top-level VALUES statement: DuckDB names the columns col0, col1, …
@@ -1743,6 +1794,15 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"sort_array(array_agg($e)${if (asc) "" else ", false"})")
         case _ => None
       })
+    // list(x ORDER BY x) arrives as collect_list via the alias — same
+    // sorted-collect spelling as array_agg (r8)
+    if (out.toLowerCase.contains("collect_list"))
+      out = fix(out, "collect_list", 1, a => a.head.trim match {
+        case AggOrd(e, o, dir) if same(e, o) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          Some(s"sort_array(collect_list($e)${if (asc) "" else ", false"})")
+        case _ => None
+      })
     if (out.toLowerCase.contains("string_agg"))
       out = fix(out, "string_agg", 2, a => {
         // DISTINCT dedups before joining (collect_set; string_agg skips
@@ -2600,10 +2660,22 @@ class SqlGateway(val spark: SparkSession) {
         .replaceAll("(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
     if (out.toLowerCase.contains("using sample"))
       out = out
+        .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+(?:\\.\\d+)?)\\s*" +
+          "(?:%|percent\\b)\\s*\\(\\s*(?:bernoulli|system)\\s*\\)",
+          "TABLESAMPLE ($1 PERCENT)")
         .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+)\\s+rows\\b",
           "TABLESAMPLE ($1 ROWS)")
         .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+(?:\\.\\d+)?)\\s*(?:%|percent\\b)",
           "TABLESAMPLE ($1 PERCENT)")
+        .replaceAll("(?i)\\busing\\s+sample\\s+reservoir\\s*\\(\\s*(\\d+)\\s*\\)",
+          "TABLESAMPLE ($1 ROWS)")
+        // bare row count: `USING SAMPLE 2` samples 2 rows (probed)
+        .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+)\\b(?!\\s*(?:%|percent|rows))",
+          "TABLESAMPLE ($1 ROWS)")
+    if (out.toLowerCase.contains("tablesample"))
+      out = out.replaceAll(
+        "(?i)\\btablesample\\s+reservoir\\s*\\(\\s*(\\d+)\\s*\\)",
+        "TABLESAMPLE ($1 ROWS)")
     if (out.toLowerCase.contains("join"))
       out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
         "LEFT $1 JOIN")
@@ -3317,9 +3389,11 @@ class SqlGateway(val spark: SparkSession) {
     * that powers DatabaseTypeName fidelity; YES/NO nullability and the PRI
     * key flag come from the gateway's constraint registry. Pure metadata —
     * no scan. */
-  private def describe(table: String): DataFrame = {
-    val df = spark.table(table)
-    val (pk, notNull) = constraints.getOrElse(tableKey(table), (Nil, Nil))
+  private def describe(table: String): DataFrame =
+    describeDf(spark.table(table), tableKey(table))
+
+  private def describeDf(df: DataFrame, key: String = ""): DataFrame = {
+    val (pk, notNull) = constraints.getOrElse(key, (Nil, Nil))
     val rows = df.schema.fields.map { f =>
       val nn = notNull.exists(_.equalsIgnoreCase(f.name))
       (f.name, Results.duckTypeName(f),

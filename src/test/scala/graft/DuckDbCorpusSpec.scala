@@ -713,6 +713,40 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "CAST(DATE '2024-01-01' AS VARCHAR) AS dt",
       Seq("1.50", "true", "2024-01-01")),
 
+    // --- r8 breadth batch 8: aliases-in-WHERE / describe-select /
+    //     pivot / sampling counts (probed) ---
+    s("CREATE TABLE bt8 (city VARCHAR, yr INTEGER, amt INTEGER)"),
+    s("INSERT INTO bt8 VALUES ('a',2020,1),('a',2021,2),('b',2020,3)"),
+    C("SELECT amt*10 AS big FROM bt8 WHERE big > 15 ORDER BY 1",
+      Some(Seq(Seq(20), Seq(30))), ordered = true),
+    // a real column named like the alias wins (probed)
+    C("SELECT yr AS amt FROM bt8 WHERE amt > 1 ORDER BY 1",
+      Some(Seq(Seq(2020), Seq(2021))), ordered = true),
+    // lateral alias reuse inside the SELECT list
+    C("SELECT amt*10 AS big, big + 1 AS bigger FROM bt8 ORDER BY 1, 2",
+      Some(Seq(Seq(10, 11), Seq(20, 21), Seq(30, 31))), ordered = true),
+    C("SELECT amt AS a FROM bt8 GROUP BY a HAVING a > 1 ORDER BY a",
+      Some(Seq(Seq(2), Seq(3))), ordered = true),
+    C("SELECT city, list(amt ORDER BY amt DESC) AS l FROM bt8 " +
+      "GROUP BY city ORDER BY city",
+      Some(Seq(Seq("a", Seq(2, 1)), Seq("b", Seq(3)))), ordered = true),
+    q("DESCRIBE SELECT city, amt FROM bt8",
+      Seq("city", "VARCHAR", "YES", null, null, null),
+      Seq("amt", "INTEGER", "YES", null, null, null)),
+    s("SUMMARIZE SELECT * FROM bt8"),
+    q("SELECT * FROM bt8 PIVOT (sum(amt) FOR yr IN (2020, 2021))",
+      Seq("a", 1, 2), Seq("b", 3, null)),
+    q("SELECT count(*) AS c FROM (SELECT * FROM bt8 USING SAMPLE 2) s",
+      Seq(2)),
+    q("SELECT count(*) AS c FROM bt8 USING SAMPLE 100% (bernoulli)",
+      Seq(3)),
+    q("WITH t(x) AS (VALUES (1),(2)) SELECT sum(x) AS s FROM t", Seq(3)),
+    C("FROM bt8 SELECT city WHERE amt > 1 ORDER BY city",
+      Some(Seq(Seq("a"), Seq("b"))), ordered = true),
+    C("SELECT amt, IF(amt > 1, 'big', 'small') AS s FROM bt8 ORDER BY amt",
+      Some(Seq(Seq(1, "small"), Seq(2, "big"), Seq(3, "big"))),
+      ordered = true),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
