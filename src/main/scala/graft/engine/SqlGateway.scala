@@ -1692,6 +1692,20 @@ class SqlGateway(val spark: SparkSession) {
             !args.head.drop(1).dropRight(1).contains('\''))
           fmtTemplateToJava(args.head.drop(1).dropRight(1), args.tail)
         else None)
+    // printf: Spark's formatter rejects DECIMAL arguments for %f — a
+    // fractional numeric LITERAL argument goes through DOUBLE, which is
+    // how DuckDB's printf renders it anyway (probed: %5.2f of 3.14159)
+    if (out.toLowerCase.contains("printf"))
+      out = fix(out, "printf", -1, a =>
+        if (a.length < 2) None
+        else {
+          val DecLit = """^-?\d+\.\d+$""".r
+          val mapped = a.head +: a.tail.map(x =>
+            if (DecLit.findFirstIn(x.trim).isDefined)
+              s"CAST($x AS DOUBLE)" else x)
+          if (mapped == a) None
+          else Some(s"printf(${mapped.mkString(", ")})")
+        })
     // ---- list-function spellings whose exact twin needs an argument
     //      reshape (all corner semantics verified against DuckDB 1.0) ----
     val IntLit = """^-?\d+$""".r

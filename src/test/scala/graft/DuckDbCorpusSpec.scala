@@ -747,6 +747,25 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Some(Seq(Seq(1, "small"), Seq(2, "big"), Seq(3, "big"))),
       ordered = true),
 
+    // --- r8 breadth batch 9: format specs / comparisons (probed) ---
+    q("SELECT printf('%5.2f|%05d|%x', 3.14159, 42, 255) AS p",
+      Seq(" 3.14|00042|ff")),
+    q("SELECT printf('%s=%d%%', 'x', 9) AS p", Seq("x=9%")),
+    q("SELECT format('{:.3f}|{:x}', 2.5, 255) AS f", Seq("2.500|ff")),
+    q("SELECT concat('a', 1, DATE '2024-01-01') AS m", Seq("a12024-01-01")),
+    q("SELECT concat_ws('-', 'a', NULL, 'b') AS c", Seq("a-b")),
+    q("SELECT repeat('-', 0) AS a, repeat('ab', -1) AS b", Seq("", "")),
+    q("SELECT substring('abc' FROM 2 FOR 1) AS s", Seq("b")),
+    q("SELECT 0.1::FLOAT::VARCHAR AS f", Seq("0.1")),
+    q("SELECT regexp_extract('2024-01-02', '(\\d+)-(\\d+)-(\\d+)', 0) AS g",
+      Seq("2024-01-02")),
+    q("SELECT {'a':1} = {'a':1} AS eq, {'a':1} = {'a':2} AS ne",
+      Seq(true, false)),
+    q("SELECT row(1,2) = row(1,2) AS teq", Seq(true)),
+    q("SELECT [1,2] < [1,3] AS lc, [1,2] = [1,2] AS le", Seq(true, true)),
+    q("SELECT NULL IN ('a') AS n, 'b' IN ('a','b') AS y", Seq(null, true)),
+    q("SELECT str_split('a b', ' ') AS s", Seq(Seq("a", "b"))),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
