@@ -169,6 +169,31 @@ class AsofJoinSpec extends SparkTestBase {
     assert(ns == Seq(7, 9))
   }
 
+  test("composite (struct) keys join per key-tuple; NULL fields never match") {
+    val l = Seq((1, 2, 20L, 5), (1, 3, 20L, 6), (1, 2, 5L, 7))
+      .toDF("x", "y", "ts", "v")
+      .withColumn("lk", when(!col("x").isNull && !col("y").isNull,
+        struct(col("x").as("k0"), col("y").as("k1"))))
+    val r = Seq((1, 2, 10L, 77), (1, 3, 15L, 88))
+      .toDF("x2", "y2", "ts2", "p")
+      .withColumn("rk", when(!col("x2").isNull && !col("y2").isNull,
+        struct(col("x2").as("k0"), col("y2").as("k1"))))
+    val out = Asof.join(l, r, "lk", "rk", "ts", "ts2")
+      .select($"v", $"p").collect()
+      .map(row => (row.getInt(0),
+        if (row.isNullAt(1)) None else Some(row.getInt(1)))).toSet
+    // (1,2)@20 → 77; (1,3)@20 → 88; (1,2)@5 precedes its match → None
+    assert(out == Set((5, Some(77)), (6, Some(88)), (7, None)))
+  }
+
+  test("keyless ASOF via a constant key is one global merge") {
+    val l = Seq((0L, 20L, 1)).toDF("k", "ts", "v")
+    val r = Seq((0L, 5L, 6), (0L, 15L, 7)).toDF("k2", "ts2", "p")
+    val out = Asof.join(l, r, "k", "k2", "ts", "ts2")
+      .select($"p").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(7))
+  }
+
   test("tolerance over fractional ts is rejected loudly") {
     val a = Seq((1L, 5.0)).toDF("k", "fts")
     val b = Seq((1L, 4.5, 7)).toDF("k2", "rts", "p")
