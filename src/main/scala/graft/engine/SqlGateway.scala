@@ -1808,6 +1808,50 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"sort_array(array_agg($e)${if (asc) "" else ", false"})")
         case _ => None
       })
+    // ORDER BY inside an ORDER-INSENSITIVE aggregate is a no-op — strip
+    // it (DuckDB accepts `sum(x ORDER BY x)`)
+    for (fn <- Seq("sum", "avg", "count", "min", "max", "bool_and",
+        "bool_or", "bit_and", "bit_or", "bit_xor")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => a.head.trim match {
+        case AggOrd(e, _, _) => Some(s"$fn($e)")
+        case _ => None
+      })
+    // regr_* compute over DOUBLE in DuckDB regardless of input type
+    // (probed: DECIMAL inputs still yield DOUBLE averages); Spark keeps
+    // DECIMAL averages — cast both operands through
+    if (out.toLowerCase.contains("regr_"))
+      for (fn <- Seq("regr_slope", "regr_intercept", "regr_r2",
+          "regr_count", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
+          "regr_sxy") if out.toLowerCase.contains(fn))
+        out = fix(out, fn, 2, a =>
+          if (a.forall(_.trim.toUpperCase.startsWith("CAST("))) None
+          else Some(s"$fn(CAST(${a(0)} AS DOUBLE), " +
+            s"CAST(${a(1)} AS DOUBLE))"))
+    // UNION-typed values model as a (tag, value) struct: union_value
+    // constructs it, union_extract guards on the tag, union_tag reads it
+    // (probed: extract of the live tag returns the value, the tag name
+    // round-trips). Single-tag unions only — a column mixing tags of
+    // different value types fails analysis loudly rather than guessing.
+    if (out.toLowerCase.contains("union_value"))
+      out = fix(out, "union_value", 1, a => {
+        val Named = """(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+        a.head.trim match {
+          case Named(t, v) =>
+            Some(s"named_struct('graft_tag', '$t', 'graft_val', $v)")
+          case _ => None
+        }
+      })
+    if (out.toLowerCase.contains("union_extract"))
+      out = fix(out, "union_extract", 2, a => {
+        val f = a(1).trim
+        if (f.length >= 2 && f.startsWith("'") && f.endsWith("'"))
+          Some(s"(CASE WHEN (${a(0)}).graft_tag = $f " +
+            s"THEN (${a(0)}).graft_val END)")
+        else None
+      })
+    if (out.toLowerCase.contains("union_tag"))
+      out = fix(out, "union_tag", 1, a => Some(s"(${a(0)}).graft_tag"))
     // list(x ORDER BY x) arrives as collect_list via the alias — same
     // sorted-collect spelling as array_agg (r8)
     if (out.toLowerCase.contains("collect_list"))

@@ -766,6 +766,39 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT NULL IN ('a') AS n, 'b' IN ('a','b') AS y", Seq(null, true)),
     q("SELECT str_split('a b', ' ') AS s", Seq(Seq("a", "b"))),
 
+    // --- r8 breadth batch 10: stats aggregates / frames / unions ---
+    q("SELECT corr(y, x) AS c, covar_pop(y, x) AS cp, covar_samp(y, x) " +
+      "AS cs FROM (VALUES (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x,y)",
+      Seq(0.9819805060619659, 1.0, 1.5)),
+    q("SELECT regr_intercept(y,x) AS ri, regr_r2(y,x) AS r2, " +
+      "regr_count(y,x) AS rc " +
+      "FROM (VALUES (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x,y)",
+      Seq(0.6666666666666665, 0.9642857142857145, 3)),
+    // (regr_syy deliberately unpinned: DuckDB's Welford accumulation
+    // order differs from Spark's central-moment merge in the last ulp)
+    q("SELECT regr_avgx(y,x) AS ax, regr_avgy(y,x) AS ay, " +
+      "regr_sxx(y,x) AS sxx, regr_sxy(y,x) AS sxy " +
+      "FROM (VALUES (1.0,2.0),(2.0,4.0),(3.0,5.0)) t(x,y)",
+      Seq(2.0, 3.6666666666666665, 2.0, 3.0)),
+    C("SELECT ts, sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY " +
+      "PRECEDING AND CURRENT ROW) AS s FROM (VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:00', 1), " +
+      "(TIMESTAMP '2024-01-01 12:00:00', 2), " +
+      "(TIMESTAMP '2024-01-03 00:00:00', 4)) t(ts, v) ORDER BY ts",
+      Some(Seq(Seq("2024-01-01", 1), Seq("2024-01-01 12:00:00", 3),
+        Seq("2024-01-03", 4))), ordered = true),
+    q("SELECT sum(x ORDER BY x) AS s, count(DISTINCT x ORDER BY x) AS c " +
+      "FROM (VALUES (1),(2)) t(x)", Seq(3, 2)),
+    q("SELECT union_extract(u, 'num') AS ue, union_tag(u) AS ut " +
+      "FROM (SELECT union_value(num := 2) AS u) t", Seq(2, "num")),
+    q("SELECT grouping_id(g) AS gid, count(*) AS c " +
+      "FROM (VALUES ('a')) t(g) GROUP BY ROLLUP(g)",
+      Seq(1, 1), Seq(0, 1)),
+    q("SELECT arg_max(g, v) AS am " +
+      "FROM (VALUES ('a',NULL),('b',1)) t(g,v)", Seq("b")),
+    q("SELECT bool_and(b) AS ba FROM (VALUES (true),(NULL)) t(b)",
+      Seq(true)),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
