@@ -130,6 +130,8 @@ class SqlGateway(val spark: SparkSession) {
     two("time_bucket")(DuckTimeBucket(_, _))
     one("typeof")(DuckTypeof(_))
     two("nextafter")(NextAfter(_, _))
+    one("length")(DuckLen(_)) // duck length works on LISTS too (DuckLen)
+    one("len")(DuckLen(_))
     // DuckDB's product aggregate (ProductAggregator scaladoc)
     spark.udf.register("graft_product",
       org.apache.spark.sql.functions.udaf(new ProductAggregator))
@@ -1828,6 +1830,32 @@ class SqlGateway(val spark: SparkSession) {
           if (a.forall(_.trim.toUpperCase.startsWith("CAST("))) None
           else Some(s"$fn(CAST(${a(0)} AS DOUBLE), " +
             s"CAST(${a(1)} AS DOUBLE))"))
+    // enum introspection over CREATE TYPE … AS ENUM definitions: the
+    // argument's ::typename resolves against the registered type table
+    // (probed: range/first/last/code; code is 0-based)
+    if (out.toLowerCase.contains("enum_")) {
+      def enumValues(arg: String): Option[Seq[String]] = {
+        val T = """(?is).*::\s*(\w+)\s*$""".r
+        arg.trim match {
+          case T(name) => namedTypes.get(name.toLowerCase).flatMap { spec =>
+            val Inner = """(?is)^ENUM\s*\((.*)\)$""".r
+            spec.trim match {
+              case Inner(items) => Some(splitTopLevel(items).map(_.trim))
+              case _ => None
+            }
+          }
+          case _ => None
+        }
+      }
+      out = fix(out, "enum_range", 1, a => enumValues(a(0)).map(vs =>
+        s"array(${vs.mkString(", ")})"))
+      out = fix(out, "enum_first", 1, a => enumValues(a(0)).map(_.head))
+      out = fix(out, "enum_last", 1, a => enumValues(a(0)).map(_.last))
+      out = fix(out, "enum_code", 1, a => enumValues(a(0)).map { vs =>
+        val v = a(0).trim.replaceAll("(?is)::\\s*\\w+\\s*$", "")
+        s"(array_position(array(${vs.mkString(", ")}), $v) - 1)"
+      })
+    }
     // UNION-typed values model as a (tag, value) struct: union_value
     // constructs it, union_extract guards on the tag, union_tag reads it
     // (probed: extract of the live tag returns the value, the tag name

@@ -276,6 +276,36 @@ case class FormatBytes(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** DuckDB's `len`/`length`: character count for VARCHAR, element count
+  * for lists (NULL elements counted — probed), BIGINT both ways.
+  * Registered over Spark's builtin `length` in the gateway session so
+  * the duck spelling works on lists too; on strings the value is
+  * identical to Spark's builtin (only the width differs, as DuckDB's
+  * does). */
+case class DuckLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType | _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"len($other)")
+    }
+  private def isArray = child.dataType.isInstanceOf[ArrayType]
+  override def nullSafeEval(a: Any): Any =
+    if (isArray)
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .numElements().toLong
+    else a.asInstanceOf[UTF8String].numChars().toLong
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      if (isArray) s"(long) $a.numElements()" else s"(long) $a.numChars()")
+  override protected def withNewChildInternal(c: Expression): DuckLen =
+    copy(child = c)
+}
+
 /** DuckDB's `nextafter`: the next representable DOUBLE from a toward b
   * — IEEE-defined, so Java's Math.nextAfter is bit-identical (probed:
   * nextafter(1.0, 2.0) = 1.0000000000000002, nextafter(0.0, -1.0) =

@@ -799,6 +799,18 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT bool_and(b) AS ba FROM (VALUES (true),(NULL)) t(b)",
       Seq(true)),
 
+    // enum introspection (0-based enum_code — probed)
+    s("CREATE TYPE corpus_mood AS ENUM ('sad','happy')"),
+    q("SELECT enum_range(NULL::corpus_mood) AS r", Seq(Seq("sad", "happy"))),
+    q("SELECT enum_first(NULL::corpus_mood) AS f, " +
+      "enum_last(NULL::corpus_mood) AS l, " +
+      "enum_code('happy'::corpus_mood) AS c", Seq("sad", "happy", 1)),
+
+    // len/length dispatch: chars for VARCHAR, element count (NULLs
+    // included) for lists — BIGINT both ways (probed)
+    q("SELECT len('héllo') AS a, len([1,2]) AS b, len([1,2,NULL]) AS c, " +
+      "length([4,5]) AS d, length('abc') AS e", Seq(5, 2, 3, 2, 3)),
+
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
     q("SELECT unnest([{'a':1,'b':2}], recursive := true)", Seq(1, 2)),
