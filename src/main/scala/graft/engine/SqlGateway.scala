@@ -1253,9 +1253,35 @@ class SqlGateway(val spark: SparkSession) {
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(
       _.expressions.exists(_.exists(_.isInstanceOf[SubtractDates])))
-    if (!hasIt) df
+    val stage1 = if (!hasIt) df
     else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
       case sd: SubtractDates => Cast(DateDiff(sd.left, sd.right), LongType)
+    })
+    complexVarcharCasts(stage1)
+  }
+
+  /** USER casts of Array/Struct/Map operands to VARCHAR render in
+    * DuckDB's own spelling (graft.functions.DuckComplexToVarchar
+    * scaladoc) — Spark's cast renders structs `{1, x}`-style, a silent
+    * divergence otherwise. Analyzed-plan swap with a cheap existence
+    * short-circuit, exactly the SubtractDates pattern above. */
+  private def complexVarcharCasts(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+    def isComplex(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+        dt.isInstanceOf[StructType]
+    val analyzed = df.queryExecution.analyzed
+    val hasIt = analyzed.exists(_.expressions.exists(_.exists {
+      case c: Cast => c.dataType.isInstanceOf[StringType] &&
+        isComplex(c.child.dataType)
+      case _ => false
+    }))
+    if (!hasIt) df
+    else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
+      case c: Cast if c.dataType.isInstanceOf[StringType] &&
+          isComplex(c.child.dataType) =>
+        graft.functions.DuckComplexToVarchar(c.child)
     })
   }
 

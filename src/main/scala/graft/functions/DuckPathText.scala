@@ -276,6 +276,82 @@ case class FormatBytes(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** DuckDB-style rendering of a complex value cast to VARCHAR (probed,
+  * v1.0): lists `[a, b c]` (string elements UNQUOTED, `NULL` for null
+  * elements, empty string renders empty), structs `{'name': value}`
+  * (keys quoted, values bare), maps `{k=v}`, decimals keep their scale
+  * (`1.50`), dates/timestamps ISO with a trailing-zero-trimmed
+  * fraction, doubles in their shortest form — an exotic double whose
+  * Java rendering would need scientific notation refuses loudly rather
+  * than guessing DuckDB's exponent spelling. The gateway swaps this in
+  * for USER casts of Array/Struct/Map operands to VARCHAR on the
+  * analyzed plan (Spark's own cast renders `{1, x}`-style structs). */
+case class DuckComplexToVarchar(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+
+  private def scalarStr(v: Any, dt: DataType): String = dt match {
+    case _: StringType => v.asInstanceOf[UTF8String].toString
+    case ByteType | ShortType | IntegerType | LongType => v.toString
+    case BooleanType => if (v.asInstanceOf[Boolean]) "true" else "false"
+    case _: DecimalType =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.toPlainString
+    case FloatType | DoubleType =>
+      val d = v match {
+        case f: java.lang.Float => f.doubleValue()
+        case x => x.asInstanceOf[java.lang.Double].doubleValue()
+      }
+      val s = if (dt == FloatType) v.toString else java.lang.Double.toString(d)
+      if (s.contains("E") || s.contains("e"))
+        throw new IllegalArgumentException(
+          "complex-to-VARCHAR: scientific-notation double rendering " +
+            "differs between engines — refuse, don't guess")
+      s
+    case _: DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case _: TimestampType =>
+      val micros = v.asInstanceOf[Long]
+      val secs = Math.floorDiv(micros, 1000000L)
+      val frac = Math.floorMod(micros, 1000000L)
+      val base = java.time.LocalDateTime.ofEpochSecond(secs, 0,
+        java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd HH:mm:ss"))
+      if (frac == 0) base
+      else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+    case other => throw new IllegalArgumentException(
+      s"complex-to-VARCHAR: unsupported element type $other")
+  }
+
+  private def render(v: Any, dt: DataType): String = dt match {
+    case ArrayType(et, _) =>
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) "NULL" else render(a.get(i, et), et))
+        .mkString("[", ", ", "]")
+    case s: StructType =>
+      val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      s.fields.zipWithIndex.map { case (f, i) =>
+        s"'${f.name}': " + (if (r.isNullAt(i)) "NULL"
+          else render(r.get(i, f.dataType), f.dataType))
+      }.mkString("{", ", ", "}")
+    case MapType(kt, vt, _) =>
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = m.keyArray(); val vs = m.valueArray()
+      (0 until m.numElements()).map { i =>
+        render(ks.get(i, kt), kt) + "=" +
+          (if (vs.isNullAt(i)) "NULL" else render(vs.get(i, vt), vt))
+      }.mkString("{", ", ", "}")
+    case other => scalarStr(v, other)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(render(v, child.dataType))
+  override protected def withNewChildInternal(c: Expression)
+      : DuckComplexToVarchar = copy(child = c)
+}
+
 /** DuckDB's `len`/`length`: character count for VARCHAR, element count
   * for lists (NULL elements counted — probed), BIGINT both ways.
   * Registered over Spark's builtin `length` in the gateway session so

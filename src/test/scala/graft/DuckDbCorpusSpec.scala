@@ -799,6 +799,25 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT bool_and(b) AS ba FROM (VALUES (true),(NULL)) t(b)",
       Seq(true)),
 
+    // complex-to-VARCHAR casts render DuckDB-style (probed: string
+    // elements unquoted, struct keys quoted, maps k=v, NULL spelled)
+    q("SELECT CAST(['a','b c'] AS VARCHAR) AS l", Seq("[a, b c]")),
+    q("SELECT CAST([1.5, NULL] AS VARCHAR) AS n", Seq("[1.5, NULL]")),
+    q("SELECT CAST([[1],[2,3]] AS VARCHAR) AS x", Seq("[[1], [2, 3]]")),
+    q("SELECT CAST({'a': 1, 'b': 'x y'} AS VARCHAR) AS s",
+      Seq("{'a': 1, 'b': x y}")),
+    q("SELECT CAST({'a': [1,2]} AS VARCHAR) AS s", Seq("{'a': [1, 2]}")),
+    q("SELECT CAST(MAP {'k1': 1, 'k2': NULL} AS VARCHAR) AS m",
+      Seq("{k1=1, k2=NULL}")),
+    q("SELECT CAST([DATE '2024-01-01'] AS VARCHAR) AS d",
+      Seq("[2024-01-01]")),
+    q("SELECT CAST([0.5::DOUBLE, 2.0::DOUBLE, 0.1::DOUBLE] AS VARCHAR) AS f",
+      Seq("[0.5, 2.0, 0.1]")),
+    q("SELECT CAST([TIMESTAMP '2024-01-01 10:00:00', " +
+      "TIMESTAMP '2024-01-01 10:00:00.5'] AS VARCHAR) AS t",
+      Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
+    q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
+
     // enum introspection (0-based enum_code — probed)
     s("CREATE TYPE corpus_mood AS ENUM ('sad','happy')"),
     q("SELECT enum_range(NULL::corpus_mood) AS r", Seq(Seq("sad", "happy"))),
