@@ -1644,6 +1644,33 @@ class SqlGateway(val spark: SparkSession) {
       out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
     if (out.toLowerCase.contains("epoch_ms"))
       out = fix(out, "epoch_ms", 1, a => Some(s"unix_millis(${a.head})"))
+    if (out.toLowerCase.contains("epoch_ns"))
+      out = fix(out, "epoch_ns", 1, a =>
+        Some(s"(unix_micros(${a.head}) * 1000)"))
+    if (out.toLowerCase.contains("txid_current"))
+      out = fix(out, "txid_current", -1, a =>
+        if (a.isEmpty || a == Seq("")) Some("CAST(1 AS BIGINT)") else None)
+    // date_part/datepart with a part-name LIST → a struct of the parts
+    // (probed: field order follows the list)
+    for (fn <- Seq("date_part", "datepart")
+         if out.toLowerCase.contains(fn.replace("_", "")) ||
+           out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
+        val lst = a(0).trim
+        val inner =
+          if (lst.toLowerCase.startsWith("array(") && lst.endsWith(")"))
+            Some(lst.substring(6, lst.length - 1))
+          else if (lst.startsWith("[") && lst.endsWith("]"))
+            Some(lst.substring(1, lst.length - 1))
+          else None
+        inner.flatMap { names0 =>
+          val names = splitTopLevel(names0).map(_.trim)
+          if (names.isEmpty || names.exists(n =>
+              !(n.startsWith("'") && n.endsWith("'")))) None
+          else Some("named_struct(" + names.map(n =>
+            s"$n, date_part($n, ${a(1)})").mkString(", ") + ")")
+        }
+      })
     // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
     // (probed: cos/sin differs in the last ulp)
     if (out.toLowerCase.contains("xor("))

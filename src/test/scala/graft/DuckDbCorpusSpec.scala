@@ -818,6 +818,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
     q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
 
+    // date_part list form / epoch_ns / txid (probed)
+    q("SELECT date_part(['year','month'], DATE '2024-05-06') AS p",
+      Seq(Seq(2024, 5))),
+    q("SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01') AS n",
+      Seq(1704067201000000000L)),
+    q("SELECT txid_current() >= 0 AS t", Seq(true)),
+
     // enum introspection (0-based enum_code — probed)
     s("CREATE TYPE corpus_mood AS ENUM ('sad','happy')"),
     q("SELECT enum_range(NULL::corpus_mood) AS r", Seq(Seq("sad", "happy"))),
