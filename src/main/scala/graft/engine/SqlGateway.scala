@@ -2364,6 +2364,14 @@ class SqlGateway(val spark: SparkSession) {
           case _ => None // 1-param lambda: agreed semantics, untouched
         }
       })
+    // 3-arg substr/substring with start 0: the positions before 1 count
+    // AGAINST the length in DuckDB (probed: substr('abc', 0, 2) = 'a';
+    // Spark clamps to 1 and returns 'ab' — silent divergence)
+    for (fn <- Seq("substr", "substring") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 3, a => Some(
+        s"(CASE WHEN (${a(1)}) = 0 THEN " +
+          s"$fn(${a(0)}, 1, greatest((${a(2)}) - 1, 0)) " +
+          s"ELSE $fn(${a(0)}, ${a(1)}, ${a(2)}) END)"))
     // list element extraction spellings (1-based, NULL out of range —
     // probed); array_extract on a STRING operand refuses downstream
     for (fn <- Seq("list_extract", "list_element", "array_extract")

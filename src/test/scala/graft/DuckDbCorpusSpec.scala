@@ -818,6 +818,24 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
     q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
 
+    // r8 batch 12: math/slices/substr-0 (probed)
+    q("SELECT bin(10) AS b", Seq("1010")),
+    q("SELECT degrees(pi()) AS d, radians(180.0) AS r",
+      Seq(180.0, 3.141592653589793)),
+    q("SELECT log2(8) AS a, log(100) AS b, ln(exp(1.0)) AS c, " +
+      "log(2, 8) AS d", Seq(3.0, 2.0, 1.0, 3.0)),
+    q("SELECT mod(7, 3) AS m, mod(-7, 3) AS n", Seq(1, -1)),
+    q("SELECT sign(-5) AS s, sign(0) AS z", Seq(-1, 0)),
+    q("SELECT ceiling(1.1) AS c, floor(-1.1) AS f", Seq(2, -2)),
+    q("SELECT substr('abc', 0) AS a, substr('abc', 0, 2) AS b, " +
+      "substr('abc', -2, 1) AS c", Seq("abc", "a", "b")),
+    q("SELECT 'abc'[-2:-1] AS n, [1,2,3][:2] AS o1, [1,2,3][2:] AS o2",
+      Seq("bc", Seq(1, 2), Seq(2, 3))),
+    q("SELECT [1] || [2] AS c, 'a' || 'b' || NULL AS s",
+      Seq(Seq(1, 2), null)),
+    q("SELECT array_position([5,6],6) AS a, list_position([5,6],9) AS z",
+      Seq(2, 0)),
+
     // date_part list form / epoch_ns / txid (probed)
     q("SELECT date_part(['year','month'], DATE '2024-05-06') AS p",
       Seq(Seq(2024, 5))),
