@@ -1650,6 +1650,32 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("txid_current"))
       out = fix(out, "txid_current", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("CAST(1 AS BIGINT)") else None)
+    // ISO-year family (probed: isoyear('2021-01-01') = 2020 — the year
+    // of that ISO week's Thursday; yearweek = isoyear*100 + isoweek)
+    if (out.toLowerCase.contains("isoyear"))
+      out = fix(out, "isoyear", 1, a => Some(
+        s"year(date_add(CAST(${a(0)} AS DATE), 4 - (weekday(${a(0)}) + 1)))"))
+    if (out.toLowerCase.contains("yearweek"))
+      out = fix(out, "yearweek", 1, a => Some(
+        s"(year(date_add(CAST(${a(0)} AS DATE), " +
+          s"4 - (weekday(${a(0)}) + 1))) * 100 + weekofyear(${a(0)}))"))
+    // microsecond/millisecond extract the SUB-MINUTE part (probed:
+    // '…:01.123456' → 1123456 / 1123 — seconds fold in)
+    if (out.toLowerCase.contains("microsecond"))
+      out = fix(out, "microsecond", 1, a => Some(
+        s"(unix_micros(CAST(${a(0)} AS TIMESTAMP)) % 60000000)"))
+    if (out.toLowerCase.contains("millisecond"))
+      out = fix(out, "millisecond", 1, a => Some(
+        s"((unix_micros(CAST(${a(0)} AS TIMESTAMP)) % 60000000) div 1000)"))
+    if (out.toLowerCase.contains("millennium"))
+      out = fix(out, "millennium", 1, a => Some(
+        s"CAST(CASE WHEN year(${a(0)}) >= 0 THEN " +
+          s"ceil(year(${a(0)}) / 1000.0) " +
+          s"ELSE 0 - ceil((0 - year(${a(0)})) / 1000.0) END AS BIGINT)"))
+    // 1-arg make_timestamp takes epoch MICROS (probed)
+    if (out.toLowerCase.contains("make_timestamp"))
+      out = fix(out, "make_timestamp", 1, a =>
+        Some(s"timestamp_micros(${a(0)})"))
     // date_part/datepart with a part-name LIST → a struct of the parts
     // (probed: field order follows the list)
     for (fn <- Seq("date_part", "datepart")

@@ -818,6 +818,27 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
     q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
 
+    // r8 batch 13: iso-year family, sub-minute extracts (probed)
+    q("SELECT isoyear(DATE '2021-01-01') AS iy, " +
+      "yearweek(DATE '2021-01-01') AS yw", Seq(2020, 202053)),
+    q("SELECT isoyear(DATE '2024-06-15') AS iy", Seq(2024)),
+    q("SELECT microsecond(TIMESTAMP '2024-01-01 00:00:01.123456') AS us, " +
+      "millisecond(TIMESTAMP '2024-01-01 00:00:01.123456') AS ms",
+      Seq(1123456, 1123)),
+    q("SELECT dayofmonth(DATE '2024-02-05') AS dm, " +
+      "dayofyear(DATE '2024-02-05') AS dy, quarter(DATE '2024-05-05') AS q, " +
+      "millennium(DATE '2024-05-05') AS m", Seq(5, 36, 2, 3)),
+    q("SELECT make_timestamp(1704067201000000) AS t",
+      Seq("2024-01-01 00:00:01")),
+    q("SELECT TRY_CAST('1.5' AS INTEGER) AS a, " +
+      "TRY_CAST('  7 ' AS INTEGER) AS b, TRY_CAST(1e40 AS INTEGER) AS c",
+      Seq(2, 7, null)),
+    q("SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS c", Seq("2024-02-29")),
+    q("SELECT INTERVAL 1 DAY = INTERVAL 24 HOUR AS e", Seq(true)),
+    q("SELECT nullif(3, 3) AS n, nullif(3, 4) AS m", Seq(null, 3)),
+    q("SELECT greatest(DATE '2024-01-01', DATE '2023-01-01') AS g",
+      Seq("2024-01-01")),
+
     // r8 batch 12: math/slices/substr-0 (probed)
     q("SELECT bin(10) AS b", Seq("1010")),
     q("SELECT degrees(pi()) AS d, radians(180.0) AS r",
