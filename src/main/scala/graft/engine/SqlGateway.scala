@@ -1647,6 +1647,12 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("epoch_ns"))
       out = fix(out, "epoch_ns", 1, a =>
         Some(s"(unix_micros(${a.head}) * 1000)"))
+    // to_timestamp over an epoch-seconds NUMBER (duck's overload; the
+    // string overload is Spark-native and untouched)
+    if (out.toLowerCase.contains("to_timestamp"))
+      out = fix(out, "to_timestamp", 1, a =>
+        if (a.head.trim.matches("""-?\d+(\.\d+)?"""))
+          Some(s"timestamp_seconds(${a.head})") else None)
     if (out.toLowerCase.contains("txid_current"))
       out = fix(out, "txid_current", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("CAST(1 AS BIGINT)") else None)
@@ -2928,6 +2934,27 @@ class SqlGateway(val spark: SparkSession) {
           if (!balancedBefore(tIn, m.start)) m.matched
           else s"${if (m.group(2) == "!") "NOT " else ""}" +
             s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+    }
+    // list containment operators: a @> b is contains-all, a <@ b the
+    // reverse (probed) — routed through list_has_all's NULL-exact fix
+    if (out.contains("@>") || out.contains("<@")) {
+      val Cont = (s"$Operand\\s*(@>|<@)\\s*$Operand").r
+      val cIn = out
+      out = Cont.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(cIn, m.start)) m.matched
+          else if (m.group(2) == "@>")
+            s"list_has_all(${m.group(1)}, ${m.group(3)})"
+          else s"list_has_all(${m.group(3)}, ${m.group(1)})"))
+    }
+    // numeric literals may carry underscore separators (1_000_000)
+    if (out.contains("_")) {
+      val Und = """(?<![\w'.])(\d[\d_]*\d)(?![\w])""".r
+      val uIn = out
+      out = Und.replaceAllIn(out, m =>
+        if (!balancedBefore(uIn, m.start) || !m.matched.contains("_"))
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else m.matched.replace("_", ""))
     }
     // x ^@ y — starts_with operator (probed)
     if (out.contains("^@")) {

@@ -818,6 +818,24 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
     q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
 
+    // r8 batch 14: shifts, containment ops, literal sugar (probed)
+    q("SELECT 1 << 10 AS a, 1024 >> 3 AS b, -8 >> 1 AS c",
+      Seq(1024, 128, -4)),
+    q("SELECT [1,2,3] @> [2] AS a, [2] <@ [1,2,3] AS b, [1] @> [9] AS c",
+      Seq(true, true, false)),
+    q("SELECT 1_000_000 AS u", Seq(1000000)),
+    q("SELECT .5 AS a, 5. AS b, +5 AS c", Seq(0.5, 5, 5)),
+    q("SELECT strptime('02/15/2024', '%m/%d/%Y') AS a", Seq("2024-02-15")),
+    q("SELECT strptime('15 Jan 2024', '%d %b %Y') AS a", Seq("2024-01-15")),
+    q("SELECT to_timestamp(1704067200) AS t", Seq("2024-01-01")),
+    q("SELECT v, count(*) AS c FROM (VALUES (1),(1)) t(v) " +
+      "GROUP BY GROUPING SETS ((v), ())", Seq(1, 2), Seq(null, 2)),
+    q("SELECT 5 % 3 AS a, -5 % 3 AS b, 5.5 % 2 AS c", Seq(2, -2, 1.5)),
+    q("SELECT 3 NOT IN (1, NULL) AS a, NULL AND false AS b, " +
+      "NULL OR true AS c", Seq(null, false, true)),
+    q("SELECT CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS s", Seq("b")),
+    q("SELECT 'abc' BETWEEN 'abb' AND 'abd' AS s", Seq(true)),
+
     // r8 batch 13: iso-year family, sub-minute extracts (probed)
     q("SELECT isoyear(DATE '2021-01-01') AS iy, " +
       "yearweek(DATE '2021-01-01') AS yw", Seq(2020, 202053)),
