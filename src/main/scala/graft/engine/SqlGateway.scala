@@ -1480,6 +1480,9 @@ class SqlGateway(val spark: SparkSession) {
     "datetrunc" -> "date_trunc",       // r8 batch 6 (probed)
     "gen_random_uuid" -> "uuid",
     "today" -> "current_date",
+    "editdist3" -> "levenshtein",      // r8 batch 15 (probed)
+    "ucase" -> "upper",
+    "lcase" -> "lower",
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -2013,6 +2016,19 @@ class SqlGateway(val spark: SparkSession) {
         case 1 => Some(s"array_sort(${a.head})")
         case 2 if a(1).equalsIgnoreCase("'ASC'") => Some(s"array_sort(${a.head})")
         case 2 if a(1).equalsIgnoreCase("'DESC'") => Some(s"sort_array(${a.head}, false)")
+        // 3-arg spells the null placement too (probed): sort_array asc
+        // is nulls-first, array_sort asc is nulls-last, desc-nulls-first
+        // is the reverse of asc-nulls-last
+        case 3 =>
+          (a(1).toUpperCase.replaceAll("'", ""),
+            a(2).toUpperCase.replaceAll("'", "").replaceAll("\\s+", " ")) match {
+            case ("ASC", "NULLS FIRST") => Some(s"sort_array(${a.head}, true)")
+            case ("ASC", "NULLS LAST") => Some(s"array_sort(${a.head})")
+            case ("DESC", "NULLS LAST") => Some(s"sort_array(${a.head}, false)")
+            case ("DESC", "NULLS FIRST") =>
+              Some(s"reverse(array_sort(${a.head}))")
+            case _ => None
+          }
         case _ => None
       })
     if (out.toLowerCase.contains("list_reverse_sort"))
@@ -2173,6 +2189,27 @@ class SqlGateway(val spark: SparkSession) {
           if (aIn.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
           else s"get_json_object(${m.group(1)}, ${jsonPath(m.group(2))})"))
     }
+    // json aggregates: to_json over ordered collections renders exactly
+    // DuckDB's minified form (probed: [1,2] / {"a":1,"b":2})
+    if (out.toLowerCase.contains("json_group_array"))
+      out = fix(out, "json_group_array", 1, a =>
+        Some(s"to_json(collect_list(${a(0)}))"))
+    if (out.toLowerCase.contains("json_group_object"))
+      out = fix(out, "json_group_object", 2, a =>
+        Some(s"to_json(map_from_arrays(collect_list(${a(0)}), " +
+          s"collect_list(${a(1)})))"))
+    // json_type of the top-level value, from its first character — the
+    // container/string/boolean arms are exact; numeric arms are outside
+    // this subset and refuse (DuckDB distinguishes UBIGINT/BIGINT/DOUBLE)
+    if (out.toLowerCase.contains("json_type"))
+      out = fix(out, "json_type", 1, a => Some(
+        s"(CASE WHEN left(trim(${a(0)}), 1) = '[' THEN 'ARRAY' " +
+          s"WHEN left(trim(${a(0)}), 1) = '{' THEN 'OBJECT' " +
+          s"WHEN left(trim(${a(0)}), 1) = '\"' THEN 'VARCHAR' " +
+          s"WHEN trim(${a(0)}) IN ('true', 'false') THEN 'BOOLEAN' " +
+          s"WHEN trim(${a(0)}) = 'null' THEN 'NULL' " +
+          s"ELSE CAST(raise_error('json_type: numeric arms are outside " +
+          s"the exact subset') AS STRING) END)"))
     if (out.toLowerCase.contains("json_keys"))
       out = fix(out, "json_keys", 1, a =>
         Some(s"json_object_keys(${a(0)})"))
@@ -2278,6 +2315,34 @@ class SqlGateway(val spark: SparkSession) {
             else s"$fn(CASE WHEN $cond THEN $arg END) "
           }))
     }
+    // duck's 2-arg map(keys, values) builds from two LISTS. The MAP
+    // literal rewrite (clauses phase) also emits varargs map('k', v) —
+    // so only LIST-literal operands take the from-arrays form; anything
+    // else stays Spark's pair form, which is what the literal path means
+    if (out.toLowerCase.contains("map("))
+      out = fix(out, "map", 2, a =>
+        if (a.forall(_.trim.toLowerCase.startsWith("array(")))
+          Some(s"map_from_arrays(${a(0)}, ${a(1)})")
+        else None)
+    if (out.toLowerCase.contains("generate_subscripts"))
+      out = fix(out, "generate_subscripts", 2, a =>
+        if (a(1).trim == "1")
+          Some(s"explode(sequence(1, size(${a(0)})))") else None)
+    // regexp flags as a trailing options argument: only 'i' (and the
+    // no-op 'c') translate — the (?i) inline flag is the exact twin
+    if (out.toLowerCase.contains("regexp_like")) // regexp_matches aliased
+      out = fix(out, "regexp_like", 3, a => a(2).trim match {
+        case "'i'" => Some(s"regexp_like(${a(0)}, '(?i)' || ${a(1)})")
+        case "'c'" => Some(s"regexp_like(${a(0)}, ${a(1)})")
+        case _ => None
+      })
+    if (out.toLowerCase.contains("regexp_extract"))
+      out = fix(out, "regexp_extract", 4, a => a(3).trim match {
+        case "'i'" =>
+          Some(s"regexp_extract(${a(0)}, '(?i)' || ${a(1)}, ${a(2)})")
+        case "'c'" => Some(s"regexp_extract(${a(0)}, ${a(1)}, ${a(2)})")
+        case _ => None
+      })
     // regexp_extract with a NAME LIST third argument → a struct of the
     // numbered groups (probed: struct field order follows the list)
     if (out.toLowerCase.contains("regexp_extract"))
@@ -2955,6 +3020,21 @@ class SqlGateway(val spark: SparkSession) {
         if (!balancedBefore(uIn, m.start) || !m.matched.contains("_"))
           java.util.regex.Matcher.quoteReplacement(m.matched)
         else m.matched.replace("_", ""))
+    }
+    // equality under DuckDB collations folds BOTH sides (probed:
+    // 'ABC' = 'abc' COLLATE NOCASE is true) — NOCASE via lower,
+    // NOACCENT via the registered strip_accents
+    if (out.toLowerCase.contains("collate")) {
+      val Col = (s"(?i)$Operand\\s*=\\s*$Operand\\s+COLLATE\\s+" +
+        "(NOCASE|NOACCENT)").r
+      val kIn = out
+      out = Col.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(kIn, m.start)) m.matched
+          else if (m.group(3).equalsIgnoreCase("NOCASE"))
+            s"(lower(${m.group(1)}) = lower(${m.group(2)}))"
+          else
+            s"(strip_accents(${m.group(1)}) = strip_accents(${m.group(2)}))"))
     }
     // x ^@ y — starts_with operator (probed)
     if (out.contains("^@")) {

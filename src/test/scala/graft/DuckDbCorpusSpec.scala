@@ -818,6 +818,32 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("[2024-01-01 10:00:00, 2024-01-01 10:00:00.5]")),
     q("SELECT CAST([true, NULL] AS VARCHAR) AS b", Seq("[true, NULL]")),
 
+    // r8 batch 15: json aggregates/type, map ctor, collations (probed)
+    q("""SELECT json_group_array(v) AS a FROM (VALUES (1),(2)) t(v)""",
+      Seq("[1,2]")),
+    q("SELECT json_group_object(k, v) AS o " +
+      "FROM (VALUES ('a',1),('b',2)) t(k,v)", Seq("{\"a\":1,\"b\":2}")),
+    q("""SELECT json_type('[1,2]') AS a, json_type('{"a":1}') AS o, """ +
+      """json_type('"x"') AS s, json_type('true') AS b""",
+      Seq("ARRAY", "OBJECT", "VARCHAR", "BOOLEAN")),
+    q("SELECT to_json([1,2]) AS a, to_json({'a':1}) AS s",
+      Seq("[1,2]", "{\"a\":1}")),
+    q("SELECT map_entries(map(['a','b'], [1,2])) AS m",
+      Seq(Seq(Seq("a", 1), Seq("b", 2)))),
+    q("SELECT 'ABC' = 'abc' COLLATE NOCASE AS nc, " +
+      "'e' = 'é' COLLATE NOACCENT AS na", Seq(true, true)),
+    q("SELECT INTERVAL 1 DAY * 3 = INTERVAL 3 DAY AS m, " +
+      "INTERVAL 6 HOUR / 2 = INTERVAL 3 HOUR AS d", Seq(true, true)),
+    q("SELECT generate_subscripts([10,20,30], 1) AS g",
+      Seq(1), Seq(2), Seq(3)),
+    q("SELECT editdist3('kitten','sitting') AS e", Seq(3)),
+    q("SELECT list_sort([3,1,NULL], 'ASC', 'NULLS FIRST') AS a, " +
+      "list_sort([3,1,NULL], 'DESC', 'NULLS FIRST') AS b",
+      Seq(Seq(null, 1, 3), Seq(null, 3, 1))),
+    q("SELECT regexp_matches('aBc', 'abc', 'i') AS m, " +
+      "regexp_extract('aBc', 'a(b)c', 1, 'i') AS e", Seq(true, "B")),
+    q("SELECT ucase('ab') AS u, lcase('AB') AS l", Seq("AB", "ab")),
+
     // r8 batch 14: shifts, containment ops, literal sugar (probed)
     q("SELECT 1 << 10 AS a, 1024 >> 3 AS b, -8 >> 1 AS c",
       Seq(1024, 128, -4)),
