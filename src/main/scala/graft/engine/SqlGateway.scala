@@ -132,9 +132,25 @@ class SqlGateway(val spark: SparkSession) {
     two("nextafter")(NextAfter(_, _))
     one("length")(DuckLen(_)) // duck length works on LISTS too (DuckLen)
     one("len")(DuckLen(_))
+    // grapheme-cluster text functions (GraphemeExpressions scaladoc —
+    // UAX #29 extended clusters via \X, index corners probed)
+    one("length_grapheme")(LengthGrapheme(_))
+    two("left_grapheme")(LeftGrapheme(_, _))
+    two("right_grapheme")(RightGrapheme(_, _))
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+      "substring_grapheme", {
+        case Seq(s, b) => SubstringGrapheme(s, b,
+          org.apache.spark.sql.catalyst.expressions.Literal(Int.MaxValue))
+        case Seq(s, b, l) => SubstringGrapheme(s, b, l)
+        case args => throw new IllegalArgumentException(
+          s"substring_grapheme takes 2-3 arguments, got ${args.length}")
+      })
     // DuckDB's product aggregate (ProductAggregator scaladoc)
     spark.udf.register("graft_product",
       org.apache.spark.sql.functions.udaf(new ProductAggregator))
+    // DuckDB's entropy aggregate (EntropyAggregator scaladoc)
+    spark.udf.register("graft_entropy",
+      org.apache.spark.sql.functions.udaf(new EntropyAggregator))
   }
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
@@ -1452,8 +1468,10 @@ class SqlGateway(val spark: SparkSession) {
     "list_contains" -> "array_contains", // same (list, elem) arg order
     "array_length" -> "array_size",    // both NULL-in NULL-out
     "len" -> "length",                 // strings/blobs; lists refuse in Spark
-    "arg_max" -> "max_by",             // both ignore NULL keys
-    "arg_min" -> "min_by",
+    // arg_max/arg_min/max_by/min_by are NOT blind renames: DuckDB's skip
+    // rows whose VALUE argument is NULL, Spark's keep them — the whole
+    // family (incl. the keep-NULL *_null variants) is rewritten with
+    // probed-exact semantics in rewriteDuckDefaults.
     "list" -> "collect_list",          // both order-nondeterministic bags
     "quantile_cont" -> "percentile",   // same (col, q) interpolation
     "unnest" -> "explode",             // SELECT-list list flattening; a
@@ -1483,6 +1501,45 @@ class SqlGateway(val spark: SparkSession) {
     "editdist3" -> "levenshtein",      // r8 batch 15 (probed)
     "ucase" -> "upper",
     "lcase" -> "lower",
+    // array_* spellings are DuckDB aliases of the list_* family (probed on
+    // LIST inputs; fixed-size ARRAY values render identically). Aliases to
+    // list_* names resolve because this rename pass runs BEFORE the
+    // rewriteDuckDefaults fix chain that implements those names.
+    "array_apply" -> "transform",
+    "array_transform" -> "transform",
+    "array_filter" -> "filter",
+    "array_indexof" -> "array_position", // 1-based, 0 absent, NULL elem → NULL
+    "array_has" -> "array_contains",
+    "array_zip" -> "arrays_zip",
+    "array_value" -> "array",          // fixed-size ARRAY constructor; the
+                                       // value equals the same-element LIST
+    "array_aggregate" -> "list_aggregate",
+    "array_aggr" -> "list_aggregate",
+    "array_reduce" -> "list_reduce",
+    "array_unique" -> "list_unique",
+    "array_resize" -> "list_resize",
+    "array_reverse_sort" -> "list_reverse_sort",
+    "array_grade_up" -> "list_grade_up",
+    "array_select" -> "list_select",
+    "array_where" -> "list_where",
+    "array_cosine_similarity" -> "list_cosine_similarity",
+    "array_distance" -> "list_distance",
+    "array_inner_product" -> "list_inner_product",
+    "array_dot_product" -> "list_inner_product",
+    "approx_quantile" -> "approx_percentile", // both approximate quantiles
+                                       // (t-digest vs G-K; same contract)
+    "from_hex" -> "unhex",             // both left-pad odd-length hex
+    "to_binary" -> "bin",
+    "row_to_json" -> "to_json",        // struct → minified object (probed)
+    "array_to_json" -> "to_json",      // list → minified array (probed)
+    "unpivot_list" -> "array",
+    "make_timestamptz" -> "make_timestamp", // session TZ is pinned UTC; the
+                                       // optional 7th tz arg means the same
+    "transaction_timestamp" -> "now",
+    "get_current_timestamp" -> "now",
+    "current_localtimestamp" -> "localtimestamp",
+    "json_extract_path" -> "json_extract",           // 2-arg path twin
+    "json_extract_path_text" -> "json_extract_string",
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
@@ -1943,6 +2000,22 @@ class SqlGateway(val spark: SparkSession) {
         val v = a(0).trim.replaceAll("(?is)::\\s*\\w+\\s*$", "")
         s"(array_position(array(${vs.mkString(", ")}), $v) - 1)"
       })
+      // enum_range_boundary(lo, hi): the inclusive slice between the two
+      // members; a NULL bound extends to that end (probed). Both-NULL
+      // segfaults DuckDB 1.0 and needs at least one ::type to resolve.
+      out = fix(out, "enum_range_boundary", 2, a => {
+        val vs = enumValues(a(0)).orElse(enumValues(a(1)))
+        vs.map { values =>
+          def bound(arg: String, dflt: String): String = {
+            val v = arg.trim.replaceAll("(?is)::\\s*\\w+\\s*$", "")
+            if (v.equalsIgnoreCase("NULL")) dflt
+            else s"array_position(array(${values.mkString(", ")}), $v)"
+          }
+          val lo = bound(a(0), "1")
+          val hi = bound(a(1), values.length.toString)
+          s"slice(array(${values.mkString(", ")}), $lo, ($hi) - ($lo) + 1)"
+        }
+      })
     }
     // UNION-typed values model as a (tag, value) struct: union_value
     // constructs it, union_extract guards on the tag, union_tag reads it
@@ -1975,6 +2048,71 @@ class SqlGateway(val spark: SparkSession) {
         case AggOrd(e, o, dir) if same(e, o) =>
           val asc = dir == null || dir.equalsIgnoreCase("ASC")
           Some(s"sort_array(collect_list($e)${if (asc) "" else ", false"})")
+        case _ => None
+      })
+    // DuckDB's arg_max/arg_min/max_by/min_by SKIP rows whose VALUE arg is
+    // NULL (probed: arg_max over (1,9),(NULL,30),(2,3) is 1); Spark's
+    // same-named max_by/min_by KEEP them (returns NULL here). NULLing the
+    // ordering key on those rows makes Spark skip them too — both engines
+    // ignore NULL ordering keys (probed). Runs BEFORE the *_null fixes so
+    // their plain max_by/min_by output is never re-wrapped; 3-arg top-k
+    // forms fall through and refuse loudly in analysis.
+    locally {
+      val nullSkip = Seq("max_by" -> "max_by", "min_by" -> "min_by",
+        "arg_max" -> "max_by", "argmax" -> "max_by",
+        "arg_min" -> "min_by", "argmin" -> "min_by")
+      for ((dn, sn) <- nullSkip if out.toLowerCase.contains(dn))
+        out = fix(out, dn, 2, a => Some(s"$sn(${a(0)}, " +
+          s"CASE WHEN (${a(0)}) IS NULL THEN NULL ELSE (${a(1)}) END)"))
+      // arg_max_null/arg_min_null keep NULL values at the extreme key —
+      // exactly Spark's native behavior (probed: NULL at max y → NULL)
+      if (out.toLowerCase.contains("arg_max_null"))
+        out = fix(out, "arg_max_null", 2,
+          a => Some(s"max_by(${a(0)}, ${a(1)})"))
+      if (out.toLowerCase.contains("arg_min_null"))
+        out = fix(out, "arg_min_null", 2,
+          a => Some(s"min_by(${a(0)}, ${a(1)})"))
+    }
+    // count_star() is COUNT(*) (probed, incl. under FILTER)
+    if (out.toLowerCase.contains("count_star"))
+      out = fix(out, "count_star", -1,
+        a => if (a.isEmpty || a == Seq("")) Some("count(*)") else None)
+    // group_concat / listagg → string_agg with DuckDB's ',' default
+    // separator (probed; Spark's native listagg default is '' — a blind
+    // passthrough would be silently wrong). Funnels through the proven
+    // string_agg path below, which handles DISTINCT and ORDER BY.
+    for (fn <- Seq("group_concat", "listagg") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, -1, a => a.length match {
+        case 1 | 2 =>
+          val sep = if (a.length == 2) a(1) else "','"
+          // DuckDB renders non-string inputs as VARCHAR ('1,2'); keep the
+          // DISTINCT / ORDER BY forms un-cast for the string_agg fix below
+          val plain = !a(0).matches("""(?is).*\b(DISTINCT|ORDER)\b.*""")
+          val e = if (plain) s"CAST(${a(0)} AS STRING)" else a(0)
+          Some(s"string_agg($e, $sep)")
+        case _ => None
+      })
+    // kahan/fsum compensated sums and favg: DOUBLE-accumulator aggregates;
+    // Spark's sum/avg over DOUBLE match on every probed input (compensation
+    // changes rounding only in pathological cancellation cases)
+    for (fn <- Seq("kahan_sum", "sumkahan", "fsum")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => Some(s"sum(CAST(${a(0)} AS DOUBLE))"))
+    if (out.toLowerCase.contains("favg"))
+      out = fix(out, "favg", 1, a => Some(s"avg(CAST(${a(0)} AS DOUBLE))"))
+    // bitstring_agg(x, lo, hi) → BIT string with a '1' at each distinct x
+    // (positions count from lo at the LEFT; NULL x ignored — probed).
+    // Exact via a 64-bit mask: literal bounds only, width <= 63; an x
+    // outside [lo, hi] errors like DuckDB (out-of-range shift → guard).
+    if (out.toLowerCase.contains("bitstring_agg"))
+      out = fix(out, "bitstring_agg", 3, a => intArgs(a.tail) match {
+        case Some(Seq(lo, hi)) if hi >= lo && hi - lo < 63 =>
+          val w = hi - lo + 1
+          Some(s"lpad(bin(sum(DISTINCT CASE WHEN (${a(0)}) < $lo OR " +
+            s"(${a(0)}) > $hi THEN CAST(raise_error('bitstring_agg: value " +
+            s"outside [$lo, $hi]') AS BIGINT) ELSE " +
+            s"shiftleft(CAST(1 AS BIGINT), CAST($hi - (${a(0)}) AS INT)) " +
+            s"END)), $w, '0')")
         case _ => None
       })
     if (out.toLowerCase.contains("string_agg"))
@@ -2225,7 +2363,10 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("decade"))
       out = fix(out, "decade", 1, a =>
         Some(s"CAST(floor(year(${a(0)}) / 10.0) AS BIGINT)"))
-    // to_days/to_hours/… interval constructors → make_interval slots
+    // to_days/to_hours/… interval constructors → make_interval slots;
+    // the scaled family (quarters = 3 months, decade/century/millennium =
+    // 10/100/1000 years, milli/microseconds = fractional seconds via an
+    // exact DECIMAL divide) probed against DuckDB
     locally {
       val slots = Seq("to_years" -> 0, "to_months" -> 1, "to_weeks" -> 2,
         "to_days" -> 3, "to_hours" -> 4, "to_minutes" -> 5,
@@ -2233,7 +2374,41 @@ class SqlGateway(val spark: SparkSession) {
       for ((fn, slot) <- slots if out.toLowerCase.contains(fn))
         out = fix(out, fn, 1, a => Some("make_interval(" +
           (Seq.fill(slot)("0") :+ a(0)).mkString(", ") + ")"))
+      val scaled = Seq("to_quarters" -> (1, "(%s) * 3"),
+        "to_decades" -> (0, "(%s) * 10"), "to_centuries" -> (0, "(%s) * 100"),
+        "to_millennia" -> (0, "(%s) * 1000"),
+        "to_milliseconds" -> (6, "CAST(%s AS DECIMAL(24,6)) / 1000"),
+        "to_microseconds" -> (6, "CAST(%s AS DECIMAL(24,6)) / 1000000"))
+      for ((fn, (slot, tpl)) <- scaled if out.toLowerCase.contains(fn))
+        out = fix(out, fn, 1, a => Some("make_interval(" +
+          (Seq.fill(slot)("0") :+ tpl.format(a(0))).mkString(", ") + ")"))
     }
+    // julian day number: DuckDB's julian(x) is epoch-days + 2440588 plus
+    // the fraction of day for timestamps (probed: DATE '2000-01-01' →
+    // 2451545.0, 18:00 → .75 — DuckDB counts from midnight, not noon)
+    if (out.toLowerCase.contains("julian"))
+      out = fix(out, "julian", 1, a => Some(
+        s"(CAST(unix_micros(CAST(${a(0)} AS TIMESTAMP)) AS DOUBLE) " +
+          s"/ 86400000000.0 + 2440588.0)"))
+    // session timezone is pinned UTC on both engines, where these are 0
+    // for every TIMESTAMP/TIMESTAMPTZ input (probed)
+    for (fn <- Seq("timezone_hour", "timezone_minute")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => Some(s"(CASE WHEN CAST(${a(0)} AS " +
+        s"TIMESTAMP) IS NULL THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END)"))
+    if (out.toLowerCase.contains("try_strptime"))
+      out = fix(out, "try_strptime", 2, a => {
+        val lit = a(1)
+        if (lit.length >= 2 && lit.head == '\'' && lit.last == '\'' &&
+            !lit.drop(1).dropRight(1).contains('\''))
+          strftimeToJavaPattern(lit.drop(1).dropRight(1)).map(p =>
+            s"try_to_timestamp(${a(0)}, '${p.replace("'", "''")}')")
+        else None
+      })
+    if (out.toLowerCase.contains("current_database"))
+      out = fix(out, "current_database", -1, a =>
+        if (a.isEmpty || a == Seq("")) Some("'memory'") else None)
     // constant_or_null(v, cond…): NULL when ANY condition arg is NULL
     if (out.toLowerCase.contains("constant_or_null"))
       out = fix(out, "constant_or_null", -1, a =>
@@ -2242,6 +2417,54 @@ class SqlGateway(val spark: SparkSession) {
             s"THEN NULL ELSE ${a(0)} END)"))
     if (out.toLowerCase.contains("strlen"))
       out = fix(out, "strlen", 1, a => Some(s"octet_length(${a(0)})"))
+    // BIT values model as '0'/'1' strings (see cornerType). bit_length of
+    // a BIT is its bit COUNT (model-string length); of a VARCHAR it is
+    // 8 x octets, which Spark's same-named builtin already is. The ::BIT
+    // marker survives until the erasure at the end of this pass, so the
+    // cast-tagged form is distinguishable here.
+    if (out.toLowerCase.contains("bit_length"))
+      out = fix(out, "bit_length", 1, a => {
+        val BitCast = """(?is)^(.+?)::\s*BIT(?:STRING)?\s*$""".r
+        a(0).trim match {
+          case BitCast(inner) => Some(s"length($inner)")
+          case _ => None
+        }
+      })
+    // bit_position is a 1-based substring search (0 when absent —
+    // probed); get_bit/set_bit index from 0 at the LEFT
+    if (out.toLowerCase.contains("bit_position"))
+      out = fix(out, "bit_position", 2,
+        a => Some(s"instr(${a(1)}, ${a(0)})"))
+    if (out.toLowerCase.contains("get_bit"))
+      out = fix(out, "get_bit", 2, a => Some(
+        s"CAST(substring(${a(0)}, (${a(1)}) + 1, 1) AS INT)"))
+    if (out.toLowerCase.contains("set_bit"))
+      out = fix(out, "set_bit", 3, a => Some(
+        s"concat(left(${a(0)}, ${a(1)}), CAST(${a(2)} AS STRING), " +
+          s"substring(${a(0)}, (${a(1)}) + 2))"))
+    // unbin/from_binary: '01' text → BLOB, byte count = ceil(len/8) with
+    // left zero-padding (probed: unbin('110') = \x06, 16-char = 2 bytes).
+    // conv is 64-bit — longer inputs refuse loudly rather than truncate
+    for (fn <- Seq("unbin", "from_binary") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => Some(
+        s"(CASE WHEN length(${a(0)}) > 64 THEN CAST(raise_error(" +
+          s"'$fn: inputs beyond 64 bits are outside the exact subset') " +
+          s"AS BINARY) ELSE unhex(lpad(conv(${a(0)}, 2, 16), " +
+          s"CAST(ceil(length(${a(0)}) / 8.0) * 2 AS INT), '0')) END)"))
+    // md5_number_lower/upper: the digest's second/first 8 bytes read
+    // little-endian as an unsigned 64-bit number (probed byte order);
+    // DECIMAL(20,0) carries the full unsigned range
+    locally {
+      def md5Num(arg: String, off: Int): String =
+        s"(CASE WHEN ($arg) IS NULL THEN CAST(NULL AS DECIMAL(20,0)) " +
+          s"ELSE CAST(conv(array_join(reverse(transform(sequence(0, 7), " +
+          s"i -> substring(md5($arg), $off + i * 2, 2))), ''), 16, 10) " +
+          s"AS DECIMAL(20,0)) END)"
+      if (out.toLowerCase.contains("md5_number_lower"))
+        out = fix(out, "md5_number_lower", 1, a => Some(md5Num(a(0), 17)))
+      if (out.toLowerCase.contains("md5_number_upper"))
+        out = fix(out, "md5_number_upper", 1, a => Some(md5Num(a(0), 1)))
+    }
     if (out.toLowerCase.contains("current_schema"))
       out = fix(out, "current_schema", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("'main'") else None)
@@ -2251,6 +2474,14 @@ class SqlGateway(val spark: SparkSession) {
         Some(s"graft_product(CAST(${a(0)} AS DOUBLE))"),
         allowAt = (s, i) => !s.substring(0, i).toLowerCase
           .endsWith("graft_")) // never rewrap the registered name
+    // entropy: Shannon-log2 aggregate (graft_entropy registration); the
+    // STRING cast is a 1:1 rendering, so the value distribution — and
+    // therefore the entropy — is unchanged
+    if (out.toLowerCase.contains("entropy"))
+      out = fix(out, "entropy", 1, a =>
+        Some(s"graft_entropy(CAST(${a(0)} AS STRING))"),
+        allowAt = (s, i) => !s.substring(0, i).toLowerCase
+          .endsWith("graft_"))
     // DuckDB skewness/kurtosis are SAMPLE statistics (bias-corrected G1 /
     // excess G2) computed from raw power sums; Spark's same-named
     // aggregates are population g1 / g2 AND use a different running-
@@ -2269,6 +2500,23 @@ class SqlGateway(val spark: SparkSession) {
           s"sqrt($n * ($n - 1.0)) / ($n - 2) * $t * " +
           s"($s3 - 3 * $s1 * $s2 * $t + 2 * power($s1, 3) * $t * $t) / " +
           s"sqrt(power($m2, 3)) ELSE NULL END)")
+      })
+    // kurtosis_pop: population excess g2 = m4/m2^2 - 3 from the same raw
+    // power sums (probed: NULL under n<2 / zero variance). Runs BEFORE the
+    // sample-kurtosis fix; its output carries no kurtosis( token.
+    if (out.toLowerCase.contains("kurtosis_pop"))
+      out = fix(out, "kurtosis_pop", 1, a => {
+        val x = s"CAST(${a(0)} AS DOUBLE)"
+        val n = s"count($x)"; val t = s"(1.0 / count($x))"
+        val s1 = s"sum($x)"; val s2 = s"sum(($x)*($x))"
+        val s3 = s"sum(($x)*($x)*($x))"
+        val s4 = s"sum(($x)*($x)*($x)*($x))"
+        val m2 = s"($t * ($s2 - $s1 * $s1 * $t))"
+        val m4 = s"($t * ($s4 - 4 * $s3 * $s1 * $t + " +
+          s"6 * $s2 * $s1 * $s1 * $t * $t - 3 * power($s1, 4) * " +
+          s"power($t, 3)))"
+        Some(s"(CASE WHEN $n > 1 AND ($s2 - $s1 * $s1 * $t) <> 0 THEN " +
+          s"$m4 / ($m2 * $m2) - 3 ELSE NULL END)")
       })
     if (out.toLowerCase.contains("kurtosis"))
       out = fix(out, "kurtosis", 1, a => {
@@ -2386,6 +2634,19 @@ class SqlGateway(val spark: SparkSession) {
         s"sqrt(aggregate(zip_with(${a(0)}, ${a(1)}, (gx, gy) -> " +
           s"(CAST(gx AS DOUBLE) - gy) * (CAST(gx AS DOUBLE) - gy)), " +
           s"CAST(0 AS DOUBLE), (gs, gv) -> gs + gv))"))
+    // 3-vector cross product (DuckDB: ARRAY(3) only; a wrong-sized list
+    // errors there — the size guard reproduces that loudly)
+    if (out.toLowerCase.contains("array_cross_product"))
+      out = fix(out, "array_cross_product", 2, a => Some(
+        s"(CASE WHEN size(${a(0)}) != 3 OR size(${a(1)}) != 3 THEN " +
+          s"CAST(raise_error('array_cross_product: 3-element arrays " +
+          s"only') AS ARRAY<DOUBLE>) ELSE array(" +
+          s"CAST(${a(0)}[1] AS DOUBLE) * ${a(1)}[2] - " +
+          s"CAST(${a(0)}[2] AS DOUBLE) * ${a(1)}[1], " +
+          s"CAST(${a(0)}[2] AS DOUBLE) * ${a(1)}[0] - " +
+          s"CAST(${a(0)}[0] AS DOUBLE) * ${a(1)}[2], " +
+          s"CAST(${a(0)}[0] AS DOUBLE) * ${a(1)}[1] - " +
+          s"CAST(${a(0)}[1] AS DOUBLE) * ${a(1)}[0]) END)"))
     // list_concat treats a NULL operand as empty (probed) — Spark's
     // concat is NULL-strict; runs AFTER the string-concat fix above so
     // the emitted concat() is never re-rewritten to concat_ws
@@ -2648,6 +2909,19 @@ class SqlGateway(val spark: SparkSession) {
             s"to_timestamp(${a(0)}, '${p.replace("'", "''")}')")
         else None
       })
+    // '01…'::BIT literal casts erase to the model string (BIT stores as a
+    // '0'/'1' text — cornerType). LAST in this pass: the bit_* fixes above
+    // key on the marker. Quote-parity guarded; non-literal ::BIT operands
+    // stay and refuse downstream rather than skipping DuckDB's validation.
+    if (out.toUpperCase.contains("::BIT") ||
+        out.toUpperCase.matches("(?s).*::\\s*BIT.*")) {
+      val BitLit = """'([01]+)'\s*::\s*BIT(?:STRING)?\b""".r
+      val src = out
+      out = BitLit.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (src.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"'${m.group(1)}'"))
+    }
     out
   }
 

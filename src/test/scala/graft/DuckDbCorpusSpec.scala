@@ -914,11 +914,176 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT enum_first(NULL::corpus_mood) AS f, " +
       "enum_last(NULL::corpus_mood) AS l, " +
       "enum_code('happy'::corpus_mood) AS c", Seq("sad", "happy", 1)),
+    // enum_range_boundary: inclusive slice; a NULL bound extends to that
+    // end (probed; both-NULL segfaults DuckDB 1.0 — not in the corpus)
+    q("SELECT enum_range_boundary(NULL, 'happy'::corpus_mood) AS a, " +
+      "enum_range_boundary('happy'::corpus_mood, NULL) AS b, " +
+      "enum_range_boundary('sad'::corpus_mood, 'happy'::corpus_mood) AS c",
+      Seq(Seq("sad", "happy"), Seq("happy"), Seq("sad", "happy"))),
 
     // len/length dispatch: chars for VARCHAR, element count (NULLs
     // included) for lists — BIGINT both ways (probed)
     q("SELECT len('héllo') AS a, len([1,2]) AS b, len([1,2,NULL]) AS c, " +
       "length([4,5]) AS d, length('abc') AS e", Seq(5, 2, 3, 2, 3)),
+
+    // --- r8 batch 16: array_* aliases of the list family (probed) ---
+    q("SELECT array_aggregate([1,NULL,3], 'sum') AS a, " +
+      "array_apply([1,2,3], x -> x * 2) AS b", Seq(4, Seq(2, 4, 6))),
+    q("SELECT array_filter([1,2,3,4], x -> x > 2) AS a, " +
+      "array_reduce([1,2,3,4], (a,b) -> a + b) AS b", Seq(Seq(3, 4), 10)),
+    q("SELECT array_indexof([10,20,30], 30) AS a, array_has([1,2,3], 2) " +
+      "AS b, array_unique([1,1,2,NULL]) AS c", Seq(3, true, 2)),
+    q("SELECT array_resize([1,2], 4) AS a, array_resize([1,2], 4, 9) AS b",
+      Seq(Seq(1, 2, null, null), Seq(1, 2, 9, 9))),
+    q("SELECT array_reverse_sort([3,1,2]) AS a, " +
+      "array_grade_up([30,10,20]) AS b",
+      Seq(Seq(3, 2, 1), Seq(2, 3, 1))),
+    q("SELECT array_select([10,20,30], [3,1]) AS a, " +
+      "array_where([10,20,30], [true,false,true]) AS b",
+      Seq(Seq(30, 10), Seq(10, 30))),
+    q("SELECT array_zip([1,2], [3,4]) AS a, array_value(1, 2, 3) AS b",
+      Seq(Seq(Seq(1, 3), Seq(2, 4)), Seq(1, 2, 3))),
+    q("SELECT array_cosine_similarity(array_value(1.0::FLOAT, 0.0::FLOAT), " +
+      "array_value(0.0::FLOAT, 1.0::FLOAT)) AS a, " +
+      "array_distance(array_value(1.0::FLOAT, 2.0::FLOAT), " +
+      "array_value(4.0::FLOAT, 6.0::FLOAT)) AS b", Seq(0.0, 5.0)),
+    q("SELECT array_inner_product(array_value(1.0::FLOAT, 2.0::FLOAT), " +
+      "array_value(3.0::FLOAT, 4.0::FLOAT)) AS a, " +
+      "array_dot_product(array_value(1.0::FLOAT, 2.0::FLOAT), " +
+      "array_value(3.0::FLOAT, 4.0::FLOAT)) AS b", Seq(11.0, 11.0)),
+    q("SELECT array_cross_product(array_value(1.0::FLOAT, 0.0::FLOAT, " +
+      "0.0::FLOAT), array_value(0.0::FLOAT, 1.0::FLOAT, 0.0::FLOAT)) AS a",
+      Seq(Seq(0.0, 0.0, 1.0))),
+
+    // --- r8 batch 16: arg_max family NULL semantics (probed: DuckDB's
+    // arg_max/max_by SKIP rows whose value is NULL; the *_null variants
+    // keep them — Spark's same-named natives do the opposite, so both
+    // directions are rewritten, not renamed) ---
+    q("SELECT arg_max(x, y) AS a, max_by(x, y) AS b, argmax(x, y) AS c " +
+      "FROM (VALUES (1,9),(CAST(NULL AS INT),30),(2,3)) t(x,y)",
+      Seq(1, 1, 1)),
+    q("SELECT arg_min(x, y) AS a, min_by(x, y) AS b " +
+      "FROM (VALUES (1,9),(CAST(NULL AS INT),1),(2,3)) t(x,y)", Seq(2, 2)),
+    q("SELECT arg_max_null(x, y) AS a " +
+      "FROM (VALUES (1,9),(CAST(NULL AS INT),30),(2,3)) t(x,y)", Seq(null)),
+    q("SELECT arg_min_null(x, y) AS a " +
+      "FROM (VALUES (1,9),(CAST(NULL AS INT),1),(2,3)) t(x,y)", Seq(null)),
+    q("SELECT arg_max(x, y) AS a " +
+      "FROM (VALUES (1,CAST(NULL AS INT)),(2,3)) t(x,y)", Seq(2)),
+
+    // --- r8 batch 16: aggregate spellings (probed) ---
+    q("SELECT count_star() AS a FROM (VALUES (1),(2)) t(x)", Seq(2)),
+    q("SELECT count_star() FILTER (x > 1) AS a FROM (VALUES (1),(2)) t(x)",
+      Seq(1)),
+    q("SELECT group_concat(x) AS a FROM (VALUES (1),(2)) t(x)", Seq("1,2")),
+    q("SELECT group_concat(x, '|') AS a FROM (VALUES ('a'),('b')) t(x)",
+      Seq("a|b")),
+    s("SELECT group_concat(DISTINCT x) AS a FROM (VALUES (1),(1),(2)) t(x)"),
+    q("SELECT listagg(x, ',') AS a, listagg(x) AS b " +
+      "FROM (VALUES ('a'),('b')) t(x)", Seq("a,b", "a,b")),
+    q("SELECT kahan_sum(x) AS a, fsum(x) AS b, sumkahan(x) AS c, " +
+      "favg(x) AS d FROM (VALUES (1.5),(2.5)) t(x)",
+      Seq(4.0, 4.0, 4.0, 2.0)),
+    q("SELECT kurtosis_pop(x) AS a " +
+      "FROM (VALUES (1.0),(2.0),(3.0),(10.0)) t(x)",
+      Seq(-0.7696000000000001)),
+    q("SELECT kurtosis_pop(x) AS a, kurtosis_pop(y) AS b " +
+      "FROM (VALUES (1.0, 2.0),(2.0, 2.0)) t(x, y)", Seq(-2.0, null)),
+    q("SELECT kurtosis_pop(x) AS a FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+      Seq(-1.4999999999999787)),
+    q("SELECT approx_quantile(x, 0.5) AS a " +
+      "FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(2)),
+    q("SELECT bitstring_agg(x, 1, 6) AS a FROM (VALUES (1),(3),(5)) t(x)",
+      Seq("101010")),
+    q("SELECT bitstring_agg(x, 1, 6) AS a " +
+      "FROM (VALUES (1),(NULL),(5)) t(x)", Seq("100010")),
+
+    // --- r8 batch 16: BIT / binary scalars (probed; BIT models as a
+    // '0'/'1' string, bit_length dispatches on the ::BIT marker) ---
+    q("SELECT bit_length('abc') AS a, bit_length('101'::BIT) AS b",
+      Seq(24, 3)),
+    q("SELECT bit_position('010'::BIT, '0110101'::BIT) AS a, " +
+      "bit_position('110'::BIT, '0011'::BIT) AS b", Seq(4, 0)),
+    q("SELECT get_bit('0110'::BIT, 1) AS a, get_bit('0110'::BIT, 0) AS b",
+      Seq(1, 0)),
+    q("SELECT set_bit('0110'::BIT, 1, 0) AS a, " +
+      "set_bit('0110'::BIT, 3, 1) AS b", Seq("0010", "0111")),
+    q("SELECT hex(unbin('0110')) AS a, hex(unbin('1111111100000001')) AS b",
+      Seq("06", "FF01")),
+    q("SELECT hex(from_binary('0110')) AS a, hex(from_hex('ABC')) AS b, " +
+      "hex(from_hex('2A')) AS c", Seq("06", "0ABC", "2A")),
+    q("SELECT to_binary(42) AS a", Seq("101010")),
+    q("SELECT md5_number_lower('abc') = 8250560606382298838 AS a, " +
+      "md5_number_upper('abc') = 12704604231530709392 AS b, " +
+      "md5_number_lower(NULL) AS c", Seq(true, true, null)),
+
+    // --- r8 batch 16: temporal spellings (probed) ---
+    q("SELECT julian(DATE '2000-01-01') AS a, " +
+      "julian(TIMESTAMP '2000-01-01 18:00:00') AS b, " +
+      "julian(DATE '1969-07-20') AS c",
+      Seq(2451545.0, 2451545.75, 2440423.0)),
+    q("SELECT timezone_hour(TIMESTAMP '2021-01-01 00:00:00') AS a, " +
+      "timezone_minute(TIMESTAMP '2021-01-01 00:00:00') AS b", Seq(0, 0)),
+    q("SELECT DATE '2000-01-01' + to_decades(1) AS a, " +
+      "DATE '2000-01-01' + to_quarters(2) AS b",
+      Seq("2010-01-01", "2000-07-01")),
+    q("SELECT DATE '2000-01-01' + to_centuries(1) AS a, " +
+      "DATE '2000-01-01' + to_millennia(1) AS b",
+      Seq("2100-01-01", "3000-01-01")),
+    q("SELECT TIMESTAMP '2000-01-01 00:00:00' + to_milliseconds(1500) AS a, " +
+      "TIMESTAMP '2000-01-01 00:00:00' + to_microseconds(2500000) AS b",
+      Seq("2000-01-01 00:00:01.5", "2000-01-01 00:00:02.5")),
+    q("SELECT try_strptime('2021-13-01', '%Y-%m-%d') AS a, " +
+      "try_strptime('2021-02-01', '%Y-%m-%d') AS b",
+      Seq(null, "2021-02-01")),
+    q("SELECT make_timestamptz(2021, 3, 4, 5, 6, 7.5) AS a",
+      Seq("2021-03-04 05:06:07.5")),
+    q("SELECT transaction_timestamp() = now() AS a, " +
+      "get_current_timestamp() = now() AS b", Seq(true, true)),
+    q("SELECT current_database() AS a", Seq("memory")),
+
+    // --- r8 batch 16: grapheme-cluster text functions (native UAX #29
+    // expressions — GraphemeExpressions; every index corner probed, flag
+    // pairs / ZWJ sequences / combining marks count as ONE cluster) ---
+    q("SELECT length_grapheme('hello') AS a, " +
+      "length_grapheme('🇩🇪🇺🇸') " +
+      "AS b, length_grapheme('ébc') AS c", Seq(5, 2, 3)),
+    q("SELECT left_grapheme('🇩🇪🇺\uD83C" +
+      "\uDDF8', 1) AS a, right_grapheme('🇩🇪\uD83C" +
+      "\uDDFA🇸', 1) AS b",
+      Seq("🇩🇪", "🇺🇸")),
+    q("SELECT left_grapheme('hello', 2) AS a, right_grapheme('hello', 2) " +
+      "AS b, left_grapheme('abc', -1) AS c, right_grapheme('abc', -1) AS d",
+      Seq("he", "lo", "ab", "bc")),
+    q("SELECT substring_grapheme('hello', 2, 3) AS a, " +
+      "substring_grapheme('abc', 0, 2) AS b, " +
+      "substring_grapheme('abc', -2, 2) AS c, " +
+      "substring_grapheme('abc', 3, -2) AS d", Seq("ell", "a", "bc", "ab")),
+    q("SELECT substring_grapheme('🇩🇪abc', 2, 2) AS a",
+      Seq("ab")),
+    q("SELECT length_grapheme(NULL) AS a, left_grapheme(NULL, 1) AS b",
+      Seq(null, null)),
+    // entropy: Shannon log2 of the value distribution, NULLs skipped,
+    // empty group 0.0 (probed; only exactly-representable distributions
+    // pinned — the JVM has no libm log2, ln-ratio is 1 ulp off on e.g.
+    // a 3:1 split)
+    q("SELECT entropy(x) AS a FROM (VALUES ('a'),('a'),('b'),('c')) t(x)",
+      Seq(1.5)),
+    q("SELECT entropy(x) AS a FROM (VALUES (1),(NULL),(2)) t(x)", Seq(1.0)),
+    q("SELECT entropy(x) AS a FROM (VALUES (CAST(NULL AS INT))) t(x)",
+      Seq(0.0)),
+    q("SELECT entropy(x) AS a FROM (VALUES (1.5),(2.5),(1.5),(9.0)) t(x)",
+      Seq(1.5)),
+    s("SELECT entropy(x) AS a FROM (VALUES ('a'),('a'),('a'),('b')) t(x)"),
+
+    // --- r8 batch 16: json path twins / renderers (probed) ---
+    q("""SELECT json_extract_path('{"a":{"b":7}}', '$.a.b') AS a, """ +
+      """json_extract_path_text('{"a":{"b":7}}', '$.a.b') AS b""",
+      Seq("7", "7")),
+    q("SELECT row_to_json(struct_pack(a := 1, b := 'x')) AS a",
+      Seq("{\"a\":1,\"b\":\"x\"}")),
+    q("SELECT array_to_json([1,2,3]) AS a", Seq("[1,2,3]")),
+    q("SELECT unpivot_list('a','b') AS a", Seq(Seq("a", "b"))),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
