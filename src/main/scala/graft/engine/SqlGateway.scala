@@ -132,6 +132,11 @@ class SqlGateway(val spark: SparkSession) {
     two("nextafter")(NextAfter(_, _))
     one("length")(DuckLen(_)) // duck length works on LISTS too (DuckLen)
     one("len")(DuckLen(_))
+    // json_merge_patch / json_contains (DuckJson scaladoc — RFC 7386 with
+    // DuckDB's probed top-level deviations; structural containment)
+    two("json_merge_patch")(DuckJsonMergePatch(_, _))
+    two("json_contains")(DuckJsonContains(_, _))
+    one("json_structure")(DuckJsonStructure(_))
     // grapheme-cluster text functions (GraphemeExpressions scaladoc —
     // UAX #29 extended clusters via \X, index corners probed)
     one("length_grapheme")(LengthGrapheme(_))
@@ -1528,6 +1533,8 @@ class SqlGateway(val spark: SparkSession) {
     "array_dot_product" -> "list_inner_product",
     "approx_quantile" -> "approx_percentile", // both approximate quantiles
                                        // (t-digest vs G-K; same contract)
+    "reservoir_quantile" -> "approx_percentile", // sampling-approximate
+                                       // quantile; same contract as above
     "from_hex" -> "unhex",             // both left-pad odd-length hex
     "to_binary" -> "bin",
     "row_to_json" -> "to_json",        // struct → minified object (probed)
@@ -2354,6 +2361,82 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("json_valid"))
       out = fix(out, "json_valid", 1, a =>
         Some(s"(try_parse_json(${a(0)}) IS NOT NULL)"))
+    // from_json / json_transform (and their _strict twins — DuckDB 1.0
+    // errors on malformed input in BOTH, probed) with a LITERAL structure
+    // argument: the structure JSON translates to a Spark DDL schema and
+    // FAILFAST reproduces the loud-error contract. Type names map only
+    // where the value rendering is identical (wrong-typed/missing fields
+    // are NULL in both engines — probed). Non-literal structures refuse.
+    if (out.toLowerCase.contains("from_json") ||
+        out.toLowerCase.contains("json_transform")) {
+      def typeDdl(name: String): Option[String] = {
+        val DecRe = """(?i)DECIMAL\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\)""".r
+        name.trim.toUpperCase match {
+          case "VARCHAR" | "TEXT" | "STRING" | "JSON" | "UUID" | "TIME" =>
+            Some("STRING")
+          case "TINYINT" | "INT1" => Some("TINYINT")
+          case "SMALLINT" | "INT2" | "UTINYINT" => Some("SMALLINT")
+          case "INTEGER" | "INT" | "INT4" | "USMALLINT" => Some("INT")
+          case "BIGINT" | "INT8" | "UINTEGER" => Some("BIGINT")
+          case "UBIGINT" => Some("DECIMAL(20,0)")
+          case "HUGEINT" => Some("DECIMAL(38,0)")
+          case "DOUBLE" => Some("DOUBLE")
+          case "FLOAT" | "REAL" => Some("FLOAT")
+          case "BOOLEAN" | "BOOL" => Some("BOOLEAN")
+          case "DATE" => Some("DATE")
+          case "TIMESTAMP" | "DATETIME" => Some("TIMESTAMP")
+          case d if DecRe.pattern.matcher(d).matches() => Some(d)
+          case _ => None
+        }
+      }
+      def structDdl(n: com.fasterxml.jackson.databind.JsonNode)
+          : Option[String] = {
+        if (n.isTextual) typeDdl(n.asText)
+        else if (n.isArray && n.size == 1)
+          structDdl(n.get(0)).map(e => s"ARRAY<$e>")
+        else if (n.isObject) {
+          val fields = scala.collection.mutable.ListBuffer.empty[String]
+          val it = n.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            structDdl(e.getValue) match {
+              case Some(d) => fields += s"`${e.getKey}`: $d"
+              case None => return None
+            }
+          }
+          Some(s"STRUCT<${fields.mkString(", ")}>")
+        } else None
+      }
+      for (fn <- Seq("from_json", "from_json_strict", "json_transform",
+          "json_transform_strict") if out.toLowerCase.contains(fn))
+        out = fix(out, fn, 2, a => {
+          val lit = a(1).trim
+          if (lit.length >= 2 && lit.head == '\'' && lit.last == '\'' &&
+              !lit.drop(1).dropRight(1).contains('\'')) {
+            val parsed = scala.util.Try(new com.fasterxml.jackson.databind
+              .ObjectMapper().readTree(lit.drop(1).dropRight(1))).toOption
+            parsed.flatMap(structDdl).collect {
+              case ddl if ddl.startsWith("STRUCT") || ddl.startsWith("ARRAY") =>
+                s"from_json(${a(0)}, '$ddl', map('mode', 'FAILFAST'))"
+            }
+          } else None
+        })
+    }
+    // json_quote is DuckDB's generic to_json: numeric/boolean literals
+    // render verbatim, string literals quote (JSON-escaped) — the literal
+    // subset; container args alias through to to_json, others refuse
+    if (out.toLowerCase.contains("json_quote"))
+      out = fix(out, "json_quote", 1, a => {
+        val t = a(0).trim
+        if (t.matches("""(?i)-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false"""))
+          Some(s"'${t.toLowerCase}'")
+        else if (t.length >= 2 && t.head == '\'' && t.last == '\'' &&
+            !t.drop(1).dropRight(1).contains('\'')) {
+          val inner = t.drop(1).dropRight(1)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          Some("'\"" + inner + "\"'")
+        } else Some(s"to_json(${a(0)})")
+      })
     // century/decade (probed: century(2000)=20, 2001→21; decade(2020)=202)
     if (out.toLowerCase.contains("century"))
       out = fix(out, "century", 1, a => Some(
@@ -2409,6 +2492,24 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("current_database"))
       out = fix(out, "current_database", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("'memory'") else None)
+    // current_schemas(true) includes the implicit catalogs; (false) is
+    // empty; in_search_path is TRUE only for ('memory', 'main') — all
+    // probed against the reference's single-database layout
+    if (out.toLowerCase.contains("current_schemas"))
+      out = fix(out, "current_schemas", 1, a => a.head.trim.toLowerCase match {
+        case "true" => Some("array('main', 'main', 'main', 'pg_catalog')")
+        case "false" => Some("CAST(array() AS ARRAY<STRING>)")
+        case _ => None
+      })
+    if (out.toLowerCase.contains("in_search_path"))
+      out = fix(out, "in_search_path", 2, a => Some(
+        s"((${a(0)}) = 'memory' AND (${a(1)}) = 'main')"))
+    // setseed returns NULL; the RNG side effect has no deterministic
+    // cross-engine observable (random() sequences differ by engine anyway)
+    if (out.toLowerCase.contains("setseed"))
+      out = fix(out, "setseed", 1, a => Some(
+        s"(CASE WHEN (${a(0)}) IS NULL THEN CAST(NULL AS INT) " +
+          s"ELSE CAST(NULL AS INT) END)"))
     // constant_or_null(v, cond…): NULL when ANY condition arg is NULL
     if (out.toLowerCase.contains("constant_or_null"))
       out = fix(out, "constant_or_null", -1, a =>
@@ -2722,14 +2823,27 @@ class SqlGateway(val spark: SparkSession) {
           case _ => None // 1-param lambda: agreed semantics, untouched
         }
       })
-    // 3-arg substr/substring with start 0: the positions before 1 count
-    // AGAINST the length in DuckDB (probed: substr('abc', 0, 2) = 'a';
-    // Spark clamps to 1 and returns 'ab' — silent divergence)
+    // 3-arg substr/substring: DuckDB's general index algebra differs from
+    // Spark's on TWO corners (both probed): start 0 counts the pre-1
+    // position against the length (substr('abc',0,2)='a'; Spark clamps to
+    // 1 → 'ab'), and a NEGATIVE length selects |len| chars BEFORE start
+    // (substr('abc',3,-2)='ab'; Spark → ''). The exact model: begin =
+    // start-1 (positive) / length+start unclamped (negative) / -1 (zero);
+    // end = begin+len; bounds swap when len < 0; clamp to [0, length].
+    // Positive-literal starts with non-negative literal lengths pass
+    // through — Spark's native substring is already exact there.
     for (fn <- Seq("substr", "substring") if out.toLowerCase.contains(fn))
-      out = fix(out, fn, 3, a => Some(
-        s"(CASE WHEN (${a(1)}) = 0 THEN " +
-          s"$fn(${a(0)}, 1, greatest((${a(2)}) - 1, 0)) " +
-          s"ELSE $fn(${a(0)}, ${a(1)}, ${a(2)}) END)"))
+      out = fix(out, fn, 3, a => intArgs(a.tail) match {
+        case Some(Seq(st, ln)) if st > 0 && ln >= 0 => None
+        case _ =>
+          val (s, st, ln) = (a(0), a(1), a(2))
+          val begin = s"(CASE WHEN ($st) > 0 THEN ($st) - 1 " +
+            s"WHEN ($st) < 0 THEN length($s) + ($st) ELSE -1 END)"
+          val end = s"($begin + ($ln))"
+          val lo = s"greatest(least($begin, $end), 0)"
+          val hi = s"least(greatest($begin, $end), length($s))"
+          Some(s"substring($s, $lo + 1, greatest($hi - $lo, 0))")
+      })
     // list element extraction spellings (1-based, NULL out of range —
     // probed); array_extract on a STRING operand refuses downstream
     for (fn <- Seq("list_extract", "list_element", "array_extract")
@@ -3751,7 +3865,22 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteDuckLiterals(escapeLiteralBackslashes(sql)))))
+      rewriteDuckLiterals(escapeLiteralBackslashes(
+        rewriteCurrentQuery(sql))))))
+
+  /** `current_query()` returns the statement text VERBATIM (probed), so it
+    * resolves first, against the pristine input, before any rewrite
+    * changes the text. Quote-parity guarded; the substituted literal then
+    * shields its own content from every later pass. */
+  private def rewriteCurrentQuery(sql: String): String = {
+    if (!sql.toLowerCase.contains("current_query")) return sql
+    val Re = """(?i)(?<![\w.$])current_query\s*\(\s*\)""".r
+    val lit = "'" + sql.replace("'", "''") + "'"
+    Re.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (sql.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+        else lit))
+  }
 
   /** DuckDB's standard single-quoted strings carry NO escape processing
     * (`'[\1]'` is four characters; escapes need the e'…' prefix, which

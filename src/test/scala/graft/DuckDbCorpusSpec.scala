@@ -991,8 +991,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "FROM (VALUES (1.0, 2.0),(2.0, 2.0)) t(x, y)", Seq(-2.0, null)),
     q("SELECT kurtosis_pop(x) AS a FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
       Seq(-1.4999999999999787)),
-    q("SELECT approx_quantile(x, 0.5) AS a " +
-      "FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(2)),
+    q("SELECT approx_quantile(x, 0.5) AS a, reservoir_quantile(x, 0.5) " +
+      "AS b FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(2, 2)),
+    // 3-arg substr with DuckDB's general index algebra: start 0 counts
+    // against the length, a negative length selects |len| chars BEFORE
+    // start, negative starts count from the end UNCLAMPED (all probed)
+    q("SELECT substr('abc', 2, -1) AS a, substr('abc', 3, -2) AS b, " +
+      "substr('abc', -1, -1) AS c, substr('abcde', 4, -2) AS d, " +
+      "substr('abc', -5, 4) AS e, substr('abc', 1, -1) AS f",
+      Seq("a", "ab", "b", "bc", "ab", "")),
     q("SELECT bitstring_agg(x, 1, 6) AS a FROM (VALUES (1),(3),(5)) t(x)",
       Seq("101010")),
     q("SELECT bitstring_agg(x, 1, 6) AS a " +
@@ -1084,6 +1091,85 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("{\"a\":1,\"b\":\"x\"}")),
     q("SELECT array_to_json([1,2,3]) AS a", Seq("[1,2,3]")),
     q("SELECT unpivot_list('a','b') AS a", Seq(Seq("a", "b"))),
+    // from_json/json_transform with a literal structure: translated to a
+    // Spark schema; malformed input errors in BOTH engines (FAILFAST),
+    // wrong-typed/missing fields are NULL in both (probed)
+    q("""SELECT from_json('{"a":1,"b":[2,3]}', """ +
+      """'{"a":"INTEGER","b":["BIGINT"]}') AS a""",
+      Seq(Seq(1, Seq(2, 3)))),
+    q("""SELECT from_json('[1,2]', '["INTEGER"]') AS a""", Seq(Seq(1, 2))),
+    q("""SELECT from_json('{"a":"2021-01-01"}', '{"a":"DATE"}') AS a""",
+      Seq(Seq("2021-01-01"))),
+    q("""SELECT from_json('{"a":1}', '{"a":"VARCHAR"}') AS a""",
+      Seq(Seq("1"))),
+    q("""SELECT from_json('{"a":null}', '{"a":"INTEGER"}') AS a, """ +
+      """from_json('{"b":1}', '{"a":"INTEGER"}') AS b""",
+      Seq(Seq(null), Seq(null))),
+    // json_merge_patch: RFC 7386 nested, DuckDB's probed top-level
+    // deviation (non-object/NULL target → patch VERBATIM, nulls kept)
+    q("""SELECT json_merge_patch('{"a":1,"b":2}', '{"b":3}') AS a""",
+      Seq("{\"a\":1,\"b\":3}")),
+    q("""SELECT json_merge_patch('{"a":{"x":1,"y":2}}', """ +
+      """'{"a":{"y":null,"z":3}}') AS a""", Seq("{\"a\":{\"x\":1,\"z\":3}}")),
+    q("""SELECT json_merge_patch('{"a":1}', '"str"') AS a, """ +
+      """json_merge_patch('{"a":[1,2]}', '{"a":[9]}') AS b""",
+      Seq("\"str\"", "{\"a\":[9]}")),
+    q("""SELECT json_merge_patch('{"a":1}', '{"b":null}') AS a, """ +
+      """json_merge_patch('5', '{"a":null}') AS b""",
+      Seq("{\"a\":1}", "{\"a\":null}")),
+    q("""SELECT json_merge_patch(NULL, '{"a":{"y":null,"z":3}}') AS a, """ +
+      """json_merge_patch('{"a":1}', NULL) AS b""",
+      Seq("{\"a\":{\"y\":null,\"z\":3}}", null)),
+    q("""SELECT json_merge_patch('{"x":{"k":1}}', """ +
+      """'{"x":{"k":null,"m":4}}') AS a""", Seq("{\"x\":{\"m\":4}}")),
+    // json_contains: recursive-descent subset match (probed: object
+    // needles are key-subsets, array needles set-subsets, scalars strict)
+    q("""SELECT json_contains('{"a":{"b":7}}', '7') AS a, """ +
+      """json_contains('[1,[2,3]]', '[2,3]') AS b, """ +
+      """json_contains('[1,2]', '3') AS c""", Seq(true, true, false)),
+    q("""SELECT json_contains('{"a":{"x":1,"y":2}}','{"a":{"x":1}}') AS a, """ +
+      """json_contains('[3,2,1]','[1,3]') AS b, """ +
+      """json_contains('[[1,2]]','[2]') AS c""", Seq(true, true, true)),
+    q("""SELECT json_contains('{"a":1,"b":2}','{"a":1,"c":3}') AS a, """ +
+      """json_contains('[1.0]', '1') AS b, """ +
+      """json_contains('"xy"','"x"') AS c""", Seq(false, false, false)),
+    q("""SELECT json_contains('[{"a":1,"b":2}]','{"a":1}') AS a, """ +
+      """json_contains('[1,2]','[2,2]') AS b, """ +
+      """json_contains('{"a":[1,2]}','{"a":[2]}') AS c""",
+      Seq(true, true, true)),
+    q("SELECT json_quote(42) AS a, json_quote('abc') AS b, " +
+      "json_quote([1,2]) AS c", Seq("42", "\"abc\"", "[1,2]")),
+    // json_structure: DuckDB's type-inference rendering (rules probed:
+    // UBIGINT/BIGINT/DOUBLE numerics, element-merge with key-union
+    // objects, mixed types collapse to "JSON", empty array ["NULL"])
+    q("""SELECT json_structure('{"a":1,"b":[1,2]}') AS a, """ +
+      """json_structure('{"a":-1}') AS b, json_structure('{"a":1.5}') AS c""",
+      Seq("{\"a\":\"UBIGINT\",\"b\":[\"UBIGINT\"]}", "{\"a\":\"BIGINT\"}",
+        "{\"a\":\"DOUBLE\"}")),
+    q("""SELECT json_structure('{"a":"x","b":true,"c":null}') AS a""",
+      Seq("{\"a\":\"VARCHAR\",\"b\":\"BOOLEAN\",\"c\":\"NULL\"}")),
+    q("""SELECT json_structure('[1,"x"]') AS a, """ +
+      """json_structure('[{"a":1},{"b":2}]') AS b, """ +
+      """json_structure('[]') AS c""",
+      Seq("[\"JSON\"]", "[{\"a\":\"UBIGINT\",\"b\":\"UBIGINT\"}]",
+        "[\"NULL\"]")),
+    q("""SELECT json_structure('[1,2.5]') AS a, """ +
+      """json_structure('[1,-2]') AS b, json_structure('[null,1]') AS c, """ +
+      """json_structure('9223372036854775808') AS d""",
+      Seq("[\"DOUBLE\"]", "[\"BIGINT\"]", "[\"UBIGINT\"]", "\"UBIGINT\"")),
+    q("""SELECT json_structure('[{"a":1},{"a":"x"}]') AS a, """ +
+      """json_structure('[[1],[2,3]]') AS b""",
+      Seq("[{\"a\":\"JSON\"}]", "[[\"UBIGINT\"]]")),
+    // misc session introspection (probed against the reference layout)
+    q("SELECT rpad('ab', 5, '*') AS a, lpad('ab', 5, '*') AS b",
+      Seq("ab***", "***ab")),
+    q("SELECT current_query() AS a", Seq("SELECT current_query() AS a")),
+    q("SELECT current_schemas(true) AS a, current_schemas(false) AS b",
+      Seq(Seq("main", "main", "main", "pg_catalog"), Seq())),
+    q("SELECT in_search_path('memory', 'main') AS a, " +
+      "in_search_path('memory', 'pg_catalog') AS b, " +
+      "in_search_path('x', 'main') AS c", Seq(true, false, false)),
+    q("SELECT setseed(0.5) AS a", Seq(null)),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
