@@ -571,6 +571,9 @@ class SqlGateway(val spark: SparkSession) {
 
   private val ExcludeRe =
     """(?is)^\s*SELECT\s+\*\s+EXCLUDE\s*(?:\(\s*([^)]+?)\s*\)|([A-Za-z_]\w*))\s+(FROM\b.*)$""".r
+  private val ExcludeReplaceRe =
+    ("""(?is)^\s*SELECT\s+\*\s+EXCLUDE\s*(?:\(\s*([^)]+?)\s*\)|([A-Za-z_]\w*))""" +
+     """\s+REPLACE\s*\((.+?)\)\s+(FROM\b.*)$""").r
   private val ReplaceStarRe =
     """(?is)^\s*SELECT\s+\*\s+REPLACE\s*\((.+?)\)\s+(FROM\b.*)$""".r
   private val DistinctOnRe =
@@ -585,10 +588,13 @@ class SqlGateway(val spark: SparkSession) {
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
      """\s+ASOF\s+(LEFT\s+)?JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
      """\s+(?:ON\s+(.+?)|USING\s*\(([^)]+)\))\s*((?:WHERE|ORDER|LIMIT)\b.*)?$""").r
+  // optional `[AS] t(col)` suffix: a column alias renames the output
   private val RangeTvfRe =
-    """(?is)^\s*SELECT\s+\*\s+FROM\s+range\s*\(([^)]*)\)\s*$""".r
+    ("""(?is)^\s*SELECT\s+\*\s+FROM\s+range\s*\(([^)]*)\)""" +
+     """\s*(?:(?:AS\s+)?\w+\s*(?:\(\s*(\w+)\s*\))?)?\s*$""").r
   private val SeriesTvfRe =
-    """(?is)^\s*SELECT\s+\*\s+FROM\s+generate_series\s*\(([^)]*)\)\s*$""".r
+    ("""(?is)^\s*SELECT\s+\*\s+FROM\s+generate_series\s*\(([^)]*)\)""" +
+     """\s*(?:(?:AS\s+)?\w+\s*(?:\(\s*(\w+)\s*\))?)?\s*$""").r
 
   /** DuckDB's `ASOF [LEFT] JOIN` statement spelling, routed to the
     * engine's first-class [[graft.plans.AsofJoin]] operator (merge-join
@@ -935,6 +941,26 @@ class SqlGateway(val spark: SparkSession) {
         asofStatement(sel, lTable, Option(lAlias), leftKw != null,
           rTable, Option(rAlias), Option(cond), Option(usingCols),
           Option(tail))
+      // combined `* EXCLUDE (…) REPLACE (…)` (DuckDB admits both clauses
+      // on one star — probed): replacements evaluate against the ORIGINAL
+      // row first, then the excluded columns drop
+      case ExcludeReplaceRe(parenCols, bareCol, items, from) =>
+        val drops = Option(parenCols).map(splitTopLevel(_).map(_.trim))
+          .getOrElse(Seq(bareCol))
+        val AsRe = """(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$""".r
+        val parsed = splitTopLevel(items).map(_.trim).map {
+          case AsRe(e, n) => Some(n.toLowerCase -> e)
+          case _ => None
+        }
+        if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+        else {
+          val reps = parsed.flatten.toMap
+          val base = runSql(s"SELECT * $from")
+          val replaced = base.select(base.columns.map(c =>
+            reps.get(c.toLowerCase).map(e => expr(e).as(c))
+              .getOrElse(col(s"`$c`"))).toSeq: _*)
+          Some(drops.foldLeft(replaced)((d, c) => d.drop(c)))
+        }
       case ExcludeRe(parenCols, bareCol, from) =>
         val cols = Option(parenCols).map(splitTopLevel(_).map(_.trim))
           .getOrElse(Seq(bareCol))
@@ -996,19 +1022,22 @@ class SqlGateway(val spark: SparkSession) {
           runSql(s"SELECT $expanded FROM $table $tailPart"))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
-      case RangeTvfRe(args) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
+      case RangeTvfRe(args, colAlias) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
           .r.findFirstIn(args).isDefined =>
-        temporalSeries(args, "range", exclusiveStop = true)
-      case RangeTvfRe(args) =>
+        temporalSeries(args, Option(colAlias).getOrElse("range"),
+          exclusiveStop = true)
+      case RangeTvfRe(args, colAlias) =>
         // Spark's native range TVF is exactly DuckDB's half-open table
         // form (1/2/3 args, negative steps, empty ranges) — only the
         // column name differs (id vs range). spark.sql directly: the
         // scalar range() rewrite must not see this call.
-        Some(spark.sql(s"SELECT id AS range FROM range($args)"))
-      case SeriesTvfRe(args) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
+        Some(spark.sql(s"SELECT id AS " +
+          s"${Option(colAlias).getOrElse("range")} FROM range($args)"))
+      case SeriesTvfRe(args, colAlias) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
           .r.findFirstIn(args).isDefined =>
-        temporalSeries(args, "generate_series", exclusiveStop = false)
-      case SeriesTvfRe(args) =>
+        temporalSeries(args, Option(colAlias).getOrElse("generate_series"),
+          exclusiveStop = false)
+      case SeriesTvfRe(args, colAlias) =>
         // inclusive table series: literal ints compute exactly (empty
         // corner included); 3-arg expressions (timestamp + INTERVAL step
         // included) map to sequence(), whose bounds are inclusive too
@@ -1021,8 +1050,8 @@ class SqlGateway(val spark: SparkSession) {
             Some(s"sequence(${a(0)}, ${a(1)}, ${a(2)})")
           case _ => None
         }
-        listSql.map(l =>
-          spark.sql(s"SELECT explode($l) AS generate_series"))
+        listSql.map(l => spark.sql(s"SELECT explode($l) AS " +
+          Option(colAlias).getOrElse("generate_series")))
       case _ => None
     }
   }
@@ -2255,13 +2284,24 @@ class SqlGateway(val spark: SparkSession) {
         Some(s"explode(split(${a(0)}, ${a(1)}))"))
     // unnest(x, recursive := true) arrives as explode(...) via the alias
     // table; a list-of-struct flattens columns — exactly Spark's inline
-    if (out.toLowerCase.contains("explode"))
+    if (out.toLowerCase.contains("explode")) {
       out = fix(out, "explode", 2, a =>
         if (a(1).matches("(?is)recursive\\s*:=\\s*true"))
           Some(s"inline(${a(0)})")
         else if (a(1).matches("(?is)recursive\\s*:=\\s*false"))
           Some(s"explode(${a(0)})")
         else None)
+      // unnest of a STRUCT expands its fields into one column each
+      // (probed: unnest({'x':1,'y':2}) is columns x, y) — Spark's inline
+      // over a one-element array is that exactly. Struct-typed column
+      // refs still refuse loudly (explode rejects them in analysis).
+      out = fix(out, "explode", 1, a => {
+        val t = a(0).trim.toLowerCase
+        if (t.startsWith("named_struct(") || t.startsWith("struct("))
+          Some(s"inline(array(${a(0)}))")
+        else None
+      })
+    }
     // list_where keeps NULL data elements (probed: [1,NULL,3] masked →
     // [1,NULL]); the struct detour survives them where IF(m,x,NULL)+
     // filter would not. A short mask drops the tail (zip_with pads the
@@ -3367,6 +3407,15 @@ class SqlGateway(val spark: SparkSession) {
           if (!balancedBefore(out, m.start)) m.matched
           else s"${if (m.group(2) != null) "NOT " else ""}" +
             s"regexp_like(${m.group(1)}, concat('^(?:', ${m.group(3)}, ')$$'))"))
+      // `~~~` is the GLOB operator (probed; no !~~~ exists in DuckDB 1.0)
+      // — spelled out to GLOB so the glob→regex rewrite below handles it.
+      // Runs before the LIKE aliases so `~~` never eats its prefix.
+      val GlobOp = (s"$Operand\\s*~~~\\s*$Operand").r
+      val gOpIn = out
+      out = GlobOp.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(gOpIn, m.start)) m.matched
+          else s"${m.group(1)} GLOB ${m.group(2)}"))
       // LIKE-operator aliases first — `~~` must not be eaten as `~`
       // (probed: ~~ LIKE, !~~ NOT LIKE, ~~* ILIKE, !~~* NOT ILIKE)
       val LikeOp = (s"$Operand\\s*(!~~\\*|!~~|~~\\*|~~)\\s*$Operand").r

@@ -1170,6 +1170,18 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "in_search_path('memory', 'pg_catalog') AS b, " +
       "in_search_path('x', 'main') AS c", Seq(true, false, false)),
     q("SELECT setseed(0.5) AS a", Seq(null)),
+    // statement sugar: ~~~ glob operator, combined EXCLUDE+REPLACE star,
+    // struct unnest (field expansion), aliased series TVFs (all probed)
+    q("SELECT 'abc' ~~~ 'a*' AS a, 'a.c' ~~~ 'a?c' AS b, " +
+      "'abc' ~~~ 'b*' AS c", Seq(true, true, false)),
+    q("SELECT * EXCLUDE (s) REPLACE (i*2 AS i) " +
+      "FROM (VALUES (1,'a'),(2,'b')) t(i,s) ORDER BY i",
+      Seq(2), Seq(4)),
+    q("SELECT unnest({'x':1,'y':2})", Seq(1, 2)),
+    q("SELECT * FROM range(2,5) AS r(x)", Seq(2), Seq(3), Seq(4)),
+    q("SELECT * FROM range(2,5) r", Seq(2), Seq(3), Seq(4)),
+    q("SELECT * FROM generate_series(1,3) AS g(n)",
+      Seq(1), Seq(2), Seq(3)),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
