@@ -475,10 +475,55 @@ class SqlGateway(val spark: SparkSession) {
   private val FromSelectRe = """(?is)\s*FROM\s+([\w.]+)\s+SELECT\s+(.*)""".r
 
   private val ExplainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.*)""".r
+  private val ShowTablesStmtRe = """(?is)\s*SHOW\s+TABLES\s*""".r
+  private val ShowTableRe = """(?is)\s*SHOW\s+([\w.]+)\s*""".r
+
+  /** `INSERT/UPDATE/DELETE … RETURNING <items>` (DuckDB DML-with-rows,
+    * reachable via db/db.go:70 since the reference sends every statement
+    * through Query): the DML runs through the normal constraint-checked
+    * write path, which stashes the affected rows' POST-image (pre-image
+    * for DELETE — probed: DuckDB returns the deleted rows) before the
+    * atomic swap; the RETURNING items then project over that capture with
+    * the full dialect machinery. Unsupported DML forms (upsert, joined
+    * UPDATE/DELETE) leave no capture and refuse loudly. */
+  private def dmlReturning(sql: String): Option[(String, String)] = {
+    val lead = sql.trim.split("""[\s(]""", 2)(0).toLowerCase
+    if (!Set("insert", "update", "delete").contains(lead)) return None
+    topLevel(sql, """\bRETURNING\b""").map { case (s, e) =>
+      (sql.substring(0, s).trim, sql.substring(e).trim)
+    }
+  }
+  @volatile private[engine] var captureReturning: Boolean = false
+  @volatile private[engine] var capturedReturning:
+      Option[(org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])] = None
+
+  private def runDmlReturning(dml: String, items: String): DataFrame =
+    writeLock.synchronized {
+      captureReturning = true; capturedReturning = None
+      try execute(dml) finally captureReturning = false
+      val (schema, rows) = capturedReturning.getOrElse(
+        throw new IllegalArgumentException(
+          "RETURNING is not supported for this statement form"))
+      capturedReturning = None
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      if (items.trim == "*") df
+      else {
+        val v = s"graft_returning_${viewSeq.incrementAndGet()}"
+        df.createOrReplaceTempView(v)
+        try duckDialectSql(s"SELECT $items FROM $v")
+          .localCheckpoint(true)
+        finally spark.catalog.dropTempView(v)
+      }
+    }
 
   def queryDf(sql: String): DataFrame = sql match {
     case ExecuteStmtRe(name, args) if prepared.contains(name.toLowerCase) =>
       queryDf(bindPrepared(name, Option(args)))
+    case s if dmlReturning(s).isDefined =>
+      val (dml, items) = dmlReturning(s).get
+      runDmlReturning(dml, items)
     case ExplainAnalyzeRe(q) =>
       // DuckDB's EXPLAIN ANALYZE runs the query with timers; here: run it
       // (noop sink — full materialization, nothing collected), report the
@@ -496,6 +541,13 @@ class SqlGateway(val spark: SparkSession) {
     case PragmaTableInfoRe(table) => pragmaTableInfo(table)
     case PragmaShowTablesRe() =>
       spark.sql("SHOW TABLES").select(col("tableName").as("name"))
+    // `SHOW TABLES` renders DuckDB's single `name` column (Spark's native
+    // three-column shape would silently diverge); `SHOW <table>` is
+    // DESCRIBE (probed: identical six-column output)
+    case ShowTablesStmtRe() =>
+      spark.sql("SHOW TABLES").select(col("tableName").as("name"))
+    case ShowTableRe(table) if spark.catalog.tableExists(table) =>
+      describe(table)
     case PragmaVersionRe() =>
       // DuckDB's (library_version, source_id) shape with this engine's info
       spark.createDataFrame(Seq((s"graft-spark-${spark.version}", "spark")))
@@ -4522,10 +4574,14 @@ class SqlGateway(val spark: SparkSession) {
         .localCheckpoint(eager = true)
       val n = surviving.count()
       enforceUniqueIndexes(table, target.union(surviving))
+      if (captureReturning) // RETURNING: only the rows actually inserted
+        capturedReturning = Some((surviving.schema, surviving.collect()))
       appendRows(table, surviving)
       ExecuteResult(n)
     } else {
       enforceUniqueIndexes(table, target.union(staged))
+      if (captureReturning)
+        capturedReturning = Some((staged.schema, staged.collect()))
       appendRows(table, staged)
       ExecuteResult(stats.getAs[Long]("__n"))
     }
@@ -4790,6 +4846,16 @@ class SqlGateway(val spark: SparkSession) {
     // full-frame check is equivalent and safe — same as updateFrom)
     enforceChecks(table, updated)
     enforceUniqueIndexes(table, updated)
+    if (captureReturning) {
+      // RETURNING: the POST-image of the affected rows (probed) —
+      // collected off the OLD snapshot before the atomic swap
+      val post = target.filter(pred).select(target.columns.map { c =>
+        byName.get(c.toLowerCase)
+          .map(e => e.cast(target.schema(c).dataType).as(c))
+          .getOrElse(col(c))
+      }.toIndexedSeq: _*)
+      capturedReturning = Some((post.schema, post.collect()))
+    }
     overwriteTable(table, updated)
     ExecuteResult(affected)
   }
@@ -4885,6 +4951,8 @@ class SqlGateway(val spark: SparkSession) {
     where match {
       case None =>
         val n = target.count()
+        if (captureReturning) // RETURNING on DELETE: the deleted rows
+          capturedReturning = Some((target.schema, target.collect()))
         overwriteTable(table, target.limit(0))
         ExecuteResult(n)
       case Some(w) =>
@@ -4892,6 +4960,9 @@ class SqlGateway(val spark: SparkSession) {
         // NULL are KEPT — `!pred` alone would drop them (NULL stays NULL)
         val pred = coalesce(expr(w), lit(false))
         val n = target.filter(pred).count()
+        if (captureReturning)
+          capturedReturning =
+            Some((target.schema, target.filter(pred).collect()))
         overwriteTable(table, target.filter(!pred))
         ExecuteResult(n)
     }

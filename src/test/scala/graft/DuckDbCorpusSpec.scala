@@ -1182,6 +1182,24 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT * FROM range(2,5) r", Seq(2), Seq(3), Seq(4)),
     q("SELECT * FROM generate_series(1,3) AS g(n)",
       Seq(1), Seq(2), Seq(3)),
+    // DML RETURNING (probed: INSERT returns the inserted rows, UPDATE the
+    // post-image, DELETE the deleted rows; expressions/aliases project)
+    s("CREATE TABLE corpus_ret(i INTEGER, s VARCHAR)"),
+    q("INSERT INTO corpus_ret VALUES (1,'a') RETURNING i, s", Seq(1, "a")),
+    q("INSERT INTO corpus_ret VALUES (2,'b') RETURNING *", Seq(2, "b")),
+    q("INSERT INTO corpus_ret VALUES (7,'x'),(8,'y') RETURNING i",
+      Seq(7), Seq(8)),
+    q("UPDATE corpus_ret SET s='z' WHERE i=1 RETURNING i, s", Seq(1, "z")),
+    q("DELETE FROM corpus_ret WHERE i=2 RETURNING *", Seq(2, "b")),
+    q("INSERT INTO corpus_ret VALUES (5,'q') RETURNING i*10 AS ten",
+      Seq(50)),
+    // SHOW TABLES renders DuckDB's single name column; SHOW <t> is
+    // DESCRIBE's six-column shape (probed)
+    q("SHOW corpus_ret",
+      Seq("i", "INTEGER", "YES", null, null, null),
+      Seq("s", "VARCHAR", "YES", null, null, null)),
+    s("SHOW TABLES"),
+    s("DROP TABLE corpus_ret"),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
@@ -1677,13 +1695,18 @@ class DuckDbCorpusSpec extends SparkTestBase {
 
   private def runOne(c: C): Outcome = {
     val lead = c.sql.trim.split("""[\s(]""", 2)(0).toLowerCase
+    // DML with RETURNING produces rows — route through the query path,
+    // as the reference does (every statement goes to db.Query)
+    val returning = Set("insert", "update", "delete").contains(lead) &&
+      """(?i)\breturning\b""".r.findFirstIn(c.sql).isDefined
+    val isQuery = QueryLead(lead) || returning
     try {
       val got: Seq[Seq[Any]] =
-        if (QueryLead(lead)) gw.query(c.sql).values
+        if (isQuery) gw.query(c.sql).values
         else { gw.execute(c.sql); Seq.empty }
       c.expect match {
         case None => Accepted
-        case Some(_) if !QueryLead(lead) => Accepted
+        case Some(_) if !isQuery => Accepted
         case Some(want) =>
           def canon(rows: Seq[Seq[Any]]) = {
             val n = rows.map(_.map(norm))
@@ -1712,8 +1735,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
       o == Matched || o == Accepted || o.isInstanceOf[Wrong] }
     val matched = results.count(_._2 == Matched)
     val refused = results.count(_._2.isInstanceOf[Refused])
+    def valueChecked(c: C): Boolean = {
+      val lead = c.sql.trim.split("""[\s(]""", 2)(0).toLowerCase
+      QueryLead(lead) || (Set("insert", "update", "delete").contains(lead) &&
+        """(?i)\breturning\b""".r.findFirstIn(c.sql).isDefined)
+    }
     val expectTotal = corpus.count(c => c.expect.nonEmpty && c.divergent.isEmpty &&
-      QueryLead(c.sql.trim.split("""[\s(]""", 2)(0).toLowerCase))
+      valueChecked(c))
 
     info(s"corpus: ${corpus.size} statements — accepted $accepted " +
       f"(${100.0 * accepted / corpus.size}%.0f%%), refused $refused, " +
@@ -1734,6 +1762,6 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // Every value-checked accepted statement matched DuckDB exactly.
     assert(matched == results.count { case (c, o) =>
       c.divergent.isEmpty && c.expect.nonEmpty && !o.isInstanceOf[Refused] &&
-        QueryLead(c.sql.trim.split("""[\s(]""", 2)(0).toLowerCase) })
+        valueChecked(c) })
   }
 }
