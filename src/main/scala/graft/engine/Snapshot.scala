@@ -42,7 +42,9 @@ object Snapshot {
       gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
         s"#index|$n|$t|${cols.mkString(",")}|$uniq" } ++
       gw.namedTypes.toSeq.sortBy(_._1).map { case (n, spec) =>
-        s"#type|$n|${b64(spec)}" }
+        s"#type|$n|${b64(spec)}" } ++
+      gw.columnDefaults.toSeq.sortBy(_._1).flatMap { case (t, m) =>
+        m.toSeq.sortBy(_._1).map { case (c, d) => s"#default|$t|$c|${b64(d)}" } }
     Files.write(Paths.get(dir, ManifestName),
       (manifest ++ meta).mkString("\n").getBytes("UTF-8"))
     tables
@@ -78,11 +80,15 @@ object Snapshot {
     // database-level metadata replaces wholesale, like the tables
     def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
     gw.sequences.clear(); gw.macros.clear(); gw.indexes.clear()
-    gw.namedTypes.clear()
+    gw.namedTypes.clear(); gw.columnDefaults.clear()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
         case "#type" :: n :: spec :: Nil =>
           gw.namedTypes(n) = unb64(spec)
+        case "#default" :: t :: c :: d :: Nil =>
+          gw.columnDefaults.updateWith(t) { cur =>
+            Some(cur.getOrElse(Map.empty) + (c -> unb64(d)))
+          }
         case "#seq" :: n :: next :: inc :: Nil =>
           gw.sequences(n) = (next.toLong, inc.toLong)
         case "#macro" :: n :: params :: body :: Nil =>

@@ -159,6 +159,10 @@ class SqlGateway(val spark: SparkSession) {
   }
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
+  /** table → column → DEFAULT expression text (DuckDB spelling; applied
+    * through duckCompat at insert time — the gateway builds every insert
+    * batch itself, so Spark's own column-default metadata never fires) */
+  private[engine] val columnDefaults = new TrieMap[String, Map[String, String]]
   /** table → CHECK expressions (SQL text; enforced on insert/update like
     * DuckDB — a row violates only when the expression is FALSE, NULL
     * passes, per the SQL standard). */
@@ -218,6 +222,16 @@ class SqlGateway(val spark: SparkSession) {
   private val ImportDbRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val AlterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterSetDefaultRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
+  private val AlterDropDefaultRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*""".r
+  private val AlterTypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+""" +
+     """(?:SET\s+DATA\s+)?TYPE\s+(\w+(?:\s*\([^)]*\))?)(?:\s+USING\s+(.+?))?\s*""").r
+  private val AlterAddColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+""" +
+     """(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+(.+?)\s*""").r
   private val AlterDropColRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
   // COPY, reachable through the reference's passthrough like every other
@@ -416,6 +430,14 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(Snapshot.importDatabase(this, dir).size.toLong)
       case AlterRenameRe(table, from, to) =>
         alterRenameColumn(table, from, to)
+      case AlterSetDefaultRe(table, colName, dflt) =>
+        alterSetDefault(table, colName, Some(dflt))
+      case AlterDropDefaultRe(table, colName) =>
+        alterSetDefault(table, colName, None)
+      case AlterTypeRe(table, colName, typeSpec, using) =>
+        alterColumnType(table, colName, typeSpec, Option(using))
+      case AlterAddColRe(table, ifNotExists, colName, spec) =>
+        alterAddColumn(table, ifNotExists != null, colName, spec)
       case AlterDropColRe(table, colName) =>
         alterDropColumn(table, colName)
       case CopyQueryToRe(query, path, optSpec) =>
@@ -4280,6 +4302,7 @@ class SqlGateway(val spark: SparkSession) {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     constraints.remove(tableKey(table))
     checks.remove(tableKey(table))
+    columnDefaults.remove(tableKey(table))
     versions.remove(tableKey(table))
     indexes.toSeq.filter(_._2._1 == tableKey(table))
       .foreach { case (k, _) => indexes.remove(k) }
@@ -4312,6 +4335,7 @@ class SqlGateway(val spark: SparkSession) {
     var pk = Vector.empty[String]
     var notNull = Vector.empty[String]
     var checkExprs = Vector.empty[String]
+    var defaults = Map.empty[String, String]
     val cleaned = splitTopLevel(colSpec).flatMap { raw =>
       val item = raw.trim
       val pkTable = """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
@@ -4338,6 +4362,18 @@ class SqlGateway(val spark: SparkSession) {
           spec match {
             case colCheck(pre, e, post) =>
               checkExprs :+= e.trim
+              spec = (pre + " " + post).trim
+            case _ => ()
+          }
+          // column-level DEFAULT <literal | (expr) | fn(...)> — stored as
+          // DuckDB text and applied by insert() when the column is absent
+          // from the batch (or spelled as the DEFAULT keyword)
+          val colDefault = ("""(?is)(.*?)\bDEFAULT\s+""" +
+            """('(?:[^']|'')*'|\([^()]*\)|[\w.+\-]+(?:\([^()]*\))?)""" +
+            """\s*(.*)""").r
+          spec match {
+            case colDefault(pre, d, post) =>
+              defaults += name.toLowerCase -> d.trim
               spec = (pre + " " + post).trim
             case _ => ()
           }
@@ -4398,6 +4434,8 @@ class SqlGateway(val spark: SparkSession) {
     else constraints.remove(tableKey(table))
     if (checkExprs.nonEmpty) checks(tableKey(table)) = checkExprs
     else checks.remove(tableKey(table))
+    if (defaults.nonEmpty) columnDefaults(tableKey(table)) = defaults
+    else columnDefaults.remove(tableKey(table))
     ExecuteResult(0L)
   }
 
@@ -4500,9 +4538,36 @@ class SqlGateway(val spark: SparkSession) {
   //     instead of rejected — rows_affected counts what actually landed.
   private def insert(table: String, cols: Option[String], source: String,
       skipConflicts: Boolean = false, upsertSet: Option[String] = None): ExecuteResult = {
+    val tableDefaults = columnDefaults.getOrElse(tableKey(table), Map.empty)
+    // the DEFAULT keyword inside a VALUES tuple takes the column's stored
+    // default (NULL when none — DuckDB semantics); positional mapping via
+    // the explicit column list or the table's column order
+    val sourced = {
+      val ValuesRe = """(?is)^\s*VALUES\s*(.+)$""".r
+      source match {
+        case ValuesRe(body)
+            if """(?i)(?<![\w'])DEFAULT(?![\w'])""".r
+              .findFirstIn(body).isDefined =>
+          val order: Seq[String] = cols match {
+            case Some(c) => c.split(",").map(_.trim.toLowerCase).toSeq
+            case None => spark.table(table).columns.map(_.toLowerCase).toSeq
+          }
+          val tuples = splitTopLevel(body).map(_.trim).map { t =>
+            if (!t.startsWith("(") || !t.endsWith(")")) t
+            else splitTopLevel(t.drop(1).dropRight(1)).map(_.trim)
+              .zipWithIndex.map { case (v, i) =>
+                if (v.equalsIgnoreCase("DEFAULT"))
+                  order.lift(i).flatMap(tableDefaults.get).getOrElse("NULL")
+                else v
+              }.mkString("(", ", ", ")")
+          }
+          "VALUES " + tuples.mkString(", ")
+        case _ => source
+      }
+    }
     val batchSql = cols match {
-      case Some(c) => s"SELECT * FROM (${valuesToSelect(source, c)})"
-      case None => valuesToSelect(source, "")
+      case Some(c) => s"SELECT * FROM (${valuesToSelect(sourced, c)})"
+      case None => valuesToSelect(sourced, "")
     }
     // a nextval in a multi-row SELECT source would hand every row the SAME
     // id (the rewrite binds one literal per call site) — refuse it rather
@@ -4521,8 +4586,12 @@ class SqlGateway(val spark: SparkSession) {
         val given = c.split(",").map(_.trim)
         val renamed = batch.toDF(given.toIndexedSeq: _*)
         val missing = target.columns.filterNot(t => given.exists(_.equalsIgnoreCase(t)))
+        // a column absent from the insert list takes its DEFAULT (NULL
+        // when none — DuckDB semantics, probed incl. ALTER SET DEFAULT)
         missing.foldLeft(renamed)((df, m) =>
-          df.withColumn(m, lit(null).cast(target.schema(m).dataType)))
+          df.withColumn(m, tableDefaults.get(m.toLowerCase)
+            .map(d => expr(duckCompat(d)))
+            .getOrElse(lit(null)).cast(target.schema(m).dataType)))
           .select(target.columns.map(col).toIndexedSeq: _*)
       case None => batch.toDF(target.columns.toIndexedSeq: _*)
     }
@@ -4690,6 +4759,11 @@ class SqlGateway(val spark: SparkSession) {
         Some((ren(pk), ren(nn)))
       case None => None
     }
+    columnDefaults.updateWith(tableKey(table)) {
+      case Some(m) => Some(m.map { case (k, v) =>
+        (if (k.equalsIgnoreCase(from)) to.toLowerCase else k) -> v })
+      case None => None
+    }
     ExecuteResult(0L)
   }
 
@@ -4711,6 +4785,88 @@ class SqlGateway(val spark: SparkSession) {
       case Some((p, nn)) => Some((p, nn.filterNot(_.equalsIgnoreCase(colName))))
       case None => None
     }
+    columnDefaults.updateWith(tableKey(table)) {
+      case Some(m) =>
+        val next = m - colName.toLowerCase
+        if (next.isEmpty) None else Some(next)
+      case None => None
+    }
+    ExecuteResult(0L)
+  }
+
+  /** `ALTER … ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT` — the
+    * default store insert() reads for absent columns and the DEFAULT
+    * keyword (Spark's own column-default metadata never fires because the
+    * gateway builds every insert batch itself). */
+  private def alterSetDefault(table: String, colName: String,
+      dflt: Option[String]): ExecuteResult = {
+    val target = spark.table(table)
+    if (!target.columns.exists(_.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(s"ALTER $table: unknown column $colName")
+    dflt.foreach(d => expr(duckCompat(d))) // unparseable defaults fail NOW
+    columnDefaults.updateWith(tableKey(table)) { cur =>
+      val m = cur.getOrElse(Map.empty)
+      val next = dflt match {
+        case Some(d) => m + (colName.toLowerCase -> d.trim)
+        case None => m - colName.toLowerCase
+      }
+      if (next.isEmpty) None else Some(next)
+    }
+    ExecuteResult(0L)
+  }
+
+  /** `ALTER … ADD COLUMN [IF NOT EXISTS] c <spec>` — delegates to Spark's
+    * native ADD COLUMN (whose DEFAULT backfills existing rows, matching
+    * DuckDB — probed) and records the DEFAULT so the gateway's own insert
+    * path applies it to FUTURE rows too. */
+  private def alterAddColumn(table: String, ifNotExists: Boolean,
+      colName: String, spec0: String): ExecuteResult = {
+    val target = spark.table(table)
+    if (target.columns.exists(_.equalsIgnoreCase(colName))) {
+      if (ifNotExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(
+        s"ALTER $table: column $colName already exists")
+    }
+    val spec = spec0.trim.replaceAll("(?i)\\bTEXT\\b", "STRING")
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+    val ColDefault = ("""(?is)(.*?)\bDEFAULT\s+""" +
+      """('(?:[^']|'')*'|\([^()]*\)|[\w.+\-]+(?:\([^()]*\))?)\s*(.*)""").r
+    spec match {
+      case ColDefault(_, d, _) =>
+        columnDefaults.updateWith(tableKey(table)) { cur =>
+          Some(cur.getOrElse(Map.empty) + (colName.toLowerCase -> d.trim))
+        }
+      case _ => ()
+    }
+    spark.sql(s"ALTER TABLE $table ADD COLUMN $colName $spec")
+    spark.catalog.refreshTable(table)
+    ExecuteResult(0L)
+  }
+
+  /** `ALTER … ALTER COLUMN c [SET DATA] TYPE t [USING expr]` — a
+    * read-cast-swap through the versioned rewrite. DuckDB errors the
+    * whole statement when any value fails to convert (probed); a cast
+    * that NULLs a non-NULL input reproduces that loudly. */
+  private def alterColumnType(table: String, colName: String,
+      typeSpec: String, using: Option[String]): ExecuteResult = {
+    val target = spark.table(table)
+    val actual = target.columns.find(_.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"ALTER $table: unknown column $colName"))
+    if (checkReferences(table, colName))
+      throw new IllegalArgumentException(
+        s"ALTER $table: column $colName is referenced by a CHECK constraint")
+    val sparkType = typeSpec.trim
+      .replaceAll("(?i)^VARCHAR$|^TEXT$", "STRING")
+      .replaceAll("(?i)^INT4$|^INTEGER$", "INT")
+      .replaceAll("(?i)^INT8$", "BIGINT")
+    val value = using.map(u => expr(duckCompat(u))).getOrElse(col(actual))
+    val casted = value.cast(sparkType)
+    val bad = target.filter(value.isNotNull && casted.isNull).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"ALTER $table: could not convert $bad row(s) of $colName to $typeSpec")
+    replaceSchema(table, target.select(target.columns.map(c =>
+      if (c.equalsIgnoreCase(colName)) casted.as(actual) else col(c))
+      .toIndexedSeq: _*))
     ExecuteResult(0L)
   }
 

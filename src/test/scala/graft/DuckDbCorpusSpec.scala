@@ -1200,6 +1200,32 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("s", "VARCHAR", "YES", null, null, null)),
     s("SHOW TABLES"),
     s("DROP TABLE corpus_ret"),
+    // column DEFAULTs: CREATE-time, the DEFAULT keyword in VALUES, ALTER
+    // SET/DROP DEFAULT, ADD COLUMN DEFAULT backfill + future inserts,
+    // ADD COLUMN IF NOT EXISTS, and ALTER TYPE read-cast-swap incl. the
+    // USING form (all probed; a failing conversion errors like DuckDB)
+    s("CREATE TABLE corpus_def(a INTEGER, b INTEGER DEFAULT 5, " +
+      "c VARCHAR DEFAULT 'x')"),
+    s("INSERT INTO corpus_def (a) VALUES (1)"),
+    q("INSERT INTO corpus_def VALUES (2, DEFAULT, DEFAULT) RETURNING *",
+      Seq(2, 5, "x")),
+    q("SELECT * FROM corpus_def ORDER BY a",
+      Seq(1, 5, "x"), Seq(2, 5, "x")),
+    s("ALTER TABLE corpus_def ALTER COLUMN b SET DEFAULT 9"),
+    s("INSERT INTO corpus_def (a) VALUES (3)"),
+    q("SELECT b FROM corpus_def WHERE a = 3", Seq(9)),
+    s("ALTER TABLE corpus_def ALTER COLUMN b DROP DEFAULT"),
+    s("INSERT INTO corpus_def (a) VALUES (4)"),
+    q("SELECT b FROM corpus_def WHERE a = 4", Seq(null)),
+    s("ALTER TABLE corpus_def ADD COLUMN d INTEGER DEFAULT 7"),
+    q("SELECT d FROM corpus_def WHERE a = 1", Seq(7)),
+    s("INSERT INTO corpus_def (a) VALUES (5)"),
+    q("SELECT d FROM corpus_def WHERE a = 5", Seq(7)),
+    s("ALTER TABLE corpus_def ADD COLUMN IF NOT EXISTS d INTEGER"),
+    s("ALTER TABLE corpus_def ALTER COLUMN a TYPE BIGINT"),
+    s("ALTER TABLE corpus_def ALTER d SET DATA TYPE DOUBLE USING d * 2"),
+    q("SELECT a, d FROM corpus_def WHERE a = 1", Seq(1, 14.0)),
+    s("DROP TABLE corpus_def"),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
