@@ -367,7 +367,15 @@ class SqlGateway(val spark: SparkSession) {
       case CreateRe(orReplace, ine, table, colSpec) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
         createTable(table, colSpec, ine != null)
-      case InsertPrefixRe(orMode, table, rest) =>
+      case InsertPrefixRe(orMode, table, rest0) =>
+        // `INSERT INTO t BY NAME <source>`: batch columns align to the
+        // target's by NAME, not position; an unknown batch column errors
+        // and absent target columns take their DEFAULT (DuckDB — probed)
+        val ByNameRe = """(?is)^\s*BY\s+NAME\s+(.*)$""".r
+        val (byName, rest) = rest0.trim match {
+          case ByNameRe(r) => (true, r)
+          case r => (false, r)
+        }
         // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
         // non-conflicting rows; `ON CONFLICT DO UPDATE SET ...` merges
         // (the SET expressions may reference `excluded.<col>` = the
@@ -380,7 +388,8 @@ class SqlGateway(val spark: SparkSession) {
         Option(orMode).map(_.toUpperCase) match {
           case Some("IGNORE") =>
             val (cols, source) = parseInsertBody(rest.trim)
-            insert(table, cols, source, skipConflicts = true)
+            insert(table, cols, source, skipConflicts = true,
+              byName = byName)
           case Some("REPLACE") =>
             // replace the whole conflicting row: DO UPDATE SET <every
             // non-PK column> = excluded.<col> (matching DuckDB's OR REPLACE)
@@ -391,20 +400,24 @@ class SqlGateway(val spark: SparkSession) {
                 s"INSERT OR REPLACE requires a PRIMARY KEY on $table")
             val nonPk = spark.table(table).columns
               .filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
-            if (nonPk.isEmpty) insert(table, cols, source, skipConflicts = true)
+            if (nonPk.isEmpty) insert(table, cols, source,
+              skipConflicts = true, byName = byName)
             else insert(table, cols, source,
-              upsertSet = Some(nonPk.map(c => s"$c = excluded.$c").mkString(", ")))
+              upsertSet = Some(nonPk.map(c => s"$c = excluded.$c").mkString(", ")),
+              byName = byName)
           case _ =>
             rest.trim match {
               case OnConflictUpdateRe(body, sets) =>
                 val (cols, source) = parseInsertBody(body.trim)
-                insert(table, cols, source, upsertSet = Some(sets.trim))
+                insert(table, cols, source, upsertSet = Some(sets.trim),
+                  byName = byName)
               case OnConflictNothingRe(body) =>
                 val (cols, source) = parseInsertBody(body.trim)
-                insert(table, cols, source, skipConflicts = true)
+                insert(table, cols, source, skipConflicts = true,
+                  byName = byName)
               case body =>
                 val (cols, source) = parseInsertBody(body)
-                insert(table, cols, source)
+                insert(table, cols, source, byName = byName)
             }
         }
       case UpdateRe(table, rest) =>
@@ -2327,9 +2340,7 @@ class SqlGateway(val spark: SparkSession) {
           s"ELSE array() END)"))
     if (out.toLowerCase.contains("sha256"))
       out = fix(out, "sha256", 1, a => Some(s"sha2(${a(0)}, 256)"))
-    // signbit is x < 0 in DuckDB (probed: -0.0 → false, '-inf' → true)
-    if (out.toLowerCase.contains("signbit"))
-      out = fix(out, "signbit", 1, a => Some(s"((${a(0)}) < 0)"))
+
     // even: round away from zero to the next even DOUBLE (probed:
     // even(0.1)=2, even(-0.1)=-2, even(2.0)=2, even(3)=4, even(0)=0)
     if (out.toLowerCase.contains("even"))
@@ -2632,6 +2643,30 @@ class SqlGateway(val spark: SparkSession) {
             s"THEN NULL ELSE ${a(0)} END)"))
     if (out.toLowerCase.contains("strlen"))
       out = fix(out, "strlen", 1, a => Some(s"octet_length(${a(0)})"))
+    // operator-spelling function names (probed): divide is `//` (rides
+    // the DuckFloorDiv plan swap via the div keyword), the rest are the
+    // plain operators
+    if (out.toLowerCase.contains("divide"))
+      out = fix(out, "divide", 2, a => Some(s"((${a(0)}) div (${a(1)}))"))
+    if (out.toLowerCase.contains("multiply"))
+      out = fix(out, "multiply", 2, a => Some(s"((${a(0)}) * (${a(1)}))"))
+    if (out.toLowerCase.contains("subtract"))
+      out = fix(out, "subtract", 2, a => Some(s"((${a(0)}) - (${a(1)}))"))
+    if (out.toLowerCase.contains("add"))
+      out = fix(out, "add", 2, a => Some(s"((${a(0)}) + (${a(1)}))"))
+    // signbit: the IEEE sign bit. Two probed corners pull apart: DuckDB's
+    // PARSER folds the sign off a literal -0.0 (signbit(-0.0) is false)
+    // while a runtime negative zero keeps it (signbit('-0.0'::DOUBLE) is
+    // true). Literal args evaluate the folded sign directly; everything
+    // else reads the bit off the value's string rendering, which keeps
+    // '-' for -0.0 and -Infinity.
+    if (out.toLowerCase.contains("signbit"))
+      out = fix(out, "signbit", 1, a => {
+        val t = a(0).trim
+        if (t.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?"""))
+          Some(if (BigDecimal(t).signum < 0) "true" else "false")
+        else Some(s"startswith(CAST(CAST(${a(0)} AS DOUBLE) AS STRING), '-')")
+      })
     // BIT values model as '0'/'1' strings (see cornerType). bit_length of
     // a BIT is its bit COUNT (model-string length); of a VARCHAR it is
     // 8 x octets, which Spark's same-named builtin already is. The ::BIT
@@ -4537,7 +4572,8 @@ class SqlGateway(val spark: SparkSession) {
   //     dups keep the first occurrence; existing keys drop) are filtered
   //     instead of rejected — rows_affected counts what actually landed.
   private def insert(table: String, cols: Option[String], source: String,
-      skipConflicts: Boolean = false, upsertSet: Option[String] = None): ExecuteResult = {
+      skipConflicts: Boolean = false, upsertSet: Option[String] = None,
+      byName: Boolean = false): ExecuteResult = {
     val tableDefaults = columnDefaults.getOrElse(tableKey(table), Map.empty)
     // the DEFAULT keyword inside a VALUES tuple takes the column's stored
     // default (NULL when none — DuckDB semantics); positional mapping via
@@ -4580,8 +4616,20 @@ class SqlGateway(val spark: SparkSession) {
           "(each row would receive the same value) — use a VALUES list")
     var batch = sqlWithReadViews(rewriteSequenceFunctions(duckCompat(macroExpanded)))
     val target = spark.table(table)
+    // BY NAME: the batch's OWN column names are the insert list (an
+    // unknown name errors like DuckDB); alignment then shares the
+    // default-filling explicit-cols path below
+    val nameCols =
+      if (!byName) cols
+      else {
+        val unknown = batch.columns.filterNot(bc =>
+          target.columns.exists(_.equalsIgnoreCase(bc)))
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT BY NAME: $table has no column ${unknown.head}")
+        Some(batch.columns.mkString(","))
+      }
     // align batch columns to target schema (explicit column list or position)
-    batch = cols match {
+    batch = nameCols match {
       case Some(c) =>
         val given = c.split(",").map(_.trim)
         val renamed = batch.toDF(given.toIndexedSeq: _*)

@@ -1226,6 +1226,22 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("ALTER TABLE corpus_def ALTER d SET DATA TYPE DOUBLE USING d * 2"),
     q("SELECT a, d FROM corpus_def WHERE a = 1", Seq(1, 14.0)),
     s("DROP TABLE corpus_def"),
+    // INSERT BY NAME aligns the batch to the target by column NAME (an
+    // absent column takes its DEFAULT — probed); operator-name functions
+    // divide (the // plan swap) / multiply / add / subtract; signbit's
+    // two probed corners (the parser folds literal -0.0, a runtime
+    // negative zero keeps its bit); TABLE statement
+    s("CREATE TABLE corpus_bn(a INTEGER, b INTEGER DEFAULT 5)"),
+    s("INSERT INTO corpus_bn BY NAME SELECT 9 AS b"),
+    q("SELECT * FROM corpus_bn", Seq(null, 9)),
+    q("TABLE corpus_bn", Seq(null, 9)),
+    s("DROP TABLE corpus_bn"),
+    q("SELECT divide(7,2) AS a, divide(-7,2) AS b, divide(7.0,2) AS c",
+      Seq(3, -3, 3.5)),
+    q("SELECT multiply(3,4) AS a, add(1,2) AS b, subtract(5,3) AS c, " +
+      "factorial(5) AS d", Seq(12, 3, 2, 120)),
+    q("SELECT signbit(-0.0) AS a, signbit('-0.0'::DOUBLE) AS b",
+      Seq(false, true)),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),

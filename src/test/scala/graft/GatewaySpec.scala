@@ -204,6 +204,20 @@ class GatewaySpec extends SparkTestBase {
       "UNION(num INTEGER, str VARCHAR)"))
   }
 
+  test("column DEFAULTs survive an EXPORT/IMPORT round trip") {
+    gw.execute("DROP TABLE IF EXISTS deft")
+    gw.execute("CREATE TABLE deft (a integer, b integer DEFAULT 5)")
+    gw.execute("ALTER TABLE deft ADD COLUMN c varchar DEFAULT 'x'")
+    val dir = java.nio.file.Files.createTempDirectory("graft-defaults").toString
+    gw.execute(s"EXPORT DATABASE '$dir'")
+    gw.execute("DROP TABLE deft")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    gw.execute("INSERT INTO deft (a) VALUES (1)")
+    val res = gw.query("SELECT * FROM deft")
+    assert(res.values == Seq(Seq(1, 5, "x")), res.values)
+    gw.execute("DROP TABLE deft")
+  }
+
   test("reachable type surface round-trips with DuckDB-style type names") {
     gw.execute("DROP TABLE IF EXISTS typet")
     gw.execute(
