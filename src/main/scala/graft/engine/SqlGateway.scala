@@ -1560,9 +1560,17 @@ class SqlGateway(val spark: SparkSession) {
       val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
       if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
-        val v = settings.getOrElse(m.group(1).toLowerCase,
-          throw new IllegalArgumentException(s"unknown setting ${m.group(1)}"))
-        java.util.regex.Matcher.quoteReplacement(s"'${v.replace("'", "''")}'")
+        // 'threads' reads the live engine parallelism (DuckDB's default
+        // reflects its own hardware; an INTEGER, unlike the recorded SETs)
+        if (m.group(1).equalsIgnoreCase("threads") &&
+            !settings.contains("threads"))
+          java.util.regex.Matcher.quoteReplacement(
+            spark.sparkContext.defaultParallelism.toString)
+        else {
+          val v = settings.getOrElse(m.group(1).toLowerCase,
+            throw new IllegalArgumentException(s"unknown setting ${m.group(1)}"))
+          java.util.regex.Matcher.quoteReplacement(s"'${v.replace("'", "''")}'")
+        }
       }
     })
 
@@ -1944,10 +1952,38 @@ class SqlGateway(val spark: SparkSession) {
           Some(s"'$esc'")
         } else None
       })
+    // weekday is DuckDB's dayofweek twin (0 = Sunday — probed; Spark's
+    // same-named builtin is 0 = Monday, a silent off-by-one): emitted as
+    // dayofweek text so the fix below lands the shared -1 shift. Runs
+    // BEFORE isodow, whose emitted Spark weekday must stay untouched.
+    if (out.toLowerCase.contains("weekday"))
+      out = fix(out, "weekday", 1, a => Some(s"dayofweek(${a.head})"))
     // DuckDB dayofweek: 0 = Sunday .. 6 = Saturday; Spark's same-named
     // function is 1 = Sunday — same name, off-by-one (probed)
     if (out.toLowerCase.contains("dayofweek"))
       out = fix(out, "dayofweek", 1, a => Some(s"(dayofweek(${a.head}) - 1)"))
+    // era: 1 = AD, 0 = BC (probed)
+    if (out.toLowerCase.contains("era"))
+      out = fix(out, "era", 1, a => Some(
+        s"(CASE WHEN year(${a.head}) > 0 THEN 1 ELSE 0 END)"))
+    // make_date's struct form takes {'year':…,'month':…,'day':…} (probed)
+    if (out.toLowerCase.contains("make_date"))
+      out = fix(out, "make_date", 1, a => Some(
+        s"make_date((${a.head}).year, (${a.head}).month, (${a.head}).day)"))
+    // timezone(ts): the session offset — pinned UTC, 0 for every input
+    // (probed); timezone('UTC', ts) is the identity in a UTC session for
+    // BOTH the naive and the tz-carrying argument (probed both) — other
+    // zones cannot be told apart textually (naive args convert one way,
+    // TIMESTAMPTZ the other) and refuse rather than guess
+    if (out.toLowerCase.contains("timezone"))
+      out = fix(out, "timezone", -1, a => a.length match {
+        case 1 => Some(s"(CASE WHEN CAST(${a(0)} AS TIMESTAMP) IS NULL " +
+          s"THEN CAST(NULL AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)")
+        case 2 if a(0).trim.equalsIgnoreCase("'UTC'") ||
+            a(0).trim.equalsIgnoreCase("'Etc/UTC'") =>
+          Some(s"CAST(${a(1)} AS TIMESTAMP)")
+        case _ => None
+      })
     // isodow: 1 = Monday .. 7 = Sunday; Spark weekday is 0 = Monday
     if (out.toLowerCase.contains("isodow"))
       out = fix(out, "isodow", 1, a => Some(s"(weekday(${a.head}) + 1)"))

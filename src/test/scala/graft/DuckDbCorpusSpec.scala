@@ -1242,6 +1242,22 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "factorial(5) AS d", Seq(12, 3, 2, 120)),
     q("SELECT signbit(-0.0) AS a, signbit('-0.0'::DOUBLE) AS b",
       Seq(false, true)),
+    // weekday is DuckDB's dayofweek twin (0 = Sunday — Spark's native
+    // weekday is 0 = Monday, fixed); era; struct-form make_date;
+    // timezone offset/identity; live threads setting (all probed)
+    q("SELECT weekday(DATE '2024-01-01') AS a, " +
+      "weekday(DATE '2024-01-07') AS b, weekday(DATE '2024-01-06') AS c",
+      Seq(1, 0, 6)),
+    q("SELECT era(DATE '2024-01-01') AS a", Seq(1)),
+    q("SELECT make_date({'year': 2024, 'month': 11, 'day': 2}) AS a",
+      Seq("2024-11-02")),
+    q("SELECT last_day(DATE '2024-02-05') AS a, " +
+      "last_day(TIMESTAMP '2023-01-10 11:00:00') AS b",
+      Seq("2024-02-29", "2023-01-31")),
+    q("SELECT timezone(TIMESTAMP '2021-01-01 00:00:00') AS a, " +
+      "timezone('UTC', TIMESTAMP '2021-01-01 00:00:00') AS b",
+      Seq(0, "2021-01-01")),
+    q("SELECT current_setting('threads') > 0 AS a", Seq(true)),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
