@@ -1669,6 +1669,14 @@ class SqlGateway(val spark: SparkSession) {
     "transaction_timestamp" -> "now",
     "get_current_timestamp" -> "now",
     "current_localtimestamp" -> "localtimestamp",
+    "array_has_all" -> "list_has_all",   // NULL-exact fixes downstream
+    "array_has_any" -> "list_has_any",
+    "array_push_back" -> "array_append", // (list, elem) both
+    "list_intersect" -> "array_intersect", // both dedup; DuckDB's result
+                                           // order is hash-arbitrary
+    "round_even" -> "bround",            // half-even rounding (probed)
+    "roundbankers" -> "bround",
+    "pg_size_pretty" -> "format_bytes",  // same KiB rendering (probed)
     "json_extract_path" -> "json_extract",           // 2-arg path twin
     "json_extract_path_text" -> "json_extract_string",
     "list_zip" -> "arrays_zip")        // both pad to the LONGEST list with
@@ -2038,7 +2046,17 @@ class SqlGateway(val spark: SparkSession) {
         "list_median" -> "median", "list_mode" -> "mode",
         "list_product" -> "product", "list_first" -> "first",
         "list_last" -> "last", "list_histogram" -> "histogram",
-        "list_count" -> "count")
+        "list_count" -> "count",
+        "list_bool_and" -> "bool_and", "list_bool_or" -> "bool_or",
+        "list_bit_and" -> "bit_and", "list_bit_or" -> "bit_or",
+        "list_bit_xor" -> "bit_xor", "list_string_agg" -> "string_agg",
+        "list_stddev_samp" -> "stddev_samp",
+        "list_stddev_pop" -> "stddev_pop",
+        "list_var_samp" -> "var_samp", "list_var_pop" -> "var_pop",
+        "list_sem" -> "sem", "list_mad" -> "mad",
+        "list_skewness" -> "skewness", "list_kurtosis_pop" -> "kurtosis_pop",
+        "list_kurtosis" -> "kurtosis", "list_entropy" -> "entropy",
+        "list_approx_count_distinct" -> "approx_count_distinct")
       for ((fn, agg) <- shorthands if out.toLowerCase.contains(fn))
         out = fix(out, fn, 1, a =>
           Some(s"list_aggregate(${a(0)}, '$agg')"))
@@ -2082,6 +2100,88 @@ class SqlGateway(val spark: SparkSession) {
             // sublist, interpolated (duckdb: DOUBLE; NULLs ignored — probed)
             s"((try_element_at(sort_array($nn), CAST((size($nn) + 1) div 2 AS INT)) + " +
               s"try_element_at(sort_array($nn), CAST((size($nn) + 2) div 2 AS INT))) / 2)")
+          // list twins of the aggregate surface (every value probed):
+          // folds run over the non-null sublist, empty/all-NULL → NULL
+          case "'bool_and'" => guarded(
+            s"aggregate($nn, true, (acc, x) -> acc AND x)")
+          case "'bool_or'" => guarded(
+            s"aggregate($nn, false, (acc, x) -> acc OR x)")
+          case "'bit_and'" => guarded(
+            s"aggregate($nn, CAST(-1 AS BIGINT), (acc, x) -> acc & x)")
+          case "'bit_or'" => guarded(
+            s"aggregate($nn, CAST(0 AS BIGINT), (acc, x) -> acc | x)")
+          case "'bit_xor'" => guarded(
+            s"aggregate($nn, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)")
+          case "'string_agg'" => guarded( // ',' separator, NULLs skipped
+            s"array_join(transform($nn, x -> CAST(x AS STRING)), ',')")
+          case "'approx_count_distinct'" => // exact count stands in for
+            // the HLL estimate (identical on the probed small lists)
+            Some(s"size(array_distinct($nn))")
+          case "'var_samp'" | "'var_pop'" | "'stddev_samp'" |
+               "'stddev_pop'" | "'sem'" => {
+            // raw-sum spellings over DOUBLE (exact on the probed inputs)
+            def nF = s"CAST(size($nn) AS DOUBLE)"
+            def s1 = s"aggregate($nn, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            def s2 = s"aggregate($nn, CAST(0 AS DOUBLE), " +
+              s"(acc, x) -> acc + CAST(x AS DOUBLE) * x)"
+            def ss = s"($s2 - $s1 * $s1 / $nF)"
+            val e = a(1).trim.toLowerCase match {
+              case "'var_samp'" => s"($ss / ($nF - 1))"
+              case "'var_pop'" => s"($ss / $nF)"
+              case "'stddev_samp'" => s"sqrt($ss / ($nF - 1))"
+              case "'stddev_pop'" => s"sqrt($ss / $nF)"
+              case _ => // sem = stddev_POP / sqrt(n) in DuckDB (probed)
+                s"(sqrt($ss / $nF) / sqrt($nF))"
+            }
+            guarded(e)
+          }
+          case "'skewness'" | "'kurtosis'" | "'kurtosis_pop'" => {
+            // DuckDB's raw-power-sum formulas, the same shapes the
+            // aggregate fixes spell (bit-exact on the probed lists)
+            def nF = s"CAST(size($nn) AS DOUBLE)"
+            def t = s"(1.0 / $nF)"
+            def s1 = s"aggregate($nn, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            def s2 = s"aggregate($nn, CAST(0 AS DOUBLE), " +
+              s"(acc, x) -> acc + CAST(x AS DOUBLE) * x)"
+            def s3 = s"aggregate($nn, CAST(0 AS DOUBLE), " +
+              s"(acc, x) -> acc + CAST(x AS DOUBLE) * x * x)"
+            def s4 = s"aggregate($nn, CAST(0 AS DOUBLE), " +
+              s"(acc, x) -> acc + CAST(x AS DOUBLE) * x * x * x)"
+            def m2 = s"($t * ($s2 - $s1 * $s1 * $t))"
+            a(1).trim.toLowerCase match {
+              case "'skewness'" => Some(
+                s"(CASE WHEN size($nn) > 2 AND ($s2 - $s1 * $s1 * $t) <> 0 " +
+                  s"THEN sqrt($nF * ($nF - 1.0)) / ($nF - 2.0) * " +
+                  s"($t * ($s3 - 3 * $s2 * $s1 * $t + " +
+                  s"2 * power($s1, 3) * power($t, 2))) / power($m2, 1.5) " +
+                  s"ELSE NULL END)")
+              case kk =>
+                def m4 = s"($t * ($s4 - 4 * $s3 * $s1 * $t + " +
+                  s"6 * $s2 * $s1 * $s1 * $t * $t - 3 * power($s1, 4) * " +
+                  s"power($t, 3)))"
+                if (kk == "'kurtosis'") Some(
+                  s"(CASE WHEN size($nn) > 3 AND ($s2 - $s1 * $s1 * $t) <> 0 " +
+                    s"THEN ($nF - 1.0) * (($nF + 1.0) * $m4 / ($m2 * $m2) - " +
+                    s"3 * ($nF - 1.0)) / (($nF - 2.0) * ($nF - 3.0)) " +
+                    s"ELSE NULL END)")
+                else Some(
+                  s"(CASE WHEN size($nn) > 1 AND ($s2 - $s1 * $s1 * $t) <> 0 " +
+                    s"THEN $m4 / ($m2 * $m2) - 3 ELSE NULL END)")
+            }
+          }
+          case "'mad'" => { // median absolute deviation from the median
+            def med(l: String) =
+              s"((try_element_at(sort_array($l), CAST((size($l) + 1) div 2 AS INT)) + " +
+                s"try_element_at(sort_array($l), CAST((size($l) + 2) div 2 AS INT))) / 2)"
+            guarded(med(s"transform($nn, x -> abs(CAST(x AS DOUBLE) - ${med(nn)}))"))
+          }
+          case "'entropy'" => guarded( // Shannon log2 over the value
+            // distribution (ln-ratio, the EntropyAggregator caveat)
+            s"aggregate(transform(array_distinct($nn), v -> " +
+              s"CAST(size(filter($nn, x -> x = v)) AS DOUBLE) / size($nn) * " +
+              s"(ln(CAST(size($nn) AS DOUBLE) / " +
+              s"size(filter($nn, x -> x = v))) / ln(2.0))), " +
+              s"CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
           case _ => None
         }})
     // list_reduce(l, (a,b) -> …): first element is the seed, the lambda
@@ -2653,6 +2753,34 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("current_database"))
       out = fix(out, "current_database", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("'memory'") else None)
+    // array_push_front takes (list, elem) — list_prepend's reverse order
+    if (out.toLowerCase.contains("array_push_front"))
+      out = fix(out, "array_push_front", 2, a =>
+        Some(s"array_prepend(${a(0)}, ${a(1)})"))
+    // pg_typeof renders the DuckDB type name lowercased (probed)
+    if (out.toLowerCase.contains("pg_typeof"))
+      out = fix(out, "pg_typeof", 1, a => Some(s"lower(typeof(${a(0)}))"))
+    // geometric mean: exp of the mean log (probed exact on the corpus
+    // pins; DOUBLE like DuckDB)
+    for (fn <- Seq("geomean", "geometric_mean")
+         if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a =>
+        Some(s"exp(avg(ln(CAST(${a(0)} AS DOUBLE))))"))
+    // bare session-identity keywords (no parens): DuckDB pins these
+    // (probed) — Spark's CURRENT_USER would leak the OS user instead
+    locally {
+      val idents = Seq("current_user" -> "'duckdb'",
+        "session_user" -> "'duckdb'", "current_role" -> "'duckdb'",
+        "current_catalog" -> "'memory'")
+      for ((kw, v) <- idents if out.toLowerCase.contains(kw)) {
+        val Re = ("(?i)(?<![\\w.$'])" + kw + "(?![\\w($])").r
+        val kIn = out
+        out = Re.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (kIn.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+            else v))
+      }
+    }
     // current_schemas(true) includes the implicit catalogs; (false) is
     // empty; in_search_path is TRUE only for ('memory', 'main') — all
     // probed against the reference's single-database layout
@@ -2787,6 +2915,11 @@ class SqlGateway(val spark: SparkSession) {
           s"($s3 - 3 * $s1 * $s2 * $t + 2 * power($s1, 3) * $t * $t) / " +
           s"sqrt(power($m2, 3)) ELSE NULL END)")
       })
+    // sem: standard error of the mean = stddev_POP / sqrt(n) in DuckDB
+    // (probed bit-exact; NULLs skipped by both factors)
+    if (out.toLowerCase.contains("sem"))
+      out = fix(out, "sem", 1, a => Some(
+        s"(stddev_pop(${a(0)}) / sqrt(count(${a(0)})))"))
     // kurtosis_pop: population excess g2 = m4/m2^2 - 3 from the same raw
     // power sums (probed: NULL under n<2 / zero variance). Runs BEFORE the
     // sample-kurtosis fix; its output carries no kurtosis( token.

@@ -1258,6 +1258,45 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "timezone('UTC', TIMESTAMP '2021-01-01 00:00:00') AS b",
       Seq(0, "2021-01-01")),
     q("SELECT current_setting('threads') > 0 AS a", Seq(true)),
+    // list twins of the aggregate surface + set/session sugar (probed;
+    // list_intersect's result order is hash-arbitrary in DuckDB → sorted)
+    q("SELECT list_bool_and([true,true,NULL]) AS a, " +
+      "list_bool_or([false,NULL]) AS b", Seq(true, false)),
+    q("SELECT list_bit_and([6,3]) AS a, list_bit_or([1,2]) AS b, " +
+      "list_bit_xor([5,3]) AS c", Seq(2, 3, 6)),
+    q("SELECT list_sort(list_intersect([1,2,2,3],[2,3,9])) AS a",
+      Seq(Seq(2, 3))),
+    q("SELECT array_has_all([1,2,3],[2]) AS a, " +
+      "array_has_any([1,2],[9]) AS b", Seq(true, false)),
+    q("SELECT array_push_back([1,2], 3) AS a, " +
+      "array_push_front([1,2], 0) AS b",
+      Seq(Seq(1, 2, 3), Seq(0, 1, 2))),
+    q("SELECT list_string_agg([1,2,3]) AS a, list_string_agg(['a','b']) " +
+      "AS b", Seq("1,2,3", "a,b")),
+    q("SELECT list_stddev_samp([1.0,2.0,3.0]) AS a, " +
+      "list_stddev_pop([1.0,2.0,3.0]) AS b, list_var_samp([1.0,2.0,3.0]) " +
+      "AS c, list_var_pop([1.0,2.0,3.0]) AS d",
+      Seq(1.0, 0.816496580927726, 1.0, 0.6666666666666666)),
+    q("SELECT list_skewness([1.0,2.0,3.0,10.0]) AS a, " +
+      "list_kurtosis([1.0,2.0,3.0,10.0]) AS b, " +
+      "list_kurtosis_pop([1.0,2.0,3.0,10.0]) AS c",
+      Seq(1.763632614803888, 3.227999999999999, -0.7696000000000001)),
+    q("SELECT list_sem([1.0,2.0,3.0]) AS a, list_mad([1.0,2.0,3.0,9.0]) " +
+      "AS b, sem(x) AS c FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+      Seq(0.47140452079103173, 1.0, 0.47140452079103173)),
+    q("SELECT list_entropy([1,1,2,3]) AS a, " +
+      "list_approx_count_distinct([1,1,2]) AS b", Seq(1.5, 2)),
+    q("SELECT geomean(x) AS a FROM (VALUES (2.0),(8.0)) t(x)", Seq(4.0)),
+    q("SELECT geometric_mean(x) AS a FROM (VALUES (1.0),(4.0),(16.0)) t(x)",
+      Seq(4.0)),
+    q("SELECT round_even(2.5, 0) AS a, roundbankers(3.5, 0) AS b, " +
+      "round_even(2.345, 2) AS c", Seq(2, 4, 2.34)),
+    q("SELECT pg_typeof(42) AS a, pg_typeof('x') AS b",
+      Seq("integer", "varchar")),
+    q("SELECT current_user AS a, session_user AS b, current_role AS c, " +
+      "current_catalog AS d", Seq("duckdb", "duckdb", "duckdb", "memory")),
+    q("SELECT pg_size_pretty(1024) AS a, pg_size_pretty(10485760) AS b",
+      Seq("1.0 KiB", "10.0 MiB")),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
