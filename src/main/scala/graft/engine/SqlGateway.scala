@@ -137,6 +137,9 @@ class SqlGateway(val spark: SparkSession) {
     two("json_merge_patch")(DuckJsonMergePatch(_, _))
     two("json_contains")(DuckJsonContains(_, _))
     one("json_structure")(DuckJsonStructure(_))
+    // age(a, b): Postgres-style calendar difference (DuckAge scaladoc);
+    // the 1-arg current_date-anchored form is rewritten in defaults
+    two("age")(DuckAge(_, _))
     // grapheme-cluster text functions (GraphemeExpressions scaladoc —
     // UAX #29 extended clusters via \X, index corners probed)
     one("length_grapheme")(LengthGrapheme(_))
@@ -2915,6 +2918,11 @@ class SqlGateway(val spark: SparkSession) {
           s"($s3 - 3 * $s1 * $s2 * $t + 2 * power($s1, 3) * $t * $t) / " +
           s"sqrt(power($m2, 3)) ELSE NULL END)")
       })
+    // 1-arg age anchors at current_date (probed: NOT now())
+    if (out.toLowerCase.contains("age"))
+      out = fix(out, "age", 1, a =>
+        Some(s"age(CAST(current_date() AS TIMESTAMP), " +
+          s"CAST(${a(0)} AS TIMESTAMP))"))
     // sem: standard error of the mean = stddev_POP / sqrt(n) in DuckDB
     // (probed bit-exact; NULLs skipped by both factors)
     if (out.toLowerCase.contains("sem"))

@@ -1297,6 +1297,23 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "current_catalog AS d", Seq("duckdb", "duckdb", "duckdb", "memory")),
     q("SELECT pg_size_pretty(1024) AS a, pg_size_pretty(10485760) AS b",
       Seq("1.0 KiB", "10.0 MiB")),
+    // age: Postgres-style calendar difference (native DuckAge — the
+    // day borrow takes the EARLIER month's length; anchored pins because
+    // INTERVAL values have no cross-engine comparable rendering)
+    q("SELECT TIMESTAMP '2000-01-01' + age(TIMESTAMP '2001-04-10', " +
+      "TIMESTAMP '1957-06-13') AS a", Seq("2043-10-28")),
+    q("SELECT TIMESTAMP '2000-01-01' + age(TIMESTAMP '2024-03-01', " +
+      "TIMESTAMP '2024-01-31') AS a, TIMESTAMP '2000-01-01' + " +
+      "age(TIMESTAMP '2024-03-30', TIMESTAMP '2024-01-31') AS b",
+      Seq("2000-02-02", "2000-03-02")),
+    q("SELECT TIMESTAMP '2000-01-01' + age(TIMESTAMP '2024-01-01 " +
+      "10:00:30', TIMESTAMP '2023-12-31 23:59:45.5') AS a",
+      Seq("2000-01-01 10:00:44.5")),
+    q("SELECT TIMESTAMP '2000-01-01' + age(TIMESTAMP '1957-06-13', " +
+      "TIMESTAMP '2001-04-10') AS a, TIMESTAMP '2000-01-01' + " +
+      "age(DATE '2024-05-15', DATE '2023-03-20') AS b",
+      Seq("1956-03-05", "2001-02-27")),
+    q("SELECT age(NULL, TIMESTAMP '2024-01-01') AS a", Seq(null)),
 
     // --- r8 breadth batch 2: unnest corners (probed) ---
     q("SELECT unnest([1,2]) AS u, 'x' AS t", Seq(1, "x"), Seq(2, "x")),
