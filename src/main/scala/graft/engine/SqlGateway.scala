@@ -1182,7 +1182,7 @@ class SqlGateway(val spark: SparkSession) {
   // which expands them exactly like DuckDB) or a bracketed list
   // ['a','b',...] — DuckDB's multi-file form
   private val ReadFnRe =
-    ("""(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto)\s*\(\s*""" +
+    ("""(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto|text|blob)\s*\(\s*""" +
       """('[^']+'|\[\s*'[^']+'(?:\s*,\s*'[^']+')*\s*\])\s*((?:,[^)\[\]]*)?)\)""").r
   private val PathLitRe = """'([^']+)'""".r
   private val readViewCounter = new java.util.concurrent.atomic.AtomicLong
@@ -1448,6 +1448,20 @@ class SqlGateway(val spark: SparkSession) {
         spark.read.option("header", header.toString).option("delimiter", delim)
           .option("inferSchema", "true").csv(path: _*)
       case "json" | "json_auto" => spark.read.json(path: _*)
+      case "text" | "blob" =>
+        // DuckDB's whole-file readers: (filename, content, size,
+        // last_modified) — read_text decodes UTF-8, read_blob stays
+        // BLOB. Spark's binaryFile source is the distributed twin (one
+        // row per file, lazy content loading, glob expansion) — its
+        // file:-scheme path normalizes to DuckDB's bare filesystem path.
+        val bin = spark.read.format("binaryFile").load(path: _*)
+        val base = bin.select(
+          regexp_replace(col("path"), "^file:/*", "/").as("filename"),
+          col("content"),
+          col("length").as("size"),
+          col("modificationTime").as("last_modified"))
+        if (kind == "text") base.withColumn("content", col("content").cast("string"))
+        else base
       case other => throw new IllegalArgumentException(s"read_$other unsupported")
     }
 

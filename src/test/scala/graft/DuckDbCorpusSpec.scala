@@ -1760,7 +1760,21 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // --- file I/O (COPY + read_* table functions) ---
     s("COPY corpus_t TO '/tmp/graft_corpus_copy.parquet' (FORMAT PARQUET)"),
     q("SELECT count(*) AS c FROM read_parquet('/tmp/graft_corpus_copy.parquet')", Seq(4)),
+    // whole-file readers over the fixture this spec writes in its setup
+    // (read_text decodes UTF-8, read_blob keeps bytes; filename is the
+    // bare filesystem path in both engines — probed)
+    q("SELECT filename, content, size " +
+      "FROM read_text('/tmp/graft_corpus_text.txt')",
+      Seq("/tmp/graft_corpus_text.txt", "hello\nworld", 11)),
+    q("SELECT hex(content) AS h, size " +
+      "FROM read_blob('/tmp/graft_corpus_text.txt')",
+      Seq("68656C6C6F0A776F726C64", 11)),
     s("EXPORT DATABASE '/tmp/graft_corpus_export' (FORMAT PARQUET)"))
+
+  // fixture for the read_text/read_blob entries above
+  java.nio.file.Files.write(
+    java.nio.file.Paths.get("/tmp/graft_corpus_text.txt"),
+    "hello\nworld".getBytes("UTF-8"))
 
   // --------------------------------------------------------------------
   // Runner
