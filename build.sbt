@@ -40,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // contention + scheduling, not GC. Left at default.
   // measured no-op at 768m (run3 34.5s vs run1 32.6s baseline): the JIT
   // code cache is NOT the interleave tax; left at default.
-) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq ++
+  // Extra JVM flags for A/B experiments (space-separated), e.g.
+  // SPARK_GRAFT_JAVAOPTS="-XX:+UseTransparentHugePages" — the box's THP
+  // mode is `madvise` post-reboot, so the 28g heap only gets huge pages
+  // when the JVM asks for them.
+  sys.env.get("SPARK_GRAFT_JAVAOPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
