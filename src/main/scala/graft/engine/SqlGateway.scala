@@ -910,8 +910,8 @@ class SqlGateway(val spark: SparkSession) {
     if (a.length != 3) return None
     val base = s"SELECT explode(sequence(CAST(${a(0)} AS TIMESTAMP), " +
       s"CAST(${a(1)} AS TIMESTAMP), ${a(2)})) AS $name"
-    Some(if (!exclusiveStop) spark.sql(base)
-      else spark.sql(s"SELECT * FROM ($base) " +
+    Some(if (!exclusiveStop) duckSql(base)
+      else duckSql(s"SELECT * FROM ($base) " +
         s"WHERE $name <> CAST(${a(1)} AS TIMESTAMP)"))
   }
 
@@ -953,7 +953,7 @@ class SqlGateway(val spark: SparkSession) {
                 case Lam(v, body) =>
                   val values = cols.map(c =>
                     s"('${c.replace("'", "''")}')").mkString(", ")
-                  spark.sql(s"SELECT $v FROM (VALUES $values) " +
+                  duckSql(s"SELECT $v FROM (VALUES $values) " +
                       s"AS graft_cols($v) WHERE $body")
                     .collect().map(_.getString(0)).toSeq
                 case _ => return None
@@ -1121,7 +1121,7 @@ class SqlGateway(val spark: SparkSession) {
         // form (1/2/3 args, negative steps, empty ranges) — only the
         // column name differs (id vs range). spark.sql directly: the
         // scalar range() rewrite must not see this call.
-        Some(spark.sql(s"SELECT id AS " +
+        Some(duckSql(s"SELECT id AS " +
           s"${Option(colAlias).getOrElse("range")} FROM range($args)"))
       case SeriesTvfRe(args, colAlias) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
           .r.findFirstIn(args).isDefined =>
@@ -1140,7 +1140,7 @@ class SqlGateway(val spark: SparkSession) {
             Some(s"sequence(${a(0)}, ${a(1)}, ${a(2)})")
           case _ => None
         }
-        listSql.map(l => spark.sql(s"SELECT explode($l) AS " +
+        listSql.map(l => duckSql(s"SELECT explode($l) AS " +
           Option(colAlias).getOrElse("generate_series")))
       case _ => None
     }
@@ -1358,13 +1358,19 @@ class SqlGateway(val spark: SparkSession) {
     val needTry = (sql.contains("/") || sql.contains("%")) &&
       (sql.indexOf('/') >= 0 && outside(sql.indexOf('/')) ||
        sql.indexOf('%') >= 0 && outside(sql.indexOf('%')))
-    if (!needDiv && !needCast && !needNulls && !needTry)
-      return subtractDatesAsDays(spark.sql(sql))
+    val needSub = sql.contains('[')
+    if (!needDiv && !needCast && !needNulls && !needTry) {
+      if (!needSub) return subtractDatesAsDays(spark.sql(sql))
+      return subtractDatesAsDays(ColumnShim.ofRows(spark,
+        markUserSubscripts(ColumnShim.parsePlan(spark, sql))))
+    }
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Cast, Divide, EvalMode, IntegralDivide, NullsFirst, NullsLast, Remainder, SortOrder}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val intTargets: Set[org.apache.spark.sql.types.DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
-    val swapped = ColumnShim.parsePlan(spark, sql).transformAllExpressionsWithSubqueries {
+    val parsed0 = ColumnShim.parsePlan(spark, sql)
+    val parsed = if (needSub) markUserSubscripts(parsed0) else parsed0
+    val swapped = parsed.transformAllExpressionsWithSubqueries {
       case d: IntegralDivide if needDiv =>
         graft.functions.DuckFloorDiv(d.left, d.right)
       case c: Cast if needCast && intTargets.contains(c.dataType) =>
@@ -1397,7 +1403,84 @@ class SqlGateway(val spark: SparkSession) {
     else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
       case sd: SubtractDates => Cast(DateDiff(sd.left, sd.right), LongType)
     })
-    complexVarcharCasts(stage1)
+    duckSubscripts(complexVarcharCasts(stage1))
+  }
+
+  /** Wrap the operand of every USER bracket subscript on the PARSED plan
+    * in a [[graft.functions.DuckSubMark]] identity marker. `x[i]` is the
+    * only syntax the parser turns into `UnresolvedExtractValue`, so the
+    * mark is exactly scoped to the user's spelling; `duckSubscripts` then
+    * swaps only marked nodes after analysis. (The analyzer itself
+    * synthesizes unmarked `GetArrayItem`s — `ResolvePivot`'s 0-based
+    * value-array extraction — which must keep Spark semantics.) */
+  private def markUserSubscripts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    plan.transformAllExpressionsWithSubqueries {
+      case UnresolvedExtractValue(child, key)
+          if !child.isInstanceOf[graft.functions.DuckSubMark] =>
+        UnresolvedExtractValue(graft.functions.DuckSubMark(child), key)
+    }
+  }
+
+  /** `spark.sql` with DuckDB bracket-subscript semantics: parse, mark user
+    * subscripts, analyze, swap. The entry for dialect helpers that embed
+    * user expression text in synthesized statements. */
+  private def duckSql(sql: String): DataFrame =
+    if (!sql.contains('[')) spark.sql(sql)
+    else duckSubscripts(
+      ColumnShim.ofRows(spark, markUserSubscripts(ColumnShim.parsePlan(spark, sql))))
+
+  /** DuckDB bracket-subscript semantics, swapped on the ANALYZED plan
+    * where the operand TYPE distinguishes the cases the raw text cannot
+    * (probed, v1.0):
+    *
+    *   - `list[i]` is 1-based, negative counts from the end, 0/NULL/out-
+    *     of-range → NULL — Spark's GetArrayItem is 0-based and ANSI-errors
+    *     out of range (a DuckDB client's `l[1]` was silently the SECOND
+    *     element before this swap);
+    *   - `map[k]` returns a LIST: `[v]` when the key exists (even `[NULL]`
+    *     for a NULL-valued key), `[]` when absent or the key is NULL —
+    *     Spark's GetMapValue returns the bare value;
+    *   - `struct['field']` → GetStructField already matches — mark
+    *     unwrapped, node untouched;
+    *   - `list_of_structs['field']` (Spark's GetArrayStructFields) REFUSES:
+    *     DuckDB errors on a string subscript of a list, so accepting it
+    *     would answer a statement the oracle rejects.
+    *
+    * Fires ONLY on operands marked by `markUserSubscripts` at parse time —
+    * analyzer-synthesized GetArrayItem/GetMapValue (PIVOT's value-array
+    * extraction) keep Spark semantics. */
+  private def duckSubscripts(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast,
+      CreateArray, ElementAt, EqualTo, GetArrayItem, GetArrayStructFields,
+      GetMapValue, GetStructField, If, Literal, MapKeys, Slice}
+    import org.apache.spark.sql.types.IntegerType
+    import graft.functions.DuckSubMark
+    val analyzed = df.queryExecution.analyzed
+    val hasIt = analyzed.exists(_.expressions.exists(_.exists {
+      case _: DuckSubMark => true
+      case _ => false
+    }))
+    if (!hasIt) df
+    else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
+      case g @ GetArrayItem(DuckSubMark(c), _, _) =>
+        val ord = Cast(g.ordinal, IntegerType)
+        If(EqualTo(ord, Literal(0)),
+          Literal.create(null, g.dataType),
+          ElementAt(c, ord, None, failOnError = false))
+      case g @ GetMapValue(DuckSubMark(c), _) =>
+        Slice(
+          CreateArray(Seq(ElementAt(c, g.key, None, failOnError = false))),
+          Literal(1),
+          If(ArrayContains(MapKeys(c), g.key), Literal(1), Literal(0)))
+      case g @ GetStructField(DuckSubMark(c), _, _) => g.copy(child = c)
+      case g: GetArrayStructFields if g.child.isInstanceOf[DuckSubMark] =>
+        throw new IllegalArgumentException(
+          "list['field'] subscript: DuckDB rejects a string subscript of a list")
+      case DuckSubMark(c) => c // any other resting place: unwrap, no swap
+    })
   }
 
   /** USER casts of Array/Struct/Map operands to VARCHAR render in
@@ -3082,12 +3165,14 @@ class SqlGateway(val spark: SparkSession) {
         s"(CASE WHEN size(${a(0)}) != 3 OR size(${a(1)}) != 3 THEN " +
           s"CAST(raise_error('array_cross_product: 3-element arrays " +
           s"only') AS ARRAY<DOUBLE>) ELSE array(" +
-          s"CAST(${a(0)}[1] AS DOUBLE) * ${a(1)}[2] - " +
-          s"CAST(${a(0)}[2] AS DOUBLE) * ${a(1)}[1], " +
-          s"CAST(${a(0)}[2] AS DOUBLE) * ${a(1)}[0] - " +
-          s"CAST(${a(0)}[0] AS DOUBLE) * ${a(1)}[2], " +
-          s"CAST(${a(0)}[0] AS DOUBLE) * ${a(1)}[1] - " +
-          s"CAST(${a(0)}[1] AS DOUBLE) * ${a(1)}[0]) END)"))
+          // element_at (1-based), not brackets: a bracket here would be
+          // re-semanticized by duckSubscripts on the analyzed plan
+          s"CAST(element_at(${a(0)}, 2) AS DOUBLE) * element_at(${a(1)}, 3) - " +
+          s"CAST(element_at(${a(0)}, 3) AS DOUBLE) * element_at(${a(1)}, 2), " +
+          s"CAST(element_at(${a(0)}, 3) AS DOUBLE) * element_at(${a(1)}, 1) - " +
+          s"CAST(element_at(${a(0)}, 1) AS DOUBLE) * element_at(${a(1)}, 3), " +
+          s"CAST(element_at(${a(0)}, 1) AS DOUBLE) * element_at(${a(1)}, 2) - " +
+          s"CAST(element_at(${a(0)}, 2) AS DOUBLE) * element_at(${a(1)}, 1)) END)"))
     // list_concat treats a NULL operand as empty (probed) — Spark's
     // concat is NULL-strict; runs AFTER the string-concat fix above so
     // the emitted concat() is never re-rewritten to concat_ws
@@ -4137,35 +4222,40 @@ class SqlGateway(val spark: SparkSession) {
                   i = after
                 } else copyBracketVerbatim()
               case Some((ix, after)) if !isSlice(ix) =>
-                // operand = balanced (...) plus any call-name before it.
-                // The backward scan ignores quote escapes; a mis-balance
-                // from a pathological quoted paren yields malformed SQL
-                // that refuses in the parser — never a silent wrong span.
-                var j = sb.length - 1
-                while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
-                var depth = 0; var open = -1
-                while (j >= 0 && open < 0) {
-                  val ch = sb.charAt(j)
-                  if (ch == ')') depth += 1
-                  else if (ch == '(') { depth -= 1; if (depth == 0) open = j }
-                  if (open < 0) j -= 1
-                }
-                if (j >= 0) {
-                  j -= 1
-                  while (j >= 0 && (sb.charAt(j).isLetterOrDigit ||
-                    sb.charAt(j) == '_' || sb.charAt(j) == '.' ||
-                    sb.charAt(j) == '$')) j -= 1
-                  val at = j + 1
-                  val operand = sb.substring(at)
-                  sb.delete(at, sb.length)
-                  sb.append(s"try_element_at($operand, ${rewriteDuckLiterals(ix.trim)})")
-                  i = after
-                } else copyBracketVerbatim()
+                // (...)[e] stays a BRACKET subscript (index recursively
+                // rewritten): Spark parses it to GetArrayItem/GetMapValue/
+                // GetStructField and duckSubscripts swaps the analyzed
+                // nodes for DuckDB's semantics (1-based lists, list-
+                // wrapped map values) with the operand TYPE known.
+                sb.append('[').append(rewriteDuckLiterals(ix.trim)).append(']')
+                i = after
               case _ => copyBracketVerbatim()
             }
           } else if ((p.isLetterOrDigit || p == '_' || p == '"' || p == ']')
               && !afterKeyword) {
-            copyBracketVerbatim() // type suffix / bare-column subscript
+            // bare-column slice `col[i:j]` → sliceExpr over the ident
+            // chain already in sb (a DDL type suffix `INT[]`/`INT[3]`
+            // never contains ':', so this cannot fire on one); plain
+            // `col[e]` subscripts stay verbatim for duckSubscripts
+            indexSpan(i) match {
+              case Some((ix, after)) if isSlice(ix) &&
+                  sliceBounds(ix).isDefined && p != '"' && p != ']' =>
+                var j = sb.length - 1
+                while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+                while (j >= 0 && (sb.charAt(j).isLetterOrDigit ||
+                  sb.charAt(j) == '_' || sb.charAt(j) == '.' ||
+                  sb.charAt(j) == '$')) j -= 1
+                val at = j + 1
+                val operand = sb.substring(at).trim
+                if (operand.nonEmpty && !operand.head.isDigit) {
+                  sb.delete(at, sb.length)
+                  val (io, jo) = sliceBounds(ix).get
+                  sb.append(sliceExpr(operand, io, jo))
+                  i = after
+                } else copyBracketVerbatim()
+              case _ =>
+                copyBracketVerbatim() // type suffix / bare-column subscript
+            }
           } else {
             // [expr for x in list [if cond]] — DuckDB list comprehension →
             // transform(/filter(…)) with the pieces recursively rewritten
@@ -4267,7 +4357,121 @@ class SqlGateway(val spark: SparkSession) {
     * text makes the grammar subset honest: what the scanners see is what
     * the engine executes. Doubled quotes ('' escapes) flip parity twice —
     * consistent with every other scan here. */
-  private[engine] def stripComments(sql: String): String = {
+  /** DuckDB's two alternative string-literal spellings, decoded to the
+    * standard single-quoted form (embedded quotes doubled) in ONE pass so
+    * neither syntax can desynchronize the other's scan:
+    *
+    *   - dollar-quoted `$[tag]$ … $[tag]$` (raw text, may span quotes,
+    *     comments, newlines; tag = identifier or empty — `$1` parameters
+    *     never match because a tag cannot start with a digit);
+    *   - escape strings `e'…'`/`E'…'` with the probed v1.0 escape set:
+    *     `\n \t \r \b \f`, `\\`, `\'` (and `''`), `\xH[H]` (1-2 hex) and
+    *     `\o[oo]` (1-3 octal) for 0 < value ≤ 0x7F, any other `\c` → `c`
+    *     (probed: `e'\q'`→`q`, `e'\v'`→`v`). `\u`/`\U` (DuckDB parser
+    *     errors even on 4-hex), NUL, and non-ASCII byte escapes ABORT the
+    *     whole decode — the untouched `e'…'` then refuses in Spark's
+    *     parser (UNSUPPORTED_TYPED_LITERAL), never a silently-wrong
+    *     string.
+    *
+    * Runs before comment stripping: `$$ -- $$` is data, not a comment. */
+  private[engine] def decodeAltLiterals(sql: String): String = {
+    if (!sql.contains('$') && !sql.toLowerCase.contains("e'")) return sql
+    val Tag = """^\$([A-Za-z_]\w*)?\$""".r
+    def quoted(body: String) = "'" + body.replace("'", "''") + "'"
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // standard literal: copy verbatim ('' stays inside)
+        sb += c; i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          sb += sql.charAt(i)
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+              sb += '\''; i += 1
+            } else done = true
+          }
+          i += 1
+        }
+      } else if (c == '"') { // quoted identifier: copy verbatim
+        sb += c; i += 1
+        while (i < sql.length && sql.charAt(i) != '"') { sb += sql.charAt(i); i += 1 }
+        if (i < sql.length) { sb += '"'; i += 1 }
+      } else if ((c == 'e' || c == 'E') && i + 1 < sql.length &&
+          sql.charAt(i + 1) == '\'' &&
+          (i == 0 || (!sql.charAt(i - 1).isLetterOrDigit &&
+            sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '$'))) {
+        decodeEscapeString(sql, i) match {
+          case Some((body, after)) => sb ++= quoted(body); i = after
+          case None => sb += c; i += 1 // undecodable → verbatim → refuses
+        }
+      } else if (c == '$') {
+        Tag.findFirstMatchIn(sql.substring(i)) match {
+          case Some(m) =>
+            val delim = m.matched
+            val bodyStart = i + delim.length
+            val close = sql.indexOf(delim, bodyStart)
+            if (close < 0) { sb += c; i += 1 } // unterminated → refuses
+            else {
+              sb ++= quoted(sql.substring(bodyStart, close))
+              i = close + delim.length
+            }
+          case None => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Decode one `e'…'` at `at` (pointing at the e). Some((raw body, index
+    * after the closing quote)) or None when an escape has no exact
+    * standard-literal spelling (see decodeAltLiterals). */
+  private def decodeEscapeString(sql: String, at: Int): Option[(String, Int)] = {
+    val b = new StringBuilder
+    var i = at + 2
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { b += '\''; i += 2 }
+        else return Some((b.toString, i + 1))
+      } else if (c == '\\' && i + 1 < sql.length) {
+        val e = sql.charAt(i + 1)
+        e match {
+          case 'n' => b += '\n'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 'b' => b += '\b'; i += 2
+          case 'f' => b += '\f'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case '\'' => b += '\''; i += 2
+          case 'u' | 'U' => return None // DuckDB 1.0 parser-errors on these
+          case 'x' =>
+            var j = i + 2; var v = 0; var n = 0
+            while (j < sql.length && n < 2 &&
+                Character.digit(sql.charAt(j), 16) >= 0) {
+              v = v * 16 + Character.digit(sql.charAt(j), 16); j += 1; n += 1
+            }
+            if (n == 0) { b += 'x'; i += 2 } // e'\xzz' → "xzz" (probed)
+            else if (v > 0 && v <= 0x7f) { b += v.toChar; i = j }
+            else return None // NUL / non-ASCII byte: DuckDB parser-errors
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1; var v = 0; var n = 0
+            while (j < sql.length && n < 3 &&
+                sql.charAt(j) >= '0' && sql.charAt(j) <= '7') {
+              v = v * 8 + (sql.charAt(j) - '0'); j += 1; n += 1
+            }
+            if (v > 0 && v <= 0x7f) { b += v.toChar; i = j }
+            else return None
+          case other => b += other; i += 2 // unknown escape → the char
+        }
+      } else { b += c; i += 1 }
+    }
+    None // unterminated
+  }
+
+  private[engine] def stripComments(sql0: String): String = {
+    val sql = decodeAltLiterals(sql0)
     if (!sql.contains("--") && !sql.contains("/*")) return sql
     val sb = new StringBuilder
     var i = 0; var inStr = false
