@@ -66,6 +66,19 @@ class SqlGateway(val spark: SparkSession) {
       case args => throw new IllegalArgumentException(
         s"strftime takes 2 arguments, got ${args.length}")
     })
+  // DuckDB bracket slices `x[lo:hi]` have no Spark spelling at all — the
+  // text pass emits this placeholder call and duckSubscripts swaps the
+  // analyzed node for the type-dispatched LIST/VARCHAR tree (DuckSlice
+  // scaladoc). The two trailing booleans mark which bounds were spelled.
+  org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+    "graft_duck_slice", {
+      case Seq(c, lo, hi,
+          org.apache.spark.sql.catalyst.expressions.Literal(hasLo: Boolean, _),
+          org.apache.spark.sql.catalyst.expressions.Literal(hasHi: Boolean, _)) =>
+        graft.functions.DuckSlice(c, lo, hi, hasLo, hasHi)
+      case args => throw new IllegalArgumentException(
+        s"graft_duck_slice is internal; got ${args.length} args")
+    })
   // DuckDB scalar functions Spark has no builtin for — string similarity
   // kernels + integer gcd/lcm (DuckTextDistance scaladoc). Registered
   // under their DuckDB names directly; no text rewrite involved.
@@ -1406,21 +1419,21 @@ class SqlGateway(val spark: SparkSession) {
     duckSubscripts(complexVarcharCasts(stage1))
   }
 
-  /** Wrap the operand of every USER bracket subscript on the PARSED plan
-    * in a [[graft.functions.DuckSubMark]] identity marker. `x[i]` is the
-    * only syntax the parser turns into `UnresolvedExtractValue`, so the
-    * mark is exactly scoped to the user's spelling; `duckSubscripts` then
-    * swaps only marked nodes after analysis. (The analyzer itself
-    * synthesizes unmarked `GetArrayItem`s — `ResolvePivot`'s 0-based
-    * value-array extraction — which must keep Spark semantics.) */
+  /** Swap every USER bracket subscript on the PARSED plan for the
+    * self-resolving [[graft.functions.DuckSubscript]]. `x[i]` is the only
+    * syntax the parser turns into `UnresolvedExtractValue`, so the swap is
+    * exactly scoped to the user's spelling — the analyzer's own synthesized
+    * `GetArrayItem`s (`ResolvePivot`'s 0-based value-array extraction) keep
+    * Spark semantics. Because DuckSubscript resolves to DuckDB's TYPE for
+    * each form (map[k] is a LIST), chained subscripts like `m['k'][1]`
+    * analyze the way DuckDB binds them. */
   private def markUserSubscripts(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
     plan.transformAllExpressionsWithSubqueries {
-      case UnresolvedExtractValue(child, key)
-          if !child.isInstanceOf[graft.functions.DuckSubMark] =>
-        UnresolvedExtractValue(graft.functions.DuckSubMark(child), key)
+      case UnresolvedExtractValue(child, key) =>
+        graft.functions.DuckSubscript(child, key)
     }
   }
 
@@ -1428,58 +1441,28 @@ class SqlGateway(val spark: SparkSession) {
     * subscripts, analyze, swap. The entry for dialect helpers that embed
     * user expression text in synthesized statements. */
   private def duckSql(sql: String): DataFrame =
-    if (!sql.contains('[')) spark.sql(sql)
+    if (!sql.contains('[') && !sql.contains("graft_duck_slice")) spark.sql(sql)
     else duckSubscripts(
       ColumnShim.ofRows(spark, markUserSubscripts(ColumnShim.parsePlan(spark, sql))))
 
-  /** DuckDB bracket-subscript semantics, swapped on the ANALYZED plan
-    * where the operand TYPE distinguishes the cases the raw text cannot
-    * (probed, v1.0):
-    *
-    *   - `list[i]` is 1-based, negative counts from the end, 0/NULL/out-
-    *     of-range → NULL — Spark's GetArrayItem is 0-based and ANSI-errors
-    *     out of range (a DuckDB client's `l[1]` was silently the SECOND
-    *     element before this swap);
-    *   - `map[k]` returns a LIST: `[v]` when the key exists (even `[NULL]`
-    *     for a NULL-valued key), `[]` when absent or the key is NULL —
-    *     Spark's GetMapValue returns the bare value;
-    *   - `struct['field']` → GetStructField already matches — mark
-    *     unwrapped, node untouched;
-    *   - `list_of_structs['field']` (Spark's GetArrayStructFields) REFUSES:
-    *     DuckDB errors on a string subscript of a list, so accepting it
-    *     would answer a statement the oracle rejects.
-    *
-    * Fires ONLY on operands marked by `markUserSubscripts` at parse time —
-    * analyzer-synthesized GetArrayItem/GetMapValue (PIVOT's value-array
-    * extraction) keep Spark semantics. */
+  /** Replace analyzed [[graft.functions.DuckSubscript]]/[[graft.functions
+    * .DuckSlice]] placeholders (planted by `markUserSubscripts` and the
+    * `graft_duck_slice` text emission) with their concrete Spark trees —
+    * the operand TYPE is known here, which the raw text never has. The
+    * semantics live on the expressions' own scaladoc; an unresolvable
+    * placeholder (boolean index, slice of an INT column, missing struct
+    * field) never reaches this point — analysis already refused it. */
   private def duckSubscripts(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Cast,
-      CreateArray, ElementAt, EqualTo, GetArrayItem, GetArrayStructFields,
-      GetMapValue, GetStructField, If, Literal, MapKeys, Slice}
-    import org.apache.spark.sql.types.IntegerType
-    import graft.functions.DuckSubMark
+    import graft.functions.{DuckSlice, DuckSubscript}
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(_.expressions.exists(_.exists {
-      case _: DuckSubMark => true
+      case _: DuckSubscript | _: DuckSlice => true
       case _ => false
     }))
     if (!hasIt) df
     else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
-      case g @ GetArrayItem(DuckSubMark(c), _, _) =>
-        val ord = Cast(g.ordinal, IntegerType)
-        If(EqualTo(ord, Literal(0)),
-          Literal.create(null, g.dataType),
-          ElementAt(c, ord, None, failOnError = false))
-      case g @ GetMapValue(DuckSubMark(c), _) =>
-        Slice(
-          CreateArray(Seq(ElementAt(c, g.key, None, failOnError = false))),
-          Literal(1),
-          If(ArrayContains(MapKeys(c), g.key), Literal(1), Literal(0)))
-      case g @ GetStructField(DuckSubMark(c), _, _) => g.copy(child = c)
-      case g: GetArrayStructFields if g.child.isInstanceOf[DuckSubMark] =>
-        throw new IllegalArgumentException(
-          "list['field'] subscript: DuckDB rejects a string subscript of a list")
-      case DuckSubMark(c) => c // any other resting place: unwrap, no swap
+      case s: DuckSubscript => s.duckTree
+      case s: DuckSlice => s.duckTree
     })
   }
 
@@ -4143,20 +4126,32 @@ class SqlGateway(val spark: SparkSession) {
     // out-of-range clamps, inverted → empty
     def sliceLiteral(s: String, io: Option[Long], jo: Option[Long]): String =
       duckSliceLiteral(s, io, jo)
-    def sliceExpr(operand: String, io: Option[Long], jo: Option[Long]): String = {
-      val start = io match {
-        case None => "1"
-        case Some(i) if i > 0 => i.toString
-        case Some(0) => "1"
-        case Some(i) => s"greatest(size($operand) + ($i) + 1, 1)"
+    // split a slice index at its single top-level ':' → (loTxt, hiTxt),
+    // either possibly empty; None for 2+ colons (step slices refuse)
+    def sliceParts(ix: String): Option[(String, String)] = {
+      var d = 0; var s = false; var colon = -1; var k = 0
+      while (k < ix.length) {
+        val ch = ix.charAt(k)
+        if (s) { if (ch == '\'') s = false }
+        else if (ch == '\'') s = true
+        else if (ch == '(' || ch == '[') d += 1
+        else if (ch == ')' || ch == ']') d -= 1
+        else if (ch == ':' && d == 0) {
+          if (colon >= 0) return None
+          colon = k
+        }
+        k += 1
       }
-      val end = jo match {
-        case None => s"size($operand)"
-        case Some(j) if j > 0 => s"least($j, size($operand))"
-        case Some(0) => "0"
-        case Some(j) => s"size($operand) + ($j) + 1"
-      }
-      s"slice($operand, $start, greatest(($end) - ($start) + 1, 0))"
+      if (colon < 0) None
+      else Some((ix.substring(0, colon).trim, ix.substring(colon + 1).trim))
+    }
+    // `x[lo:hi]` → the registered graft_duck_slice placeholder (bounds are
+    // arbitrary integral EXPRESSIONS in DuckDB — `l[i+1:j*2]`); the
+    // analyzed-plan swap dispatches LIST vs VARCHAR operand by type
+    def sliceCall(operand: String, lo: String, hi: String): String = {
+      val loE = if (lo.nonEmpty) rewriteDuckLiterals(lo) else "0"
+      val hiE = if (hi.nonEmpty) rewriteDuckLiterals(hi) else "0"
+      s"graft_duck_slice($operand, $loE, $hiE, ${lo.nonEmpty}, ${hi.nonEmpty})"
     }
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -4174,7 +4169,7 @@ class SqlGateway(val spark: SparkSession) {
             indexSpan(i) match {
               case Some((ix, after))
                   if (ix.trim.matches("-?\\d+") && ix.trim.toLong != 0) ||
-                    sliceBounds(ix).isDefined =>
+                    (isSlice(ix) && sliceParts(ix).isDefined) =>
                 // locate the literal's opening quote in sb (reject if the
                 // literal contains doubled quotes — ambiguous backwards)
                 var j = sb.length - 1
@@ -4184,11 +4179,13 @@ class SqlGateway(val spark: SparkSession) {
                 if (j >= 0 && (j == 0 || sb.charAt(j - 1) != '\'') && closeQ > j) {
                   val lit = sb.substring(j, closeQ + 1)
                   sb.delete(j, sb.length)
-                  sliceBounds(ix) match {
-                    case Some((io, jo)) =>
+                  (sliceBounds(ix), sliceParts(ix)) match {
+                    case (Some((io, jo)), _) =>
                       val inner = lit.substring(1, lit.length - 1)
                       sb.append(s"'${sliceLiteral(inner, io, jo)}'")
-                    case None =>
+                    case (None, Some((lo, hi))) => // expression bounds
+                      sb.append(sliceCall(lit, lo, hi))
+                    case _ =>
                       sb.append(s"substr($lit, ${ix.trim}, 1)")
                   }
                   i = after
@@ -4196,10 +4193,10 @@ class SqlGateway(val spark: SparkSession) {
               case _ => copyBracketVerbatim()
             }
           } else if (p == ')') {
-            // (...)[e] → element_at(..., e); (...)[i:j] → slice(...)
+            // (...)[i:j] → graft_duck_slice over the balanced-paren operand
             indexSpan(i) match {
               case Some((ix, after)) if isSlice(ix) &&
-                  sliceBounds(ix).isDefined =>
+                  sliceParts(ix).isDefined =>
                 var j = sb.length - 1
                 while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
                 var depth = 0; var open = -1
@@ -4217,8 +4214,8 @@ class SqlGateway(val spark: SparkSession) {
                   val at = j + 1
                   val operand = sb.substring(at)
                   sb.delete(at, sb.length)
-                  val (io, jo) = sliceBounds(ix).get
-                  sb.append(sliceExpr(operand, io, jo))
+                  val (lo, hi) = sliceParts(ix).get
+                  sb.append(sliceCall(operand, lo, hi))
                   i = after
                 } else copyBracketVerbatim()
               case Some((ix, after)) if !isSlice(ix) =>
@@ -4233,13 +4230,13 @@ class SqlGateway(val spark: SparkSession) {
             }
           } else if ((p.isLetterOrDigit || p == '_' || p == '"' || p == ']')
               && !afterKeyword) {
-            // bare-column slice `col[i:j]` → sliceExpr over the ident
-            // chain already in sb (a DDL type suffix `INT[]`/`INT[3]`
+            // bare-column slice `col[i:j]` → graft_duck_slice over the
+            // ident chain already in sb (a DDL type suffix `INT[]`/`INT[3]`
             // never contains ':', so this cannot fire on one); plain
             // `col[e]` subscripts stay verbatim for duckSubscripts
             indexSpan(i) match {
               case Some((ix, after)) if isSlice(ix) &&
-                  sliceBounds(ix).isDefined && p != '"' && p != ']' =>
+                  sliceParts(ix).isDefined && p != '"' && p != ']' =>
                 var j = sb.length - 1
                 while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
                 while (j >= 0 && (sb.charAt(j).isLetterOrDigit ||
@@ -4249,8 +4246,8 @@ class SqlGateway(val spark: SparkSession) {
                 val operand = sb.substring(at).trim
                 if (operand.nonEmpty && !operand.head.isDigit) {
                   sb.delete(at, sb.length)
-                  val (io, jo) = sliceBounds(ix).get
-                  sb.append(sliceExpr(operand, io, jo))
+                  val (lo, hi) = sliceParts(ix).get
+                  sb.append(sliceCall(operand, lo, hi))
                   i = after
                 } else copyBracketVerbatim()
               case _ =>
@@ -4304,8 +4301,132 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteDuckLiterals(escapeLiteralBackslashes(
-        rewriteCurrentQuery(sql))))))
+      rewriteDuckTypeSpellings(rewriteDuckLiterals(escapeLiteralBackslashes(
+        rewriteCurrentQuery(sql)))))))
+
+  /** DuckDB composite type SPELLINGS → Spark DDL spellings, recursively:
+    * `T[]`/`T[n]` → `ARRAY<T>` (fixed-size arrays relax to lists — Spark
+    * has no length-checked array type), `MAP(K, V)` → `MAP<K, V>`,
+    * `STRUCT(a T, ...)` → `STRUCT<a: T, ...>`; bare `VARCHAR`/`TEXT` →
+    * STRING and `BLOB` → BINARY at the leaves. Anything unrecognized
+    * passes through unchanged and refuses in Spark's parser. */
+  private[engine] def duckTypeToSpark(spec0: String): String = {
+    val spec = spec0.trim
+    val Arr = """(?s)^(.*?)\s*\[\s*\d*\s*\]$""".r
+    spec match {
+      case Arr(inner) => s"ARRAY<${duckTypeToSpark(inner)}>"
+      case _ =>
+        val up = spec.toUpperCase
+        def innerOf(s: String) =
+          s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+        if (up.startsWith("MAP") && spec.contains("(") && spec.endsWith(")")) {
+          val parts = splitTopLevel(innerOf(spec)).map(_.trim)
+          if (parts.length == 2)
+            s"MAP<${duckTypeToSpark(parts(0))}, ${duckTypeToSpark(parts(1))}>"
+          else spec
+        } else if (up.startsWith("STRUCT") && spec.contains("(") &&
+            spec.endsWith(")")) {
+          val fields = splitTopLevel(innerOf(spec)).map(_.trim).map { f =>
+            val sp = f.split("\\s+", 2)
+            if (sp.length == 2) s"${sp(0)}: ${duckTypeToSpark(sp(1))}" else f
+          }
+          s"STRUCT<${fields.mkString(", ")}>"
+        } else up match {
+          case "TEXT" | "VARCHAR" => "STRING"
+          case "BLOB" | "BYTEA" => "BINARY"
+          case _ => spec
+        }
+    }
+  }
+
+  /** Parse one type expression at `at` (identifier, optional balanced
+    * parens, repeated `[n]` suffixes) → (span text, index after). */
+  private def typeSpan(sql: String, at: Int): Option[(String, Int)] = {
+    var i = at
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    val start = i
+    if (i >= sql.length || !(sql.charAt(i).isLetter || sql.charAt(i) == '_'))
+      return None
+    while (i < sql.length && (sql.charAt(i).isLetterOrDigit ||
+      sql.charAt(i) == '_')) i += 1
+    var j = i
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (j < sql.length && sql.charAt(j) == '(') { // balanced, quote-aware
+      var depth = 0; var inStr = false
+      while (j < sql.length && (depth > 0 || sql.charAt(j) == '(' || inStr)) {
+        val ch = sql.charAt(j)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else if (ch == '\'') inStr = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        j += 1
+        if (depth == 0 && !inStr) i = j
+      }
+      if (depth != 0) return None
+    }
+    var more = true
+    while (more) { // [n] suffixes
+      var k = i
+      while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+      if (k < sql.length && sql.charAt(k) == '[') {
+        k += 1
+        while (k < sql.length && (sql.charAt(k).isDigit ||
+          sql.charAt(k).isWhitespace)) k += 1
+        if (k < sql.length && sql.charAt(k) == ']') i = k + 1 else more = false
+      } else more = false
+    }
+    Some((sql.substring(start, i), i))
+  }
+
+  /** Composite type spellings in CAST positions — `x::INT[]`,
+    * `CAST(x AS MAP(VARCHAR, INT))` — translated to Spark's `ARRAY<>`/
+    * `MAP<>`/`STRUCT<>` forms (Spark's parser rejects the DuckDB
+    * spellings outright, so before this pass every such cast refused).
+    * The `AS` arm only fires when the translated span is directly
+    * followed by `)` — a CAST/TRY_CAST close — so SELECT/FROM aliases
+    * can never be touched. Quote-parity throughout. */
+  private[engine] def rewriteDuckTypeSpellings(sql: String): String = {
+    def composite(span: String): Boolean = {
+      val t = span.trim; val up = t.toUpperCase
+      t.endsWith("]") || ((up.startsWith("MAP") || up.startsWith("STRUCT")) &&
+        t.endsWith(")"))
+    }
+    if (!sql.contains('[') &&
+        !"""(?i)\b(?:map|struct)\s*\(""".r.findFirstIn(sql).isDefined)
+      return sql
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == ':' && i + 1 < sql.length && sql.charAt(i + 1) == ':') {
+        sb.append("::"); i += 2
+        typeSpan(sql, i) match {
+          case Some((span, after)) if composite(span) =>
+            sb.append(duckTypeToSpark(span)); i = after
+          case _ => ()
+        }
+      } else if ((c == 'a' || c == 'A') && i + 2 < sql.length &&
+          (sql.charAt(i + 1) == 's' || sql.charAt(i + 1) == 'S') &&
+          sql.charAt(i + 2).isWhitespace &&
+          (i == 0 || (!sql.charAt(i - 1).isLetterOrDigit &&
+            sql.charAt(i - 1) != '_' && sql.charAt(i - 1) != '$'))) {
+        typeSpan(sql, i + 2) match {
+          case Some((span, after)) if composite(span) &&
+              after < sql.length && {
+                var k = after
+                while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+                k < sql.length && sql.charAt(k) == ')'
+              } =>
+            sb.append(sql.substring(i, i + 3))
+            sb.append(duckTypeToSpark(span)); i = after
+          case _ => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   /** `current_query()` returns the statement text VERBATIM (probed), so it
     * resolves first, against the pristine input, before any rewrite
@@ -4847,8 +4968,10 @@ class SqlGateway(val spark: SparkSession) {
           // type is spelled BLOB; normalize for Spark's fromDDL — but only
           // HERE, after cornerType: a VARCHAR inside a declared corner
           // spec (UNION member list) must keep its DuckDB spelling in the
-          // surfaced DatabaseTypeName
-          val norm = spec.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+          // surfaced DatabaseTypeName. Composite spellings (`INT[]`,
+          // `MAP(K,V)`, `STRUCT(...)`) translate recursively first.
+          val norm = duckTypeToSpark(spec)
+            .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
             .replaceAll("(?i)\\bBLOB\\b", "BINARY")
           org.apache.spark.sql.types.StructField(name,
             org.apache.spark.sql.types.DataType.fromDDL(norm), nullable = true)

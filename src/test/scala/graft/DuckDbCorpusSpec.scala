@@ -1769,7 +1769,69 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT hex(content) AS h, size " +
       "FROM read_blob('/tmp/graft_corpus_text.txt')",
       Seq("68656C6C6F0A776F726C64", 11)),
-    s("EXPORT DATABASE '/tmp/graft_corpus_export' (FORMAT PARQUET)"))
+    s("EXPORT DATABASE '/tmp/graft_corpus_export' (FORMAT PARQUET)"),
+
+    // --- r8 batch 17: bracket subscripts by OPERAND TYPE over table
+    // columns (DuckSubscript/DuckSlice analyzed-plan swap; every value
+    // probed on duckdb 1.0) ---
+    s("CREATE TABLE subt (id INT, l INT[], m MAP(VARCHAR, INT), " +
+      "s STRUCT(a INT, b VARCHAR), v VARCHAR)"),
+    s("INSERT INTO subt VALUES " +
+      "(1, [10,20,30], MAP {'k': 5}, {'a': 1, 'b': 'x'}, 'hello'), " +
+      "(2, [7], MAP {'z': 9}, {'a': 2, 'b': 'y'}, ''), " +
+      "(3, NULL, NULL, NULL, NULL)"),
+    q("SELECT id, l[1] AS f, l[-1] AS lst, l[0] AS z, l[9] AS oob " +
+      "FROM subt ORDER BY id",
+      Seq(1, 10, 30, null, null), Seq(2, 7, 7, null, null),
+      Seq(3, null, null, null, null)),
+    q("SELECT id, l[2:3] AS sl, l[:2] AS hd, l[2:] AS tl " +
+      "FROM subt ORDER BY id",
+      Seq(1, Seq(20, 30), Seq(10, 20), Seq(20, 30)),
+      Seq(2, Seq(), Seq(7), Seq()), Seq(3, null, null, null)),
+    q("SELECT id, l[-2:] AS ntl FROM subt ORDER BY id",
+      Seq(1, Seq(20, 30)), Seq(2, Seq(7)), Seq(3, null)),
+    // map[k] is a LIST: [v] on hit, [] on miss/NULL key/NULL map
+    q("SELECT id, m['k'] AS mk, m['nope'] AS mn FROM subt ORDER BY id",
+      Seq(1, Seq(5), Seq()), Seq(2, Seq(), Seq()), Seq(3, Seq(), Seq())),
+    q("SELECT m['k'][1] AS unwrap FROM subt WHERE id = 1", Seq(5)),
+    // struct key lookup is case-insensitive in both engines
+    q("SELECT id, s['a'] AS sa, s['B'] AS sb FROM subt ORDER BY id",
+      Seq(1, 1, "x"), Seq(2, 2, "y"), Seq(3, null, null)),
+    // varchar: 1-char pick, 0/out-of-range → '' (NOT NULL), NULL op → NULL
+    q("SELECT id, v[2] AS c, v[-1] AS lst, v[0] AS z, v[99] AS oob " +
+      "FROM subt ORDER BY id",
+      Seq(1, "e", "o", "", ""), Seq(2, "", "", "", ""),
+      Seq(3, null, null, null, null)),
+    q("SELECT id, v[2:4] AS sl, v[-3:] AS tl FROM subt ORDER BY id",
+      Seq(1, "ell", "llo"), Seq(2, "", ""), Seq(3, null, null)),
+    q("SELECT l[1] + l[2] AS add2 FROM subt WHERE id = 1", Seq(30)),
+    q("SELECT id FROM subt WHERE l[1] > 8", Seq(1)),
+    q("SELECT ([1,2] || [9])[3] AS v", Seq(9)),
+    q("SELECT [[1,2],[3]][1][2] AS v", Seq(2)),
+    q("SELECT string_split('a,b,c', ',')[2] AS v", Seq("b")),
+    q("SELECT [1,2,3]['2'] AS si", Seq(2)), // varchar index converts
+    // slice bounds are arbitrary integral expressions; NULL bound → NULL
+    q("SELECT [1,2,3,4][1+1:2*2] AS a", Seq(Seq(2, 3, 4))),
+    q("SELECT v[1+1:6-2] AS a FROM subt WHERE id = 1", Seq("ell")),
+    q("SELECT [1,2,3][NULL:2] AS a", Seq(null)),
+    q("SELECT map(['a'],[[1,2]])['a'][1][2] AS n2", Seq(2)),
+    q("SELECT {'a': [5,6]}['a'][2] AS sf", Seq(6)),
+    q("SELECT [{'x':1}][1]['x'] AS lsx", Seq(1)),
+    q("SELECT [{'x':1}][1].x AS lsd", Seq(1)),
+    s("DROP TABLE subt"),
+
+    // --- r8 batch 17: dollar-quoted + escape-string literals (probed) ---
+    q("SELECT $$quack's$$ AS s", Seq("quack's")),
+    q("SELECT $tag$ -- not a comment $tag$ AS s", Seq(" -- not a comment ")),
+    q("SELECT $$a$$ || $$b$$ AS s", Seq("ab")),
+    q("SELECT lower($$ABC$$) AS s", Seq("abc")),
+    q("SELECT e'a\\tb' AS s", Seq("a\tb")),
+    q("SELECT e'\\x41\\x42' AS s", Seq("AB")),
+    q("SELECT e'\\101' AS s", Seq("A")),
+    q("SELECT e'don''t' AS s", Seq("don't")),
+    q("SELECT e'\\q' AS s", Seq("q")), // unknown escape → the char itself
+    q("SELECT E'a\\nb' AS s", Seq("a\nb")),
+    q("SELECT length(e'a\\nb') AS n", Seq(3)))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
