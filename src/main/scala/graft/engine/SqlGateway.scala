@@ -1371,7 +1371,7 @@ class SqlGateway(val spark: SparkSession) {
     val needTry = (sql.contains("/") || sql.contains("%")) &&
       (sql.indexOf('/') >= 0 && outside(sql.indexOf('/')) ||
        sql.indexOf('%') >= 0 && outside(sql.indexOf('%')))
-    val needSub = sql.contains('[')
+    val needSub = needsParsedSwap(sql)
     if (!needDiv && !needCast && !needNulls && !needTry) {
       if (!needSub) return subtractDatesAsDays(spark.sql(sql))
       return subtractDatesAsDays(ColumnShim.ofRows(spark,
@@ -1431,17 +1431,35 @@ class SqlGateway(val spark: SparkSession) {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     plan.transformAllExpressionsWithSubqueries {
       case UnresolvedExtractValue(child, key) =>
         graft.functions.DuckSubscript(child, key)
+      // user casts to composite types: when the operand analyzes to a
+      // STRING, DuckDB parses its own text grammar (DuckCompositeCast
+      // scaladoc) where Spark has no string→composite cast at all; a
+      // non-string operand swaps back to the plain Cast in duckSubscripts
+      case c: Cast if (c.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          }) =>
+        graft.functions.DuckCompositeCast(c.child, c.dataType,
+          tryMode = c.evalMode == EvalMode.TRY)
     }
   }
+
+  /** statements whose parsed plan can hold user subscripts / composite
+    * casts — the only ones worth the extra parsePlan + transform */
+  private def needsParsedSwap(sql: String): Boolean =
+    sql.contains('[') || sql.contains("graft_duck_slice") ||
+      sql.contains("ARRAY<") || sql.contains("MAP<") || sql.contains("STRUCT<")
 
   /** `spark.sql` with DuckDB bracket-subscript semantics: parse, mark user
     * subscripts, analyze, swap. The entry for dialect helpers that embed
     * user expression text in synthesized statements. */
   private def duckSql(sql: String): DataFrame =
-    if (!sql.contains('[') && !sql.contains("graft_duck_slice")) spark.sql(sql)
+    if (!needsParsedSwap(sql)) spark.sql(sql)
     else duckSubscripts(
       ColumnShim.ofRows(spark, markUserSubscripts(ColumnShim.parsePlan(spark, sql))))
 
@@ -1453,16 +1471,23 @@ class SqlGateway(val spark: SparkSession) {
     * placeholder (boolean index, slice of an INT column, missing struct
     * field) never reaches this point — analysis already refused it. */
   private def duckSubscripts(df: DataFrame): DataFrame = {
-    import graft.functions.{DuckSlice, DuckSubscript}
+    import graft.functions.{DuckCompositeCast, DuckSlice, DuckSubscript}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.types.StringType
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(_.expressions.exists(_.exists {
-      case _: DuckSubscript | _: DuckSlice => true
+      case _: DuckSubscript | _: DuckSlice | _: DuckCompositeCast => true
       case _ => false
     }))
     if (!hasIt) df
     else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
       case s: DuckSubscript => s.duckTree
       case s: DuckSlice => s.duckTree
+      // composite cast of a NON-string operand: the ordinary Spark cast
+      // (list→list etc.); string operands keep DuckDB's text grammar
+      case c: DuckCompositeCast if c.child.dataType != StringType =>
+        if (c.tryMode) Cast(c.child, c.target, None, EvalMode.TRY)
+        else Cast(c.child, c.target, None)
     })
   }
 
@@ -4301,8 +4326,160 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteDuckTypeSpellings(rewriteDuckLiterals(escapeLiteralBackslashes(
-        rewriteCurrentQuery(sql)))))))
+      rewriteWindowExclude(rewriteDuckTypeSpellings(rewriteDuckLiterals(
+        escapeLiteralBackslashes(rewriteCurrentQuery(sql))))))))
+
+  /** SQL-spelled window frame `EXCLUDE` (DuckDB 1.0 grammar: EXCLUDE may
+    * only follow an explicit ROWS/RANGE frame — probed) → the
+    * frame-minus-excluded arithmetic of q58/q58b, composed in TEXT for the
+    * decomposable aggregates sum/count/avg:
+    *
+    *   - EXCLUDE NO OTHERS → dropped (identity);
+    *   - frames that statically CANNOT contain the current row / its
+    *     peers (both bounds PRECEDING, or both FOLLOWING) → dropped
+    *     (probed: DuckDB's exclusion is a no-op there);
+    *   - EXCLUDE CURRENT ROW → frame agg minus the current row's term,
+    *     NULL-gated on the post-exclusion non-null count (ROWS or RANGE);
+    *   - EXCLUDE GROUP / TIES → frame minus the RANGE-CURRENT-ROW peer
+    *     window (plus the current term for TIES) — RANGE frames only: a
+    *     ROWS frame can cut through a peer group, making which peers sit
+    *     in the frame tie-order-dependent across engines, so those REFUSE
+    *     (the untouched EXCLUDE then fails in Spark's parser).
+    *
+    * min/max/first/last and DISTINCT aggregates are not decomposable by
+    * subtraction — untouched → refuse. Exact for integral/decimal
+    * columns; DOUBLE columns may differ from DuckDB in final ulps (the
+    * subtraction reassociates the float sum). */
+  private[engine] def rewriteWindowExclude(sql: String): String = {
+    if ("""(?i)\bexclude\b""".r.findFirstIn(sql).isEmpty) return sql
+    // forward pass: which positions sit inside a string literal
+    val inStr: Array[Boolean] = {
+      val a = new Array[Boolean](sql.length)
+      var s = false
+      for (i <- 0 until sql.length) { if (sql.charAt(i) == '\'') s = !s; a(i) = s }
+      a
+    }
+    val ExclRe = """(?i)\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*""".r
+    val Bound = """(?is)^\s*(UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|.+?\s+PRECEDING|.+?\s+FOLLOWING)\s*$""".r
+    def kind(b: String): Char = {
+      val u = b.trim.toUpperCase.replaceAll("\\s+", " ")
+      if (u == "CURRENT ROW") 'c' else if (u.endsWith("PRECEDING")) 'p' else 'f'
+    }
+    var out = sql
+    for (m <- ExclRe.findAllMatchIn(sql).toList.reverse if !inStr(m.start)) {
+      val mode = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      val rewritten: Option[String] = {
+        // EXCLUDE must be the LAST window-spec item: next sig char is ')'
+        var close = m.end
+        while (close < out.length && out.charAt(close).isWhitespace) close += 1
+        if (close >= out.length || out.charAt(close) != ')') None
+        else {
+          // backward: the OVER-spec '(' enclosing the EXCLUDE
+          var j = m.start - 1; var depth = 0; var open = -1
+          while (j >= 0 && open < 0) {
+            val ch = out.charAt(j)
+            if (!inStr(j)) {
+              if (ch == ')') depth += 1
+              else if (ch == '(') { if (depth == 0) open = j else depth -= 1 }
+            }
+            j -= 1
+          }
+          // the word before '(' must be OVER, then the aggregate call
+          var k = if (open < 0) -1 else open - 1
+          while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+          if (open < 0 || k < 3 ||
+              !out.substring(k - 3, k + 1).equalsIgnoreCase("over")) None
+          else {
+            var c2 = k - 4
+            while (c2 >= 0 && out.charAt(c2).isWhitespace) c2 -= 1
+            if (c2 < 0 || out.charAt(c2) != ')') None
+            else {
+              var d2 = 0; var callOpen = -1; var p = c2
+              while (p >= 0 && callOpen < 0) {
+                val ch = out.charAt(p)
+                if (!inStr(p)) {
+                  if (ch == ')') d2 += 1
+                  else if (ch == '(') { d2 -= 1; if (d2 == 0) callOpen = p }
+                }
+                p -= 1
+              }
+              var ns = callOpen - 1
+              while (ns >= 0 && (out.charAt(ns).isLetterOrDigit ||
+                out.charAt(ns) == '_')) ns -= 1
+              val nameStart = ns + 1
+              val agg = if (callOpen < 0) ""
+                else out.substring(nameStart, callOpen).trim.toLowerCase
+              val args = if (callOpen < 0) ""
+                else out.substring(callOpen + 1, c2).trim
+              val spec = out.substring(open + 1, m.start).trim
+              // explicit frame required by DuckDB's own grammar (probed)
+              val FrameRe = """(?is)^(.*?)\b(ROWS|RANGE)\b(.*)$""".r
+              spec match {
+                case _ if mode == "NO OTHERS" => // identity: drop the clause
+                  Some(out.substring(0, m.start) + out.substring(m.end))
+                case FrameRe(po0, fmode0, btxt0) if Set("sum", "count", "avg")
+                    .contains(agg) && !args.toUpperCase.startsWith("DISTINCT") =>
+                  val po = po0.trim; val fmode = fmode0.toUpperCase
+                  val btxt = btxt0.trim
+                  val BetweenRe = """(?is)^BETWEEN\s+(.+?)\s+AND\s+(.+)$""".r
+                  val (b1, b2) = btxt match {
+                    case BetweenRe(x, y) => (x.trim, y.trim)
+                    case single => (single.trim, "CURRENT ROW")
+                  }
+                  (Bound.findFirstIn(b1), Bound.findFirstIn(b2)) match {
+                    case (Some(_), Some(_)) =>
+                      val (k1, k2) = (kind(b1), kind(b2))
+                      val inclusive = (k1 == 'p' || k1 == 'c') &&
+                        (k2 == 'f' || k2 == 'c')
+                      lazy val hasOrder =
+                        """(?i)\bORDER\s+BY\b""".r.findFirstIn(po).isDefined
+                      if (!inclusive) // exclusion is a no-op (probed)
+                        Some(out.substring(0, m.start) + out.substring(m.end))
+                      else if (mode != "CURRENT ROW" &&
+                          (fmode != "RANGE" || !hasOrder)) None
+                      else {
+                        val star = args == "*"
+                        def w(a: String) = s"$a OVER ($spec)"
+                        def wp(a: String) =
+                          s"$a OVER ($po RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+                        val cNN = if (star) "1"
+                          else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+                        val cVal = s"coalesce($args, 0)"
+                        val cntF = if (star) w("count(*)") else w(s"count($args)")
+                        val cntP = if (star) wp("count(*)") else wp(s"count($args)")
+                        val sumF = s"coalesce(${w(s"sum($args)")}, 0)"
+                        val sumP = s"coalesce(${wp(s"sum($args)")}, 0)"
+                        val (nExcl, sExcl) = mode match {
+                          case "CURRENT ROW" =>
+                            (s"(($cntF) - $cNN)", s"(($sumF) - $cVal)")
+                          case "GROUP" =>
+                            (s"(($cntF) - ($cntP))", s"(($sumF) - ($sumP))")
+                          case _ => // TIES: remove peers, keep current
+                            (s"(($cntF) - ($cntP) + $cNN)",
+                              s"(($sumF) - ($sumP) + $cVal)")
+                        }
+                        val repl = agg match {
+                          case "count" => nExcl
+                          case "sum" =>
+                            s"(CASE WHEN $nExcl > 0 THEN $sExcl ELSE NULL END)"
+                          case _ =>
+                            s"(CASE WHEN $nExcl > 0 THEN $sExcl / $nExcl ELSE NULL END)"
+                        }
+                        Some(out.substring(0, nameStart) + repl +
+                          out.substring(close + 1))
+                      }
+                    case _ => None
+                  }
+                case _ => None
+              }
+            }
+          }
+        }
+      }
+      rewritten.foreach(out = _)
+    }
+    out
+  }
 
   /** DuckDB composite type SPELLINGS → Spark DDL spellings, recursively:
     * `T[]`/`T[n]` → `ARRAY<T>` (fixed-size arrays relax to lists — Spark

@@ -1831,7 +1831,71 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT e'don''t' AS s", Seq("don't")),
     q("SELECT e'\\q' AS s", Seq("q")), // unknown escape → the char itself
     q("SELECT E'a\\nb' AS s", Seq("a\nb")),
-    q("SELECT length(e'a\\nb') AS n", Seq(3)))
+    q("SELECT length(e'a\\nb') AS n", Seq(3)),
+
+    // --- r8 batch 18: SQL-spelled window frame EXCLUDE (probed; DuckDB's
+    // grammar requires an explicit ROWS/RANGE frame before EXCLUDE) ---
+    s("CREATE TABLE exw (id INT, v INT)"),
+    s("INSERT INTO exw VALUES (1,10),(2,10),(3,20),(4,5)"),
+    q("SELECT id, sum(v) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS s FROM exw ORDER BY id",
+      Seq(1, 35), Seq(2, 35), Seq(3, 25), Seq(4, 40)),
+    q("SELECT id, sum(v) OVER (ORDER BY v RANGE BETWEEN 5 PRECEDING AND " +
+      "5 FOLLOWING EXCLUDE GROUP) AS s FROM exw ORDER BY id",
+      Seq(1, 5), Seq(2, 5), Seq(3, null), Seq(4, 20)),
+    q("SELECT id, avg(v) OVER (ORDER BY v RANGE BETWEEN 5 PRECEDING AND " +
+      "5 FOLLOWING EXCLUDE GROUP) AS a FROM exw ORDER BY id",
+      Seq(1, 5.0), Seq(2, 5.0), Seq(3, null), Seq(4, 10.0)),
+    q("SELECT id, count(v) OVER (ORDER BY v RANGE BETWEEN 5 PRECEDING AND " +
+      "5 FOLLOWING EXCLUDE TIES) AS c FROM exw ORDER BY id",
+      Seq(1, 2), Seq(2, 2), Seq(3, 1), Seq(4, 3)),
+    // a frame that cannot hold the current row: exclusion is a no-op
+    q("SELECT id, sum(v) OVER (ORDER BY id ROWS BETWEEN 3 PRECEDING AND " +
+      "1 PRECEDING EXCLUDE CURRENT ROW) AS s FROM exw ORDER BY id",
+      Seq(1, null), Seq(2, 10), Seq(3, 20), Seq(4, 40)),
+    s("DROP TABLE exw"),
+
+    // --- r8 batch 18: string → composite casts (DuckDB's own text
+    // grammar, NOT JSON — DuckCompositeCast scaladoc, every value probed) ---
+    q("SELECT '[1,2]'::INT[] AS a", Seq(Seq(1, 2))),
+    q("SELECT '[ 1 , 2 ]'::INT[] AS a", Seq(Seq(1, 2))),
+    q("SELECT '[a, b]'::VARCHAR[] AS a", Seq(Seq("a", "b"))),
+    q("SELECT '[[1],[2, 3]]'::INT[][] AS a", Seq(Seq(Seq(1), Seq(2, 3)))),
+    q("SELECT '[]'::INT[] AS a", Seq(Seq())),
+    q("SELECT '[1, NULL, 3]'::INT[] AS a", Seq(Seq(1, null, 3))),
+    q("SELECT '[null]'::VARCHAR[] AS a", Seq(Seq("null"))), // exact-case NULL only
+    q("SELECT TRY_CAST('[1,x]' AS INT[]) AS a", Seq(Seq(1, null))),
+    q("SELECT TRY_CAST('oops' AS INT[]) AS a", Seq(null)),
+    q("SELECT '{''a'': 1, ''b'': x}'::STRUCT(a INT, b VARCHAR) AS s",
+      Seq(Seq(1, "x"))),
+    q("SELECT '{''b'': 2, ''a'': 1}'::STRUCT(a INT, b INT) AS s",
+      Seq(Seq(1, 2))),
+    q("SELECT '{a: 1}'::STRUCT(a INT) AS s", Seq(Seq(1))),
+    q("SELECT '{}'::STRUCT(a INT) AS s", Seq(Seq(null))), // missing → NULL
+    q("SELECT TRY_CAST('{''a'': x}' AS STRUCT(a INT)) AS s", Seq(Seq(null))),
+    q("SELECT '[1.5, 2]'::DOUBLE[] AS a", Seq(Seq(1.5, 2.0))),
+    q("SELECT '[true,false]'::BOOLEAN[] AS a", Seq(Seq(true, false))),
+    q("SELECT '[{''a'': 1}]'::STRUCT(a INT)[] AS a", Seq(Seq(Seq(1)))),
+    q("SELECT [1,2]::BIGINT[] AS v", Seq(Seq(1, 2))), // list→list stays a cast
+
+    // --- r8 batch 18: interval grammar + list/map breadth (probed) ---
+    q("SELECT INTERVAL 2 DAYS + DATE '2024-01-01' AS d", Seq("2024-01-03")),
+    q("SELECT INTERVAL '1 year 2 months 3 days' + DATE '2024-01-01' AS d",
+      Seq("2025-03-04")),
+    q("SELECT INTERVAL (1+1) DAY + DATE '2024-01-01' AS d", Seq("2024-01-03")),
+    q("SELECT '2 days'::INTERVAL + DATE '2024-01-01' AS d", Seq("2024-01-03")),
+    q("SELECT list_has_any([1,2],[2,9]) AS a, list_has_all([1,2,3],[2,3]) AS b",
+      Seq(true, true)),
+    q("SELECT list_resize([1,2],4) AS a, list_resize([1,2],4,9) AS b",
+      Seq(Seq(1, 2, null, null), Seq(1, 2, 9, 9))),
+    q("SELECT list_where([10,20,30],[true,false,true]) AS a", Seq(Seq(10, 30))),
+    q("SELECT list_grade_up([30,10,20]) AS a", Seq(Seq(2, 3, 1))),
+    q("SELECT list_reverse([1,2,3]) AS a", Seq(Seq(3, 2, 1))),
+    q("SELECT list_unique([1,1,2,NULL]) AS a", Seq(2)),
+    q("SELECT list_position([7,8,9], 8) AS p, list_contains([7,8],7) AS c",
+      Seq(2, true)),
+    q("SELECT struct_insert({'a':1}, b := 2) AS s", Seq(Seq(1, 2))),
+    q("SELECT cardinality(MAP {'k':5, 'j':6}) AS c", Seq(2)))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
