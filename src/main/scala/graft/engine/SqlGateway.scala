@@ -115,6 +115,16 @@ class SqlGateway(val spark: SparkSession) {
     one("nfc_normalize")(NfcNormalize(_))
     one("format_bytes")(FormatBytes(_))
     one("formatreadabledecimalsize")(FormatBytes(_))
+    one("gamma")(GammaFn(_))
+    one("lgamma")(LGammaFn(_))
+    one("duck_epoch_ms")(DuckEpochMs(_)) // epoch_ms: overloaded by arg type
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, "bar", {
+      case Seq(x, lo, hi) => BarFn(x, lo, hi,
+        org.apache.spark.sql.catalyst.expressions.Literal(80.0))
+      case Seq(x, lo, hi, w) => BarFn(x, lo, hi, w)
+      case args => throw new IllegalArgumentException(
+        s"bar takes 3-4 arguments, got ${args.length}")
+    })
     def pathFn(name: String)(mk: (Expression, Expression) => Expression): Unit =
       org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, name, {
         case Seq(a) => mk(a, lit("both_slash"))
@@ -1949,8 +1959,21 @@ class SqlGateway(val spark: SparkSession) {
     // unix_timestamp truncates, and BIGINT/INT division is double in Spark
     if (out.toLowerCase.contains("epoch("))
       out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
-    if (out.toLowerCase.contains("epoch_ms"))
-      out = fix(out, "epoch_ms", 1, a => Some(s"unix_millis(${a.head})"))
+    if (out.toLowerCase.contains("epoch_ms")) // overloaded by arg type:
+      // ts → BIGINT ms, integral ms → TIMESTAMP (DuckEpochMs dispatches)
+      out = fix(out, "epoch_ms", 1, a => Some(s"duck_epoch_ms(${a.head})"))
+    // 1-arg encode/decode: VARCHAR↔BLOB via utf-8 (Spark's own 2-arg
+    // charset forms pass through untouched)
+    if (out.toLowerCase.contains("encode"))
+      out = fix(out, "encode", 1, a => Some(s"CAST(${a.head} AS BINARY)"))
+    if (out.toLowerCase.contains("decode"))
+      out = fix(out, "decode", 1, a => Some(s"CAST(${a.head} AS STRING)"))
+    // array_length(l, dim): only dimension 1 exists for LISTs (DuckDB
+    // errors on others — the untouched spelling refuses here too). The
+    // alias pass has already renamed array_length → array_size.
+    if (out.toLowerCase.contains("array_size"))
+      out = fix(out, "array_size", 2, a =>
+        if (a(1).trim == "1") Some(s"size(${a(0)})") else None)
     if (out.toLowerCase.contains("epoch_ns"))
       out = fix(out, "epoch_ns", 1, a =>
         Some(s"(unix_micros(${a.head}) * 1000)"))

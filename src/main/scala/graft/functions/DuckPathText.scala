@@ -110,6 +110,29 @@ object DuckPathText {
     UTF8String.fromString(f)
   }
 
+  /** DuckDB `bar(x, min, max, width)` (probed, v1.0): fraction clamped to
+    * [0,1]; `floor(frac*width)` full blocks (█ U+2588) plus one partial
+    * eighth-block glyph for the truncated fractional eighths; then padded
+    * with spaces to `width` BYTES — DuckDB pads as if each 3-byte block
+    * glyph were one byte (probed: bar(2.0,0,10,10) = '██' + 4 spaces,
+    * bar(2.5,...) = '██▌' + 1 space, full bars get no padding). */
+  def bar(x: Double, lo: Double, hi: Double, width: Double): UTF8String = {
+    val frac0 = (x - lo) / (hi - lo)
+    val frac = if (frac0.isNaN) 0.0 else math.max(0.0, math.min(1.0, frac0))
+    val blocks = frac * width
+    val full = math.floor(blocks).toInt
+    val eighths = math.floor((blocks - full) * 8.0).toInt
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < full) { sb.append('█'); i += 1 }
+    if (eighths > 0) // ▏▎▍▌▋▊▉ = 1..7 eighths
+      sb.append("▏▎▍▌▋▊▉".charAt(eighths - 1))
+    val bytes = sb.length * 3 // every block glyph is 3 UTF-8 bytes
+    var pad = math.max(0, math.ceil(width).toInt - bytes)
+    while (pad > 0) { sb.append(' '); pad -= 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   def formatBytes(b: Long): UTF8String = {
     val neg = b < 0
     val a = math.abs(b)
@@ -122,8 +145,11 @@ object DuckPathText {
         while (scaled >= 1024.0 && idx < units.length - 1) {
           scaled /= 1024.0; idx += 1
         }
+        // DuckDB TRUNCATES to one decimal (probed: 1000000 → "976.5 KiB",
+        // 976.5625 would ROUND to 976.6) — %.1f rounding was silently off
+        val trunc = math.floor(scaled * 10.0) / 10.0
         String.format(java.util.Locale.ROOT, "%.1f %s",
-          Double.box(if (neg) -scaled else scaled), units(idx))
+          Double.box(if (neg) -trunc else trunc), units(idx))
       })
   }
 
@@ -476,4 +502,81 @@ case class DuckTimeBucket(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): DuckTimeBucket = copy(left = l, right = r)
+}
+
+/** DuckDB `bar(x, min, max[, width=80])` — see DuckPathText.bar. */
+case class BarFn(x: Expression, lo: Expression, hi: Expression,
+    width: Expression) extends org.apache.spark.sql.catalyst.expressions
+    .QuaternaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def first: Expression = x
+  override def second: Expression = lo
+  override def third: Expression = hi
+  override def fourth: Expression = width
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    DuckPathText.bar(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.DuckPathText.bar($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): BarFn =
+    copy(x = a, lo = b, hi = c, width = d)
+}
+
+/** DuckDB `gamma`/`lgamma` via commons-math3 (ships in Spark's own jars;
+  * Lanczos like glibc's tgamma — the corpus pins only values verified to
+  * match DuckDB's doubles exactly). */
+case class GammaFn(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    org.apache.commons.math3.special.Gamma.gamma(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.commons.math3.special.Gamma.gamma($a)")
+  override protected def withNewChildInternal(c: Expression): GammaFn =
+    copy(child = c)
+}
+
+case class LGammaFn(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    org.apache.commons.math3.special.Gamma.logGamma(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.commons.math3.special.Gamma.logGamma($a)")
+  override protected def withNewChildInternal(c: Expression): LGammaFn =
+    copy(child = c)
+}
+
+/** DuckDB `epoch_ms` is OVERLOADED by argument type (probed):
+  * `epoch_ms(TIMESTAMP)` → BIGINT milliseconds; `epoch_ms(BIGINT ms)` →
+  * TIMESTAMP. Self-resolving on the child's analyzed type — the text
+  * rewrite cannot know it. */
+case class DuckEpochMs(child: Expression) extends UnaryExpression {
+  private def integral(dt: DataType) = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override lazy val resolved: Boolean = childrenResolved &&
+    (child.dataType == TimestampType || integral(child.dataType))
+  override def dataType: DataType =
+    if (child.dataType == TimestampType) LongType else TimestampType
+  override def nullSafeEval(a: Any): Any =
+    if (child.dataType == TimestampType)
+      Math.floorDiv(a.asInstanceOf[Long], 1000L)
+    else a.asInstanceOf[Number].longValue() * 1000L
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (child.dataType == TimestampType)
+      defineCodeGen(ctx, ev, a => s"java.lang.Math.floorDiv($a, 1000L)")
+    else defineCodeGen(ctx, ev, a => s"((long) $a) * 1000L")
+  override protected def withNewChildInternal(c: Expression): DuckEpochMs =
+    copy(child = c)
 }

@@ -1895,7 +1895,42 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_position([7,8,9], 8) AS p, list_contains([7,8],7) AS c",
       Seq(2, true)),
     q("SELECT struct_insert({'a':1}, b := 2) AS s", Seq(Seq(1, 2))),
-    q("SELECT cardinality(MAP {'k':5, 'j':6}) AS c", Seq(2)))
+    q("SELECT cardinality(MAP {'k':5, 'j':6}) AS c", Seq(2)),
+
+    // --- r8 batch 19: misc scalar breadth (probed) ---
+    // format_bytes TRUNCATES its one decimal (976.5625 → "976.5", a
+    // %.1f round was a silent wrong before this batch)
+    q("SELECT format_bytes(1000000) AS a, format_bytes(1024) AS b, " +
+      "format_bytes(999) AS c, format_bytes(-2048) AS d",
+      Seq("976.5 KiB", "1.0 KiB", "999 bytes", "-2.0 KiB")),
+    // bar(): eighth-block glyphs, clamped fraction, BYTE-width padding
+    q("SELECT bar(5.5, 0, 10, 10) AS a", Seq("█████▌")),
+    q("SELECT bar(5.25, 0, 10, 10) AS a", Seq("█████▎")),
+    q("SELECT bar(1, 0, 3, 10) AS a", Seq("███▎")),
+    q("SELECT bar(15, 0, 10, 10) AS oob, bar(-5, 0, 10, 10) AS neg",
+      Seq("██████████", "          ")),
+    q("SELECT bar(2.0, 0, 10, 10) AS pad", Seq("██    ")),
+    q("SELECT length(bar(5, 0, 10)) AS dlen", Seq(40)), // default width 80
+    // gamma family via commons-math3 — every pinned double verified
+    // identical to DuckDB's C tgamma/lgamma output
+    q("SELECT gamma(5) AS a, gamma(0.5) AS c, gamma(3.5) AS d",
+      Seq(24.0, 1.772453850905516, 3.3233509704478426)),
+    q("SELECT lgamma(5) AS b, lgamma(0.5) AS e",
+      Seq(3.1780538303479458, 0.5723649429247001)),
+    // epoch_ms is overloaded by argument type (probed both ways)
+    q("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS b",
+      Seq(1704067200000L)),
+    q("SELECT epoch_ms(1700000000000) AS a", Seq("2023-11-14 22:13:20")),
+    q("SELECT hex(encode('ab')) AS a, decode('ab'::BLOB) AS b",
+      Seq("6162", "ab")),
+    q("SELECT array_length([1,2],1) AS a", Seq(2)),
+    q("SELECT xor(5, 3) AS a", Seq(6)),
+    q("SELECT bit_count(255::BIGINT) AS a", Seq(8)),
+    q("SELECT to_base64('AB'::BLOB) AS a", Seq("QUI=")),
+    q("SELECT hex(from_base64('QUI=')) AS b", Seq("4142")),
+    q("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a", Seq(1), Seq(2)),
+    q("SELECT * FROM (SELECT 1 AS a, 2 AS b) UNION BY NAME " +
+      "(SELECT 3 AS b, 4 AS a) ORDER BY a", Seq(1, 2), Seq(4, 3)))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
