@@ -689,9 +689,38 @@ class SqlGateway(val spark: SparkSession) {
      """\s+REPLACE\s*\((.+?)\)\s+(FROM\b.*)$""").r
   private val ReplaceStarRe =
     """(?is)^\s*SELECT\s+\*\s+REPLACE\s*\((.+?)\)\s+(FROM\b.*)$""".r
+  /** DuckDB datepart/EXTRACT part name → the engine's standalone
+    * extract-function spelling (each DuckDB-exact; the emitted names are
+    * themselves rewritten by their own fixes later in the chain). */
+  private val duckPartFn: Map[String, String] = Map(
+    "year" -> "year", "years" -> "year", "y" -> "year",
+    "month" -> "month", "months" -> "month", "mon" -> "month",
+    "day" -> "day", "days" -> "day", "d" -> "day",
+    "quarter" -> "quarter", "quarters" -> "quarter",
+    "hour" -> "hour", "hours" -> "hour", "h" -> "hour",
+    "minute" -> "minute", "minutes" -> "minute",
+    "second" -> "second", "seconds" -> "second", "s" -> "second",
+    "dow" -> "dayofweek", "dayofweek" -> "dayofweek",
+    "weekday" -> "dayofweek",
+    "isodow" -> "isodow",
+    "doy" -> "dayofyear", "dayofyear" -> "dayofyear",
+    "week" -> "weekofyear", "weeks" -> "weekofyear",
+    "isoyear" -> "isoyear", "yearweek" -> "yearweek",
+    "era" -> "era", "epoch" -> "epoch",
+    "decade" -> "decade", "decades" -> "decade",
+    "century" -> "century", "centuries" -> "century",
+    "millennium" -> "millennium", "millenniums" -> "millennium",
+    "millennia" -> "millennium",
+    "microseconds" -> "microsecond", "microsecond" -> "microsecond",
+    "milliseconds" -> "millisecond", "millisecond" -> "millisecond")
+
   private val DistinctOnRe =
     ("""(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(\s*([^)]+?)\s*\)\s+(.+?)\s+""" +
-     """(FROM\s+[\w.]+)\s*(?:ORDER\s+BY\s+(.+?))?\s*(LIMIT\s+\d+)?\s*$""").r
+     // source: a table name OR a parenthesized subquery/VALUES (≤3 paren
+     // levels) with an optional alias + column list
+     """(FROM\s+(?:[\w.]+|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)""" +
+     """(?:\s+(?:AS\s+)?\w+(?:\s*\([^()]*\))?)?))""" +
+     """\s*(?:ORDER\s+BY\s+(.+?))?\s*(LIMIT\s+\d+)?\s*$""").r
   private val ColumnsSelRe =
     """(?is)^\s*SELECT\s+COLUMNS\s*\(\s*'([^']+)'\s*\)\s+FROM\s+([\w.]+)\s*$""".r
   private val PositionalRe =
@@ -1954,6 +1983,78 @@ class SqlGateway(val spark: SparkSession) {
           case _ => None
         }
       })
+    // date_part/datepart with a part-name LIST → a struct of the parts
+    // (probed: field order follows the list)
+    for (fn <- Seq("date_part", "datepart")
+         if out.toLowerCase.contains(fn.replace("_", "")) ||
+           out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
+        val lst = a(0).trim
+        val inner =
+          if (lst.toLowerCase.startsWith("array(") && lst.endsWith(")"))
+            Some(lst.substring(6, lst.length - 1))
+          else if (lst.startsWith("[") && lst.endsWith("]"))
+            Some(lst.substring(1, lst.length - 1))
+          else None
+        inner.flatMap { names0 =>
+          val names = splitTopLevel(names0).map(_.trim)
+          if (names.isEmpty || names.exists(n =>
+              !(n.startsWith("'") && n.endsWith("'")))) None
+          else Some("named_struct(" + names.map { n =>
+            // map each part through duckPartFn like the scalar form; an
+            // unknown part keeps date_part → loud INVALID_EXTRACT_FIELD
+            val bare = n.substring(1, n.length - 1).toLowerCase
+            val call = duckPartFn.get(bare)
+              .map(f => s"$f(${a(1)})")
+              .getOrElse(s"date_part($n, ${a(1)})")
+            s"$n, $call"
+          }.mkString(", ") + ")")
+        }
+      })
+    // datepart/date_part/EXTRACT with a literal part name → the engine's
+    // own standalone extract functions, each already DuckDB-exact.
+    // Spark's same-named date_part DISAGREES on dow (Sunday=1 vs DuckDB's
+    // 0 — a silent wrong before this mapping) and REJECTS half of
+    // DuckDB's part table (isodow/epoch/decade/era/...). Emissions spell
+    // the duck function names; their own fixes later in this chain apply
+    // the exact semantics. Unknown part names stay for Spark → loud
+    // INVALID_EXTRACT_FIELD, as DuckDB errors on unknown parts too.
+    val PartLit = """^'(\w+)'$""".r
+    for (fn <- Seq("date_part", "datepart") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => a(0).trim.toLowerCase match {
+        case PartLit(p) => duckPartFn.get(p).map(f => s"$f(${a(1)})")
+        case _ => None // non-literal / list form (handled above)
+      })
+    // EXTRACT(part FROM x) — same mapping, own scan (no comma args).
+    // naive timestamps carry no zone: the timezone* parts are 0 (probed),
+    // NULL-propagating through the operand
+    if (out.toLowerCase.contains("extract")) {
+      val ExtrRe = """(?i)\bextract\s*\(\s*(\w+)\s+from\s+""".r
+      for (m <- ExtrRe.findAllMatchIn(out).toList.reverse
+           if out.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+        var i = m.end; var depth = 1; var inS = false
+        while (i < out.length && depth > 0) {
+          val ch = out.charAt(i)
+          if (inS) { if (ch == '\'') inS = false }
+          else if (ch == '\'') inS = true
+          else if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
+          i += 1
+        }
+        if (depth == 0) {
+          val operand = out.substring(m.end, i - 1).trim
+          val p = m.group(1).toLowerCase
+          val repl = duckPartFn.get(p).map(f => s"$f($operand)")
+            .orElse(if (Set("timezone", "timezone_hour", "timezone_minute")
+                .contains(p))
+              Some(s"CAST(CASE WHEN ($operand) IS NULL THEN NULL " +
+                s"ELSE 0 END AS BIGINT)")
+            else None)
+          repl.foreach(r =>
+            out = out.substring(0, m.start) + r + out.substring(i))
+        }
+      }
+    }
     // epoch(ts) → seconds since epoch as DOUBLE with fraction (duckdb 1.0
     // verified: 00:01:30.5 → 90.5); unix_micros keeps the fraction that
     // unix_timestamp truncates, and BIGINT/INT division is double in Spark
@@ -2012,27 +2113,71 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("make_timestamp"))
       out = fix(out, "make_timestamp", 1, a =>
         Some(s"timestamp_micros(${a(0)})"))
-    // date_part/datepart with a part-name LIST → a struct of the parts
-    // (probed: field order follows the list)
-    for (fn <- Seq("date_part", "datepart")
-         if out.toLowerCase.contains(fn.replace("_", "")) ||
-           out.toLowerCase.contains(fn))
-      out = fix(out, fn, 2, a => {
-        val lst = a(0).trim
-        val inner =
-          if (lst.toLowerCase.startsWith("array(") && lst.endsWith(")"))
-            Some(lst.substring(6, lst.length - 1))
-          else if (lst.startsWith("[") && lst.endsWith("]"))
-            Some(lst.substring(1, lst.length - 1))
-          else None
-        inner.flatMap { names0 =>
-          val names = splitTopLevel(names0).map(_.trim)
-          if (names.isEmpty || names.exists(n =>
-              !(n.startsWith("'") && n.endsWith("'")))) None
-          else Some("named_struct(" + names.map(n =>
-            s"$n, date_part($n, ${a(1)})").mkString(", ") + ")")
+    // timezone(tz, naive-ts) and `ts AT TIME ZONE tz` interpret the naive
+    // timestamp in tz and return the instant (rendered in UTC, the
+    // session zone — probed: 12:00 NY → 17:00+00). The TIMESTAMPTZ
+    // overload (instant → naive local) is indistinguishable in our
+    // TIMESTAMP-only model, so operands that SPELL timestamptz decline —
+    // the statement refuses rather than silently running the wrong
+    // direction.
+    def smellsTz(x: String) = {
+      val l = x.toLowerCase
+      l.contains("timestamptz") || l.contains("with time zone")
+    }
+    if (out.toLowerCase.contains("timezone"))
+      out = fix(out, "timezone", 2, a =>
+        if (smellsTz(a(1))) None
+        else Some(s"to_utc_timestamp(${a(1)}, ${a(0)})"))
+    if ("""(?i)\bat\s+time\s+zone\b""".r.findFirstIn(out).isDefined) {
+      val AtRe = """(?i)\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
+      for (m <- AtRe.findAllMatchIn(out).toList.reverse
+           if out.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+        // backward-scan the operand: string literal (with optional type
+        // keyword), balanced (...) with call name, or an ident chain
+        var j = m.start - 1
+        while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+        var at = -1
+        if (j >= 0 && out.charAt(j) == '\'') {
+          var k = j - 1
+          while (k >= 0 && out.charAt(k) != '\'') k -= 1
+          if (k >= 0) {
+            var w = k - 1
+            while (w >= 0 && out.charAt(w).isWhitespace) w -= 1
+            val we = w
+            while (w >= 0 && out.charAt(w).isLetter) w -= 1
+            at = if (we > w && Set("timestamp", "date", "timestamptz")
+                .contains(out.substring(w + 1, we + 1).toLowerCase)) w + 1
+              else k
+          }
+        } else if (j >= 0 && out.charAt(j) == ')') {
+          var depth = 0; var k = j
+          while (k >= 0 && at < 0) {
+            val ch = out.charAt(k)
+            if (ch == ')') depth += 1
+            else if (ch == '(') { depth -= 1; if (depth == 0) at = k }
+            k -= 1
+          }
+          if (at >= 0) {
+            var w = at - 1
+            while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+              out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
+            at = w + 1
+          }
+        } else if (j >= 0) {
+          var w = j
+          while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+            out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
+          if (w < j) at = w + 1
         }
-      })
+        if (at >= 0) {
+          val operand = out.substring(at, j + 1)
+          if (!smellsTz(operand))
+            out = out.substring(0, at) +
+              s"to_utc_timestamp($operand, ${m.group(1)})" +
+              out.substring(m.end)
+        }
+      }
+    }
     // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
     // (probed: cos/sin differs in the last ulp)
     if (out.toLowerCase.contains("xor("))

@@ -1930,7 +1930,66 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT hex(from_base64('QUI=')) AS b", Seq("4142")),
     q("SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a", Seq(1), Seq(2)),
     q("SELECT * FROM (SELECT 1 AS a, 2 AS b) UNION BY NAME " +
-      "(SELECT 3 AS b, 4 AS a) ORDER BY a", Seq(1, 2), Seq(4, 3)))
+      "(SELECT 3 AS b, 4 AS a) ORDER BY a", Seq(1, 2), Seq(4, 3)),
+
+    // --- r8 batch 20: datepart/EXTRACT part table (probed — Spark's own
+    // date_part returns Sunday=1 for dow where DuckDB says 0: a silent
+    // wrong before the part→function mapping) ---
+    q("SELECT datepart('dow', DATE '2024-01-07') AS a, " +
+      "datepart('dow', DATE '2024-01-08') AS b", Seq(0, 1)),
+    q("SELECT datepart('isodow', DATE '2024-01-07') AS sun, " +
+      "datepart('isodow', DATE '2024-01-08') AS mon", Seq(7, 1)),
+    q("SELECT datepart('doy', DATE '2024-01-07') AS doy, " +
+      "datepart('week', DATE '2024-01-07') AS w, " +
+      "datepart('yearweek', DATE '2024-01-07') AS yw, " +
+      "datepart('era', DATE '2024-01-07') AS era", Seq(7, 1, 202401, 1)),
+    q("SELECT datepart('epoch', TIMESTAMP '2024-01-07 10:20:30.123456') " +
+      "AS ep", Seq(1.704622830123456e9)),
+    q("SELECT datepart('microseconds', " +
+      "TIMESTAMP '2024-01-07 10:20:30.123456') AS us, " +
+      "datepart('milliseconds', TIMESTAMP '2024-01-07 10:20:30.123456') " +
+      "AS ms", Seq(30123456, 30123)),
+    q("SELECT datepart('decade', DATE '2024-01-07') AS d, " +
+      "datepart('century', DATE '2024-01-07') AS c, " +
+      "datepart('millennium', DATE '2024-01-07') AS m", Seq(202, 21, 3)),
+    q("SELECT datepart('isoyear', DATE '2024-01-07') AS iy", Seq(2024)),
+    q("SELECT extract(dow FROM DATE '2024-01-07') AS e, " +
+      "extract(isodow FROM DATE '2024-01-08') AS i", Seq(0, 1)),
+    q("SELECT extract(epoch FROM TIMESTAMP '2024-01-07 10:20:30.5') AS ep",
+      Seq(1.7046228305e9)),
+    q("SELECT extract(timezone FROM TIMESTAMP '2024-01-07 10:20:30') AS tz",
+      Seq(0)),
+    q("SELECT date_part(['dow','epoch'], TIMESTAMP '2024-01-07 00:00:00') " +
+      "AS s", Seq(Seq(0, 1.7045856e9))),
+    // timezone()/AT TIME ZONE: naive ts interpreted in tz → the instant
+    // (rendered in the UTC session zone); TIMESTAMPTZ operands refuse
+    q("SELECT timezone('America/New_York', " +
+      "TIMESTAMP '2024-01-01 12:00:00') AS a", Seq("2024-01-01 17:00:00")),
+    q("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE " +
+      "'America/New_York' AS a", Seq("2024-01-01 17:00:00")),
+    q("SELECT timezone('UTC', TIMESTAMP '2024-01-01 12:00:00') AS u",
+      Seq("2024-01-01 12:00:00")),
+    // misc breadth probed alongside
+    q("SELECT DISTINCT ON (a, b) a, b, c FROM (VALUES (1,1,'x'),(1,1,'y')," +
+      "(1,2,'z')) t(a,b,c) ORDER BY a, b, c", Seq(1, 1, "x"), Seq(1, 2, "z")),
+    q("SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q FROM " +
+      "(VALUES (1),(2),(3),(4)) t(x)", Seq(Seq(1.75, 2.5, 3.25))),
+    q("SELECT last_day(DATE '2024-02-05') AS a", Seq("2024-02-29")),
+    q("SELECT date_diff('month', DATE '2024-01-15', DATE '2024-03-10') AS a",
+      Seq(2)),
+    q("SELECT a, b FROM (VALUES (1,2)) t(a,b) NATURAL JOIN " +
+      "(VALUES (1,3)) s(a,c)", Seq(1, 2)),
+    q("SELECT t.x, l.y FROM (VALUES (1)) t(x), LATERAL " +
+      "(SELECT t.x + 1 AS y) l", Seq(1, 2)),
+    q("SELECT 'a%c' LIKE 'a$%c' ESCAPE '$' AS e", Seq(true)),
+    q("SELECT printf('%-5d|', 42) AS a, printf('%05.2f', 3.14159) AS b, " +
+      "printf('%x', 255) AS c", Seq("42   |", "03.14", "ff")),
+    q("SELECT left('hello', -2) AS a, right('hello', -2) AS b",
+      Seq("hel", "llo")),
+    q("SELECT trim('xxhixx', 'x') AS a, ltrim('xxhi', 'x') AS b, " +
+      "rtrim('hixx', 'x') AS c", Seq("hi", "hi", "hi")),
+    q("SELECT [[y*2 for y in x] for x in [[1],[2,3]]] AS n",
+      Seq(Seq(Seq(2), Seq(4, 6)))))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
