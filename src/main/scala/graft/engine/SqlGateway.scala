@@ -1884,6 +1884,51 @@ class SqlGateway(val spark: SparkSession) {
     var out = sql
     if (out.toLowerCase.contains("log"))
       out = fix(out, "log", 1, a => Some(s"log10(${a.head})"))
+    // DuckDB raises Out of Range on log-of-nonpositive, sqrt-of-negative
+    // and asin/acos outside [-1,1] (probed); Spark returns NULL/NaN —
+    // silent divergences without these guards. Each guard wraps the call
+    // AFTER the renames above so the emitted inner call is final; NULL
+    // operands fall through the CASE to the (NULL-returning) native.
+    def domainGuard(fn: String, negMsg: String, zeroToo: Boolean): Unit =
+      if (out.toLowerCase.contains(fn)) {
+        out = fix(out, fn, 1, a => {
+          val x = a.head.trim
+          if (x.startsWith("__dg_")) None // already guarded (inner emission)
+          else {
+            val zero = if (zeroToo)
+              s"WHEN (__dg_$x) = 0 THEN CAST(raise_error(" +
+                s"'Out of Range Error: cannot take logarithm of zero') " +
+                s"AS DOUBLE) " else ""
+            Some(s"(CASE WHEN (__dg_$x) < 0 THEN CAST(raise_error('$negMsg') " +
+              s"AS DOUBLE) ${zero}ELSE $fn(__dg_$x) END)")
+          }
+        })
+        out = out.replace("__dg_", "")
+      }
+    val logNeg = "Out of Range Error: cannot take logarithm of a negative number"
+    domainGuard("ln", logNeg, zeroToo = true)
+    domainGuard("log10", logNeg, zeroToo = true)
+    domainGuard("log2", logNeg, zeroToo = true)
+    domainGuard("sqrt",
+      "Out of Range Error: cannot take square root of a negative number",
+      zeroToo = false)
+    for (fn <- Seq("asin", "acos") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 1, a => {
+        val x = a.head.trim
+        if (x.startsWith("__ag_")) None
+        else Some(s"(CASE WHEN abs(__ag_$x) > 1 THEN CAST(raise_error(" +
+          s"'Invalid Input Error: ${fn.toUpperCase} is undefined outside " +
+          s"[-1,1]') AS DOUBLE) ELSE $fn(__ag_$x) END)")
+      })
+    out = out.replace("__ag_", "")
+    // 2-arg log(b, x): either operand non-positive raises (probed)
+    if (out.toLowerCase.contains("log"))
+      out = fix(out, "log", 2, a =>
+        if (a.head.trim.startsWith("__lg_")) None
+        else Some(s"(CASE WHEN (__lg_${a(0)}) <= 0 OR (${a(1)}) <= 0 THEN " +
+          s"CAST(raise_error('$logNeg') AS DOUBLE) " +
+          s"ELSE log(__lg_${a(0)}, ${a(1)}) END)"))
+    out = out.replace("__lg_", "")
     // dayname/monthname return the FULL name in DuckDB ('Monday',
     // 'November'); Spark 4's same-named builtins abbreviate ('Mon',
     // 'Nov') — date_format's EEEE/MMMM patterns are the exact twins
@@ -4948,10 +4993,18 @@ class SqlGateway(val spark: SparkSession) {
       else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1 // keep the \n
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // DuckDB block comments NEST (probed: /* a /* b */ c */ is one
+        // comment) — track depth instead of stopping at the first */
         i += 2
-        while (i + 1 < sql.length &&
-          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i = math.min(i + 2, sql.length)
+        var depth = 1
+        while (i + 1 < sql.length && depth > 0) {
+          if (sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else if (sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else i += 1
+        }
+        if (depth > 0) i = sql.length // unterminated: drop the tail
         sb += ' ' // a comment is a token separator: SELECT/**/1 stays SELECT 1
       } else { sb += c; i += 1 }
     }

@@ -1989,7 +1989,37 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT trim('xxhixx', 'x') AS a, ltrim('xxhi', 'x') AS b, " +
       "rtrim('hixx', 'x') AS c", Seq("hi", "hi", "hi")),
     q("SELECT [[y*2 for y in x] for x in [[1],[2,3]]] AS n",
-      Seq(Seq(Seq(2), Seq(4, 6)))))
+      Seq(Seq(Seq(2), Seq(4, 6)))),
+
+    // --- r8 batch 21: nested comments, math domain errors, misc (probed) ---
+    q("SELECT /* outer /* inner */ still comment */ 1 AS a", Seq(1)),
+    q("SELECT 1_000_000 AS a", Seq(1000000)),
+    // DuckDB raises Out of Range on these; the gateway raises too (error
+    // parity — these count as refusals of statements DuckDB errors on)
+    s("SELECT sqrt(-1) AS a"),
+    s("SELECT ln(0) AS a"),
+    s("SELECT asin(2) AS a"),
+    q("SELECT sqrt(9) AS s, ln(1) AS l, log2(8) AS l2, asin(0.5) AS a",
+      Seq(3.0, 0.0, 3.0, 0.5235987755982989)),
+    q("SELECT a, b, sum(c) AS s FROM (VALUES (1,1,10),(1,2,20),(2,1,30)) " +
+      "t(a,b,c) GROUP BY GROUPING SETS ((a), (b), ()) " +
+      "ORDER BY a NULLS LAST, b NULLS LAST",
+      Seq(1, null, 30), Seq(2, null, 30), Seq(null, 1, 40),
+      Seq(null, 2, 20), Seq(null, null, 60)),
+    q("SELECT a, grouping(a) AS g FROM (VALUES (1),(2)) t(a) " +
+      "GROUP BY ROLLUP(a) ORDER BY a NULLS LAST",
+      Seq(1, 0), Seq(2, 0), Seq(null, 1)),
+    q("SELECT 1 IS DISTINCT FROM NULL AS a, " +
+      "NULL IS NOT DISTINCT FROM NULL AS b", Seq(true, true)),
+    q("SELECT greatest(1, NULL, 3) AS a", Seq(3)),
+    q("SELECT mode(x) AS m FROM (VALUES (1),(2),(2)) t(x)", Seq(2)),
+    q("SELECT skewness(x) AS s FROM (VALUES (1.0),(2.0),(4.0)) t(x)",
+      Seq(0.935219529582821)),
+    q("SELECT corr(x, y) AS c, covar_pop(x, y) AS cp FROM " +
+      "(VALUES (1,2),(2,4),(3,5)) t(x,y)", Seq(0.9819805060619659, 1.0)),
+    q("SELECT s.* FROM (SELECT {'a': 1, 'b': 2} AS s) q", Seq(1, 2)),
+    q("SELECT EXISTS (SELECT 1 WHERE 1=0) AS e", Seq(false)),
+    q("SELECT repeat('ab', -1) AS a", Seq("")))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
