@@ -993,23 +993,26 @@ class SqlGateway(val spark: SparkSession) {
           if (ColsTok.findFirstMatchIn(item.substring(i)).isDefined)
             return None // two COLUMNS in one item: not attempted
           val arg = item.substring(m.end, i - 1).trim
+          val StarExclude =
+            """(?is)^\*\s+EXCLUDE\s*\(\s*([^)]+?)\s*\)$""".r
+          val Lam = """(?s)^([A-Za-z_]\w*)\s*->\s*(.+)$""".r
           val matched: Seq[String] =
             if (arg == "*") cols
-            else if (arg.length >= 2 && arg.startsWith("'") &&
-                arg.endsWith("'")) {
-              val re = arg.substring(1, arg.length - 1).r
-              cols.filter(c => re.findFirstIn(c).isDefined)
-            } else {
-              val Lam = """(?s)^([A-Za-z_]\w*)\s*->\s*(.+)$""".r
-              arg match {
-                case Lam(v, body) =>
-                  val values = cols.map(c =>
-                    s"('${c.replace("'", "''")}')").mkString(", ")
-                  duckSql(s"SELECT $v FROM (VALUES $values) " +
-                      s"AS graft_cols($v) WHERE $body")
-                    .collect().map(_.getString(0)).toSeq
-                case _ => return None
-              }
+            else arg match {
+              case StarExclude(ex) => // COLUMNS(* EXCLUDE (a, b))
+                val drop = ex.split(",").map(_.trim.toLowerCase).toSet
+                cols.filterNot(c => drop.contains(c.toLowerCase))
+              case _ if arg.length >= 2 && arg.startsWith("'") &&
+                  arg.endsWith("'") =>
+                val re = arg.substring(1, arg.length - 1).r
+                cols.filter(c => re.findFirstIn(c).isDefined)
+              case Lam(v, body) =>
+                val values = cols.map(c =>
+                  s"('${c.replace("'", "''")}')").mkString(", ")
+                duckSql(s"SELECT $v FROM (VALUES $values) " +
+                    s"AS graft_cols($v) WHERE $body")
+                  .collect().map(_.getString(0)).toSeq
+              case _ => return None
             }
           if (matched.isEmpty) throw new IllegalArgumentException(
             s"COLUMNS(...) matched no columns of $table")
@@ -1019,6 +1022,38 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
     Some(expanded.flatten.mkString(", "))
+  }
+
+  /** Fixpoint loop for UNION-distinct recursion (see the dialectQuery
+    * case). Each iteration runs the step with the recursive name bound to
+    * the previous iteration's NEW rows only, deduplicates against the
+    * accumulated set, and stops when nothing new appears — DuckDB's
+    * documented UNION-recursion semantics. localCheckpoint() caps lineage
+    * growth so the loop cost stays linear in iterations. */
+  private def runRecursiveUnion(name: String, cols: Option[Seq[String]],
+      base: String, step: String, fin: String): DataFrame = {
+    def named(df: DataFrame) = cols.map(c => df.toDF(c: _*)).getOrElse(df)
+    var acc = named(queryDf(base).distinct()).localCheckpoint()
+    var frontier = acc
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 100000) {
+      frontier.createOrReplaceTempView(name)
+      val next = named(queryDf(step)).distinct()
+        .except(acc).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.union(next).localCheckpoint()
+        frontier = next
+        rounds += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"WITH RECURSIVE $name: no fixpoint after $rounds iterations")
+    acc.createOrReplaceTempView(name)
+    val res = (if (fin.isEmpty) acc else queryDf(fin)).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    res
   }
 
   private def dialectQuery(sql: String): Option[DataFrame] = {
@@ -1051,6 +1086,50 @@ class SqlGateway(val spark: SparkSession) {
     if ("""(?is)^\s*VALUES\s*\(""".r.findFirstIn(sql).isDefined) {
       val df = runSql(s"SELECT * FROM ($sql) graft_values")
       return Some(df.toDF(df.columns.indices.map(i => s"col$i"): _*))
+    }
+    // WITH RECURSIVE name AS (base UNION step) final — plain UNION
+    // (distinct) recursion, which Spark's native recursive CTE refuses
+    // (UNION ALL only). A driver fixpoint loop — the SQL-surface twin of
+    // the engine's connected-components superstep: each iteration is one
+    // distributed step over the FRONTIER only (new rows), dedup against
+    // the accumulated set, terminating when no new row appears. The LAST
+    // top-level non-ALL UNION splits base from the recursive term (UNION
+    // is left-associative in both grammars).
+    val RecUnionRe =
+      """(?is)^\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(\s*([^)]*?)\s*\))?\s+AS\s*\(""".r
+    RecUnionRe.findFirstMatchIn(sql).foreach { m =>
+      var i = m.end; var depth = 1; var inS = false
+      while (i < sql.length && depth > 0) {
+        val ch = sql.charAt(i)
+        if (inS) { if (ch == '\'') inS = false }
+        else if (ch == '\'') inS = true
+        else if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        i += 1
+      }
+      if (depth == 0) {
+        val body = sql.substring(m.end, i - 1)
+        val fin = sql.substring(i).trim
+        val UnionRe = """(?i)\bUNION\b(?!\s+(?:ALL|BY)\b)""".r
+        val last = UnionRe.findAllMatchIn(body).toList.reverse.find { u =>
+          var d = 0; var s = false
+          body.substring(0, u.start).foreach { c =>
+            if (s) { if (c == '\'') s = false }
+            else if (c == '\'') s = true
+            else if (c == '(') d += 1
+            else if (c == ')') d -= 1
+          }
+          !s && d == 0
+        }
+        // a second CTE after the recursive one is not attempted (→ the
+        // untouched statement refuses in Spark's parser)
+        if (last.isDefined && !fin.startsWith(","))
+          return Some(runRecursiveUnion(m.group(1),
+            Option(m.group(2)).filter(_.nonEmpty)
+              .map(splitTopLevel(_).map(_.trim)),
+            body.substring(0, last.get.start).trim,
+            body.substring(last.get.end).trim, fin))
+      }
     }
     // UNION [ALL] BY NAME: split at the top level, each side re-enters
     // queryDf; missing columns NULL-fill exactly like DuckDB
@@ -2530,9 +2609,19 @@ class SqlGateway(val spark: SparkSession) {
     def same(a: String, b: String) = a.trim.equalsIgnoreCase(b.trim)
     if (out.toLowerCase.contains("array_agg"))
       out = fix(out, "array_agg", 1, a => a.head.trim match {
-        case AggOrd(e, o, dir) if same(e, o) =>
-          val asc = dir == null || dir.equalsIgnoreCase("ASC")
-          Some(s"sort_array(array_agg($e)${if (asc) "" else ", false"})")
+        case AggOrd(e0, o, dir) =>
+          // DISTINCT dedups before sorting (collect_set — array_agg
+          // skips NULLs in both engines, so set-collection loses nothing)
+          val Dist = """(?is)^DISTINCT\s+(.+)$""".r
+          val (e, coll) = e0.trim match {
+            case Dist(inner) => (inner, s"collect_set($inner)")
+            case plain => (plain, s"array_agg($plain)")
+          }
+          if (!same(e, o)) None
+          else {
+            val asc = dir == null || dir.equalsIgnoreCase("ASC")
+            Some(s"sort_array($coll${if (asc) "" else ", false"})")
+          }
         case _ => None
       })
     // ORDER BY inside an ORDER-INSENSITIVE aggregate is a no-op — strip
