@@ -398,8 +398,11 @@ class SqlGateway(val spark: SparkSession) {
         // target's by NAME, not position; an unknown batch column errors
         // and absent target columns take their DEFAULT (DuckDB — probed)
         val ByNameRe = """(?is)^\s*BY\s+NAME\s+(.*)$""".r
+        // `BY POSITION` is the default alignment spelled explicitly
+        val ByPosRe = """(?is)^\s*BY\s+POSITION\s+(.*)$""".r
         val (byName, rest) = rest0.trim match {
           case ByNameRe(r) => (true, r)
+          case ByPosRe(r) => (false, r)
           case r => (false, r)
         }
         // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
@@ -1642,19 +1645,55 @@ class SqlGateway(val spark: SparkSession) {
       case "parquet" => spark.read.parquet(path: _*)
       case "csv" | "csv_auto" =>
         var header = true
-        var delim = ","
+        // delimiter sniffing when unspecified (DuckDB's auto-detect, in
+        // miniature): the candidate , ; | \t with the most QUOTE-AWARE
+        // occurrences on the first line wins, ',' on ties — reads one
+        // line of one file on the driver, never the data
+        var delim: Option[String] = None
         splitTopLevel(optsText.stripPrefix(",")).map(_.trim).filter(_.nonEmpty).foreach { o =>
           val kv = o.split("=", 2).map(_.trim)
           kv(0).toLowerCase match {
             case "header" => header = kv(1).toLowerCase != "false" && kv(1) != "0"
             case "delim" | "sep" | "delimiter" =>
-              delim = kv(1).stripPrefix("'").stripSuffix("'")
+              delim = Some(kv(1).stripPrefix("'").stripSuffix("'"))
             case "auto_detect" => () // inference is already the default here
             case other =>
               throw new IllegalArgumentException(s"read_csv: unsupported option $other")
           }
         }
-        spark.read.option("header", header.toString).option("delimiter", delim)
+        val d = delim.getOrElse {
+          val firstLine = try {
+            val fs = new org.apache.hadoop.fs.Path(path.head)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val glob = fs.globStatus(new org.apache.hadoop.fs.Path(path.head))
+            if (glob == null || glob.isEmpty) ""
+            else {
+              // a COPY TO target may be a directory of part files
+              val f0 = glob.head
+              val file = if (!f0.isDirectory) f0.getPath
+                else fs.listStatus(f0.getPath).filter(s => !s.isDirectory &&
+                    !s.getPath.getName.startsWith("_") &&
+                    !s.getPath.getName.startsWith("."))
+                  .map(_.getPath).headOption.getOrElse(f0.getPath)
+              val in = fs.open(file)
+              try {
+                val br = new java.io.BufferedReader(
+                  new java.io.InputStreamReader(in, "UTF-8"))
+                Option(br.readLine()).getOrElse("")
+              } finally in.close()
+            }
+          } catch { case scala.util.control.NonFatal(_) => "" }
+          def countTop(ch: Char) = {
+            var n = 0; var q = false
+            firstLine.foreach { c =>
+              if (c == '"') q = !q else if (c == ch && !q) n += 1 }
+            n
+          }
+          val cands = Seq(',', ';', '|', '\t')
+          val best = cands.maxBy(countTop)
+          if (countTop(best) > countTop(',')) best.toString else ","
+        }
+        spark.read.option("header", header.toString).option("delimiter", d)
           .option("inferSchema", "true").csv(path: _*)
       case "json" | "json_auto" => spark.read.json(path: _*)
       case "text" | "blob" =>
@@ -2299,6 +2338,81 @@ class SqlGateway(val spark: SparkSession) {
             out = out.substring(0, at) +
               s"to_utc_timestamp($operand, ${m.group(1)})" +
               out.substring(m.end)
+        }
+      }
+    }
+    // quantified comparisons: Spark's grammar has ONLY `= ANY` (as IN);
+    // every other op×{ALL,ANY,SOME} rewrites to the 3-valued CASE over
+    // two counting subqueries — FALSE dominates ALL (a definite failure),
+    // TRUE dominates ANY (a definite pass), a NULL comparison otherwise
+    // yields NULL, empty subqueries give ALL→TRUE / ANY→FALSE (standard
+    // semantics, duck-probed).
+    if ("""(?i)\b(?:all|any|some)\s*\(""".r.findFirstIn(out).isDefined) {
+      val AllRe = """(?i)(==|<>|!=|<=|>=|=|<|>)\s*(ALL|ANY|SOME)\s*\(""".r
+      for (m <- AllRe.findAllMatchIn(out).toList.reverse
+           if out.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+        // close of the subquery paren
+        var i = m.end; var depth = 1; var inS = false
+        while (i < out.length && depth > 0) {
+          val ch = out.charAt(i)
+          if (inS) { if (ch == '\'') inS = false }
+          else if (ch == '\'') inS = true
+          else if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
+          i += 1
+        }
+        // backward operand span (literal / balanced-paren call / idents)
+        var j = m.start - 1
+        while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+        var at = -1
+        if (depth == 0 && j >= 0) {
+          if (out.charAt(j) == '\'') {
+            var k = j - 1
+            while (k >= 0 && out.charAt(k) != '\'') k -= 1
+            if (k >= 0) at = k
+          } else if (out.charAt(j) == ')') {
+            var d = 0; var k = j
+            while (k >= 0 && at < 0) {
+              val ch = out.charAt(k)
+              if (ch == ')') d += 1
+              else if (ch == '(') { d -= 1; if (d == 0) at = k }
+              k -= 1
+            }
+            if (at >= 0) {
+              var w = at - 1
+              while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+                out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
+              at = w + 1
+            }
+          } else {
+            var w = j
+            while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+              out.charAt(w) == '_' || out.charAt(w) == '.' ||
+              out.charAt(w) == '$')) w -= 1
+            if (w < j) at = w + 1
+          }
+        }
+        val quant = m.group(2).toUpperCase
+        val op = if (m.group(1) == "==") "=" else m.group(1)
+        if (at >= 0 && !(op == "=" && quant == "ANY")) { // = ANY is native
+          val operand = out.substring(at, j + 1)
+          val sub = out.substring(m.end, i - 1)
+          val repl =
+            if (op == "=" && quant == "SOME") s"(($operand) = ANY ($sub))"
+            else {
+              def cnt(w: String) = s"(SELECT count(*) FROM ($sub) " +
+                s"graft_q_g(graft_q_c) WHERE $w) > 0"
+              val pass = s"(($operand) $op graft_q_c)"
+              if (quant == "ALL")
+                s"(CASE WHEN ${cnt(s"NOT $pass")} THEN FALSE " +
+                  s"WHEN ${cnt(s"$pass IS NULL")} THEN " +
+                  s"CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+              else // ANY / SOME
+                s"(CASE WHEN ${cnt(pass)} THEN TRUE " +
+                  s"WHEN ${cnt(s"$pass IS NULL")} THEN " +
+                  s"CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+            }
+          out = out.substring(0, at) + repl + out.substring(i)
         }
       }
     }
@@ -5181,6 +5295,31 @@ class SqlGateway(val spark: SparkSession) {
       throw new IllegalArgumentException(s"unknown prepared statement $name"))
     val args = argText.map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
+    // named parameters: EXECUTE p(x := 2, y := 3) binds $x/$y (probed);
+    // all-named argument lists take this path, mixed lists refuse below
+    val Named = """(?s)^([A-Za-z_]\w*)\s*:=\s*(.+)$""".r
+    val named = args.flatMap {
+      case Named(k, v) => Some(k.toLowerCase -> v.trim)
+      case _ => None
+    }.toMap
+    if (named.nonEmpty && named.size == args.length) {
+      val sb = new StringBuilder; var inStr = false; var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\'') { inStr = !inStr; sb += c; i += 1 }
+        else if (c == '$' && !inStr && i + 1 < body.length &&
+            (body.charAt(i + 1).isLetter || body.charAt(i + 1) == '_')) {
+          var j = i + 1
+          while (j < body.length && (body.charAt(j).isLetterOrDigit ||
+            body.charAt(j) == '_')) j += 1
+          named.get(body.substring(i + 1, j).toLowerCase) match {
+            case Some(v) => sb.append(s"($v)"); i = j
+            case None => sb += c; i += 1
+          }
+        } else { sb += c; i += 1 }
+      }
+      return sb.toString
+    }
     // $n placeholders, quote-aware (same scan discipline as the `?` pass
     // below — a literal `$1` inside a string constant must stay untouched)
     var out = {

@@ -2060,7 +2060,37 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("INSERT INTO colx VALUES (1,2,3)"),
     q("SELECT COLUMNS(* EXCLUDE (b)) FROM colx", Seq(1, 3)),
     q("SELECT min(COLUMNS(* EXCLUDE (b))) FROM colx", Seq(1, 3)),
-    s("DROP TABLE colx"))
+    s("DROP TABLE colx"),
+
+    // --- r8 batch 23: quantified comparisons, prepared named params,
+    // TABLE statement, csv auto-sniffing (probed) ---
+    s("CREATE TABLE qt (a INT, b VARCHAR)"),
+    s("INSERT INTO qt VALUES (1, 'x')"),
+    s("INSERT INTO qt BY POSITION VALUES (2, 'y')"), // explicit default
+    C("TABLE qt", Some(Seq(Seq(1, "x"), Seq(2, "y")))),
+    q("SELECT 2 = ALL(SELECT a FROM qt) AS e", Seq(false)),
+    q("SELECT 2 >= ALL(SELECT a FROM qt) AS ge", Seq(true)),
+    q("SELECT 0 < ALL(SELECT a FROM qt) AS l", Seq(true)),
+    q("SELECT 2 <> ANY(SELECT a FROM qt) AS ne", Seq(true)),
+    q("SELECT 5 > ANY(SELECT a FROM qt) AS ga", Seq(true)),
+    q("SELECT 2 = SOME(SELECT a FROM qt) AS so", Seq(true)),
+    q("SELECT 2 = ALL(SELECT a FROM qt WHERE a > 99) AS emp", Seq(true)),
+    q("SELECT 2 = ALL(SELECT CASE WHEN a = 1 THEN NULL ELSE a END " +
+      "FROM qt) AS nl", Seq(null)),
+    s("PREPARE qp AS SELECT $x + $y"),
+    q("EXECUTE qp(x := 2, y := 3)", Seq(5)),
+    s("DEALLOCATE qp"),
+    s("PREPARE qq AS SELECT a FROM qt WHERE b = ?"),
+    q("EXECUTE qq('y')", Seq(2)),
+    s("DEALLOCATE qq"),
+    s("COPY qt TO '/tmp/graft_corpus_pipe.csv' " +
+      "(FORMAT CSV, HEADER, DELIMITER '|')"),
+    // the delimiter sniffer: '|' detected with no delim option spelled
+    q("SELECT * FROM read_csv_auto('/tmp/graft_corpus_pipe.csv') " +
+      "ORDER BY a", Seq(1, "x"), Seq(2, "y")),
+    s("CHECKPOINT"),
+    s("VACUUM"),
+    s("DROP TABLE qt"))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
