@@ -509,8 +509,11 @@ class SqlGateway(val spark: SparkSession) {
   private val DescribeSelRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(SELECT\b.*)""".r
   private val PivotRe =
     """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)(?:\s+GROUP\s+BY\s+(.*?))?\s*""".r
+  // bare `PIVOT t ON c`: DuckDB defaults to count(*), zero-filled
+  private val PivotBareRe =
+    """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s*""".r
   private val UnpivotRe =
-    """(?is)\s*UNPIVOT\s+([\w.]+)\s+ON\s+(.*?)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)\s*""".r
+    """(?is)\s*UNPIVOT\s+([\w.]+|\((?:[^()]|\([^()]*\))*\))\s+ON\s+(.*?)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)\s*""".r
 
   /** Read path (reference `db/db.go:67-117`): local, lock-free. The
     * dialect's top-level analysis statements rewrite to their Spark
@@ -650,8 +653,12 @@ class SqlGateway(val spark: SparkSession) {
     case DescribeRe(table) => describe(table)
     case PivotRe(table, on, fn, arg, grp) =>
       pivotStatement(table, on, fn, arg, Option(grp))
+    case PivotBareRe(table, on) =>
+      pivotStatement(table, on, "count", "*", None)
     case UnpivotRe(table, onList, nameCol, valueCol) =>
-      val df = spark.table(table)
+      val df = if (table.startsWith("(")) // subquery source
+        queryDf(table.substring(1, table.length - 1))
+      else spark.table(table)
       val values = splitTopLevel(onList).map(c => col(c.trim))
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
@@ -2700,8 +2707,11 @@ class SqlGateway(val spark: SparkSession) {
         }})
     // list_reduce(l, (a,b) -> …): first element is the seed, the lambda
     // folds left over the rest — exactly Spark's aggregate over slice(2…)
-    if (out.toLowerCase.contains("list_reduce"))
-      out = fix(out, "list_reduce", 2, a => {
+    // bare `reduce(l, lambda)` is DuckDB's 2-arg list_reduce alias —
+    // Spark's own reduce() is the 3/4-arg aggregate form and keeps those
+    // arities (fix only matches arity 2)
+    for (fn <- Seq("list_reduce", "reduce") if out.toLowerCase.contains(fn))
+      out = fix(out, fn, 2, a => {
         val Lam = """(?is)^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.+)$""".r
         a(1).trim match {
           case Lam(x, y, body) => Some(
@@ -2712,6 +2722,13 @@ class SqlGateway(val spark: SparkSession) {
       })
     if (out.toLowerCase.contains("to_base"))
       out = fix(out, "to_base", 2, a => Some(s"conv(${a(0)}, 10, ${a(1)})"))
+    // date_add(d, INTERVAL ...) — DuckDB's interval overload; Spark's own
+    // date_add(d, int-days) keeps non-INTERVAL second args
+    if (out.toLowerCase.contains("date_add"))
+      out = fix(out, "date_add", 2, a =>
+        if ("""(?i)^\s*INTERVAL\b""".r.findFirstIn(a(1).trim).isDefined)
+          Some(s"((${a(0)}) + (${a(1)}))")
+        else None)
     if (out.toLowerCase.contains("unicode"))
       out = fix(out, "unicode", 1, a => Some(s"ascii(${a.head})"))
     // ORDER-BY-inside-aggregate, for the self-ordered forms whose Spark
@@ -5397,6 +5414,8 @@ class SqlGateway(val spark: SparkSession) {
       case "min" => min(col(arg))
       case "max" => max(col(arg))
       case "avg" => avg(col(arg))
+      case "first" => first(col(arg))
+      case "last" => last(col(arg))
       case other => throw new IllegalArgumentException(s"PIVOT USING $other unsupported")
     }
     val groupCols = grp match {
@@ -5406,7 +5425,15 @@ class SqlGateway(val spark: SparkSession) {
           .filterNot(c => c.equalsIgnoreCase(on) || c.equalsIgnoreCase(arg))
           .map(col).toSeq
     }
-    df.groupBy(groupCols: _*).pivot(on).agg(aggExpr)
+    val pivoted = df.groupBy(groupCols: _*).pivot(on).agg(aggExpr)
+    // bare-count pivots ZERO-fill the absent cells (probed); aggregate
+    // pivots keep NULL
+    if (fn.toLowerCase == "count" && arg == "*") {
+      val keyCols = groupCols.map(_.toString).toSet
+      pivoted.select(pivoted.columns.map(c =>
+        if (keyCols.contains(c)) col(s"`$c`")
+        else coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
+    } else pivoted
   }
 
   private def summarize(df: org.apache.spark.sql.DataFrame): DataFrame = {

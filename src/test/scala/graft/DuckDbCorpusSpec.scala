@@ -2090,7 +2090,47 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "ORDER BY a", Seq(1, "x"), Seq(2, "y")),
     s("CHECKPOINT"),
     s("VACUUM"),
-    s("DROP TABLE qt"))
+    s("DROP TABLE qt"),
+
+    // --- r8 batch 24: pivot defaults, interval overloads, lambda alias
+    // breadth (probed) ---
+    s("CREATE TABLE pv (city VARCHAR, yr INT, amt INT)"),
+    s("INSERT INTO pv VALUES ('a',2020,1),('a',2021,2),('b',2020,3)"),
+    // bare PIVOT: count(*) per pivot value, ZERO-filled, grouped by
+    // every non-pivot column
+    q("PIVOT pv ON yr",
+      Seq("a", 1, 1, 0), Seq("a", 2, 0, 1), Seq("b", 3, 1, 0)),
+    q("PIVOT pv ON yr USING first(amt)",
+      Seq("a", 1, 2), Seq("b", 3, null)),
+    q("UNPIVOT (SELECT 1 AS a, 2 AS b) ON a, b INTO NAME k VALUE v",
+      Seq("a", 1), Seq("b", 2)),
+    q("SELECT reduce([1,2,3], (a,b) -> a+b) AS r", Seq(6)),
+    q("SELECT list_apply([1,2], x -> x * 10) AS a, " +
+      "apply([3], x -> x + 1) AS b", Seq(Seq(10, 20), Seq(4))),
+    q("SELECT date_add(DATE '2024-01-01', INTERVAL 1 MONTH) AS d",
+      Seq("2024-02-01")),
+    q("SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS d", Seq("2024-02-29")),
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' - INTERVAL '90 minutes' AS t",
+      Seq("2023-12-31 22:30:00")),
+    q("SELECT generate_series(DATE '2024-01-01', DATE '2024-01-22', " +
+      "INTERVAL 1 WEEK) AS g",
+      Seq(Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"))),
+    q("SELECT strptime('05/2024/01', '%d/%Y/%m') AS t", Seq("2024-01-05")),
+    q("SELECT strftime(strptime('2024-01-05', '%Y-%m-%d'), '%A %d') AS s",
+      Seq("Friday 05")),
+    q("""SELECT to_json({'a': 1, 'b': [1,2]}) AS j""",
+      Seq("""{"a":1,"b":[1,2]}""")),
+    q("SELECT json_group_array(x) AS j FROM (VALUES (1),(2)) t(x)",
+      Seq("[1,2]")),
+    q("SELECT json_group_object(k, v) AS j FROM " +
+      "(VALUES ('a',1),('b',2)) t(k,v)", Seq("""{"a":1,"b":2}""")),
+    q("SELECT regexp_matches('hello', 'el+') AS m, " +
+      "regexp_full_match('hello', 'h.*o') AS f", Seq(true, true)),
+    q("SELECT suffix('hello', 'llo') AS s, prefix('hello', 'he') AS p",
+      Seq(true, true)),
+    q("SELECT string_split_regex('a1b22c', '\\d+') AS s",
+      Seq(Seq("a", "b", "c"))),
+    s("DROP TABLE pv"))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
@@ -2108,7 +2148,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
 
   private val QueryLead =
     Set("select", "with", "from", "values", "show", "describe", "summarize",
-      "pragma", "explain", "execute", "table")
+      "pragma", "explain", "execute", "table", "pivot", "unpivot")
 
   /** Value-level normalization: numeric width and DATE/TIMESTAMP rendering
     * are not what this corpus measures. */
