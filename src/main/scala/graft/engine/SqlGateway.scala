@@ -2245,6 +2245,20 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("array_size"))
       out = fix(out, "array_size", 2, a =>
         if (a(1).trim == "1") Some(s"size(${a(0)})") else None)
+    // list_contains/array_has/array_contains: DuckDB is NULL only for a
+    // NULL needle or NULL list — a null ELEMENT does not smear the result
+    // (probed: contains([1,NULL], 3) = false where Spark's 3VL says NULL)
+    if (out.toLowerCase.contains("array_contains"))
+      out = fix(out, "array_contains", 2, a => {
+        val (l, x) = (a(0).trim, a(1).trim)
+        if (l.startsWith("__ac_")) None
+        else if (x.equalsIgnoreCase("NULL") || l.equalsIgnoreCase("NULL"))
+          Some("CAST(NULL AS BOOLEAN)")
+        else Some(s"(CASE WHEN ($x) IS NULL OR (__ac_$l) IS NULL " +
+          s"THEN CAST(NULL AS BOOLEAN) " +
+          s"ELSE coalesce(array_contains(__ac_$l, $x), false) END)")
+      })
+    out = out.replace("__ac_", "")
     if (out.toLowerCase.contains("epoch_ns"))
       out = fix(out, "epoch_ns", 1, a =>
         Some(s"(unix_micros(${a.head}) * 1000)"))
@@ -4174,6 +4188,12 @@ class SqlGateway(val spark: SparkSession) {
       out = out.replaceAll(
         "(?i)\\btablesample\\s+reservoir\\s*\\(\\s*(\\d+)\\s*\\)",
         "TABLESAMPLE ($1 ROWS)")
+    // standard FETCH FIRST/NEXT n ROWS ONLY ≡ LIMIT n (ROW alone = 1)
+    if (out.toLowerCase.contains("fetch"))
+      out = out
+        .replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY",
+          "LIMIT $1")
+        .replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+ROW\\s+ONLY", "LIMIT 1")
     if (out.toLowerCase.contains("join"))
       out = out.replaceAll("(?i)(?<!left\\s)(?<!right\\s)\\b(semi|anti)\\s+join\\b",
         "LEFT $1 JOIN")

@@ -2130,7 +2130,39 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(true, true)),
     q("SELECT string_split_regex('a1b22c', '\\d+') AS s",
       Seq(Seq("a", "b", "c"))),
-    s("DROP TABLE pv"))
+    s("DROP TABLE pv"),
+
+    // --- r8 batch 25: set-op/limit spellings, contains NULL algebra ---
+    q("SELECT count(DISTINCT (a, b)) AS c FROM " +
+      "(VALUES (1,1),(1,1),(1,2)) t(a,b)", Seq(2)),
+    q("SELECT 1 IN (1, NULL) AS a, 3 IN (1, NULL) AS b, " +
+      "3 NOT IN (1, NULL) AS c", Seq(true, null, null)),
+    q("SELECT x FROM (VALUES (1),(2),(3)) t(x) OFFSET 1", Seq(2), Seq(3)),
+    q("SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x LIMIT ALL",
+      Seq(1), Seq(2), Seq(3)),
+    C("SELECT x FROM (VALUES (3),(1),(2)) t(x) ORDER BY x " +
+      "FETCH FIRST 2 ROWS ONLY", Some(Seq(Seq(1), Seq(2))), ordered = true),
+    q("SELECT a FROM (VALUES (1),(2),(2)) t(a) INTERSECT ALL " +
+      "SELECT a FROM (VALUES (2),(2),(3)) s(a)", Seq(2), Seq(2)),
+    q("SELECT a FROM (VALUES (1),(2),(2)) t(a) EXCEPT ALL " +
+      "SELECT a FROM (VALUES (2)) s(a)", Seq(1), Seq(2)),
+    q("SELECT a, b, sum(c) AS s FROM (VALUES (1,1,10),(2,1,20)) t(a,b,c) " +
+      "GROUP BY CUBE(a, b) ORDER BY a NULLS LAST, b NULLS LAST",
+      Seq(1, 1, 10), Seq(1, null, 10), Seq(2, 1, 20), Seq(2, null, 20),
+      Seq(null, 1, 30), Seq(null, null, 30)),
+    // DuckDB contains is NULL only for NULL needle/list — a null ELEMENT
+    // does not smear membership (Spark's raw array_contains 3VL would)
+    q("SELECT list_contains([1,2], NULL) AS a, " +
+      "list_contains([1,NULL], 3) AS b", Seq(null, false)),
+    q("SELECT list_contains([1,NULL], 1) AS d, " +
+      "array_contains([1,2], 2) AS e", Seq(true, true)),
+    q("SELECT count(*) FILTER (a > 1) AS c FROM (VALUES (1),(2)) t(a)",
+      Seq(1)),
+    q("SELECT last(x ORDER BY x DESC) AS l FROM (VALUES (1),(3),(2)) t(x)",
+      Seq(1)),
+    q("SELECT bit_and(x) AS a FROM (VALUES (6),(3)) t(x)", Seq(2)),
+    q("SELECT list(DISTINCT x) AS l FROM (VALUES (1),(1),(2)) t(x)",
+      Seq(Seq(1, 2))))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
