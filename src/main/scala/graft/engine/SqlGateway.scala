@@ -1047,23 +1047,27 @@ class SqlGateway(val spark: SparkSession) {
     var frontier = acc
     var rounds = 0
     var done = false
-    while (!done && rounds < 100000) {
-      frontier.createOrReplaceTempView(name)
-      val next = named(queryDf(step)).distinct()
-        .except(acc).localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        acc = acc.union(next).localCheckpoint()
-        frontier = next
-        rounds += 1
+    // finally-drop so a step/final that throws mid-loop can't leak the
+    // temp view and shadow a same-named table for the session's remainder
+    try {
+      while (!done && rounds < 100000) {
+        frontier.createOrReplaceTempView(name)
+        val next = named(queryDf(step)).distinct()
+          .except(acc).localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          acc = acc.union(next).localCheckpoint()
+          frontier = next
+          rounds += 1
+        }
       }
+      if (!done) throw new IllegalStateException(
+        s"WITH RECURSIVE $name: no fixpoint after $rounds iterations")
+      acc.createOrReplaceTempView(name)
+      (if (fin.isEmpty) acc else queryDf(fin)).localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(name)
     }
-    if (!done) throw new IllegalStateException(
-      s"WITH RECURSIVE $name: no fixpoint after $rounds iterations")
-    acc.createOrReplaceTempView(name)
-    val res = (if (fin.isEmpty) acc else queryDf(fin)).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    res
   }
 
   private def dialectQuery(sql: String): Option[DataFrame] = {
@@ -3722,7 +3726,12 @@ class SqlGateway(val spark: SparkSession) {
           val end = s"($begin + ($ln))"
           val lo = s"greatest(least($begin, $end), 0)"
           val hi = s"least(greatest($begin, $end), length($s))"
-          Some(s"substring($s, $lo + 1, greatest($hi - $lo, 0))")
+          // NULL start/length must propagate (probed: DuckDB returns
+          // NULL; the begin CASE would otherwise fall to ELSE -1 and
+          // greatest/least skip NULLs → silently wrong non-NULL rows)
+          Some(s"(CASE WHEN ($st) IS NULL OR ($ln) IS NULL " +
+            s"THEN CAST(NULL AS STRING) " +
+            s"ELSE substring($s, $lo + 1, greatest($hi - $lo, 0)) END)")
       })
     // list element extraction spellings (1-based, NULL out of range —
     // probed); array_extract on a STRING operand refuses downstream
@@ -4503,7 +4512,7 @@ class SqlGateway(val spark: SparkSession) {
     def lastSig: Char = {
       var j = sb.length - 1
       while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
-      if (j >= 0) sb.charAt(j) else ' '
+      if (j >= 0) sb.charAt(j) else '\u0000'
     }
     // copy sql[i ..] verbatim through the ']' matching the '[' at i
     def copyBracketVerbatim(): Unit = {
@@ -5813,6 +5822,10 @@ class SqlGateway(val spark: SparkSession) {
     val nameCols =
       if (!byName) cols
       else {
+        // DuckDB rejects combining BY NAME with an explicit column list —
+        // silently realigning a misaligned statement would corrupt
+        if (cols.isDefined) throw new IllegalArgumentException(
+          "INSERT BY NAME cannot be combined with an explicit column list")
         val unknown = batch.columns.filterNot(bc =>
           target.columns.exists(_.equalsIgnoreCase(bc)))
         if (unknown.nonEmpty) throw new IllegalArgumentException(

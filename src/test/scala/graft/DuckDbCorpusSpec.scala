@@ -2162,7 +2162,20 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(1)),
     q("SELECT bit_and(x) AS a FROM (VALUES (6),(3)) t(x)", Seq(2)),
     q("SELECT list(DISTINCT x) AS l FROM (VALUES (1),(1),(2)) t(x)",
-      Seq(Seq(1, 2))))
+      Seq(Seq(1, 2))),
+    // r9: NULL start/length propagate through the 3-arg substr index
+    // algebra (probed — the general rewrite's CASE would otherwise land
+    // on ELSE -1 and return a non-NULL slice)
+    q("SELECT substr('abc', NULL, 2) AS a, substr('abc', 2, NULL) AS b, " +
+      "substr('abc', NULL) AS c, substr(NULL, 1, 2) AS d",
+      Seq(null, null, null, null)),
+    q("SELECT substring(x, n, 2) AS s FROM " +
+      "(VALUES ('abc', 2), ('xyz', NULL)) t(x, n) ORDER BY x",
+      Seq("bc"), Seq(null)),
+    // DuckDB binder-errors on BY NAME + explicit column list; the gateway
+    // must refuse, not silently realign (probed: Binder Error)
+    s("CREATE TABLE corpus_byname(a INT, b INT)"),
+    s("INSERT INTO corpus_byname BY NAME (a, b) SELECT 1 AS a, 2 AS b"))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
