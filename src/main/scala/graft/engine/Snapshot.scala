@@ -44,7 +44,9 @@ object Snapshot {
       gw.namedTypes.toSeq.sortBy(_._1).map { case (n, spec) =>
         s"#type|$n|${b64(spec)}" } ++
       gw.columnDefaults.toSeq.sortBy(_._1).flatMap { case (t, m) =>
-        m.toSeq.sortBy(_._1).map { case (c, d) => s"#default|$t|$c|${b64(d)}" } }
+        m.toSeq.sortBy(_._1).map { case (c, d) => s"#default|$t|$c|${b64(d)}" } } ++
+      // registration order preserved — a view may reference earlier views
+      gw.viewDdl.map(ddl => s"#view|${b64(ddl)}")
     Files.write(Paths.get(dir, ManifestName),
       (manifest ++ meta).mkString("\n").getBytes("UTF-8"))
     tables
@@ -80,9 +82,13 @@ object Snapshot {
     // database-level metadata replaces wholesale, like the tables
     def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
     gw.sequences.clear(); gw.macros.clear(); gw.indexes.clear()
-    gw.namedTypes.clear(); gw.columnDefaults.clear()
+    gw.namedTypes.clear(); gw.columnDefaults.clear(); gw.clearViews()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
+        case "#view" :: ddl :: Nil =>
+          // replay through execute: full bind-now validation, and later
+          // manifest views may reference this one
+          gw.execute(unb64(ddl))
         case "#type" :: n :: spec :: Nil =>
           gw.namedTypes(n) = unb64(spec)
         case "#default" :: t :: c :: d :: Nil =>

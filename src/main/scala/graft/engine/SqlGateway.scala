@@ -222,6 +222,29 @@ class SqlGateway(val spark: SparkSession) {
   private[engine] val namedTypes = new TrieMap[String, String]
   /** table → current data-directory version (versioned-location tables). */
   private val versions = new TrieMap[String, Int]
+  /** CREATE VIEW registry: key → (display name, optional column aliases,
+    * body SQL). DuckDB re-binds a view's body at EVERY query (probed:
+    * reflects later inserts, base-table drop+recreate, txn own-writes);
+    * Spark's catalog views store the body text and re-analyze it with
+    * SPARK semantics, bypassing every dialect pass (1-based subscripts,
+    * `//`, duck casts, NULLS placement, /0→NULL…) — the silent-wrong
+    * class this gateway eliminates. So views live HERE: the body runs
+    * through the full [[queryDf]] pipeline and is materialized as a temp
+    * view, re-materialized lazily after any mutating statement (the only
+    * moments a DuckDB re-bind could observe anything new). Reference:
+    * views reach the engine as plain statements via `db/db.go:70`. */
+  private val userViews =
+    new scala.collection.mutable.LinkedHashMap[String, (String, Option[Seq[String]], String)]
+  /** view key → bind error replayed when a statement references it (body
+    * no longer binds, or infinite recursion — DuckDB raises at bind). */
+  private val brokenViews = new TrieMap[String, String]
+  /** view key → [[mutationGen]] at which its temp view was materialized. */
+  private val viewGen = new TrieMap[String, Long]
+  /** compiled whole-word reference pattern per registered name. */
+  private val viewRefRe = new TrieMap[String, scala.util.matching.Regex]
+  /** bumped after every successful mutating statement; a view whose
+    * generation lags is re-materialized before its next use. */
+  @volatile private var mutationGen = 0L
 
   private val CreateRe =
     """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
@@ -239,6 +262,11 @@ class SqlGateway(val spark: SparkSession) {
   private val DeleteUsingRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.*)""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+  private val CreateViewRe =
+    ("""(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+""" +
+     """(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*(?:\(([^()]*)\))?\s*AS\s+(.*)""").r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
   // snapshot statements, reachable through the same passthrough a client
   // uses in the reference (`store/store.go:263` sends `EXPORT DATABASE
   // '<dir>' (FORMAT PARQUET)`, `store/store.go:314` `IMPORT DATABASE
@@ -314,7 +342,14 @@ class SqlGateway(val spark: SparkSession) {
 
   /** Write path (reference `db/db.go:49-65`). */
   def execute(sql: String): ExecuteResult = writeLock.synchronized {
-    sql match {
+    // view DDL manages the registry itself — a broken view must stay
+    // droppable/replaceable, so its bind error is not replayed here
+    val isViewDdl = sql match {
+      case CreateViewRe(_, _, _, _, _) | DropViewRe(_, _) => true
+      case _ => false
+    }
+    if (!isViewDdl) ensureUserViews(sql)
+    val res = sql match {
       case BeginRe() => beginTxn()
       case CommitRe() => commitTxn()
       case RollbackRe() => rollbackTxn()
@@ -393,6 +428,11 @@ class SqlGateway(val spark: SparkSession) {
       case CreateRe(orReplace, ine, table, colSpec) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
         createTable(table, colSpec, ine != null)
+      case CreateViewRe(orReplace, ine, name, aliases, body) =>
+        createView(orReplace != null, ine != null, name,
+          Option(aliases).map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty)),
+          body.trim)
+      case DropViewRe(ife, name) => dropView(ife != null, name)
       case InsertPrefixRe(orMode, table, rest0) =>
         // `INSERT INTO t BY NAME <source>`: batch columns align to the
         // target's by NAME, not position; an unknown batch column errors
@@ -498,6 +538,12 @@ class SqlGateway(val spark: SparkSession) {
         runSql(other)
         ExecuteResult(0L)
     }
+    // a successful mutation is the only moment a DuckDB lazy view
+    // re-bind could observe anything new — lagging views rematerialize
+    // on their next use (ensureUserViews)
+    if (MutatingLead(sql.trim.split("""[\s(]""", 2)(0).toLowerCase))
+      mutationGen += 1
+    res
   }
 
   private val SummarizeRe = """(?is)\s*SUMMARIZE\s+([\w.]+)\s*""".r
@@ -585,7 +631,12 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
 
-  def queryDf(sql: String): DataFrame = sql match {
+  def queryDf(sql: String): DataFrame = {
+    ensureUserViews(sql) // lazy DuckDB-style view re-bind, no-op when none
+    queryDf0(sql)
+  }
+
+  private def queryDf0(sql: String): DataFrame = sql match {
     case ExecuteStmtRe(name, args) if prepared.contains(name.toLowerCase) =>
       queryDf(bindPrepared(name, Option(args)))
     case s if dmlReturning(s).isDefined =>
@@ -606,13 +657,11 @@ class SqlGateway(val spark: SparkSession) {
         ("analyzed_plan", plan), ("runtime_s", f"$secs%.3f")))
         .toDF("explain_key", "explain_value")
     case PragmaTableInfoRe(table) => pragmaTableInfo(table)
-    case PragmaShowTablesRe() =>
-      spark.sql("SHOW TABLES").select(col("tableName").as("name"))
+    case PragmaShowTablesRe() => showTablesDf
     // `SHOW TABLES` renders DuckDB's single `name` column (Spark's native
     // three-column shape would silently diverge); `SHOW <table>` is
     // DESCRIBE (probed: identical six-column output)
-    case ShowTablesStmtRe() =>
-      spark.sql("SHOW TABLES").select(col("tableName").as("name"))
+    case ShowTablesStmtRe() => showTablesDf
     case ShowTableRe(table) if spark.catalog.tableExists(table) =>
       describe(table)
     case PragmaVersionRe() =>
@@ -5278,6 +5327,163 @@ class SqlGateway(val spark: SparkSession) {
     }
   }
 
+  // --- user views ------------------------------------------------------
+  // Lazy-bound like DuckDB's: the registry holds body TEXT; materialization
+  // runs the body through the full dialect pipeline and registers the
+  // result as a temp view, re-done when a mutation may have changed what a
+  // fresh bind would see. Registry scaladoc at [[userViews]].
+
+  private val MutatingLead = Set("insert", "update", "delete", "create",
+    "drop", "alter", "truncate", "copy", "import", "begin", "commit",
+    "rollback", "set", "reset")
+
+  /** Whole-word, case-insensitive, quote-aware (even count of preceding
+    * single quotes) occurrence of registered name `key` in `text`. */
+  private def referencesName(text: String, key: String): Boolean = {
+    val re = viewRefRe.getOrElseUpdate(key,
+      ("""(?i)(?<![\w.$"])""" + java.util.regex.Pattern.quote(key) +
+        """(?![\w$])""").r)
+    re.findAllMatchIn(text).exists(m =>
+      text.substring(0, m.start).count(_ == '\'') % 2 == 0)
+  }
+
+  /** Bring every view the statement references (plus transitive view
+    * dependencies) up to the current mutation generation, then replay the
+    * bind error of any referenced view whose body no longer binds. Cheap
+    * when no views are registered or none are referenced. */
+  private def ensureUserViews(sql: String): Unit = {
+    if (userViews.isEmpty) return
+    val keys = userViews.keys.toSeq
+    val roots = keys.filter(k => referencesName(sql, k))
+    if (roots.isEmpty) return
+    // transitive closure through bodies, then cycle + staleness handling
+    val closure = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(k: String): Unit = if (closure.add(k))
+      keys.filter(d => d != k &&
+        referencesName(stripComments(userViews(k)._3), d)).foreach(visit)
+    roots.foreach(visit)
+    val gen = mutationGen
+    val stale = closure.filter(k => viewGen.get(k).forall(_ != gen))
+    if (stale.nonEmpty) materializeViews(closure.toSeq, stale.toSet, gen)
+    roots.foreach(k => brokenViews.get(k).foreach(msg =>
+      throw new IllegalArgumentException(msg)))
+  }
+
+  /** Materialize `stale` views (dependencies first, within `closure`).
+    * Never throws: a body that fails to bind — base table dropped, column
+    * renamed, or the DuckDB-probed infinite-recursion case — records its
+    * error for replay and loses its temp view, exactly a lazy binder's
+    * observable behavior. */
+  private def materializeViews(closure: Seq[String], stale: Set[String],
+      gen: Long): Unit = {
+    val keys = userViews.keys.toSeq
+    val refMap = closure.map(k => k ->
+      keys.filter(d => referencesName(stripComments(userViews(k)._3), d)).toSet).toMap
+    def reachesSelf(k: String): Boolean = {
+      val seen = scala.collection.mutable.HashSet[String]()
+      def go(c: String): Boolean = refMap.get(c).exists(r =>
+        r.contains(k) || r.exists(d => seen.add(d) && go(d)))
+      go(k)
+    }
+    val done = scala.collection.mutable.HashSet[String]()
+    def make(k: String): Unit = {
+      if (!done.add(k)) return
+      (refMap(k) - k).foreach(make)
+      if (!stale.contains(k)) return
+      // stale temp view must not satisfy a self-referencing body with
+      // the OLD contents (DuckDB: infinite recursion error — probed)
+      try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
+      brokenViews.remove(k)
+      if (reachesSelf(k)) {
+        brokenViews(k) = "infinite recursion detected: attempting to " +
+          s"""recursively bind view "${userViews(k)._1}""""
+      } else {
+        val (_, aliases, body) = userViews(k)
+        try materializeViewDf(aliases, body).createOrReplaceTempView(k)
+        catch { case scala.util.control.NonFatal(e) =>
+          brokenViews(k) = Option(e.getMessage).getOrElse(e.toString) }
+      }
+      viewGen(k) = gen
+    }
+    closure.foreach(make)
+  }
+
+  /** The body through the FULL dialect pipeline, with DuckDB's view
+    * column-alias rule: aliases rename the leading columns, the rest keep
+    * their own names; more aliases than columns is a bind error (probed). */
+  private def materializeViewDf(aliases: Option[Seq[String]],
+      body: String): DataFrame = {
+    val df = queryDf(body)
+    aliases.filter(_.nonEmpty).map { as =>
+      if (as.length > df.columns.length) throw new IllegalArgumentException(
+        "More VIEW aliases than columns in query result")
+      df.toDF((as ++ df.columns.drop(as.length)).toIndexedSeq: _*)
+    }.getOrElse(df)
+  }
+
+  private def createView(orReplace: Boolean, ifNotExists: Boolean,
+      name: String, aliases: Option[Seq[String]], body: String): ExecuteResult = {
+    val key = tableKey(name)
+    if (!userViews.contains(key) && spark.catalog.tableExists(name))
+      throw new IllegalArgumentException(
+        s"Existing object $name is of type Table, trying to replace with type View")
+    if (userViews.contains(key) && !orReplace) {
+      if (ifNotExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(
+        s"""View with name "$name" already exists""")
+    }
+    // bind NOW against the PRE-replace catalog (DuckDB: CREATE errors on
+    // an unbindable body; an OR REPLACE body naming the view itself binds
+    // here and raises infinite recursion at query time — both probed)
+    ensureUserViews(body)
+    materializeViewDf(aliases, body)
+    userViews(key) = (name, aliases, body)
+    brokenViews.remove(key)
+    viewGen.remove(key) // force materialization on first use
+    ExecuteResult(0L)
+  }
+
+  private def dropView(ifExists: Boolean, name: String): ExecuteResult = {
+    val key = tableKey(name)
+    if (!userViews.contains(key)) {
+      if (spark.catalog.tableExists(name))
+        throw new IllegalArgumentException(
+          s"Existing object $name is of type Table, trying to replace with type View")
+      if (ifExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(s"View with name $name does not exist!")
+    }
+    userViews.remove(key)
+    brokenViews.remove(key)
+    viewGen.remove(key)
+    try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
+    ExecuteResult(0L)
+  }
+
+  /** DuckDB's SHOW TABLES lists views too (probed) — including a broken
+    * one, whose temp view is gone but whose catalog entry remains. */
+  private def showTablesDf: DataFrame = {
+    import spark.implicits._
+    val catalog = spark.sql("SHOW TABLES")
+      .select(col("tableName").as("name"))
+    val views = userViews.keys.toSeq.toDF("name")
+    catalog.union(views).distinct().orderBy("name")
+  }
+
+  /** Drop every registered view (IMPORT DATABASE replaces whole-db state). */
+  private[engine] def clearViews(): Unit = {
+    userViews.keys.toSeq.foreach(k =>
+      try spark.catalog.dropTempView(k) catch { case _: Throwable => () })
+    userViews.clear(); brokenViews.clear(); viewGen.clear()
+  }
+
+  /** Registered views as replayable CREATE statements (snapshot export). */
+  private[engine] def viewDdl: Seq[String] = userViews.values.toSeq.map {
+    case (disp, aliases, body) =>
+      val colList = aliases.filter(_.nonEmpty).map(_.mkString("(", ", ", ")"))
+        .getOrElse("")
+      s"CREATE VIEW $disp$colList AS $body"
+  }
+
   private[engine] def rewriteSql(sql: String): String = {
     val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
@@ -5517,6 +5723,9 @@ class SqlGateway(val spark: SparkSession) {
   /** Create `table` populated from `df`, versioned from birth (v0). Used
     * by CTAS and by snapshot import. */
   private[engine] def createFromData(table: String, df: DataFrame): Unit = {
+    if (userViews.contains(tableKey(table)))
+      throw new IllegalArgumentException(
+        s"Existing object $table is of type View, trying to replace with type Table")
     if (spark.catalog.tableExists(table))
       throw new IllegalArgumentException(s"table $table already exists")
     val loc = s"${tableRoot(table)}/v0"
@@ -5528,6 +5737,9 @@ class SqlGateway(val spark: SparkSession) {
   }
 
   private[engine] def dropTable(table: String): ExecuteResult = {
+    if (userViews.contains(tableKey(table)))
+      throw new IllegalArgumentException(
+        s"Existing object $table is of type View, trying to replace with type Table")
     if (inTxn)
       throw new IllegalArgumentException(
         "DROP TABLE inside a transaction is not supported " +
@@ -5560,6 +5772,9 @@ class SqlGateway(val spark: SparkSession) {
   //     the declared name stamped into field metadata for DatabaseTypeName
   //     fidelity (db/db.go:89-93), and remember the constraints.
   private def createTable(table: String, colSpec: String, ifNotExists: Boolean): ExecuteResult = {
+    if (userViews.contains(tableKey(table)))
+      throw new IllegalArgumentException(
+        s"Existing object $table is of type View, trying to replace with type Table")
     // IF NOT EXISTS on an existing table is a no-op (DuckDB semantics) —
     // and must NOT overwrite the live table's constraint metadata
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)

@@ -2175,7 +2175,68 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // DuckDB binder-errors on BY NAME + explicit column list; the gateway
     // must refuse, not silently realign (probed: Binder Error)
     s("CREATE TABLE corpus_byname(a INT, b INT)"),
-    s("INSERT INTO corpus_byname BY NAME (a, b) SELECT 1 AS a, 2 AS b"))
+    s("INSERT INTO corpus_byname BY NAME (a, b) SELECT 1 AS a, 2 AS b"),
+
+    // --- r9: view bodies carry full duck-dialect semantics (every result
+    // probed against live DuckDB; bodies exercise the plan-level passes a
+    // Spark catalog view would silently lose: 1-based/negative subscripts,
+    // //, % 0 → NULL, duck casts, slices, DATE-DATE day counts, default
+    // NULLS LAST, QUALIFY) ---
+    s("CREATE TABLE vc_t(id INT, xs INT[], s VARCHAR, d DATE)"),
+    s("INSERT INTO vc_t VALUES (1, [5,6,7], 'alpha', DATE '2024-03-15'), " +
+      "(2, [8], 'beta', DATE '2024-07-01'), (3, [], 'gamma', DATE '2024-12-31')"),
+    s("CREATE VIEW vc_sub AS SELECT id, xs[1] AS hd, xs[-1] AS tl FROM vc_t"),
+    q("SELECT * FROM vc_sub ORDER BY id",
+      Seq(1, 5, 7), Seq(2, 8, 8), Seq(3, null, null)),
+    s("CREATE VIEW vc_div AS SELECT id, id // 2 AS fd, id % 0 AS mz, " +
+      "1 / 0 AS dz FROM vc_t"),
+    q("SELECT * FROM vc_div ORDER BY id",
+      Seq(1, 0, null, null), Seq(2, 1, null, null), Seq(3, 1, null, null)),
+    s("CREATE VIEW vc_cast AS SELECT '3.7'::DOUBLE AS dd, 3.7::INT AS ri, " +
+      "'[1, 2]'::INT[] AS li FROM vc_t WHERE id = 1"),
+    q("SELECT * FROM vc_cast", Seq(3.7, 4, Seq(1, 2))),
+    s("CREATE VIEW vc_str AS SELECT id, strftime(d, '%Y/%m') AS ym, " +
+      "s[2:3] AS mid FROM vc_t"),
+    q("SELECT * FROM vc_str ORDER BY id",
+      Seq(1, "2024/03", "lp"), Seq(2, "2024/07", "et"), Seq(3, "2024/12", "am")),
+    s("CREATE VIEW vc_date AS SELECT id, d - DATE '2024-01-01' AS days, " +
+      "date_part('month', d) AS m FROM vc_t"),
+    q("SELECT * FROM vc_date ORDER BY id",
+      Seq(1, 74, 3), Seq(2, 182, 7), Seq(3, 365, 12)),
+    s("CREATE VIEW vc_ord AS SELECT id, " +
+      "CASE WHEN id = 2 THEN NULL ELSE id END AS k FROM vc_t"),
+    C("SELECT k FROM vc_ord ORDER BY k",
+      Some(Seq(Seq(1), Seq(3), Seq(null))), ordered = true),
+    C("SELECT k FROM vc_ord ORDER BY k DESC",
+      Some(Seq(Seq(3), Seq(1), Seq(null))), ordered = true),
+    s("CREATE VIEW vc_agg(grp, n) AS SELECT len(xs) > 0, count(*) " +
+      "FROM vc_t GROUP BY 1"),
+    q("SELECT * FROM vc_agg ORDER BY grp", Seq(false, 1), Seq(true, 2)),
+    s("CREATE VIEW vc_joined AS SELECT a.id, b.hd FROM vc_t a " +
+      "JOIN vc_sub b ON a.id = b.id WHERE b.hd IS NOT NULL"),
+    q("SELECT count(*) AS n FROM vc_joined", Seq(2)),
+    s("CREATE VIEW vc_win AS SELECT id, " +
+      "row_number() OVER (ORDER BY d DESC) AS rn FROM vc_t"),
+    q("SELECT id, rn FROM vc_win ORDER BY id", Seq(1, 3), Seq(2, 2), Seq(3, 1)),
+    q("SELECT v.hd + w.fd AS c FROM vc_sub v JOIN vc_div w USING (id) " +
+      "ORDER BY c", Seq(5), Seq(9), Seq(null)),
+    // OR REPLACE re-binds dependents lazily: vc_joined follows the NEW
+    // vc_sub definition on its next query (probed)
+    s("CREATE OR REPLACE VIEW vc_sub AS SELECT id, xs[1] * 100 AS hd FROM vc_t"),
+    q("SELECT max(hd) AS m FROM vc_sub", Seq(800)),
+    q("SELECT count(*) AS n FROM vc_joined", Seq(2)),
+    s("CREATE VIEW vc_lst AS SELECT list_aggregate(xs, 'sum') AS ls, " +
+      "xs[2:] AS rest FROM vc_t WHERE id = 1"),
+    q("SELECT * FROM vc_lst", Seq(18, Seq(6, 7))),
+    // lazy binding: an insert AFTER create is visible through the view
+    s("INSERT INTO vc_t VALUES (4, [9], 'delta', DATE '2025-01-01')"),
+    q("SELECT count(*) AS n FROM vc_sub", Seq(4)),
+    s("CREATE VIEW vc_q AS SELECT id FROM vc_t " +
+      "QUALIFY row_number() OVER (ORDER BY id) <= 2"),
+    q("SELECT * FROM vc_q ORDER BY id", Seq(1), Seq(2)),
+    s("CREATE VIEW vc_sum AS SELECT sum(id) AS s, " +
+      "quantile_cont(id, 0.5) AS med FROM vc_t"),
+    q("SELECT * FROM vc_sum", Seq(10, 2.5)))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(

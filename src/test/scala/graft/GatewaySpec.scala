@@ -768,6 +768,83 @@ class GatewaySpec extends SparkTestBase {
     assert(back.values.head.head == 2L)
   }
 
+  test("views bind lazily with full duck-dialect bodies (subscripts, //)") {
+    gw.execute("DROP TABLE IF EXISTS vlz")
+    gw.execute("CREATE TABLE vlz (a integer, l integer[])")
+    gw.execute("INSERT INTO vlz VALUES (1, [10, 20]), (2, [30])")
+    // body uses 1-based subscripts and integer // — both plan-level
+    // passes a Spark catalog view would silently lose
+    gw.execute("CREATE VIEW vlzv AS SELECT a, l[1] AS hd, a // 2 AS h FROM vlz")
+    assert(gw.query("SELECT hd FROM vlzv ORDER BY a").values.map(_.head) ==
+      Seq(10L, 30L))
+    // lazy re-bind: a later insert is visible (DuckDB probed)
+    gw.execute("INSERT INTO vlz VALUES (3, [40])")
+    assert(gw.query("SELECT count(*) AS n FROM vlzv").values.head.head == 3L)
+    // view-on-view with a partial alias list: aliases rename the LEADING
+    // columns, the rest keep their names (DuckDB probed)
+    gw.execute("CREATE VIEW vlzw(x) AS SELECT hd, h FROM vlzv")
+    assert(gw.query("SELECT max(x) AS m FROM vlzw").values.head.head == 40L)
+    assert(gw.query("SELECT * FROM vlzw").columns == Seq("x", "h"))
+    val tooMany = intercept[Exception] {
+      gw.execute("CREATE VIEW vlzbad(p, q, r) AS SELECT a FROM vlz") }
+    assert(tooMany.getMessage.contains("More VIEW aliases"))
+    gw.execute("DROP VIEW vlzw"); gw.execute("DROP VIEW vlzv")
+    gw.execute("DROP TABLE vlz")
+  }
+
+  test("view/table name conflicts and recursion refuse like DuckDB") {
+    gw.execute("DROP TABLE IF EXISTS vnc")
+    gw.execute("CREATE TABLE vnc (a integer)")
+    gw.execute("INSERT INTO vnc VALUES (1)")
+    gw.execute("CREATE VIEW vncv AS SELECT a FROM vnc")
+    assert(intercept[Exception] { gw.execute("CREATE VIEW vncv AS SELECT 2") }
+      .getMessage.contains("already exists"))
+    gw.execute("CREATE VIEW IF NOT EXISTS vncv AS SELECT 2") // no-op
+    assert(gw.query("SELECT a FROM vncv").values.head.head == 1L)
+    assert(intercept[Exception] { gw.execute("CREATE TABLE vncv (z integer)") }
+      .getMessage.contains("type View"))
+    assert(intercept[Exception] { gw.execute("DROP TABLE vncv") }
+      .getMessage.contains("type View"))
+    assert(intercept[Exception] { gw.execute("DROP VIEW vnc") }
+      .getMessage.contains("type Table"))
+    assert(intercept[Exception] { gw.execute("DROP VIEW vgone") }
+      .getMessage.contains("does not exist"))
+    gw.execute("DROP VIEW IF EXISTS vgone") // no-op
+    // OR REPLACE binds against the PRE-replace catalog; querying the
+    // now-self-referencing view raises DuckDB's recursion error (probed)
+    gw.execute("CREATE OR REPLACE VIEW vncv AS SELECT a FROM vncv")
+    assert(intercept[Exception] { gw.query("SELECT * FROM vncv") }
+      .getMessage.contains("infinite recursion"))
+    gw.execute("DROP VIEW vncv") // a broken view stays droppable
+    // base drop breaks the view loudly; recreate rebinds it (probed)
+    gw.execute("CREATE VIEW vncd AS SELECT a FROM vnc")
+    gw.execute("DROP TABLE vnc")
+    intercept[Exception] { gw.query("SELECT * FROM vncd") }
+    gw.execute("CREATE TABLE vnc (a integer)")
+    gw.execute("INSERT INTO vnc VALUES (7)")
+    assert(gw.query("SELECT a FROM vncd").values.head.head == 7L)
+    gw.execute("DROP VIEW vncd"); gw.execute("DROP TABLE vnc")
+  }
+
+  test("views see transaction own-writes and survive EXPORT/IMPORT") {
+    gw.execute("DROP TABLE IF EXISTS vtx")
+    gw.execute("CREATE TABLE vtx (a integer)")
+    gw.execute("INSERT INTO vtx VALUES (1)")
+    gw.execute("CREATE VIEW vtxv AS SELECT a * 10 AS d FROM vtx")
+    gw.execute("BEGIN")
+    gw.execute("INSERT INTO vtx VALUES (2)")
+    // DuckDB probed: a view queried inside a txn sees the txn's writes
+    assert(gw.query("SELECT count(*) AS n FROM vtxv").values.head.head == 2L)
+    gw.execute("ROLLBACK")
+    assert(gw.query("SELECT count(*) AS n FROM vtxv").values.head.head == 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-viewsnap").toString
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("DROP VIEW vtxv")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    assert(gw.query("SELECT d FROM vtxv").values.head.head == 10L)
+    gw.execute("DROP VIEW vtxv"); gw.execute("DROP TABLE vtx")
+  }
+
   test("CREATE VIEW / DROP VIEW pass through and compose with gateway tables") {
     gw.execute("DROP TABLE IF EXISTS vt")
     gw.execute("CREATE TABLE vt (id integer, v integer)")
