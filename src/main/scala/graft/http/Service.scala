@@ -35,7 +35,9 @@ import java.nio.charset.StandardCharsets
   */
 class Service(gateway: SqlGateway, port: Int = 0,
               leaderUrl: Option[String] = None, nodeId: String = "node0",
-              followLog: Boolean = false) {
+              followLog: Boolean = false,
+              logDir: Option[String] = None,
+              snapshotEvery: Int = 0) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   // cluster membership (id → addr), owned by the leader — the engine's
   // twin of the reference's Raft voter configuration, which starts with
@@ -56,18 +58,31 @@ class Service(gateway: SqlGateway, port: Int = 0,
   // gives deterministic read-your-leader-writes freshness with no
   // background thread; `markSynced` seats the replica's index at the
   // snapshot's log position after hydration.
+  // r9 durability parity: with `logDir` set, the log persists as JSONL
+  // (the reference persists its Raft log in BoltDB, `store/store.go:
+  // 101-111`), SNAPSHOT truncates it with retention 2 (`store/store.go:
+  // 22,257-269`), and a leader restart recovers state as snapshot-restore
+  // + suffix replay — Raft's exact boot sequence. `stmtLog` holds only
+  // the suffix past `baseIndex` (= entries folded into the newest
+  // snapshot); absolute index of list slot j is baseIndex + j + 1.
   private val stmtLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  private val baseIndex = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastApplied = new java.util.concurrent.atomic.AtomicLong(0L)
   private val syncLock = new Object
+  private val logLock = new Object
+  private def logFile = logDir.map(d => java.nio.file.Paths.get(d, "stmtlog.jsonl"))
+  private def snapRoot = logDir.map(d => java.nio.file.Paths.get(d, "snapshots"))
   server.createContext("/db/execute", handler(handleExecute))
   server.createContext("/db/query", handler(handleQuery))
   server.createContext("/status", handler(handleStatus))
   server.createContext("/join", handler(handleJoin))
   server.createContext("/log", handler(handleLog))
+  server.createContext("/snapshot", snapshotHandler)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
   def start(): Int = {
+    if (leaderUrl.isEmpty) recoverFromDisk()
     server.start()
     // the bootstrapping node is its own first member (store/store.go:149-156)
     if (leaderUrl.isEmpty)
@@ -125,8 +140,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
     try {
       val sql = readSql(ex)
-      val (res, ms) = timed(gateway.execute(sql))
-      stmtLog.add(sql) // committed → logged (an erroring statement never is)
+      // execute + append under logLock so a concurrent SNAPSHOT can't
+      // export state whose last write is missing from the log
+      val (res, ms) = timed(logLock.synchronized {
+        val r = gateway.execute(sql)
+        appendLog(sql) // committed → logged (an erroring statement never is)
+        r
+      })
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
       case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
@@ -137,24 +157,190 @@ class Service(gateway: SqlGateway, port: Int = 0,
   /** The leader's log position (index of the last committed write). A
     * snapshot shipped at this moment pairs with this index — pass it to
     * the replica's [[markSynced]] so replay starts past the snapshot. */
-  def logIndex: Long = stmtLog.size.toLong
+  def logIndex: Long = baseIndex.get + stmtLog.size
+
+  private def appendLog(sql: String): Unit = {
+    stmtLog.add(sql)
+    val idx = baseIndex.get + stmtLog.size
+    logFile.foreach { p =>
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (s"""{"i": "$idx", "sql": ${Json.str(sql)}}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery) takeSnapshot()
+  }
+
+  /** Snapshot dirs under `logDir/snapshots`, as (index, path), ascending. */
+  private def listSnapshots: Seq[(Long, java.nio.file.Path)] =
+    snapRoot.toSeq.flatMap { root =>
+      if (!java.nio.file.Files.isDirectory(root)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator.asScala.toSeq.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("snap_")) scala.util.Try(n.drop(5).toLong).toOption
+            .map(_ -> p) else None
+        }.sortBy(_._1)
+      }
+    }
+
+  /** Take a snapshot NOW: EXPORT DATABASE paired with the current log
+    * index, retention 2 (`store/store.go:22` retainSnapshotCount), then
+    * truncate the log through the snapshot index (`store/store.go:257-269`
+    * — Raft compacts entries folded into the snapshot). Returns the
+    * snapshot's log index. Requires `logDir`. */
+  def takeSnapshot(): Long = logLock.synchronized {
+    val root = snapRoot.getOrElse(throw new IllegalStateException(
+      "snapshotting requires a logDir"))
+    val idx = logIndex
+    java.nio.file.Files.createDirectories(root)
+    Snapshot.exportDatabase(gateway, root.resolve(s"snap_$idx").toString)
+    listSnapshots.dropRight(2).foreach { case (_, p) => deleteRecursively(p) }
+    // compact: everything ≤ idx now lives in the snapshot
+    while (stmtLog.size > 0 && baseIndex.get < idx) {
+      stmtLog.remove(0); baseIndex.incrementAndGet()
+    }
+    rewriteLogFile()
+    idx
+  }
+
+  /** Rewrite the persisted log to exactly the in-memory suffix. */
+  private def rewriteLogFile(): Unit = logFile.foreach { p =>
+    java.nio.file.Files.createDirectories(p.getParent)
+    val sb = new StringBuilder
+    var i = baseIndex.get
+    stmtLog.forEach { sql =>
+      i += 1
+      sb.append(s"""{"i": "$i", "sql": ${Json.str(sql)}}""").append('\n')
+    }
+    java.nio.file.Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Leader boot recovery — Raft's exact sequence (`store/store.go:
+    * 101-114` snapshot store + BoltDB log feed NewRaft): restore the
+    * newest on-disk snapshot, then replay the persisted log suffix past
+    * its index. A fresh `logDir` (or none) recovers nothing. */
+  private def recoverFromDisk(): Unit = logLock.synchronized {
+    if (logDir.isEmpty) return
+    val snaps = listSnapshots
+    val snapIdx = snaps.lastOption.map { case (idx, p) =>
+      Snapshot.importDatabase(gateway, p.toString); idx
+    }.getOrElse(0L)
+    baseIndex.set(snapIdx)
+    stmtLog.clear()
+    logFile.filter(java.nio.file.Files.exists(_)).foreach { p =>
+      val entries = new String(java.nio.file.Files.readAllBytes(p),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+        .flatMap { line =>
+          for {
+            i <- Json.extractField(line, "i").flatMap(s =>
+              scala.util.Try(s.toLong).toOption)
+            sql <- Json.extractField(line, "sql")
+          } yield (i, sql)
+        }.filter(_._1 > snapIdx).sortBy(_._1)
+      entries.foreach { case (_, sql) =>
+        gateway.execute(sql)
+        stmtLog.add(sql)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator.asScala.toSeq
+        .foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
 
   /** Seat this (replica) service's applied-log position — called after
     * snapshot hydration with the leader's [[logIndex]] at export time. */
   def markSynced(idx: Long): Unit = lastApplied.set(idx)
 
   /** `GET /log?since=N` → the committed statements with index > N, as
-    * numbered string fields (`"s<idx>": "<sql>"`) plus `last_index`. */
+    * numbered string fields (`"s<idx>": "<sql>"`) plus `last_index`. A
+    * `since` that predates the truncation point answers
+    * `snapshot_required` instead — the replica must install the newest
+    * snapshot first (Raft: a follower whose next index was compacted away
+    * gets InstallSnapshot, `store/store.go:271-320` Restore). */
   private def handleLog(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "GET") return (405, obj("error" -> "\"GET only\""))
     val since = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
       .find(_.startsWith("since=")).map(_.drop(6)))
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
-    val upTo = stmtLog.size.toLong // snapshot the bound; the list only grows
-    val entries = (since + 1) to upTo
-    (200, obj(entries.map(i =>
-      s"s$i" -> Json.str(stmtLog.get((i - 1).toInt))) :+
-      ("last_index" -> upTo.toString): _*))
+    logLock.synchronized { // consistent (base, suffix) vs a concurrent compaction
+      val base = baseIndex.get
+      if (since < base) {
+        val snapIdx = listSnapshots.lastOption.map(_._1).getOrElse(base)
+        return (200, obj("snapshot_required" -> Json.str("true"),
+          "snapshot_index" -> Json.str(snapIdx.toString),
+          "last_index" -> logIndex.toString))
+      }
+      val upTo = logIndex
+      val entries = (since + 1) to upTo
+      (200, obj(entries.map(i =>
+        s"s$i" -> Json.str(stmtLog.get((i - base - 1).toInt))) :+
+        ("last_index" -> upTo.toString): _*))
+    }
+  }
+
+  /** `POST /snapshot` (leader) → take one now, answer its index.
+    * `GET /snapshot` → the newest snapshot dir as a zip stream with its
+    * log index in `X-Snapshot-Index` — the wire twin of Raft's
+    * InstallSnapshot payload (`store/store.go:322-371` fsmSnapshot
+    * Persist streams a tar of the EXPORT DATABASE dir). */
+  private def snapshotHandler: HttpHandler = (ex: HttpExchange) => {
+    try ex.getRequestMethod match {
+      case "POST" =>
+        if (leaderUrl.isDefined) {
+          val out = obj("error" -> Json.str("not leader"))
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(500, out.length)
+          ex.getResponseBody.write(out)
+        } else {
+          val idx = takeSnapshot()
+          val out = obj("index" -> Json.str(idx.toString))
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, out.length)
+          ex.getResponseBody.write(out)
+        }
+      case "GET" =>
+        listSnapshots.lastOption match {
+          case None => ex.sendResponseHeaders(404, -1)
+          case Some((idx, dir)) =>
+            ex.getResponseHeaders.add("Content-Type", "application/zip")
+            ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
+            ex.sendResponseHeaders(200, 0) // chunked
+            val zos = new java.util.zip.ZipOutputStream(ex.getResponseBody)
+            zipDir(dir, dir, zos)
+            zos.finish()
+        }
+      case _ => ex.sendResponseHeaders(405, -1)
+    } catch { case e: Throwable =>
+      val out = obj("error" -> Json.str(e.getMessage))
+        .getBytes(StandardCharsets.UTF_8)
+      try { ex.sendResponseHeaders(500, out.length)
+        ex.getResponseBody.write(out) } catch { case _: Throwable => () }
+    } finally ex.close()
+  }
+
+  private def zipDir(root: java.nio.file.Path, p: java.nio.file.Path,
+      zos: java.util.zip.ZipOutputStream): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator.asScala.toSeq.sortBy(_.toString)
+        .foreach(zipDir(root, _, zos))
+    else {
+      zos.putNextEntry(new java.util.zip.ZipEntry(
+        root.relativize(p).toString))
+      java.nio.file.Files.copy(p, zos)
+      zos.closeEntry()
+    }
   }
 
   /** Pull the leader's log suffix past our applied index and replay it
@@ -162,10 +348,19 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * each statement exactly once and in log order. */
   private def syncFromLeader(): Unit = if (followLog) leaderUrl.foreach { base =>
     syncLock.synchronized {
-      val conn = java.net.URI.create(s"$base/log?since=${lastApplied.get}")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      val body = try new String(conn.getInputStream.readAllBytes(),
-        StandardCharsets.UTF_8) finally conn.disconnect()
+      def pull(): String = {
+        val conn = java.net.URI.create(s"$base/log?since=${lastApplied.get}")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(conn.getInputStream.readAllBytes(),
+          StandardCharsets.UTF_8) finally conn.disconnect()
+      }
+      var body = pull()
+      // our suffix was compacted away — install the newest snapshot,
+      // seat the applied index at its log position, then pull again
+      if (Json.extractField(body, "snapshot_required").contains("true")) {
+        installSnapshot(base)
+        body = pull()
+      }
       val entries = Json.stringFields(body).collect {
         case (k, sql) if k.startsWith("s") && k.drop(1).nonEmpty &&
             k.drop(1).forall(_.isDigit) => k.drop(1).toLong -> sql
@@ -174,6 +369,34 @@ class Service(gateway: SqlGateway, port: Int = 0,
         if (i > lastApplied.get) { gateway.execute(sql); lastApplied.set(i) }
       }
     }
+  }
+
+  /** Fetch `GET /snapshot` (zip + `X-Snapshot-Index`), unpack, IMPORT
+    * DATABASE, and seat [[lastApplied]] at the snapshot's log index —
+    * the reference's Restore (`store/store.go:271-320`: untar the
+    * shipped archive, `IMPORT DATABASE` it, state replaced wholesale). */
+  private def installSnapshot(base: String): Unit = {
+    val conn = java.net.URI.create(s"$base/snapshot")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      val idx = Option(conn.getHeaderField("X-Snapshot-Index"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(throw new IllegalStateException(
+          "leader offered no snapshot to install"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-install")
+      val zis = new java.util.zip.ZipInputStream(conn.getInputStream)
+      var e = zis.getNextEntry
+      while (e != null) {
+        val target = tmp.resolve(e.getName).normalize()
+        if (!target.startsWith(tmp)) // zip-slip guard
+          throw new IllegalArgumentException(s"bad zip entry: ${e.getName}")
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.copy(zis, target)
+        e = zis.getNextEntry
+      }
+      gateway.execute(s"IMPORT DATABASE '$tmp'")
+      lastApplied.set(idx)
+    } finally conn.disconnect()
   }
 
   private def handleQuery(ex: HttpExchange): (Int, String) = {

@@ -254,4 +254,111 @@ class ReplicaSpec extends SparkTestBase {
       leader.stop()
     }
   }
+
+  test("durable log: snapshot truncation with retention 2, and a lagging " +
+       "replica past the truncation point snapshot-installs over the wire " +
+       "(store/store.go:22,257-320 parity)") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-durlog").toString
+
+    val leaderSess = spark.newSession()
+    leaderSess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-dur-lwh").toString)
+    leaderSess.sql("CREATE DATABASE IF NOT EXISTS dur_leader_ns")
+    leaderSess.catalog.setCurrentDatabase("dur_leader_ns")
+    val leaderGw = new SqlGateway(leaderSess)
+    val leader = new Service(leaderGw, logDir = Some(logDir))
+    val lPort = leader.start()
+
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-dur-fwh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS dur_follow_ns")
+    sess.catalog.setCurrentDatabase("dur_follow_ns")
+    val gw = new SqlGateway(sess)
+    val svc = new Service(gw, leaderUrl = Some(s"http://localhost:$lPort"),
+      nodeId = "durfollower", followLog = true)
+    val rPort = svc.start()
+
+    try {
+      def exec(sql: String): Unit =
+        assert(newHttp(lPort, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      exec("CREATE TABLE dur_t (id integer, v text)")
+      exec("INSERT INTO dur_t VALUES (1, 'a')")
+
+      // two snapshots; a third proves retention 2 (oldest deleted)
+      assert(newHttp(lPort, "POST", "/snapshot")._1 == 200)
+      exec("INSERT INTO dur_t VALUES (2, 'b')")
+      assert(newHttp(lPort, "POST", "/snapshot")._1 == 200)
+      exec("INSERT INTO dur_t VALUES (3, 'c')")
+      val (sc, sb, _) = newHttp(lPort, "POST", "/snapshot")
+      assert(sc == 200 && sb.contains("\"index\": \"4\""), sb)
+      val snaps = new java.io.File(s"$logDir/snapshots").listFiles()
+        .map(_.getName).sorted.toSeq
+      assert(snaps == Seq("snap_3", "snap_4"), snaps.toString)
+
+      // post-truncation write, then the lagging replica's FIRST read:
+      // since=0 predates the truncation point → snapshot-install (zip
+      // over /snapshot) + suffix replay, all inside one query call
+      exec("INSERT INTO dur_t VALUES (4, 'd')")
+      val (c0, b0, _) = newHttp(rPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20dur_t")
+      assert(c0 == 200 && b0.contains("[4]"),
+        s"lagging replica did not recover past truncation: $b0")
+      val (_, rs, _) = newHttp(rPort, "GET", "/status")
+      assert(rs.contains("\"applied_index\": \"5\""), rs)
+    } finally {
+      svc.stop()
+      leader.stop()
+    }
+  }
+
+  test("leader restart: a new service over the same log dir recovers " +
+       "snapshot + suffix to identical reads (store/store.go:101-114 " +
+       "boot parity)") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+
+    val sess1 = spark.newSession()
+    sess1.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-rs1-wh").toString)
+    sess1.sql("CREATE DATABASE IF NOT EXISTS rs1_ns")
+    sess1.catalog.setCurrentDatabase("rs1_ns")
+    val gw1 = new SqlGateway(sess1)
+    val leader1 = new Service(gw1, logDir = Some(logDir))
+    val p1 = leader1.start()
+    try {
+      def exec(sql: String): Unit =
+        assert(newHttp(p1, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      exec("CREATE TABLE rs_t (id integer primary key, v text)")
+      exec("INSERT INTO rs_t VALUES (1, 'a'), (2, 'b')")
+      assert(newHttp(p1, "POST", "/snapshot")._1 == 200)
+      // suffix AFTER the snapshot — recovery must replay it on top
+      exec("INSERT INTO rs_t VALUES (3, 'c')")
+      exec("CREATE VIEW rs_v AS SELECT id * 10 AS d FROM rs_t")
+    } finally leader1.stop()
+
+    // "restart": fresh session state, fresh namespace, fresh gateway —
+    // ONLY the log dir survives, exactly a process restart
+    val sess2 = spark.newSession()
+    sess2.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-rs2-wh").toString)
+    sess2.sql("CREATE DATABASE IF NOT EXISTS rs2_ns")
+    sess2.catalog.setCurrentDatabase("rs2_ns")
+    val gw2 = new SqlGateway(sess2)
+    val leader2 = new Service(gw2, logDir = Some(logDir))
+    val p2 = leader2.start()
+    try {
+      val (c, b, _) = newHttp(p2, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20c,%20sum(id)%20AS%20s%20FROM%20rs_t")
+      assert(c == 200 && b.contains("[3, 6]"), s"restart lost state: $b")
+      // the post-snapshot CREATE VIEW replayed too (duck semantics held)
+      val (cv, bv, _) = newHttp(p2, "GET",
+        "/db/query?q=SELECT%20max(d)%20AS%20m%20FROM%20rs_v")
+      assert(cv == 200 && bv.contains("[30]"), bv)
+      // the log position carried across the restart (4 statements)
+      val (_, st, _) = newHttp(p2, "GET", "/status")
+      assert(st.contains("\"log_index\": \"4\""), st)
+    } finally leader2.stop()
+  }
 }
