@@ -126,7 +126,57 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val passes = (1 to nPasses).map(_ => pass())
+    // SPARK_GRAFT_ORDER=adjacent: repeat each query nPasses× back-to-back
+    // instead of interleaving full passes — the diagnostic arm that
+    // separates per-query hot cost from the interleave's cache-cold tax
+    // (r9: suite-hot exec sums ~17 s while the interleaved bench sums
+    // ~46 s on the same box state). The REPORTED protocol stays
+    // interleaved — DuckDB's leg runs the suite the same one-after-another
+    // way, so interleaved-min is the honest cross-engine shape.
+    val adjacent = sys.env.get("SPARK_GRAFT_ORDER").contains("adjacent")
+    if (adjacent) {
+      import scala.jdk.CollectionConverters._
+      def gcMsA(): Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val loadS = loadavg()
+      val g0 = gcMsA(); val t0 = System.nanoTime()
+      val res = ordered.map { case (name, fn) =>
+        val ts = (1 to nPasses).map { _ =>
+          val t = System.nanoTime()
+          val ok = try {
+            ops.PlanProfile.withProfile(spark, name) {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }; true
+          } catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t) / 1e9 else -1.0
+        }
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val total = res.map(_._2).filter(_ >= 0).sum
+      val detail = res.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+        f"""{"total":$total%.3f,"sf":"$sfDir","passes":$nPasses,"order":"adjacent","load_start":$loadS,"load_end":${loadavg()},"pass_meta":[{"wall_s":$wall%.2f,"gc_ms":${gcMsA() - g0}}],"queries":$detail}""")
+      catch { case _: Throwable => () }
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","order":"adjacent","sf":"$sfDir","passes":$nPasses}""")
+      spark.stop()
+      return
+    }
+    // per-pass GC budget (r9): cumulative collector time sampled around
+    // each pass, so the artifact shows how much of the in-suite tax is
+    // collector time vs execution — the solo-vs-in-suite gap on the weak
+    // entries was adjudicated as GC/allocator interference (VERDICT r8)
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val passMeta = Seq.newBuilder[(Double, Long)] // (wall s, gc ms)
+    val passes = (1 to nPasses).map { _ =>
+      val (t0, g0) = (System.nanoTime(), gcMs())
+      val p = pass()
+      passMeta += (((System.nanoTime() - t0) / 1e9, gcMs() - g0))
+      p
+    }
     val results = ordered.map { case (name, _) =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -139,8 +189,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = passMeta.result().map { case (w, g) =>
+      f"""{"wall_s":$w%.2f,"gc_ms":$g}""" }.mkString("[", ",", "]")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"total":$total,"sf":"$sfDir","passes":$nPasses,"load_start":$loadStart,"load_end":$loadEnd,"queries":$detail}""")
+      s"""{"total":$total,"sf":"$sfDir","passes":$nPasses,"load_start":$loadStart,"load_end":$loadEnd,"pass_meta":$passJson,"queries":$detail}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":[$loadStart,$loadEnd],"passes":$nPasses}""")
     spark.stop()

@@ -3179,6 +3179,25 @@ class SqlGateway(val spark: SparkSession) {
             s"percentile_disc(${a(1)}) WITHIN GROUP (ORDER BY ${a(0)})")
         }
       })
+    // mode() WITHIN GROUP (ORDER BY x) — DuckDB's ordered-set spelling of
+    // mode(x) (probed: most-frequent value; the ORDER BY names the input).
+    // Spark's deterministic mode breaks ties by lowest value, matching
+    // DuckDB's observed smallest-value pick on ties.
+    if (out.toLowerCase.contains("mode()"))
+      out = out.replaceAll(
+        """(?is)\bmode\s*\(\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)(?:\s+(?:ASC|DESC))?\s*\)""",
+        "mode($1, true)")
+    // percentile_cont([q1,q2,...]) WITHIN GROUP — DuckDB's fraction-LIST
+    // overload (probed: returns the list of interpolated percentiles);
+    // Spark's percentile_cont takes no array, but exact interpolated
+    // percentile() does
+    if (out.toLowerCase.contains("percentile_cont")) {
+      val ContList = ("""(?is)\bpercentile_cont\s*\(\s*\[([^\[\]]*)\]\s*\)\s*""" +
+        """WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)""").r
+      out = ContList.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"percentile(${m.group(2)}, array(${m.group(1)}))"))
+    }
     // json_extract / the -> operator return JSON text (strings keep
     // their quotes — probed: '$.a' of {"a":"x"} is '"x"'); Spark's
     // variant path round-trips that exactly. json_extract_string/->>
@@ -4237,15 +4256,21 @@ class SqlGateway(val spark: SparkSession) {
           "TABLESAMPLE ($1 ROWS)")
         .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+(?:\\.\\d+)?)\\s*(?:%|percent\\b)",
           "TABLESAMPLE ($1 PERCENT)")
-        .replaceAll("(?i)\\busing\\s+sample\\s+reservoir\\s*\\(\\s*(\\d+)\\s*\\)",
-          "TABLESAMPLE ($1 ROWS)")
+        .replaceAll("(?i)\\busing\\s+sample\\s+reservoir\\s*\\(\\s*(\\d+)" +
+          "(?:\\s+rows)?\\s*\\)", "TABLESAMPLE ($1 ROWS)")
         // bare row count: `USING SAMPLE 2` samples 2 rows (probed)
         .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+)\\b(?!\\s*(?:%|percent|rows))",
           "TABLESAMPLE ($1 ROWS)")
     if (out.toLowerCase.contains("tablesample"))
       out = out.replaceAll(
-        "(?i)\\btablesample\\s+reservoir\\s*\\(\\s*(\\d+)\\s*\\)",
+        "(?i)\\btablesample\\s+reservoir\\s*\\(\\s*(\\d+)(?:\\s+rows)?\\s*\\)",
         "TABLESAMPLE ($1 ROWS)")
+        // DuckDB admits parenless TABLESAMPLE (`t TABLESAMPLE 100%`,
+        // `TABLESAMPLE 3 ROWS` — probed); Spark's grammar wants parens
+        .replaceAll("(?i)\\btablesample\\s+(\\d+(?:\\.\\d+)?)\\s*(?:%|percent\\b)",
+          "TABLESAMPLE ($1 PERCENT)")
+        .replaceAll("(?i)\\btablesample\\s+(\\d+)\\s+rows\\b",
+          "TABLESAMPLE ($1 ROWS)")
     // standard FETCH FIRST/NEXT n ROWS ONLY ≡ LIMIT n (ROW alone = 1)
     if (out.toLowerCase.contains("fetch"))
       out = out
@@ -4362,20 +4387,41 @@ class SqlGateway(val spark: SparkSession) {
           java.util.regex.Matcher.quoteReplacement(m.matched)
         else m.matched.replace("_", ""))
     }
-    // equality under DuckDB collations folds BOTH sides (probed:
-    // 'ABC' = 'abc' COLLATE NOCASE is true) — NOCASE via lower,
-    // NOACCENT via the registered strip_accents
+    // comparisons under DuckDB collations fold BOTH sides (probed:
+    // 'ABC' = 'abc' COLLATE NOCASE true, 'a' < 'B' COLLATE NOCASE true)
+    // — NOCASE via lower, NOACCENT via the registered strip_accents,
+    // dotted combinations compose ('Ölung' = 'olung' COLLATE
+    // NOCASE.NOACCENT — probed). A leftover single-operand COLLATE (an
+    // ORDER BY key) folds just that key; it never fires on a
+    // comparison's right side (the operator guard), so both-sides
+    // folding can't silently degrade to one-sided.
     if (out.toLowerCase.contains("collate")) {
-      val Col = (s"(?i)$Operand\\s*=\\s*$Operand\\s+COLLATE\\s+" +
-        "(NOCASE|NOACCENT)").r
+      val Spec = """((?:NOCASE|NOACCENT)(?:\.(?:NOCASE|NOACCENT))*)"""
+      def fold(expr: String, spec: String): String =
+        spec.toLowerCase.split("\\.").foldLeft(expr) {
+          case (e, "nocase") => s"lower($e)"
+          case (e, "noaccent") => s"strip_accents($e)"
+          case (e, _) => e
+        }
+      val Col = (s"(?i)$Operand\\s*(=|<>|!=|<=|>=|<|>)\\s*$Operand" +
+        s"\\s+COLLATE\\s+$Spec").r
       val kIn = out
       out = Col.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(
           if (!balancedBefore(kIn, m.start)) m.matched
-          else if (m.group(3).equalsIgnoreCase("NOCASE"))
-            s"(lower(${m.group(1)}) = lower(${m.group(2)}))"
-          else
-            s"(strip_accents(${m.group(1)}) = strip_accents(${m.group(2)}))"))
+          else s"(${fold(m.group(1), m.group(4))} ${m.group(2)} " +
+            s"${fold(m.group(3), m.group(4))})"))
+      if (out.toLowerCase.contains("collate")) {
+        val Single = (s"(?i)$Operand\\s+COLLATE\\s+$Spec").r
+        val sIn = out
+        out = Single.replaceAllIn(out, m => {
+          val prev = sIn.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+          java.util.regex.Matcher.quoteReplacement(
+            if (!balancedBefore(sIn, m.start) ||
+                prev.headOption.exists(c => "=<>!".contains(c))) m.matched
+            else fold(m.group(1), m.group(2)))
+        })
+      }
     }
     // x ^@ y — starts_with operator (probed)
     if (out.contains("^@")) {
@@ -4837,8 +4883,33 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteWindowExclude(rewriteDuckTypeSpellings(rewriteDuckLiterals(
-        escapeLiteralBackslashes(rewriteCurrentQuery(sql))))))))
+      rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
+        rewriteDuckLiterals(escapeLiteralBackslashes(
+          rewriteCurrentQuery(sql)))))))))
+
+  /** `OVER (w ROWS BETWEEN ...)` — a named-WINDOW reference extended with
+    * a frame (DuckDB grammar; Spark's parser takes `OVER w` but not the
+    * parenthesized extension). Inline the window's definition in front of
+    * the frame text; plain `OVER w` references stay for Spark to resolve.
+    * Runs BEFORE rewriteWindowExclude so an inlined frame's EXCLUDE still
+    * gets the frame-minus-excluded treatment. */
+  private def inlineNamedWindowFrames(sql: String): String = {
+    if (!"""(?i)\bwindow\s+\w+\s+as\s*\(""".r.findFirstIn(sql).isDefined)
+      return sql
+    val Def = """(?is)\bWINDOW\s+(\w+)\s+AS\s*\(([^()]*)\)(?:\s*,\s*(\w+)\s+AS\s*\(([^()]*)\))*""".r
+    // collect every `name AS (def)` pair in each WINDOW clause (the
+    // regex's repeated group only captures the last; rescan pairwise)
+    val Pair = """(?is)(\w+)\s+AS\s*\(([^()]*)\)""".r
+    val defs = Def.findAllMatchIn(sql).flatMap(m =>
+      Pair.findAllMatchIn(m.matched).map(p => p.group(1) -> p.group(2).trim))
+      .toMap
+    if (defs.isEmpty) return sql
+    defs.foldLeft(sql) { case (s, (name, body)) =>
+      s.replaceAll(
+        s"""(?is)\\bOVER\\s*\\(\\s*$name\\s+(?=(?:ROWS|RANGE|GROUPS)\\b)""",
+        java.util.regex.Matcher.quoteReplacement(s"OVER ($body ") )
+    }
+  }
 
   /** SQL-spelled window frame `EXCLUDE` (DuckDB 1.0 grammar: EXCLUDE may
     * only follow an explicit ROWS/RANGE frame — probed) → the

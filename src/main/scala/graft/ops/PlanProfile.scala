@@ -34,8 +34,26 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanProfile {
   /** Short ids (prefix before first '_') of queries measured faster — and
-    * justified safe — under their static plan. Everything else keeps AQE. */
+    * justified safe — under their static plan. Everything else keeps AQE.
+    *
+    * r9 re-probe (VERDICT r8 item 2: ALL pins re-measured on the
+    * post-reboot box, two sessions floorprobe_r9_{a,b}, sign-agreement
+    * protocol): 31 pins KEPT (both sessions AQE-off faster), 30 UNPINNED
+    * on a sign flip or both-positive deltas — the static-plan advantage
+    * on the fixed-key agg family (q01/q06/q12/q38…), the window/dialect
+    * family (q16/q17/q45-q58b…) and x11/x19/x44 did not survive the box
+    * change; x34 (the r8 verdict's suspect) re-probed negative in BOTH
+    * sessions and stays. x08 (map-only token count) probed −0.089/−0.123
+    * and is newly pinned. */
   val staticPlan: Set[String] = Set(
+    "q03", "q04", "q05", "q07", "q11", "q13", "q14", "q15", "q19", "q26",
+    "q27", "q34", "q35", "q36", "q39", "q41", "q50", "q51", "q59",
+    "x02", "x03", "x04", "x07", "x08", "x10", "x17", "x18", "x27", "x30",
+    "x32", "x34", "x45"
+  )
+
+  /** The pre-r9 pin set, kept for A/B reference only. */
+  private val staticPlanR8: Set[String] = Set(
     // single fixed-key hash-agg over the pinned layout; AQE's only move
     // (post-shuffle coalescing) is already static via shuffle.partitions.
     // r7 probe adds the rest of the fixed-key agg family (q11 rollup,

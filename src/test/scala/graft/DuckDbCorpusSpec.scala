@@ -2236,7 +2236,66 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT * FROM vc_q ORDER BY id", Seq(1), Seq(2)),
     s("CREATE VIEW vc_sum AS SELECT sum(id) AS s, " +
       "quantile_cont(id, 0.5) AS med FROM vc_t"),
-    q("SELECT * FROM vc_sum", Seq(10, 2.5)))
+    q("SELECT * FROM vc_sum", Seq(10, 2.5)),
+
+    // --- r9: WITHIN GROUP ordered-set aggregates (all probed) ---
+    s("CREATE TABLE wg_t(g VARCHAR, v INT)"),
+    s("INSERT INTO wg_t VALUES ('a',1),('a',2),('a',3),('b',10),('b',20)," +
+      "(NULL,5)"),
+    q("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p FROM wg_t",
+      Seq(4.0)),
+    q("SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY v) AS p FROM wg_t",
+      Seq(2.25)),
+    q("SELECT g, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p " +
+      "FROM wg_t GROUP BY g ORDER BY g NULLS LAST",
+      Seq("a", 2.0), Seq("b", 15.0), Seq(null, 5.0)),
+    q("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p FROM wg_t",
+      Seq(3)),
+    // DESC ordered-set: probed value (not the naive 1-q mapping)
+    q("SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY v DESC) AS p " +
+      "FROM wg_t", Seq(1)),
+    q("SELECT mode() WITHIN GROUP (ORDER BY g) AS m FROM wg_t", Seq("a")),
+    // fraction-LIST overload returns the percentile list (probed)
+    q("SELECT percentile_cont([0.25, 0.75]) WITHIN GROUP (ORDER BY v) AS p " +
+      "FROM wg_t", Seq(Seq(2.25, 8.75))),
+
+    // --- r9: named WINDOW clauses incl. frame extension (probed) ---
+    C("SELECT v, sum(v) OVER w AS s FROM wg_t " +
+      "WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY v LIMIT 3",
+      Some(Seq(Seq(1, 1), Seq(2, 3), Seq(3, 6))), ordered = true),
+    C("SELECT v, rank() OVER w AS r, lead(v) OVER w AS l FROM wg_t " +
+      "WINDOW w AS (ORDER BY v) ORDER BY v LIMIT 3",
+      Some(Seq(Seq(1, 1, 2), Seq(2, 2, 3), Seq(3, 3, 5))), ordered = true),
+    // a named-window reference EXTENDED with a frame inside OVER (...)
+    C("SELECT v, sum(v) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) " +
+      "AS s FROM wg_t WINDOW w AS (ORDER BY v) ORDER BY v LIMIT 3",
+      Some(Seq(Seq(1, 1), Seq(2, 3), Seq(3, 5))), ordered = true),
+    C("SELECT v, count(*) OVER w1 AS a, count(*) OVER w2 AS b FROM wg_t " +
+      "WINDOW w1 AS (ORDER BY v), w2 AS (PARTITION BY g) ORDER BY v LIMIT 2",
+      Some(Seq(Seq(1, 1, 3), Seq(2, 2, 3))), ordered = true),
+
+    // --- r9: COLLATE breadth (probed: comparisons fold BOTH sides;
+    // dotted combos compose; ORDER BY keys fold alone) ---
+    q("SELECT 'HELLO' = 'hello' COLLATE NOCASE AS e", Seq(true)),
+    q("SELECT 'a' < 'B' COLLATE NOCASE AS lt, 'a' < 'B' AS raw",
+      Seq(true, false)),
+    q("SELECT 'Ölung' = 'olung' COLLATE NOCASE.NOACCENT AS e", Seq(true)),
+    q("SELECT 'ö' = 'o' COLLATE NOACCENT AS e", Seq(true)),
+    q("SELECT g FROM wg_t WHERE g IS NOT NULL " +
+      "ORDER BY g COLLATE NOCASE LIMIT 1", Seq("a")),
+
+    // --- r9: multi-key DISTINCT ON + sampling spellings (probed) ---
+    s("CREATE TABLE dm_t(a INT, b INT, v INT)"),
+    s("INSERT INTO dm_t VALUES (1,1,9),(1,1,8),(1,2,7),(2,1,6),(2,1,5)"),
+    q("SELECT DISTINCT ON (a, b) a, b, v FROM dm_t ORDER BY a, b, v",
+      Seq(1, 1, 8), Seq(1, 2, 7), Seq(2, 1, 5)),
+    q("SELECT DISTINCT ON (a, b) a, b, v FROM dm_t ORDER BY a, b, v DESC",
+      Seq(1, 1, 9), Seq(1, 2, 7), Seq(2, 1, 6)),
+    q("SELECT count(*) AS n FROM dm_t TABLESAMPLE 100%", Seq(5)),
+    q("SELECT count(*) AS n FROM dm_t TABLESAMPLE 3 ROWS", Seq(3)),
+    q("SELECT count(*) AS n FROM dm_t USING SAMPLE 2", Seq(2)),
+    q("SELECT count(*) AS n FROM dm_t " +
+      "USING SAMPLE reservoir(4 ROWS) REPEATABLE (100)", Seq(4)))
 
   // fixture for the read_text/read_blob entries above
   java.nio.file.Files.write(
