@@ -14,17 +14,48 @@ object Snapshot {
   // field and list separators, e.g. `||` concat)
   private val ManifestName = "manifest.txt"
 
-  def exportDatabase(gw: SqlGateway, dir: String): Seq[String] = {
+  /** A consistent database cut: per-table data handles pinned to the
+    * version dirs live at capture time, plus the manifest text captured at
+    * the same instant. Capture is metadata-speed (version-dir file lists +
+    * map copies) so the caller can hold its write/log lock only across
+    * [[captureCut]] and run [[exportCut]] with writers flowing — the async
+    * shape of the reference's Raft snapshot persist (hashicorp
+    * FileSnapshotStore, `store/store.go:101`). Release [[pins]] via
+    * `gw.releasePins` when done (exported or failed). */
+  final case class Cut private[engine] (
+      tables: Seq[String],
+      frames: Seq[(String, org.apache.spark.sql.DataFrame)],
+      manifestLines: Seq[String],
+      pins: Seq[String])
+
+  def captureCut(gw: SqlGateway): Cut = {
     val spark = gw.spark
-    Files.createDirectories(Paths.get(dir))
     // gateway tables are LOCATION-backed (EXTERNAL, versioned dirs);
     // passthrough-created ones are MANAGED — snapshot both, skip temp views
     val tables = spark.catalog.listTables().collect()
       .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
       .map(_.name).toSeq.sorted
-    tables.foreach { t =>
-      spark.table(t).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t")
+    val pins = Seq.newBuilder[String]
+    val frames = tables.map { t =>
+      gw.pinTableCut(t) match {
+        case Some((dir, files)) =>
+          pins += dir
+          val schema = spark.table(t).schema
+          val df =
+            if (files.isEmpty) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            else spark.read.schema(schema).parquet(files: _*)
+          t -> df
+        case None =>
+          // managed passthrough tables have no version dir to pin — their
+          // in-place overwrite path forces an eager copy at capture time
+          t -> spark.table(t).localCheckpoint(eager = true)
+      }
     }
+    Cut(tables, frames, manifestLines(gw, tables), pins.result())
+  }
+
+  private def manifestLines(gw: SqlGateway, tables: Seq[String]): Seq[String] = {
     val manifest = tables.map { t =>
       val (pk, nn) = gw.constraints.getOrElse(t.toLowerCase, (Nil, Nil))
       val ck = gw.checks.getOrElse(t.toLowerCase, Nil).map(e =>
@@ -45,11 +76,33 @@ object Snapshot {
         s"#type|$n|${b64(spec)}" } ++
       gw.columnDefaults.toSeq.sortBy(_._1).flatMap { case (t, m) =>
         m.toSeq.sortBy(_._1).map { case (c, d) => s"#default|$t|$c|${b64(d)}" } } ++
-      // registration order preserved — a view may reference earlier views
-      gw.viewDdl.map(ddl => s"#view|${b64(ddl)}")
+      // registration order preserved — a view may reference earlier views.
+      // Structured (not DDL-replay) so import can register WITHOUT binding:
+      // a live state may legally hold a broken or self-referencing view,
+      // whose CREATE VIEW replay would abort restore mid-import.
+      gw.viewEntries.map { case (name, aliases, body) =>
+        s"#view2|${b64(name)}|${b64(aliases.map(_.mkString(",")).getOrElse(""))}|${b64(body)}"
+      }
+    manifest ++ meta
+  }
+
+  /** Write an already-captured [[Cut]] to `dir`. Safe to run with writers
+    * active — the cut's frames read only pinned, immutable file lists. */
+  def exportCut(cut: Cut, dir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(dir))
+    cut.frames.foreach { case (t, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t")
+    }
     Files.write(Paths.get(dir, ManifestName),
-      (manifest ++ meta).mkString("\n").getBytes("UTF-8"))
-    tables
+      cut.manifestLines.mkString("\n").getBytes("UTF-8"))
+    cut.tables
+  }
+
+  /** Synchronous capture+export (the `EXPORT DATABASE` statement path —
+    * already serialized under the gateway write lock). */
+  def exportDatabase(gw: SqlGateway, dir: String): Seq[String] = {
+    val cut = captureCut(gw)
+    try exportCut(cut, dir) finally gw.releasePins(cut.pins)
   }
 
   def importDatabase(gw: SqlGateway, dir: String): Seq[String] = {
@@ -85,9 +138,15 @@ object Snapshot {
     gw.namedTypes.clear(); gw.columnDefaults.clear(); gw.clearViews()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
+        case "#view2" :: n :: as :: b :: Nil =>
+          // register WITHOUT bind-now: restore must complete even when a
+          // view is broken (base table dropped post-create) or
+          // self-referencing; first use lazily binds and records any error
+          val aliases = Some(unb64(as)).filter(_.nonEmpty)
+            .map(_.split(",", -1).map(_.trim).toSeq)
+          gw.registerViewRaw(unb64(n), aliases, unb64(b))
         case "#view" :: ddl :: Nil =>
-          // replay through execute: full bind-now validation, and later
-          // manifest views may reference this one
+          // pre-r10 manifest format: DDL replay (bind-now)
           gw.execute(unb64(ddl))
         case "#type" :: n :: spec :: Nil =>
           gw.namedTypes(n) = unb64(spec)

@@ -43,6 +43,10 @@ class SqlGateway(val spark: SparkSession) {
   // map_concat(MAP{'a':1}, MAP{'a':9}) → {'a':9}); Spark's default
   // policy throws instead
   spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+  // DuckDB's double quotes delimit IDENTIFIERS, never strings (probed:
+  // `SELECT "a" FROM (SELECT 1 AS a) t` → 1; `SELECT "nosuch"` → binder
+  // error, not a literal). Spark's ANSI flag gives exactly that reading.
+  spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
 
   // DuckDB-exact regexp_replace (first-match default, RE2 rewrite syntax,
   // option letters — graft.functions.DuckRegexpReplace scaladoc): every
@@ -233,8 +237,14 @@ class SqlGateway(val spark: SparkSession) {
     * view, re-materialized lazily after any mutating statement (the only
     * moments a DuckDB re-bind could observe anything new). Reference:
     * views reach the engine as plain statements via `db/db.go:70`. */
-  private val userViews =
-    new scala.collection.mutable.LinkedHashMap[String, (String, Option[Seq[String]], String)]
+  // Copy-on-write: reads (queryDf's ensureUserViews on the HTTP pool's 8
+  // threads takes NO lock) always see an immutable, insertion-ordered
+  // snapshot; mutations (view DDL / clearViews — all under [[writeLock]])
+  // swap the reference. Two threads racing to materialize the same stale
+  // view do idempotent duplicate work (same body, same temp-view name),
+  // never corrupt state.
+  @volatile private var userViews =
+    scala.collection.immutable.VectorMap.empty[String, (String, Option[Seq[String]], String)]
   /** view key → bind error replayed when a statement references it (body
     * no longer binds, or infinite recursion — DuckDB raises at bind). */
   private val brokenViews = new TrieMap[String, String]
@@ -2982,6 +2992,22 @@ class SqlGateway(val spark: SparkSession) {
             s"END)), $w, '0')")
         case _ => None
       })
+    // string_agg(e, sep ORDER BY o) FILTER (WHERE c): the ORDER BY form
+    // rewrites to array_join(sort_array(collect...)) below, where a
+    // trailing FILTER can no longer attach — push it into the collected
+    // expression as a CASE first (string_agg skips NULLs in both engines,
+    // probed, so NULL-ing filtered rows is exact)
+    if (out.toLowerCase.contains("string_agg")) {
+      val SaFilter = ("""(?is)\bstring_agg\s*\(([^()]*\bORDER\s+BY\b[^()]*)\)""" +
+        """\s*FILTER\s*\(\s*WHERE\s+([^()]+?)\s*\)""").r
+      out = SaFilter.replaceAllIn(out, m => {
+        val parts = splitTopLevel(m.group(1))
+        java.util.regex.Matcher.quoteReplacement(
+          if (parts.isEmpty) m.matched
+          else s"string_agg(CASE WHEN ${m.group(2)} THEN ${parts.head.trim} END" +
+            s"${parts.tail.map(p => s", ${p.trim}").mkString})")
+      })
+    }
     if (out.toLowerCase.contains("string_agg"))
       out = fix(out, "string_agg", 2, a => {
         // DISTINCT dedups before joining (collect_set; string_agg skips
@@ -2996,6 +3022,18 @@ class SqlGateway(val spark: SparkSession) {
             val asc = dir == null || dir.equalsIgnoreCase("ASC")
             Some(s"array_join(sort_array($coll" +
               s"${if (asc) "" else ", false"}), $sep)")
+          case AggOrd(sep, o, dir) if !a(0).trim.toUpperCase.startsWith("DISTINCT") =>
+            // ORDER BY a key OTHER than the aggregated expression: collect
+            // (key, value) structs, sort by key, project values. NULL
+            // values are dropped before collection (string_agg skips
+            // NULLs — probed); key ties follow value order, which DuckDB
+            // leaves scan-order-undefined anyway
+            val asc = dir == null || dir.equalsIgnoreCase("ASC")
+            val base = s"array_sort(collect_list(CASE WHEN ($arg0) IS NOT " +
+              s"NULL THEN named_struct('gk', $o, 'gv', $arg0) END))"
+            Some(s"array_join(transform(" +
+              s"${if (asc) base else s"reverse($base)"}, " +
+              s"graft_s -> graft_s.gv), $sep)")
           case _ => None
         }
       })
@@ -3193,10 +3231,16 @@ class SqlGateway(val spark: SparkSession) {
     // percentile() does
     if (out.toLowerCase.contains("percentile_cont")) {
       val ContList = ("""(?is)\bpercentile_cont\s*\(\s*\[([^\[\]]*)\]\s*\)\s*""" +
-        """WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)\s*\)""").r
-      out = ContList.replaceAllIn(out, m =>
+        """WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+([^()]+?)(?:\s+(ASC|DESC))?\s*\)""").r
+      out = ContList.replaceAllIn(out, m => {
+        // DESC at fraction q = ASC at 1−q (probed: [0.25,0.5] DESC over
+        // {1,2,3,4,10} → [4.0,3.0], exactly [0.75,0.5] ASC)
+        val desc = Option(m.group(3)).exists(_.equalsIgnoreCase("desc"))
+        val fr = splitTopLevel(m.group(1)).map(_.trim)
+          .map(f => if (desc) s"1 - ($f)" else f).mkString(", ")
         java.util.regex.Matcher.quoteReplacement(
-          s"percentile(${m.group(2)}, array(${m.group(1)}))"))
+          s"percentile(${m.group(2)}, array($fr))")
+      })
     }
     // json_extract / the -> operator return JSON text (strings keep
     // their quotes — probed: '$.a' of {"a":"x"} is '"x"'); Spark's
@@ -4403,6 +4447,21 @@ class SqlGateway(val spark: SparkSession) {
           case (e, "noaccent") => s"strip_accents($e)"
           case (e, _) => e
         }
+      // both-sides spelling FIRST (before the right-side rule, whose
+      // leading Operand would otherwise greedily match the left spec
+      // word): same spec folds once (probed: 'ABC' COLLATE NOCASE =
+      // 'abc' COLLATE NOCASE → true); DIFFERENT specs are DuckDB's
+      // binder error ("Cannot combine types with different collation!")
+      // — left unmatched, they refuse loudly
+      val ColBoth = (s"(?i)$Operand\\s+COLLATE\\s+$Spec" +
+        s"\\s*(=|<>|!=|<=|>=|<|>)\\s*$Operand\\s+COLLATE\\s+$Spec").r
+      val bIn = out
+      out = ColBoth.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (!balancedBefore(bIn, m.start) ||
+              !m.group(2).equalsIgnoreCase(m.group(5))) m.matched
+          else s"(${fold(m.group(1), m.group(2))} ${m.group(3)} " +
+            s"${fold(m.group(4), m.group(2))})"))
       val Col = (s"(?i)$Operand\\s*(=|<>|!=|<=|>=|<|>)\\s*$Operand" +
         s"\\s+COLLATE\\s+$Spec").r
       val kIn = out
@@ -4411,13 +4470,60 @@ class SqlGateway(val spark: SparkSession) {
           if (!balancedBefore(kIn, m.start)) m.matched
           else s"(${fold(m.group(1), m.group(4))} ${m.group(2)} " +
             s"${fold(m.group(3), m.group(4))})"))
+      // LEFT-side spelling folds the whole comparison too (probed:
+      // 'ABC' COLLATE NOCASE = 'abc' → true)
+      if (out.toLowerCase.contains("collate")) {
+        val ColLeft = (s"(?i)$Operand\\s+COLLATE\\s+$Spec" +
+          s"\\s*(=|<>|!=|<=|>=|<|>)\\s*$Operand").r
+        val lIn = out
+        out = ColLeft.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (!balancedBefore(lIn, m.start)) m.matched
+            else s"(${fold(m.group(1), m.group(2))} ${m.group(3)} " +
+              s"${fold(m.group(4), m.group(2))})"))
+      }
+      // collated IN folds the probe and EVERY list element (probed:
+      // 'Apple' COLLATE NOCASE IN ('APPLE','x') → true); BETWEEN folds
+      // all three operands (probed)
+      if (out.toLowerCase.contains("collate")) {
+        val ColIn = (s"(?i)$Operand\\s+COLLATE\\s+$Spec" +
+          s"\\s+(NOT\\s+)?IN\\s*\\(([^()]*)\\)").r
+        val iIn = out
+        out = ColIn.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (!balancedBefore(iIn, m.start)) m.matched
+            else {
+              val items = splitTopLevel(m.group(4)).map(e =>
+                fold(e.trim, m.group(2))).mkString(", ")
+              s"(${fold(m.group(1), m.group(2))} " +
+                s"${Option(m.group(3)).getOrElse("")}IN ($items))"
+            }))
+      }
+      if (out.toLowerCase.contains("collate")) {
+        val ColBtw = (s"(?i)$Operand\\s+COLLATE\\s+$Spec" +
+          s"\\s+(NOT\\s+)?BETWEEN\\s+$Operand\\s+AND\\s+$Operand").r
+        val wIn = out
+        out = ColBtw.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            if (!balancedBefore(wIn, m.start)) m.matched
+            else s"(${fold(m.group(1), m.group(2))} " +
+              s"${Option(m.group(3)).getOrElse("")}BETWEEN " +
+              s"${fold(m.group(4), m.group(2))} AND ${fold(m.group(5), m.group(2))})"))
+      }
       if (out.toLowerCase.contains("collate")) {
         val Single = (s"(?i)$Operand\\s+COLLATE\\s+$Spec").r
         val sIn = out
         out = Single.replaceAllIn(out, m => {
           val prev = sIn.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+          // a comparison/membership form that reached here was NOT matched
+          // by the both-sides/left/IN/BETWEEN rules above (e.g. a list
+          // element with parens) — folding just this side would be the
+          // silent one-sided degrade, so leave it for the parser to refuse
+          val next = sIn.substring(m.end).dropWhile(_.isWhitespace)
+          val nextIsCmp = next.headOption.exists(c => "=<>!".contains(c)) ||
+            """(?is)^(?:NOT\s+)?(?:IN|BETWEEN)\b""".r.findFirstIn(next).isDefined
           java.util.regex.Matcher.quoteReplacement(
-            if (!balancedBefore(sIn, m.start) ||
+            if (!balancedBefore(sIn, m.start) || nextIsCmp ||
                 prev.headOption.exists(c => "=<>!".contains(c))) m.matched
             else fold(m.group(1), m.group(2)))
         })
@@ -4896,13 +5002,35 @@ class SqlGateway(val spark: SparkSession) {
   private def inlineNamedWindowFrames(sql: String): String = {
     if (!"""(?i)\bwindow\s+\w+\s+as\s*\(""".r.findFirstIn(sql).isDefined)
       return sql
-    val Def = """(?is)\bWINDOW\s+(\w+)\s+AS\s*\(([^()]*)\)(?:\s*,\s*(\w+)\s+AS\s*\(([^()]*)\))*""".r
-    // collect every `name AS (def)` pair in each WINDOW clause (the
-    // regex's repeated group only captures the last; rescan pairwise)
-    val Pair = """(?is)(\w+)\s+AS\s*\(([^()]*)\)""".r
-    val defs = Def.findAllMatchIn(sql).flatMap(m =>
-      Pair.findAllMatchIn(m.matched).map(p => p.group(1) -> p.group(2).trim))
-      .toMap
+    // balanced-paren scan (a definition may itself contain parentheses —
+    // `ORDER BY f(x)` — which a [^()]* regex can't match); masking keeps
+    // positions aligned so bodies slice from the ORIGINAL text
+    val masked = maskStringLiterals(sql)
+    val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val NameAs = """(?is)^\s*(\w+)\s+AS\s*\(""".r
+    for (m <- """(?i)\bWINDOW\s""".r.findAllMatchIn(masked)) {
+      var i = m.end
+      var more = true
+      while (more) {
+        more = false
+        NameAs.findFirstMatchIn(masked.substring(i)).foreach { nm =>
+          val open = i + nm.end - 1
+          var depth = 0; var j = open; var close = -1
+          while (j < masked.length && close < 0) {
+            val ch = masked.charAt(j)
+            if (ch == '(') depth += 1
+            else if (ch == ')') { depth -= 1; if (depth == 0) close = j }
+            j += 1
+          }
+          if (close > 0) {
+            defs(nm.group(1)) = sql.substring(open + 1, close).trim
+            var k = close + 1
+            while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+            if (k < masked.length && masked.charAt(k) == ',') { i = k + 1; more = true }
+          }
+        }
+      }
+    }
     if (defs.isEmpty) return sql
     defs.foldLeft(sql) { case (s, (name, body)) =>
       s.replaceAll(
@@ -5408,14 +5536,38 @@ class SqlGateway(val spark: SparkSession) {
     "drop", "alter", "truncate", "copy", "import", "begin", "commit",
     "rollback", "set", "reset")
 
-  /** Whole-word, case-insensitive, quote-aware (even count of preceding
-    * single quotes) occurrence of registered name `key` in `text`. */
+  /** `text` with the contents of every single-quoted literal (including
+    * `''` escapes) blanked to spaces — identifier scans over the result
+    * can't false-match inside strings, and (unlike quote-parity counting)
+    * escaped quotes don't flip the state. */
+  private def maskStringLiterals(text: String): String = {
+    val a = text.toCharArray
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == '\'') {
+        i += 1 // opening quote kept
+        var closed = false
+        while (i < a.length && !closed) {
+          if (a(i) == '\'') {
+            if (i + 1 < a.length && a(i + 1) == '\'') { a(i) = ' '; a(i + 1) = ' '; i += 2 }
+            else { i += 1; closed = true } // closing quote kept
+          } else { a(i) = ' '; i += 1 }
+        }
+      } else i += 1
+    }
+    new String(a)
+  }
+
+  /** Whole-word, case-insensitive occurrence of registered name `key` in
+    * `text`, outside string literals. A double-quoted spelling
+    * (`FROM "myview"`) counts too — it references the same catalog
+    * object. */
   private def referencesName(text: String, key: String): Boolean = {
-    val re = viewRefRe.getOrElseUpdate(key,
-      ("""(?i)(?<![\w.$"])""" + java.util.regex.Pattern.quote(key) +
-        """(?![\w$])""").r)
-    re.findAllMatchIn(text).exists(m =>
-      text.substring(0, m.start).count(_ == '\'') % 2 == 0)
+    val re = viewRefRe.getOrElseUpdate(key, {
+      val q = java.util.regex.Pattern.quote(key)
+      ("""(?i)(?:(?<![\w.$"])""" + q + """(?![\w$])|"""" + q + """")""").r
+    })
+    re.findFirstIn(maskStringLiterals(text)).isDefined
   }
 
   /** Bring every view the statement references (plus transitive view
@@ -5423,19 +5575,20 @@ class SqlGateway(val spark: SparkSession) {
     * bind error of any referenced view whose body no longer binds. Cheap
     * when no views are registered or none are referenced. */
   private def ensureUserViews(sql: String): Unit = {
-    if (userViews.isEmpty) return
-    val keys = userViews.keys.toSeq
+    val uv = userViews // one immutable snapshot for the whole walk
+    if (uv.isEmpty) return
+    val keys = uv.keys.toSeq
     val roots = keys.filter(k => referencesName(sql, k))
     if (roots.isEmpty) return
     // transitive closure through bodies, then cycle + staleness handling
     val closure = scala.collection.mutable.LinkedHashSet[String]()
     def visit(k: String): Unit = if (closure.add(k))
       keys.filter(d => d != k &&
-        referencesName(stripComments(userViews(k)._3), d)).foreach(visit)
+        referencesName(stripComments(uv(k)._3), d)).foreach(visit)
     roots.foreach(visit)
     val gen = mutationGen
     val stale = closure.filter(k => viewGen.get(k).forall(_ != gen))
-    if (stale.nonEmpty) materializeViews(closure.toSeq, stale.toSet, gen)
+    if (stale.nonEmpty) materializeViews(uv, closure.toSeq, stale.toSet, gen)
     roots.foreach(k => brokenViews.get(k).foreach(msg =>
       throw new IllegalArgumentException(msg)))
   }
@@ -5445,11 +5598,12 @@ class SqlGateway(val spark: SparkSession) {
     * renamed, or the DuckDB-probed infinite-recursion case — records its
     * error for replay and loses its temp view, exactly a lazy binder's
     * observable behavior. */
-  private def materializeViews(closure: Seq[String], stale: Set[String],
-      gen: Long): Unit = {
-    val keys = userViews.keys.toSeq
+  private def materializeViews(
+      uv: scala.collection.immutable.VectorMap[String, (String, Option[Seq[String]], String)],
+      closure: Seq[String], stale: Set[String], gen: Long): Unit = {
+    val keys = uv.keys.toSeq
     val refMap = closure.map(k => k ->
-      keys.filter(d => referencesName(stripComments(userViews(k)._3), d)).toSet).toMap
+      keys.filter(d => referencesName(stripComments(uv(k)._3), d)).toSet).toMap
     def reachesSelf(k: String): Boolean = {
       val seen = scala.collection.mutable.HashSet[String]()
       def go(c: String): Boolean = refMap.get(c).exists(r =>
@@ -5467,9 +5621,9 @@ class SqlGateway(val spark: SparkSession) {
       brokenViews.remove(k)
       if (reachesSelf(k)) {
         brokenViews(k) = "infinite recursion detected: attempting to " +
-          s"""recursively bind view "${userViews(k)._1}""""
+          s"""recursively bind view "${uv(k)._1}""""
       } else {
-        val (_, aliases, body) = userViews(k)
+        val (_, aliases, body) = uv(k)
         try materializeViewDf(aliases, body).createOrReplaceTempView(k)
         catch { case scala.util.control.NonFatal(e) =>
           brokenViews(k) = Option(e.getMessage).getOrElse(e.toString) }
@@ -5508,10 +5662,25 @@ class SqlGateway(val spark: SparkSession) {
     // here and raises infinite recursion at query time — both probed)
     ensureUserViews(body)
     materializeViewDf(aliases, body)
-    userViews(key) = (name, aliases, body)
+    userViews = userViews.updated(key, (name, aliases, body))
     brokenViews.remove(key)
     viewGen.remove(key) // force materialization on first use
     ExecuteResult(0L)
+  }
+
+  /** Register a view WITHOUT bind-now validation — snapshot import only.
+    * A legal live state can hold a broken view (base table dropped after
+    * creation) or a self-referencing one (via CREATE OR REPLACE); replaying
+    * its DDL through [[createView]] would throw mid-IMPORT and abort
+    * restore. Raw registration + forced-stale generation defers binding to
+    * first use, where [[materializeViews]] records any bind failure in
+    * [[brokenViews]] — exactly the lazy binder's observable behavior. */
+  private[engine] def registerViewRaw(name: String,
+      aliases: Option[Seq[String]], body: String): Unit = {
+    val key = tableKey(name)
+    userViews = userViews.updated(key, (name, aliases, body))
+    brokenViews.remove(key)
+    viewGen.remove(key)
   }
 
   private def dropView(ifExists: Boolean, name: String): ExecuteResult = {
@@ -5523,7 +5692,7 @@ class SqlGateway(val spark: SparkSession) {
       if (ifExists) return ExecuteResult(0L)
       throw new IllegalArgumentException(s"View with name $name does not exist!")
     }
-    userViews.remove(key)
+    userViews = userViews.removed(key)
     brokenViews.remove(key)
     viewGen.remove(key)
     try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
@@ -5544,16 +5713,14 @@ class SqlGateway(val spark: SparkSession) {
   private[engine] def clearViews(): Unit = {
     userViews.keys.toSeq.foreach(k =>
       try spark.catalog.dropTempView(k) catch { case _: Throwable => () })
-    userViews.clear(); brokenViews.clear(); viewGen.clear()
+    userViews = scala.collection.immutable.VectorMap.empty
+    brokenViews.clear(); viewGen.clear()
   }
 
-  /** Registered views as replayable CREATE statements (snapshot export). */
-  private[engine] def viewDdl: Seq[String] = userViews.values.toSeq.map {
-    case (disp, aliases, body) =>
-      val colList = aliases.filter(_.nonEmpty).map(_.mkString("(", ", ", ")"))
-        .getOrElse("")
-      s"CREATE VIEW $disp$colList AS $body"
-  }
+  /** Registered views in registration order (snapshot export):
+    * (display name, column aliases, body SQL). */
+  private[engine] def viewEntries: Seq[(String, Option[Seq[String]], String)] =
+    userViews.values.toSeq
 
   private[engine] def rewriteSql(sql: String): String = {
     val expanded = rewriteMacros(stripComments(sql))
@@ -5779,6 +5946,68 @@ class SqlGateway(val spark: SparkSession) {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  // --- snapshot pins: an async snapshot (Service.takeSnapshot) captures a
+  // consistent cut as {live version dir + its file list} per table, then
+  // exports OUTSIDE the write lock. Version dirs are immutable except for
+  // appended part files (unique names) and whole-dir GC — so deferring GC
+  // of a pinned dir is all the isolation the cut needs.
+  /** pinned version dir → refcount. Guarded by its own monitor (leaf lock:
+    * never acquires writeLock/logLock inside). */
+  private val pinnedDirs = scala.collection.mutable.HashMap[String, Int]()
+  /** exact-path deletions deferred because the dir was pinned. */
+  private val deferredDeletes = scala.collection.mutable.HashSet[String]()
+
+  /** GC a version dir or table root. A pinned dir defers to pin release; a
+    * root COVERING a pinned dir (DROP/re-CREATE TABLE) waits for the pins —
+    * DDL is rare and the wait is bounded by the snapshot export. */
+  private def gcDir(path: String): Unit = {
+    pinnedDirs.synchronized {
+      if (pinnedDirs.contains(path)) { deferredDeletes += path; return }
+      val deadline = System.nanoTime() + 10L * 60 * 1_000_000_000
+      while (pinnedDirs.keysIterator.exists(_.startsWith(path + "/")) &&
+             System.nanoTime() < deadline)
+        pinnedDirs.wait(1000)
+    }
+    deleteDir(path)
+  }
+
+  /** Pin `table`'s live version dir and list its data files — the async
+    * snapshot's cut handle. Appends only ADD uniquely-named part files and
+    * rewrites land in NEW dirs, so this file list is immutable while the
+    * pin holds. None for non-versioned (managed passthrough) tables. */
+  private[engine] def pinTableCut(table: String): Option[(String, Seq[String])] =
+    versions.get(tableKey(table)).map { v =>
+      val dir = s"${tableRoot(table)}/v$v"
+      pinnedDirs.synchronized {
+        pinnedDirs(dir) = pinnedDirs.getOrElse(dir, 0) + 1
+      }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).filter(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getPath.toString).toSeq
+      (dir, files)
+    }
+
+  /** Release snapshot pins and run any deletions deferred while they held. */
+  private[graft] def releasePins(dirs: Seq[String]): Unit = {
+    val toDelete = pinnedDirs.synchronized {
+      dirs.foreach { d =>
+        pinnedDirs.get(d).foreach { c =>
+          if (c <= 1) pinnedDirs.remove(d) else pinnedDirs(d) = c - 1
+        }
+      }
+      val ready = deferredDeletes.filterNot(pinnedDirs.contains).toSeq
+      deferredDeletes --= ready
+      pinnedDirs.notifyAll()
+      ready
+    }
+    toDelete.foreach(deleteDir)
+  }
+
   /** Create the catalog entry for `table` over the parquet dir `loc` with
     * an explicit schema. Goes through the catalog API, not DDL text,
     * because `schema.toDDL` drops field METADATA — which carries declared
@@ -5800,7 +6029,7 @@ class SqlGateway(val spark: SparkSession) {
     if (spark.catalog.tableExists(table))
       throw new IllegalArgumentException(s"table $table already exists")
     val loc = s"${tableRoot(table)}/v0"
-    deleteDir(tableRoot(table))
+    gcDir(tableRoot(table))
     df.write.parquet(loc)
     createCatalogEntry(table, df.schema, loc)
     versions(tableKey(table)) = 0
@@ -5824,7 +6053,7 @@ class SqlGateway(val spark: SparkSession) {
       .foreach { case (k, _) => indexes.remove(k) }
     // DROP TABLE leaves the files of a LOCATION-backed table in place —
     // remove our versioned data dirs so a re-CREATE starts empty
-    deleteDir(tableRoot(table))
+    gcDir(tableRoot(table))
     ExecuteResult(0L)
   }
 
@@ -5946,7 +6175,7 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
     val loc = s"${tableRoot(table)}/v0"
-    deleteDir(tableRoot(table)) // stale files from a prior incarnation must not resurface
+    gcDir(tableRoot(table)) // stale files from a prior incarnation must not resurface
     createCatalogEntry(table, org.apache.spark.sql.types.StructType(fields), loc)
     versions(tableKey(table)) = 0
     txn.foreach(_.created += tableKey(table)) // rollback will drop it
@@ -6497,7 +6726,7 @@ class SqlGateway(val spark: SparkSession) {
         spark.sql(s"DROP TABLE $table")
         createCatalogEntry(table, df.schema, loc)
         versions(tableKey(table)) = next
-        if (next >= 2) deleteDir(s"${tableRoot(table)}/v${next - 2}")
+        if (next >= 2) gcDir(s"${tableRoot(table)}/v${next - 2}")
       case None =>
         val staged = df.localCheckpoint(eager = true)
         spark.sql(s"DROP TABLE $table")
@@ -6746,7 +6975,7 @@ class SqlGateway(val spark: SparkSession) {
     t.pending.foreach { case (key, ver) =>
       val base = t.baseVersions.getOrElse(key, 0)
       (math.max(0, base - 1) to ver - 2).foreach(v =>
-        deleteDir(s"${tableRoot(key)}/v$v"))
+        gcDir(s"${tableRoot(key)}/v$v"))
     }
     ExecuteResult((t.pending.keySet ++ t.deltas.keySet).size.toLong)
   }
@@ -6875,7 +7104,7 @@ class SqlGateway(val spark: SparkSession) {
         spark.sql(s"ALTER TABLE $table SET LOCATION '$loc'")
         spark.catalog.refreshTable(table)
         versions(tableKey(table)) = next
-        if (next >= 2) deleteDir(s"${tableRoot(table)}/v${next - 2}")
+        if (next >= 2) gcDir(s"${tableRoot(table)}/v${next - 2}")
       case None =>
         val staged = df.localCheckpoint(eager = true)
         staged.write.mode("overwrite").insertInto(table)

@@ -140,13 +140,16 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
     try {
       val sql = readSql(ex)
-      // execute + append under logLock so a concurrent SNAPSHOT can't
-      // export state whose last write is missing from the log
+      // execute + append under logLock so a concurrent snapshot CUT can't
+      // capture state whose last write is missing from the log
       val (res, ms) = timed(logLock.synchronized {
         val r = gateway.execute(sql)
         appendLog(sql) // committed → logged (an erroring statement never is)
         r
       })
+      // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
+      // the capture instant, so other writers flow during the export
+      if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery) takeSnapshot()
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
       case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
@@ -170,7 +173,6 @@ class Service(gateway: SqlGateway, port: Int = 0,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery) takeSnapshot()
   }
 
   /** Snapshot dirs under `logDir/snapshots`, as (index, path), ascending. */
@@ -187,23 +189,53 @@ class Service(gateway: SqlGateway, port: Int = 0,
       }
     }
 
-  /** Take a snapshot NOW: EXPORT DATABASE paired with the current log
-    * index, retention 2 (`store/store.go:22` retainSnapshotCount), then
-    * truncate the log through the snapshot index (`store/store.go:257-269`
-    * — Raft compacts entries folded into the snapshot). Returns the
-    * snapshot's log index. Requires `logDir`. */
-  def takeSnapshot(): Long = logLock.synchronized {
+  /** Serializes snapshot takers and GET /snapshot streaming against each
+    * other. NEVER held while waiting on a write: lock order is
+    * snapshotLock → logLock, and writers take logLock alone. */
+  private val snapshotLock = new Object
+
+  /** Take a snapshot: capture a consistent cut (log index + pinned table
+    * versions — the versioned storage gives snapshot isolation) under
+    * logLock for an instant, release it, export the pinned cut with
+    * writers flowing, publish atomically as `snap_<idx>`, retention 2
+    * (`store/store.go:22` retainSnapshotCount), then truncate the log
+    * through the snapshot index (`store/store.go:257-269` — Raft compacts
+    * entries folded into the snapshot). Matches the reference's ASYNC
+    * persist (hashicorp FileSnapshotStore, `store/store.go:101` — Raft
+    * never blocks appliers on snapshot IO). Returns the snapshot's log
+    * index. Requires `logDir`. */
+  def takeSnapshot(): Long = snapshotLock.synchronized {
     val root = snapRoot.getOrElse(throw new IllegalStateException(
       "snapshotting requires a logDir"))
-    val idx = logIndex
     java.nio.file.Files.createDirectories(root)
-    Snapshot.exportDatabase(gateway, root.resolve(s"snap_$idx").toString)
-    listSnapshots.dropRight(2).foreach { case (_, p) => deleteRecursively(p) }
-    // compact: everything ≤ idx now lives in the snapshot
-    while (stmtLog.size > 0 && baseIndex.get < idx) {
-      stmtLog.remove(0); baseIndex.incrementAndGet()
+    // the cut: log index + table-version pins, captured with writers held
+    // out only for this block
+    val (idx, cutOpt) = logLock.synchronized {
+      val i = logIndex
+      if (java.nio.file.Files.exists(root.resolve(s"snap_$i"))) (i, None)
+      else (i, Some(Snapshot.captureCut(gateway)))
     }
-    rewriteLogFile()
+    cutOpt.foreach { cut =>
+      // export outside every lock writers touch; publish via atomic rename
+      // so GET /snapshot and recovery never see a half-written dir
+      val tmp = root.resolve(s".tmp_snap_$idx")
+      try {
+        deleteRecursively(tmp)
+        Snapshot.exportCut(cut, tmp.toString)
+        java.nio.file.Files.move(tmp, root.resolve(s"snap_$idx"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable => deleteRecursively(tmp); throw e }
+      finally gateway.releasePins(cut.pins)
+    }
+    listSnapshots.dropRight(2).foreach { case (_, p) => deleteRecursively(p) }
+    // compact: exactly the entries ≤ idx now live in the snapshot —
+    // statements executed during the export keep their log suffix
+    logLock.synchronized {
+      while (stmtLog.size > 0 && baseIndex.get < idx) {
+        stmtLog.remove(0); baseIndex.incrementAndGet()
+      }
+      rewriteLogFile()
+    }
     idx
   }
 
@@ -310,15 +342,20 @@ class Service(gateway: SqlGateway, port: Int = 0,
           ex.getResponseBody.write(out)
         }
       case "GET" =>
-        listSnapshots.lastOption match {
-          case None => ex.sendResponseHeaders(404, -1)
-          case Some((idx, dir)) =>
-            ex.getResponseHeaders.add("Content-Type", "application/zip")
-            ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
-            ex.sendResponseHeaders(200, 0) // chunked
-            val zos = new java.util.zip.ZipOutputStream(ex.getResponseBody)
-            zipDir(dir, dir, zos)
-            zos.finish()
+        // under snapshotLock: retention deletion (takeSnapshot) can't
+        // remove a dir mid-stream; atomic-rename publish already
+        // guarantees any listed dir is complete
+        snapshotLock.synchronized {
+          listSnapshots.lastOption match {
+            case None => ex.sendResponseHeaders(404, -1)
+            case Some((idx, dir)) =>
+              ex.getResponseHeaders.add("Content-Type", "application/zip")
+              ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
+              ex.sendResponseHeaders(200, 0) // chunked
+              val zos = new java.util.zip.ZipOutputStream(ex.getResponseBody)
+              zipDir(dir, dir, zos)
+              zos.finish()
+          }
         }
       case _ => ex.sendResponseHeaders(405, -1)
     } catch { case e: Throwable =>
@@ -378,12 +415,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
   private def installSnapshot(base: String): Unit = {
     val conn = java.net.URI.create(s"$base/snapshot")
       .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    var tmp: java.nio.file.Path = null
     try {
       val idx = Option(conn.getHeaderField("X-Snapshot-Index"))
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .getOrElse(throw new IllegalStateException(
           "leader offered no snapshot to install"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-install")
+      tmp = java.nio.file.Files.createTempDirectory("graft-install")
       val zis = new java.util.zip.ZipInputStream(conn.getInputStream)
       var e = zis.getNextEntry
       while (e != null) {
@@ -396,7 +434,10 @@ class Service(gateway: SqlGateway, port: Int = 0,
       }
       gateway.execute(s"IMPORT DATABASE '$tmp'")
       lastApplied.set(idx)
-    } finally conn.disconnect()
+    } finally {
+      conn.disconnect()
+      if (tmp != null) deleteRecursively(tmp) // unpacked zip, now imported
+    }
   }
 
   private def handleQuery(ex: HttpExchange): (Int, String) = {

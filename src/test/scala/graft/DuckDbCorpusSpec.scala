@@ -2375,7 +2375,118 @@ class DuckDbCorpusSpec extends SparkTestBase {
     }
   }
 
-  lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC
+  // r10 batch: view bodies through the full dialect pipeline, WINDOW
+  // definitions containing function calls, FILTER + WITHIN GROUP,
+  // percentile fraction-list DESC, COLLATE in ORDER BY/joins, TABLESAMPLE
+  // REPEATABLE, nested views, double-quoted identifiers. Every expectation
+  // probed against DuckDB 1.0 before pinning.
+  private def corpusD: Seq[C] = Seq(
+    s("CREATE TABLE rv_t (a integer, l integer[], s text, d date)"),
+    s("INSERT INTO rv_t VALUES (1, [10,20,30], 'Apple', DATE '2024-01-15'), " +
+      "(2, [5], 'banana', DATE '2024-02-20'), (3, [7,9], 'Cherry', DATE '2024-03-25')"),
+    // view bodies: each exercises a dialect pass a Spark catalog view
+    // would silently lose (1-based subscripts, //, ::, strftime, slices,
+    // div-zero NULL, FILTER, named windows, ILIKE, negative index)
+    s("CREATE VIEW rv_v1 AS SELECT a, l[1] AS hd FROM rv_t"),
+    q("SELECT * FROM rv_v1 ORDER BY a", Seq(1, 10), Seq(2, 5), Seq(3, 7)),
+    s("CREATE VIEW rv_v2 AS SELECT a, a // 2 AS h, a % 2 AS m FROM rv_t"),
+    q("SELECT * FROM rv_v2 ORDER BY a", Seq(1, 0, 1), Seq(2, 1, 0), Seq(3, 1, 1)),
+    s("CREATE VIEW rv_v3 AS SELECT a, s::VARCHAR || '!' AS e, a::BIGINT * 2 AS b FROM rv_t"),
+    q("SELECT * FROM rv_v3 ORDER BY a",
+      Seq(1, "Apple!", 2), Seq(2, "banana!", 4), Seq(3, "Cherry!", 6)),
+    s("CREATE VIEW rv_v4 AS SELECT a, strftime(d, '%Y/%m') AS ym FROM rv_t"),
+    q("SELECT * FROM rv_v4 ORDER BY a",
+      Seq(1, "2024/01"), Seq(2, "2024/02"), Seq(3, "2024/03")),
+    s("CREATE VIEW rv_v5 AS SELECT a, list_transform(l, x -> x + 1) AS l2 FROM rv_t"),
+    q("SELECT * FROM rv_v5 ORDER BY a",
+      Seq(1, Seq(11, 21, 31)), Seq(2, Seq(6)), Seq(3, Seq(8, 10))),
+    s("CREATE VIEW rv_v6 AS SELECT a, l[2:3] AS sl FROM rv_t"),
+    q("SELECT * FROM rv_v6 ORDER BY a",
+      Seq(1, Seq(20, 30)), Seq(2, Seq()), Seq(3, Seq(9))),
+    s("CREATE VIEW rv_v7 AS SELECT upper(s) AS u, len(s) AS n FROM rv_t"),
+    q("SELECT * FROM rv_v7 ORDER BY u",
+      Seq("APPLE", 5), Seq("BANANA", 6), Seq("CHERRY", 6)),
+    s("CREATE VIEW rv_v8 AS SELECT a, 1/0 AS z FROM rv_t"),
+    q("SELECT a, z FROM rv_v8 ORDER BY a",
+      Seq(1, null), Seq(2, null), Seq(3, null)),
+    s("CREATE VIEW rv_v9 AS SELECT sum(a) FILTER (WHERE a > 1) AS f FROM rv_t"),
+    q("SELECT * FROM rv_v9", Seq(5)),
+    s("CREATE VIEW rv_v10 AS SELECT a, rank() OVER w AS r FROM rv_t " +
+      "WINDOW w AS (ORDER BY a DESC)"),
+    q("SELECT * FROM rv_v10 ORDER BY a", Seq(1, 3), Seq(2, 2), Seq(3, 1)),
+    s("CREATE VIEW rv_v11(x, y) AS SELECT a, a * 10 FROM rv_t"),
+    q("SELECT x, y FROM rv_v11 ORDER BY x", Seq(1, 10), Seq(2, 20), Seq(3, 30)),
+    s("CREATE VIEW rv_v12 AS SELECT a, CASE WHEN a > 1 THEN 'big' ELSE 'small' END AS c FROM rv_t"),
+    q("SELECT * FROM rv_v12 ORDER BY a",
+      Seq(1, "small"), Seq(2, "big"), Seq(3, "big")),
+    s("CREATE VIEW rv_v13 AS SELECT d, date_part('month', d) AS m, " +
+      "d + INTERVAL 1 DAY AS nxt FROM rv_t"),
+    q("SELECT m FROM rv_v13 ORDER BY m", Seq(1), Seq(2), Seq(3)),
+    s("CREATE VIEW rv_v14 AS SELECT a FROM rv_t WHERE s ILIKE '%a%'"),
+    q("SELECT * FROM rv_v14 ORDER BY a", Seq(1), Seq(2)),
+    s("CREATE VIEW rv_v15 AS SELECT list_sort(l)[-1] AS mx FROM rv_t"),
+    q("SELECT * FROM rv_v15 ORDER BY mx", Seq(5), Seq(9), Seq(30)),
+    // nested views: 3-deep chain with dialect ops at each level
+    s("CREATE VIEW rv_n1 AS SELECT a, a * 2 AS b FROM rv_t"),
+    s("CREATE VIEW rv_n2 AS SELECT a, b, b // 3 AS c FROM rv_n1"),
+    s("CREATE VIEW rv_n3 AS SELECT sum(c) AS s FROM rv_n2"),
+    q("SELECT * FROM rv_n3", Seq(3)),
+    // WINDOW definitions containing function calls (r10: the inliner's
+    // balanced-paren scan — the old [^()]* regex couldn't match these)
+    q("SELECT a, sum(a) OVER (w ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s " +
+      "FROM rv_t WINDOW w AS (ORDER BY abs(a - 2), a)",
+      Seq(2, 2), Seq(1, 3), Seq(3, 4)),
+    q("SELECT a, sum(a) OVER (w ROWS UNBOUNDED PRECEDING) AS s " +
+      "FROM rv_t WINDOW w AS (PARTITION BY a % 2 ORDER BY len(s))",
+      Seq(2, 2), Seq(1, 1), Seq(3, 4)),
+    q("SELECT a, first_value(a) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING " +
+      "AND UNBOUNDED FOLLOWING) AS f FROM rv_t WINDOW w AS (ORDER BY coalesce(a, 0))",
+      Seq(1, 1), Seq(2, 1), Seq(3, 1)),
+    q("SELECT a, sum(a) OVER (w1 ROWS 1 PRECEDING) AS s1, " +
+      "count(*) OVER (w2 ROWS CURRENT ROW) AS c2 FROM rv_t " +
+      "WINDOW w1 AS (ORDER BY round(a * 1.5)), w2 AS (PARTITION BY a // 2)",
+      Seq(1, 1, 1), Seq(2, 3, 1), Seq(3, 5, 1)),
+    // FILTER + WITHIN GROUP combinations
+    q("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) FILTER (WHERE a > 1) AS p FROM rv_t",
+      Seq(2.5)),
+    q("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY a) FILTER (WHERE a < 3) AS p FROM rv_t",
+      Seq(1)),
+    q("SELECT mode() WITHIN GROUP (ORDER BY a) FILTER (WHERE a != 2) AS m FROM rv_t",
+      Seq(1)),
+    q("SELECT string_agg(s, ',' ORDER BY a) FILTER (WHERE a >= 2) AS g FROM rv_t",
+      Seq("banana,Cherry")),
+    q("SELECT string_agg(s, ',' ORDER BY a DESC) AS g FROM rv_t",
+      Seq("Cherry,banana,Apple")),
+    // percentile fraction lists with sort direction (r10: DESC = 1-q ASC)
+    q("SELECT percentile_cont([0.25, 0.5]) WITHIN GROUP (ORDER BY a DESC) AS p FROM rv_t",
+      Seq(Seq(2.5, 2.0))),
+    q("SELECT percentile_cont([0.5]) WITHIN GROUP (ORDER BY a ASC) AS p FROM rv_t",
+      Seq(Seq(2.0))),
+    q("SELECT percentile_cont([0.0, 1.0]) WITHIN GROUP (ORDER BY a DESC) AS p FROM rv_t",
+      Seq(Seq(3.0, 1.0))),
+    q("SELECT percentile_disc([0.25, 0.75]) WITHIN GROUP (ORDER BY a) AS p FROM rv_t",
+      Seq(Seq(1, 3))),
+    // COLLATE in ORDER BY and join conditions
+    C("SELECT s FROM rv_t ORDER BY s COLLATE NOCASE",
+      Some(Seq(Seq("Apple"), Seq("banana"), Seq("Cherry"))), ordered = true),
+    C("SELECT s FROM rv_t ORDER BY s COLLATE NOCASE DESC",
+      Some(Seq(Seq("Cherry"), Seq("banana"), Seq("Apple"))), ordered = true),
+    s("CREATE TABLE rv_u (s text)"),
+    s("INSERT INTO rv_u VALUES ('APPLE'), ('cherry')"),
+    q("SELECT t.s AS ts, u.s AS us FROM rv_t t JOIN rv_u u ON t.s COLLATE NOCASE = u.s ORDER BY ts",
+      Seq("Apple", "APPLE"), Seq("Cherry", "cherry")),
+    q("SELECT count(*) AS n FROM rv_t t, rv_u u WHERE t.s COLLATE NOCASE = u.s COLLATE NOCASE",
+      Seq(2)),
+    q("SELECT s FROM rv_t WHERE s COLLATE NOCASE IN ('apple', 'CHERRY') ORDER BY s",
+      Seq("Apple"), Seq("Cherry")),
+    // TABLESAMPLE/USING SAMPLE with REPEATABLE seeds (row-count contracts)
+    q("SELECT count(*) AS n FROM rv_t TABLESAMPLE reservoir(2 ROWS) REPEATABLE (42)", Seq(2)),
+    // double-quoted identifiers (DuckDB: "..." is ALWAYS an identifier)
+    q("""SELECT "a" FROM rv_t ORDER BY "a"""", Seq(1), Seq(2), Seq(3)),
+    q("""SELECT a AS "my col" FROM rv_t ORDER BY "my col" LIMIT 1""", Seq(1)),
+    q("""SELECT "rv_t"."a" FROM "rv_t" ORDER BY 1 LIMIT 2""", Seq(1), Seq(2)))
+
+  lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC ++ corpusD
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {

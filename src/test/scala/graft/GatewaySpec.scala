@@ -845,6 +845,54 @@ class GatewaySpec extends SparkTestBase {
     gw.execute("DROP VIEW vtxv"); gw.execute("DROP TABLE vtx")
   }
 
+  test("broken and self-referencing views survive EXPORT/IMPORT: restore " +
+       "completes, errors replay at first use") {
+    gw.execute("DROP TABLE IF EXISTS vbr")
+    gw.execute("CREATE TABLE vbr (a integer)")
+    gw.execute("INSERT INTO vbr VALUES (5)")
+    gw.execute("CREATE VIEW vbrv AS SELECT a FROM vbr")
+    gw.execute("CREATE VIEW vbrself AS SELECT a FROM vbr")
+    // OR REPLACE binds against the PRE-replace catalog, so the
+    // self-reference is legal at creation and raises only at query time
+    gw.execute("CREATE OR REPLACE VIEW vbrself AS SELECT * FROM vbrself")
+    gw.execute("DROP TABLE vbr") // vbrv is now broken — a legal live state
+    val dir = java.nio.file.Files.createTempDirectory("graft-brokenview").toString
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("DROP VIEW vbrv"); gw.execute("DROP VIEW vbrself")
+    // restore must COMPLETE (pre-fix: CREATE VIEW replay threw mid-import)
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    // ...and the views' bind errors replay lazily, like the live state
+    intercept[Exception] { gw.query("SELECT * FROM vbrv") }
+    assert(intercept[Exception] { gw.query("SELECT * FROM vbrself") }
+      .getMessage.contains("infinite recursion"))
+    // recreating the base table heals the broken view (lazy re-bind)
+    gw.execute("CREATE TABLE vbr (a integer)")
+    gw.execute("INSERT INTO vbr VALUES (9)")
+    assert(gw.query("SELECT a FROM vbrv").values.head.head == 9L)
+    gw.execute("DROP VIEW vbrv"); gw.execute("DROP VIEW vbrself")
+    gw.execute("DROP TABLE vbr")
+  }
+
+  test("view references: quoted-identifier spelling triggers " +
+       "materialization; '' escapes inside literals don't flip the scan") {
+    gw.execute("DROP TABLE IF EXISTS vqi")
+    gw.execute("CREATE TABLE vqi (a integer)")
+    gw.execute("INSERT INTO vqi VALUES (3)")
+    gw.execute("CREATE VIEW vqiv AS SELECT a * 2 AS d FROM vqi")
+    // double-quoted reference names the same object (pre-fix: the view
+    // was never materialized and the query failed table-not-found)
+    assert(gw.query("""SELECT d FROM "vqiv"""").values.head.head == 6L)
+    // a literal containing an escaped quote BEFORE the reference: the
+    // old quote-parity count saw odd quotes and skipped materialization
+    gw.execute("INSERT INTO vqi VALUES (10)")
+    val r = gw.query(
+      "SELECT 'it''s' AS s, sum(d) AS t FROM vqiv").values.head
+    assert(r == Seq("it's", 26L), r)
+    // the view name INSIDE a literal is not a reference (no false bind)
+    assert(gw.query("SELECT 'vqiv' AS s").values.head.head == "vqiv")
+    gw.execute("DROP VIEW vqiv"); gw.execute("DROP TABLE vqi")
+  }
+
   test("CREATE VIEW / DROP VIEW pass through and compose with gateway tables") {
     gw.execute("DROP TABLE IF EXISTS vt")
     gw.execute("CREATE TABLE vt (id integer, v integer)")
