@@ -2486,7 +2486,158 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("""SELECT a AS "my col" FROM rv_t ORDER BY "my col" LIMIT 1""", Seq(1)),
     q("""SELECT "rv_t"."a" FROM "rv_t" ORDER BY 1 LIMIT 2""", Seq(1), Seq(2)))
 
-  lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC ++ corpusD
+  // r10 batch B: more view pins (SIMILAR TO / QUALIFY / GROUP BY ALL /
+  // OR REPLACE / alias-list chains), COLLATE breadth over the new
+  // left/both/IN/BETWEEN folds, list/struct/map corners, date/time
+  // breadth, regex + string functions, window sugar, set ops. Probed.
+  private def corpusE: Seq[C] = Seq(
+    s("CREATE TABLE rb_t (a integer, b double, s text, ts timestamp)"),
+    s("INSERT INTO rb_t VALUES (1, 1.5, 'alpha', TIMESTAMP '2024-03-15 10:30:00'), " +
+      "(2, 2.5, 'Beta', TIMESTAMP '2024-03-16 22:45:30'), (3, NULL, 'GAMMA', NULL)"),
+    s("CREATE VIEW rb_v1 AS SELECT a, b, coalesce(b, 0) AS b0 FROM rb_t"),
+    q("SELECT a, b0 FROM rb_v1 ORDER BY a", Seq(1, 1.5), Seq(2, 2.5), Seq(3, 0.0)),
+    s("CREATE VIEW rb_v2 AS SELECT s FROM rb_t WHERE s SIMILAR TO '[A-Z].*'"),
+    q("SELECT * FROM rb_v2 ORDER BY s", Seq("Beta"), Seq("GAMMA")),
+    s("CREATE VIEW rb_v3 AS SELECT a, ts::DATE AS d, hour(ts) AS h FROM rb_t " +
+      "WHERE ts IS NOT NULL"),
+    q("SELECT * FROM rb_v3 ORDER BY a",
+      Seq(1, "2024-03-15", 10), Seq(2, "2024-03-16", 22)),
+    s("CREATE VIEW rb_v4 AS SELECT count(*) AS n, avg(b) AS m FROM rb_t GROUP BY ALL"),
+    q("SELECT * FROM rb_v4", Seq(3, 2.0)),
+    s("CREATE VIEW rb_v5 AS SELECT a, s FROM rb_t " +
+      "QUALIFY row_number() OVER (ORDER BY a DESC) <= 2"),
+    q("SELECT * FROM rb_v5 ORDER BY a", Seq(2, "Beta"), Seq(3, "GAMMA")),
+    // OR REPLACE swaps the registered body; dependents re-bind lazily
+    s("CREATE OR REPLACE VIEW rb_v1 AS SELECT a * 100 AS big FROM rb_t"),
+    q("SELECT max(big) AS m FROM rb_v1", Seq(300)),
+    s("CREATE VIEW rb_v6(p, q) AS SELECT a, a + 1 FROM rb_t"),
+    s("CREATE VIEW rb_v7 AS SELECT p + q AS r FROM rb_v6"),
+    q("SELECT sum(r) AS s FROM rb_v7", Seq(15)),
+    // COLLATE breadth (left-side / both-sides / IN / BETWEEN folds — r10)
+    q("SELECT 'ABC' COLLATE NOCASE = 'abc' AS r", Seq(true)),
+    q("SELECT 'ABC' COLLATE NOCASE = 'abc' COLLATE NOCASE AS r", Seq(true)),
+    q("SELECT 'Cherry' COLLATE NOCASE BETWEEN 'cherra' AND 'cherrz' AS r", Seq(true)),
+    q("SELECT 'Apple' COLLATE NOCASE NOT IN ('APPLE', 'x') AS r", Seq(false)),
+    q("SELECT s FROM rb_t WHERE s COLLATE NOCASE = 'beta'", Seq("Beta")),
+    q("SELECT count(*) AS n FROM rb_t WHERE s COLLATE NOCASE.NOACCENT = 'gamma'", Seq(1)),
+    q("SELECT 'Ölung' COLLATE NOACCENT = 'Olung' AS r", Seq(true)),
+    // list/struct/map corners
+    q("SELECT list_unique([1,2,2,3,NULL]) AS u", Seq(3)),
+    q("SELECT list_resize([1,2], 4, 0) AS r", Seq(Seq(1, 2, 0, 0))),
+    q("SELECT list_select([10,20,30], [3,1]) AS s", Seq(Seq(30, 10))),
+    q("SELECT list_where([10,20,30], [true,false,true]) AS w", Seq(Seq(10, 30))),
+    q("SELECT flatten([[1,2],[3]]) AS f", Seq(Seq(1, 2, 3))),
+    q("SELECT list_reduce([1,2,3,4], (x, y) -> x + y) AS r", Seq(10)),
+    q("SELECT list_any_value([NULL, 7, 8]) AS v", Seq(7)),
+    q("SELECT {'x': 1, 'y': 'two'}.y AS y", Seq("two")),
+    q("SELECT struct_extract({'x': 1, 'y': 2}, 'x') AS x", Seq(1)),
+    q("SELECT map_keys(MAP {'a': 1, 'b': 2}) AS k", Seq(Seq("a", "b"))),
+    q("SELECT map_values(MAP {'a': 1, 'b': 2}) AS v", Seq(Seq(1, 2))),
+    q("SELECT cardinality(MAP {'a': 1}) AS c", Seq(1)),
+    q("SELECT map_extract(MAP {'k': 42}, 'k') AS e", Seq(Seq(42))),
+    q("SELECT element_at(MAP {'k': 42}, 'k') AS e", Seq(Seq(42))),
+    // date/time breadth
+    q("SELECT date_trunc('quarter', DATE '2024-05-15') AS q", Seq("2024-04-01")),
+    q("SELECT last_day(DATE '2024-02-10') AS l", Seq("2024-02-29")),
+    q("SELECT monthname(DATE '2024-03-15') AS m", Seq("March")),
+    q("SELECT dayname(DATE '2024-03-15') AS d", Seq("Friday")),
+    q("SELECT week(DATE '2024-03-15') AS w", Seq(11)),
+    q("SELECT isodow(DATE '2024-03-17') AS d", Seq(7)),
+    q("SELECT quarter(DATE '2024-08-01') AS q", Seq(3)),
+    q("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS d", Seq(60)),
+    q("SELECT epoch(TIMESTAMP '1970-01-02 00:00:00') AS e", Seq(86400)),
+    q("SELECT make_date(2024, 3, 15) AS d", Seq("2024-03-15")),
+    q("SELECT make_timestamp(2024, 3, 15, 10, 30, 0) AS t", Seq("2024-03-15 10:30:00")),
+    q("SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-15 10:37:00') AS b",
+      Seq("2024-03-15 10:30:00")),
+    // regex + string breadth
+    q("""SELECT regexp_extract('abc123def', '(\d+)', 1) AS r""", Seq("123")),
+    q("""SELECT regexp_extract_all('a1b2c3', '\d') AS r""", Seq(Seq("1", "2", "3"))),
+    q("SELECT regexp_matches('hello', 'l+') AS m", Seq(true)),
+    q("SELECT regexp_split_to_array('a,b;c', '[,;]') AS a", Seq(Seq("a", "b", "c"))),
+    q("""SELECT string_split_regex('a1b22c', '\d+') AS s""", Seq(Seq("a", "b", "c"))),
+    q("SELECT translate('12345', '143', 'ax') AS t", Seq("a2x5")),
+    q("SELECT starts_with('duckdb', 'duck') AS s", Seq(true)),
+    q("SELECT suffix('duckdb', 'db') AS s", Seq(true)),
+    q("SELECT strip_accents('mühleisen') AS s", Seq("muhleisen")),
+    q("SELECT to_base(42, 16) AS b", Seq("2A")),
+    q("SELECT to_base64('ABC'::BLOB) AS t", Seq("QUJD")),
+    q("SELECT unicode('ü') AS u", Seq(252)),
+    q("SELECT ascii('A') AS a", Seq(65)),
+    q("SELECT chr(65) AS c", Seq("A")),
+    q("SELECT md5('abc') AS m", Seq("900150983cd24fb0d6963f7d28e17f72")),
+    q("SELECT sha256('abc') AS s",
+      Seq("ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")),
+    q("SELECT levenshtein('kitten', 'sitting') AS l", Seq(3)),
+    q("SELECT jaccard('duck', 'luck') AS j", Seq(0.6)),
+    q("SELECT jaro_winkler_similarity('duck', 'duck') AS j", Seq(1.0)),
+    q("SELECT format_bytes(1024) AS f", Seq("1.0 KiB")),
+    // window sugar
+    q("SELECT a, ntile(2) OVER (ORDER BY a) AS n FROM rb_t",
+      Seq(1, 1), Seq(2, 1), Seq(3, 2)),
+    q("SELECT a, cume_dist() OVER (ORDER BY a) AS c FROM rb_t",
+      Seq(1, 1.0 / 3), Seq(2, 2.0 / 3), Seq(3, 1.0)),
+    q("SELECT a, percent_rank() OVER (ORDER BY a) AS p FROM rb_t",
+      Seq(1, 0.0), Seq(2, 0.5), Seq(3, 1.0)),
+    q("SELECT a, lag(a, 1, -1) OVER (ORDER BY a) AS l FROM rb_t",
+      Seq(1, -1), Seq(2, 1), Seq(3, 2)),
+    q("SELECT a, lead(a) OVER (ORDER BY a) AS l FROM rb_t",
+      Seq(1, 2), Seq(2, 3), Seq(3, null)),
+    q("SELECT a, nth_value(a, 2) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND UNBOUNDED FOLLOWING) AS n FROM rb_t",
+      Seq(1, 2), Seq(2, 2), Seq(3, 2)),
+    // set ops / table functions
+    q("SELECT 1 AS v UNION ALL BY NAME SELECT 2 AS v", Seq(1), Seq(2)),
+    q("SELECT * FROM (VALUES (1), (2)) t(v) INTERSECT " +
+      "SELECT * FROM (VALUES (2), (3)) u(v)", Seq(2)),
+    q("SELECT * FROM (VALUES (1), (2)) t(v) EXCEPT ALL " +
+      "SELECT * FROM (VALUES (2)) u(v)", Seq(1)),
+    q("SELECT 1 AS one WHERE EXISTS (SELECT 1 FROM rb_t WHERE a = 1)", Seq(1)),
+    q("SELECT a FROM rb_t WHERE a = ANY (SELECT a FROM rb_t WHERE a > 1) ORDER BY a",
+      Seq(2), Seq(3)),
+    q("SELECT unnest([1,2,3]) AS u", Seq(1), Seq(2), Seq(3)),
+    q("SELECT generate_series(1, 5, 2) AS g", Seq(Seq(1, 3, 5))),
+    q("SELECT * FROM generate_series(1, 3) t(v)", Seq(1), Seq(2), Seq(3)),
+    q("SELECT * FROM range(3) t(v)", Seq(0), Seq(1), Seq(2)),
+    q("SELECT a, CASE a WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS w " +
+      "FROM rb_t ORDER BY a", Seq(1, "one"), Seq(2, "two"), Seq(3, "many")),
+    // list comprehensions (DuckDB sugar over list_transform/list_filter)
+    q("SELECT [x + 1 FOR x IN [1, 2, 3]] AS l", Seq(Seq(2, 3, 4))),
+    q("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l", Seq(Seq(4, 6))),
+    q("SELECT [upper(x) FOR x IN ['a', 'b']] AS l", Seq(Seq("A", "B"))),
+    // trim family (keyword and two-arg spellings)
+    q("SELECT trim(BOTH 'x' FROM 'xxhixx') AS t", Seq("hi")),
+    q("SELECT trim(LEADING 'x' FROM 'xxhixx') AS t", Seq("hixx")),
+    q("SELECT trim(TRAILING 'x' FROM 'xxhixx') AS t", Seq("xxhi")),
+    q("SELECT trim('xxhixx', 'x') AS t", Seq("hi")),
+    q("SELECT ltrim('xxhixx', 'x') AS t", Seq("hixx")),
+    q("SELECT rtrim('xxhixx', 'x') AS t", Seq("xxhi")),
+    // substring FROM/FOR, VARCHAR subscripts
+    q("SELECT substring('hello' FROM 2 FOR 3) AS s", Seq("ell")),
+    q("SELECT substring('hello' FROM 3) AS s", Seq("llo")),
+    q("SELECT 'abcdef'[2] AS c", Seq("b")),
+    q("SELECT 'abcdef'[2:4] AS s", Seq("bcd")),
+    // intervals
+    q("SELECT EXTRACT(EPOCH FROM INTERVAL 2 MINUTE) AS e", Seq(120)),
+    q("SELECT TIMESTAMP '2024-03-15 10:00:00' + INTERVAL 90 MINUTE AS t",
+      Seq("2024-03-15 11:30:00")),
+    // bit/encoding corners
+    q("SELECT bin(5) AS b", Seq("101")),
+    q("SELECT octet_length('ab'::BLOB) AS o", Seq(2)),
+    // recursion + prepared breadth
+    q("WITH RECURSIVE f(n, v) AS (SELECT 1, 1 UNION ALL " +
+      "SELECT n+1, v*(n+1) FROM f WHERE n < 5) SELECT max(v) AS fact5 FROM f",
+      Seq(120)),
+    s("PREPARE rc_p AS SELECT a FROM rb_t WHERE a > $1 ORDER BY a"),
+    q("EXECUTE rc_p(1)", Seq(2), Seq(3)),
+    // views whose bodies use the r10 COLLATE fold / percentile list
+    s("CREATE VIEW rc_vc AS SELECT a FROM rb_t WHERE s COLLATE NOCASE = 'beta'"),
+    q("SELECT * FROM rc_vc", Seq(2)),
+    s("CREATE VIEW rc_vq AS SELECT percentile_cont([0.5]) WITHIN GROUP (ORDER BY a) AS p FROM rb_t"),
+    q("SELECT * FROM rc_vq", Seq(Seq(2.0))),
+    q("SELECT format('{} {}', 'a', 1) AS f", Seq("a 1")))
+
+  lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
