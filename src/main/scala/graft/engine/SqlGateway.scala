@@ -1577,7 +1577,17 @@ class SqlGateway(val spark: SparkSession) {
     val swapped = parsed.transformAllExpressionsWithSubqueries {
       case d: IntegralDivide if needDiv =>
         graft.functions.DuckFloorDiv(d.left, d.right)
-      case c: Cast if needCast && intTargets.contains(c.dataType) =>
+      case c: Cast if needCast && intTargets.contains(c.dataType) &&
+          // a source type outside DuckIntCast's domain (interval,
+          // date/time) keeps Spark's own cast — e.g. EXTRACT(EPOCH FROM
+          // INTERVAL ...) lowers to CAST(interval-second AS BIGINT)
+          (!c.child.resolved || (c.child.dataType match {
+            case _: org.apache.spark.sql.types.NumericType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BooleanType |
+                 org.apache.spark.sql.types.NullType => true
+            case _ => false
+          })) =>
         graft.functions.DuckIntCast(c.child, c.dataType,
           tryMode = c.evalMode == EvalMode.TRY)
       case so @ SortOrder(_, Ascending, NullsFirst, _) if needNulls =>
@@ -1995,6 +2005,7 @@ class SqlGateway(val spark: SparkSession) {
     "reservoir_quantile" -> "approx_percentile", // sampling-approximate
                                        // quantile; same contract as above
     "from_hex" -> "unhex",             // both left-pad odd-length hex
+    "week" -> "weekofyear",            // both ISO week (probed: 2024-03-15 → 11)
     "to_binary" -> "bin",
     "row_to_json" -> "to_json",        // struct → minified object (probed)
     "array_to_json" -> "to_json",      // list → minified array (probed)
@@ -2292,7 +2303,13 @@ class SqlGateway(val spark: SparkSession) {
     // verified: 00:01:30.5 → 90.5); unix_micros keeps the fraction that
     // unix_timestamp truncates, and BIGINT/INT division is double in Spark
     if (out.toLowerCase.contains("epoch("))
-      out = fix(out, "epoch", 1, a => Some(s"(unix_micros(${a.head}) / 1000000)"))
+      out = fix(out, "epoch", 1, a =>
+        // INTERVAL operand: total seconds (probed: epoch(INTERVAL 2
+        // MINUTE) = 120.0) — normalize to second granularity, then the
+        // integral cast reads seconds. Non-literal intervals refuse.
+        if ("""(?i)^INTERVAL\b""".r.findFirstIn(a.head.trim).isDefined)
+          Some(s"CAST(CAST(${a.head} AS INTERVAL SECOND) AS BIGINT)")
+        else Some(s"(unix_micros(${a.head}) / 1000000)"))
     if (out.toLowerCase.contains("epoch_ms")) // overloaded by arg type:
       // ts → BIGINT ms, integral ms → TIMESTAMP (DuckEpochMs dispatches)
       out = fix(out, "epoch_ms", 1, a => Some(s"duck_epoch_ms(${a.head})"))

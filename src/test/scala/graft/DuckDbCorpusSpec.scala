@@ -2635,7 +2635,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT * FROM rc_vc", Seq(2)),
     s("CREATE VIEW rc_vq AS SELECT percentile_cont([0.5]) WITHIN GROUP (ORDER BY a) AS p FROM rb_t"),
     q("SELECT * FROM rc_vq", Seq(Seq(2.0))),
-    q("SELECT format('{} {}', 'a', 1) AS f", Seq("a 1")))
+    q("SELECT format('{} {}', 'a', 1) AS f", Seq("a 1")),
+    q("SELECT 17 // 5 AS d", Seq(3)),
+    q("SELECT @(-7) AS a", Seq(7)),
+    q("SELECT 2 ** 10 AS p", Seq(1024)),
+    q("SELECT 'abc' LIKE 'a%' ESCAPE '!' AS l", Seq(true)),
+    q("SELECT 'a_c' LIKE 'a!_c' ESCAPE '!' AS l", Seq(true)),
+    q("SELECT left('hello', -2) AS l", Seq("hel")))
 
   lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE
 
