@@ -47,6 +47,7 @@ object Results {
     case BinaryType => "BLOB"
     case DateType => "DATE"
     case _: TimestampType => "TIMESTAMP"
+    case t if t.typeName.startsWith("time") => "TIME"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case a: ArrayType => s"${duckTypeName(a.elementType)}[]"
     case m: MapType => s"MAP(${duckTypeName(m.keyType)}, ${duckTypeName(m.valueType)})"

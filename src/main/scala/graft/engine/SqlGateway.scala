@@ -47,6 +47,11 @@ class SqlGateway(val spark: SparkSession) {
   // `SELECT "a" FROM (SELECT 1 AS a) t` → 1; `SELECT "nosuch"` → binder
   // error, not a literal). Spark's ANSI flag gives exactly that reading.
   spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+  // TIME-of-day casts/literals resolve natively (probed: CAST('bad' AS
+  // TIME) errors loudly in both engines; fraction round-trips). DDL-
+  // declared TIME columns keep their STRING storage mapping (cornerType)
+  // for parquet compatibility — this flag covers expression-level TIME.
+  spark.conf.set("spark.sql.timeType.enabled", "true")
 
   // DuckDB-exact regexp_replace (first-match default, RE2 rewrite syntax,
   // option letters — graft.functions.DuckRegexpReplace scaladoc): every
@@ -272,9 +277,12 @@ class SqlGateway(val spark: SparkSession) {
   private val DeleteUsingRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.*)""".r
   private val DropRe = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+  // the alias list admits double-quoted names, which may contain parens
+  // (probed: CREATE VIEW v ("col(1)") AS SELECT 42 binds in DuckDB)
   private val CreateViewRe =
     ("""(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+""" +
-     """(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*(?:\(([^()]*)\))?\s*AS\s+(.*)""").r
+     """(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*""" +
+     """(?:\(((?:[^()"]|"[^"]*")*)\))?\s*AS\s+(.*)""").r
   private val DropViewRe =
     """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
   // snapshot statements, reachable through the same passthrough a client
@@ -286,6 +294,8 @@ class SqlGateway(val spark: SparkSession) {
   private val ImportDbRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val AlterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterRenameTableRe =
+    """(?is)\s*ALTER\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
   private val AlterSetDefaultRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
   private val AlterDropDefaultRe =
@@ -419,8 +429,15 @@ class SqlGateway(val spark: SparkSession) {
         val key = name.toLowerCase
         if (macros.contains(key) && orReplace == null)
           throw new IllegalArgumentException(s"macro $name already exists")
+        // table macros (`AS TABLE SELECT ...`): store the bare query — the
+        // expansion's paren-wrap makes a call in FROM position a plain
+        // subquery, exactly DuckDB's table-function behavior (probed)
+        val bodyT = body.trim
+        val stored =
+          if ("""(?is)^TABLE\s""".r.findFirstIn(bodyT).isDefined) bodyT.drop(5).trim
+          else bodyT
         macros(key) = (params.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq,
-          body.trim); ExecuteResult(0L)
+          stored); ExecuteResult(0L)
       case DropMacroRe(ife, name) =>
         if (macros.remove(name.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown macro $name")
@@ -439,8 +456,12 @@ class SqlGateway(val spark: SparkSession) {
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
         createTable(table, colSpec, ine != null)
       case CreateViewRe(orReplace, ine, name, aliases, body) =>
+        // a quoted alias sheds its delimiters: the NAME is the inner text
+        def unq(a: String) =
+          if (a.length >= 2 && a.head == '"' && a.last == '"') a.tail.init else a
         createView(orReplace != null, ine != null, name,
-          Option(aliases).map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty)),
+          Option(aliases).map(splitTopLevel(_).map(a => unq(a.trim))
+            .filter(_.nonEmpty)),
           body.trim)
       case DropViewRe(ife, name) => dropView(ife != null, name)
       case InsertPrefixRe(orMode, table, rest0) =>
@@ -522,6 +543,8 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(Snapshot.importDatabase(this, dir).size.toLong)
       case AlterRenameRe(table, from, to) =>
         alterRenameColumn(table, from, to)
+      case AlterRenameTableRe(ife, from, to) =>
+        renameTable(ife != null, from, to)
       case AlterSetDefaultRe(table, colName, dflt) =>
         alterSetDefault(table, colName, Some(dflt))
       case AlterDropDefaultRe(table, colName) =>
@@ -3273,6 +3296,34 @@ class SqlGateway(val spark: SparkSession) {
       out = fix(out, "json_extract", 2, a =>
         Some(s"to_json(variant_get(parse_json(${a(0)}), ${jsonPath(a(1))}))"))
     if (out.contains("->>")) {
+      // arrow CHAINS of ≥2 literal simple keys (x -> 'k' ->> 'n') fold
+      // into one json path; the LAST arrow picks rendering — ->> raw text
+      // (probed: '5'), -> JSON text. Chains must contain ->> so a lambda
+      // body can never match; a single bare -> stays unsupported (it IS
+      // Spark's lambda arrow — rewriting it would be the silent-wrong
+      // class). Runs before the single-step ->> rule below.
+      val ChainOp = """('(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+)"""
+      val Chain = (ChainOp + """((?:\s*->>?\s*'(?:[^']|'')*'){2,})""").r
+      val Step = """\s*(->>|->)\s*'((?:[^']|'')*)'""".r
+      val cIn = out
+      out = Chain.replaceAllIn(out, m => {
+        val steps = Step.findAllMatchIn(m.group(2))
+          .map(s => (s.group(1), s.group(2))).toList
+        val foldable =
+          cIn.substring(0, m.start).count(_ == '\'') % 2 == 0 &&
+          steps.exists(_._1 == "->>") &&
+          steps.forall(_._2.matches("""[A-Za-z_]\w*"""))
+        java.util.regex.Matcher.quoteReplacement(
+          if (!foldable) m.matched
+          else {
+            val path = "'$." + steps.map(_._2).mkString(".") + "'"
+            if (steps.last._1 == "->>")
+              s"get_json_object(${m.group(1)}, $path)"
+            else s"to_json(variant_get(parse_json(${m.group(1)}), $path))"
+          })
+      })
+    }
+    if (out.contains("->>")) {
       // x ->> 'path' (the distinct ->> token never collides with lambda
       // arrows); quote-parity guarded like the other infix rewrites
       val Arrow = ("""('(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+)""" +
@@ -3371,6 +3422,26 @@ class SqlGateway(val spark: SparkSession) {
           } else None
         })
     }
+    // json_array / json_object constructors compose from per-element
+    // json_quote renderings (the fix below runs AFTER these, so the
+    // emitted json_quote calls get their own exact handling); NULL
+    // elements render the JSON null token (probed: [1,"a",null])
+    def jsonElem(x: String): String =
+      if (x.trim.equalsIgnoreCase("null")) "'null'"
+      else s"coalesce(json_quote($x), 'null')"
+    if (out.toLowerCase.contains("json_array"))
+      out = fix(out, "json_array", -1, a =>
+        if (a.forall(_.trim.isEmpty)) Some("'[]'")
+        else Some("concat('[', concat_ws(',', " +
+          a.map(jsonElem).mkString(", ") + "), ']')"))
+    if (out.toLowerCase.contains("json_object"))
+      out = fix(out, "json_object", -1, a =>
+        if (a.forall(_.trim.isEmpty)) Some("'{}'")
+        else if (a.length % 2 != 0) None // duck: even key/value count
+        else Some("concat('{', concat_ws(',', " +
+          a.grouped(2).map { case Seq(k, v) =>
+            s"concat(json_quote($k), ':', ${jsonElem(v)})" }.mkString(", ") +
+          "), '}')"))
     // json_quote is DuckDB's generic to_json: numeric/boolean literals
     // render verbatim, string literals quote (JSON-escaped) — the literal
     // subset; container args alias through to to_json, others refuse
@@ -4308,6 +4379,41 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("blob"))
       out = out.replaceAll("(?i)::\\s*blob\\b", "::BINARY")
         .replaceAll("(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
+    // unsigned integer casts: range-GUARDED onto the next wider signed
+    // type — DuckDB raises on out-of-range (probed: 300::UTINYINT,
+    // (-1)::UTINYINT, 70000::USMALLINT all Conversion Error), so a blind
+    // widening would be silently wrong
+    if (out.toLowerCase.contains("utinyint") ||
+        out.toLowerCase.contains("usmallint") ||
+        out.toLowerCase.contains("uinteger") ||
+        out.toLowerCase.contains("ubigint")) {
+      val Op = """('(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+)"""
+      val ranges = Seq(
+        ("utinyint", "0", "255", "SMALLINT"),
+        ("usmallint", "0", "65535", "INT"),
+        ("uinteger", "0", "4294967295", "BIGINT"),
+        ("ubigint", "0", "18446744073709551615", "DECIMAL(20,0)"))
+      def guarded(x: String, lo: String, hi: String, t: String, n: String) =
+        s"(CASE WHEN ($x) IS NULL THEN CAST(NULL AS $t) " +
+          s"WHEN ($x) BETWEEN $lo AND $hi THEN CAST($x AS $t) " +
+          s"ELSE CAST(raise_error('Conversion Error: value is out of " +
+          s"range for ${n.toUpperCase}') AS $t) END)"
+      for ((n, lo, hi, t) <- ranges if out.toLowerCase.contains(n)) {
+        val Colon = (s"(?i)$Op\\s*::\\s*$n\\b").r
+        out = Colon.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            guarded(m.group(1), lo, hi, t, n)))
+        val CastForm = (s"(?i)\\bCAST\\s*\\(([^()]+?)\\s+AS\\s+$n\\s*\\)").r
+        out = CastForm.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            guarded(m.group(1), lo, hi, t, n)))
+      }
+    }
+    // `GROUP BY ()` is the empty grouping set (probed: one global row);
+    // Spark's parser wants the GROUPING SETS spelling
+    if (out.toLowerCase.contains("group by"))
+      out = out.replaceAll("(?i)\\bGROUP\\s+BY\\s*\\(\\s*\\)",
+        "GROUP BY GROUPING SETS (())")
     if (out.toLowerCase.contains("using sample"))
       out = out
         .replaceAll("(?i)\\busing\\s+sample\\s+(\\d+(?:\\.\\d+)?)\\s*" +
@@ -5632,17 +5738,23 @@ class SqlGateway(val spark: SparkSession) {
       if (!done.add(k)) return
       (refMap(k) - k).foreach(make)
       if (!stale.contains(k)) return
-      // stale temp view must not satisfy a self-referencing body with
-      // the OLD contents (DuckDB: infinite recursion error — probed)
-      try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
       brokenViews.remove(k)
       if (reachesSelf(k)) {
+        // stale temp view must not satisfy a self-referencing body with
+        // the OLD contents (DuckDB: infinite recursion error — probed)
+        try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
         brokenViews(k) = "infinite recursion detected: attempting to " +
           s"""recursively bind view "${uv(k)._1}""""
       } else {
+        // swap-in-place: createOrReplaceTempView is atomic, so a
+        // CONCURRENT reader of a healthy view never sees a
+        // table-not-found window (drop-then-create did — r10 race);
+        // a bind FAILURE drops the stale temp view, as a broken view
+        // must not keep serving its old contents
         val (_, aliases, body) = uv(k)
         try materializeViewDf(aliases, body).createOrReplaceTempView(k)
         catch { case scala.util.control.NonFatal(e) =>
+          try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
           brokenViews(k) = Option(e.getMessage).getOrElse(e.toString) }
       }
       viewGen(k) = gen
@@ -6051,6 +6163,51 @@ class SqlGateway(val spark: SparkSession) {
     createCatalogEntry(table, df.schema, loc)
     versions(tableKey(table)) = 0
     txn.foreach(_.created += tableKey(table)) // rollback will drop it
+  }
+
+  /** `ALTER TABLE [IF EXISTS] from RENAME TO to` — catalog + registry +
+    * versioned-dir move. DuckDB (probed): a view target errors ("Can only
+    * modify view with ALTER VIEW statement"), an existing destination
+    * errors, IF EXISTS absorbs a missing source, constraints ride along,
+    * and dependent views break lazily at their next bind (table-not-found)
+    * — exactly what the generation-based re-bind here produces. */
+  private def renameTable(ifExists: Boolean, from: String, to: String): ExecuteResult = {
+    val (kf, kt) = (tableKey(from), tableKey(to))
+    if (userViews.contains(kf))
+      throw new IllegalArgumentException(
+        "Can only modify view with ALTER VIEW statement")
+    if (!spark.catalog.tableExists(from)) {
+      if (ifExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(s"Table with name $from does not exist!")
+    }
+    if (spark.catalog.tableExists(to) || userViews.contains(kt))
+      throw new IllegalArgumentException(
+        s"""Could not rename "$from" to "$to": another entry with this name already exists!""")
+    if (inTxn)
+      throw new IllegalArgumentException(
+        "ALTER TABLE inside a transaction is not supported")
+    versions.get(kf) match {
+      case Some(v) =>
+        val schema = spark.table(from).schema
+        val src = new org.apache.hadoop.fs.Path(tableRoot(from))
+        val dst = new org.apache.hadoop.fs.Path(tableRoot(to))
+        val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        spark.sql(s"DROP TABLE $from")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(src, dst)
+        createCatalogEntry(to, schema, s"${tableRoot(to)}/v$v")
+        versions.remove(kf); versions(kt) = v
+      case None => // managed passthrough table: Spark's own rename
+        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    }
+    constraints.remove(kf).foreach(constraints(kt) = _)
+    checks.remove(kf).foreach(checks(kt) = _)
+    columnDefaults.remove(kf).foreach(columnDefaults(kt) = _)
+    indexes.toSeq.collect { case (n, (t, cols, u)) if t == kf =>
+      indexes(n) = (kt, cols, u) }
+    // execute() bumps mutationGen for every ALTER — dependent views
+    // re-bind on next use and break loudly, matching the probe
+    ExecuteResult(0L)
   }
 
   private[engine] def dropTable(table: String): ExecuteResult = {

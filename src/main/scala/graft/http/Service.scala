@@ -558,6 +558,10 @@ object Json {
     case n: java.lang.Number => n.toString
     case d: java.sql.Date => str(d.toString)
     case t: java.sql.Timestamp => str(t.toString)
+    case t: java.time.LocalTime => // DuckDB renders seconds always
+      str(f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d" +
+        (if (t.getNano == 0) ""
+         else ("." + f"${t.getNano}%09d").reverse.dropWhile(_ == '0').reverse))
     case seq: scala.collection.Seq[_] => arr(seq.toSeq.map(value))
     case row: org.apache.spark.sql.Row => arr(row.toSeq.map(value))
     case m: scala.collection.Map[_, _] =>

@@ -106,4 +106,44 @@ class ConcurrencySpec extends SparkTestBase {
     writer.join()
     assert(gw.query("SELECT count(*) AS n FROM conc3").values.head.head == 5L)
   }
+
+  test("concurrent view queries during CREATE/DROP VIEW never corrupt the " +
+       "registry (copy-on-write reads, r10)") {
+    gw.execute("DROP TABLE IF EXISTS conc4")
+    gw.execute("CREATE TABLE conc4 (id integer)")
+    gw.execute("INSERT INTO conc4 VALUES (1), (2), (3)")
+    gw.execute("CREATE VIEW conc4_keep AS SELECT id * 2 AS d FROM conc4")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // churner: registers and drops OTHER views (plus mutations bumping the
+    // generation) while readers query the stable one — the pre-fix
+    // LinkedHashMap could throw or corrupt under this interleaving
+    val churner = new Thread(() => try {
+      (1 to 20).foreach { i =>
+        gw.execute(s"CREATE VIEW conc4_tmp$i AS SELECT id + $i AS v FROM conc4")
+        gw.execute(s"INSERT INTO conc4 VALUES (${100 + i})")
+        gw.execute(s"DROP VIEW conc4_tmp$i")
+      }
+    } catch { case t: Throwable => errors.add(t) })
+    val pool = Executors.newFixedThreadPool(6)
+    churner.start()
+    (1 to 6).foreach { _ =>
+      pool.submit(new Runnable { def run(): Unit = {
+        while (!stop.get()) {
+          try {
+            val s = gw.query("SELECT sum(d) AS s FROM conc4_keep")
+              .values.head.head.asInstanceOf[Long]
+            assert(s >= 12L) // 2+4+6, growing as the churner inserts
+          } catch { case t: Throwable => errors.add(t); stop.set(true) }
+        }
+      }})
+    }
+    churner.join()
+    stop.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(errors.isEmpty, String.valueOf(errors.peek()))
+    assert(gw.query("SELECT count(*) AS n FROM conc4").values.head.head == 23L)
+    gw.execute("DROP VIEW conc4_keep"); gw.execute("DROP TABLE conc4")
+  }
 }

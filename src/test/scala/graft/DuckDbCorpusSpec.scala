@@ -2332,6 +2332,10 @@ class DuckDbCorpusSpec extends SparkTestBase {
     case s: String => s
     case d: java.time.LocalDate => d.toString
     case d: java.sql.Date => d.toString
+    case t: java.time.LocalTime => // duck renders seconds always
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d" +
+        (if (t.getNano == 0) ""
+         else ("." + f"${t.getNano}%09d").reverse.dropWhile(_ == '0').reverse)
     case t: java.sql.Timestamp => normTs(t.toString)
     case t: java.time.Instant => normTs(t.toString)
     case t: java.time.LocalDateTime => normTs(t.toString.replace("T", " "))
@@ -2641,9 +2645,56 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT 2 ** 10 AS p", Seq(1024)),
     q("SELECT 'abc' LIKE 'a%' ESCAPE '!' AS l", Seq(true)),
     q("SELECT 'a_c' LIKE 'a!_c' ESCAPE '!' AS l", Seq(true)),
-    q("SELECT left('hello', -2) AS l", Seq("hel")))
+    q("SELECT left('hello', -2) AS l", Seq("hel")),
+    // quoted view alias containing parens (probed; the alias-list regex
+    // admits double-quoted names since r10)
+    s("""CREATE VIEW rv_vqa ("col(1)") AS SELECT 42"""),
+    q("""SELECT "col(1)" AS c FROM rv_vqa""", Seq(42)))
 
-  lazy val corpus: Seq[C] = corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE
+  // r10 batch C: JSON paths/constructors, table macros, ALTER TABLE
+  // RENAME TO (new operator), sequence currval chains, null-logic corners,
+  // GROUP BY ()/ordinals, TIME/UTINYINT casts. Probed against DuckDB 1.0.
+  private def corpusF: Seq[C] = Seq(
+    s("CREATE TABLE rd_t (a integer, j text)"),
+    s("""INSERT INTO rd_t VALUES (1, '{"k": {"n": 5}, "arr": [1,2,3]}'), """ +
+      """(2, '{"k": {"n": 7}}')"""),
+    q("SELECT j -> 'k' ->> 'n' AS n FROM rd_t ORDER BY a", Seq("5"), Seq("7")),
+    q("SELECT json_extract(j, '$.arr[1]') AS e FROM rd_t WHERE a = 1", Seq("2")),
+    q("""SELECT json_array(1, 'a', NULL) AS a""", Seq("""[1,"a",null]""")),
+    q("""SELECT json_object('k', 7) AS o""", Seq("""{"k":7}""")),
+    // table macro: a call in FROM position expands to a subquery
+    s("CREATE MACRO rd_gt(x) AS TABLE SELECT a FROM rd_t WHERE a > x"),
+    q("SELECT * FROM rd_gt(1)", Seq(2)),
+    // sequence currval after two nextvals
+    s("CREATE SEQUENCE rd_seq START 10 INCREMENT 5"),
+    q("SELECT nextval('rd_seq') AS n", Seq(10)),
+    q("SELECT nextval('rd_seq') AS n", Seq(15)),
+    q("SELECT currval('rd_seq') AS c", Seq(15)),
+    // ALTER TABLE ... RENAME TO (r10): constraints ride along, dependent
+    // views break lazily, IF EXISTS absorbs a missing source
+    s("CREATE TABLE rd_alter (x integer not null primary key, y text)"),
+    s("INSERT INTO rd_alter VALUES (1, 'a')"),
+    s("ALTER TABLE rd_alter RENAME TO rd_alter2"),
+    q("SELECT count(*) AS n FROM rd_alter2", Seq(1)),
+    s("ALTER TABLE IF EXISTS rd_nosuch RENAME TO rd_x"),
+    // null-logic corners
+    q("SELECT count(NULL) AS c", Seq(0)),
+    q("SELECT NULL AND false AS a, NULL OR true AS o", Seq(false, true)),
+    q("SELECT NULL IN (1, 2) AS i", Seq(null)),
+    q("SELECT 3 NOT IN (1, NULL) AS i", Seq(null)),
+    q("SELECT avg(x) AS a FROM (VALUES (1), (NULL), (3)) t(x)", Seq(2.0)),
+    // grouping corners
+    q("SELECT count(*) AS n FROM rd_t GROUP BY ()", Seq(2)),
+    q("SELECT a % 2 AS g, count(*) AS n FROM rd_t GROUP BY 1 ORDER BY 1",
+      Seq(0, 1), Seq(1, 1)),
+    // casts breadth
+    q("SELECT '10:30:00'::TIME AS t", Seq("10:30:00")),
+    q("SELECT 65::UTINYINT AS u", Seq(65)),
+    q("SELECT CAST('inf' AS DOUBLE) AS i", Seq(Double.PositiveInfinity)),
+    q("SELECT '5'::INTEGER + 1 AS v", Seq(6)))
+
+  lazy val corpus: Seq[C] =
+    corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
