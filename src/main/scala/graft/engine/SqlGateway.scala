@@ -3048,6 +3048,11 @@ class SqlGateway(val spark: SparkSession) {
             s"${parts.tail.map(p => s", ${p.trim}").mkString})")
       })
     }
+    // 1-arg string_agg: DuckDB's default separator is ',' (probed:
+    // 'foo,bar'); Spark's native default is the empty string
+    if (out.toLowerCase.contains("string_agg"))
+      out = fix(out, "string_agg", 1, a =>
+        Some(s"string_agg(${a.head}, ',')"))
     if (out.toLowerCase.contains("string_agg"))
       out = fix(out, "string_agg", 2, a => {
         // DISTINCT dedups before joining (collect_set; string_agg skips

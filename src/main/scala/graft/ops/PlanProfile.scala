@@ -36,20 +36,22 @@ object PlanProfile {
   /** Short ids (prefix before first '_') of queries measured faster — and
     * justified safe — under their static plan. Everything else keeps AQE.
     *
-    * r9 re-probe (VERDICT r8 item 2: ALL pins re-measured on the
-    * post-reboot box, two sessions floorprobe_r9_{a,b}, sign-agreement
-    * protocol): 31 pins KEPT (both sessions AQE-off faster), 30 UNPINNED
-    * on a sign flip or both-positive deltas — the static-plan advantage
-    * on the fixed-key agg family (q01/q06/q12/q38…), the window/dialect
-    * family (q16/q17/q45-q58b…) and x11/x19/x44 did not survive the box
-    * change; x34 (the r8 verdict's suspect) re-probed negative in BOTH
-    * sessions and stays. x08 (map-only token count) probed −0.089/−0.123
-    * and is newly pinned. */
+    * r10 re-probe (floorprobe_r10_{a,b}, the first probe sessions run
+    * WITH the suite-sized codegen cache — earlier probes partly measured
+    * Janino recompiles, not plan shape): 22 pins KEPT (both sessions
+    * AQE-off faster), 9 UNPINNED on sign flips (q04 −0.70/+0.06,
+    * q05 −1.69/+0.09, q07, q11, q13 −0.09/+0.61, q14 −0.22/+2.53, q36,
+    * q50, x32 — session A ran on a decaying-load box, so its uniform
+    * negatives don't count without B's agreement), 7 newly PINNED on
+    * double-negative deltas ≥0.04: q22/q42/q57 map-only scans
+    * (−0.050/−0.051, −0.055/−0.056, −0.110/−0.040), q44 broadcast right
+    * join (−0.216/−0.055), x19 IVF cell-pair equi-joins (−1.06/−0.089),
+    * x38 asof (−0.104/−0.045), x44 map-only CDC (−0.183/−0.120). */
   val staticPlan: Set[String] = Set(
-    "q03", "q04", "q05", "q07", "q11", "q13", "q14", "q15", "q19", "q26",
-    "q27", "q34", "q35", "q36", "q39", "q41", "q50", "q51", "q59",
-    "x02", "x03", "x04", "x07", "x08", "x10", "x17", "x18", "x27", "x30",
-    "x32", "x34", "x45"
+    "q03", "q15", "q19", "q22", "q26", "q27", "q34", "q35", "q39", "q41",
+    "q42", "q44", "q51", "q57", "q59",
+    "x02", "x03", "x04", "x07", "x08", "x10", "x17", "x18", "x19", "x27",
+    "x30", "x34", "x38", "x44", "x45"
   )
 
   /** The pre-r9 pin set, kept for A/B reference only. */

@@ -35,6 +35,10 @@ object FloorProbe {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // match Bench's resident profile (r10): probes must measure plan
+      // shape, not Janino recompiles off an undersized generated-class cache
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -2691,7 +2691,11 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT '10:30:00'::TIME AS t", Seq("10:30:00")),
     q("SELECT 65::UTINYINT AS u", Seq(65)),
     q("SELECT CAST('inf' AS DOUBLE) AS i", Seq(Double.PositiveInfinity)),
-    q("SELECT '5'::INTEGER + 1 AS v", Seq(6)))
+    q("SELECT '5'::INTEGER + 1 AS v", Seq(6)),
+    q("SELECT string_agg(s) AS g FROM (VALUES ('foo'), ('bar')) t(s)",
+      Seq("foo,bar")), // 1-arg: ',' default separator (probed)
+    q("SELECT quantile_cont(a, 0.5) AS q FROM (VALUES (1), (2)) t(a)",
+      Seq(1.5)))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF

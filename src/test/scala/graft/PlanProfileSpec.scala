@@ -21,7 +21,7 @@ class PlanProfileSpec extends SparkTestBase {
     val key = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(key, "true")
     var seenInside: Option[String] = None
-    PlanProfile.withProfile(spark, "q05_star_join") {
+    PlanProfile.withProfile(spark, "q03_topk_revenue") {
       seenInside = Some(spark.conf.get(key))
     }
     assert(seenInside.contains("false"), "pinned query must run AQE-off")
@@ -34,12 +34,12 @@ class PlanProfileSpec extends SparkTestBase {
 
   test("runtime-shaped queries stay unpinned (AQE measured faster there)") {
     // queries whose latest two-session probe showed consistent AQE-on
-    // wins (or a split) — pinning any of these is a regression. r8:
-    // x03/x30/x32/x34 moved OUT of this set and into staticPlan on
-    // r8's double-confirmed AQE-off wins (floorprobe_r8_{a,b}); q25
-    // moved IN on its double-confirmed AQE-on win.
+    // wins (or a split) — pinning any of these is a regression. r10
+    // (floorprobe_r10_{a,b}, first probes under the suite-sized codegen
+    // cache): q44 moved OUT into staticPlan on double-confirmed AQE-off
+    // wins (−0.216/−0.055); q05/q13/q14/x32 moved IN on sign flips.
     val mustKeepAqe = Set("q18", "x13", "x25", "x31", "x42",
-      "q44", "x15", "x20", "q25")
+      "x15", "x20", "q25", "q05", "q13", "q14", "x32")
     val pinned = mustKeepAqe.intersect(PlanProfile.staticPlan)
     assert(pinned.isEmpty, s"runtime-shaped queries pinned: $pinned")
   }
