@@ -6149,6 +6149,12 @@ class SqlGateway(val spark: SparkSession) {
     * snapshot round trips (parquet footers persist it too). */
   private def createCatalogEntry(table: String,
       schema: org.apache.spark.sql.types.StructType, loc: String): Unit = {
+    // materialize the (possibly still-empty) location first: resolving a
+    // nonexistent path logs a FileNotFoundException WARN stack on every
+    // CREATE TABLE (FileStreamSink.hasMetadata probing the dir)
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.mkdirs(p)
     spark.catalog.createTable(table, "parquet", schema,
       Map("path" -> loc))
     ()

@@ -25,7 +25,14 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.lift(1).foreach(dir => Tables.registerAll(spark, dir))
-    val service = new Service(new SqlGateway(spark), port)
+    // durability knobs, mirroring the reference's raft-dir flag
+    // (`main.go`): GRAFT_LOG_DIR enables the JSONL statement log +
+    // snapshot recovery; GRAFT_SNAPSHOT_EVERY=N takes an async snapshot
+    // each N logged statements
+    val service = new Service(new SqlGateway(spark), port,
+      logDir = sys.env.get("GRAFT_LOG_DIR"),
+      snapshotEvery = sys.env.get("GRAFT_SNAPSHOT_EVERY")
+        .map(_.toInt).getOrElse(0))
     val bound = service.start()
     println(s"graft service listening on :$bound")
     Thread.currentThread().join()
