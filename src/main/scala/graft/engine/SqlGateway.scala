@@ -471,11 +471,19 @@ class SqlGateway(val spark: SparkSession) {
         val ByNameRe = """(?is)^\s*BY\s+NAME\s+(.*)$""".r
         // `BY POSITION` is the default alignment spelled explicitly
         val ByPosRe = """(?is)^\s*BY\s+POSITION\s+(.*)$""".r
-        val (byName, rest) = rest0.trim match {
+        val (byName, rest1) = rest0.trim match {
           case ByNameRe(r) => (true, r)
           case ByPosRe(r) => (false, r)
           case r => (false, r)
         }
+        // `INSERT INTO t DEFAULT VALUES` — one row of all-DEFAULT columns
+        // (probed); lower to the explicit per-column DEFAULT spelling the
+        // VALUES path already resolves
+        val rest = if ("""(?is)^\s*DEFAULT\s+VALUES\s*$""".r
+            .findFirstIn(rest1).isDefined)
+          "VALUES (" + spark.table(table).columns.map(_ => "DEFAULT")
+            .mkString(", ") + ")"
+        else rest1
         // DuckDB upsert surface: `ON CONFLICT DO NOTHING` keeps the
         // non-conflicting rows; `ON CONFLICT DO UPDATE SET ...` merges
         // (the SET expressions may reference `excluded.<col>` = the
@@ -587,12 +595,14 @@ class SqlGateway(val spark: SparkSession) {
   private val SummarizeSelRe = """(?is)\s*SUMMARIZE\s+(SELECT\b.*)""".r
   private val DescribeSelRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(SELECT\b.*)""".r
   private val PivotRe =
-    """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s+USING\s+(\w+)\s*\(\s*([\w.*]+)\s*\)(?:\s+GROUP\s+BY\s+(.*?))?\s*""".r
+    ("""(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s+IN\s+\(([^()]*)\))?""" +
+     """\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?(?:\s+ORDER\s+BY\s+(.+?))?\s*""").r
   // bare `PIVOT t ON c`: DuckDB defaults to count(*), zero-filled
   private val PivotBareRe =
     """(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)\s*""".r
   private val UnpivotRe =
-    """(?is)\s*UNPIVOT\s+([\w.]+|\((?:[^()]|\([^()]*\))*\))\s+ON\s+(.*?)\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)\s*""".r
+    ("""(?is)\s*UNPIVOT\s+([\w.]+|\((?:[^()]|\([^()]*\))*\))\s+ON\s+(.*?)""" +
+     """\s+INTO\s+NAME\s+(\w+)\s+VALUE\s+(\w+)(?:\s+ORDER\s+BY\s+(.+?))?\s*""").r
 
   /** Read path (reference `db/db.go:67-117`): local, lock-free. The
     * dialect's top-level analysis statements rewrite to their Spark
@@ -733,18 +743,44 @@ class SqlGateway(val spark: SparkSession) {
     case DescribeSelRe(sel) => describeDf(queryDf(sel))
     case SummarizeRe(table) => summarize(spark.table(table))
     case DescribeRe(table) => describe(table)
-    case PivotRe(table, on, fn, arg, grp) =>
-      pivotStatement(table, on, fn, arg, Option(grp))
+    // a parenthesized PIVOT subquery (`SELECT ... FROM (PIVOT ...)`,
+    // `UNPIVOT (PIVOT ...)`) lifts to a temp view, then the statement
+    // re-runs with the view name substituted — Spark's parser has no
+    // PIVOT-statement grammar to nest
+    case s if !s.trim.toUpperCase.startsWith("PIVOT") &&
+        """(?is)\(\s*PIVOT\b""".r.findFirstIn(maskStringLiterals(s)).isDefined =>
+      val masked = maskStringLiterals(s)
+      val open = """(?is)\(\s*PIVOT\b""".r.findFirstMatchIn(masked).get.start
+      var depth = 0; var j = open; var close = -1
+      while (j < masked.length && close < 0) {
+        val ch = masked.charAt(j)
+        if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) close = j }
+        j += 1
+      }
+      if (close < 0) runSql(s) // unbalanced → let the parser refuse
+      else {
+        val v = s"graft_pivot_${viewSeq.incrementAndGet()}"
+        queryDf(s.substring(open + 1, close).trim).createOrReplaceTempView(v)
+        try queryDf(s.substring(0, open) + v + s.substring(close + 1))
+          .localCheckpoint(true)
+        finally spark.catalog.dropTempView(v)
+      }
+    case PivotRe(table, on, inVals, usingText, grp, ord) =>
+      pivotStatement(table, on, Option(inVals), usingText,
+        Option(grp), Option(ord))
     case PivotBareRe(table, on) =>
-      pivotStatement(table, on, "count", "*", None)
-    case UnpivotRe(table, onList, nameCol, valueCol) =>
+      pivotStatement(table, on, None, "count(*)", None, None)
+    case UnpivotRe(table, onList, nameCol, valueCol, ord) =>
       val df = if (table.startsWith("(")) // subquery source
         queryDf(table.substring(1, table.length - 1))
       else spark.table(table)
       val values = splitTopLevel(onList).map(c => col(c.trim))
       val valueNames = splitTopLevel(onList).map(_.trim.toLowerCase).toSet
       val ids = df.columns.filterNot(c => valueNames.contains(c.toLowerCase)).map(col)
-      df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
+      val up = df.unpivot(ids.toArray, values.toArray, nameCol, valueCol)
+      Option(ord).map(o => up.orderBy(
+        splitTopLevel(o).map(e => expr(e.trim)): _*)).getOrElse(up)
     case _ => dialectQuery(stripComments(sql)).getOrElse(runSql(sql))
   }
 
@@ -3447,6 +3483,21 @@ class SqlGateway(val spark: SparkSession) {
           a.grouped(2).map { case Seq(k, v) =>
             s"concat(json_quote($k), ':', ${jsonElem(v)})" }.mkString(", ") +
           "), '}')"))
+    // alias(expr) returns the enclosing select item's alias when one is
+    // spelled (probed: `alias(v) AS a` → 'a'), else the column's own name
+    // (`alias(v)` → 'v'); the identifier subset folds to a literal,
+    // computed expressions refuse
+    if (out.toLowerCase.contains("alias(")) {
+      val Aliased = """(?i)\balias\s*\(\s*[\w.]+\s*\)\s+AS\s+(\w+)""".r
+      out = Aliased.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(s"'${m.group(1)}' AS ${m.group(1)}"))
+      out = fix(out, "alias", 1, a => {
+        val t = a(0).trim
+        if (t.matches("""[A-Za-z_][\w.]*"""))
+          Some(s"'${t.split('.').last}'")
+        else None
+      })
+    }
     // json_quote is DuckDB's generic to_json: numeric/boolean literals
     // render verbatim, string literals quote (JSON-escaped) — the literal
     // subset; container args alias through to to_json, others refuse
@@ -5714,12 +5765,22 @@ class SqlGateway(val spark: SparkSession) {
       keys.filter(d => d != k &&
         referencesName(stripComments(uv(k)._3), d)).foreach(visit)
     roots.foreach(visit)
-    val gen = mutationGen
-    val stale = closure.filter(k => viewGen.get(k).forall(_ != gen))
-    if (stale.nonEmpty) materializeViews(uv, closure.toSeq, stale.toSet, gen)
+    // materialization is SERIALIZED (leaf lock — view bodies are SELECTs,
+    // never DML, so no path back to writeLock): two readers racing to
+    // re-bind the same view would interleave temp-view swaps inside
+    // Spark's analysis. The healthy-view fast path takes no lock, and the
+    // staleness re-check inside the lock dedupes the waiting thread's work.
+    if (closure.exists(k => viewGen.get(k).forall(_ != mutationGen)))
+      viewMaterializeLock.synchronized {
+        val gen = mutationGen
+        val stale = closure.filter(k => viewGen.get(k).forall(_ != gen))
+        if (stale.nonEmpty) materializeViews(uv, closure.toSeq, stale.toSet, gen)
+      }
     roots.foreach(k => brokenViews.get(k).foreach(msg =>
       throw new IllegalArgumentException(msg)))
   }
+
+  private val viewMaterializeLock = new Object
 
   /** Materialize `stale` views (dependencies first, within `closure`).
     * Never throws: a body that fails to bind — base table dropped, column
@@ -6012,10 +6073,18 @@ class SqlGateway(val spark: SparkSession) {
       .toDF("column_name", "column_type", "null", "key", "default", "extra")
   }
 
-  private def pivotStatement(table: String, on: String, fn: String, arg: String,
-      grp: Option[String]): DataFrame = {
+  private def pivotStatement(table: String, on: String, inVals: Option[String],
+      usingText: String, grp: Option[String], ord: Option[String]): DataFrame = {
     val df = spark.table(table)
-    val aggExpr = fn.toLowerCase match {
+    val FnRe = """(?is)^(\w+)\s*\(\s*([\w.*]+)\s*\)$""".r
+    // USING admits a comma list of aggregates (probed: `USING sum(v),
+    // count(*)` — value-major column order in both engines)
+    val aggSpecs = splitTopLevel(usingText).map(_.trim).map {
+      case FnRe(fn, arg) => (fn.toLowerCase, arg)
+      case other =>
+        throw new IllegalArgumentException(s"PIVOT USING $other unsupported")
+    }
+    def aggExpr(fn: String, arg: String) = fn match {
       case "sum" => sum(col(arg))
       case "count" => if (arg == "*") count(lit(1)) else count(col(arg))
       case "min" => min(col(arg))
@@ -6025,22 +6094,34 @@ class SqlGateway(val spark: SparkSession) {
       case "last" => last(col(arg))
       case other => throw new IllegalArgumentException(s"PIVOT USING $other unsupported")
     }
+    val aggs = aggSpecs.map { case (f, a) => aggExpr(f, a) }
+    val aggArgs = aggSpecs.map(_._2).toSet
     val groupCols = grp match {
       case Some(g) => splitTopLevel(g).map(c => col(c.trim))
       case None => // DuckDB default: group by every non-pivot, non-value column
         df.columns
-          .filterNot(c => c.equalsIgnoreCase(on) || c.equalsIgnoreCase(arg))
+          .filterNot(c => c.equalsIgnoreCase(on) ||
+            aggArgs.exists(_.equalsIgnoreCase(c)))
           .map(col).toSeq
     }
-    val pivoted = df.groupBy(groupCols: _*).pivot(on).agg(aggExpr)
+    val grouped = df.groupBy(groupCols: _*)
+    // `ON c IN (v1, ...)` pivots only the listed values (probed)
+    val piv = inVals match {
+      case Some(vs) => grouped.pivot(on, splitTopLevel(vs).map(v =>
+        v.trim.stripPrefix("'").stripSuffix("'")))
+      case None => grouped.pivot(on)
+    }
+    val pivoted = piv.agg(aggs.head, aggs.tail: _*)
     // bare-count pivots ZERO-fill the absent cells (probed); aggregate
     // pivots keep NULL
-    if (fn.toLowerCase == "count" && arg == "*") {
+    val filled = if (aggSpecs == Seq(("count", "*"))) {
       val keyCols = groupCols.map(_.toString).toSet
       pivoted.select(pivoted.columns.map(c =>
         if (keyCols.contains(c)) col(s"`$c`")
         else coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
     } else pivoted
+    ord.map(o => filled.orderBy(
+      splitTopLevel(o).map(e => expr(e.trim)): _*)).getOrElse(filled)
   }
 
   private def summarize(df: org.apache.spark.sql.DataFrame): DataFrame = {
@@ -6828,8 +6909,17 @@ class SqlGateway(val spark: SparkSession) {
   /** Parse a DuckDB COPY option list into (spark format, reader/writer
     * options). Defaults mirror DuckDB: no FORMAT means CSV, and DuckDB's
     * CSV writer emits a header unless HEADER false. */
-  private def copyOptions(spec: String): (String, Map[String, String], Seq[String]) = {
-    var format = "csv"
+  private def copyOptions(spec: String,
+      path: String = ""): (String, Map[String, String], Seq[String]) = {
+    // DuckDB infers the format from the file extension when no FORMAT
+    // option is given (probed: .parquet → parquet, unknown → csv; a COPY
+    // to '.json' silently wrote CSV here before r10)
+    val p = path.toLowerCase
+    var format =
+      if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+               p.endsWith(".ndjson")) "json"
+      else "csv"
     var partitionBy = Seq.empty[String]
     val opts = scala.collection.mutable.Map("header" -> "true")
     Option(spec).toSeq.flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty).foreach { o =>
@@ -6861,7 +6951,7 @@ class SqlGateway(val spark: SparkSession) {
     * single file would serialize the write through one thread). Staged
     * via persist so the count and the write share one computation. */
   private def copyTo(df: DataFrame, path: String, optSpec: String): ExecuteResult = {
-    val (fmt, opts, partitionBy) = copyOptions(optSpec)
+    val (fmt, opts, partitionBy) = copyOptions(optSpec, path)
     val staged = df.persist()
     try {
       val n = staged.count()
@@ -6877,7 +6967,7 @@ class SqlGateway(val spark: SparkSession) {
     * same constraint-checked [[insert]] path as INSERT — PK and NOT NULL
     * hold on every ingest path, exactly as DuckDB enforces them on COPY. */
   private def copyFrom(table: String, path: String, optSpec: String): ExecuteResult = {
-    val (fmt, opts, _) = copyOptions(optSpec)
+    val (fmt, opts, _) = copyOptions(optSpec, path)
     val target = spark.table(table) // errors like DuckDB if the table is absent
     val reader = spark.read.format(fmt).options(opts)
     val src = fmt match {

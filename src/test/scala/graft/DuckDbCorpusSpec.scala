@@ -2697,8 +2697,58 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT quantile_cont(a, 0.5) AS q FROM (VALUES (1), (2)) t(a)",
       Seq(1.5)))
 
+  // r10 batch D: PIVOT breadth (multi-agg USING, IN-subset, nested
+  // UNPIVOT-of-PIVOT), ON CONFLICT DO UPDATE with EXCLUDED/qualified
+  // refs, INSERT DEFAULT forms, COPY option breadth, ASOF LEFT JOIN,
+  // GROUP BY ALL + HAVING. Probed against DuckDB 1.0.
+  private def corpusG: Seq[C] = Seq(
+    s("CREATE TABLE rf_t (g text, p text, v integer)"),
+    s("INSERT INTO rf_t VALUES ('a', 'x', 1), ('a', 'y', 2), ('b', 'x', 3), ('b', 'y', 4)"),
+    q("PIVOT rf_t ON p USING sum(v) GROUP BY g ORDER BY g",
+      Seq("a", 1, 2), Seq("b", 3, 4)),
+    q("PIVOT rf_t ON p IN ('x') USING sum(v), count(*) GROUP BY g ORDER BY g",
+      Seq("a", 1, 1), Seq("b", 3, 1)),
+    q("SELECT * FROM (PIVOT rf_t ON p USING max(v) GROUP BY g) ORDER BY g",
+      Seq("a", 1, 2), Seq("b", 3, 4)),
+    q("UNPIVOT (PIVOT rf_t ON p USING sum(v) GROUP BY g) ON x, y " +
+      "INTO NAME part VALUE tot ORDER BY g, part",
+      Seq("a", "x", 1), Seq("a", "y", 2), Seq("b", "x", 3), Seq("b", "y", 4)),
+    s("CREATE TABLE rf_c (id integer primary key, v integer)"),
+    s("INSERT INTO rf_c VALUES (1, 10)"),
+    // DO UPDATE arms: EXCLUDED.<col> names the incoming row, a
+    // table-qualified ref names the existing one (both probed)
+    s("INSERT INTO rf_c VALUES (1, 20) ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v + 1"),
+    q("SELECT * FROM rf_c", Seq(1, 21)),
+    s("INSERT INTO rf_c VALUES (1, 99) ON CONFLICT DO NOTHING"),
+    q("SELECT v FROM rf_c", Seq(21)),
+    s("INSERT INTO rf_c VALUES (2, 5) ON CONFLICT (id) DO UPDATE SET v = rf_c.v * 10"),
+    q("SELECT * FROM rf_c ORDER BY id", Seq(1, 21), Seq(2, 5)),
+    s("CREATE TABLE rf_d (id integer, v integer DEFAULT 7, w text DEFAULT 'dflt')"),
+    s("INSERT INTO rf_d VALUES (1, DEFAULT, DEFAULT)"),
+    s("INSERT INTO rf_d (id) VALUES (2)"),
+    s("INSERT INTO rf_d DEFAULT VALUES"),
+    q("SELECT * FROM rf_d ORDER BY id NULLS LAST",
+      Seq(1, 7, "dflt"), Seq(2, 7, "dflt"), Seq(null, 7, "dflt")),
+    s("COPY rf_t TO '/tmp/graft_rf_copy.csv' (FORMAT CSV, HEADER, DELIMITER ';')"),
+    q("SELECT count(*) AS n FROM read_csv_auto('/tmp/graft_rf_copy.csv')", Seq(4)),
+    s("COPY (SELECT g, sum(v) AS s FROM rf_t GROUP BY g) TO '/tmp/graft_rf_copy2.json'"),
+    q("SELECT count(*) AS n FROM read_json_auto('/tmp/graft_rf_copy2.json')", Seq(2)),
+    s("CREATE TABLE rf_px (t integer, price integer)"),
+    s("INSERT INTO rf_px VALUES (10, 100), (20, 200)"),
+    s("CREATE TABLE rf_ev (t integer)"),
+    s("INSERT INTO rf_ev VALUES (15), (25), (5)"),
+    q("SELECT e.t, p.price FROM rf_ev e ASOF LEFT JOIN rf_px p ON e.t >= p.t ORDER BY e.t",
+      Seq(5, null), Seq(15, 100), Seq(25, 200)),
+    C("SELECT * FROM rf_t ORDER BY ALL LIMIT 2",
+      Some(Seq(Seq("a", "x", 1), Seq("a", "y", 2))), ordered = true),
+    q("SELECT g, count(*) AS n FROM rf_t GROUP BY ALL HAVING count(*) > 1 ORDER BY g",
+      Seq("a", 2), Seq("b", 2)),
+    q("SELECT alias(v) AS a FROM (SELECT 1 AS v)", Seq("a")),
+    C("VALUES (1, 'a'), (2, 'b') ORDER BY 1 DESC",
+      Some(Seq(Seq(2, "b"), Seq(1, "a"))), ordered = true))
+
   lazy val corpus: Seq[C] =
-    corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF
+    corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++ corpusG
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
