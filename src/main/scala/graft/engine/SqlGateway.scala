@@ -7207,6 +7207,10 @@ class SqlGateway(val spark: SparkSession) {
   }
   @volatile private var txn: Option[TxnState] = None
   private def inTxn: Boolean = txn.isDefined
+  /** Service-visible: a snapshot cut taken mid-transaction would truncate
+    * the statement log across its BEGIN — replay would then see a COMMIT
+    * with no transaction open. */
+  private[graft] def inTransaction: Boolean = inTxn
 
   private def beginTxn(): ExecuteResult = {
     if (inTxn) throw new IllegalStateException("a transaction is already active")

@@ -148,8 +148,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
         r
       })
       // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
-      // the capture instant, so other writers flow during the export
-      if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery) takeSnapshot()
+      // the capture instant, so other writers flow during the export.
+      // Never mid-transaction — truncation across a BEGIN would orphan the
+      // suffix's COMMIT on replay; the next post-COMMIT write triggers it.
+      if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery &&
+          !gateway.inTransaction) takeSnapshot()
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
       case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
@@ -211,6 +214,10 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // the cut: log index + table-version pins, captured with writers held
     // out only for this block
     val (idx, cutOpt) = logLock.synchronized {
+      // a cut mid-transaction would compact the log across its BEGIN —
+      // the restored suffix would replay COMMIT with no transaction open
+      if (gateway.inTransaction) throw new IllegalStateException(
+        "cannot snapshot during an open transaction")
       val i = logIndex
       if (java.nio.file.Files.exists(root.resolve(s"snap_$i"))) (i, None)
       else (i, Some(Snapshot.captureCut(gateway)))

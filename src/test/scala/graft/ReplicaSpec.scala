@@ -438,4 +438,53 @@ class ReplicaSpec extends SparkTestBase {
       assert(gw.query("SELECT count(*) FROM async_t").values.head.head == 12L)
     } finally leader.stop()
   }
+
+  test("no snapshot cut mid-transaction: truncation across a BEGIN would " +
+       "orphan the suffix's COMMIT on replay") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-txsnap").toString
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-txsnap-wh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS txsnap_ns")
+    sess.catalog.setCurrentDatabase("txsnap_ns")
+    val gw = new SqlGateway(sess)
+    val leader = new Service(gw, logDir = Some(logDir), snapshotEvery = 3)
+    val port = leader.start()
+    try {
+      def exec(sql: String): Unit =
+        assert(newHttp(port, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      exec("CREATE TABLE txs_t (id integer)")
+      exec("BEGIN")
+      exec("INSERT INTO txs_t VALUES (1)")
+      exec("INSERT INTO txs_t VALUES (2)") // threshold hit, but in-txn: no snapshot
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(logDir, "snapshots")) ||
+        new java.io.File(s"$logDir/snapshots").list().isEmpty,
+        "threshold snapshot must not fire mid-transaction")
+      // explicit mid-txn snapshot answers 500 with a clear error
+      val (sc, sb, _) = newHttp(port, "POST", "/snapshot")
+      assert(sc == 500 && sb.contains("open transaction"), s"$sc $sb")
+      exec("COMMIT")
+      exec("INSERT INTO txs_t VALUES (3)") // post-COMMIT write → snapshot fires
+      val snaps = new java.io.File(s"$logDir/snapshots").list()
+      assert(snaps != null && snaps.nonEmpty, "post-commit threshold snapshot")
+    } finally leader.stop()
+
+    // restart over the same log dir: snapshot + suffix replay intact —
+    // the BEGIN..COMMIT block was never split by a truncation point
+    val sess2 = spark.newSession()
+    sess2.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-txsnap-wh2").toString)
+    sess2.sql("CREATE DATABASE IF NOT EXISTS txsnap2_ns")
+    sess2.catalog.setCurrentDatabase("txsnap2_ns")
+    val gw2 = new SqlGateway(sess2)
+    val leader2 = new Service(gw2, logDir = Some(logDir))
+    val p2 = leader2.start()
+    try {
+      val (c, b, _) = newHttp(p2, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20txs_t")
+      assert(c == 200 && b.contains("[3, 6]"), s"restart lost txn state: $b")
+    } finally leader2.stop()
+  }
 }
