@@ -47,7 +47,10 @@ object Results {
     case BinaryType => "BLOB"
     case DateType => "DATE"
     case _: TimestampType => "TIMESTAMP"
-    case t if t.typeName.startsWith("time") => "TIME"
+    // NTZ is a distinct DatetimeType in Spark 4.1 (typeName "timestamp_ntz")
+    // and must not fall into the TIME case below.
+    case TimestampNTZType => "TIMESTAMP"
+    case _: TimeType => "TIME"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case a: ArrayType => s"${duckTypeName(a.elementType)}[]"
     case m: MapType => s"MAP(${duckTypeName(m.keyType)}, ${duckTypeName(m.valueType)})"

@@ -66,8 +66,8 @@ object Snapshot {
     // and macros into schema.sql): `#`-prefixed lines, bodies base64'd
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     val meta =
-      gw.sequences.toSeq.sortBy(_._1).map { case (n, (next, inc)) =>
-        s"#seq|$n|$next|$inc" } ++
+      gw.sequences.toSeq.sortBy(_._1).map { case (n, st) =>
+        s"#seq2|$n|${st.next}|${st.inc}|${st.min}|${st.max}|${st.cycle}" } ++
       gw.macros.toSeq.sortBy(_._1).map { case (n, (params, body)) =>
         s"#macro|$n|${params.mkString(",")}|${b64(body)}" } ++
       gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
@@ -81,7 +81,11 @@ object Snapshot {
       // a live state may legally hold a broken or self-referencing view,
       // whose CREATE VIEW replay would abort restore mid-import.
       gw.viewEntries.map { case (name, aliases, body) =>
-        s"#view2|${b64(name)}|${b64(aliases.map(_.mkString(",")).getOrElse(""))}|${b64(body)}"
+        // each alias b64'd individually (b64 text never contains ','): a
+        // double-quoted alias may itself contain commas/parens, which the
+        // old joined-then-split #view2 format silently split into two
+        val as = aliases.map(_.map(b64).mkString(",")).getOrElse("")
+        s"#view3|${b64(name)}|$as|${b64(body)}"
       }
     manifest ++ meta
   }
@@ -138,6 +142,10 @@ object Snapshot {
     gw.namedTypes.clear(); gw.columnDefaults.clear(); gw.clearViews()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
+        case "#view3" :: n :: as :: b :: Nil =>
+          val aliases = Some(as).filter(_.nonEmpty)
+            .map(_.split(",", -1).map(unb64).toSeq)
+          gw.registerViewRaw(unb64(n), aliases, unb64(b))
         case "#view2" :: n :: as :: b :: Nil =>
           // register WITHOUT bind-now: restore must complete even when a
           // view is broken (base table dropped post-create) or
@@ -154,8 +162,14 @@ object Snapshot {
           gw.columnDefaults.updateWith(t) { cur =>
             Some(cur.getOrElse(Map.empty) + (c -> unb64(d)))
           }
-        case "#seq" :: n :: next :: inc :: Nil =>
-          gw.sequences(n) = (next.toLong, inc.toLong)
+        case "#seq2" :: n :: next :: inc :: min :: max :: cyc :: Nil =>
+          gw.sequences(n) = SqlGateway.SeqState(next.toLong, inc.toLong,
+            min.toLong, max.toLong, cyc.toBoolean)
+        case "#seq" :: n :: next :: inc :: Nil => // pre-r11 manifests
+          val i = inc.toLong
+          gw.sequences(n) = SqlGateway.SeqState(next.toLong, i,
+            if (i < 0) Long.MinValue else 1L,
+            if (i < 0) -1L else Long.MaxValue, cycle = false)
         case "#macro" :: n :: params :: body :: Nil =>
           gw.macros(n) =
             (params.split(",").map(_.trim).filter(_.nonEmpty).toSeq, unb64(body))

@@ -202,12 +202,12 @@ class SqlGateway(val spark: SparkSession) {
     * DuckDB — a row violates only when the expression is FALSE, NULL
     * passes, per the SQL standard). */
   private[engine] val checks = new TrieMap[String, Seq[String]]
-  /** sequence → (next value to hand out, increment). `nextval`/`currval`
-    * are rewritten to literals before `spark.sql` — the counter lives on
-    * the driver, matching DuckDB where the sequence is database metadata,
-    * not data. Like PostgreSQL, sequence advancement is NOT transactional
-    * (a rolled-back insert does not refund its ids). */
-  private[engine] val sequences = new TrieMap[String, (Long, Long)]
+  /** sequence state: `nextval`/`currval` are rewritten to literals before
+    * `spark.sql` — the counter lives on the driver, matching DuckDB where
+    * the sequence is database metadata, not data. Like PostgreSQL,
+    * sequence advancement is NOT transactional (a rolled-back insert does
+    * not refund its ids). */
+  private[engine] val sequences = new TrieMap[String, SqlGateway.SeqState]
   /** sequence → last value returned by nextval (for currval). */
   private val seqLast = new TrieMap[String, Long]
   /** macro → (parameter names, body SQL). Scalar macros, expanded
@@ -1854,7 +1854,13 @@ class SqlGateway(val spark: SparkSession) {
 
   // --- sequences / macros / indexes / prepared statements ---------------
 
-  /** `CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] k]`. */
+  /** `CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] k] [MINVALUE n]
+    * [MAXVALUE n] [[NO] CYCLE]`. DuckDB probed (1.0.0): options apply LEFT
+    * TO RIGHT, and an INCREMENT clause RESETS min/max to its sign's
+    * defaults, discarding bounds stated earlier — `MINVALUE 2 MAXVALUE 4
+    * CYCLE INCREMENT 2` yields 1,3,5,7,… unbounded, while `INCREMENT 2
+    * MINVALUE 2 MAXVALUE 4 CYCLE` yields 2,4,2,4. Default start is min
+    * (ascending) / max (descending). */
   private def createSequence(name: String, spec: String,
       ifNotExists: Boolean): ExecuteResult = {
     val key = name.toLowerCase
@@ -1862,23 +1868,52 @@ class SqlGateway(val spark: SparkSession) {
       if (ifNotExists) return ExecuteResult(0L)
       throw new IllegalArgumentException(s"sequence $name already exists")
     }
-    val StartRe = """(?is).*\bSTART\s+(?:WITH\s+)?(-?\d+).*""".r
-    val IncRe = """(?is).*\bINCREMENT\s+(?:BY\s+)?(-?\d+).*""".r
-    val start = spec match { case StartRe(n) => n.toLong; case _ => 1L }
-    val inc = spec match { case IncRe(n) => n.toLong; case _ => 1L }
-    sequences(key) = (start, inc)
+    var inc = 1L; var min = 1L; var max = Long.MaxValue
+    var cycle = false; var startOpt: Option[Long] = None
+    def defaults(k: Long): Unit =
+      if (k < 0) { min = Long.MinValue; max = -1L }
+      else { min = 1L; max = Long.MaxValue }
+    val OptRe = ("""(?is)\b(?:START\s+(?:WITH\s+)?(-?\d+)""" +
+      """|INCREMENT\s+(?:BY\s+)?(-?\d+)|MINVALUE\s+(-?\d+)""" +
+      """|MAXVALUE\s+(-?\d+)|NO\s+(CYCLE|MINVALUE|MAXVALUE)|(CYCLE))""").r
+    OptRe.findAllMatchIn(spec).foreach { m =>
+      if (m.group(1) != null) startOpt = Some(m.group(1).toLong)
+      else if (m.group(2) != null) { inc = m.group(2).toLong; defaults(inc) }
+      else if (m.group(3) != null) min = m.group(3).toLong
+      else if (m.group(4) != null) max = m.group(4).toLong
+      else if (m.group(5) != null) m.group(5).toUpperCase match {
+        case "CYCLE" => cycle = false
+        case "MINVALUE" => min = if (inc < 0) Long.MinValue else 1L
+        case "MAXVALUE" => max = if (inc < 0) -1L else Long.MaxValue
+      }
+      else if (m.group(6) != null) cycle = true
+    }
+    val start = startOpt.getOrElse(if (inc < 0) max else min)
+    sequences(key) = SqlGateway.SeqState(start, inc, min, max, cycle)
     ExecuteResult(0L)
   }
 
   /** Advance `seq` and return the value handed out (thread-safe: the read
-    * path can call nextval outside the writer lock). */
+    * path can call nextval outside the writer lock). Bound handling at
+    * retrieval, DuckDB-probed: an out-of-bounds counter wraps to the far
+    * bound with CYCLE, errors without. */
   private def nextval(seq: String): Long = sequences.synchronized {
     val key = seq.toLowerCase
-    val (next, inc) = sequences.getOrElse(key,
+    val st = sequences.getOrElse(key,
       throw new IllegalArgumentException(s"unknown sequence $seq"))
-    sequences(key) = (next + inc, inc)
-    seqLast(key) = next
-    next
+    var ctr = st.next
+    if (st.inc >= 0 && ctr > st.max) {
+      if (st.cycle) ctr = st.min
+      else throw new IllegalArgumentException(
+        s"""nextval: reached maximum value of sequence "$seq" (${st.max})""")
+    } else if (st.inc < 0 && ctr < st.min) {
+      if (st.cycle) ctr = st.max
+      else throw new IllegalArgumentException(
+        s"""nextval: reached minimum value of sequence "$seq" (${st.min})""")
+    }
+    sequences(key) = st.copy(next = ctr + st.inc)
+    seqLast(key) = ctr
+    ctr
   }
 
   private def currval(seq: String): Long =
@@ -5170,7 +5205,22 @@ class SqlGateway(val spark: SparkSession) {
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
       rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
         rewriteDuckLiterals(escapeLiteralBackslashes(
-          rewriteCurrentQuery(sql)))))))))
+          rewriteCurrentQuery(rewriteBareDatetimeKeywords(sql))))))))))
+
+  /** DuckDB's parenless datetime keywords Spark lacks: bare
+    * `localtimestamp` (duck: TIMESTAMP, probed) → `localtimestamp()`
+    * (Spark's NTZ twin) and bare `localtime` (duck: TIME) →
+    * `current_time()`. Quoted spellings and call forms stay untouched. */
+  private def rewriteBareDatetimeKeywords(sql: String): String = {
+    val re = """(?i)(?<!["\w.$])(localtimestamp|localtime)(?!["\w])(\s*\()?""".r
+    re.replaceAllIn(sql, m => {
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (!outside || m.group(2) != null)
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else if (m.group(1).equalsIgnoreCase("localtime")) "current_time()"
+      else "localtimestamp()"
+    })
+  }
 
   /** `OVER (w ROWS BETWEEN ...)` — a named-WINDOW reference extended with
     * a frame (DuckDB grammar; Spark's parser takes `OVER w` but not the
@@ -6178,12 +6228,21 @@ class SqlGateway(val spark: SparkSession) {
   private def gcDir(path: String): Unit = {
     pinnedDirs.synchronized {
       if (pinnedDirs.contains(path)) { deferredDeletes += path; return }
-      val deadline = System.nanoTime() + 10L * 60 * 1_000_000_000
-      while (pinnedDirs.keysIterator.exists(_.startsWith(path + "/")) &&
-             System.nanoTime() < deadline)
-        pinnedDirs.wait(1000)
     }
+    awaitPinsUnder(path)
     deleteDir(path)
+  }
+
+  /** Wait (bounded by the snapshot-export duration, 10 min hard cap) for
+    * pins at or under `root` to drain. Used before any whole-root move or
+    * delete (DROP/re-CREATE, ALTER ... RENAME TO) — a rename under an
+    * in-flight export would invalidate the cut's pinned file paths. */
+  private def awaitPinsUnder(root: String): Unit = pinnedDirs.synchronized {
+    val deadline = System.nanoTime() + 10L * 60 * 1_000_000_000
+    while (pinnedDirs.keysIterator.exists(k =>
+             k == root || k.startsWith(root + "/")) &&
+           System.nanoTime() < deadline)
+      pinnedDirs.wait(1000)
   }
 
   /** Pin `table`'s live version dir and list its data files — the async
@@ -6284,6 +6343,10 @@ class SqlGateway(val spark: SparkSession) {
         val src = new org.apache.hadoop.fs.Path(tableRoot(from))
         val dst = new org.apache.hadoop.fs.Path(tableRoot(to))
         val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // an in-flight async snapshot may hold pins on this root's version
+        // dirs; moving the root out from under the cut would invalidate its
+        // pinned file paths mid-export — wait for the pins like gcDir does
+        awaitPinsUnder(tableRoot(from))
         spark.sql(s"DROP TABLE $from")
         if (fs.exists(dst)) fs.delete(dst, true)
         fs.rename(src, dst)
@@ -6517,12 +6580,15 @@ class SqlGateway(val spark: SparkSession) {
     * not split). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
-    var depth = 0; var inStr = false; val cur = new StringBuilder
+    // double-quoted identifiers are atomic too: "a,b" is ONE list item and
+    // a paren inside "p(q" is not nesting (doubled quotes self-cancel)
+    var depth = 0; var inStr = false; var inId = false; val cur = new StringBuilder
     s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ',' if depth == 0 && !inStr => out += cur.toString; cur.clear()
+      case '\'' if !inId => inStr = !inStr; cur += '\''
+      case '"' if !inStr => inId = !inId; cur += '"'
+      case ',' if depth == 0 && !inStr && !inId => out += cur.toString; cur.clear()
       case c =>
-        if (!inStr) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
+        if (!inStr && !inId) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
         cur += c
     }
     if (cur.nonEmpty) out += cur.toString
@@ -7315,7 +7381,13 @@ class SqlGateway(val spark: SparkSession) {
         deleteDir(dir)
         rows.write.parquet(dir)
         t.deltas(key) = t.deltas.getOrElse(key, Vector.empty) :+ dir
-        refreshTxnView(key, t)
+        // a statement that ERRORS must leave no effect: unregister the
+        // delta if the own-writes view refresh fails, or COMMIT would
+        // apply rows the client was told were rejected
+        try refreshTxnView(key, t)
+        catch { case e: Throwable =>
+          t.deltas(key) = t.deltas(key).init; deleteDir(dir); throw e
+        }
       }
     case None => rows.write.mode("append").insertInto(table)
   }
@@ -7327,7 +7399,10 @@ class SqlGateway(val spark: SparkSession) {
   private def refreshTxnView(key: String, t: TxnState): Unit = {
     val base = t.pending.get(key) match {
       case Some(v) => spark.read.parquet(s"${tableRoot(key)}/v$v")
-      case None => spark.table(s"default.$key")
+      // qualify with the session's CURRENT database (not a hardcoded
+      // `default.`) — qualification is only there to bypass the same-named
+      // temp view this method itself registers
+      case None => spark.table(s"${spark.catalog.currentDatabase}.$key")
     }
     val df = t.deltas.getOrElse(key, Vector.empty)
       .foldLeft(base)((d, dir) => d.union(spark.read.parquet(dir)))
@@ -7389,4 +7464,11 @@ class SqlGateway(val spark: SparkSession) {
         staged.write.mode("overwrite").insertInto(table)
     }
   }
+}
+
+object SqlGateway {
+  /** Sequence metadata: the next value to hand out, increment, bounds and
+    * cycle flag — DuckDB's full CREATE SEQUENCE surface (probed 1.0.0). */
+  final case class SeqState(next: Long, inc: Long, min: Long, max: Long,
+      cycle: Boolean)
 }

@@ -166,6 +166,9 @@ object DuckPathText {
     case BooleanType => "BOOLEAN"
     case _: DateType => "DATE"
     case _: TimestampType => "TIMESTAMP"
+    // NTZ is DuckDB's plain TIMESTAMP; the new TIME type renders TIME
+    case TimestampNTZType => "TIMESTAMP"
+    case _: TimeType => "TIME"
     case BinaryType => "BLOB"
     case NullType => "\"NULL\""
     case ArrayType(e, _) => duckTypeName(e) + "[]"

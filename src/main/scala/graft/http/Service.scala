@@ -151,8 +151,14 @@ class Service(gateway: SqlGateway, port: Int = 0,
       // the capture instant, so other writers flow during the export.
       // Never mid-transaction — truncation across a BEGIN would orphan the
       // suffix's COMMIT on replay; the next post-COMMIT write triggers it.
+      // Best-effort: the statement above already committed AND logged, so a
+      // snapshot problem (a BEGIN racing in between the inTransaction
+      // checks, an export failure) must never turn this response into an
+      // error — a client retrying on error would double-apply the write.
       if (snapshotEvery > 0 && stmtLog.size >= snapshotEvery &&
-          !gateway.inTransaction) takeSnapshot()
+          !gateway.inTransaction)
+        try takeSnapshot(skipIfOpenTxn = true)
+        catch { case _: Exception => () } // next threshold crossing retries
       (200, obj("results" -> executeJson(res), "time" -> Json.num(ms)))
     } catch {
       case e: BadRequest => (400, obj("error" -> Json.str(e.getMessage)))
@@ -207,7 +213,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * persist (hashicorp FileSnapshotStore, `store/store.go:101` — Raft
     * never blocks appliers on snapshot IO). Returns the snapshot's log
     * index. Requires `logDir`. */
-  def takeSnapshot(): Long = snapshotLock.synchronized {
+  def takeSnapshot(): Long = takeSnapshot(skipIfOpenTxn = false)
+
+  /** As [[takeSnapshot]]; `skipIfOpenTxn` makes an open transaction at the
+    * cut instant a no-op (returns -1) instead of an error — the threshold
+    * path uses it so a BEGIN racing in after handleExecute's outer check
+    * can't error an already-committed statement's response. */
+  def takeSnapshot(skipIfOpenTxn: Boolean): Long = snapshotLock.synchronized {
     val root = snapRoot.getOrElse(throw new IllegalStateException(
       "snapshotting requires a logDir"))
     java.nio.file.Files.createDirectories(root)
@@ -216,8 +228,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
     val (idx, cutOpt) = logLock.synchronized {
       // a cut mid-transaction would compact the log across its BEGIN —
       // the restored suffix would replay COMMIT with no transaction open
-      if (gateway.inTransaction) throw new IllegalStateException(
-        "cannot snapshot during an open transaction")
+      if (gateway.inTransaction) {
+        if (skipIfOpenTxn) return -1L
+        throw new IllegalStateException(
+          "cannot snapshot during an open transaction")
+      }
       val i = logIndex
       if (java.nio.file.Files.exists(root.resolve(s"snap_$i"))) (i, None)
       else (i, Some(Snapshot.captureCut(gateway)))
@@ -349,20 +364,31 @@ class Service(gateway: SqlGateway, port: Int = 0,
           ex.getResponseBody.write(out)
         }
       case "GET" =>
-        // under snapshotLock: retention deletion (takeSnapshot) can't
-        // remove a dir mid-stream; atomic-rename publish already
-        // guarantees any listed dir is complete
-        snapshotLock.synchronized {
-          listSnapshots.lastOption match {
-            case None => ex.sendResponseHeaders(404, -1)
-            case Some((idx, dir)) =>
+        // zip to a LOCAL temp file under snapshotLock (retention deletion
+        // in takeSnapshot can't remove the dir mid-zip; atomic-rename
+        // publish already guarantees any listed dir is complete), then
+        // stream with the lock RELEASED — a slow replica download must not
+        // block the next takeSnapshot, which now runs synchronously on a
+        // writer's request thread after its statement commits.
+        val zipped: Option[(Long, java.nio.file.Path)] =
+          snapshotLock.synchronized {
+            listSnapshots.lastOption.map { case (idx, dir) =>
+              val tmp = java.nio.file.Files.createTempFile("graft-snap", ".zip")
+              val zos = new java.util.zip.ZipOutputStream(
+                java.nio.file.Files.newOutputStream(tmp))
+              try { zipDir(dir, dir, zos) } finally zos.close()
+              (idx, tmp)
+            }
+          }
+        zipped match {
+          case None => ex.sendResponseHeaders(404, -1)
+          case Some((idx, tmp)) =>
+            try {
               ex.getResponseHeaders.add("Content-Type", "application/zip")
               ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
-              ex.sendResponseHeaders(200, 0) // chunked
-              val zos = new java.util.zip.ZipOutputStream(ex.getResponseBody)
-              zipDir(dir, dir, zos)
-              zos.finish()
-          }
+              ex.sendResponseHeaders(200, java.nio.file.Files.size(tmp))
+              java.nio.file.Files.copy(tmp, ex.getResponseBody)
+            } finally java.nio.file.Files.deleteIfExists(tmp)
         }
       case _ => ex.sendResponseHeaders(405, -1)
     } catch { case e: Throwable =>

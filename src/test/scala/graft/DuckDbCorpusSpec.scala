@@ -2747,8 +2747,101 @@ class DuckDbCorpusSpec extends SparkTestBase {
     C("VALUES (1, 'a'), (2, 'b') ORDER BY 1 DESC",
       Some(Seq(Seq(2, "b"), Seq(1, "a"))), ordered = true))
 
+  // r11 batch: bare datetime keywords, WITHIN GROUP + FILTER, COLLATE in
+  // ORDER BY / join conditions, the FULL sequence-bounds surface
+  // (MINVALUE/MAXVALUE/CYCLE including the probed INCREMENT-resets-bounds
+  // quirk), row/list comparisons, nested CTE shadowing, DISTINCT ON over
+  // expressions, boolean cast spellings, deeper view-body shapes. Every
+  // expectation probed against DuckDB 1.0.0.
+  private def corpusH: Seq[C] = Seq(
+    // bare (parenless) datetime keywords — DuckDB grammar; Spark needs
+    // the call form, supplied by rewriteBareDatetimeKeywords
+    q("SELECT typeof(localtimestamp) AS t", Seq("TIMESTAMP")),
+    q("SELECT typeof(localtime) AS t", Seq("TIME")),
+    q("SELECT localtimestamp >= TIMESTAMP '2020-01-01' AS ok", Seq(true)),
+    // ordered-set aggregate + FILTER clause combined
+    q("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) " +
+      "FILTER (WHERE x > 1) AS p FROM (VALUES (1),(2),(3),(4)) t(x)",
+      Seq(3.0)),
+    q("SELECT mode() WITHIN GROUP (ORDER BY x) FILTER (WHERE x < 3) AS m " +
+      "FROM (VALUES (1),(1),(3),(3),(3)) t(x)", Seq(1)),
+    // COLLATE as a sort key (with a tie-breaking second key) and inside a
+    // join condition
+    C("SELECT x FROM (VALUES ('b'),('A'),('a')) t(x) " +
+      "ORDER BY x COLLATE NOCASE, x",
+      Some(Seq(Seq("A"), Seq("a"), Seq("b"))), ordered = true),
+    q("SELECT a.x, b.y FROM (VALUES ('AA')) a(x) JOIN (VALUES ('aa')) b(y) " +
+      "ON a.x COLLATE NOCASE = b.y", Seq("AA", "aa")),
+    // --- sequences: bounds + cycle (all probed) ---
+    s("CREATE SEQUENCE rh_s1 MAXVALUE 2"),
+    q("SELECT nextval('rh_s1') AS a, nextval('rh_s1') AS b", Seq(1, 2)),
+    s("SELECT nextval('rh_s1') AS c"), // refuse: duckdb "reached maximum value" too
+    s("CREATE SEQUENCE rh_s2 MAXVALUE 2 CYCLE"),
+    q("SELECT nextval('rh_s2') AS a, nextval('rh_s2') AS b, " +
+      "nextval('rh_s2') AS c", Seq(1, 2, 1)),
+    s("CREATE SEQUENCE rh_s3 INCREMENT -1"), // descending starts at max=-1
+    q("SELECT nextval('rh_s3') AS a, nextval('rh_s3') AS b", Seq(-1, -2)),
+    s("CREATE SEQUENCE rh_s4 INCREMENT -1 MINVALUE -2 CYCLE"),
+    q("SELECT nextval('rh_s4') AS a, nextval('rh_s4') AS b, " +
+      "nextval('rh_s4') AS c", Seq(-1, -2, -1)),
+    s("CREATE SEQUENCE rh_s5 MINVALUE 0"), // ascending starts at minvalue
+    q("SELECT nextval('rh_s5') AS a", Seq(0)),
+    // the probed DuckDB quirk: INCREMENT placed AFTER the bounds RESETS
+    // them to its sign's defaults — unbounded, start 1
+    s("CREATE SEQUENCE rh_s6 MINVALUE 2 MAXVALUE 4 CYCLE INCREMENT 2"),
+    q("SELECT nextval('rh_s6') AS a, nextval('rh_s6') AS b, " +
+      "nextval('rh_s6') AS c", Seq(1, 3, 5)),
+    // ...whereas INCREMENT placed FIRST keeps the later explicit bounds
+    s("CREATE SEQUENCE rh_s7 INCREMENT 2 MINVALUE 2 MAXVALUE 4 CYCLE"),
+    q("SELECT nextval('rh_s7') AS a, nextval('rh_s7') AS b, " +
+      "nextval('rh_s7') AS c", Seq(2, 4, 2)),
+    // --- row / list comparisons ---
+    q("SELECT (1, 2) = (1, 2) AS e", Seq(true)),
+    q("SELECT (1, 2) < (1, 3) AS l", Seq(true)),
+    q("SELECT [1,2] < [1,3] AS l", Seq(true)),
+    q("SELECT 5 BETWEEN 10 AND 1 AS b", Seq(false)), // empty range → false
+    // nested CTE shadowing: the inner t wins inside s
+    q("WITH t AS (SELECT 1 AS x), s AS (WITH t AS (SELECT 2 AS x) " +
+      "SELECT x FROM t) SELECT t.x + (SELECT x FROM s) AS v FROM t", Seq(3)),
+    q("WITH RECURSIVE r(n, s) AS (SELECT 1, 'a' UNION ALL " +
+      "SELECT n+1, s || 'a' FROM r WHERE n < 3) " +
+      "SELECT max(length(s)) AS m FROM r", Seq(3)),
+    // DISTINCT ON over expressions (not bare columns)
+    C("SELECT DISTINCT ON (a % 2, a % 3) a FROM " +
+      "(VALUES (1),(2),(3),(4),(6),(12)) t(a) ORDER BY a % 2, a % 3, a",
+      Some(Seq(Seq(6), Seq(4), Seq(2), Seq(3), Seq(1))), ordered = true),
+    // boolean cast spellings: single letters and 0/1 accepted, 'yes' and
+    // padded single letters error (probed)
+    q("SELECT 'f'::BOOLEAN AS a, 'T'::BOOLEAN AS b, '0'::BOOLEAN AS c, " +
+      "'1'::BOOLEAN AS d", Seq(false, true, false, true)),
+    q("SELECT ' true '::BOOLEAN AS t", Seq(true)), // whitespace IS trimmed
+    s("SELECT 'yes'::BOOLEAN AS y"), // refuse: duckdb conversion error too
+    s("SELECT ' t '::BOOLEAN AS t"), // refuse: duckdb conversion error too
+    // --- view bodies: QUALIFY, COLLATE, macro calls, subscripts,
+    // strftime, 3-deep chains (all through the full dialect pipeline) ---
+    s("CREATE TABLE rh_vb (a integer, s text)"),
+    s("INSERT INTO rh_vb VALUES (1,'x'), (2,'y'), (3,'y')"),
+    s("CREATE VIEW rh_vqual AS SELECT a, s, row_number() OVER " +
+      "(PARTITION BY s ORDER BY a) AS rn FROM rh_vb QUALIFY rn = 1"),
+    q("SELECT a, s FROM rh_vqual ORDER BY a", Seq(1, "x"), Seq(2, "y")),
+    s("CREATE VIEW rh_vcoll AS SELECT s FROM rh_vb " +
+      "WHERE s COLLATE NOCASE = 'Y'"),
+    q("SELECT count(*) AS n FROM rh_vcoll", Seq(2)),
+    s("CREATE VIEW rh_v1 AS SELECT a * 2 AS d FROM rh_vb"),
+    s("CREATE VIEW rh_v2 AS SELECT d + 1 AS e FROM rh_v1"),
+    s("CREATE VIEW rh_v3 AS SELECT sum(e) AS t FROM rh_v2"),
+    q("SELECT * FROM rh_v3", Seq(15)), // three-deep view chain
+    s("CREATE MACRO rh_vm(x) AS x * 10"),
+    s("CREATE VIEW rh_vmac AS SELECT rh_vm(a) AS m FROM rh_vb"),
+    q("SELECT max(m) AS mm FROM rh_vmac", Seq(30)),
+    s("CREATE VIEW rh_vsub AS SELECT [a, a+1][2] AS z FROM rh_vb"),
+    q("SELECT sum(z) AS s FROM rh_vsub", Seq(9)),
+    s("CREATE VIEW rh_vstr AS SELECT strftime(DATE '2024-03-15', '%Y/%m') AS f"),
+    q("SELECT * FROM rh_vstr", Seq("2024/03")))
+
   lazy val corpus: Seq[C] =
-    corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++ corpusG
+    corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
+      corpusG ++ corpusH
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {

@@ -845,6 +845,37 @@ class GatewaySpec extends SparkTestBase {
     gw.execute("DROP VIEW vtxv"); gw.execute("DROP TABLE vtx")
   }
 
+  test("view column aliases containing commas/parens survive EXPORT/IMPORT " +
+       "(per-alias b64 manifest — a joined list split on ',' broke them)") {
+    // probed: DuckDB binds CREATE VIEW v ("x,y", "p(q") AS SELECT 1, 2
+    gw.execute("DROP TABLE IF EXISTS vac")
+    gw.execute("CREATE TABLE vac (a integer, b integer)")
+    gw.execute("INSERT INTO vac VALUES (1, 2)")
+    gw.execute("""CREATE VIEW vacv ("x,y", "p(q") AS SELECT a, b FROM vac""")
+    assert(gw.query("""SELECT "x,y" FROM vacv""").values.head.head == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-aliasview").toString
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("DROP VIEW vacv")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    val res = gw.query("SELECT * FROM vacv")
+    assert(res.columns == Seq("x,y", "p(q"), res.columns)
+    assert(res.values == Seq(Seq(1, 2)), res.values)
+    gw.execute("DROP VIEW vacv"); gw.execute("DROP TABLE vac")
+  }
+
+  test("TIMESTAMP_NTZ results report TIMESTAMP, and TIME stays TIME " +
+       "(NTZ typeName 'timestamp_ntz' must not fall into the TIME case)") {
+    import org.apache.spark.sql.types._
+    assert(graft.engine.Results.duckTypeName(TimestampNTZType) == "TIMESTAMP")
+    assert(graft.engine.Results.duckTypeName(TimeType(6)) == "TIME")
+    // live path: localtimestamp is TIMESTAMP_NTZ in Spark; DuckDB probed:
+    // typeof(localtimestamp) = TIMESTAMP
+    val t = gw.query("SELECT localtimestamp AS t").types
+    assert(t == Seq("TIMESTAMP"), t)
+    val tt = gw.query("SELECT TIME '03:04:05' AS t").types
+    assert(tt == Seq("TIME"), tt)
+  }
+
   test("broken and self-referencing views survive EXPORT/IMPORT: restore " +
        "completes, errors replay at first use") {
     gw.execute("DROP TABLE IF EXISTS vbr")

@@ -280,9 +280,13 @@ class ReplicaSpec extends SparkTestBase {
     val rPort = svc.start()
 
     try {
-      def exec(sql: String): Unit =
-        assert(newHttp(lPort, "POST", "/db/execute",
-          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      def exec(sql: String): Unit = {
+        val (code, body, _) = newHttp(lPort, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))
+        // engine errors answer 200 with an error FIELD — a write helper
+        // must catch those too, not just transport failures
+        assert(code == 200 && !body.contains("\"error\""), s"$sql -> $body")
+      }
       exec("CREATE TABLE dur_t (id integer, v text)")
       exec("INSERT INTO dur_t VALUES (1, 'a')")
 
@@ -327,9 +331,13 @@ class ReplicaSpec extends SparkTestBase {
     val leader1 = new Service(gw1, logDir = Some(logDir))
     val p1 = leader1.start()
     try {
-      def exec(sql: String): Unit =
-        assert(newHttp(p1, "POST", "/db/execute",
-          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      def exec(sql: String): Unit = {
+        val (code, body, _) = newHttp(p1, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))
+        // engine errors answer 200 with an error FIELD — a write helper
+        // must catch those too, not just transport failures
+        assert(code == 200 && !body.contains("\"error\""), s"$sql -> $body")
+      }
       exec("CREATE TABLE rs_t (id integer primary key, v text)")
       exec("INSERT INTO rs_t VALUES (1, 'a'), (2, 'b')")
       assert(newHttp(p1, "POST", "/snapshot")._1 == 200)
@@ -375,9 +383,13 @@ class ReplicaSpec extends SparkTestBase {
     val leader = new Service(gw, logDir = Some(logDir))
     val port = leader.start()
     try {
-      def exec(sql: String): Unit =
-        assert(newHttp(port, "POST", "/db/execute",
-          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      def exec(sql: String): Unit = {
+        val (code, body, _) = newHttp(port, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))
+        // engine errors answer 200 with an error FIELD — a write helper
+        // must catch those too, not just transport failures
+        assert(code == 200 && !body.contains("\"error\""), s"$sql -> $body")
+      }
       exec("CREATE TABLE async_t (id integer, v text)")
       (1 to 3).foreach(i => exec(s"INSERT INTO async_t VALUES ($i, 'r$i')"))
 
@@ -451,9 +463,13 @@ class ReplicaSpec extends SparkTestBase {
     val leader = new Service(gw, logDir = Some(logDir), snapshotEvery = 3)
     val port = leader.start()
     try {
-      def exec(sql: String): Unit =
-        assert(newHttp(port, "POST", "/db/execute",
-          Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      def exec(sql: String): Unit = {
+        val (code, body, _) = newHttp(port, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))
+        // engine errors answer 200 with an error FIELD — a write helper
+        // must catch those too, not just transport failures
+        assert(code == 200 && !body.contains("\"error\""), s"$sql -> $body")
+      }
       exec("CREATE TABLE txs_t (id integer)")
       exec("BEGIN")
       exec("INSERT INTO txs_t VALUES (1)")
@@ -486,5 +502,71 @@ class ReplicaSpec extends SparkTestBase {
         "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20txs_t")
       assert(c == 200 && b.contains("[3, 6]"), s"restart lost txn state: $b")
     } finally leader2.stop()
+  }
+
+  test("threshold snapshot path is best-effort: skipIfOpenTxn returns -1 " +
+       "mid-transaction instead of erroring a committed statement") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-skipsnap").toString
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-skipsnap-wh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS skipsnap_ns")
+    sess.catalog.setCurrentDatabase("skipsnap_ns")
+    val gw = new SqlGateway(sess)
+    val leader = new Service(gw, logDir = Some(logDir))
+    leader.start()
+    try {
+      gw.execute("CREATE TABLE sst (id integer)")
+      gw.execute("BEGIN")
+      gw.execute("INSERT INTO sst VALUES (1)")
+      // the threshold path's spelling: a BEGIN raced in after the outer
+      // check — the cut must SKIP, not throw back into the writer's response
+      assert(leader.takeSnapshot(skipIfOpenTxn = true) == -1L)
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(logDir, "snapshots")) ||
+        new java.io.File(s"$logDir/snapshots").list().isEmpty)
+      // the explicit POST /snapshot spelling still errors loudly
+      intercept[IllegalStateException] { leader.takeSnapshot() }
+      gw.execute("COMMIT")
+      assert(leader.takeSnapshot(skipIfOpenTxn = true) >= 0L)
+    } finally leader.stop()
+  }
+
+  test("ALTER TABLE ... RENAME TO waits for snapshot pins on the table " +
+       "root: an in-flight export's pinned paths stay valid") {
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-renpin-wh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS renpin_ns")
+    sess.catalog.setCurrentDatabase("renpin_ns")
+    val gw = new SqlGateway(sess)
+    gw.execute("CREATE TABLE pinr (id integer, v text)")
+    gw.execute("INSERT INTO pinr VALUES (1, 'a'), (2, 'b')")
+    val cut = Snapshot.captureCut(gw)
+    assert(cut.pins.nonEmpty)
+    @volatile var renamed = false
+    val renamer = new Thread(() => {
+      gw.execute("ALTER TABLE pinr RENAME TO pinr2"); renamed = true
+    })
+    renamer.start()
+    Thread.sleep(1500)
+    // the rename must be parked on the pins, not have moved the root
+    assert(!renamed, "rename proceeded under an in-flight snapshot pin")
+    // export from the pinned cut while the rename waits — paths still valid
+    val dir = java.nio.file.Files.createTempDirectory("graft-renpin-cut").toString
+    Snapshot.exportCut(cut, dir)
+    gw.releasePins(cut.pins)
+    renamer.join(30000)
+    assert(renamed, "rename did not complete after pin release")
+    assert(gw.query("SELECT count(*) FROM pinr2").values.head.head == 2L)
+    // the exported cut restores under the ORIGINAL name with cut-time rows
+    val restoreSess = spark.newSession()
+    restoreSess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-renpin-rwh").toString)
+    restoreSess.sql("CREATE DATABASE IF NOT EXISTS renpin_r_ns")
+    restoreSess.catalog.setCurrentDatabase("renpin_r_ns")
+    val rgw = new SqlGateway(restoreSess)
+    Snapshot.importDatabase(rgw, dir)
+    assert(rgw.query("SELECT count(*) FROM pinr").values.head.head == 2L)
   }
 }
