@@ -8,6 +8,16 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-/tmp/chain_$(date +%H%M%S)}
 DERIVED=${DERIVED_DIR:-/tmp/derived10xdocs}
 ORACLE=${ORACLE:-/tmp/verify_sf0001/oracle_sql.json}
+# a "10x-docs" dir built without --scale-docs has 1x documents and makes
+# the duck 10x leg incomparable (r11 trap) — regenerate unless docs are
+# actually scaled (>10x the sf0.1 documents file)
+SRC_DOCS=$(stat -c%s /root/testdata/sf0.1/documents.parquet)
+if [ ! -f "$DERIVED/documents.parquet" ] || \
+   [ "$(stat -c%s "$DERIVED/documents.parquet")" -le $((SRC_DOCS * 5)) ]; then
+  echo "== regenerating $DERIVED with --scale-docs =="
+  python3 tools/make_derived.py /root/testdata/sf0.1 "$DERIVED.new" 10 --scale-docs
+  rm -rf "$DERIVED"; mv "$DERIVED.new" "$DERIVED"
+fi
 mkdir -p "$OUT"
 echo "== chain → $OUT (loadavg $(cut -d' ' -f1 /proc/loadavg)) =="
 
