@@ -88,6 +88,17 @@ class SqlGateway(val spark: SparkSession) {
       case args => throw new IllegalArgumentException(
         s"graft_duck_slice is internal; got ${args.length} args")
     })
+  // step slices `x[lo:hi:step]` / 4-arg list_slice — LIST operands only
+  // (strings stay unresolved → loud refusal, matching DuckDB's own
+  // "not implemented for string types" error)
+  org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+    "graft_duck_slice_step", {
+      case Seq(c, lo, hi, st,
+          org.apache.spark.sql.catalyst.expressions.Literal(hasLo: Boolean, _)) =>
+        graft.functions.DuckSliceStep(c, lo, hi, st, hasLo)
+      case args => throw new IllegalArgumentException(
+        s"graft_duck_slice_step is internal; got ${args.length} args")
+    })
   // DuckDB scalar functions Spark has no builtin for — string similarity
   // kernels + integer gcd/lcm (DuckTextDistance scaladoc). Registered
   // under their DuckDB names directly; no text rewrite involved.
@@ -1098,11 +1109,22 @@ class SqlGateway(val spark: SparkSession) {
   private val ColumnsAnyRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
      """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
+  // derived-table source: greedy body backtracks to the ')' that lets the
+  // optional alias + tail anchor — nested parens inside the subquery stay
+  // inside the body group
+  private val ColumnsSubqRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+\((.+)\)\s*(?:AS\s+)?(\w+)?""" +
+     """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
 
   /** Expand every COLUMNS(...) in a select list against `table`'s
     * schema; None declines (e.g. two COLUMNS in one item). */
-  private def expandColumnsSel(sel: String, table: String): Option[String] = {
-    val cols = spark.table(table).columns.toSeq
+  private def expandColumnsSel(sel: String, table: String): Option[String] =
+    expandColumnsSelCols(sel, spark.table(table).columns.toSeq, table)
+
+  /** As [[expandColumnsSel]] over an explicit column list (subquery
+    * sources — there is no catalog schema to consult). */
+  private def expandColumnsSelCols(sel: String, cols: Seq[String],
+      table: String): Option[String] = {
     val ColsTok = """(?i)\bCOLUMNS\s*\(""".r
     val expanded = splitTopLevel(sel).map(_.trim).map { item =>
       ColsTok.findFirstMatchIn(item) match {
@@ -1373,6 +1395,13 @@ class SqlGateway(val spark: SparkSession) {
             spark.catalog.tableExists(table) =>
         expandColumnsSel(sel, table).map(expanded =>
           runSql(s"SELECT $expanded FROM $table $tailPart"))
+      // ...and over a derived-table source (`FROM (SELECT ...) t`): the
+      // column list comes from analyzing the subquery (no execution)
+      case ColumnsSubqRe(sel, sub, alias, tailPart)
+          if """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(sel).isDefined =>
+        expandColumnsSelCols(sel, queryDf(sub).columns.toSeq, "subquery")
+          .map(expanded => runSql(s"SELECT $expanded FROM ($sub) " +
+            s"${Option(alias).getOrElse("graft_cols_src")} $tailPart"))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
       case RangeTvfRe(args, colAlias) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
@@ -4129,7 +4158,10 @@ class SqlGateway(val spark: SparkSession) {
     // (start, length); only positive literal bounds are provably
     // equivalent (negative indexes count from the end differently)
     for (fn <- Seq("list_slice", "array_slice")
-         if out.toLowerCase.contains(fn))
+         if out.toLowerCase.contains(fn)) {
+      // 4-arg form: step slice (probed: identical to x[b:e:s])
+      out = fix(out, fn, 4, a => Some(
+        s"graft_duck_slice_step(${a(0)}, ${a(1)}, ${a(2)}, ${a(3)}, true)"))
       out = fix(out, fn, 3, a => {
         // a string-literal operand slices HERE (duckdb's array_slice works
         // on strings; Spark's slice() does not) — any int bounds, probed
@@ -4141,9 +4173,11 @@ class SqlGateway(val spark: SparkSession) {
               Some(i.toLong), Some(j.toLong)) + "'")
           case (i @ IntLit(), j @ IntLit()) if i.toLong > 0 && j.toLong > 0 =>
             Some(s"slice(${a(0)}, $i, ${math.max(0L, j.toLong - i.toLong + 1)})")
-          case _ => None
+          case _ => // probed: 3-arg list_slice ≡ the bracket slice exactly
+            Some(s"graft_duck_slice(${a(0)}, ${a(1)}, ${a(2)}, true, true)")
         }
       })
+    }
     // range/generate_series (scalar list form): range is half-open,
     // generate_series inclusive. Literal-int arguments compute the exact
     // list here (covers the empty corners Spark's sequence() errors on);
@@ -5003,16 +5037,23 @@ class SqlGateway(val spark: SparkSession) {
         }
       }
     }
-    // does this top-level index expression look like a slice?
+    // does this top-level index expression look like a slice? ('::' is a
+    // duck CAST token, not two separators)
     def isSlice(ix: String): Boolean = {
-      var d = 0; var s = false
-      ix.exists { c =>
-        if (s) { if (c == '\'') s = false; false }
-        else if (c == '\'') { s = true; false }
-        else if (c == '(' || c == '[') { d += 1; false }
-        else if (c == ')' || c == ']') { d -= 1; false }
-        else c == ':' && d == 0
+      var d = 0; var s = false; var k = 0; var found = false
+      while (k < ix.length && !found) {
+        val c = ix.charAt(k)
+        if (s) { if (c == '\'') s = false }
+        else if (c == '\'') s = true
+        else if (c == '(' || c == '[') d += 1
+        else if (c == ')' || c == ']') d -= 1
+        else if (c == ':' && d == 0) {
+          if (k + 1 < ix.length && ix.charAt(k + 1) == ':') k += 1
+          else found = true
+        }
+        k += 1
       }
+      found
     }
     // `[i:j]` with integer-literal (or absent) bounds → Some((iOpt, jOpt));
     // anything fancier refuses (stays verbatim → loud parser error)
@@ -5028,10 +5069,13 @@ class SqlGateway(val spark: SparkSession) {
     // out-of-range clamps, inverted → empty
     def sliceLiteral(s: String, io: Option[Long], jo: Option[Long]): String =
       duckSliceLiteral(s, io, jo)
-    // split a slice index at its single top-level ':' → (loTxt, hiTxt),
-    // either possibly empty; None for 2+ colons (step slices refuse)
-    def sliceParts(ix: String): Option[(String, String)] = {
-      var d = 0; var s = false; var colon = -1; var k = 0
+    // split a slice index at its top-level ':' separators ('::' casts are
+    // atomic) → (loTxt, hiTxt, stepTxt?). With a step, hi and step must be
+    // spelled (DuckDB's parser errors on [2::2] / [::2]) — malformed forms
+    // return None and the bracket stays verbatim → loud parse error.
+    def sliceParts(ix: String): Option[(String, String, Option[String])] = {
+      var d = 0; var s = false; var k = 0
+      val colons = scala.collection.mutable.ArrayBuffer[Int]()
       while (k < ix.length) {
         val ch = ix.charAt(k)
         if (s) { if (ch == '\'') s = false }
@@ -5039,21 +5083,34 @@ class SqlGateway(val spark: SparkSession) {
         else if (ch == '(' || ch == '[') d += 1
         else if (ch == ')' || ch == ']') d -= 1
         else if (ch == ':' && d == 0) {
-          if (colon >= 0) return None
-          colon = k
+          if (k + 1 < ix.length && ix.charAt(k + 1) == ':') k += 1
+          else colons += k
         }
         k += 1
       }
-      if (colon < 0) None
-      else Some((ix.substring(0, colon).trim, ix.substring(colon + 1).trim))
+      colons.toSeq match {
+        case Seq(c1) =>
+          Some((ix.substring(0, c1).trim, ix.substring(c1 + 1).trim, None))
+        case Seq(c1, c2) =>
+          val (lo, hi, st) = (ix.substring(0, c1).trim,
+            ix.substring(c1 + 1, c2).trim, ix.substring(c2 + 1).trim)
+          if (hi.nonEmpty && st.nonEmpty) Some((lo, hi, Some(st))) else None
+        case _ => None
+      }
     }
     // `x[lo:hi]` → the registered graft_duck_slice placeholder (bounds are
     // arbitrary integral EXPRESSIONS in DuckDB — `l[i+1:j*2]`); the
     // analyzed-plan swap dispatches LIST vs VARCHAR operand by type
-    def sliceCall(operand: String, lo: String, hi: String): String = {
+    def sliceCall(operand: String, lo: String, hi: String,
+        step: Option[String] = None): String = {
       val loE = if (lo.nonEmpty) rewriteDuckLiterals(lo) else "0"
       val hiE = if (hi.nonEmpty) rewriteDuckLiterals(hi) else "0"
-      s"graft_duck_slice($operand, $loE, $hiE, ${lo.nonEmpty}, ${hi.nonEmpty})"
+      step match {
+        case Some(st) => s"graft_duck_slice_step($operand, $loE, $hiE, " +
+          s"${rewriteDuckLiterals(st)}, ${lo.nonEmpty})"
+        case None =>
+          s"graft_duck_slice($operand, $loE, $hiE, ${lo.nonEmpty}, ${hi.nonEmpty})"
+      }
     }
     while (i < sql.length) {
       val c = sql.charAt(i)
@@ -5085,8 +5142,8 @@ class SqlGateway(val spark: SparkSession) {
                     case (Some((io, jo)), _) =>
                       val inner = lit.substring(1, lit.length - 1)
                       sb.append(s"'${sliceLiteral(inner, io, jo)}'")
-                    case (None, Some((lo, hi))) => // expression bounds
-                      sb.append(sliceCall(lit, lo, hi))
+                    case (None, Some((lo, hi, st))) => // expression bounds
+                      sb.append(sliceCall(lit, lo, hi, st))
                     case _ =>
                       sb.append(s"substr($lit, ${ix.trim}, 1)")
                   }
@@ -5116,8 +5173,8 @@ class SqlGateway(val spark: SparkSession) {
                   val at = j + 1
                   val operand = sb.substring(at)
                   sb.delete(at, sb.length)
-                  val (lo, hi) = sliceParts(ix).get
-                  sb.append(sliceCall(operand, lo, hi))
+                  val (lo, hi, st) = sliceParts(ix).get
+                  sb.append(sliceCall(operand, lo, hi, st))
                   i = after
                 } else copyBracketVerbatim()
               case Some((ix, after)) if !isSlice(ix) =>
@@ -5148,8 +5205,8 @@ class SqlGateway(val spark: SparkSession) {
                 val operand = sb.substring(at).trim
                 if (operand.nonEmpty && !operand.head.isDigit) {
                   sb.delete(at, sb.length)
-                  val (lo, hi) = sliceParts(ix).get
-                  sb.append(sliceCall(operand, lo, hi))
+                  val (lo, hi, st) = sliceParts(ix).get
+                  sb.append(sliceCall(operand, lo, hi, st))
                   i = after
                 } else copyBracketVerbatim()
               case _ =>

@@ -165,3 +165,76 @@ case class DuckSlice(child: Expression, lo: Expression, hi: Expression,
       newChildren: IndexedSeq[Expression]): DuckSlice =
     copy(child = newChildren(0), lo = newChildren(1), hi = newChildren(2))
 }
+
+/** DuckDB step-slice `x[lo:hi:step]` / 4-arg `list_slice(l, b, e, s)` —
+  * LIST operands only (DuckDB 1.0 errors "Slice with steps has not been
+  * implemented for string types"; a string operand stays unresolved here,
+  * so the statement refuses just as loudly).
+  *
+  * Probed semantics (all bracket spellings require `hi`; `lo` may be
+  * omitted): NULL operand or any NULL bound/step → NULL; step 0 errors.
+  *   - step > 0: bounds resolve like the plain slice (lo: 0→1, negative
+  *     from the end clamped ≥1, default 1; hi: clamped ≤len, 0 empties,
+  *     negative from the end UNclamped) and indices walk lo, lo+s, … ≤ hi.
+  *   - step < 0: the FIRST bound is the walk's start (default len, clamped
+  *     ≤len, negative from the end UNclamped — [-10:…] can empty) and the
+  *     SECOND the stop (0→1, negative from the end clamped ≥1, positive
+  *     UNclamped — [5:100:-2] is empty); indices walk b, b−|s|, … ≥ e.
+  * Evaluated directly (CodegenFallback): never in a hot path, and the
+  * branchy bound algebra stays readable next to its probe table. */
+case class DuckSliceStep(child: Expression, lo: Expression, hi: Expression,
+    step: Expression, hasLo: Boolean) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, lo, hi, step)
+  override def nullable: Boolean = true
+
+  private def boundOk(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | NullType => true
+    case _ => false
+  }
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    boundOk(lo) && boundOk(hi) && boundOk(step) &&
+    child.dataType.isInstanceOf[ArrayType]
+  override def dataType: DataType = child.dataType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return null
+    val loV = if (hasLo) lo.eval(input) else java.lang.Long.valueOf(0L)
+    val hiV = hi.eval(input)
+    val stV = step.eval(input)
+    if ((hasLo && loV == null) || hiV == null || stV == null) return null
+    val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements().toLong
+    val s = stV.asInstanceOf[Number].longValue
+    if (s == 0) throw new IllegalArgumentException("Slice step cannot be zero")
+    def fromEnd(i: Long) = n + i + 1
+    val idx = scala.collection.mutable.ArrayBuffer[Long]()
+    if (s > 0) {
+      val b0 = if (!hasLo) 1L else loV.asInstanceOf[Number].longValue
+      val b = if (b0 > 0) b0 else if (b0 == 0) 1L else math.max(fromEnd(b0), 1L)
+      val e0 = hiV.asInstanceOf[Number].longValue
+      val e = if (e0 > 0) math.min(e0, n) else if (e0 == 0) 0L else fromEnd(e0)
+      var i = b
+      while (i <= e) { idx += i; i += s }
+    } else {
+      val b0 = if (!hasLo) n else loV.asInstanceOf[Number].longValue
+      val b = if (b0 > 0) math.min(b0, n) else if (b0 == 0) 0L else fromEnd(b0)
+      val e0 = hiV.asInstanceOf[Number].longValue
+      val e = if (e0 > 0) e0 else if (e0 == 0) 1L else math.max(fromEnd(e0), 1L)
+      var i = b
+      while (i >= e && i >= 1) { idx += i; i += s }
+    }
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.toArray.map(i =>
+        if (i < 1 || i > n) null else a.get((i - 1).toInt, et)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DuckSliceStep =
+    copy(child = newChildren(0), lo = newChildren(1), hi = newChildren(2),
+      step = newChildren(3))
+}

@@ -2837,7 +2837,33 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("CREATE VIEW rh_vsub AS SELECT [a, a+1][2] AS z FROM rh_vb"),
     q("SELECT sum(z) AS s FROM rh_vsub", Seq(9)),
     s("CREATE VIEW rh_vstr AS SELECT strftime(DATE '2024-03-15', '%Y/%m') AS f"),
-    q("SELECT * FROM rh_vstr", Seq("2024/03")))
+    q("SELECT * FROM rh_vstr", Seq("2024/03")),
+    // --- step slices [b:e:s] (r11) — negative steps walk downward from
+    // the FIRST bound; strings refuse ("not implemented" in DuckDB too) ---
+    q("SELECT [1,2,3,4,5][1:5:2] AS s", Seq(Seq(1, 3, 5))),
+    q("SELECT [1,2,3,4,5][4:1:-2] AS s", Seq(Seq(4, 2))),
+    q("SELECT [1,2,3,4,5][:3:-1] AS s", Seq(Seq(5, 4, 3))),
+    q("SELECT [1,2,3,4,5][-4:5:2] AS s", Seq(Seq(2, 4))),
+    q("SELECT [1,2,3,4,5][100:1:-2] AS s", Seq(Seq(5, 3, 1))),
+    q("SELECT [1,2,3,4,5][1:5:-1] AS s", Seq(Seq())),
+    q("SELECT [1,2,3,4,5][5:-10:-2] AS s", Seq(Seq(5, 3, 1))),
+    q("SELECT list_slice([1,2,3,4,5], 5, 1, -2) AS s", Seq(Seq(5, 3, 1))),
+    q("SELECT list_slice([1,2,3,4,5], -4, -2) AS s", Seq(Seq(2, 3, 4))),
+    q("SELECT [1,2,3,4,5][1:5:NULL] AS s", Seq(null)),
+    s("SELECT 'hello'[1:5:2] AS s"), // refuse: duckdb not-implemented too
+    s("SELECT [1,2,3,4,5][2::2] AS s"), // refuse: duckdb parser error too
+    // non-foldable bounds/steps: per-row evaluation over a column
+    s("CREATE TABLE rh_st (a integer)"),
+    s("INSERT INTO rh_st VALUES (1), (2)"),
+    q("SELECT a, [a, a+1, a+2, a+3][1:4:a] AS s FROM rh_st ORDER BY a",
+      Seq(1, Seq(1, 2, 3, 4)), Seq(2, Seq(2, 4))),
+    q("SELECT a, [10,20,30,40][a:4:2] AS s FROM rh_st ORDER BY a",
+      Seq(1, Seq(10, 30)), Seq(2, Seq(20, 40))),
+    // COLUMNS over a DERIVED-TABLE source, aggregate-wrapped (r11)
+    q("SELECT min(columns(*)) FROM (SELECT 1 AS a, 2 AS b)", Seq(1, 2)),
+    q("SELECT count(columns(*)) FROM (SELECT 1 AS a, NULL AS b)", Seq(1, 0)),
+    q("SELECT min(columns('a|b')) FROM (SELECT 1 AS a, 2 AS b, 3 AS c)",
+      Seq(1, 2)))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
