@@ -199,6 +199,28 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("step slice with step 1 equals the plain slice for random bounds " +
+       "(ties DuckSliceStep to the probed DuckSlice algebra)") {
+    val gw = new graft.engine.SqlGateway(spark)
+    val boundsGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(-8, 8), Gen.chooseNum(-8, 8)))
+    val bounds = boundsGen.apply(Gen.Parameters.default, Seed(99L)).get
+    bounds.foreach { case (b, e) =>
+      val arr = "[10,20,30,40,50]"
+      val stepped = gw.query(s"SELECT $arr[$b:$e:1] AS s").values.head.head
+      val plain = gw.query(s"SELECT $arr[$b:$e] AS s").values.head.head
+      assert(stepped == plain, s"[$b:$e:1] = $stepped vs [$b:$e] = $plain")
+    }
+    // and step -1 from swapped resolved bounds reverses a forward slice
+    // over all-positive in-range bounds (probed: [4:2:-1] = rev([2:4]))
+    Seq((1, 3), (2, 5), (3, 3), (5, 1)).foreach { case (b, e) =>
+      val arr = "[10,20,30,40,50]"
+      val fwd = gw.query(s"SELECT $arr[$e:$b:-1] AS s").values.head.head
+      val rev = gw.query(s"SELECT reverse($arr[$b:$e]) AS s").values.head.head
+      assert(fwd == rev, s"[$e:$b:-1] = $fwd vs reverse([$b:$e]) = $rev")
+    }
+  }
+
   test("connected components of an empty pair list is empty (no iteration blow-up)") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val empty = spark.createDataFrame(
