@@ -569,4 +569,90 @@ class ReplicaSpec extends SparkTestBase {
     Snapshot.importDatabase(rgw, dir)
     assert(rgw.query("SELECT count(*) FROM pinr").values.head.head == 2L)
   }
+
+  test("service stress: concurrent writers + readers + snapshot takers — " +
+       "every write lands exactly once, log index matches, restart " +
+       "recovers the identical state") {
+    val logDir = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-stress-wh").toString)
+    sess.sql("CREATE DATABASE IF NOT EXISTS stress_ns")
+    sess.catalog.setCurrentDatabase("stress_ns")
+    val gw = new SqlGateway(sess)
+    // snapshotEvery low: threshold snapshots fire repeatedly DURING the
+    // barrage, exercising cut+export+truncate against live writers
+    val leader = new Service(gw, logDir = Some(logDir), snapshotEvery = 8)
+    val port = leader.start()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    try {
+      val (c0, b0, _) = newHttp(port, "POST", "/db/execute",
+        Some("""{"sql": "CREATE TABLE stz (id integer, w integer)"}"""))
+      assert(c0 == 200 && !b0.contains("\"error\""), b0)
+      val writers = 4; val perWriter = 12
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(writers + 3)
+      (1 to writers).foreach { w =>
+        pool.submit(new Runnable { def run(): Unit = {
+          start.await()
+          try (1 to perWriter).foreach { i =>
+            val id = w * 1000 + i
+            val (c, b, _) = newHttp(port, "POST", "/db/execute",
+              Some(s"""{"sql": "INSERT INTO stz VALUES ($id, $w)"}"""))
+            if (c != 200 || b.contains("\"error\""))
+              failures.add(s"write $id: $c $b")
+          } finally done.countDown()
+        }})
+      }
+      // two readers hammering /db/query while the table churns
+      (1 to 2).foreach { _ =>
+        pool.submit(new Runnable { def run(): Unit = {
+          start.await()
+          try (1 to 25).foreach { _ =>
+            val (c, b, _) = newHttp(port, "GET",
+              "/db/query?q=SELECT%20count(*)%20AS%20n%20FROM%20stz")
+            if (c != 200 || b.contains("\"error\"")) failures.add(s"read: $c $b")
+          } finally done.countDown()
+        }})
+      }
+      // an explicit snapshot taker racing the threshold path
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        try (1 to 3).foreach { _ =>
+          val (c, b, _) = newHttp(port, "POST", "/snapshot")
+          if (c != 200) failures.add(s"snapshot: $c $b")
+          Thread.sleep(50)
+        } finally done.countDown()
+      }})
+      start.countDown()
+      assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(failures.isEmpty, failures.toArray.mkString("\n"))
+      val total = writers * perWriter
+      assert(gw.query("SELECT count(*) FROM stz").values.head.head ==
+        total.toLong)
+      // 1 CREATE + every insert committed-and-logged exactly once
+      assert(leader.logIndex == 1L + total, s"logIndex=${leader.logIndex}")
+    } finally leader.stop()
+
+    // restart over the same log dir: newest snapshot + suffix replay must
+    // reproduce the exact row multiset (no lost or doubled writes)
+    val sess2 = spark.newSession()
+    sess2.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory("graft-stress-wh2").toString)
+    sess2.sql("CREATE DATABASE IF NOT EXISTS stress2_ns")
+    sess2.catalog.setCurrentDatabase("stress2_ns")
+    val gw2 = new SqlGateway(sess2)
+    val leader2 = new Service(gw2, logDir = Some(logDir))
+    leader2.start()
+    try {
+      val r = gw2.query(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d, sum(id) AS s FROM stz")
+        .values.head
+      val ids = (1 to 4).flatMap(w => (1 to 12).map(i => w * 1000 + i))
+      assert(r == Seq(48L, 48L, ids.map(_.toLong).sum),
+        s"recovered state mismatch: $r")
+    } finally leader2.stop()
+  }
 }
