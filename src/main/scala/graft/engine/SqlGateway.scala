@@ -1109,12 +1109,36 @@ class SqlGateway(val spark: SparkSession) {
   private val ColumnsAnyRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
      """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
-  // derived-table source: greedy body backtracks to the ')' that lets the
-  // optional alias + tail anchor — nested parens inside the subquery stay
-  // inside the body group
-  private val ColumnsSubqRe =
-    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+\((.+)\)\s*(?:AS\s+)?(\w+)?""" +
-     """((?:\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
+  // derived-table source, matched with a BALANCED-paren scan — a greedy
+  // regex body would capture through the last ')' of the statement, so a
+  // ')' in the tail (WHERE x IN (...), ORDER BY f(x)) mangled the subquery
+  private object ColumnsSubqMatch {
+    private val PrefixRe = """(?is)^\s*SELECT\s+(.+?)\s+FROM\s*\(""".r
+    private val TailRe =
+      ("""(?is)^\s*(?:AS\s+)?((?!(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b)\w+""" +
+       """(?:\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\))?)?""" +
+       """\s*((?:(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?)\s*$""").r
+    def unapply(sql: String): Option[(String, String, Option[String], String)] =
+      PrefixRe.findFirstMatchIn(sql).flatMap { m =>
+        val open = m.end - 1
+        var depth = 0; var i = open; var inStr = false; var close = -1
+        while (i < sql.length && close < 0) {
+          val c = sql.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+          i += 1
+        }
+        if (close < 0) None
+        else sql.substring(close + 1) match {
+          case TailRe(alias, tailPart) =>
+            Some((m.group(1), sql.substring(open + 1, close),
+              Option(alias), tailPart))
+          case _ => None // a JOIN/comma after the subquery: not this shape
+        }
+      }
+  }
 
   /** Expand every COLUMNS(...) in a select list against `table`'s
     * schema; None declines (e.g. two COLUMNS in one item). */
@@ -1396,12 +1420,22 @@ class SqlGateway(val spark: SparkSession) {
         expandColumnsSel(sel, table).map(expanded =>
           runSql(s"SELECT $expanded FROM $table $tailPart"))
       // ...and over a derived-table source (`FROM (SELECT ...) t`): the
-      // column list comes from analyzing the subquery (no execution)
-      case ColumnsSubqRe(sel, sub, alias, tailPart)
-          if """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(sel).isDefined =>
-        expandColumnsSelCols(sel, queryDf(sub).columns.toSeq, "subquery")
+      // column list comes from analyzing the subquery. Analysis must be
+      // SIDE-EFFECT-FREE — a nextval/currval in the body would advance
+      // its sequence during discovery and then again (or after an error)
+      // in the real run, so those decline to a loud refusal instead.
+      case ColumnsSubqMatch(sel, sub, alias, tailPart)
+          if """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(sel).isDefined &&
+            """(?i)\b(?:nextval|currval)\s*\(""".r.findFirstIn(sub).isEmpty =>
+        // a column-alias list on the derived table (`t(a, b)`) renames the
+        // source columns — expansion must see the ALIASED names
+        val aliasCols = alias.filter(_.contains("(")).map(a =>
+          a.substring(a.indexOf('(') + 1, a.lastIndexOf(')'))
+            .split(",").map(_.trim).toSeq)
+        val srcCols = aliasCols.getOrElse(queryDf(sub).columns.toSeq)
+        expandColumnsSelCols(sel, srcCols, "subquery")
           .map(expanded => runSql(s"SELECT $expanded FROM ($sub) " +
-            s"${Option(alias).getOrElse("graft_cols_src")} $tailPart"))
+            s"${alias.getOrElse("graft_cols_src")} $tailPart"))
       case PositionalRe(sel, lt, la, rt, ra) =>
         Some(positionalJoin(sel, lt, Option(la), rt, Option(ra)))
       case RangeTvfRe(args, colAlias) if """(?i)\b(?:DATE|TIMESTAMP)\s*'"""
@@ -1930,17 +1964,32 @@ class SqlGateway(val spark: SparkSession) {
     val key = seq.toLowerCase
     val st = sequences.getOrElse(key,
       throw new IllegalArgumentException(s"unknown sequence $seq"))
+    def reachedMin: Nothing = throw new IllegalArgumentException(
+      s"""nextval: reached minimum value of sequence "$seq" (${st.min})""")
+    def reachedMax: Nothing = throw new IllegalArgumentException(
+      s"""nextval: reached maximum value of sequence "$seq" (${st.max})""")
     var ctr = st.next
-    if (st.inc >= 0 && ctr > st.max) {
-      if (st.cycle) ctr = st.min
-      else throw new IllegalArgumentException(
-        s"""nextval: reached maximum value of sequence "$seq" (${st.max})""")
-    } else if (st.inc < 0 && ctr < st.min) {
-      if (st.cycle) ctr = st.max
-      else throw new IllegalArgumentException(
-        s"""nextval: reached minimum value of sequence "$seq" (${st.min})""")
+    // retrieval bound check, BOTH bounds (duck-probed: a counter that
+    // overflowed past the int64 range sits on the wrong side of its
+    // travel direction and reports against whichever bound it violates)
+    if (ctr < st.min) { if (st.cycle && st.inc < 0) ctr = st.max else reachedMin }
+    else if (ctr > st.max) {
+      if (st.cycle && st.inc >= 0) ctr = st.min else reachedMax
     }
-    sequences(key) = st.copy(next = ctr + st.inc)
+    // increment-time int64-overflow check, duck-probed: CYCLE wraps to the
+    // far bound and the call succeeds; without CYCLE the CURRENT call
+    // errors and the stored counter still wraps two's-complement (the
+    // next call then reports the OPPOSITE bound — duck does exactly this)
+    val next =
+      try Math.addExact(ctr, st.inc)
+      catch { case _: ArithmeticException =>
+        if (st.cycle) { if (st.inc >= 0) st.min else st.max }
+        else {
+          sequences(key) = st.copy(next = ctr + st.inc)
+          if (st.inc >= 0) reachedMax else reachedMin
+        }
+      }
+    sequences(key) = st.copy(next = next)
     seqLast(key) = ctr
     ctr
   }
@@ -5037,11 +5086,13 @@ class SqlGateway(val spark: SparkSession) {
         }
       }
     }
-    // does this top-level index expression look like a slice? ('::' is a
-    // duck CAST token, not two separators)
-    def isSlice(ix: String): Boolean = {
-      var d = 0; var s = false; var k = 0; var found = false
-      while (k < ix.length && !found) {
+    // top-level ':' separator positions in an index expression — the ONE
+    // scanner behind isSlice and sliceParts ('::' is a duck CAST token,
+    // not two separators)
+    def sepColons(ix: String): Seq[Int] = {
+      var d = 0; var s = false; var k = 0
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      while (k < ix.length) {
         val c = ix.charAt(k)
         if (s) { if (c == '\'') s = false }
         else if (c == '\'') s = true
@@ -5049,12 +5100,14 @@ class SqlGateway(val spark: SparkSession) {
         else if (c == ')' || c == ']') d -= 1
         else if (c == ':' && d == 0) {
           if (k + 1 < ix.length && ix.charAt(k + 1) == ':') k += 1
-          else found = true
+          else out += k
         }
         k += 1
       }
-      found
+      out.toSeq
     }
+    // does this top-level index expression look like a slice?
+    def isSlice(ix: String): Boolean = sepColons(ix).nonEmpty
     // `[i:j]` with integer-literal (or absent) bounds → Some((iOpt, jOpt));
     // anything fancier refuses (stays verbatim → loud parser error)
     val SliceRe = """^\s*(-?\d+)?\s*:\s*(-?\d+)?\s*$""".r
@@ -5074,21 +5127,7 @@ class SqlGateway(val spark: SparkSession) {
     // spelled (DuckDB's parser errors on [2::2] / [::2]) — malformed forms
     // return None and the bracket stays verbatim → loud parse error.
     def sliceParts(ix: String): Option[(String, String, Option[String])] = {
-      var d = 0; var s = false; var k = 0
-      val colons = scala.collection.mutable.ArrayBuffer[Int]()
-      while (k < ix.length) {
-        val ch = ix.charAt(k)
-        if (s) { if (ch == '\'') s = false }
-        else if (ch == '\'') s = true
-        else if (ch == '(' || ch == '[') d += 1
-        else if (ch == ')' || ch == ']') d -= 1
-        else if (ch == ':' && d == 0) {
-          if (k + 1 < ix.length && ix.charAt(k + 1) == ':') k += 1
-          else colons += k
-        }
-        k += 1
-      }
-      colons.toSeq match {
+      sepColons(ix) match {
         case Seq(c1) =>
           Some((ix.substring(0, c1).trim, ix.substring(c1 + 1).trim, None))
         case Seq(c1, c2) =>
@@ -5267,16 +5306,42 @@ class SqlGateway(val spark: SparkSession) {
   /** DuckDB's parenless datetime keywords Spark lacks: bare
     * `localtimestamp` (duck: TIMESTAMP, probed) → `localtimestamp()`
     * (Spark's NTZ twin) and bare `localtime` (duck: TIME) →
-    * `current_time()`. Quoted spellings and call forms stay untouched. */
+    * `current_time()`. Quoted spellings and call forms stay untouched.
+    * Full quote scanner (not the '-parity heuristic): an apostrophe
+    * inside a double-quoted identifier must not flip the string state. */
   private def rewriteBareDatetimeKeywords(sql: String): String = {
-    val re = """(?i)(?<!["\w.$])(localtimestamp|localtime)(?!["\w])(\s*\()?""".r
-    re.replaceAllIn(sql, m => {
-      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
-      if (!outside || m.group(2) != null)
-        java.util.regex.Matcher.quoteReplacement(m.matched)
-      else if (m.group(1).equalsIgnoreCase("localtime")) "current_time()"
-      else "localtimestamp()"
-    })
+    val lower = sql.toLowerCase
+    if (!lower.contains("localtime")) return sql
+    val sb = new StringBuilder(sql.length + 16)
+    var i = 0; var inStr = false; var inId = false
+    def wordish(c: Char) = c.isLetterOrDigit || c == '_' || c == '$' || c == '.'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inId) { sb += c; if (c == '"') inId = false; i += 1 }
+      else if (c == '\'') { sb += c; inStr = true; i += 1 }
+      else if (c == '"') { sb += c; inId = true; i += 1 }
+      else if ((c == 'l' || c == 'L') &&
+          (i == 0 || !wordish(sql.charAt(i - 1)))) {
+        val kw =
+          if (lower.startsWith("localtimestamp", i)) "localtimestamp"
+          else if (lower.startsWith("localtime", i)) "localtime"
+          else null
+        val afterOk = kw != null && {
+          val a = lower.lift(i + kw.length).getOrElse(' ')
+          !wordish(a) && a != '"'
+        }
+        // already a call form? leave it for Spark's own resolution
+        var j = if (kw == null) i else i + kw.length
+        while (afterOk && j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (afterOk && (j >= sql.length || sql.charAt(j) != '(')) {
+          sb.append(if (kw == "localtime") "current_time()"
+            else "localtimestamp()")
+          i += kw.length
+        } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** `OVER (w ROWS BETWEEN ...)` — a named-WINDOW reference extended with
@@ -7525,7 +7590,10 @@ class SqlGateway(val spark: SparkSession) {
 
 object SqlGateway {
   /** Sequence metadata: the next value to hand out, increment, bounds and
-    * cycle flag — DuckDB's full CREATE SEQUENCE surface (probed 1.0.0). */
+    * cycle flag — DuckDB's full CREATE SEQUENCE surface (probed 1.0.0).
+    * A counter that overflowed int64 is stored WRAPPED (two's-complement),
+    * exactly like DuckDB — nextval's both-bound retrieval check then
+    * reports the right error without extra state. */
   final case class SeqState(next: Long, inc: Long, min: Long, max: Long,
       cycle: Boolean)
 }

@@ -212,20 +212,27 @@ case class DuckSliceStep(child: Expression, lo: Expression, hi: Expression,
     if (s == 0) throw new IllegalArgumentException("Slice step cannot be zero")
     def fromEnd(i: Long) = n + i + 1
     val idx = scala.collection.mutable.ArrayBuffer[Long]()
+    // the walk uses an overflow-checked step: i + s past the int64 range
+    // means the walk is over (an unchecked add would wrap sign and emit
+    // out-of-range indices)
+    def stepped(i: Long): Long =
+      try Math.addExact(i, s)
+      catch { case _: ArithmeticException =>
+        if (s > 0) Long.MaxValue else Long.MinValue }
     if (s > 0) {
       val b0 = if (!hasLo) 1L else loV.asInstanceOf[Number].longValue
       val b = if (b0 > 0) b0 else if (b0 == 0) 1L else math.max(fromEnd(b0), 1L)
       val e0 = hiV.asInstanceOf[Number].longValue
       val e = if (e0 > 0) math.min(e0, n) else if (e0 == 0) 0L else fromEnd(e0)
       var i = b
-      while (i <= e) { idx += i; i += s }
+      while (i <= e) { idx += i; i = stepped(i) }
     } else {
       val b0 = if (!hasLo) n else loV.asInstanceOf[Number].longValue
       val b = if (b0 > 0) math.min(b0, n) else if (b0 == 0) 0L else fromEnd(b0)
       val e0 = hiV.asInstanceOf[Number].longValue
       val e = if (e0 > 0) e0 else if (e0 == 0) 1L else math.max(fromEnd(e0), 1L)
       var i = b
-      while (i >= e && i >= 1) { idx += i; i += s }
+      while (i >= e && i >= 1) { idx += i; i = stepped(i) }
     }
     val et = child.dataType.asInstanceOf[ArrayType].elementType
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

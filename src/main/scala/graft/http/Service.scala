@@ -89,7 +89,14 @@ class Service(gateway: SqlGateway, port: Int = 0,
       members.put(nodeId, s"http://localhost:${server.getAddress.getPort}")
     server.getAddress.getPort
   }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    snapshotLock.synchronized {
+      cachedZip.foreach { case (_, p) =>
+        java.nio.file.Files.deleteIfExists(p) }
+      cachedZip = None
+    }
+  }
   def boundPort: Int = server.getAddress.getPort
 
   private def handler(f: HttpExchange => (Int, String)): HttpHandler =
@@ -202,6 +209,10 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * other. NEVER held while waiting on a write: lock order is
     * snapshotLock → logLock, and writers take logLock alone. */
   private val snapshotLock = new Object
+
+  /** One cached zip of the newest snapshot dir (immutable once published),
+    * guarded by [[snapshotLock]]; replaced when a newer snapshot lands. */
+  private var cachedZip: Option[(Long, java.nio.file.Path)] = None
 
   /** Take a snapshot: capture a consistent cut (log index + pinned table
     * versions — the versioned storage gives snapshot isolation) under
@@ -364,31 +375,45 @@ class Service(gateway: SqlGateway, port: Int = 0,
           ex.getResponseBody.write(out)
         }
       case "GET" =>
-        // zip to a LOCAL temp file under snapshotLock (retention deletion
-        // in takeSnapshot can't remove the dir mid-zip; atomic-rename
-        // publish already guarantees any listed dir is complete), then
-        // stream with the lock RELEASED — a slow replica download must not
-        // block the next takeSnapshot, which now runs synchronously on a
-        // writer's request thread after its statement commits.
+        // zip to a LOCAL file under snapshotLock (retention deletion in
+        // takeSnapshot can't remove the dir mid-zip; atomic-rename publish
+        // already guarantees any listed dir is complete), then stream with
+        // the lock RELEASED — a slow replica download must not block the
+        // next takeSnapshot, which now runs synchronously on a writer's
+        // request thread after its statement commits. A snapshot dir is
+        // immutable, so the zip is built ONCE per index and cached: N
+        // replicas polling the same snapshot pay one zip, not N, and the
+        // writer-thread taker queues behind at most one build.
         val zipped: Option[(Long, java.nio.file.Path)] =
           snapshotLock.synchronized {
             listSnapshots.lastOption.map { case (idx, dir) =>
-              val tmp = java.nio.file.Files.createTempFile("graft-snap", ".zip")
-              val zos = new java.util.zip.ZipOutputStream(
-                java.nio.file.Files.newOutputStream(tmp))
-              try { zipDir(dir, dir, zos) } finally zos.close()
-              (idx, tmp)
+              cachedZip match {
+                case Some((ci, p)) if ci == idx &&
+                    java.nio.file.Files.exists(p) => (idx, p)
+                case prior =>
+                  val tmp = java.nio.file.Files.createTempFile(
+                    "graft-snap", ".zip")
+                  try {
+                    val zos = new java.util.zip.ZipOutputStream(
+                      java.nio.file.Files.newOutputStream(tmp))
+                    try { zipDir(dir, dir, zos) } finally zos.close()
+                  } catch { case e: Throwable => // never leak a partial zip
+                    java.nio.file.Files.deleteIfExists(tmp); throw e
+                  }
+                  prior.foreach { case (_, old) =>
+                    java.nio.file.Files.deleteIfExists(old) }
+                  cachedZip = Some((idx, tmp))
+                  (idx, tmp)
+              }
             }
           }
         zipped match {
           case None => ex.sendResponseHeaders(404, -1)
           case Some((idx, tmp)) =>
-            try {
-              ex.getResponseHeaders.add("Content-Type", "application/zip")
-              ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
-              ex.sendResponseHeaders(200, java.nio.file.Files.size(tmp))
-              java.nio.file.Files.copy(tmp, ex.getResponseBody)
-            } finally java.nio.file.Files.deleteIfExists(tmp)
+            ex.getResponseHeaders.add("Content-Type", "application/zip")
+            ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
+            ex.sendResponseHeaders(200, java.nio.file.Files.size(tmp))
+            java.nio.file.Files.copy(tmp, ex.getResponseBody)
         }
       case _ => ex.sendResponseHeaders(405, -1)
     } catch { case e: Throwable =>

@@ -2863,7 +2863,27 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT min(columns(*)) FROM (SELECT 1 AS a, 2 AS b)", Seq(1, 2)),
     q("SELECT count(columns(*)) FROM (SELECT 1 AS a, NULL AS b)", Seq(1, 0)),
     q("SELECT min(columns('a|b')) FROM (SELECT 1 AS a, 2 AS b, 3 AS c)",
-      Seq(1, 2)))
+      Seq(1, 2)),
+    // tail with parens after the derived table (a greedy regex body
+    // captured through the last ')' — review finding, r11)
+    q("SELECT min(columns(*)) FROM (SELECT 1 AS a) t WHERE a IN (1, 2)",
+      Seq(1)),
+    q("SELECT columns(*) FROM (VALUES (1, 2)) t(a, b)", Seq(1, 2)),
+    // an apostrophe inside a double-quoted identifier must not flip the
+    // string state of the bare-keyword rewrite (review finding, r11)
+    q("SELECT \"o'x\" AS v, localtime IS NOT NULL AS lt " +
+      "FROM (SELECT 1 AS \"o'x\") t", Seq(1, true)),
+    // int64-edge sequences (review finding: an unchecked advance silently
+    // wrapped negative). DuckDB probed: WITHOUT cycle the overflowing call
+    // itself errors reached-maximum and the wrapped counter makes the next
+    // call report reached-MINIMUM; WITH cycle the call returns and wraps.
+    s("CREATE SEQUENCE rh_ovf START 9223372036854775807"),
+    s("SELECT nextval('rh_ovf') AS v"), // refuse: duck reached-maximum too
+    s("SELECT nextval('rh_ovf') AS v"), // refuse: duck reached-MINIMUM too
+    s("CREATE SEQUENCE rh_ovfc START 9223372036854775807 CYCLE"),
+    q("SELECT nextval('rh_ovfc') AS a", Seq(9223372036854775807L)),
+    q("SELECT nextval('rh_ovfc') AS b", Seq(1)),
+    q("SELECT [1,2,3][1:3:9223372036854775807] AS s", Seq(Seq(1))))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
