@@ -2883,7 +2883,28 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("CREATE SEQUENCE rh_ovfc START 9223372036854775807 CYCLE"),
     q("SELECT nextval('rh_ovfc') AS a", Seq(9223372036854775807L)),
     q("SELECT nextval('rh_ovfc') AS b", Seq(1)),
-    q("SELECT [1,2,3][1:3:9223372036854775807] AS s", Seq(Seq(1))))
+    q("SELECT [1,2,3][1:3:9223372036854775807] AS s", Seq(Seq(1))),
+    // FILTER over WINDOW aggregates (WHERE-less shorthand too)
+    C("SELECT x, sum(x) FILTER (WHERE x > 1) OVER (ORDER BY x) AS c " +
+      "FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+      Some(Seq(Seq(1, null), Seq(2, 2), Seq(3, 5))), ordered = true),
+    C("SELECT x, count(*) FILTER (x > 1) OVER (ORDER BY x) AS c " +
+      "FROM (VALUES (1),(2)) t(x) ORDER BY x",
+      Some(Seq(Seq(1, 0), Seq(2, 1))), ordered = true),
+    // SQL-standard UNPIVOT spelling (the duck INTO NAME form is pinned
+    // elsewhere); bare SELECT + WHERE with no FROM; window array_agg;
+    // time-valued RANGE frames with interval offsets
+    C("SELECT * FROM (SELECT 1 AS a, 2 AS b) UNPIVOT (v FOR k IN (a, b)) " +
+      "ORDER BY k", Some(Seq(Seq("a", 1), Seq("b", 2))), ordered = true),
+    q("SELECT 1 AS x WHERE 1 = 0"),
+    q("SELECT array_agg(x) OVER (PARTITION BY g) AS a " +
+      "FROM (VALUES (1,'a')) t(x,g)", Seq(Seq(1))),
+    C("SELECT ts, count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR " +
+      "PRECEDING AND CURRENT ROW) AS n FROM (VALUES " +
+      "(TIMESTAMP '2024-01-01 10:00:00'),(TIMESTAMP '2024-01-01 10:30:00')," +
+      "(TIMESTAMP '2024-01-01 12:00:00')) t(ts) ORDER BY ts",
+      Some(Seq(Seq("2024-01-01 10:00:00", 1), Seq("2024-01-01 10:30:00", 2),
+        Seq("2024-01-01 12:00:00", 1))), ordered = true))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
