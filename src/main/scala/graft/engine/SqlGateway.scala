@@ -1121,11 +1121,14 @@ class SqlGateway(val spark: SparkSession) {
     def unapply(sql: String): Option[(String, String, Option[String], String)] =
       PrefixRe.findFirstMatchIn(sql).flatMap { m =>
         val open = m.end - 1
-        var depth = 0; var i = open; var inStr = false; var close = -1
+        var depth = 0; var i = open; var close = -1
+        var inStr = false; var inId = false // '...' strings, "..." idents
         while (i < sql.length && close < 0) {
           val c = sql.charAt(i)
           if (inStr) { if (c == '\'') inStr = false }
+          else if (inId) { if (c == '"') inId = false }
           else if (c == '\'') inStr = true
+          else if (c == '"') inId = true
           else if (c == '(') depth += 1
           else if (c == ')') { depth -= 1; if (depth == 0) close = i }
           i += 1
@@ -1426,7 +1429,10 @@ class SqlGateway(val spark: SparkSession) {
       // in the real run, so those decline to a loud refusal instead.
       case ColumnsSubqMatch(sel, sub, alias, tailPart)
           if """(?i)\bCOLUMNS\s*\(""".r.findFirstIn(sel).isDefined &&
-            """(?i)\b(?:nextval|currval)\s*\(""".r.findFirstIn(sub).isEmpty =>
+            // guard against STATEMENT text only — a 'nextval(x)' string
+            // literal in the body must not turn expansion into a refusal
+            """(?i)\b(?:nextval|currval)\s*\("""
+              .r.findFirstIn(maskStringLiterals(sub)).isEmpty =>
         // a column-alias list on the derived table (`t(a, b)`) renames the
         // source columns — expansion must see the ALIASED names
         val aliasCols = alias.filter(_.contains("(")).map(a =>
@@ -5310,7 +5316,10 @@ class SqlGateway(val spark: SparkSession) {
     * Full quote scanner (not the '-parity heuristic): an apostrophe
     * inside a double-quoted identifier must not flip the string state. */
   private def rewriteBareDatetimeKeywords(sql: String): String = {
-    val lower = sql.toLowerCase
+    // ASCII-only fold: String.toLowerCase is default-locale and not
+    // length-preserving ('İ' lowers to 2 chars; Turkish 'I' → 'ı'), which
+    // would shift indices or miss uppercase spellings
+    val lower = sql.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
     if (!lower.contains("localtime")) return sql
     val sb = new StringBuilder(sql.length + 16)
     var i = 0; var inStr = false; var inId = false

@@ -92,8 +92,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
   def stop(): Unit = {
     server.stop(0); pool.shutdown()
     snapshotLock.synchronized {
-      cachedZip.foreach { case (_, p) =>
-        java.nio.file.Files.deleteIfExists(p) }
+      cachedZip.foreach { case (_, p) => retireZip(p) }
       cachedZip = None
     }
   }
@@ -211,8 +210,31 @@ class Service(gateway: SqlGateway, port: Int = 0,
   private val snapshotLock = new Object
 
   /** One cached zip of the newest snapshot dir (immutable once published),
-    * guarded by [[snapshotLock]]; replaced when a newer snapshot lands. */
+    * guarded by [[snapshotLock]]; replaced when a newer snapshot lands.
+    * Streaming happens OUTSIDE the lock, so the file is refcounted: a
+    * replacement (or stop) retires the old zip, and the last reader's
+    * release deletes it — deleting eagerly would truncate a concurrent
+    * reader's download mid-stream. */
   private var cachedZip: Option[(Long, java.nio.file.Path)] = None
+  private val zipReaders =
+    scala.collection.mutable.HashMap[java.nio.file.Path, Int]()
+  private val zipRetired =
+    scala.collection.mutable.HashSet[java.nio.file.Path]()
+
+  /** Under [[snapshotLock]]: retire `p` — delete now if unreferenced,
+    * else defer to the last reader's [[releaseZip]]. */
+  private def retireZip(p: java.nio.file.Path): Unit =
+    if (zipReaders.getOrElse(p, 0) > 0) zipRetired += p
+    else java.nio.file.Files.deleteIfExists(p)
+
+  private def releaseZip(p: java.nio.file.Path): Unit =
+    snapshotLock.synchronized {
+      val left = zipReaders.getOrElse(p, 1) - 1
+      if (left <= 0) {
+        zipReaders.remove(p)
+        if (zipRetired.remove(p)) java.nio.file.Files.deleteIfExists(p)
+      } else zipReaders(p) = left
+    }
 
   /** Take a snapshot: capture a consistent cut (log index + pinned table
     * versions — the versioned storage gives snapshot isolation) under
@@ -387,9 +409,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
         val zipped: Option[(Long, java.nio.file.Path)] =
           snapshotLock.synchronized {
             listSnapshots.lastOption.map { case (idx, dir) =>
-              cachedZip match {
+              val path = cachedZip match {
                 case Some((ci, p)) if ci == idx &&
-                    java.nio.file.Files.exists(p) => (idx, p)
+                    java.nio.file.Files.exists(p) => p
                 case prior =>
                   val tmp = java.nio.file.Files.createTempFile(
                     "graft-snap", ".zip")
@@ -400,20 +422,24 @@ class Service(gateway: SqlGateway, port: Int = 0,
                   } catch { case e: Throwable => // never leak a partial zip
                     java.nio.file.Files.deleteIfExists(tmp); throw e
                   }
-                  prior.foreach { case (_, old) =>
-                    java.nio.file.Files.deleteIfExists(old) }
+                  prior.foreach { case (_, old) => retireZip(old) }
                   cachedZip = Some((idx, tmp))
-                  (idx, tmp)
+                  tmp
               }
+              // reader pin taken under the lock — released after streaming
+              zipReaders(path) = zipReaders.getOrElse(path, 0) + 1
+              (idx, path)
             }
           }
         zipped match {
           case None => ex.sendResponseHeaders(404, -1)
           case Some((idx, tmp)) =>
-            ex.getResponseHeaders.add("Content-Type", "application/zip")
-            ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
-            ex.sendResponseHeaders(200, java.nio.file.Files.size(tmp))
-            java.nio.file.Files.copy(tmp, ex.getResponseBody)
+            try {
+              ex.getResponseHeaders.add("Content-Type", "application/zip")
+              ex.getResponseHeaders.add("X-Snapshot-Index", idx.toString)
+              ex.sendResponseHeaders(200, java.nio.file.Files.size(tmp))
+              java.nio.file.Files.copy(tmp, ex.getResponseBody)
+            } finally releaseZip(tmp)
         }
       case _ => ex.sendResponseHeaders(405, -1)
     } catch { case e: Throwable =>

@@ -33,10 +33,14 @@ class DuckDbCorpusSpec extends SparkTestBase {
     * `ordered`: compare without row-sorting. `divergent`: documented
     * Spark-vs-DuckDB semantic gap — outcome must NOT be a silent Match. */
   case class C(sql: String, expect: Option[Seq[Seq[Any]]] = None,
-      ordered: Boolean = false, divergent: Option[String] = None)
+      ordered: Boolean = false, divergent: Option[String] = None,
+      expectErr: Option[String] = None)
 
   private def q(sql: String, rows: Seq[Any]*): C = C(sql, Some(rows))
   private def s(sql: String): C = C(sql)
+  /** MUST refuse, with the fragment in the message (DuckDB errors too) —
+    * a plain s() would also pass if the statement silently succeeded. */
+  private def err(sql: String, frag: String): C = C(sql, expectErr = Some(frag))
   private def div(sql: String, why: String, rows: Seq[Any]*): C =
     C(sql, Some(rows), divergent = Some(why))
 
@@ -2775,7 +2779,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // --- sequences: bounds + cycle (all probed) ---
     s("CREATE SEQUENCE rh_s1 MAXVALUE 2"),
     q("SELECT nextval('rh_s1') AS a, nextval('rh_s1') AS b", Seq(1, 2)),
-    s("SELECT nextval('rh_s1') AS c"), // refuse: duckdb "reached maximum value" too
+    err("SELECT nextval('rh_s1') AS c", "reached maximum value"),
     s("CREATE SEQUENCE rh_s2 MAXVALUE 2 CYCLE"),
     q("SELECT nextval('rh_s2') AS a, nextval('rh_s2') AS b, " +
       "nextval('rh_s2') AS c", Seq(1, 2, 1)),
@@ -2878,8 +2882,8 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // itself errors reached-maximum and the wrapped counter makes the next
     // call report reached-MINIMUM; WITH cycle the call returns and wraps.
     s("CREATE SEQUENCE rh_ovf START 9223372036854775807"),
-    s("SELECT nextval('rh_ovf') AS v"), // refuse: duck reached-maximum too
-    s("SELECT nextval('rh_ovf') AS v"), // refuse: duck reached-MINIMUM too
+    err("SELECT nextval('rh_ovf') AS v", "reached maximum value"),
+    err("SELECT nextval('rh_ovf') AS v", "reached minimum value"),
     s("CREATE SEQUENCE rh_ovfc START 9223372036854775807 CYCLE"),
     q("SELECT nextval('rh_ovfc') AS a", Seq(9223372036854775807L)),
     q("SELECT nextval('rh_ovfc') AS b", Seq(1)),
@@ -2920,6 +2924,14 @@ class DuckDbCorpusSpec extends SparkTestBase {
     val staleDivergence = results.collect {
       case (c, Matched) if c.divergent.nonEmpty => c
     }
+    // entries pinned as MUST-REFUSE: silently succeeding (or refusing
+    // with a different error) is the forbidden outcome
+    val missedRefusals = results.collect {
+      case (c, o) if c.expectErr.nonEmpty && (o match {
+        case Refused(m) => !m.toLowerCase.contains(c.expectErr.get.toLowerCase)
+        case _ => true
+      }) => (c, o)
+    }
     val accepted = results.count { case (_, o) =>
       o == Matched || o == Accepted || o.isInstanceOf[Wrong] }
     val matched = results.count(_._2 == Matched)
@@ -2941,6 +2953,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
 
     assert(silentWrong.isEmpty, silentWrong.map { case (c, w) =>
       s"\nSILENTLY WRONG: ${c.sql}\n  got  ${w.got}\n  want ${w.want}"
+    }.mkString)
+    assert(missedRefusals.isEmpty, missedRefusals.map { case (c, o) =>
+      s"\nMUST-REFUSE MISSED: ${c.sql}\n  expected error containing '${c.expectErr.get}', got $o"
     }.mkString)
     assert(staleDivergence.isEmpty,
       "divergence notes now match DuckDB — remove the stale entries:\n" +
