@@ -1565,6 +1565,8 @@ class SqlGateway(val spark: SparkSession) {
   private val DivWordRe = """(?i)(?<![\w.$])div(?![\w.$])""".r
   private val IntCastTargetRe =
     """(?i)(?:\bas\s+|::\s*)(?:tinyint|smallint|int1|int2|int4|integer|int|bigint|int8|signed)\b""".r
+  private val BoolCastTargetRe =
+    """(?i)(?:\bas\s+|::\s*)bool(?:ean)?\b""".r
   private val OrderByRe = """(?i)\border\s+by\b""".r
   private val NullsRe = """(?i)\bnulls\b""".r
 
@@ -1677,6 +1679,7 @@ class SqlGateway(val spark: SparkSession) {
     def outside(pos: Int) = sql.substring(0, pos).count(_ == '\'') % 2 == 0
     val needDiv = DivWordRe.findAllMatchIn(sql).exists(m => outside(m.start))
     val needCast = IntCastTargetRe.findAllMatchIn(sql).exists(m => outside(m.start))
+    val needBool = BoolCastTargetRe.findAllMatchIn(sql).exists(m => outside(m.start))
     // plan-level default-null-order fallback: only for keys the text pass
     // could not tag (ORDER BY ALL, or an early-stopped key list) — and
     // only when the statement spells no explicit NULLS anywhere, exactly
@@ -1691,7 +1694,7 @@ class SqlGateway(val spark: SparkSession) {
       (sql.indexOf('/') >= 0 && outside(sql.indexOf('/')) ||
        sql.indexOf('%') >= 0 && outside(sql.indexOf('%')))
     val needSub = needsParsedSwap(sql)
-    if (!needDiv && !needCast && !needNulls && !needTry) {
+    if (!needDiv && !needCast && !needBool && !needNulls && !needTry) {
       if (!needSub) return subtractDatesAsDays(spark.sql(sql))
       return subtractDatesAsDays(ColumnShim.ofRows(spark,
         markUserSubscripts(ColumnShim.parsePlan(spark, sql))))
@@ -1717,6 +1720,20 @@ class SqlGateway(val spark: SparkSession) {
             case _ => false
           })) =>
         graft.functions.DuckIntCast(c.child, c.dataType,
+          tryMode = c.evalMode == EvalMode.TRY)
+      // explicit BOOLEAN casts: Spark's lenient string→bool (trims,
+      // accepts yes/no/y/n) silently diverges from DuckDB's strict set —
+      // swap for the probed semantics; non-string sources already agree
+      case c: Cast if needBool &&
+          c.dataType == org.apache.spark.sql.types.BooleanType &&
+          (!c.child.resolved || (c.child.dataType match {
+            case _: org.apache.spark.sql.types.NumericType |
+                 org.apache.spark.sql.types.StringType |
+                 org.apache.spark.sql.types.BooleanType |
+                 org.apache.spark.sql.types.NullType => true
+            case _ => false
+          })) =>
+        graft.functions.DuckBoolCast(c.child,
           tryMode = c.evalMode == EvalMode.TRY)
       case so @ SortOrder(_, Ascending, NullsFirst, _) if needNulls =>
         so.copy(nullOrdering = NullsLast)

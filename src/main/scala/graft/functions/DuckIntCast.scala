@@ -111,3 +111,65 @@ case class DuckIntCast(child: Expression, override val dataType: DataType,
   override protected def withNewChildInternal(newChild: Expression): DuckIntCast =
     copy(child = newChild)
 }
+
+/** DuckDB's cast-to-BOOLEAN for VARCHAR sources, exactly as probed on
+  * 1.0: case-insensitive `true`/`false`, single-letter `t`/`f`, or
+  * `0`/`1` — with NO whitespace trimming (`' t '` and `' true '` raise
+  * Conversion Error; Spark's lenient cast trims and accepts yes/no/y/n,
+  * which would be silently wrong here). Failures raise, or NULL under
+  * TRY_CAST. Non-string sources agree between the engines already
+  * (numeric nonzero → true) and keep the same semantics here. */
+case class DuckBoolCast(child: Expression, tryMode: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | StringType | BooleanType | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cannot cast ${other.catalogString} to boolean")
+  }
+
+  def castBoxed(v: Any): Any = child.dataType match {
+    case StringType =>
+      val s = v.toString
+      if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("t") || s == "1")
+        java.lang.Boolean.TRUE
+      else if (s.equalsIgnoreCase("false") || s.equalsIgnoreCase("f") ||
+          s == "0") java.lang.Boolean.FALSE
+      else if (tryMode) null
+      else throw new IllegalArgumentException(
+        s"Could not convert string '$s' to BOOL")
+    case BooleanType => v
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Boolean.valueOf(v.asInstanceOf[java.lang.Number].longValue != 0L)
+    case FloatType | DoubleType =>
+      java.lang.Boolean.valueOf(v.asInstanceOf[java.lang.Number].doubleValue != 0.0)
+    case _: DecimalType =>
+      java.lang.Boolean.valueOf(
+        v.asInstanceOf[Decimal].toJavaBigDecimal.signum != 0)
+    case _ => null // NullType
+  }
+
+  override def nullSafeEval(input: Any): Any = castBoxed(input match {
+    case s: UTF8String => s.toString
+    case other => other
+  })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("duckBoolCast", this, classOf[DuckBoolCast].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dbc")
+      s"""
+         |Object $tmp = $ref.castBoxed($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (java.lang.Boolean) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DuckBoolCast =
+    copy(child = newChild)
+}

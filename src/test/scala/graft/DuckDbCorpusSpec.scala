@@ -2814,13 +2814,20 @@ class DuckDbCorpusSpec extends SparkTestBase {
     C("SELECT DISTINCT ON (a % 2, a % 3) a FROM " +
       "(VALUES (1),(2),(3),(4),(6),(12)) t(a) ORDER BY a % 2, a % 3, a",
       Some(Seq(Seq(6), Seq(4), Seq(2), Seq(3), Seq(1))), ordered = true),
-    // boolean cast spellings: single letters and 0/1 accepted, 'yes' and
-    // padded single letters error (probed)
+    // boolean cast spellings (probed matrix): case-insensitive
+    // true/false/t/f and 0/1 accepted; NO whitespace trimming; everything
+    // else (incl. Spark's lenient yes/no/y/n) is a Conversion Error
     q("SELECT 'f'::BOOLEAN AS a, 'T'::BOOLEAN AS b, '0'::BOOLEAN AS c, " +
       "'1'::BOOLEAN AS d", Seq(false, true, false, true)),
-    q("SELECT ' true '::BOOLEAN AS t", Seq(true)), // whitespace IS trimmed
-    s("SELECT 'yes'::BOOLEAN AS y"), // refuse: duckdb conversion error too
-    s("SELECT ' t '::BOOLEAN AS t"), // refuse: duckdb conversion error too
+    q("SELECT 'TrUe'::BOOLEAN AS t", Seq(true)),
+    err("SELECT ' true '::BOOLEAN AS t", "convert string"),
+    err("SELECT 'yes'::BOOLEAN AS y", "convert string"),
+    err("SELECT ' t '::BOOLEAN AS t", "convert string"),
+    q("SELECT TRY_CAST('yes' AS BOOLEAN) AS t", Seq(null)),
+    q("SELECT CAST(2 AS BOOLEAN) AS n, CAST(0 AS BOOLEAN) AS z, " +
+      "CAST(2.5 AS BOOLEAN) AS d", Seq(true, false, true)),
+    q("SELECT b::BOOLEAN AS v FROM (VALUES ('t'),('false')) t(b) " +
+      "ORDER BY v", Seq(false), Seq(true)),
     // --- view bodies: QUALIFY, COLLATE, macro calls, subscripts,
     // strftime, 3-deep chains (all through the full dialect pipeline) ---
     s("CREATE TABLE rh_vb (a integer, s text)"),
