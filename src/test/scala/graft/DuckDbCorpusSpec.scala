@@ -144,7 +144,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT regexp_replace('a+b', '+', 'X', 'l') AS r", Seq("aXb")), // 'l' literal pattern
     q("SELECT regexp_replace('a+b+c', '+', 'X', 'lg') AS r", Seq("aXbXc")),
     q("SELECT regexp_replace('abc', 'x*', 'Y') AS r", Seq("Yabc")), // zero-width first match
-    s("SELECT regexp_replace('x', 'x', 'y', 'z') AS r"), // unknown option: refuse (duckdb errors too)
+    err("SELECT regexp_replace('x', 'x', 'y', 'z') AS r", "option"), // duckdb errors too
     // 'm'/'n' select newline-SENSITIVE matching — probed identical to the
     // DuckDB 1.0 default (and Java's): accepted as a no-op
     q("SELECT regexp_replace('x', '^x', 'y', 'm') AS r", Seq("y")),
@@ -190,7 +190,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT strftime(TIMESTAMP '2007-03-04 05:06:07', '%c / %x / %X') AS s",
       Seq("2007-03-04 05:06:07 / 2007-03-04 / 05:06:07")),
     q("SELECT strftime(TIMESTAMP '0044-03-15 01:02:03', '%Y %y') AS s", Seq("0044 44")),
-    s("SELECT strftime(DATE '1992-01-01', '%e') AS s"), // unknown code: refuse (duckdb errors too)
+    err("SELECT strftime(DATE '1992-01-01', '%e') AS s", "%e"), // duckdb errors too
     q("SELECT dayname(DATE '2022-11-07') AS d", Seq("Monday")), // full name (r7: date_format twin)
     q("SELECT monthname(DATE '2022-11-07') AS m", Seq("November")),
     s("SELECT current_date AS d"),
@@ -274,7 +274,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_aggregate([1,2,3], 'product') AS p", Seq(6)),
     q("SELECT list_aggregate([1,2,3], 'first') AS f", Seq(1)),
     q("SELECT list_aggregate([1,2,3], 'last') AS l", Seq(3)),
-    s("SELECT list_aggregate([1,2,3], 'xyzzy') AS m"), // unknown name: refuse (duckdb errors too)
+    err("SELECT list_aggregate([1,2,3], 'xyzzy') AS m", "list_aggregate"), // duckdb errors too
     // r8: NULL elements ignored; empty/all-NULL folds to NULL (probed)
     q("SELECT list_aggregate([1,NULL,3], 'sum') AS s", Seq(4)),
     q("SELECT list_aggregate([NULL,NULL], 'sum') AS s", Seq(null)),
@@ -1425,7 +1425,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT jaccard('aab', 'ab') AS j", Seq(1)), // char-SET jaccard
     q("SELECT hamming('duck', 'luck') AS h", Seq(1)),
     q("SELECT mismatches('duck', 'luck') AS m", Seq(1)),
-    s("SELECT hamming('ab', 'abc') AS h"), // unequal length: loud (duckdb errors too)
+    err("SELECT hamming('ab', 'abc') AS h", "equal length"), // duckdb errors too
     q("SELECT damerau_levenshtein('ca', 'abc') AS d", Seq(2)), // full DL, not OSA's 3
     q("SELECT damerau_levenshtein('ab', 'ba') AS d", Seq(1)),
     q("SELECT jaro_similarity('martha', 'marhta') AS j", Seq(0.9444444444444445)),
@@ -2006,9 +2006,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT 1_000_000 AS a", Seq(1000000)),
     // DuckDB raises Out of Range on these; the gateway raises too (error
     // parity — these count as refusals of statements DuckDB errors on)
-    s("SELECT sqrt(-1) AS a"),
-    s("SELECT ln(0) AS a"),
-    s("SELECT asin(2) AS a"),
+    err("SELECT sqrt(-1) AS a", "Out of Range"),
+    err("SELECT ln(0) AS a", "Out of Range"),
+    err("SELECT asin(2) AS a", "ASIN"),
     q("SELECT sqrt(9) AS s, ln(1) AS l, log2(8) AS l2, asin(0.5) AS a",
       Seq(3.0, 0.0, 3.0, 0.5235987755982989)),
     q("SELECT a, b, sum(c) AS s FROM (VALUES (1,1,10),(1,2,20),(2,1,30)) " +
@@ -2179,7 +2179,8 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // DuckDB binder-errors on BY NAME + explicit column list; the gateway
     // must refuse, not silently realign (probed: Binder Error)
     s("CREATE TABLE corpus_byname(a INT, b INT)"),
-    s("INSERT INTO corpus_byname BY NAME (a, b) SELECT 1 AS a, 2 AS b"),
+    err("INSERT INTO corpus_byname BY NAME (a, b) SELECT 1 AS a, 2 AS b",
+      "cannot be combined"),
 
     // --- r9: view bodies carry full duck-dialect semantics (every result
     // probed against live DuckDB; bodies exercise the plan-level passes a
@@ -2862,7 +2863,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_slice([1,2,3,4,5], -4, -2) AS s", Seq(Seq(2, 3, 4))),
     q("SELECT [1,2,3,4,5][1:5:NULL] AS s", Seq(null)),
     s("SELECT 'hello'[1:5:2] AS s"), // refuse: duckdb not-implemented too
-    s("SELECT [1,2,3,4,5][2::2] AS s"), // refuse: duckdb parser error too
+    err("SELECT [1,2,3,4,5][2::2] AS s", "syntax error"), // duckdb parser error too
     // non-foldable bounds/steps: per-row evaluation over a column
     s("CREATE TABLE rh_st (a integer)"),
     s("INSERT INTO rh_st VALUES (1), (2)"),
