@@ -128,8 +128,8 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT format('{:b}', 5) AS f", Seq("101")), // binary via conv() (literal args)
     q("SELECT format('{:6}|', 42) AS f", Seq("    42|")),  // bare width: literal arg
     q("SELECT format('{:6}|', 'x') AS f", Seq("x     |")), // type decides alignment
-    s("SELECT format('{:,.2f}', 1234.567) AS f"), // fmt itself errors (grouping on float)
-    s("SELECT format('{0} {}', 'a', 'b') AS f"),  // mixed manual+auto: fmt errors
+    err("SELECT format('{:,.2f}', 1234.567) AS f", "format"), // fmt itself errors (grouping on float)
+    err("SELECT format('{0} {}', 'a', 'b') AS f", "format"), // mixed manual+auto: fmt errors
 
     // --- regex ---
     q("SELECT regexp_replace('hello', 'l+', 'L') AS r", Seq("heLo")),
@@ -2862,7 +2862,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT list_slice([1,2,3,4,5], 5, 1, -2) AS s", Seq(Seq(5, 3, 1))),
     q("SELECT list_slice([1,2,3,4,5], -4, -2) AS s", Seq(Seq(2, 3, 4))),
     q("SELECT [1,2,3,4,5][1:5:NULL] AS s", Seq(null)),
-    s("SELECT 'hello'[1:5:2] AS s"), // refuse: duckdb not-implemented too
+    err("SELECT 'hello'[1:5:2] AS s", "unresolved"), // duckdb not-implemented too
     err("SELECT [1,2,3,4,5][2::2] AS s", "syntax error"), // duckdb parser error too
     // non-foldable bounds/steps: per-row evaluation over a column
     s("CREATE TABLE rh_st (a integer)"),
