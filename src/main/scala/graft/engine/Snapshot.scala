@@ -67,13 +67,18 @@ object Snapshot {
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     val meta =
       gw.sequences.toSeq.sortBy(_._1).map { case (n, st) =>
-        s"#seq2|$n|${st.next}|${st.inc}|${st.min}|${st.max}|${st.cycle}" } ++
+        // trailing field: declared START (duckdb_sequences reporting) —
+        // absent in older manifests, import falls back to the sign default
+        val start = gw.seqStarts.get(n).map(s => s"|$s").getOrElse("")
+        s"#seq2|$n|${st.next}|${st.inc}|${st.min}|${st.max}|${st.cycle}$start" } ++
       gw.macros.toSeq.sortBy(_._1).map { case (n, (params, body)) =>
         s"#macro|$n|${params.mkString(",")}|${b64(body)}" } ++
       gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
         s"#index|$n|$t|${cols.mkString(",")}|$uniq" } ++
       gw.namedTypes.toSeq.sortBy(_._1).map { case (n, spec) =>
         s"#type|$n|${b64(spec)}" } ++
+      gw.comments.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"#comment|${b64(k)}|${b64(v)}" } ++
       gw.columnDefaults.toSeq.sortBy(_._1).flatMap { case (t, m) =>
         m.toSeq.sortBy(_._1).map { case (c, d) => s"#default|$t|$c|${b64(d)}" } } ++
       // registration order preserved — a view may reference earlier views.
@@ -138,7 +143,9 @@ object Snapshot {
     gw.checks.keys.filterNot(keep).foreach(gw.checks.remove)
     // database-level metadata replaces wholesale, like the tables
     def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
-    gw.sequences.clear(); gw.macros.clear(); gw.indexes.clear()
+    gw.sequences.clear(); gw.seqStarts.clear()
+    gw.macros.clear(); gw.indexes.clear(); gw.comments.clear()
+    gw.tempTables.clear() // temp-ness does not survive EXPORT (probed)
     gw.namedTypes.clear(); gw.columnDefaults.clear(); gw.clearViews()
     metaLines.foreach { line =>
       line.split("\\|", -1).toList match {
@@ -158,13 +165,17 @@ object Snapshot {
           gw.execute(unb64(ddl))
         case "#type" :: n :: spec :: Nil =>
           gw.namedTypes(n) = unb64(spec)
+        case "#comment" :: k :: v :: Nil =>
+          gw.comments(unb64(k)) = unb64(v)
         case "#default" :: t :: c :: d :: Nil =>
           gw.columnDefaults.updateWith(t) { cur =>
             Some(cur.getOrElse(Map.empty) + (c -> unb64(d)))
           }
-        case "#seq2" :: n :: next :: inc :: min :: max :: cyc :: Nil =>
+        case "#seq2" :: n :: next :: inc :: min :: max :: cyc :: rest
+            if rest.lengthIs <= 1 =>
           gw.sequences(n) = SqlGateway.SeqState(next.toLong, inc.toLong,
             min.toLong, max.toLong, cyc.toBoolean)
+          rest.headOption.foreach(s => gw.seqStarts(n) = s.toLong)
         case "#seq" :: n :: next :: inc :: Nil => // pre-r11 manifests
           val i = inc.toLong
           gw.sequences(n) = SqlGateway.SeqState(next.toLong, i,

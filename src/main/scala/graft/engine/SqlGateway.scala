@@ -134,7 +134,10 @@ class SqlGateway(val spark: SparkSession) {
     one("strip_accents")(StripAccents(_))
     one("nfc_normalize")(NfcNormalize(_))
     one("format_bytes")(FormatBytes(_))
-    one("formatreadabledecimalsize")(FormatBytes(_))
+    // ClickHouse-compat pair (probed): *Size is binary KiB like
+    // format_bytes; *DecimalSize is SI kB with the same truncation
+    one("formatreadablesize")(FormatBytes(_))
+    one("formatreadabledecimalsize")(FormatBytes(_, decimal = true))
     one("gamma")(GammaFn(_))
     one("lgamma")(LGammaFn(_))
     one("duck_epoch_ms")(DuckEpochMs(_)) // epoch_ms: overloaded by arg type
@@ -202,6 +205,9 @@ class SqlGateway(val spark: SparkSession) {
     // DuckDB's entropy aggregate (EntropyAggregator scaladoc)
     spark.udf.register("graft_entropy",
       org.apache.spark.sql.functions.udaf(new EntropyAggregator))
+    // DuckDB's mad aggregate (MadAggregator scaladoc)
+    spark.udf.register("graft_mad",
+      org.apache.spark.sql.functions.udaf(new MadAggregator))
   }
   /** table → (primary-key columns, not-null columns) */
   private[engine] val constraints = new TrieMap[String, (Seq[String], Seq[String])]
@@ -220,7 +226,12 @@ class SqlGateway(val spark: SparkSession) {
     * not refund its ids). */
   private[engine] val sequences = new TrieMap[String, SqlGateway.SeqState]
   /** sequence → last value returned by nextval (for currval). */
-  private val seqLast = new TrieMap[String, Long]
+  private[engine] val seqLast = new TrieMap[String, Long]
+  /** sequence → declared START value (duckdb_sequences reporting; the
+    * live counter in [[sequences]] moves past it). Absent for sequences
+    * restored from a pre-r11 snapshot — readers fall back to the
+    * increment-sign default bound. */
+  private[engine] val seqStarts = new TrieMap[String, Long]
   /** macro → (parameter names, body SQL). Scalar macros, expanded
     * textually (DuckDB expands them at bind time — same effect). */
   private[engine] val macros = new TrieMap[String, (Seq[String], String)]
@@ -240,6 +251,13 @@ class SqlGateway(val spark: SparkSession) {
   /** CREATE TYPE name AS ENUM(...) — name → definition, expanded when the
     * name appears as a column type in CREATE TABLE. */
   private[engine] val namedTypes = new TrieMap[String, String]
+  /** COMMENT ON metadata, keyed `table:<t>` / `column:<t>.<c>` /
+    * `view:<v>` / `index:<i>` (all lowercased); surfaced through the
+    * CatalogInfo comment columns like DuckDB's. */
+  private[engine] val comments = new TrieMap[String, String]
+  /** Tables created with CREATE TEMP/TEMPORARY TABLE — catalog flag only
+    * (CreateRe scaladoc: DuckDB's own EXPORT drops temp-ness too). */
+  private[engine] val tempTables = new TrieMap[String, Unit]
   /** table → current data-directory version (versioned-location tables). */
   private val versions = new TrieMap[String, Int]
   /** CREATE VIEW registry: key → (display name, optional column aliases,
@@ -272,10 +290,16 @@ class SqlGateway(val spark: SparkSession) {
     * generation lags is re-materialized before its next use. */
   @volatile private var mutationGen = 0L
 
+  // TEMP/TEMPORARY accepted and tracked ([[tempTables]]): DuckDB's temp
+  // tables are session-scoped, and the gateway IS one session — they
+  // behave as regular tables here except for the catalog's `temporary`
+  // flag. Probed: DuckDB's own EXPORT DATABASE writes temp tables as
+  // plain CREATE TABLE (temp-ness does not survive a snapshot there
+  // either), so Snapshot needs no special casing.
   private val CreateRe =
-    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?(?:(?:GLOBAL\s+|LOCAL\s+)?(TEMP|TEMPORARY)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*\((.*)\)\s*""".r
   private val CtasRe =
-    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
+    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?(?:(?:GLOBAL\s+|LOCAL\s+)?(TEMP|TEMPORARY)\s+)?TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+(.*)""".r
   private val InsertPrefixRe =
     """(?is)\s*INSERT\s+(?:OR\s+(REPLACE|IGNORE)\s+)?INTO\s+([\w.]+)\s*(.*)""".r
   private val UpdateRe =
@@ -363,6 +387,9 @@ class SqlGateway(val spark: SparkSession) {
   // ANALYZE recomputes optimizer statistics — Spark has the real thing
   private val AnalyzeRe = """(?is)\s*ANALYZE(?:\s+([\w.]+))?\s*""".r
   private val SetRe = """(?is)\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(\w+)\s*(?:=|TO)\s*(.+?)\s*""".r
+  private val CommentOnRe =
+    """(?is)\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|INDEX)\s+([\w.]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*""".r
+  private val UseRe = """(?is)\s*USE\s+([\w.]+)\s*""".r
   private val ResetRe = """(?is)\s*RESET\s+(\w+)\s*""".r
   // named types: CREATE TYPE mood AS ENUM ('sad','ok','happy') — the
   // declared name then usable as a column type in CREATE TABLE
@@ -415,6 +442,15 @@ class SqlGateway(val spark: SparkSession) {
       case SetRe(key, value) =>
         settings(key.toLowerCase) = value.stripPrefix("'").stripSuffix("'")
         ExecuteResult(0L)
+      case CommentOnRe(kind, name, value) => commentOn(kind, name, value)
+      case UseRe(target) =>
+        // single-database layout: only the identity targets are valid
+        // (probed: DuckDB errors on unknown catalogs and on `USE temp`)
+        if (!Set("memory", "main", "memory.main")
+            .contains(target.toLowerCase))
+          throw new IllegalArgumentException(
+            s"""SET schema: No catalog + schema named "$target" found.""")
+        ExecuteResult(0L)
       case ResetRe(key) =>
         settings.remove(key.toLowerCase); ExecuteResult(0L)
       case CreateTypeRe(name, spec) =>
@@ -435,7 +471,8 @@ class SqlGateway(val spark: SparkSession) {
             "DROP SEQUENCE inside a transaction is not supported")
         if (sequences.remove(name.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown sequence $name")
-        seqLast.remove(name.toLowerCase); ExecuteResult(0L)
+        seqLast.remove(name.toLowerCase)
+        seqStarts.remove(name.toLowerCase); ExecuteResult(0L)
       case CreateMacroRe(orReplace, name, params, body) =>
         val key = name.toLowerCase
         if (macros.contains(key) && orReplace == null)
@@ -459,13 +496,20 @@ class SqlGateway(val spark: SparkSession) {
       case DropIndexRe(ife, idx) =>
         if (indexes.remove(idx.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown index $idx")
+        comments.remove(s"index:${idx.toLowerCase}")
         ExecuteResult(0L)
-      case CtasRe(orReplace, ine, table, query) =>
+      case CtasRe(orReplace, temp, ine, table, query) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
-        ctas(table, query, ine != null)
-      case CreateRe(orReplace, ine, table, colSpec) =>
+        val r = ctas(table, query, ine != null)
+        if (temp != null) tempTables(tableKey(table)) = ()
+        else tempTables.remove(tableKey(table))
+        r
+      case CreateRe(orReplace, temp, ine, table, colSpec) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
-        createTable(table, colSpec, ine != null)
+        val r = createTable(table, colSpec, ine != null)
+        if (temp != null) tempTables(tableKey(table)) = ()
+        else tempTables.remove(tableKey(table))
+        r
       case CreateViewRe(orReplace, ine, name, aliases, body) =>
         // a quoted alias sheds its delimiters: the NAME is the inner text
         def unq(a: String) =
@@ -634,7 +678,41 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*PRAGMA\s+table_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
   private val PragmaShowTablesRe = """(?is)\s*PRAGMA\s+show_tables\s*""".r
   private val PragmaVersionRe = """(?is)\s*PRAGMA\s+version\s*""".r
+  private val PragmaPlatformRe = """(?is)\s*PRAGMA\s+platform\s*""".r
   private val PragmaDbSizeRe = """(?is)\s*PRAGMA\s+database_size\s*""".r
+
+  /** DuckDB's (library_version, source_id) shape with this engine's info. */
+  private def pragmaVersionDf: DataFrame =
+    spark.createDataFrame(Seq((s"graft-spark-${spark.version}", "spark")))
+      .toDF("library_version", "source_id")
+
+  /** DuckDB's single `platform` column; the value names THIS engine's
+    * runtime (DuckDB reports its compile target, e.g. linux_amd64_gcc4). */
+  private def pragmaPlatformDf: DataFrame =
+    spark.createDataFrame(Seq(Tuple1(
+      s"spark_${spark.version}_scala_${scala.util.Properties.versionNumberString}")))
+      .toDF("platform")
+
+  /** Real on-disk bytes across the catalog's table locations, in DuckDB's
+    * three-column database_size shape. */
+  private def pragmaDbSizeDf: DataFrame = {
+    val bytes = spark.catalog.listTables().collect()
+      .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+      .map { t =>
+        try {
+          spark.sql(s"DESCRIBE EXTENDED ${t.name}").collect()
+            .find(_.getString(0) == "Location").map(_.getString(1))
+            .map { loc =>
+              val p = new org.apache.hadoop.fs.Path(loc)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .getContentSummary(p).getLength
+            }.getOrElse(0L)
+        } catch { case _: Throwable => 0L }
+      }.sum
+    spark.createDataFrame(Seq(("graft", s"$bytes bytes",
+      settings.getOrElse("memory_limit", "unset"))))
+      .toDF("database_name", "database_size", "memory_limit")
+  }
   // DuckDB FROM-first sugar, minimal forms: `FROM t` (full scan) and
   // `FROM t SELECT <list>` — anything richer refuses rather than guessing
   // at clause reordering.
@@ -718,28 +796,9 @@ class SqlGateway(val spark: SparkSession) {
     case ShowTablesStmtRe() => showTablesDf
     case ShowTableRe(table) if spark.catalog.tableExists(table) =>
       describe(table)
-    case PragmaVersionRe() =>
-      // DuckDB's (library_version, source_id) shape with this engine's info
-      spark.createDataFrame(Seq((s"graft-spark-${spark.version}", "spark")))
-        .toDF("library_version", "source_id")
-    case PragmaDbSizeRe() =>
-      // real on-disk bytes across the catalog's table locations
-      val bytes = spark.catalog.listTables().collect()
-        .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
-        .map { t =>
-          try {
-            spark.sql(s"DESCRIBE EXTENDED ${t.name}").collect()
-              .find(_.getString(0) == "Location").map(_.getString(1))
-              .map { loc =>
-                val p = new org.apache.hadoop.fs.Path(loc)
-                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                  .getContentSummary(p).getLength
-              }.getOrElse(0L)
-          } catch { case _: Throwable => 0L }
-        }.sum
-      spark.createDataFrame(Seq(("graft", s"$bytes bytes",
-        settings.getOrElse("memory_limit", "unset"))))
-        .toDF("database_name", "database_size", "memory_limit")
+    case PragmaVersionRe() => pragmaVersionDf
+    case PragmaPlatformRe() => pragmaPlatformDf
+    case PragmaDbSizeRe() => pragmaDbSizeDf
     case FromSelectRe(table, sel) if spark.catalog.tableExists(table) =>
       // FROM-first SELECT may carry WHERE/GROUP/ORDER/LIMIT after the
       // items — the FROM slots in before them
@@ -1514,10 +1573,26 @@ class SqlGateway(val spark: SparkSession) {
   // which expands them exactly like DuckDB) or a bracketed list
   // ['a','b',...] — DuckDB's multi-file form
   private val ReadFnRe =
-    ("""(?i)(?<![\w.])read_(parquet|csv|csv_auto|json|json_auto|text|blob)\s*\(\s*""" +
+    ("""(?i)(?<![\w.])(?:read_(parquet|csv|csv_auto|json|json_auto|text|blob""" +
+      """|ndjson|ndjson_auto|ndjson_objects|json_objects|json_objects_auto)""" +
+      """|(parquet_scan|parquet_schema|parquet_metadata|parquet_file_metadata""" +
+      """|parquet_kv_metadata|sniff_csv|glob))\s*\(\s*""" +
       """('[^']+'|\[\s*'[^']+'(?:\s*,\s*'[^']+')*\s*\])\s*((?:,[^)\[\]]*)?)\)""").r
   private val PathLitRe = """'([^']+)'""".r
   private val readViewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  // DuckDB's catalog-introspection table functions (CatalogInfo scaladoc)
+  // and the pragma_* table-function spellings of the top-level PRAGMAs:
+  // substituted with temp views over driver-built metadata DataFrames by
+  // the same pass that handles read_*. The optional argument is one
+  // quoted or bare identifier (pragma_table_info both ways, probed).
+  private lazy val catalogInfo = new CatalogInfo(this)
+  private val CatFnRe =
+    ("""(?i)(?<![\w.])(duckdb_(?:tables|columns|views|schemas|databases|""" +
+     """sequences|indexes|constraints|types|settings|keywords)""" +
+     """|pragma_table_info|pragma_version|pragma_platform""" +
+     """|pragma_database_size|pragma_show_tables)""" +
+     """\s*\(\s*(?:'([^']*)'|([\w.]+))?\s*\)""").r
 
   /** Replace every `read_*('path'[, opts])` outside string literals with a
     * temp view name registered over that file. Quote parity decides
@@ -1527,27 +1602,45 @@ class SqlGateway(val spark: SparkSession) {
     rewriteReadFunctionsTracked(sql)._1
 
   private def rewriteReadFunctionsTracked(sql: String): (String, Seq[String]) = {
-    val matches = ReadFnRe.findAllMatchIn(sql).toList
-    if (matches.isEmpty) return (sql, Nil)
-    val sb = new StringBuilder
     val views = Seq.newBuilder[String]
-    var last = 0
-    matches.foreach { m =>
-      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
-      if (outside && m.start >= last) {
-        val kind = m.group(1).toLowerCase
-        val paths = PathLitRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
-        val opts = Option(m.group(3)).getOrElse("")
-        val df = readFunction(kind, paths, opts)
-        val view = s"graft_read_${readViewCounter.incrementAndGet()}"
-        df.createOrReplaceTempView(view)
-        views += view
-        sb.append(sql.substring(last, m.start)).append(view)
-        last = m.end
+    def substitute(text: String, ms: List[scala.util.matching.Regex.Match])
+        (mk: scala.util.matching.Regex.Match => DataFrame): String = {
+      if (ms.isEmpty) return text
+      val sb = new StringBuilder
+      var last = 0
+      ms.foreach { m =>
+        val outside = text.substring(0, m.start).count(_ == '\'') % 2 == 0
+        if (outside && m.start >= last) {
+          val view = s"graft_read_${readViewCounter.incrementAndGet()}"
+          mk(m).createOrReplaceTempView(view)
+          views += view
+          sb.append(text.substring(last, m.start)).append(view)
+          last = m.end
+        }
+      }
+      sb.append(text.substring(last))
+      sb.toString
+    }
+    val afterRead = substitute(sql, ReadFnRe.findAllMatchIn(sql).toList) { m =>
+      val kind = Option(m.group(1)).getOrElse(m.group(2)).toLowerCase
+      val paths = PathLitRe.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+      readFunction(kind, paths, Option(m.group(4)).getOrElse(""))
+    }
+    val afterCat = substitute(afterRead,
+        CatFnRe.findAllMatchIn(afterRead).toList) { m =>
+      val arg = Option(m.group(2)).orElse(Option(m.group(3)))
+      m.group(1).toLowerCase match {
+        case "pragma_table_info" => pragmaTableInfo(arg.getOrElse(
+          throw new IllegalArgumentException(
+            "pragma_table_info requires a table name")))
+        case "pragma_version" => pragmaVersionDf
+        case "pragma_platform" => pragmaPlatformDf
+        case "pragma_database_size" => pragmaDbSizeDf
+        case "pragma_show_tables" => showTablesDf
+        case other => catalogInfo.dispatch(other, arg)
       }
     }
-    sb.append(sql.substring(last))
-    (sb.toString, views.result())
+    (afterCat, views.result())
   }
 
   /** `spark.sql` over text whose read_* calls became temp views, dropping
@@ -1886,41 +1979,53 @@ class SqlGateway(val spark: SparkSession) {
               throw new IllegalArgumentException(s"read_csv: unsupported option $other")
           }
         }
-        val d = delim.getOrElse {
-          val firstLine = try {
-            val fs = new org.apache.hadoop.fs.Path(path.head)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val glob = fs.globStatus(new org.apache.hadoop.fs.Path(path.head))
-            if (glob == null || glob.isEmpty) ""
-            else {
-              // a COPY TO target may be a directory of part files
-              val f0 = glob.head
-              val file = if (!f0.isDirectory) f0.getPath
-                else fs.listStatus(f0.getPath).filter(s => !s.isDirectory &&
-                    !s.getPath.getName.startsWith("_") &&
-                    !s.getPath.getName.startsWith("."))
-                  .map(_.getPath).headOption.getOrElse(f0.getPath)
-              val in = fs.open(file)
-              try {
-                val br = new java.io.BufferedReader(
-                  new java.io.InputStreamReader(in, "UTF-8"))
-                Option(br.readLine()).getOrElse("")
-              } finally in.close()
-            }
-          } catch { case scala.util.control.NonFatal(_) => "" }
-          def countTop(ch: Char) = {
-            var n = 0; var q = false
-            firstLine.foreach { c =>
-              if (c == '"') q = !q else if (c == ch && !q) n += 1 }
-            n
-          }
-          val cands = Seq(',', ';', '|', '\t')
-          val best = cands.maxBy(countTop)
-          if (countTop(best) > countTop(',')) best.toString else ","
-        }
+        val d = delim.getOrElse(sniffDelimiter(firstLineOf(path.head)))
         spark.read.option("header", header.toString).option("delimiter", d)
           .option("inferSchema", "true").csv(path: _*)
-      case "json" | "json_auto" => spark.read.json(path: _*)
+      case "json" | "json_auto" | "ndjson" | "ndjson_auto" =>
+        // Spark's json source IS newline-delimited (and parses a one-line
+        // top-level array into rows, like read_json on an array file)
+        spark.read.json(path: _*)
+      case "ndjson_objects" | "json_objects_auto" =>
+        // DuckDB's raw-object readers: one VARCHAR row per newline-
+        // delimited object, text verbatim (probed). Top-level-array files
+        // refuse loudly (splitting an array re-renders element text —
+        // a silent-divergence trap; read_json parses arrays fine).
+        val first = firstLineOf(path.head).dropWhile(_.isWhitespace)
+        if (first.startsWith("["))
+          throw new IllegalArgumentException(
+            s"read_$kind: top-level JSON array input is not supported " +
+            "here; use read_json for array files")
+        spark.read.text(path: _*).toDF("json")
+          .filter(length(trim(col("json"))) > 0)
+      case "json_objects" =>
+        // DuckDB 1.0's read_json_objects defaults format='array' and
+        // errors on ndjson input (probed); array splitting re-renders
+        // element text — refuse both ways, naming the working readers
+        throw new IllegalArgumentException(
+          "read_json_objects: expected top-level JSON array " +
+          "(format='array'); use read_ndjson_objects for newline-" +
+          "delimited objects or read_json for array files")
+      case "parquet_scan" => spark.read.parquet(path: _*)
+      case "parquet_schema" => graft.sources.ParquetMeta.schemaDf(spark, path)
+      case "parquet_metadata" =>
+        graft.sources.ParquetMeta.metadataDf(spark, path)
+      case "parquet_file_metadata" =>
+        graft.sources.ParquetMeta.fileMetadataDf(spark, path)
+      case "parquet_kv_metadata" =>
+        graft.sources.ParquetMeta.kvMetadataDf(spark, path)
+      case "sniff_csv" => sniffCsvDf(path.head)
+      case "glob" =>
+        // DuckDB's file-listing table function: one `file` row per match
+        // (probed column name). Driver-side metadata listing only.
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(path.head)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matches = Option(fs.globStatus(
+            new org.apache.hadoop.fs.Path(path.head)))
+          .map(_.toSeq).getOrElse(Nil)
+          .map(_.getPath.toString.replaceFirst("^file:/*", "/")).sorted
+        matches.toDF("file")
       case "text" | "blob" =>
         // DuckDB's whole-file readers: (filename, content, size,
         // last_modified) — read_text decodes UTF-8, read_blob stays
@@ -1937,6 +2042,127 @@ class SqlGateway(val spark: SparkSession) {
         else base
       case other => throw new IllegalArgumentException(s"read_$other unsupported")
     }
+
+  /** First text line of the first file matching `path` (driver-side, one
+    * line — never the data). A COPY TO target may be a directory of part
+    * files. Empty string when nothing matches. */
+  private def firstLineOf(path: String): String =
+    try {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val glob = fs.globStatus(new org.apache.hadoop.fs.Path(path))
+      if (glob == null || glob.isEmpty) ""
+      else {
+        val f0 = glob.head
+        val file = if (!f0.isDirectory) f0.getPath
+          else fs.listStatus(f0.getPath).filter(s => !s.isDirectory &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(_.getPath).headOption.getOrElse(f0.getPath)
+        val in = fs.open(file)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          Option(br.readLine()).getOrElse("")
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** DuckDB's delimiter auto-detect, in miniature: the candidate
+    * , ; | \t with the most QUOTE-AWARE occurrences on the first line
+    * wins, ',' on ties. */
+  private def sniffDelimiter(firstLine: String): String = {
+    def countTop(ch: Char) = {
+      var n = 0; var q = false
+      firstLine.foreach { c =>
+        if (c == '"') q = !q else if (c == ch && !q) n += 1 }
+      n
+    }
+    val cands = Seq(',', ';', '|', '\t')
+    val best = cands.maxBy(countTop)
+    if (countTop(best) > countTop(',')) best.toString else ","
+  }
+
+  /** `sniff_csv('f.csv')` — DuckDB's dialect-detection table function in
+    * its exact one-row shape (probed 1.0): detected delimiter/quote/
+    * escape/new-line, skip count, header flag, the inferred column list
+    * as STRUCT(name, type)[], and the ready-to-run `Prompt`. Detection
+    * reuses the gateway's sniffing (first-line delimiter vote) plus one
+    * schema-inference pass; integral columns render BIGINT like DuckDB's
+    * sniffer. Header heuristic: the first line is a header unless its
+    * fields already parse as the data types inferred for the rest. */
+  private def sniffCsvDf(path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val delim = sniffDelimiter(firstLineOf(path))
+    def duckCsvType(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+      case FloatType | DoubleType | _: DecimalType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType | TimestampNTZType => "TIMESTAMP"
+      case _ => "VARCHAR"
+    }
+    // header detection: infer over the tail (skipping line 1); header=true
+    // when any first-line field does not parse as its column's tail type
+    val headless = spark.read.option("header", "false")
+      .option("delimiter", delim).option("inferSchema", "true").csv(path)
+    val first = firstLineOf(path)
+    val firstFields = {
+      // quote-aware split of the first line on the detected delimiter
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder; var q = false
+      first.foreach { c =>
+        if (c == '"') { q = !q }
+        else if (c == delim.head && !q) { out += sb.toString; sb.clear() }
+        else sb += c
+      }
+      out += sb.toString
+      out.result()
+    }
+    def parsesAs(s: String, dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        s.trim.matches("""[+-]?\d+""")
+      case FloatType | DoubleType | _: DecimalType =>
+        scala.util.Try(s.trim.toDouble).isSuccess
+      case BooleanType =>
+        Set("true", "false").contains(s.trim.toLowerCase)
+      case _ => true
+    }
+    val tailTypes = {
+      // types inferred from the data rows alone (line 1 excluded), so a
+      // VARCHAR header never masks a numeric column
+      val withHeader = spark.read.option("header", "true")
+        .option("delimiter", delim).option("inferSchema", "true").csv(path)
+      withHeader.schema.fields.map(_.dataType)
+    }
+    val hasHeader = firstFields.size == tailTypes.length &&
+      firstFields.zip(tailTypes).exists { case (f, dt) => !parsesAs(f, dt) }
+    val schemaFields =
+      if (hasHeader)
+        firstFields.zip(tailTypes).map { case (n, dt) => (n, duckCsvType(dt)) }
+      else headless.schema.fields.map(f => (f.name.replace("_c", "column"),
+        duckCsvType(f.dataType))).toSeq
+    val colsRendered = schemaFields
+      .map { case (n, t) => s"'$n': '$t'" }.mkString("{", ", ", "}")
+    val prompt = s"FROM read_csv('$path', auto_detect=false, delim='$delim', " +
+      "quote='\"', escape='\"', new_line='\\n', skip=0, " +
+      s"header=$hasHeader, columns=$colsRendered);"
+    val schema = StructType(Seq(
+      StructField("Delimiter", StringType), StructField("Quote", StringType),
+      StructField("Escape", StringType),
+      StructField("NewLineDelimiter", StringType),
+      StructField("SkipRows", LongType), StructField("HasHeader", BooleanType),
+      StructField("Columns", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("type", StringType))))),
+      StructField("DateFormat", StringType),
+      StructField("TimestampFormat", StringType),
+      StructField("UserArguments", StringType),
+      StructField("Prompt", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(delim, "\"", "\"", "\\n", 0L, hasHeader,
+        schemaFields.map { case (n, t) => org.apache.spark.sql.Row(n, t) },
+        null, null, null, prompt)), schema)
+  }
 
   // --- sequences / macros / indexes / prepared statements ---------------
 
@@ -1976,6 +2202,7 @@ class SqlGateway(val spark: SparkSession) {
     }
     val start = startOpt.getOrElse(if (inc < 0) max else min)
     sequences(key) = SqlGateway.SeqState(start, inc, min, max, cycle)
+    seqStarts(key) = start
     ExecuteResult(0L)
   }
 
@@ -2508,6 +2735,41 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("epoch_ms")) // overloaded by arg type:
       // ts → BIGINT ms, integral ms → TIMESTAMP (DuckEpochMs dispatches)
       out = fix(out, "epoch_ms", 1, a => Some(s"duck_epoch_ms(${a.head})"))
+    // epoch_us/epoch_ns: BIGINT micro/nanoseconds since epoch (probed:
+    // 00:00:01.5 → 1500000 / 1500000000)
+    if (out.toLowerCase.contains("epoch_us"))
+      out = fix(out, "epoch_us", 1, a => Some(s"unix_micros(${a.head})"))
+    if (out.toLowerCase.contains("epoch_ns"))
+      out = fix(out, "epoch_ns", 1, a =>
+        Some(s"(unix_micros(${a.head}) * 1000)"))
+    // DuckDB's array_prepend is (element, list) — Spark's is (list,
+    // element). Runs BEFORE the array_push_front fix, whose output is
+    // already in Spark argument order.
+    if (out.toLowerCase.contains("array_prepend"))
+      out = fix(out, "array_prepend", 2, a =>
+        Some(s"array_prepend(${a(1)}, ${a(0)})"))
+    // BIT functions over the gateway's bitstring emulation (BIT values
+    // are '0'/'1' strings here — GatewaySpec type corners): positions are
+    // 0-based from the left like DuckDB's get_bit/set_bit (probed:
+    // get_bit('0110'::BIT, 1) = 1, set_bit('0110'::BIT, 0, 1) = '1110').
+    if (out.toLowerCase.contains("bitstring"))
+      out = fix(out, "bitstring", 2, a =>
+        Some(s"lpad(${a(0)}, ${a(1)}, '0')"))
+    if (out.toLowerCase.contains("get_bit"))
+      out = fix(out, "get_bit", 2, a =>
+        Some(s"CAST(substr(${a(0)}, (${a(1)}) + 1, 1) AS INT)"))
+    if (out.toLowerCase.contains("set_bit"))
+      out = fix(out, "set_bit", 3, a =>
+        Some(s"concat(substr(${a(0)}, 1, ${a(1)}), " +
+          s"CAST(${a(2)} AS STRING), substr(${a(0)}, (${a(1)}) + 2))"))
+    // bit_count over a BIT operand (spelled with a ::BIT cast) counts set
+    // bits in the string form; integral operands keep Spark's native
+    // bit_count untouched
+    if (out.toLowerCase.contains("bit_count"))
+      out = fix(out, "bit_count", 1, a =>
+        if ("""(?is).*::\s*bit\s*$""".r.matches(a.head.trim))
+          Some(s"length(replace(${a.head}, '0', ''))")
+        else None)
     // 1-arg encode/decode: VARCHAR↔BLOB via utf-8 (Spark's own 2-arg
     // charset forms pass through untouched)
     if (out.toLowerCase.contains("encode"))
@@ -3847,6 +4109,13 @@ class SqlGateway(val spark: SparkSession) {
         Some(s"graft_entropy(CAST(${a(0)} AS STRING))"),
         allowAt = (s, i) => !s.substring(0, i).toLowerCase
           .endsWith("graft_"))
+    // mad: median-absolute-deviation aggregate (MadAggregator
+    // registration); DOUBLE operand cast like product
+    if (out.toLowerCase.contains("mad"))
+      out = fix(out, "mad", 1, a =>
+        Some(s"graft_mad(CAST(${a(0)} AS DOUBLE))"),
+        allowAt = (s, i) => !s.substring(0, i).toLowerCase
+          .endsWith("graft_"))
     // DuckDB skewness/kurtosis are SAMPLE statistics (bias-corrected G1 /
     // excess G2) computed from raw power sums; Spark's same-named
     // aggregates are population g1 / g2 AND use a different running-
@@ -4211,6 +4480,13 @@ class SqlGateway(val spark: SparkSession) {
           }
         }
       })
+    // array_distinct is the same DuckDB function as list_distinct and
+    // drops NULLs too (probed: [1,1,2,NULL] → [2,1]); runs BEFORE the
+    // list_* fixes so their emitted array_distinct(filter(...)) text is
+    // not re-wrapped
+    if (out.toLowerCase.contains("array_distinct"))
+      out = fix(out, "array_distinct", 1, a => Some(
+        s"array_distinct(filter(${a.head}, graft_e -> graft_e IS NOT NULL))"))
     // list_unique = COUNT of distinct non-null elements (verified: NULL
     // not counted); list_distinct drops NULLs (Spark array_distinct keeps)
     if (out.toLowerCase.contains("list_unique"))
@@ -5324,7 +5600,52 @@ class SqlGateway(val spark: SparkSession) {
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
       rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
         rewriteDuckLiterals(escapeLiteralBackslashes(
-          rewriteCurrentQuery(rewriteBareDatetimeKeywords(sql))))))))))
+          rewriteCurrentQuery(rewriteBareDatetimeKeywords(
+            rewriteBlobLiterals(sql)))))))))))
+
+  /** String-literal → BLOB casts decode `\xHH` escapes in DuckDB
+    * (probed: `'\xFF\x01ab'::BLOB` is the 4 bytes FF 01 61 62; a
+    * backslash NOT followed by two hex digits is a loud Conversion
+    * Error). Spark's cast keeps the backslash characters — so literal
+    * casts containing a backslash become `X'hex'` binary literals here,
+    * decoded on the driver with DuckDB's exact failure mode. Runs on the
+    * raw duck text, before backslash escaping. Non-literal string→BLOB
+    * casts keep the plain utf-8 cast (their values rarely spell escapes;
+    * a mismatch there would need runtime decoding). */
+  private def rewriteBlobLiterals(sql: String): String = {
+    if (!"""(?i)::\s*blob|as\s+blob""".r.findFirstIn(sql).isDefined) return sql
+    val Lit = """'((?:[^']|'')*)'"""
+    val CastRe =
+      (s"""(?i)(?:$Lit\\s*::\\s*blob\\b|cast\\s*\\(\\s*$Lit\\s+as\\s+blob\\s*\\))""").r
+    CastRe.replaceAllIn(sql, m => {
+      val raw = Option(m.group(1)).getOrElse(m.group(2)).replace("''", "'")
+      if (!raw.contains("\\"))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val bytes = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\') {
+            if (i + 4 <= raw.length &&
+                (raw.charAt(i + 1) == 'x' || raw.charAt(i + 1) == 'X') &&
+                raw.substring(i + 2, i + 4).forall(h =>
+                  "0123456789abcdefABCDEF".contains(h))) {
+              bytes.write(Integer.parseInt(raw.substring(i + 2, i + 4), 16))
+              i += 4
+            } else throw new IllegalArgumentException(
+              "Invalid hex escape code encountered in string -> blob " +
+                s"conversion: ${raw.substring(i, math.min(i + 4, raw.length))}")
+          } else {
+            bytes.write(c.toString.getBytes("UTF-8"))
+            i += 1
+          }
+        }
+        val hex = bytes.toByteArray.map(b => f"${b & 0xff}%02X").mkString
+        java.util.regex.Matcher.quoteReplacement(s"X'$hex'")
+      }
+    })
+  }
 
   /** DuckDB's parenless datetime keywords Spark lacks: bare
     * `localtimestamp` (duck: TIMESTAMP, probed) → `localtimestamp()`
@@ -6088,6 +6409,7 @@ class SqlGateway(val spark: SparkSession) {
     userViews = userViews.removed(key)
     brokenViews.remove(key)
     viewGen.remove(key)
+    comments.remove(s"view:$key")
     try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
     ExecuteResult(0L)
   }
@@ -6127,6 +6449,51 @@ class SqlGateway(val spark: SparkSession) {
     val expanded = rewriteMacros(stripComments(sql))
     guardMultiRowNextval(expanded)
     sqlWithReadViews(rewriteCurrentSetting(rewriteSequenceFunctions(duckCompat(expanded))))
+  }
+
+  /** `COMMENT ON TABLE/VIEW/COLUMN/INDEX name IS 'text'|NULL` — catalog
+    * metadata, surfaced through CatalogInfo's comment columns. Probed
+    * DuckDB 1.0: a missing target is a loud error; `IS NULL` clears;
+    * COMMENT ON VIEW accepts a table target too (DuckDB is lax there —
+    * mirrored). */
+  private def commentOn(kind: String, name: String,
+      valueText: String): ExecuteResult = {
+    val k = kind.toLowerCase
+    val key = name.toLowerCase
+    def isView(n: String) = viewEntries.exists(_._1.equalsIgnoreCase(n))
+    val mapKey = k match {
+      case "table" =>
+        if (!spark.catalog.tableExists(name) || isView(name))
+          throw new IllegalArgumentException(
+            s"Table with name $name does not exist!")
+        s"table:$key"
+      case "view" =>
+        if (!isView(name) && !spark.catalog.tableExists(name))
+          throw new IllegalArgumentException(
+            s"View with name $name does not exist!")
+        s"view:$key"
+      case "index" =>
+        if (!indexes.contains(key))
+          throw new IllegalArgumentException(
+            s"Index with name $name does not exist!")
+        s"index:$key"
+      case "column" =>
+        val dot = key.lastIndexOf('.')
+        if (dot < 0) throw new IllegalArgumentException(
+          s"COMMENT ON COLUMN needs a table.column target, got $name")
+        val (t, c) = (key.substring(0, dot), key.substring(dot + 1))
+        if (!spark.catalog.tableExists(t) ||
+            !spark.table(t).columns.exists(_.equalsIgnoreCase(c)))
+          throw new IllegalArgumentException(
+            s"Column with name $name does not exist!")
+        s"column:$t.$c"
+      case other => throw new IllegalArgumentException(
+        s"COMMENT ON $other unsupported")
+    }
+    if (valueText.equalsIgnoreCase("NULL")) comments.remove(mapKey)
+    else comments(mapKey) =
+      valueText.stripPrefix("'").stripSuffix("'").replace("''", "'")
+    ExecuteResult(0L)
   }
 
   /** `CREATE [UNIQUE] INDEX` — a plain index is catalog metadata (no
@@ -6528,6 +6895,10 @@ class SqlGateway(val spark: SparkSession) {
     versions.remove(tableKey(table))
     indexes.toSeq.filter(_._2._1 == tableKey(table))
       .foreach { case (k, _) => indexes.remove(k) }
+    comments.remove(s"table:${tableKey(table)}")
+    comments.keys.filter(_.startsWith(s"column:${tableKey(table)}."))
+      .foreach(comments.remove)
+    tempTables.remove(tableKey(table))
     // DROP TABLE leaves the files of a LOCATION-backed table in place —
     // remove our versioned data dirs so a re-CREATE starts empty
     gcDir(tableRoot(table))
@@ -6538,7 +6909,9 @@ class SqlGateway(val spark: SparkSession) {
   //     count; a CTAS table carries no declared constraints.
   private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
-    createFromData(table, runSql(query))
+    // queryDf0, not runSql: a CTAS body may use any read-statement form —
+    // FROM-first (`CREATE TABLE t AS FROM u`), PIVOT, table functions
+    createFromData(table, queryDf0(query))
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
   }
@@ -6766,9 +7139,17 @@ class SqlGateway(val spark: SparkSession) {
   //     skipConflicts = ON CONFLICT DO NOTHING: PK collisions (in-batch
   //     dups keep the first occurrence; existing keys drop) are filtered
   //     instead of rejected — rows_affected counts what actually landed.
-  private def insert(table: String, cols: Option[String], source: String,
+  private def insert(table: String, cols: Option[String], source0: String,
       skipConflicts: Boolean = false, upsertSet: Option[String] = None,
       byName: Boolean = false): ExecuteResult = {
+    // a bare FROM-first source (`INSERT INTO t FROM u [WHERE ...]`) is
+    // DuckDB's SELECT-* sugar; the `FROM u SELECT ...` form falls through
+    // untouched (it carries its own projection)
+    val source =
+      if ("""(?is)^\s*FROM\b""".r.findFirstIn(source0).isDefined &&
+          !"""(?i)\bSELECT\b""".r.findFirstIn(maskStringLiterals(source0)).isDefined)
+        s"SELECT * ${source0.trim}"
+      else source0
     val tableDefaults = columnDefaults.getOrElse(tableKey(table), Map.empty)
     // the DEFAULT keyword inside a VALUES tuple takes the column's stored
     // default (NULL when none — DuckDB semantics); positional mapping via
@@ -7227,9 +7608,19 @@ class SqlGateway(val spark: SparkSession) {
   private def update(table: String, setClause: String, where: Option[String]): ExecuteResult = {
     val target = spark.table(table)
     val pred = where.map(expr).getOrElse(lit(true))
+    val tableDefaults = columnDefaults.getOrElse(tableKey(table), Map.empty)
     val assignments = splitTopLevel(setClause).map { a =>
       val Array(c, e) = a.split("=", 2)
-      (c.trim, expr(e.trim))
+      // SET col = DEFAULT takes the declared default, NULL when none
+      // (DuckDB probed) — the stored DuckDB spelling compiles through
+      // the same dialect pass the insert-time DEFAULT uses
+      val ex =
+        if (e.trim.equalsIgnoreCase("DEFAULT"))
+          expr(duckCompat(tableDefaults.collectFirst {
+            case (k, d) if k.equalsIgnoreCase(c.trim) => d
+          }.getOrElse("NULL")))
+        else expr(e.trim)
+      (c.trim, ex)
     }
     // a SET target that names no table column is an error (SQL engines
     // raise unknown-column; silently dropping it would "succeed" a typo)
@@ -7499,7 +7890,7 @@ class SqlGateway(val spark: SparkSession) {
     macros.clear(); macros ++= t.baseMacros
     namedTypes.clear(); namedTypes ++= t.baseNamedTypes
     (sequences.keySet -- t.baseSequenceKeys).foreach { k =>
-      sequences.remove(k); seqLast.remove(k)
+      sequences.remove(k); seqLast.remove(k); seqStarts.remove(k)
     }
     ExecuteResult(0L)
   }

@@ -58,7 +58,15 @@ case class DuckIntCast(child: Expression, override val dataType: DataType,
           v.asInstanceOf[Decimal].toJavaBigDecimal
             .setScale(0, RoundingMode.HALF_UP) // half away from zero
         case StringType =>
-          new JBigDecimal(v.toString.trim).setScale(0, RoundingMode.HALF_UP)
+          val s = v.toString.trim
+          // DuckDB parses unsigned 0x/0X hex and 0b/0B binary literals in
+          // string→int casts (probed: '0x10'::INT = 16, '0b101'::INT = 5;
+          // a sign or empty digits is a Conversion Error)
+          if (s.length > 2 && (s.startsWith("0x") || s.startsWith("0X")))
+            new JBigDecimal(new java.math.BigInteger(s.substring(2), 16))
+          else if (s.length > 2 && (s.startsWith("0b") || s.startsWith("0B")))
+            new JBigDecimal(new java.math.BigInteger(s.substring(2), 2))
+          else new JBigDecimal(s).setScale(0, RoundingMode.HALF_UP)
         case BooleanType =>
           if (v.asInstanceOf[Boolean]) JBigDecimal.ONE else JBigDecimal.ZERO
         case ByteType | ShortType | IntegerType | LongType =>

@@ -153,6 +153,27 @@ object DuckPathText {
       })
   }
 
+  /** formatReadableDecimalSize: SI units (kB = 1000), same one-decimal
+    * truncation (probed: 123456 → "123.4 kB", -123456 → "-123.4 kB",
+    * 999999999999 → "999.9 GB", 999 → "999 bytes"). */
+  def formatBytesDecimal(b: Long): UTF8String = {
+    val neg = b < 0
+    val a = math.abs(b)
+    UTF8String.fromString(
+      if (a >= 0 && a < 1000) s"$b bytes" // abs(MinValue) stays negative
+      else {
+        val units = Array("kB", "MB", "GB", "TB", "PB")
+        var scaled = math.abs(b.toDouble) / 1000.0
+        var idx = 0
+        while (scaled >= 1000.0 && idx < units.length - 1) {
+          scaled /= 1000.0; idx += 1
+        }
+        val trunc = math.floor(scaled * 10.0) / 10.0
+        String.format(java.util.Locale.ROOT, "%.1f %s",
+          Double.box(if (neg) -trunc else trunc), units(idx))
+      })
+  }
+
   /** DuckDB's spelling of a Spark type (DuckTypeof scaladoc). */
   def duckTypeName(dt: DataType): String = dt match {
     case ByteType => "TINYINT"
@@ -293,14 +314,18 @@ case class ParseFilename(first: Expression, second: Expression,
       c: Expression): ParseFilename = copy(first = a, second = b, third = c)
 }
 
-case class FormatBytes(child: Expression) extends UnaryExpression
+case class FormatBytes(child: Expression, decimal: Boolean = false)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def nullSafeEval(a: Any): Any =
-    DuckPathText.formatBytes(a.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.DuckPathText.formatBytes($a)")
+    if (decimal) DuckPathText.formatBytesDecimal(a.asInstanceOf[Long])
+    else DuckPathText.formatBytes(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (decimal) "formatBytesDecimal" else "formatBytes"
+    defineCodeGen(ctx, ev, a => s"graft.functions.DuckPathText.$fn($a)")
+  }
   override protected def withNewChildInternal(c: Expression): FormatBytes =
     copy(child = c)
 }

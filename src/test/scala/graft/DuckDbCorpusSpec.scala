@@ -2918,9 +2918,314 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Some(Seq(Seq("2024-01-01 10:00:00", 1), Seq("2024-01-01 10:30:00", 2),
         Seq("2024-01-01 12:00:00", 1))), ordered = true))
 
+  // r11 second batch: catalog-introspection table functions (duckdb_*,
+  // pragma_* function forms), parquet metadata table functions, ndjson
+  // readers, sniff_csv, and a sweep of scalar/aggregate pins that were
+  // gateway-supported but never value-pinned. Every expectation probed
+  // against DuckDB 1.0 (two probe sessions) before pinning.
+  private def corpusI: Seq[C] = Seq(
+    // --- scalar/aggregate pin sweep ---
+    q("SELECT acos(0.5) AS a", Seq(1.0471975511965979)),
+    q("SELECT argmin(x, y) AS a, argmax(x, y) AS b " +
+      "FROM (VALUES (10, 3),(20, 1),(30, 2)) t(x,y)", Seq(20, 10)),
+    q("SELECT array_append([1,2], 3) AS a, array_prepend(0, [1,2]) AS b",
+      Seq(Seq(1, 2, 3), Seq(0, 1, 2))),
+    q("SELECT array_cat([1],[2,3]) AS a", Seq(Seq(1, 2, 3))),
+    q("SELECT list_sort(array_distinct([1,1,2,NULL])) AS a", Seq(Seq(1, 2))),
+    q("SELECT list_sort(array_intersect([1,2,3],[2,3,4])) AS a",
+      Seq(Seq(2, 3))),
+    q("SELECT array_sort([3,1,2]) AS a", Seq(Seq(1, 2, 3))),
+    q("SELECT array_transform([1,2], x -> x*2) AS a", Seq(Seq(2, 4))),
+    q("SELECT epoch_us(TIMESTAMP '1970-01-01 00:00:01.5') AS u, " +
+      "epoch_ns(TIMESTAMP '1970-01-01 00:00:01.5') AS n",
+      Seq(1500000, 1500000000L)),
+    // ClickHouse-compat renderers: *Size binary KiB, *DecimalSize SI kB
+    q("SELECT formatReadableDecimalSize(123456) AS a, " +
+      "formatReadableSize(123456) AS b, format_bytes(123456) AS c",
+      Seq("123.4 kB", "120.5 KiB", "120.5 KiB")),
+    q("SELECT formatReadableDecimalSize(999) AS a, " +
+      "formatReadableDecimalSize(-123456) AS b, " +
+      "formatReadableDecimalSize(999999999999) AS c",
+      Seq("999 bytes", "-123.4 kB", "999.9 GB")),
+    q("SELECT greatest_common_divisor(42, 57) AS g, " +
+      "least_common_multiple(42, 57) AS l", Seq(3, 798)),
+    q("SELECT list_first([4,5,6]) AS f, list_last([4,5,6]) AS l", Seq(4, 6)),
+    q("SELECT list_indexof([10,20,30], 20) AS i", Seq(2)),
+    q("SELECT list_median([1,2,10]) AS m, list_mode([1,1,2]) AS o",
+      Seq(2.0, 1)),
+    q("SELECT list_product([2,3,4]) AS p", Seq(24.0)),
+    q("SELECT 'ABC' NOT ILIKE 'a%' AS n", Seq(false)),
+    q("SELECT str_split_regex('a1b', '[0-9]') AS s", Seq(Seq("a", "b"))),
+    q("SELECT DATE '2024-01-01' + to_weeks(2) AS w", Seq("2024-01-15")),
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_minutes(90) AS m, " +
+      "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(61) AS s",
+      Seq("2024-01-01 01:30:00", "2024-01-01 00:01:01")),
+    q("SELECT DATE '2024-01-01' + to_months(3) AS m, " +
+      "DATE '2024-01-01' + to_years(2) AS y",
+      Seq("2024-04-01", "2026-01-01")),
+    q("SELECT hex(unhex('abcd')) AS u", Seq("ABCD")),
+    q("SELECT unhex('FF') = '\\xFF'::BLOB AS e", Seq(true)),
+    q("SELECT current_localtimestamp() IS NOT NULL AS a", Seq(true)),
+    q("SELECT list_zip([1,2],[3,4]) AS z",
+      Seq(Seq(Seq(1, 3), Seq(2, 4)))),
+    q("SELECT list_select([10,20,30],[3,1]) AS s, " +
+      "list_where([10,20,30],[true,false,true]) AS w",
+      Seq(Seq(30, 10), Seq(10, 30))),
+    q("SELECT list_grade_up([3,1,2]) AS g", Seq(Seq(2, 3, 1))),
+    q("SELECT list_reduce([1,2,3], (a,b) -> a+b) AS r", Seq(6)),
+    q("SELECT list_cosine_similarity([1.0,0.0],[1.0,0.0]) AS c, " +
+      "list_dot_product([1.0,2.0],[3.0,4.0]) AS d", Seq(1.0, 11.0)),
+    q("SELECT flatten([[1,2],[3]]) AS f", Seq(Seq(1, 2, 3))),
+    q("SELECT list_resize([1,2],4,0) AS r", Seq(Seq(1, 2, 0, 0))),
+    q("SELECT list_any_value([NULL, 3, NULL]) AS a", Seq(3)),
+    q("SELECT struct_insert({'a': 1}, b := 2) AS s", Seq(Seq(1, 2))),
+    q("SELECT struct_extract({'a': 1, 'b': 2}, 'b') AS e", Seq(2)),
+    q("SELECT map_concat(map([1],[2]), map([3],[4])) AS m",
+      Seq(Map(1 -> 2, 3 -> 4))),
+    // element_at over a MAP returns a LIST in DuckDB (probed: [2])
+    q("SELECT element_at(map([1],[2]), 1) AS e", Seq(Seq(2))),
+    q("SELECT generate_subscripts([10,20,30], 1) AS s",
+      Seq(1), Seq(2), Seq(3)),
+    q("SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS a",
+      Seq(Seq("a", "b", "c"))),
+    q("SELECT histogram(x) AS h FROM (VALUES (1),(1),(2)) t(x)",
+      Seq(Map(1 -> 2, 2 -> 1))),
+    // mad: interpolated median in BOTH passes; NULLs skipped; empty
+    // group NULL; single value 0.0 (all probed)
+    q("SELECT mad(x) AS m FROM (VALUES (1),(2),(3),(4)) t(x)", Seq(1.0)),
+    q("SELECT mad(x) AS m FROM (VALUES (1.5),(2.0),(8.5),(9.0)) t(x)",
+      Seq(3.5)),
+    q("SELECT mad(x) AS m FROM (VALUES (1.0),(NULL),(9.0)) t(x)", Seq(4.0)),
+    q("SELECT mad(x) AS m FROM (VALUES (CAST(NULL AS DOUBLE))) t(x)",
+      Seq(null)),
+    q("SELECT g, mad(x) AS m FROM (VALUES ('a',1),('a',3),('b',10)) t(g,x) " +
+      "GROUP BY g ORDER BY g", Seq("a", 1.0), Seq("b", 0.0)),
+    q("SELECT union_tag(union_value(num := 2)) AS t", Seq("num")),
+    q("SELECT union_extract(union_value(num := 2), 'num') AS v", Seq(2)),
+    q("SELECT gamma(5) AS g, factorial(5) AS f, 5! AS e", Seq(24.0, 120, 120)),
+    q("SELECT even(2.1) AS e, nextafter(1.0, 2.0) AS n",
+      Seq(4.0, 1.0000000000000002)),
+    q("SELECT xor(5, 3) AS x", Seq(6)),
+    // 0x/0b string→int casts (probed: unsigned only, TRY_CAST absorbs)
+    q("SELECT '0x10'::INT AS h, '0X1F'::INT AS u, '0b101'::INT AS b",
+      Seq(16, 31, 5)),
+    q("SELECT TRY_CAST('0xZZ' AS INT) AS z, TRY_CAST('0x' AS INT) AS e",
+      Seq(null, null)),
+    err("SELECT '-0x10'::INT AS n", "neither"),
+    q("SELECT date_sub('month', DATE '2024-01-15', DATE '2024-03-14') AS d",
+      Seq(1)),
+    q("SELECT datediff('day', DATE '2024-01-01', DATE '2024-01-05') AS d",
+      Seq(4)),
+    q("SELECT century(DATE '1999-03-04') AS c, dayofyear(DATE '2024-02-01') AS d",
+      Seq(20, 32)),
+    q("SELECT weekofyear(DATE '2024-01-15') AS w, isodow(DATE '2024-01-14') AS i",
+      Seq(3, 7)),
+    q("SELECT julian(DATE '2000-01-01') AS j", Seq(2451545.0)),
+    q("SELECT ord('u') AS o, unicode('a') AS u", Seq(117, 97)),
+    q("SELECT to_base(42, 16) AS b", Seq("2A")),
+    q("SELECT bar(40, 0, 100, 10) AS b", Seq("████")),
+    q("SELECT parse_dirname('/a/b/c.txt') AS d, parse_dirpath('/a/b/c.txt') AS p",
+      Seq("/", "/a/b")),
+    q("SELECT parse_filename('/a/b/c.txt') AS f, " +
+      "parse_filename('/a/b/c.txt', true) AS g", Seq("c.txt", "c")),
+    q("SELECT parse_path('/a/b/c.txt') AS p",
+      Seq(Seq("/", "a", "b", "c.txt"))),
+    // BIT-string functions (0-based positions, probed)
+    q("SELECT get_bit('0110'::BIT, 1) AS b, bit_count('0110'::BIT) AS c",
+      Seq(1, 2)),
+    q("SELECT set_bit('0110'::BIT, 0, 1) AS b", Seq("1110")),
+    q("SELECT bitstring('0101', 8) AS b", Seq("00000101")),
+    q("SELECT base64('ab'::BLOB) AS b, from_base64('YWI=') = 'ab'::BLOB AS f",
+      Seq("YWI=", true)),
+    q("SELECT encode('ab') = 'ab'::BLOB AS e, decode('ab'::BLOB) AS d",
+      Seq(true, "ab")),
+    q("SELECT hex(255) AS h, octet_length('ab'::BLOB) AS o", Seq("FF", 2)),
+
+    // --- catalog introspection table functions (CatalogInfo) ---
+    s("CREATE TABLE ci_t (a INTEGER PRIMARY KEY, b VARCHAR DEFAULT 'x', " +
+      "c DOUBLE NOT NULL)"),
+    q("SELECT database_name, schema_name, table_name, internal, temporary, " +
+      "has_primary_key, column_count, index_count, check_constraint_count " +
+      "FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq("memory", "main", "ci_t", false, false, true, 3, 1, 0)),
+    q("SELECT sql FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq("CREATE TABLE ci_t(a INTEGER PRIMARY KEY, b VARCHAR DEFAULT('x'), " +
+        "c DOUBLE NOT NULL);")),
+    q("SELECT column_name, column_index, data_type, data_type_id, " +
+      "is_nullable, column_default, numeric_precision, " +
+      "numeric_precision_radix, numeric_scale FROM duckdb_columns() " +
+      "WHERE table_name='ci_t' ORDER BY column_index",
+      Seq("a", 1, "INTEGER", 13, false, null, 32, 2, 0),
+      Seq("b", 2, "VARCHAR", 25, true, "'x'", null, null, null),
+      Seq("c", 3, "DOUBLE", 23, false, null, 53, 2, 0)),
+    q("SELECT constraint_type, constraint_text, constraint_column_names " +
+      "FROM duckdb_constraints() WHERE table_name='ci_t' " +
+      "AND constraint_type='PRIMARY KEY'",
+      Seq("PRIMARY KEY", "PRIMARY KEY(a)", Seq("a"))),
+    // the PK column is ALSO listed as NOT NULL, like DuckDB (probed)
+    q("SELECT count(*) AS n FROM duckdb_constraints() " +
+      "WHERE table_name='ci_t' AND constraint_type='NOT NULL'", Seq(2)),
+    s("CREATE SEQUENCE ci_seq START 5 INCREMENT 2"),
+    q("SELECT sequence_name, start_value, min_value, max_value, " +
+      "increment_by, cycle, last_value FROM duckdb_sequences() " +
+      "WHERE sequence_name='ci_seq'",
+      Seq("ci_seq", 5, 1, 9223372036854775807L, 2, false, null)),
+    q("SELECT sql FROM duckdb_sequences() WHERE sequence_name='ci_seq'",
+      Seq("CREATE SEQUENCE ci_seq INCREMENT BY 2 MINVALUE 1 " +
+        "MAXVALUE 9223372036854775807 START 5 NO CYCLE;")),
+    q("SELECT nextval('ci_seq') AS v", Seq(5)),
+    // last_value turns non-NULL after the first nextval (probed)
+    q("SELECT last_value FROM duckdb_sequences() " +
+      "WHERE sequence_name='ci_seq'", Seq(5)),
+    s("CREATE INDEX ci_idx ON ci_t(c)"),
+    q("SELECT index_name, table_name, is_unique, is_primary, sql " +
+      "FROM duckdb_indexes() WHERE index_name='ci_idx'",
+      Seq("ci_idx", "ci_t", false, false, "CREATE INDEX ci_idx ON ci_t(c);")),
+    // index_count now counts the PK's implicit index plus ci_idx (probed)
+    q("SELECT index_count FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq(2)),
+    s("CREATE TYPE ci_mood AS ENUM ('sad','happy')"),
+    q("SELECT type_name, logical_type, labels, internal FROM duckdb_types() " +
+      "WHERE type_name='ci_mood'",
+      Seq("ci_mood", "ENUM", Seq("sad", "happy"), false)),
+    q("SELECT type_name, type_size, logical_type, type_category " +
+      "FROM duckdb_types() WHERE type_name='hugeint'",
+      Seq("hugeint", 16, "HUGEINT", "NUMERIC")),
+    q("SELECT keyword_name, keyword_category FROM duckdb_keywords() " +
+      "WHERE keyword_name IN ('select','qualify','asof') " +
+      "ORDER BY keyword_name",
+      Seq("asof", "type_function"), Seq("qualify", "reserved"),
+      Seq("select", "reserved")),
+    q("SELECT count(*) AS n FROM duckdb_keywords()", Seq(479)),
+    q("SELECT schema_name FROM duckdb_schemas() WHERE database_name='memory'",
+      Seq("main")),
+    q("SELECT database_name, readonly FROM duckdb_databases()",
+      Seq("memory", false)),
+    s("CREATE VIEW ci_v AS SELECT a, b FROM ci_t"),
+    q("SELECT view_name, column_count, sql FROM duckdb_views() " +
+      "WHERE view_name='ci_v'",
+      Seq("ci_v", 2, "CREATE VIEW ci_v AS SELECT a, b FROM ci_t;")),
+    s("SET threads TO 4"),
+    q("SELECT value, input_type, scope FROM duckdb_settings() " +
+      "WHERE name='threads'", Seq("4", "BIGINT", "GLOBAL")),
+    q("SELECT cid, name, type, \"notnull\", pk FROM pragma_table_info('ci_t') " +
+      "ORDER BY cid",
+      Seq(0, "a", "INTEGER", true, true), Seq(1, "b", "VARCHAR", false, false),
+      Seq(2, "c", "DOUBLE", true, false)),
+    // COMMENT ON (probed: missing target errors; IS NULL clears; VIEW is
+    // lax about table targets)
+    s("COMMENT ON TABLE ci_t IS 'a table'"),
+    s("COMMENT ON COLUMN ci_t.a IS 'a col'"),
+    s("COMMENT ON VIEW ci_v IS 'a view'"),
+    s("COMMENT ON INDEX ci_idx IS 'an index'"),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq("a table")),
+    q("SELECT comment FROM duckdb_columns() WHERE table_name='ci_t' " +
+      "AND column_name='a'", Seq("a col")),
+    q("SELECT comment FROM duckdb_views() WHERE view_name='ci_v'",
+      Seq("a view")),
+    q("SELECT comment FROM duckdb_indexes() WHERE index_name='ci_idx'",
+      Seq("an index")),
+    err("COMMENT ON TABLE ci_missing IS 'x'", "does not exist"),
+    s("COMMENT ON TABLE ci_t IS NULL"),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq(null)),
+    // temp tables: session-scoped in DuckDB = regular tables in this
+    // one-session gateway, plus the catalog flag; DuckDB's own EXPORT
+    // writes them as plain CREATE TABLE (probed)
+    s("CREATE TEMP TABLE ci_tt AS SELECT 42 AS x"),
+    q("SELECT temporary FROM duckdb_tables() WHERE table_name='ci_tt'",
+      Seq(true)),
+    q("SELECT temporary FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq(false)),
+    q("SELECT * FROM ci_tt", Seq(42)),
+    s("CREATE TEMPORARY TABLE ci_tt2(a INTEGER)"),
+    s("INSERT INTO ci_tt2 VALUES (1)"),
+    q("SELECT a FROM ci_tt2", Seq(1)),
+    s("USE memory"), s("USE memory.main"),
+    err("USE nosuch", "No catalog"),
+    // SET col = DEFAULT takes the declared default / NULL (probed)
+    s("CREATE TABLE ci_du(a INTEGER DEFAULT 7, b VARCHAR)"),
+    s("INSERT INTO ci_du VALUES (1, 'x')"),
+    s("UPDATE ci_du SET a = DEFAULT"),
+    q("SELECT a, b FROM ci_du", Seq(7, "x")),
+    s("UPDATE ci_du SET b = DEFAULT"),
+    q("SELECT a, b FROM ci_du", Seq(7, null)),
+    s("DROP TABLE ci_du"),
+    // FROM-first bodies inside CTAS / INSERT (DuckDB's SELECT-* sugar)
+    s("CREATE TABLE ci_sel AS FROM ci_tt"),
+    q("SELECT * FROM ci_sel", Seq(42)),
+    q("SELECT estimated_size FROM duckdb_tables() WHERE table_name='ci_sel'",
+      Seq(1)),
+    s("INSERT INTO ci_sel FROM ci_tt"),
+    q("SELECT count(*) AS n FROM ci_sel", Seq(2)),
+    s("DROP TABLE ci_sel"),
+    s("DROP TABLE ci_tt"), s("DROP TABLE ci_tt2"),
+    s("DROP VIEW ci_v"), s("DROP TABLE ci_t"), s("DROP SEQUENCE ci_seq"),
+
+    // --- parquet metadata table functions (ParquetMeta) — over the
+    //     driver-contract testdata file (region: 5 rows, 2 columns) ---
+    q("SELECT name, type, repetition_type, num_children, converted_type " +
+      "FROM parquet_schema('/root/testdata/sf0.001/region.parquet')",
+      Seq("schema", null, "REQUIRED", 2, null),
+      Seq("r_regionkey", "INT32", "OPTIONAL", null, null),
+      Seq("r_name", "BYTE_ARRAY", "OPTIONAL", null, "UTF8")),
+    // legacy stats_min is populated only for signed-comparable physical
+    // types; min_value/max_value always (probed: both engines read the
+    // same footer)
+    q("SELECT row_group_id, row_group_num_rows, column_id, num_values, " +
+      "path_in_schema, type, stats_min, stats_min_value, stats_max_value, " +
+      "stats_null_count FROM " +
+      "parquet_metadata('/root/testdata/sf0.001/region.parquet') " +
+      "ORDER BY column_id",
+      Seq(0, 5, 0, 5, "r_regionkey", "INT32", "0", "0", "4", 0),
+      Seq(0, 5, 1, 5, "r_name", "BYTE_ARRAY", null, "AFRICA", "MIDDLE EAST", 0)),
+    q("SELECT num_rows, num_row_groups FROM " +
+      "parquet_file_metadata('/root/testdata/sf0.001/region.parquet')",
+      Seq(5, 1)),
+    q("SELECT decode(key) AS k FROM " +
+      "parquet_kv_metadata('/root/testdata/sf0.001/region.parquet') " +
+      "ORDER BY k", Seq("ARROW:schema"), Seq("pandas")),
+    q("SELECT count(*) AS n FROM " +
+      "parquet_scan('/root/testdata/sf0.001/region.parquet')", Seq(5)),
+    q("SELECT * FROM glob('/root/testdata/sf0.001/r*.parquet')",
+      Seq("/root/testdata/sf0.001/region.parquet")),
+
+    // --- ndjson readers + sniff_csv (fixtures written below) ---
+    q("SELECT * FROM read_ndjson('/tmp/graft_corpus_nd.json') ORDER BY a",
+      Seq(1, "x"), Seq(2, "y")),
+    q("SELECT * FROM read_ndjson_auto('/tmp/graft_corpus_nd.json') ORDER BY a",
+      Seq(1, "x"), Seq(2, "y")),
+    C("SELECT * FROM read_ndjson_objects('/tmp/graft_corpus_nd.json')",
+      Some(Seq(Seq("""{"a": 1, "b": "x"}"""), Seq("""{"a": 2, "b": "y"}"""))),
+      ordered = true),
+    C("SELECT * FROM read_json_objects_auto('/tmp/graft_corpus_nd.json')",
+      Some(Seq(Seq("""{"a": 1, "b": "x"}"""), Seq("""{"a": 2, "b": "y"}"""))),
+      ordered = true),
+    // read_json_objects defaults format='array' in DuckDB 1.0 and errors
+    // on ndjson input (probed); here array input refuses too
+    err("SELECT * FROM read_json_objects('/tmp/graft_corpus_nd.json')",
+      "array"),
+    q("SELECT Delimiter, Quote, Escape, NewLineDelimiter, SkipRows, " +
+      "HasHeader, Columns, Prompt FROM sniff_csv('/tmp/graft_corpus_sniff.csv')",
+      Seq(";", "\"", "\"", "\\n", 0, true,
+        Seq(Seq("a", "BIGINT"), Seq("b", "VARCHAR"), Seq("c", "DOUBLE")),
+        "FROM read_csv('/tmp/graft_corpus_sniff.csv', auto_detect=false, " +
+          "delim=';', quote='\"', escape='\"', new_line='\\n', skip=0, " +
+          "header=true, columns={'a': 'BIGINT', 'b': 'VARCHAR', " +
+          "'c': 'DOUBLE'});")))
+
+  // fixtures for the ndjson / sniff_csv entries above
+  java.nio.file.Files.write(
+    java.nio.file.Paths.get("/tmp/graft_corpus_nd.json"),
+    "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n".getBytes("UTF-8"))
+  java.nio.file.Files.write(
+    java.nio.file.Paths.get("/tmp/graft_corpus_sniff.csv"),
+    "a;b;c\n1;x;2.5\n2;y;3.5\n".getBytes("UTF-8"))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
-      corpusG ++ corpusH
+      corpusG ++ corpusH ++ corpusI
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
