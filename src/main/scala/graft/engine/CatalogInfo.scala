@@ -33,6 +33,23 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
   private val tagsType = MapType(StringType, StringType, valueContainsNull = true)
   private val emptyTags = Map.empty[String, String]
 
+  /** Re-entry guard: resolving a registered view's CURRENT schema runs
+    * its body through the gateway — a view whose body itself queries
+    * duckdb_views()/duckdb_columns() would otherwise recurse without
+    * bound (each listing re-binds every view). On re-entry the listing
+    * falls back to alias counts / skips view columns instead. */
+  private val resolvingViews = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private def viewSchemaOf(name: String): Option[StructType] =
+    if (resolvingViews.get()) None
+    else {
+      resolvingViews.set(true)
+      try Some(gw.queryDf(s"SELECT * FROM $name").schema)
+      catch { case _: Throwable => None }
+      finally resolvingViews.set(false)
+    }
+
   private def df(schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
@@ -49,11 +66,11 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       .sortBy(identity)
       .toSeq
 
-  /** Dispatch by function name (lowercased, no parens). `arg` is the
-    * single quoted argument when present (pragma_table_info). Unknown
-    * names throw — the caller leaves unrecognized text for Spark's
-    * parser, so misspellings refuse loudly either way. */
-  def dispatch(name: String, arg: Option[String]): DataFrame = name match {
+  /** Dispatch by function name (lowercased, no parens; the caller has
+    * already rejected arguments — none of these take one). Unknown names
+    * throw — the caller leaves unrecognized text for Spark's parser, so
+    * misspellings refuse loudly either way. */
+  def dispatch(name: String): DataFrame = name match {
     case "duckdb_tables" => tables()
     case "duckdb_columns" => columns()
     case "duckdb_views" => views()
@@ -185,8 +202,7 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     // registered views re-bind lazily; a broken view has no current
     // schema to list (querying it replays its bind error) — skip it here
     val viewRows = gw.viewEntries.zipWithIndex.flatMap { case ((name, _, _), i) =>
-      try columnRows(name, 2000L + i, gw.queryDf(s"SELECT * FROM $name").schema, "")
-      catch { case _: Throwable => Nil }
+      viewSchemaOf(name).map(columnRows(name, 2000L + i, _, "")).getOrElse(Nil)
     }
     df(columnsSchema, tableRows ++ viewRows)
   }
@@ -220,10 +236,8 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
 
   def views(): DataFrame = {
     val rows = gw.viewEntries.zipWithIndex.map { case ((name, aliases, body), i) =>
-      val colCount = aliases.map(_.size.toLong).getOrElse {
-        try gw.queryDf(s"SELECT * FROM $name").schema.size.toLong
-        catch { case _: Throwable => -1L }
-      }
+      val colCount = aliases.map(_.size.toLong).getOrElse(
+        viewSchemaOf(name).map(_.size.toLong).getOrElse(-1L))
       val aliasText = aliases.map(a => s" (${a.mkString(", ")})").getOrElse("")
       Row(DB, 0L, SCHEMA, 1L, name, 2000L + i,
         gw.comments.get(s"view:${name.toLowerCase}").orNull, emptyTags,

@@ -500,15 +500,23 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(0L)
       case CtasRe(orReplace, temp, ine, table, query) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
+        // an IF NOT EXISTS no-op must not rewrite the surviving table's
+        // temp flag (evaluated after the OR REPLACE drop)
+        val noOp = ine != null && spark.catalog.tableExists(table)
         val r = ctas(table, query, ine != null)
-        if (temp != null) tempTables(tableKey(table)) = ()
-        else tempTables.remove(tableKey(table))
+        if (!noOp) {
+          if (temp != null) tempTables(tableKey(table)) = ()
+          else tempTables.remove(tableKey(table))
+        }
         r
       case CreateRe(orReplace, temp, ine, table, colSpec) =>
         if (orReplace != null && spark.catalog.tableExists(table)) dropTable(table)
+        val noOp = ine != null && spark.catalog.tableExists(table)
         val r = createTable(table, colSpec, ine != null)
-        if (temp != null) tempTables(tableKey(table)) = ()
-        else tempTables.remove(tableKey(table))
+        if (!noOp) {
+          if (temp != null) tempTables(tableKey(table)) = ()
+          else tempTables.remove(tableKey(table))
+        }
         r
       case CreateViewRe(orReplace, ine, name, aliases, body) =>
         // a quoted alias sheds its delimiters: the NAME is the inner text
@@ -1629,7 +1637,13 @@ class SqlGateway(val spark: SparkSession) {
     val afterCat = substitute(afterRead,
         CatFnRe.findAllMatchIn(afterRead).toList) { m =>
       val arg = Option(m.group(2)).orElse(Option(m.group(3)))
-      m.group(1).toLowerCase match {
+      val name = m.group(1).toLowerCase
+      // only pragma_table_info takes an argument — DuckDB raises a binder
+      // error for arguments on the rest (probed)
+      if (arg.isDefined && name != "pragma_table_info")
+        throw new IllegalArgumentException(
+          s"Table function $name does not accept arguments")
+      name match {
         case "pragma_table_info" => pragmaTableInfo(arg.getOrElse(
           throw new IllegalArgumentException(
             "pragma_table_info requires a table name")))
@@ -1637,7 +1651,7 @@ class SqlGateway(val spark: SparkSession) {
         case "pragma_platform" => pragmaPlatformDf
         case "pragma_database_size" => pragmaDbSizeDf
         case "pragma_show_tables" => showTablesDf
-        case other => catalogInfo.dispatch(other, arg)
+        case other => catalogInfo.dispatch(other)
       }
     }
     (afterCat, views.result())
@@ -1982,6 +1996,16 @@ class SqlGateway(val spark: SparkSession) {
         val d = delim.getOrElse(sniffDelimiter(firstLineOf(path.head)))
         spark.read.option("header", header.toString).option("delimiter", d)
           .option("inferSchema", "true").csv(path: _*)
+      case k if Set("ndjson", "ndjson_auto", "ndjson_objects",
+          "json_objects", "json_objects_auto", "parquet_scan",
+          "parquet_schema", "parquet_metadata", "parquet_file_metadata",
+          "parquet_kv_metadata", "sniff_csv", "glob").contains(k) &&
+          optsText.stripPrefix(",").trim.nonEmpty =>
+        // these table functions take no handled options here — silently
+        // dropping one would "succeed" with the option unapplied (same
+        // refuse-loudly posture as read_csv's unknown-option error)
+        throw new IllegalArgumentException(
+          s"$k: unsupported options ${optsText.stripPrefix(",").trim}")
       case "json" | "json_auto" | "ndjson" | "ndjson_auto" =>
         // Spark's json source IS newline-delimited (and parses a one-line
         // top-level array into rows, like read_json on an array file)
@@ -2093,7 +2117,8 @@ class SqlGateway(val spark: SparkSession) {
     * fields already parse as the data types inferred for the rest. */
   private def sniffCsvDf(path: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val delim = sniffDelimiter(firstLineOf(path))
+    val first = firstLineOf(path)
+    val delim = sniffDelimiter(first)
     def duckCsvType(dt: DataType): String = dt match {
       case ByteType | ShortType | IntegerType | LongType => "BIGINT"
       case FloatType | DoubleType | _: DecimalType => "DOUBLE"
@@ -2103,10 +2128,9 @@ class SqlGateway(val spark: SparkSession) {
       case _ => "VARCHAR"
     }
     // header detection: infer over the tail (skipping line 1); header=true
-    // when any first-line field does not parse as its column's tail type
-    val headless = spark.read.option("header", "false")
-      .option("delimiter", delim).option("inferSchema", "true").csv(path)
-    val first = firstLineOf(path)
+    // when any first-line field does not parse as its column's tail type,
+    // OR when every column is VARCHAR (probed: DuckDB's sniffer reports
+    // header=true for all-VARCHAR files unconditionally)
     val firstFields = {
       // quote-aware split of the first line on the detected delimiter
       val out = Seq.newBuilder[String]
@@ -2136,12 +2160,18 @@ class SqlGateway(val spark: SparkSession) {
       withHeader.schema.fields.map(_.dataType)
     }
     val hasHeader = firstFields.size == tailTypes.length &&
-      firstFields.zip(tailTypes).exists { case (f, dt) => !parsesAs(f, dt) }
+      (tailTypes.forall(_.isInstanceOf[StringType]) ||
+        firstFields.zip(tailTypes).exists { case (f, dt) => !parsesAs(f, dt) })
     val schemaFields =
       if (hasHeader)
         firstFields.zip(tailTypes).map { case (n, dt) => (n, duckCsvType(dt)) }
-      else headless.schema.fields.map(f => (f.name.replace("_c", "column"),
-        duckCsvType(f.dataType))).toSeq
+      else {
+        // only the headerless branch needs the second inference pass
+        val headless = spark.read.option("header", "false")
+          .option("delimiter", delim).option("inferSchema", "true").csv(path)
+        headless.schema.fields.map(f => (f.name.replace("_c", "column"),
+          duckCsvType(f.dataType))).toSeq
+      }
     val colsRendered = schemaFields
       .map { case (n, t) => s"'$n': '$t'" }.mkString("{", ", ", "}")
     val prompt = s"FROM read_csv('$path', auto_detect=false, delim='$delim', " +
@@ -5601,7 +5631,96 @@ class SqlGateway(val spark: SparkSession) {
       rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
         rewriteDuckLiterals(escapeLiteralBackslashes(
           rewriteCurrentQuery(rewriteBareDatetimeKeywords(
-            rewriteBlobLiterals(sql)))))))))))
+            rewriteBlobLiterals(rewriteMultiUnnest(sql))))))))))))
+
+  /** DuckDB zips MULTIPLE unnests in one SELECT list to the longest
+    * length, padding shorter (or NULL) lists with NULLs; scalar items
+    * repeat per row (probed: `unnest([1,2]), unnest(['a','b','c'])` →
+    * 3 rows, `unnest(l) , unnest(NULL::INT[])` keeps l's row count).
+    * Spark allows one generator per projection, so a top-level simple
+    * SELECT (single FROM target, optional ORDER BY — no WHERE/GROUP/
+    * set-ops) rewrites to one explode over an index-driven struct zip:
+    *
+    *   SELECT a, graft_z.c0 AS x, ... FROM (
+    *     SELECT *, explode(slice(transform(sequence(0, greatest(1,g)-1),
+    *       graft_i -> named_struct('c0', try_element_at(A0, graft_i+1),
+    *       ...)), 1, g)) AS graft_z FROM <from>) graft_mu [ORDER BY ...]
+    *
+    * with g = greatest(0, coalesce(size(A0),0), ...). Richer shapes
+    * (WHERE, joins, unnest nested in expressions) keep the old loud
+    * refusal (Spark's one-generator analysis error). */
+  private def rewriteMultiUnnest(sql: String): String = {
+    val lower = maskStringLiterals(sql).toLowerCase
+    if ("""(?i)\bunnest\s*\(""".r.findAllMatchIn(lower).size < 2) return sql
+    val SelRe = """(?is)^\s*SELECT\s+(.*)$""".r
+    val body = SelRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse(return sql)
+    val (selectList, tail) = topLevel(body, """\bFROM\b""") match {
+      case Some((s, e)) => (body.substring(0, s), Some(body.substring(e)))
+      case None => (body, None)
+    }
+    // split an optional top-level ORDER BY off the FROM tail; any other
+    // top-level clause keyword disqualifies (bail → untouched text)
+    val (fromPart, orderPart) = tail match {
+      case None => (None, "")
+      case Some(t) => topLevel(t, """\bORDER\s+BY\b""") match {
+        case Some((s, _)) => (Some(t.substring(0, s).trim), " " + t.substring(s).trim)
+        case None => (Some(t.trim), "")
+      }
+    }
+    if (fromPart.exists(f => topLevel(f,
+        """\b(?:WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|JOIN)\b""").isDefined))
+      return sql
+    if (topLevel(selectList, """\b(?:OVER|DISTINCT)\b""").isDefined) return sql
+    val items = splitTopLevel(selectList).map(_.trim)
+    // an item is a zip participant iff it IS one unnest(...) call
+    // (optionally aliased); unnest nested deeper stays untouched → the
+    // whole statement bails to the loud path
+    def unnestOf(item: String): Option[(String, Option[String])] = {
+      val mm = """(?is)^unnest\s*\(""".r.findPrefixMatchOf(item).getOrElse(return None)
+      var i = mm.end - 1; var depth = 0; var close = -1; var inStr = false
+      while (i < item.length && close < 0) {
+        val c = item.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      if (close < 0) return None
+      val rest = item.substring(close + 1).trim
+      val alias =
+        if (rest.isEmpty) None
+        else """(?is)^AS\s+(\w+)$""".r.findFirstMatchIn(rest) match {
+          case Some(am) => Some(am.group(1))
+          case None => return None // trailing expression → not a bare unnest
+        }
+      Some((item.substring(mm.end, close).trim, alias))
+    }
+    // a star item would leak the zip struct through the outer projection
+    if (items.exists(i => i == "*" || i.endsWith(".*"))) return sql
+    val parts = items.map(unnestOf)
+    val unnestIdx = parts.zipWithIndex.collect { case (Some(_), i) => i }
+    if (unnestIdx.size < 2) return sql
+    if (parts.exists(p => p.exists(_._1.isEmpty))) return sql
+    val args = unnestIdx.map(i => parts(i).get._1)
+    val g = args.map(a => s"coalesce(size($a), 0)").mkString("greatest(0, ", ", ", ")")
+    val fields = args.zipWithIndex.map { case (a, k) =>
+      s"'c$k', try_element_at($a, graft_i + 1)" }.mkString(", ")
+    val gen = s"explode(slice(transform(sequence(0, greatest(1, $g) - 1), " +
+      s"graft_i -> named_struct($fields)), 1, $g)) AS graft_z"
+    val inner = fromPart match {
+      case Some(f) => s"SELECT *, $gen FROM $f"
+      case None => s"SELECT $gen"
+    }
+    var k = -1
+    val outerItems = items.zip(parts).map {
+      case (item, Some((_, alias))) =>
+        k += 1
+        s"graft_z.c$k AS ${alias.getOrElse(s"unnest_$k")}"
+      case (item, None) => item
+    }
+    s"SELECT ${outerItems.mkString(", ")} FROM ($inner) graft_mu$orderPart"
+  }
 
   /** String-literal → BLOB casts decode `\xHH` escapes in DuckDB
     * (probed: `'\xFF\x01ab'::BLOB` is the 4 bytes FF 01 61 62; a
@@ -5619,6 +5738,13 @@ class SqlGateway(val spark: SparkSession) {
       (s"""(?i)(?:$Lit\\s*::\\s*blob\\b|cast\\s*\\(\\s*$Lit\\s+as\\s+blob\\s*\\))""").r
     CastRe.replaceAllIn(sql, m => {
       val raw = Option(m.group(1)).getOrElse(m.group(2)).replace("''", "'")
+      // non-ASCII is a loud DuckDB error in string→blob casts (probed:
+      // "All non-ascii characters must be escaped with hex codes") —
+      // refusing here also keeps the plain-cast path byte-exact
+      if (raw.exists(_ > 127))
+        throw new IllegalArgumentException(
+          "Invalid byte encountered in STRING -> BLOB conversion. All " +
+            "non-ascii characters must be escaped with hex codes (e.g. \\xAA)")
       if (!raw.contains("\\"))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
@@ -5637,7 +5763,7 @@ class SqlGateway(val spark: SparkSession) {
               "Invalid hex escape code encountered in string -> blob " +
                 s"conversion: ${raw.substring(i, math.min(i + 4, raw.length))}")
           } else {
-            bytes.write(c.toString.getBytes("UTF-8"))
+            bytes.write(c.toInt) // ASCII by the guard above
             i += 1
           }
         }
@@ -6875,6 +7001,11 @@ class SqlGateway(val spark: SparkSession) {
     columnDefaults.remove(kf).foreach(columnDefaults(kt) = _)
     indexes.toSeq.collect { case (n, (t, cols, u)) if t == kf =>
       indexes(n) = (kt, cols, u) }
+    comments.remove(s"table:$kf").foreach(comments(s"table:$kt") = _)
+    comments.toSeq.collect { case (k, v) if k.startsWith(s"column:$kf.") =>
+      comments.remove(k)
+      comments(s"column:$kt.${k.stripPrefix(s"column:$kf.")}") = v }
+    if (tempTables.remove(kf).isDefined) tempTables(kt) = ()
     // execute() bumps mutationGen for every ALTER — dependent views
     // re-bind on next use and break loudly, matching the probe
     ExecuteResult(0L)
@@ -6909,8 +7040,15 @@ class SqlGateway(val spark: SparkSession) {
   //     count; a CTAS table carries no declared constraints.
   private def ctas(table: String, query: String, ifNotExists: Boolean): ExecuteResult = {
     if (ifNotExists && spark.catalog.tableExists(table)) return ExecuteResult(0L)
-    // queryDf0, not runSql: a CTAS body may use any read-statement form —
-    // FROM-first (`CREATE TABLE t AS FROM u`), PIVOT, table functions
+    // DuckDB's CTAS grammar admits only query forms (probed: SELECT /
+    // WITH / FROM-first / TABLE / VALUES / PIVOT / UNPIVOT parse; SHOW,
+    // PRAGMA, DESCRIBE and DML all raise parser errors) — gate the lead
+    // before queryDf0, whose statement dispatch is wider than a query
+    val lead = query.trim.split("""[\s(]""", 2)(0).toLowerCase
+    if (lead.nonEmpty && !Set("select", "with", "from", "table", "values",
+        "pivot", "unpivot").contains(lead))
+      throw new IllegalArgumentException(
+        s"""syntax error at or near "${query.trim.split("\\s+", 2)(0)}"""")
     createFromData(table, queryDf0(query))
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
@@ -7801,6 +7939,10 @@ class SqlGateway(val spark: SparkSession) {
     val baseMacros: Map[String, (Seq[String], String)] = macros.toMap
     val baseNamedTypes: Map[String, String] = namedTypes.toMap
     val baseSequenceKeys: Set[String] = sequences.keySet.toSet
+    // COMMENT ON and temp-flag changes are catalog ops too — DuckDB rolls
+    // them back with the transaction (r11 review finding)
+    val baseComments: Map[String, String] = comments.toMap
+    val baseTempTables: Set[String] = tempTables.keySet.toSet
     /** tableKey → latest uncommitted version dir written in this txn. */
     val pending = scala.collection.mutable.Map.empty[String, Int]
     /** tableKey → uncommitted append-delta dirs (txn INSERTs stay O(batch):
@@ -7889,6 +8031,9 @@ class SqlGateway(val spark: SparkSession) {
     versions.clear(); versions ++= t.baseVersions
     macros.clear(); macros ++= t.baseMacros
     namedTypes.clear(); namedTypes ++= t.baseNamedTypes
+    comments.clear(); comments ++= t.baseComments
+    tempTables.clear()
+    t.baseTempTables.foreach(k => tempTables(k) = ())
     (sequences.keySet -- t.baseSequenceKeys).foreach { k =>
       sequences.remove(k); seqLast.remove(k); seqStarts.remove(k)
     }

@@ -3039,6 +3039,12 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("YWI=", true)),
     q("SELECT encode('ab') = 'ab'::BLOB AS e, decode('ab'::BLOB) AS d",
       Seq(true, "ab")),
+    // blob escape decoding (probed): \xHH decodes; malformed escapes and
+    // non-ascii characters are loud conversion errors in DuckDB
+    q("SELECT hex('\\xFF\\x01ab'::BLOB) AS h, octet_length('\\x41'::BLOB) AS n",
+      Seq("FF016162", 1)),
+    err("SELECT 'a\\b'::BLOB AS x", "escape"),
+    err("SELECT 'é'::BLOB AS x", "non-ascii"),
     q("SELECT hex(255) AS h, octet_length('ab'::BLOB) AS o", Seq("FF", 2)),
 
     // --- catalog introspection table functions (CatalogInfo) ---
@@ -3130,6 +3136,26 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("COMMENT ON TABLE ci_t IS NULL"),
     q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t'",
       Seq(null)),
+    // COMMENT is a catalog op: it rolls back with the transaction (probed)
+    s("BEGIN"),
+    s("COMMENT ON TABLE ci_t IS 'oops'"),
+    s("ROLLBACK"),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq(null)),
+    // a comment survives ALTER RENAME onto the new name (probed), and a
+    // later table under the OLD name starts comment-free
+    s("COMMENT ON TABLE ci_t IS 'kept'"),
+    s("ALTER TABLE ci_t RENAME TO ci_t2"),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t2'",
+      Seq("kept")),
+    s("CREATE TABLE ci_t (a INTEGER PRIMARY KEY, b VARCHAR DEFAULT 'x', " +
+      "c DOUBLE NOT NULL)"),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name='ci_t'",
+      Seq(null)),
+    s("DROP TABLE ci_t2"),
+    // arguments on the no-arg catalog functions are binder errors (probed)
+    err("SELECT * FROM duckdb_tables('bogus')", "argument"),
+    err("SELECT * FROM pragma_version('x')", "argument"),
     // temp tables: session-scoped in DuckDB = regular tables in this
     // one-session gateway, plus the catalog flag; DuckDB's own EXPORT
     // writes them as plain CREATE TABLE (probed)
@@ -3142,6 +3168,16 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("CREATE TEMPORARY TABLE ci_tt2(a INTEGER)"),
     s("INSERT INTO ci_tt2 VALUES (1)"),
     q("SELECT a FROM ci_tt2", Seq(1)),
+    // an IF NOT EXISTS no-op must not rewrite the temp flag
+    s("CREATE TABLE IF NOT EXISTS ci_tt(x INTEGER)"),
+    q("SELECT temporary FROM duckdb_tables() WHERE table_name='ci_tt'",
+      Seq(true)),
+    // DuckDB's CTAS grammar admits only query forms (probed: SHOW/PRAGMA/
+    // DML bodies are parser errors; TABLE t is fine)
+    err("CREATE TABLE ci_bad AS SHOW TABLES", "syntax error"),
+    s("CREATE TABLE ci_tbl AS TABLE ci_tt"),
+    q("SELECT * FROM ci_tbl", Seq(42)),
+    s("DROP TABLE ci_tbl"),
     s("USE memory"), s("USE memory.main"),
     err("USE nosuch", "No catalog"),
     // SET col = DEFAULT takes the declared default / NULL (probed)
@@ -3152,6 +3188,21 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("UPDATE ci_du SET b = DEFAULT"),
     q("SELECT a, b FROM ci_du", Seq(7, null)),
     s("DROP TABLE ci_du"),
+    // multiple unnests in one SELECT zip to the longest list, NULL-padded;
+    // a NULL list pads without shrinking the row count; scalars repeat
+    // (all probed — rewriteMultiUnnest)
+    C("SELECT unnest([1,2]) AS a, unnest(['a','b','c']) AS b",
+      Some(Seq(Seq(1, "a"), Seq(2, "b"), Seq(null, "c"))), ordered = true),
+    C("SELECT unnest([1,2]) AS a, unnest(CAST(NULL AS INT[])) AS b",
+      Some(Seq(Seq(1, null), Seq(2, null))), ordered = true),
+    C("SELECT 9 AS s, unnest([1,2]) AS a, unnest([7,8]) AS b",
+      Some(Seq(Seq(9, 1, 7), Seq(9, 2, 8))), ordered = true),
+    C("SELECT g, unnest(l1) AS a, unnest(l2) AS b FROM " +
+      "(VALUES ('r1',[1,2],[10]),('r2',[3],[30,40])) t(g,l1,l2) " +
+      "ORDER BY g, a NULLS LAST",
+      Some(Seq(Seq("r1", 1, 10), Seq("r1", 2, null),
+        Seq("r2", 3, 30), Seq("r2", null, 40))), ordered = true),
+    q("SELECT unnest([]::INT[]) AS a, unnest([1]) AS b", Seq(null, 1)),
     // FROM-first bodies inside CTAS / INSERT (DuckDB's SELECT-* sugar)
     s("CREATE TABLE ci_sel AS FROM ci_tt"),
     q("SELECT * FROM ci_sel", Seq(42)),

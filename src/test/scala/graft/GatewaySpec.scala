@@ -138,6 +138,23 @@ class GatewaySpec extends SparkTestBase {
     }
   }
 
+  test("COMMENT ON metadata survives EXPORT/IMPORT DATABASE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-cmt").toString
+    gw.execute("DROP TABLE IF EXISTS snapcmt")
+    gw.execute("CREATE TABLE snapcmt (id integer, name text)")
+    gw.execute("COMMENT ON TABLE snapcmt IS 'a commented table'")
+    gw.execute("COMMENT ON COLUMN snapcmt.name IS 'the name'")
+    gw.execute(s"EXPORT DATABASE '$dir' (FORMAT PARQUET)")
+    gw.execute("COMMENT ON TABLE snapcmt IS 'overwritten after export'")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    assert(gw.query("SELECT comment FROM duckdb_tables() " +
+      "WHERE table_name='snapcmt'").values == Seq(Seq("a commented table")))
+    assert(gw.query("SELECT comment FROM duckdb_columns() " +
+      "WHERE table_name='snapcmt' AND column_name='name'").values ==
+      Seq(Seq("the name")))
+    gw.execute("DROP TABLE snapcmt")
+  }
+
   test("ALTER TABLE RENAME COLUMN keeps the constraint registry coherent") {
     gw.execute("DROP TABLE IF EXISTS altt")
     gw.execute("CREATE TABLE altt (id integer not null primary key, name text)")
