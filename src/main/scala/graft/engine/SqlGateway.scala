@@ -133,6 +133,10 @@ class SqlGateway(val spark: SparkSession) {
       })
     one("strip_accents")(StripAccents(_))
     one("nfc_normalize")(NfcNormalize(_))
+    // DuckDB's cast-to-JSON (DuckJsonCast scaladoc); the gateway rewrites
+    // `x::JSON` and [TRY_]CAST(x AS JSON) onto these
+    one("graft_json_cast")(DuckJsonCast(_, tryMode = false))
+    one("graft_json_cast_try")(DuckJsonCast(_, tryMode = true))
     one("format_bytes")(FormatBytes(_))
     // ClickHouse-compat pair (probed): *Size is binary KiB like
     // format_bytes; *DecimalSize is SI kB with the same truncation
@@ -360,7 +364,7 @@ class SqlGateway(val spark: SparkSession) {
   // statements a client can send through the reference passthrough
   // (db/db.go:52, db/db.go:70)
   private val CreateSeqRe =
-    """(?is)\s*CREATE\s+SEQUENCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)(.*)""".r
+    """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?SEQUENCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)(.*)""".r
   private val DropSeqRe =
     """(?is)\s*DROP\s+SEQUENCE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
   private val CreateMacroRe =
@@ -461,7 +465,15 @@ class SqlGateway(val spark: SparkSession) {
         if (namedTypes.remove(name.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown type $name")
         ExecuteResult(0L)
-      case CreateSeqRe(ine, name, spec) => createSequence(name, spec, ine != null)
+      case CreateSeqRe(orReplace, ine, name, spec) =>
+        // OR REPLACE resets the whole sequence state (probed: the counter
+        // restarts at the new START)
+        if (orReplace != null) {
+          sequences.remove(name.toLowerCase)
+          seqLast.remove(name.toLowerCase)
+          seqStarts.remove(name.toLowerCase)
+        }
+        createSequence(name, spec, ine != null)
       case DropSeqRe(ife, name) =>
         // refused in a txn: rollback could only restore the counter by
         // refunding already-handed-out ids (same honest-subset posture as
@@ -658,7 +670,7 @@ class SqlGateway(val spark: SparkSession) {
   private val SummarizeSelRe = """(?is)\s*SUMMARIZE\s+(SELECT\b.*)""".r
   private val DescribeSelRe = """(?is)\s*(?:DESCRIBE|DESC)\s+(SELECT\b.*)""".r
   private val PivotRe =
-    ("""(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s+IN\s+\(([^()]*)\))?""" +
+    ("""(?is)\s*PIVOT\s+([\w.]+)\s+ON\s+([\w.]+(?:\s*,\s*[\w.]+)*)(?:\s+IN\s+\(([^()]*)\))?""" +
      """\s+USING\s+(.+?)(?:\s+GROUP\s+BY\s+(.+?))?(?:\s+ORDER\s+BY\s+(.+?))?\s*""").r
   // bare `PIVOT t ON c`: DuckDB defaults to count(*), zero-filled
   private val PivotBareRe =
@@ -2772,6 +2784,16 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("epoch_ns"))
       out = fix(out, "epoch_ns", 1, a =>
         Some(s"(unix_micros(${a.head}) * 1000)"))
+    // [TRY_]CAST(x AS JSON) → the DuckJsonCast expression (the ::JSON
+    // spelling rewrites in rewriteJsonColonCasts before the parse)
+    for ((fn, suffix) <- Seq("cast" -> "", "try_cast" -> "_try")
+         if out.toLowerCase.contains(fn)) {
+      val AsJson = """(?is)^(.*\S)\s+AS\s+JSON\s*$""".r
+      out = fix(out, fn, 1, a => a.head.trim match {
+        case AsJson(inner) => Some(s"graft_json_cast$suffix($inner)")
+        case _ => None
+      })
+    }
     // DuckDB's array_prepend is (element, list) — Spark's is (list,
     // element). Runs BEFORE the array_push_front fix, whose output is
     // already in Spark argument order.
@@ -5631,7 +5653,120 @@ class SqlGateway(val spark: SparkSession) {
       rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
         rewriteDuckLiterals(escapeLiteralBackslashes(
           rewriteCurrentQuery(rewriteBareDatetimeKeywords(
-            rewriteBlobLiterals(rewriteMultiUnnest(sql))))))))))))
+            rewriteIntervalHms(rewriteBlobLiterals(rewriteJsonColonCasts(
+              rewriteMultiUnnest(sql))))))))))))))
+
+  /** `x::JSON` → `graft_json_cast(x)` (DuckJsonCast scaladoc). Spark's
+    * parser rejects the JSON type name, so the operand is captured by a
+    * BACKWARD scan over the postfix-primary grammar: string literals
+    * (with '' doubling, plus a DATE/TIMESTAMP/TIME/INTERVAL typed-literal
+    * keyword head), balanced (...)/[...]/{...} groups, identifiers and
+    * dotted/chained combinations thereof. Rightmost-first so positions
+    * stay valid. Anything the scan cannot own is left untouched — the
+    * JSON type name then refuses loudly in Spark's parser. */
+  private def rewriteJsonColonCasts(sql: String): String = {
+    if (!"""(?i)::\s*json(?![\w$])""".r.findFirstIn(sql).isDefined) return sql
+    val re = """(?i)::\s*JSON(?![\w$])""".r
+    var out = sql
+    re.findAllMatchIn(sql).toList.reverse.foreach { m =>
+      val outside = out.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (outside) {
+        val start = jsonCastOperandStart(out, m.start)
+        if (start >= 0)
+          out = out.substring(0, start) + "graft_json_cast(" +
+            out.substring(start, m.start) + ")" + out.substring(m.end)
+      }
+    }
+    out
+  }
+
+  /** Start index of the postfix-primary expression ending just before
+    * `pos`, or -1 when the shape is not recognized. */
+  private def jsonCastOperandStart(text: String, pos: Int): Int = {
+    var j = pos - 1
+    while (j >= 0 && text.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return -1
+    def idChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    var start = -1
+    var continue = true
+    while (continue && j >= 0) {
+      val c = text.charAt(j)
+      if (c == '\'') {
+        // string literal backward, '' doubling included
+        var k = j - 1; var open = -1
+        while (k >= 0 && open < 0) {
+          if (text.charAt(k) == '\'') {
+            if (k > 0 && text.charAt(k - 1) == '\'') k -= 2 else open = k
+          } else k -= 1
+        }
+        if (open < 0) return -1
+        start = open; j = open - 1
+        // typed-literal keyword head (DATE '...'::JSON casts the DATE)
+        var w = j
+        while (w >= 0 && text.charAt(w).isWhitespace) w -= 1
+        val e = w
+        while (w >= 0 && idChar(text.charAt(w))) w -= 1
+        val word = text.substring(w + 1, e + 1).toUpperCase
+        if (Set("DATE", "TIMESTAMP", "TIME", "INTERVAL").contains(word)) {
+          start = w + 1; j = w
+        }
+        continue = false
+      } else if (c == ')' || c == ']' || c == '}') {
+        val openCh = c match { case ')' => '('; case ']' => '['; case _ => '{' }
+        var depth = 0; var k = j; var inStr = false; var open = -1
+        while (k >= 0 && open < 0) {
+          val ch = text.charAt(k)
+          if (inStr) { if (ch == '\'') inStr = false }
+          else if (ch == '\'') inStr = true
+          else if (ch == c) depth += 1
+          else if (ch == openCh) { depth -= 1; if (depth == 0) open = k }
+          k -= 1
+        }
+        if (open < 0) return -1
+        start = open; j = open - 1
+        val prev = if (j >= 0) text.charAt(j) else ' '
+        // '(' preceded by a name is a function call — absorb the name;
+        // '[' subscripts whatever primary precedes it — keep scanning;
+        // a struct literal '{' (or a bare parenthesized group) is the
+        // head of the expression — stop
+        continue = (openCh == '(' && idChar(prev)) ||
+          (openCh == '[' && (idChar(prev) || prev == ')' || prev == ']' ||
+            prev == '\''))
+      } else if (idChar(c)) {
+        var k = j
+        while (k >= 0 && idChar(text.charAt(k))) k -= 1
+        start = k + 1; j = k
+        continue = false
+        // dotted qualification continues the scan (t.c::JSON)
+        if (j >= 0 && text.charAt(j) == '.') { j -= 1; continue = true }
+      } else return -1
+      // a chained cast ('1'::VARCHAR::JSON) continues leftward — the
+      // whole cast chain is the operand
+      if (!continue && j >= 1 && text.charAt(j) == ':' &&
+          text.charAt(j - 1) == ':') { j -= 2; continue = true }
+    }
+    start
+  }
+
+  /** DuckDB's clock-spelled interval strings — `INTERVAL '1:02:03[.5]'`
+    * (H:M:S) and `INTERVAL '1:02'` (H:M) — become Spark's qualified
+    * day-time literals (`HOUR TO SECOND` / `HOUR TO MINUTE`). Spellings
+    * already carrying a qualifier keyword stay untouched. */
+  private val IntervalHmsRe =
+    ("""(?i)\bINTERVAL\s+'(\d+):(\d{1,2})(:\d{1,2}(?:\.\d+)?)?'""" +
+     """(?!\s*(?:HOUR|MINUTE|SECOND|DAY|MONTH|YEAR|TO)\b)""").r
+  private def rewriteIntervalHms(sql: String): String = {
+    if (!sql.toLowerCase.contains("interval")) return sql
+    IntervalHmsRe.replaceAllIn(sql, m => {
+      val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
+      if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val qual = if (m.group(3) != null) "HOUR TO SECOND" else "HOUR TO MINUTE"
+        java.util.regex.Matcher.quoteReplacement(
+          s"INTERVAL '${m.group(1)}:${m.group(2)}${Option(m.group(3)).getOrElse("")}' $qual")
+      }
+    })
+  }
 
   /** DuckDB zips MULTIPLE unnests in one SELECT list to the longest
     * length, padding shorter (or NULL) lists with NULLs; scalar items
@@ -6787,20 +6922,39 @@ class SqlGateway(val spark: SparkSession) {
     }
     val aggs = aggSpecs.map { case (f, a) => aggExpr(f, a) }
     val aggArgs = aggSpecs.map(_._2).toSet
+    // `ON a, b` pivots the value COMBINATIONS, columns named a_b with '_'
+    // (probed: PIVOT t ON c, g USING sum(v) → x_a, x_b, y_a, y_b, value
+    // order ascending in both engines)
+    val onCols = splitTopLevel(on).map(_.trim)
     val groupCols = grp match {
       case Some(g) => splitTopLevel(g).map(c => col(c.trim))
       case None => // DuckDB default: group by every non-pivot, non-value column
         df.columns
-          .filterNot(c => c.equalsIgnoreCase(on) ||
+          .filterNot(c => onCols.exists(_.equalsIgnoreCase(c)) ||
             aggArgs.exists(_.equalsIgnoreCase(c)))
           .map(col).toSeq
     }
     val grouped = df.groupBy(groupCols: _*)
+    val pivCol = if (onCols.size == 1) col(onCols.head)
+      else concat_ws("_", onCols.map(col): _*)
     // `ON c IN (v1, ...)` pivots only the listed values (probed)
     val piv = inVals match {
-      case Some(vs) => grouped.pivot(on, splitTopLevel(vs).map(v =>
+      case Some(vs) => grouped.pivot(pivCol, splitTopLevel(vs).map(v =>
         v.trim.stripPrefix("'").stripSuffix("'")))
-      case None => grouped.pivot(on)
+      case None if onCols.size > 1 =>
+        // DuckDB enumerates the CROSS PRODUCT of each ON column's
+        // distinct values — unobserved combinations appear as NULL
+        // columns (probed: x_b, y_b exist with one (b,x) row). One
+        // bounded distinct-collect per ON column, like Spark's own
+        // implicit pivot.
+        val perCol = onCols.map(c => df.select(col(c)).distinct()
+          .collect().map(r => Option(r.get(0)).map(_.toString).getOrElse("NULL"))
+          .sorted.toSeq)
+        val combos = perCol.foldLeft(Seq("")) { (acc, vs) =>
+          acc.flatMap(p => vs.map(v => if (p.isEmpty) v else s"${p}_$v"))
+        }
+        grouped.pivot(pivCol, combos)
+      case None => grouped.pivot(pivCol)
     }
     val pivoted = piv.agg(aggs.head, aggs.tail: _*)
     // bare-count pivots ZERO-fill the absent cells (probed); aggregate

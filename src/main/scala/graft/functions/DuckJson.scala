@@ -2,7 +2,7 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -234,4 +234,103 @@ case class DuckJsonContains(left: Expression, right: Expression)
       s"graft.functions.DuckJsonKernels.jsonContains($a, $b)")
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): DuckJsonContains = copy(left = l, right = r)
+}
+
+/** DuckDB's cast-to-JSON (`x::JSON`, `CAST(x AS JSON)` — the gateway
+  * rewrites both spellings onto this): VARCHAR input must be VALID json
+  * and passes through VERBATIM (probed: '{"a":  1}' keeps its spaces;
+  * 'hi' is a Conversion Error, NULL under TRY_CAST); any other input
+  * renders as compact JSON text — numbers plain, booleans bare,
+  * date/timestamp as quoted strings, structs/lists/maps recursively
+  * with jackson's escaping (probed: {'a':1}::JSON = '{"a":1}').
+  * The JSON type itself is VARCHAR-valued in DuckDB (data_type_id 25). */
+case class DuckJsonCast(child: Expression, tryMode: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  private lazy val mapper = new ObjectMapper()
+
+  private def node(v: Any, dt: DataType): JsonNode = {
+    if (v == null) return mapper.nullNode()
+    dt match {
+      case _: StringType =>
+        mapper.getNodeFactory.textNode(v.asInstanceOf[UTF8String].toString)
+      case BooleanType => mapper.getNodeFactory.booleanNode(v.asInstanceOf[Boolean])
+      case ByteType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Byte].toLong)
+      case ShortType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Short].toLong)
+      case IntegerType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Int].toLong)
+      case LongType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Long])
+      case FloatType => mapper.getNodeFactory.numberNode(
+        new java.math.BigDecimal(v.asInstanceOf[Float].toString))
+      case DoubleType => mapper.getNodeFactory.numberNode(
+        new java.math.BigDecimal(v.asInstanceOf[Double].toString))
+      case _: DecimalType => mapper.getNodeFactory.numberNode(
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case _: DateType => mapper.getNodeFactory.textNode(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case _: TimestampType =>
+        val micros = v.asInstanceOf[Long]
+        val ldt = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L), java.time.ZoneOffset.UTC)
+        val base = ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
+        mapper.getNodeFactory.textNode(
+          if (ldt.toLocalTime.getSecond == 0 && ldt.toLocalTime.getNano == 0)
+            base + ":00" else base)
+      case at: ArrayType =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val out = mapper.createArrayNode()
+        var i = 0
+        while (i < arr.numElements()) {
+          out.add(node(arr.get(i, at.elementType), at.elementType)); i += 1
+        }
+        out
+      case st: StructType =>
+        val row = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val out = mapper.createObjectNode()
+        var i = 0
+        while (i < st.fields.length) {
+          val f = st.fields(i)
+          out.set[JsonNode](f.name, node(row.get(i, f.dataType), f.dataType))
+          i += 1
+        }
+        out
+      case mt: MapType =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val out = mapper.createObjectNode()
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = keys.get(i, mt.keyType)
+          val kText = if (k == null) "null" else k.toString
+          out.set[JsonNode](kText, node(vals.get(i, mt.valueType), mt.valueType))
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(
+        s"cast ${other.catalogString} to JSON unsupported")
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    child.dataType match {
+      case _: StringType =>
+        val text = v.asInstanceOf[UTF8String].toString
+        try { mapper.readTree(text); v } // verbatim when valid (probed)
+        catch {
+          case _: Throwable if tryMode => null
+          case _: Throwable => throw new IllegalArgumentException(
+            s"Malformed JSON in cast to JSON. Input: ${text.take(50)}")
+        }
+      case dt => UTF8String.fromString(mapper.writeValueAsString(node(v, dt)))
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): DuckJsonCast =
+    copy(child = c)
 }

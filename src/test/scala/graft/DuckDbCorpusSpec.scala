@@ -3188,6 +3188,53 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("UPDATE ci_du SET b = DEFAULT"),
     q("SELECT a, b FROM ci_du", Seq(7, null)),
     s("DROP TABLE ci_du"),
+    // ::JSON / CAST(x AS JSON): VARCHAR validates and passes VERBATIM
+    // (spaces kept), anything else renders compact; malformed strings
+    // error (NULL under TRY_CAST) — all probed
+    q("SELECT 1::JSON AS a, true::JSON AS b, 1.5::JSON AS g",
+      Seq("1", "true", "1.5")),
+    q("SELECT '{\"a\":  1}'::JSON AS d", Seq("{\"a\":  1}")),
+    q("SELECT TRY_CAST('hi' AS JSON) AS i", Seq(null)),
+    err("SELECT 'hi'::JSON AS c", "Malformed JSON"),
+    q("SELECT [1,2]::JSON AS f", Seq("[1,2]")),
+    q("SELECT CAST({'a': 1} AS JSON) AS h", Seq("{\"a\":1}")),
+    q("SELECT {'a': [1,2], 'b': {'c': 'x'}}::JSON AS j",
+      Seq("{\"a\":[1,2],\"b\":{\"c\":\"x\"}}")),
+    q("SELECT DATE '2024-01-01'::JSON AS k", Seq("\"2024-01-01\"")),
+    q("SELECT TIMESTAMP '2024-01-01 10:20:30'::JSON AS t",
+      Seq("\"2024-01-01 10:20:30\"")),
+    q("SELECT NULL::JSON AS e", Seq(null)),
+    q("SELECT col->>'b' AS x FROM (SELECT '{\"b\": 7}'::JSON AS col)",
+      Seq("7")),
+    q("SELECT '1'::VARCHAR::JSON AS c", Seq("1")), // chained-cast operand
+    q("SELECT t.c::JSON AS j FROM (SELECT '{\"x\":1}' AS c) t",
+      Seq("{\"x\":1}")),
+    // clock-spelled interval strings (probed: '1:02:03' is H:M:S,
+    // '1:02' is H:M)
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:02:03' AS t",
+      Seq("2024-01-01 01:02:03")),
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:02' AS m",
+      Seq("2024-01-01 01:02:00")),
+    // multi-column PIVOT: the CROSS PRODUCT of each ON column's distinct
+    // values, '_'-joined names, unobserved combos as NULL columns (probed)
+    s("CREATE TABLE ci_pv(g VARCHAR, c VARCHAR, v INTEGER)"),
+    s("INSERT INTO ci_pv VALUES ('a','x',1),('a','y',2),('b','x',3)"),
+    C("PIVOT ci_pv ON c, g USING sum(v)",
+      Some(Seq(Seq(1, 3, 2, null))), ordered = true),
+    C("PIVOT ci_pv ON c IN ('x') USING sum(v), count(*) GROUP BY g " +
+      "ORDER BY g", Some(Seq(Seq("a", 1, 1), Seq("b", 3, 1))), ordered = true),
+    s("DROP TABLE ci_pv"),
+    // CREATE OR REPLACE SEQUENCE resets the counter (probed)
+    s("CREATE OR REPLACE SEQUENCE ci_rs START 3"),
+    q("SELECT nextval('ci_rs') AS v", Seq(3)),
+    s("CREATE OR REPLACE SEQUENCE ci_rs START 9"),
+    q("SELECT nextval('ci_rs') AS v", Seq(9)),
+    s("DROP SEQUENCE ci_rs"),
+    // already-working corners, value-pinned (probed)
+    q("SELECT '2024-01-01'::DATE + 1 AS d", Seq("2024-01-02")),
+    q("SELECT if(1 > 0, 'y', 'n') AS i", Seq("y")),
+    q("SELECT 3 IN (SELECT unnest([1,2,3])) AS i", Seq(true)),
+    q("SELECT position('lo' IN 'hello') AS p", Seq(4)),
     // multiple unnests in one SELECT zip to the longest list, NULL-padded;
     // a NULL list pads without shrinking the row count; scalars repeat
     // (all probed — rewriteMultiUnnest)
