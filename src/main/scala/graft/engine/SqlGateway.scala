@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
 import scala.collection.concurrent.TrieMap
@@ -467,8 +467,15 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(0L)
       case CreateSeqRe(orReplace, ine, name, spec) =>
         // OR REPLACE resets the whole sequence state (probed: the counter
-        // restarts at the new START)
+        // restarts at the new START). Replacing an EXISTING sequence
+        // inside a transaction is refused like DROP SEQUENCE — rollback
+        // restores sequences by key set only and could not resurrect the
+        // replaced counter.
         if (orReplace != null) {
+          if (inTxn && sequences.contains(name.toLowerCase))
+            throw new IllegalArgumentException(
+              "CREATE OR REPLACE SEQUENCE of an existing sequence inside " +
+                "a transaction is not supported")
           sequences.remove(name.toLowerCase)
           seqLast.remove(name.toLowerCase)
           seqStarts.remove(name.toLowerCase)
@@ -5665,16 +5672,29 @@ class SqlGateway(val spark: SparkSession) {
     * stay valid. Anything the scan cannot own is left untouched — the
     * JSON type name then refuses loudly in Spark's parser. */
   private def rewriteJsonColonCasts(sql: String): String = {
-    if (!"""(?i)::\s*json(?![\w$])""".r.findFirstIn(sql).isDefined) return sql
     val re = """(?i)::\s*JSON(?![\w$])""".r
+    if (!re.findFirstIn(sql).isDefined) return sql
+    // leftmost-first with a FULL re-scan after each rewrite: a nested
+    // cast (`f(x::JSON)::JSON`) sits inside the outer operand, so any
+    // batch of precomputed offsets goes stale the moment one rewrite
+    // inserts text. Each pass removes one `::JSON`, so this terminates.
     var out = sql
-    re.findAllMatchIn(sql).toList.reverse.foreach { m =>
-      val outside = out.substring(0, m.start).count(_ == '\'') % 2 == 0
-      if (outside) {
-        val start = jsonCastOperandStart(out, m.start)
-        if (start >= 0)
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      guard += 1
+      more = false
+      // first match (left to right) whose operand the scan can own; an
+      // unownable match is skipped rather than blocking later ones
+      re.findAllMatchIn(out)
+        .filter(m => out.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        .map(m => (m, jsonCastOperandStart(out, m.start)))
+        .find(_._2 >= 0) match {
+        case Some((m, start)) =>
           out = out.substring(0, start) + "graft_json_cast(" +
             out.substring(start, m.start) + ")" + out.substring(m.end)
+          more = true
+        case None => ()
       }
     }
     out
@@ -5707,7 +5727,8 @@ class SqlGateway(val spark: SparkSession) {
         val e = w
         while (w >= 0 && idChar(text.charAt(w))) w -= 1
         val word = text.substring(w + 1, e + 1).toUpperCase
-        if (Set("DATE", "TIMESTAMP", "TIME", "INTERVAL").contains(word)) {
+        if (Set("DATE", "TIMESTAMP", "TIMESTAMPTZ", "DATETIME", "TIME",
+            "TIMETZ", "INTERVAL").contains(word)) {
           start = w + 1; j = w
         }
         continue = false
@@ -5761,6 +5782,9 @@ class SqlGateway(val spark: SparkSession) {
       val outside = sql.substring(0, m.start).count(_ == '\'') % 2 == 0
       if (!outside) java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
+        // both engines FIELD-CHECK the clock parts (probed: DuckDB
+        // refuses '0:90' and '0:10:90' exactly like Spark's qualified
+        // literal will) — same loud failure mode, no normalization
         val qual = if (m.group(3) != null) "HOUR TO SECOND" else "HOUR TO MINUTE"
         java.util.regex.Matcher.quoteReplacement(
           s"INTERVAL '${m.group(1)}:${m.group(2)}${Option(m.group(3)).getOrElse("")}' $qual")
@@ -6934,28 +6958,37 @@ class SqlGateway(val spark: SparkSession) {
             aggArgs.exists(_.equalsIgnoreCase(c)))
           .map(col).toSeq
     }
-    val grouped = df.groupBy(groupCols: _*)
-    val pivCol = if (onCols.size == 1) col(onCols.head)
-      else concat_ws("_", onCols.map(col): _*)
-    // `ON c IN (v1, ...)` pivots only the listed values (probed)
-    val piv = inVals match {
-      case Some(vs) => grouped.pivot(pivCol, splitTopLevel(vs).map(v =>
-        v.trim.stripPrefix("'").stripSuffix("'")))
-      case None if onCols.size > 1 =>
-        // DuckDB enumerates the CROSS PRODUCT of each ON column's
-        // distinct values — unobserved combinations appear as NULL
-        // columns (probed: x_b, y_b exist with one (b,x) row). One
-        // bounded distinct-collect per ON column, like Spark's own
-        // implicit pivot.
-        val perCol = onCols.map(c => df.select(col(c)).distinct()
-          .collect().map(r => Option(r.get(0)).map(_.toString).getOrElse("NULL"))
-          .sorted.toSeq)
-        val combos = perCol.foldLeft(Seq("")) { (acc, vs) =>
-          acc.flatMap(p => vs.map(v => if (p.isEmpty) v else s"${p}_$v"))
-        }
-        grouped.pivot(pivCol, combos)
-      case None => grouped.pivot(pivCol)
+    // DuckDB pivot semantics, all probed: rows with a NULL in any ON
+    // column are DROPPED (no "NULL" column, their measures vanish);
+    // column names are the values' string renderings '_'-joined; and
+    // column order is LEXICAL over those strings even for numeric ON
+    // columns ('10_x' before '2_x', single-col '10' before '2') —
+    // Spark's implicit pivot would keep NULLs and sort natively, so the
+    // value list is always computed explicitly (one bounded
+    // distinct-collect per ON column).
+    val dfNn = df.filter(onCols.map(c => col(c).isNotNull).reduce(_ && _))
+    val grouped = dfNn.groupBy(groupCols: _*)
+    val pivCol =
+      if (onCols.size == 1) col(onCols.head).cast("string")
+      else concat_ws("_", onCols.map(c => col(c).cast("string")): _*)
+    def distinctsOf(cols: Seq[String]): Seq[String] = {
+      val perCol = cols.map(c => dfNn.select(col(c).cast("string"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq)
+      perCol.foldLeft(Seq("")) { (acc, vs) =>
+        acc.flatMap(p => vs.map(v => if (p.isEmpty) v else s"${p}_$v"))
+      }
     }
+    // `ON ... IN (v1, ...)` applies to the LAST ON column (probed:
+    // `ON g, c IN ('x')` crosses distinct(g) with the list)
+    val values = inVals match {
+      case Some(vs) =>
+        val inList = splitTopLevel(vs).map(v =>
+          v.trim.stripPrefix("'").stripSuffix("'"))
+        if (onCols.size == 1) inList
+        else distinctsOf(onCols.init).flatMap(p => inList.map(v => s"${p}_$v"))
+      case None => distinctsOf(onCols)
+    }
+    val piv = grouped.pivot(pivCol, values)
     val pivoted = piv.agg(aggs.head, aggs.tail: _*)
     // bare-count pivots ZERO-fill the absent cells (probed); aggregate
     // pivots keep NULL
@@ -6966,7 +6999,30 @@ class SqlGateway(val spark: SparkSession) {
         else coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
     } else pivoted
     ord.map(o => filled.orderBy(
-      splitTopLevel(o).map(e => expr(e.trim)): _*)).getOrElse(filled)
+      splitTopLevel(o).map(pivotSortExpr): _*)).getOrElse(filled)
+  }
+
+  /** PIVOT's ORDER BY keys with DuckDB's NULLS LAST default for both
+    * directions (the statement-level explicitNulls pass only sees SELECT
+    * text, so the pivot path applies it here). */
+  private def pivotSortExpr(item: String): Column = {
+    val NullsRe2 = """(?is)^(.*?)\s+NULLS\s+(FIRST|LAST)\s*$""".r
+    val DescRe = """(?is)^(.*?)\s+(ASC|DESC)\s*$""".r
+    val (noNulls, nulls) = item.trim match {
+      case NullsRe2(b, n) => (b.trim, Some(n.toUpperCase))
+      case other => (other.trim, None)
+    }
+    val (body, desc) = noNulls match {
+      case DescRe(b, d) => (b.trim, d.equalsIgnoreCase("DESC"))
+      case other => (other, false)
+    }
+    val base = expr(body)
+    (desc, nulls.getOrElse("LAST")) match {
+      case (false, "LAST") => base.asc_nulls_last
+      case (false, _) => base.asc_nulls_first
+      case (true, "LAST") => base.desc_nulls_last
+      case (true, _) => base.desc_nulls_first
+    }
   }
 
   private def summarize(df: org.apache.spark.sql.DataFrame): DataFrame = {

@@ -252,7 +252,30 @@ case class DuckJsonCast(child: Expression, tryMode: Boolean)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  private lazy val mapper = new ObjectMapper()
+  private lazy val mapper = {
+    val m = new ObjectMapper()
+    // a VARCHAR cast must reject trailing garbage like DuckDB (probed:
+    // '{"a":1} xyz' is a Conversion Error)
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
+  /** DuckDB's double-in-JSON rendering (probed): NaN / Infinity /
+    * -Infinity emit BARE (DuckDB writes them unquoted), finite doubles in
+    * plain decimal with at least one fractional digit (1e20 →
+    * '100000000000000000000.0', 2.0 → '2.0', 1.5 → '1.5'). */
+  private def doubleNode(d: Double): JsonNode =
+    if (d.isNaN || d.isInfinite)
+      mapper.getNodeFactory.rawValueNode(
+        new com.fasterxml.jackson.databind.util.RawValue(
+          if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity"))
+    else {
+      val plain = java.math.BigDecimal.valueOf(d).toPlainString
+      mapper.getNodeFactory.rawValueNode(
+        new com.fasterxml.jackson.databind.util.RawValue(
+          if (plain.contains('.')) plain else plain + ".0"))
+    }
 
   private def node(v: Any, dt: DataType): JsonNode = {
     if (v == null) return mapper.nullNode()
@@ -264,10 +287,8 @@ case class DuckJsonCast(child: Expression, tryMode: Boolean)
       case ShortType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Short].toLong)
       case IntegerType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Int].toLong)
       case LongType => mapper.getNodeFactory.numberNode(v.asInstanceOf[Long])
-      case FloatType => mapper.getNodeFactory.numberNode(
-        new java.math.BigDecimal(v.asInstanceOf[Float].toString))
-      case DoubleType => mapper.getNodeFactory.numberNode(
-        new java.math.BigDecimal(v.asInstanceOf[Double].toString))
+      case FloatType => doubleNode(v.asInstanceOf[Float].toDouble)
+      case DoubleType => doubleNode(v.asInstanceOf[Double])
       case _: DecimalType => mapper.getNodeFactory.numberNode(
         v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
       case _: DateType => mapper.getNodeFactory.textNode(
@@ -277,10 +298,14 @@ case class DuckJsonCast(child: Expression, tryMode: Boolean)
         val ldt = java.time.LocalDateTime.ofInstant(
           java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
             Math.floorMod(micros, 1000000L) * 1000L), java.time.ZoneOffset.UTC)
-        val base = ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
+        val t = ldt.toLocalTime
+        // DuckDB renders seconds always and trims the fraction's trailing
+        // zeros (probed: 10:20:30.5 stays '.5', not '.500')
+        val frac = if (t.getNano == 0) ""
+          else ("." + f"${t.getNano}%09d").reverse.dropWhile(_ == '0').reverse
         mapper.getNodeFactory.textNode(
-          if (ldt.toLocalTime.getSecond == 0 && ldt.toLocalTime.getNano == 0)
-            base + ":00" else base)
+          ldt.toLocalDate.toString +
+            f" ${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d$frac")
       case at: ArrayType =>
         val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val out = mapper.createArrayNode()
@@ -322,8 +347,14 @@ case class DuckJsonCast(child: Expression, tryMode: Boolean)
     child.dataType match {
       case _: StringType =>
         val text = v.asInstanceOf[UTF8String].toString
-        try { mapper.readTree(text); v } // verbatim when valid (probed)
-        catch {
+        try {
+          val tree = mapper.readTree(text)
+          // jackson returns MissingNode for empty input without throwing;
+          // DuckDB errors on it (probed: ''::JSON is a Conversion Error)
+          if (tree == null || tree.isMissingNode)
+            throw new IllegalArgumentException("empty input")
+          v // verbatim when valid (probed: whitespace kept)
+        } catch {
           case _: Throwable if tryMode => null
           case _: Throwable => throw new IllegalArgumentException(
             s"Malformed JSON in cast to JSON. Input: ${text.take(50)}")

@@ -3209,6 +3209,21 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT '1'::VARCHAR::JSON AS c", Seq("1")), // chained-cast operand
     q("SELECT t.c::JSON AS j FROM (SELECT '{\"x\":1}' AS c) t",
       Seq("{\"x\":1}")),
+    // strict validation (probed: empty and trailing-garbage inputs are
+    // Conversion Errors), exotic doubles render bare/plain, nested casts
+    err("SELECT ''::JSON AS e", "Malformed JSON"),
+    err("SELECT '{\"a\":1} xyz'::JSON AS t", "Malformed JSON"),
+    q("SELECT ('inf'::DOUBLE)::JSON AS i, TRY_CAST('nan'::DOUBLE AS JSON) AS n",
+      Seq("Infinity", "NaN")),
+    q("SELECT (1e20)::JSON AS e, 2.0::DOUBLE::JSON AS w",
+      Seq("100000000000000000000.0", "2.0")),
+    q("SELECT {'a': 'inf'::DOUBLE}::JSON AS j", Seq("{\"a\":Infinity}")),
+    q("SELECT TIMESTAMP '2024-01-01 10:20:30.5'::JSON AS t",
+      Seq("\"2024-01-01 10:20:30.5\"")),
+    q("SELECT json_extract(c::JSON, 'a')::JSON AS nested " +
+      "FROM (SELECT '{\"a\": {\"b\": 1}}' AS c)", Seq("{\"b\":1}")),
+    // field-checked clock intervals refuse out-of-range parts like DuckDB
+    err("SELECT INTERVAL '0:90' AS bad", "minute"),
     // clock-spelled interval strings (probed: '1:02:03' is H:M:S,
     // '1:02' is H:M)
     q("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:02:03' AS t",
@@ -3216,14 +3231,26 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:02' AS m",
       Seq("2024-01-01 01:02:00")),
     // multi-column PIVOT: the CROSS PRODUCT of each ON column's distinct
-    // values, '_'-joined names, unobserved combos as NULL columns (probed)
+    // values, '_'-joined names, unobserved combos as NULL columns; rows
+    // with NULL in an ON column are DROPPED; column order is LEXICAL even
+    // for numeric ON values; IN applies to the LAST ON column (all probed)
     s("CREATE TABLE ci_pv(g VARCHAR, c VARCHAR, v INTEGER)"),
-    s("INSERT INTO ci_pv VALUES ('a','x',1),('a','y',2),('b','x',3)"),
+    s("INSERT INTO ci_pv VALUES ('a','x',1),('a','y',2),('b','x',3)," +
+      "(NULL,'x',5)"),
     C("PIVOT ci_pv ON c, g USING sum(v)",
       Some(Seq(Seq(1, 3, 2, null))), ordered = true),
+    C("PIVOT ci_pv ON g, c IN ('x') USING sum(v)",
+      Some(Seq(Seq(1, 3))), ordered = true),
     C("PIVOT ci_pv ON c IN ('x') USING sum(v), count(*) GROUP BY g " +
-      "ORDER BY g", Some(Seq(Seq("a", 1, 1), Seq("b", 3, 1))), ordered = true),
+      "ORDER BY g NULLS LAST",
+      Some(Seq(Seq("a", 1, 1), Seq("b", 3, 1), Seq(null, 5, 1))),
+      ordered = true),
     s("DROP TABLE ci_pv"),
+    s("CREATE TABLE ci_pvn(n INTEGER, c VARCHAR, v INTEGER)"),
+    s("INSERT INTO ci_pvn VALUES (2,'x',1),(10,'x',3)"),
+    C("PIVOT ci_pvn ON n, c USING sum(v)", // lexical: 10_x before 2_x
+      Some(Seq(Seq(3, 1))), ordered = true),
+    s("DROP TABLE ci_pvn"),
     // CREATE OR REPLACE SEQUENCE resets the counter (probed)
     s("CREATE OR REPLACE SEQUENCE ci_rs START 3"),
     q("SELECT nextval('ci_rs') AS v", Seq(3)),
