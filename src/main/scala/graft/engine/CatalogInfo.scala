@@ -41,7 +41,7 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
   private val resolvingViews = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
-  private def viewSchemaOf(name: String): Option[StructType] =
+  private[engine] def viewSchemaOf(name: String): Option[StructType] =
     if (resolvingViews.get()) None
     else {
       resolvingViews.set(true)

@@ -346,7 +346,7 @@ class SqlGateway(val spark: SparkSession) {
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+""" +
      """(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+(.+?)\s*""").r
   private val AlterDropColRe =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   // COPY, reachable through the reference's passthrough like every other
   // DuckDB statement (`db/db.go:52`, `db/db.go:70`): `COPY t TO 'p'
   // (FORMAT ...)`, `COPY (SELECT ...) TO 'p' (...)`, `COPY t FROM 'p'
@@ -643,8 +643,11 @@ class SqlGateway(val spark: SparkSession) {
         alterColumnType(table, colName, typeSpec, Option(using))
       case AlterAddColRe(table, ifNotExists, colName, spec) =>
         alterAddColumn(table, ifNotExists != null, colName, spec)
-      case AlterDropColRe(table, colName) =>
-        alterDropColumn(table, colName)
+      case AlterDropColRe(table, ife, colName) =>
+        // DROP COLUMN IF EXISTS of a missing column is a no-op (probed)
+        if (ife != null && !spark.table(table).columns
+            .exists(_.equalsIgnoreCase(colName))) ExecuteResult(0L)
+        else alterDropColumn(table, colName)
       case CopyQueryToRe(query, path, optSpec) =>
         copyTo(runSql(query), path, optSpec)
       case CopyTableToRe(table, path, optSpec) =>
@@ -748,7 +751,42 @@ class SqlGateway(val spark: SparkSession) {
 
   private val ExplainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.*)""".r
   private val ShowTablesStmtRe = """(?is)\s*SHOW\s+TABLES\s*""".r
+  private val ShowAllTablesRe = """(?is)\s*SHOW\s+ALL\s+TABLES\s*""".r
   private val ShowTableRe = """(?is)\s*SHOW\s+([\w.]+)\s*""".r
+
+  /** `SHOW ALL TABLES` — DuckDB's six-column shape (probed): (database,
+    * schema, name, column_names LIST, column_types LIST, temporary),
+    * tables and views both, name-ordered. */
+  private def showAllTablesDf: DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("database", StringType), StructField("schema", StringType),
+      StructField("name", StringType),
+      StructField("column_names", ArrayType(StringType)),
+      StructField("column_types", ArrayType(StringType)),
+      StructField("temporary", BooleanType)))
+    val tableNames = spark.catalog.listTables().collect()
+      .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+      .map(_.name)
+      .filterNot(n => viewEntries.exists(_._1.equalsIgnoreCase(n)))
+    val tableRows = tableNames.map { n =>
+      val fs = spark.table(n).schema.fields
+      org.apache.spark.sql.Row("memory", "main", n,
+        fs.map(_.name).toSeq, fs.map(Results.duckTypeName(_)).toSeq,
+        tempTables.contains(tableKey(n)))
+    }
+    val viewRows = viewEntries.map { case (n, _, _) =>
+      // catalogInfo's resolver carries the re-entry guard (a view whose
+      // body says SHOW ALL TABLES must not recurse)
+      val fs = catalogInfo.viewSchemaOf(n)
+        .map(_.fields).getOrElse(Array.empty[StructField])
+      org.apache.spark.sql.Row("memory", "main", n,
+        fs.map(_.name).toSeq, fs.map(Results.duckTypeName(_)).toSeq, false)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList((tableRows ++ viewRows).sortBy(_.getString(2)): _*),
+      schema)
+  }
 
   /** `INSERT/UPDATE/DELETE … RETURNING <items>` (DuckDB DML-with-rows,
     * reachable via db/db.go:70 since the reference sends every statement
@@ -821,6 +859,7 @@ class SqlGateway(val spark: SparkSession) {
     // three-column shape would silently diverge); `SHOW <table>` is
     // DESCRIBE (probed: identical six-column output)
     case ShowTablesStmtRe() => showTablesDf
+    case ShowAllTablesRe() => showAllTablesDf
     case ShowTableRe(table) if spark.catalog.tableExists(table) =>
       describe(table)
     case PragmaVersionRe() => pragmaVersionDf
@@ -1653,8 +1692,16 @@ class SqlGateway(val spark: SparkSession) {
       val paths = PathLitRe.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
       readFunction(kind, paths, Option(m.group(4)).getOrElse(""))
     }
-    val afterCat = substitute(afterRead,
-        CatFnRe.findAllMatchIn(afterRead).toList) { m =>
+    // parenthesized DESCRIBE / SHOW ALL TABLES are derived tables in
+    // DuckDB (probed) — substituted like the read functions
+    val DescSubRe =
+      """(?i)\(\s*(?:DESCRIBE\s+([\w.]+)|(SHOW\s+ALL\s+TABLES))\s*\)""".r
+    val afterDesc = substitute(afterRead,
+        DescSubRe.findAllMatchIn(afterRead).toList) { m =>
+      if (m.group(1) != null) describe(m.group(1)) else showAllTablesDf
+    }
+    val afterCat = substitute(afterDesc,
+        CatFnRe.findAllMatchIn(afterDesc).toList) { m =>
       val arg = Option(m.group(2)).orElse(Option(m.group(3)))
       val name = m.group(1).toLowerCase
       // only pragma_table_info takes an argument — DuckDB raises a binder
@@ -7259,7 +7306,17 @@ class SqlGateway(val spark: SparkSession) {
         "pivot", "unpivot").contains(lead))
       throw new IllegalArgumentException(
         s"""syntax error at or near "${query.trim.split("\\s+", 2)(0)}"""")
-    createFromData(table, queryDf0(query))
+    // `... WITH NO DATA` creates the schema only (probed; quote-parity
+    // guarded so literal text never triggers it)
+    val NoData = """(?is)^(.*?)\s+WITH\s+NO\s+DATA\s*$""".r
+    val (body, noData) = maskStringLiterals(query) match {
+      case NoData(_) =>
+        (query.substring(0, NoData.findFirstMatchIn(
+          maskStringLiterals(query)).get.group(1).length), true)
+      case _ => (query, false)
+    }
+    val df = queryDf0(body)
+    createFromData(table, if (noData) df.limit(0) else df)
     constraints.remove(tableKey(table))
     ExecuteResult(spark.table(table).count())
   }

@@ -3251,6 +3251,22 @@ class DuckDbCorpusSpec extends SparkTestBase {
     C("PIVOT ci_pvn ON n, c USING sum(v)", // lexical: 10_x before 2_x
       Some(Seq(Seq(3, 1))), ordered = true),
     s("DROP TABLE ci_pvn"),
+    // SHOW ALL TABLES (duck's 6-column shape), CTAS WITH NO DATA,
+    // parenthesized DESCRIBE as a derived table, DROP COLUMN IF EXISTS
+    // no-op (all probed)
+    s("CREATE TABLE ci_sh(a INTEGER, b VARCHAR)"),
+    s("INSERT INTO ci_sh VALUES (1,'x')"),
+    q("SELECT database, schema, name, column_names, column_types, " +
+      "temporary FROM (SHOW ALL TABLES) WHERE name='ci_sh'",
+      Seq("memory", "main", "ci_sh", Seq("a", "b"),
+        Seq("INTEGER", "VARCHAR"), false)),
+    s("CREATE TABLE ci_nd AS SELECT * FROM ci_sh WITH NO DATA"),
+    q("SELECT count(*) AS n FROM ci_nd", Seq(0)),
+    q("SELECT column_name, column_type FROM (DESCRIBE ci_sh) ORDER BY 1",
+      Seq("a", "INTEGER"), Seq("b", "VARCHAR")),
+    s("ALTER TABLE ci_sh DROP COLUMN IF EXISTS missing"),
+    q("SELECT a, b FROM ci_sh", Seq(1, "x")),
+    s("DROP TABLE ci_sh"), s("DROP TABLE ci_nd"),
     // CREATE OR REPLACE SEQUENCE resets the counter (probed)
     s("CREATE OR REPLACE SEQUENCE ci_rs START 3"),
     q("SELECT nextval('ci_rs') AS v", Seq(3)),
