@@ -333,6 +333,8 @@ class SqlGateway(val spark: SparkSession) {
   private val ImportDbRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val AlterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterViewRenameRe =
+    """(?is)\s*ALTER\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
   private val AlterRenameTableRe =
     """(?is)\s*ALTER\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
   private val AlterSetDefaultRe =
@@ -633,6 +635,8 @@ class SqlGateway(val spark: SparkSession) {
         ExecuteResult(Snapshot.importDatabase(this, dir).size.toLong)
       case AlterRenameRe(table, from, to) =>
         alterRenameColumn(table, from, to)
+      case AlterViewRenameRe(ife, from, to) =>
+        renameView(ife != null, from, to)
       case AlterRenameTableRe(ife, from, to) =>
         renameTable(ife != null, from, to)
       case AlterSetDefaultRe(table, colName, dflt) =>
@@ -5792,7 +5796,7 @@ class SqlGateway(val spark: SparkSession) {
         }
         if (open < 0) return -1
         start = open; j = open - 1
-        val prev = if (j >= 0) text.charAt(j) else ' '
+        val prev = if (j >= 0) text.charAt(j) else ' '
         // '(' preceded by a name is a function call — absorb the name;
         // '[' subscripts whatever primary precedes it — keep scanning;
         // a struct literal '{' (or a bare parenthesized group) is the
@@ -6754,6 +6758,34 @@ class SqlGateway(val spark: SparkSession) {
       .select(col("tableName").as("name"))
     val views = userViews.keys.toSeq.toDF("name")
     catalog.union(views).distinct().orderBy("name")
+  }
+
+  /** `ALTER VIEW v RENAME TO u` — registry rename preserving the
+    * registration ORDER (snapshot export replays views in order, later
+    * views may reference earlier ones). Other views' bodies that named
+    * the old view break lazily at next use, like DuckDB's re-bind. */
+  private def renameView(ifExists: Boolean, from: String, to: String): ExecuteResult = {
+    val (kf, kt) = (tableKey(from), tableKey(to))
+    if (!userViews.contains(kf)) {
+      if (spark.catalog.tableExists(from))
+        throw new IllegalArgumentException(
+          "Can only modify table with ALTER TABLE statement")
+      if (ifExists) return ExecuteResult(0L)
+      throw new IllegalArgumentException(s"View with name $from does not exist!")
+    }
+    if (userViews.contains(kt) || spark.catalog.tableExists(to))
+      throw new IllegalArgumentException(
+        s"""Could not rename "$from" to "$to": another entry with this name already exists!""")
+    userViews = userViews.map {
+      case (k, (_, aliases, body)) if k == kf => kt -> (to, aliases, body)
+      case other => other
+    }
+    brokenViews.remove(kf).foreach(brokenViews(kt) = _)
+    viewGen.remove(kf) // stale → re-materialize under the new name at use
+    viewRefRe.remove(kf)
+    comments.remove(s"view:$kf").foreach(comments(s"view:$kt") = _)
+    try spark.catalog.dropTempView(kf) catch { case _: Throwable => () }
+    ExecuteResult(0L)
   }
 
   /** Drop every registered view (IMPORT DATABASE replaces whole-db state). */

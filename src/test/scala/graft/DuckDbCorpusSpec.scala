@@ -3111,6 +3111,18 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT view_name, column_count, sql FROM duckdb_views() " +
       "WHERE view_name='ci_v'",
       Seq("ci_v", 2, "CREATE VIEW ci_v AS SELECT a, b FROM ci_t;")),
+    // ALTER VIEW RENAME: registry rename, comment travels, old name gone
+    s("CREATE VIEW ci_avr AS SELECT a FROM ci_t"),
+    s("COMMENT ON VIEW ci_avr IS 'renamed view'"),
+    s("ALTER VIEW ci_avr RENAME TO ci_avr2"),
+    q("SELECT view_name, comment FROM duckdb_views() " +
+      "WHERE view_name='ci_avr2'", Seq("ci_avr2", "renamed view")),
+    q("SELECT count(*) AS n FROM duckdb_views() WHERE view_name='ci_avr'",
+      Seq(0)),
+    err("ALTER VIEW ci_missing RENAME TO x", "does not exist"),
+    err("ALTER VIEW ci_t RENAME TO nope", "ALTER TABLE"),
+    s("ALTER VIEW IF EXISTS ci_missing RENAME TO x"),
+    s("DROP VIEW ci_avr2"),
     s("SET threads TO 4"),
     q("SELECT value, input_type, scope FROM duckdb_settings() " +
       "WHERE name='threads'", Seq("4", "BIGINT", "GLOBAL")),
