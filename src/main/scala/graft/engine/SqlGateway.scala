@@ -397,6 +397,12 @@ class SqlGateway(val spark: SparkSession) {
     """(?is)\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|INDEX)\s+([\w.]+)\s+IS\s+(NULL|'(?:[^']|'')*')\s*""".r
   private val UseRe = """(?is)\s*USE\s+([\w.]+)\s*""".r
   private val ResetRe = """(?is)\s*RESET\s+(\w+)\s*""".r
+  // ATTACH/DETACH (DuckDB's multi-database surface) is out of this
+  // engine's deployment shape — the reference runs one database per node
+  // (`db/db.go:17`), and the gateway's catalog is single-database by
+  // design (SURVEY §3.3). A clean named refusal here beats handing the
+  // statement to Spark's parser for an unrelated syntax error.
+  private val AttachRe = """(?is)\s*(ATTACH|DETACH)\b.*""".r
   // named types: CREATE TYPE mood AS ENUM ('sad','ok','happy') — the
   // declared name then usable as a column type in CREATE TABLE
   private val CreateTypeRe =
@@ -425,6 +431,12 @@ class SqlGateway(val spark: SparkSession) {
         execute(bindPrepared(name, Option(args)))
       case TruncateRe(table) => delete(table, None)
       case CheckpointRe() | VacuumRe() => ExecuteResult(0L)
+      case AttachRe(verb) =>
+        throw new IllegalArgumentException(
+          s"${verb.toUpperCase} is not supported: this engine serves ONE " +
+            "database per service instance (the reference's deployment " +
+            "shape, db/db.go:17). Deploy a second service instance for a " +
+            "second database.")
       case AnalyzeRe(table) =>
         // real statistics for Catalyst's CBO, not an accept-and-ignore:
         // row counts + per-column NDV/nulls/min/max on the named table
@@ -811,6 +823,18 @@ class SqlGateway(val spark: SparkSession) {
   @volatile private[engine] var capturedReturning:
       Option[(org.apache.spark.sql.types.StructType,
         Array[org.apache.spark.sql.Row])] = None
+
+  /** RETURNING capture is a driver-side materialization feeding the JSON
+    * boundary, so it honors the SAME row cap as the read path
+    * (`Results.fromDataFrame`). Capped at cap+1: the boundary still sees
+    * the overflow row and flags `truncated` exactly like a SELECT would.
+    * Without this, `UPDATE big SET ... RETURNING *` collects the full
+    * affected set — a driver OOM at scale the read path already prevents. */
+  private def captureRows(df: DataFrame): Unit = {
+    val cap = spark.conf.getOption("graft.query.maxResultRows")
+      .map(_.toInt).getOrElse(Results.DefaultMaxRows)
+    capturedReturning = Some((df.schema, df.limit(cap + 1).collect()))
+  }
 
   private def runDmlReturning(dml: String, items: String): DataFrame =
     writeLock.synchronized {
@@ -1659,7 +1683,8 @@ class SqlGateway(val spark: SparkSession) {
   private lazy val catalogInfo = new CatalogInfo(this)
   private val CatFnRe =
     ("""(?i)(?<![\w.])(duckdb_(?:tables|columns|views|schemas|databases|""" +
-     """sequences|indexes|constraints|types|settings|keywords)""" +
+     """sequences|indexes|constraints|types|settings|keywords|functions""" +
+     """|extensions|memory|temporary_files)""" +
      """|pragma_table_info|pragma_version|pragma_platform""" +
      """|pragma_database_size|pragma_show_tables)""" +
      """\s*\(\s*(?:'([^']*)'|([\w.]+))?\s*\)""").r
@@ -4948,20 +4973,32 @@ class SqlGateway(val spark: SparkSession) {
     Some(sb.toString)
   }
 
+  /** Replace every match OUTSIDE string literals (preceding-quote-parity
+    * test, the same guard the other infix rewrites use); matches inside
+    * a literal are data and stay byte-exact. */
+  private def replaceOutsideLiterals(text: String, pattern: String,
+      replacement: String): String =
+    pattern.r.replaceAllIn(text, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (text.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+        else replacement))
+
   /** DuckDB clause-level sugar with an exactly-equivalent Spark spelling:
     * bare VARCHAR/BLOB cast targets, `USING SAMPLE` → TABLESAMPLE, and
     * bare `SEMI/ANTI JOIN` → `LEFT SEMI/ANTI JOIN` (DuckDB's SEMI is left
-    * semi). Word-level patterns that cannot occur inside identifiers;
-    * string literals containing them would be pathological SQL-in-SQL,
-    * which this grammar subset does not claim. */
+    * semi). Word-level patterns that cannot occur inside identifiers; the
+    * cast-target spellings are quote-parity-guarded so cast-shaped TEXT
+    * inside a string literal stays byte-exact. */
   private def rewriteDuckClauses(sql: String): String = {
     var out = sql
-    if (out.toLowerCase.contains("varchar"))
-      out = out.replaceAll("(?i)::\\s*varchar(?![\\w(])", "::STRING")
-        .replaceAll("(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
-    if (out.toLowerCase.contains("blob"))
-      out = out.replaceAll("(?i)::\\s*blob\\b", "::BINARY")
-        .replaceAll("(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
+    if (out.toLowerCase.contains("varchar")) {
+      out = replaceOutsideLiterals(out, "(?i)::\\s*varchar(?![\\w(])", "::STRING")
+      out = replaceOutsideLiterals(out, "(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
+    }
+    if (out.toLowerCase.contains("blob")) {
+      out = replaceOutsideLiterals(out, "(?i)::\\s*blob\\b", "::BINARY")
+      out = replaceOutsideLiterals(out, "(?i)\\bas\\s+blob\\s*\\)", "AS BINARY)")
+    }
     // unsigned integer casts: range-GUARDED onto the next wider signed
     // type — DuckDB raises on out-of-range (probed: 300::UTINYINT,
     // (-1)::UTINYINT, 70000::USMALLINT all Conversion Error), so a blind
@@ -5924,9 +5961,22 @@ class SqlGateway(val spark: SparkSession) {
     }
     var k = -1
     val outerItems = items.zip(parts).map {
-      case (item, Some((_, alias))) =>
+      case (item, Some((arg, alias))) =>
         k += 1
-        s"graft_z.c$k AS ${alias.getOrElse(s"unnest_$k")}"
+        // DuckDB names an unaliased unnest column `unnest(<arg>)` (probed:
+        // `unnest(l1)` → "unnest(l1)", `unnest(t.l1)` → "unnest(t.l1)");
+        // reproducible verbatim for identifier args. Other expressions get
+        // engine-normalized text we can't reproduce → loud alias demand,
+        // never a silently-divergent made-up name.
+        val name = alias.getOrElse {
+          if (arg.matches("""[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)*"""))
+            s"`unnest($arg)`"
+          else throw new IllegalArgumentException(
+            s"zipped unnest needs an explicit alias for unnest($arg): " +
+              "DuckDB derives the column name from the normalized " +
+              "expression text, which this engine cannot reproduce")
+        }
+        s"graft_z.c$k AS $name"
       case (item, None) => item
     }
     s"SELECT ${outerItems.mkString(", ")} FROM ($inner) graft_mu$orderPart"
@@ -5947,6 +5997,16 @@ class SqlGateway(val spark: SparkSession) {
     val CastRe =
       (s"""(?i)(?:$Lit\\s*::\\s*blob\\b|cast\\s*\\(\\s*$Lit\\s+as\\s+blob\\s*\\))""").r
     CastRe.replaceAllIn(sql, m => {
+      // quote-parity guard (same as rewriteIntervalHms): a '::BLOB'-shaped
+      // span INSIDE a larger string literal is data, not a cast — rewriting
+      // it (or raising its decode errors) would corrupt a valid query
+      if (sql.substring(0, m.start).count(_ == '\'') % 2 != 0)
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else rewriteOneBlobCast(m)
+    })
+  }
+
+  private def rewriteOneBlobCast(m: scala.util.matching.Regex.Match): String = {
       val raw = Option(m.group(1)).getOrElse(m.group(2)).replace("''", "'")
       // non-ASCII is a loud DuckDB error in string→blob casts (probed:
       // "All non-ascii characters must be escaped with hex codes") —
@@ -5980,7 +6040,6 @@ class SqlGateway(val spark: SparkSession) {
         val hex = bytes.toByteArray.map(b => f"${b & 0xff}%02X").mkString
         java.util.regex.Matcher.quoteReplacement(s"X'$hex'")
       }
-    })
   }
 
   /** DuckDB's parenless datetime keywords Spark lacks: bare
@@ -7709,13 +7768,13 @@ class SqlGateway(val spark: SparkSession) {
       val n = surviving.count()
       enforceUniqueIndexes(table, target.union(surviving))
       if (captureReturning) // RETURNING: only the rows actually inserted
-        capturedReturning = Some((surviving.schema, surviving.collect()))
+        captureRows(surviving)
       appendRows(table, surviving)
       ExecuteResult(n)
     } else {
       enforceUniqueIndexes(table, target.union(staged))
       if (captureReturning)
-        capturedReturning = Some((staged.schema, staged.collect()))
+        captureRows(staged)
       appendRows(table, staged)
       ExecuteResult(stats.getAs[Long]("__n"))
     }
@@ -7829,6 +7888,11 @@ class SqlGateway(val spark: SparkSession) {
         (if (k.equalsIgnoreCase(from)) to.toLowerCase else k) -> v })
       case None => None
     }
+    // the column's COMMENT follows the rename (DuckDB keeps it; leaving
+    // the old key would also leak the comment onto a later re-created
+    // column of the old name) — same migration renameTable does
+    comments.remove(s"column:${tableKey(table)}.${from.toLowerCase}")
+      .foreach(comments(s"column:${tableKey(table)}.${to.toLowerCase}") = _)
     ExecuteResult(0L)
   }
 
@@ -7856,6 +7920,9 @@ class SqlGateway(val spark: SparkSession) {
         if (next.isEmpty) None else Some(next)
       case None => None
     }
+    // a re-created column under this name must not inherit the dead
+    // column's COMMENT from the registry
+    comments.remove(s"column:${tableKey(table)}.${colName.toLowerCase}")
     ExecuteResult(0L)
   }
 
@@ -8094,7 +8161,7 @@ class SqlGateway(val spark: SparkSession) {
           .map(e => e.cast(target.schema(c).dataType).as(c))
           .getOrElse(col(c))
       }.toIndexedSeq: _*)
-      capturedReturning = Some((post.schema, post.collect()))
+      captureRows(post)
     }
     overwriteTable(table, updated)
     ExecuteResult(affected)
@@ -8192,7 +8259,7 @@ class SqlGateway(val spark: SparkSession) {
       case None =>
         val n = target.count()
         if (captureReturning) // RETURNING on DELETE: the deleted rows
-          capturedReturning = Some((target.schema, target.collect()))
+          captureRows(target)
         overwriteTable(table, target.limit(0))
         ExecuteResult(n)
       case Some(w) =>
@@ -8201,8 +8268,7 @@ class SqlGateway(val spark: SparkSession) {
         val pred = coalesce(expr(w), lit(false))
         val n = target.filter(pred).count()
         if (captureReturning)
-          capturedReturning =
-            Some((target.schema, target.filter(pred).collect()))
+          captureRows(target.filter(pred))
         overwriteTable(table, target.filter(!pred))
         ExecuteResult(n)
     }

@@ -43,11 +43,29 @@ object ParquetMeta {
     }
   }
 
+  /** Hadoop Configuration is not Serializable; ship it via its Writable
+    * contract (what Spark's own SerializableConfiguration does — that
+    * class is private[spark], so a local twin keeps us on public API). */
+  private class ShippedConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   private def distribute(spark: SparkSession, files: Seq[String],
-      schema: StructType)(rows: String => Seq[Row]): DataFrame = {
+      schema: StructType)(rows: (String, Configuration) => Seq[Row]): DataFrame = {
+    // broadcast the SESSION hadoop conf: footer reads on executors must see
+    // the same spark.hadoop.* settings (s3a/abfs/gs credentials, endpoints)
+    // that normal parquet scans of the same paths resolve with
+    val confBc = spark.sparkContext.broadcast(
+      new ShippedConf(spark.sessionState.newHadoopConf()))
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap { f => rows(f) }
+      .flatMap { f => rows(f, confBc.value.value) }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -63,10 +81,8 @@ object ParquetMeta {
       case other => other
     }
 
-  private def openFooter(file: String) = {
-    // executor-local conf: footer reads resolve the filesystem from the
-    // path scheme; defaults suffice for file:// and cluster-config HDFS
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+  private def openFooter(file: String, conf: Configuration) = {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
     ParquetFileReader.open(in)
   }
 
@@ -85,8 +101,8 @@ object ParquetMeta {
     * `logical_type` is parquet-java's annotation rendering (DuckDB prints
     * its own spelling of the same annotation — engine-specific). */
   def schemaDf(spark: SparkSession, paths: Seq[String]): DataFrame =
-    distribute(spark, expand(spark, paths), schemaSchema) { file =>
-      val reader = openFooter(file)
+    distribute(spark, expand(spark, paths), schemaSchema) { (file, conf) =>
+      val reader = openFooter(file, conf)
       try {
         val root: MessageType = reader.getFooter.getFileMetaData.getSchema
         val out = Seq.newBuilder[Row]
@@ -137,8 +153,8 @@ object ParquetMeta {
     * match DuckDB's reading of the written file. `encodings` joins the
     * chunk's encoding set sorted by name. */
   def metadataDf(spark: SparkSession, paths: Seq[String]): DataFrame =
-    distribute(spark, expand(spark, paths), metadataSchema) { file =>
-      val reader = openFooter(file)
+    distribute(spark, expand(spark, paths), metadataSchema) { (file, conf) =>
+      val reader = openFooter(file, conf)
       try {
         val out = Seq.newBuilder[Row]
         val groups = reader.getFooter.getBlocks
@@ -195,13 +211,13 @@ object ParquetMeta {
     fld("footer_signing_key_metadata", StringType)))
 
   def fileMetadataDf(spark: SparkSession, paths: Seq[String]): DataFrame =
-    distribute(spark, expand(spark, paths), fileMetaSchema) { file =>
-      val reader = openFooter(file)
+    distribute(spark, expand(spark, paths), fileMetaSchema) { (file, conf) =>
+      val reader = openFooter(file, conf)
       try {
         val fm = reader.getFooter.getFileMetaData
         val rows: Long = reader.getFooter.getBlocks.size.toLong
         Seq(Row(bare(file), fm.getCreatedBy, reader.getRecordCount, rows,
-          footerVersion(file), null, null))
+          footerVersion(file, conf), null, null))
       } finally reader.close()
     }
 
@@ -210,10 +226,10 @@ object ParquetMeta {
     * footer bytes: [footer thrift][4-byte LE length]["PAR1"], compact
     * protocol, first field header 0x15 when version leads. Null when the
     * layout is unexpected — never a guess. */
-  private def footerVersion(file: String): Any = {
+  private def footerVersion(file: String, conf: Configuration): Any = {
     try {
       val p = new Path(file)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
       val in = fs.open(p)
       try {
@@ -251,8 +267,8 @@ object ParquetMeta {
     fld("value", BinaryType)))
 
   def kvMetadataDf(spark: SparkSession, paths: Seq[String]): DataFrame =
-    distribute(spark, expand(spark, paths), kvSchema) { file =>
-      val reader = openFooter(file)
+    distribute(spark, expand(spark, paths), kvSchema) { (file, conf) =>
+      val reader = openFooter(file, conf)
       try {
         val out = Seq.newBuilder[Row]
         reader.getFooter.getFileMetaData.getKeyValueMetaData.forEach { (k, v) =>

@@ -1115,4 +1115,113 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT id, tag FROM ppq").values.head == Seq(7, "costs $1 only"))
     gw.execute("DEALLOCATE ptag")
   }
+
+  test("column comments follow RENAME COLUMN and die with DROP COLUMN " +
+       "(r11 ADVICE: no stale registry keys)") {
+    gw.execute("DROP TABLE IF EXISTS ccmt")
+    gw.execute("CREATE TABLE ccmt (a integer, b text)")
+    gw.execute("COMMENT ON COLUMN ccmt.a IS 'the a column'")
+    gw.execute("ALTER TABLE ccmt RENAME COLUMN a TO a2")
+    def commentOf(c: String) = gw.query(
+      s"SELECT comment FROM duckdb_columns() WHERE table_name = 'ccmt' " +
+        s"AND column_name = '$c'").values.headOption.map(_.head)
+    assert(commentOf("a2") == Some("the a column"), "comment lost on rename")
+    // the dropped column's comment must not leak onto a re-created column
+    gw.execute("COMMENT ON COLUMN ccmt.b IS 'doomed'")
+    gw.execute("ALTER TABLE ccmt DROP COLUMN b")
+    gw.execute("ALTER TABLE ccmt ADD COLUMN b text")
+    assert(commentOf("b") == Some(null), s"dead comment leaked: ${commentOf("b")}")
+  }
+
+  test("RETURNING is capped like the read boundary (no unbounded driver " +
+       "collect on DML): cap rows + truncated flag") {
+    gw.execute("DROP TABLE IF EXISTS retcap")
+    gw.execute("CREATE TABLE retcap (id integer)")
+    spark.conf.set("graft.query.maxResultRows", "5")
+    try {
+      val r = gw.query(
+        "INSERT INTO retcap SELECT * FROM range(1, 21) RETURNING id")
+      assert(r.values.size == 5, s"expected capped 5 rows, got ${r.values.size}")
+      assert(r.truncated, "truncated flag must be set when the cap hits")
+      // the write itself was NOT capped — all 20 rows landed
+      spark.conf.unset("graft.query.maxResultRows")
+      assert(gw.query("SELECT count(*) AS n FROM retcap").values.head.head == 20L)
+      spark.conf.set("graft.query.maxResultRows", "5")
+      // UPDATE and DELETE RETURNING take the same cap
+      val u = gw.query("UPDATE retcap SET id = id + 100 RETURNING id")
+      assert(u.values.size == 5 && u.truncated, s"${u.values.size} ${u.truncated}")
+      val d = gw.query("DELETE FROM retcap RETURNING id")
+      assert(d.values.size == 5 && d.truncated, s"${d.values.size} ${d.truncated}")
+    } finally spark.conf.unset("graft.query.maxResultRows")
+    assert(gw.query("SELECT count(*) AS n FROM retcap").values.head.head == 0L)
+  }
+
+  test("ATTACH/DETACH refuse with the single-database rationale, not a " +
+       "Spark parse error") {
+    val e = intercept[IllegalArgumentException] {
+      gw.execute("ATTACH ':memory:' AS other")
+    }
+    assert(e.getMessage.contains("ONE database per service instance"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { gw.execute("DETACH other") }
+    assert(e2.getMessage.contains("DETACH is not supported"), e2.getMessage)
+  }
+
+  test("duckdb_functions() lists the registered surface: builtins " +
+       "classified, gateway table functions, macros with DuckDB's row shape") {
+    gw.execute("DROP MACRO IF EXISTS dfm")
+    gw.execute("CREATE MACRO dfm(a, b) AS a + b")
+    def one(q: String) = gw.query(q).values
+    assert(one("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'sum'") == Seq(Seq("aggregate")))
+    assert(one("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'abs'") == Seq(Seq("scalar")))
+    assert(one("SELECT function_type, internal FROM duckdb_functions() " +
+      "WHERE function_name = 'read_parquet'") == Seq(Seq("table", true)))
+    val m = one("SELECT function_name, function_type, parameters, " +
+      "macro_definition, internal FROM duckdb_functions() " +
+      "WHERE function_name = 'dfm'")
+    assert(m == Seq(Seq("dfm", "macro", Seq("a", "b"), "(a + b)", false)), m)
+    gw.execute("DROP MACRO dfm")
+  }
+
+  test("duckdb_extensions()/duckdb_memory()/duckdb_temporary_files() " +
+       "answer capability probes with DuckDB's shapes") {
+    assert(gw.query("SELECT loaded, installed, install_mode FROM " +
+      "duckdb_extensions() WHERE extension_name = 'parquet'").values ==
+      Seq(Seq(true, true, "STATICALLY_LINKED")))
+    assert(gw.query("SELECT loaded FROM duckdb_extensions() WHERE " +
+      "extension_name = 'postgres_scanner'").values == Seq(Seq(false)))
+    val mem = gw.query(
+      "SELECT tag, memory_usage_bytes >= 0 AS ok FROM duckdb_memory() ORDER BY tag")
+    assert(mem.values.size == 12 && mem.values.forall(_(1) == true), mem.values)
+    // fixed tag vocabulary, DuckDB 1.0's
+    assert(mem.values.map(_.head).contains("ALLOCATOR"))
+    val tmp = gw.query("SELECT count(*) AS n FROM duckdb_temporary_files() " +
+      "WHERE size < 0")
+    assert(tmp.values.head.head == 0L)
+  }
+
+  test("duckdb_settings() seeds the honored settings at live values " +
+       "(never-SET probe gets a row, not silence)") {
+    val t = gw.query(
+      "SELECT name, input_type, scope FROM duckdb_settings() WHERE name = 'threads'")
+    assert(t.values == Seq(Seq("threads", "BIGINT", "GLOBAL")), t.values)
+    assert(gw.query("SELECT count(*) AS n FROM duckdb_settings() WHERE " +
+      "name = 'memory_limit'").values.head.head == 1L)
+    // an explicit SET overrides the seeded value
+    gw.execute("SET memory_limit = '2GB'")
+    try assert(gw.query("SELECT value FROM duckdb_settings() WHERE " +
+      "name = 'memory_limit'").values == Seq(Seq("2GB")))
+    finally gw.execute("RESET memory_limit")
+  }
+
+  test("a '::BLOB'-shaped span inside a string literal is data (quote-" +
+       "parity guard on the blob-literal rewrite)") {
+    // genuine casts still rewrite/decode
+    assert(gw.query("SELECT '\\x41\\x42'::BLOB AS b").values.head.head
+      .asInstanceOf[Array[Byte]].toSeq == Seq[Byte](0x41, 0x42))
+    // cast-shaped text inside a literal stays text
+    assert(gw.query("SELECT 'doc: ''''::BLOB usage' AS s").values.head.head ==
+      "doc: ''::BLOB usage")
+  }
 }
