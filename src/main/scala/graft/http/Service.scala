@@ -32,13 +32,38 @@ import java.nio.charset.StandardCharsets
   * `leaderUrl = Some(...)` and the instance serves `/db/query` locally
   * while answering writes with the identical 301 + `Location` contract,
   * so a reference client pointed at any replica keeps working unchanged.
+  *
+  * Automatic leader failover (r12): the reference's headline
+  * fault-tolerance claim comes from hashicorp/raft — kill the leader of
+  * a 3-node cluster and a follower is elected, writes continue
+  * (`store/store.go:114` raft.NewRaft; `README.md:12`). This engine
+  * reproduces the BEHAVIOR with a deterministic election instead of a
+  * vote protocol: (1) every committed write push-replicates to the
+  * roster's log-following replicas before the client is acked —
+  * AppendEntries' shape, so a surviving follower holds every
+  * acknowledged statement; (2) followers health-check the leader
+  * (`healthCheckMs` background tick, or [[checkLeader]] called
+  * explicitly) and cache the roster from its /status; (3) on leader
+  * death every follower computes the same winner — the alive candidate
+  * with the highest applied index, ties to the lowest node id (Raft's
+  * own up-to-date-first rule) — the winner promotes in place (serves
+  * writes from its replicated state, log position seated at its applied
+  * index) and the rest repoint their 301 target. No quorum is needed
+  * because writes never fork: the old leader is dead and the new one is
+  * the single writer by the same deterministic rule on every node.
   */
 class Service(gateway: SqlGateway, port: Int = 0,
               leaderUrl: Option[String] = None, nodeId: String = "node0",
               followLog: Boolean = false,
               logDir: Option[String] = None,
-              snapshotEvery: Int = 0) {
+              snapshotEvery: Int = 0,
+              healthCheckMs: Int = 0) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  /** The CURRENT leader (None = this node). Seeded from the constructor;
+    * rewritten by failover ([[checkLeader]]/promotion). Every redirect,
+    * role report and join guard reads this, never the constructor value. */
+  private val currentLeader =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](leaderUrl)
   // cluster membership (id → addr), owned by the leader — the engine's
   // twin of the reference's Raft voter configuration, which starts with
   // the bootstrapping node as sole member (`store/store.go:149-156`) and
@@ -77,9 +102,28 @@ class Service(gateway: SqlGateway, port: Int = 0,
   server.createContext("/status", handler(handleStatus))
   server.createContext("/join", handler(handleJoin))
   server.createContext("/log", handler(handleLog))
+  server.createContext("/replicate", handler(handleReplicate))
   server.createContext("/snapshot", snapshotHandler)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
+
+  /** Background leader health-checker (follower-side failover driver);
+    * one [[checkLeader]] round per tick. Daemon — never blocks exit. */
+  private val checker: Option[Thread] =
+    if (healthCheckMs <= 0) None
+    else Some {
+      val t = new Thread(() => {
+        var running = true
+        while (running) {
+          try { Thread.sleep(healthCheckMs); checkLeader() }
+          catch {
+            case _: InterruptedException => running = false
+            case _: Throwable => () // a flaky probe must not kill the loop
+          }
+        }
+      }, s"graft-health-$nodeId")
+      t.setDaemon(true); t
+    }
 
   def start(): Int = {
     if (leaderUrl.isEmpty) recoverFromDisk()
@@ -87,9 +131,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // the bootstrapping node is its own first member (store/store.go:149-156)
     if (leaderUrl.isEmpty)
       members.put(nodeId, s"http://localhost:${server.getAddress.getPort}")
+    checker.foreach(_.start())
     server.getAddress.getPort
   }
   def stop(): Unit = {
+    checker.foreach(_.interrupt())
     server.stop(0); pool.shutdown()
     snapshotLock.synchronized {
       cachedZip.foreach { case (_, p) => retireZip(p) }
@@ -134,11 +180,161 @@ class Service(gateway: SqlGateway, port: Int = 0,
     (r, (System.nanoTime() - t0) / 1e6)
   }
 
+  // ------------------------------------------------------------------
+  // Leader failover machinery (r12) — see the class scaladoc.
+
+  private def fetchBody(url: String): Option[String] =
+    try {
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
+      try Some(new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8))
+      finally conn.disconnect()
+    } catch { case _: Exception => None }
+
+  /** This node's advertised address: the roster entry it joined under,
+    * else its bound localhost address (single-box deployments). */
+  private def selfAddr: String =
+    Option(members.get(nodeId))
+      .getOrElse(s"http://localhost:${server.getAddress.getPort}")
+
+  /** One follower health-check round, callable deterministically (the
+    * `healthCheckMs` thread calls it per tick). Leader alive → refresh
+    * the cached roster from its /status (the roster IS the electorate —
+    * a follower can only fail over to nodes it has seen listed). Leader
+    * dead → run the election. No-op on the leader itself. */
+  def checkLeader(): Unit = currentLeader.get().foreach { base =>
+    fetchBody(s"$base/status") match {
+      case Some(body) =>
+        Json.extractField(body, "nodes").foreach { roster =>
+          roster.split(",").filter(_.contains("=")).foreach { e =>
+            val Array(id, addr) = e.split("=", 2)
+            members.put(id, addr)
+          }
+        }
+      case None => electAfterLeaderDeath(base)
+    }
+  }
+
+  /** Deterministic election (Raft's up-to-date-first rule without the
+    * vote round — safe because the electorate and the rule are identical
+    * on every node): probe the cached roster minus the dead leader; if a
+    * candidate already promoted, follow it; otherwise the alive candidate
+    * with the highest applied index wins, ties to the LOWEST node id.
+    * Winner == self → promote in place; else repoint the 301 target. An
+    * empty roster (never health-checked while the leader lived) stays
+    * put — the next tick retries. */
+  private def electAfterLeaderDeath(dead: String): Unit = syncLock.synchronized {
+    if (currentLeader.get().isEmpty) return // already promoted
+    import scala.jdk.CollectionConverters._
+    val candidates = members.asScala.toSeq.filterNot(_._2 == dead)
+    val alive = candidates.flatMap { case (id, addr) =>
+      if (id == nodeId) Some((id, addr, lastApplied.get, false))
+      else fetchBody(s"$addr/status").map { body =>
+        val applied = Json.extractField(body, "applied_index")
+          .orElse(Json.extractField(body, "log_index"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+        (id, addr, applied, Json.extractField(body, "role").contains("leader"))
+      }
+    }
+    if (alive.isEmpty) return
+    alive.find(_._4) match {
+      case Some((_, addr, _, _)) =>
+        members.entrySet.removeIf(
+          new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
+            def test(e: java.util.Map.Entry[String, String]): Boolean =
+              e.getValue == dead
+          })
+        currentLeader.set(Some(addr))
+      case None =>
+        val (wid, waddr, _, _) =
+          alive.sortBy { case (id, _, applied, _) => (-applied, id) }.head
+        members.entrySet.removeIf(
+          new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
+            def test(e: java.util.Map.Entry[String, String]): Boolean =
+              e.getValue == dead
+          })
+        if (wid == nodeId) promote()
+        else currentLeader.set(Some(waddr))
+    }
+  }
+
+  /** Become the leader: seat the statement log at this replica's applied
+    * position (everything applied is "folded into the snapshot" — the
+    * local gateway state), keep the roster minus the dead leader, start
+    * serving writes. The gateway already holds every push-replicated
+    * statement, so no committed write is lost. */
+  private def promote(): Unit = {
+    logLock.synchronized {
+      baseIndex.set(lastApplied.get)
+      stmtLog.clear()
+      rewriteLogFile()
+    }
+    members.put(nodeId, selfAddr)
+    currentLeader.set(None)
+  }
+
+  /** Push one committed statement to every roster follower — the
+    * AppendEntries twin (`store/store.go:242-250` Apply replicates every
+    * Execute). Called under logLock, so pushes arrive in log order.
+    * Best-effort with short timeouts: an unreachable follower catches up
+    * through the pull path (/log, or snapshot install) on its next read —
+    * exactly a lagging Raft follower's recovery. Non-log-following
+    * replicas (point-in-time snapshot replicas) acknowledge and ignore. */
+  private def replicateToFollowers(sql: String): Unit = {
+    val idx = logIndex
+    val self = s"http://localhost:${server.getAddress.getPort}"
+    import scala.jdk.CollectionConverters._
+    members.asScala.toSeq.foreach { case (id, addr) =>
+      if (id != nodeId && addr != self) {
+        try {
+          val conn = java.net.URI.create(s"$addr/replicate").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
+          conn.setRequestMethod("POST"); conn.setDoOutput(true)
+          conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
+            "sql" -> Json.str(sql)).getBytes(StandardCharsets.UTF_8))
+          conn.getResponseCode
+          conn.disconnect()
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  /** Receive a pushed statement (leader → follower). Applies only in
+    * exact log order: duplicates are acked idempotently, a gap answers
+    * 409 and the follower recovers through the pull path instead (the
+    * push is an optimization over pull, never a second source of truth). */
+  private def handleReplicate(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
+    if (!followLog) return (200, obj("applied" -> Json.str("ignored")))
+    if (currentLeader.get().isEmpty) // promoted: a zombie ex-leader's push
+      return (409, obj("error" -> Json.str("not a follower")))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val idx = Json.extractField(body, "i")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(return (400, obj("error" -> Json.str("missing index"))))
+    val sql = Json.extractField(body, "sql")
+      .getOrElse(return (400, obj("error" -> Json.str("missing sql"))))
+    syncLock.synchronized {
+      if (idx <= lastApplied.get) (200, obj("applied" -> Json.str("duplicate")))
+      else if (idx == lastApplied.get + 1) {
+        gateway.execute(sql)
+        lastApplied.set(idx)
+        (200, obj("applied" -> Json.str(idx.toString)))
+      } else (409, obj("error" -> Json.str(
+        s"log gap: expected ${lastApplied.get + 1}, got $idx")))
+    }
+  }
+
+  // ------------------------------------------------------------------
+
   private def handleExecute(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
     // read replica: redirect the write to the leader, reference-style —
     // 301 with Location, body carries the target for non-following clients
-    leaderUrl.foreach { base =>
+    currentLeader.get().foreach { base =>
       val target = s"$base/db/execute"
       ex.getResponseHeaders.add("Location", target)
       return (301, obj("error" -> Json.str("not leader"),
@@ -147,10 +343,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
     try {
       val sql = readSql(ex)
       // execute + append under logLock so a concurrent snapshot CUT can't
-      // capture state whose last write is missing from the log
+      // capture state whose last write is missing from the log; the
+      // follower push rides the same lock so pushes arrive in log order
       val (res, ms) = timed(logLock.synchronized {
         val r = gateway.execute(sql)
         appendLog(sql) // committed → logged (an erroring statement never is)
+        replicateToFollowers(sql)
         r
       })
       // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
@@ -382,7 +580,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
   private def snapshotHandler: HttpHandler = (ex: HttpExchange) => {
     try ex.getRequestMethod match {
       case "POST" =>
-        if (leaderUrl.isDefined) {
+        if (currentLeader.get().isDefined) {
           val out = obj("error" -> Json.str("not leader"))
             .getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -467,7 +665,8 @@ class Service(gateway: SqlGateway, port: Int = 0,
   /** Pull the leader's log suffix past our applied index and replay it
     * locally. Serialized under [[syncLock]] so concurrent reads replay
     * each statement exactly once and in log order. */
-  private def syncFromLeader(): Unit = if (followLog) leaderUrl.foreach { base =>
+  private def syncFromLeader(): Unit =
+    if (followLog) currentLeader.get().foreach { base =>
     syncLock.synchronized {
       def pull(): String = {
         val conn = java.net.URI.create(s"$base/log?since=${lastApplied.get}")
@@ -475,7 +674,19 @@ class Service(gateway: SqlGateway, port: Int = 0,
         try new String(conn.getInputStream.readAllBytes(),
           StandardCharsets.UTF_8) finally conn.disconnect()
       }
-      var body = pull()
+      var body = try pull() catch {
+        case _: java.io.IOException =>
+          // the leader died between health checks: fail over NOW, then
+          // either serve as the new leader (nothing to pull) or pull from
+          // the elected one — a read must not error on a dead leader
+          electAfterLeaderDeath(base)
+          currentLeader.get() match {
+            case None => return
+            case Some(next) if next != base =>
+              return syncFromLeader() // repointed: pull from the new leader
+            case _ => return // no election possible yet: serve local state
+          }
+      }
       // our suffix was compacted away — install the newest snapshot,
       // seat the applied index at its log position, then pull again
       if (Json.extractField(body, "snapshot_required").contains("true")) {
@@ -547,10 +758,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
 
   private def handleStatus(ex: HttpExchange): (Int, String) = {
     // role mirrors the reference's raft state field (leader serves writes,
-    // follower names its leader — http/service.go:144-193)
-    val role = Seq("role" -> (if (leaderUrl.isEmpty) "leader" else "follower")) ++
-      leaderUrl.map("leader" -> _) ++
-      (if (leaderUrl.isEmpty) Seq("log_index" -> logIndex.toString)
+    // follower names its leader — http/service.go:144-193); read from the
+    // LIVE leader ref so a promoted follower reports its new role
+    val lead = currentLeader.get()
+    val role = Seq("role" -> (if (lead.isEmpty) "leader" else "follower")) ++
+      lead.map("leader" -> _) ++
+      (if (lead.isEmpty) Seq("log_index" -> logIndex.toString)
        else Seq("applied_index" -> lastApplied.get.toString))
     // membership roster — the reference surfaces its Raft configuration
     // through store.Stats() in /status; same observability here
@@ -581,7 +794,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
       return (400, obj("error" -> Json.str("missing 'addr' in join request"))))
     val id = fields.getOrElse("id",
       return (400, obj("error" -> Json.str("missing 'id' in join request"))))
-    if (leaderUrl.isDefined)
+    if (currentLeader.get().isDefined)
       return (500, obj("error" ->
         Json.str("node is not the leader; send join requests to the leader")))
     if (addr != members.get(id)) { // same id+addr → nothing to do (idempotent)

@@ -570,6 +570,136 @@ class ReplicaSpec extends SparkTestBase {
     assert(rgw.query("SELECT count(*) FROM pinr").values.head.head == 2L)
   }
 
+  private def newStack(ns: String): (SqlGateway, org.apache.spark.sql.SparkSession) = {
+    val sess = spark.newSession()
+    sess.conf.set("graft.data.dir",
+      java.nio.file.Files.createTempDirectory(s"graft-$ns-wh").toString)
+    sess.sql(s"CREATE DATABASE IF NOT EXISTS ${ns}_ns")
+    sess.catalog.setCurrentDatabase(s"${ns}_ns")
+    (new SqlGateway(sess), sess)
+  }
+
+  test("automatic leader failover: kill the leader of a 3-node roster — " +
+       "the most-up-to-date follower (tie: lowest id) promotes, writes " +
+       "continue against it, no committed statement is lost " +
+       "(store/store.go:114 raft election parity)") {
+    val (lgw, _) = newStack("fo_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+
+    val (agw, _) = newStack("fo_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("fo_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+
+    try {
+      // roster: both followers join (the electorate IS the roster)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+
+      // committed writes push-replicate to the followers before the ack
+      def exec(port: Int, sql: String): (Int, String) = {
+        val (c, b, _) = newHttp(port, "POST", "/db/execute",
+          Some(s"""{"sql": "$sql"}"""))
+        (c, b)
+      }
+      assert(exec(lPort, "CREATE TABLE fo_t (id integer, v text)")._1 == 200)
+      assert(exec(lPort, "INSERT INTO fo_t VALUES (1, 'a'), (2, 'b')")._1 == 200)
+      // both followers hold the statements locally (push, not pull)
+      Seq(aPort, bPort).foreach { p =>
+        val (c, b, _) = newHttp(p, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20fo_t")
+        assert(c == 200 && b.contains("[2]"), b)
+      }
+
+      // followers cache the roster while the leader lives
+      fA.checkLeader(); fB.checkLeader()
+
+      // --- kill the leader ---
+      leader.stop()
+
+      // each node independently computes the same winner: equal applied
+      // index (2 statements each), tie broken by lowest id → nodeA
+      fA.checkLeader()
+      fB.checkLeader()
+      val (_, aStatus, _) = newHttp(aPort, "GET", "/status")
+      assert(aStatus.contains("\"role\": \"leader\""), aStatus)
+      assert(aStatus.contains("\"log_index\": \"2\""), aStatus)
+      val (_, bStatus, _) = newHttp(bPort, "GET", "/status")
+      assert(bStatus.contains("\"role\": \"follower\"") &&
+        bStatus.contains(s"http://localhost:$aPort"), bStatus)
+      // the dead leader left the roster; the winner is in it
+      assert(!aStatus.contains(s"node0=$lUrl"), aStatus)
+      assert(aStatus.contains(s"nodeA=http://localhost:$aPort"), aStatus)
+
+      // wire contract survives the failover: a write to the OTHER
+      // follower 301s to the NEW leader; the re-POST succeeds there
+      val insert = """{"sql": "INSERT INTO fo_t VALUES (3, 'c')"}"""
+      val (rc, _, loc) = newHttp(bPort, "POST", "/db/execute",
+        Some(insert), follow = false)
+      assert(rc == 301 && loc == s"http://localhost:$aPort/db/execute",
+        s"$rc $loc")
+      val (rc2, rb2, _) = newHttp(aPort, "POST", "/db/execute", Some(insert))
+      assert(rc2 == 200 && rb2.contains("rows_affected"), rb2)
+
+      // no committed statement lost: the new leader serves every
+      // pre-failover row plus the new one; the push chain continues to B
+      val (_, aRead, _) = newHttp(aPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20fo_t")
+      assert(aRead.contains("[3, 6]"), s"lost committed statement: $aRead")
+      val (_, bRead, _) = newHttp(bPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20fo_t")
+      assert(bRead.contains("[3, 6]"), s"follower missed post-failover write: $bRead")
+
+      // a zombie ex-leader's push is refused by the promoted node
+      val (zc, _, _) = newHttp(aPort, "POST", "/replicate",
+        Some("""{"i": "9", "sql": "INSERT INTO fo_t VALUES (99, 'z')"}"""))
+      assert(zc == 409, s"promoted node accepted a replicate push: $zc")
+    } finally {
+      fA.stop(); fB.stop()
+    }
+  }
+
+  test("background health checker promotes without manual intervention " +
+       "(healthCheckMs ticking, store/store.go election-on-timeout shape)") {
+    val (lgw, _) = newStack("fo2_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val (fgw, _) = newStack("fo2_f")
+    val follower = new Service(fgw, leaderUrl = Some(s"http://localhost:$lPort"),
+      nodeId = "nodeF", followLog = true, healthCheckMs = 150)
+    val fPort = follower.start()
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeF", "addr": "http://localhost:$fPort"}"""))._1 == 200)
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE fo2_t (id integer)"}"""))
+      assert(c == 200 && !b.contains("\"error\""), b)
+      // let at least one health tick cache the roster, then kill
+      Thread.sleep(600)
+      leader.stop()
+      val deadline = System.currentTimeMillis() + 20000
+      var promoted = false
+      while (!promoted && System.currentTimeMillis() < deadline) {
+        val (_, st, _) = newHttp(fPort, "GET", "/status")
+        promoted = st.contains("\"role\": \"leader\"")
+        if (!promoted) Thread.sleep(200)
+      }
+      assert(promoted, "follower did not self-promote within 20s")
+      // and it serves writes now
+      val (wc, wb, _) = newHttp(fPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO fo2_t VALUES (1)"}"""))
+      assert(wc == 200 && wb.contains("rows_affected"), wb)
+    } finally follower.stop()
+  }
+
   test("service stress: concurrent writers + readers + snapshot takers — " +
        "every write lands exactly once, log index matches, restart " +
        "recovers the identical state") {
