@@ -286,6 +286,13 @@ class SqlGateway(val spark: SparkSession) {
   /** view key → bind error replayed when a statement references it (body
     * no longer binds, or infinite recursion — DuckDB raises at bind). */
   private val brokenViews = new TrieMap[String, String]
+  /** view key → (output column names, DuckDB type names) recorded at the
+    * CREATE-time bind (snapshot-imported views record at first use).
+    * DuckDB pins a view's result shape at creation and refuses a re-bind
+    * that drifts — "Contents of view were altered" (probed: replacing an
+    * inner view, ALTER on the base table) — so a reader never silently
+    * sees a different shape than the one the view was declared with. */
+  private val viewShapes = new TrieMap[String, (Seq[String], Seq[String])]
   /** view key → [[mutationGen]] at which its temp view was materialized. */
   private val viewGen = new TrieMap[String, Long]
   /** compiled whole-word reference pattern per registered name. */
@@ -415,7 +422,9 @@ class SqlGateway(val spark: SparkSession) {
     // view DDL manages the registry itself — a broken view must stay
     // droppable/replaceable, so its bind error is not replayed here
     val isViewDdl = sql match {
-      case CreateViewRe(_, _, _, _, _) | DropViewRe(_, _) => true
+      case CreateViewRe(_, _, _, _, _) | DropViewRe(_, _) |
+           AlterViewRenameRe(_, _, _) => true // registry-level: a broken
+        // view must stay renamable/droppable (DuckDB renames broken views)
       case _ => false
     }
     if (!isViewDdl) ensureUserViews(sql)
@@ -5165,6 +5174,51 @@ class SqlGateway(val spark: SparkSession) {
             s"list_has_all(${m.group(1)}, ${m.group(3)})"
           else s"list_has_all(${m.group(3)}, ${m.group(1)})"))
     }
+    // quantified LIST comparisons: `x op ANY(list)` / `x op ALL(list)`
+    // (SOME = ANY) → exists/forall, whose three-valued NULL handling is
+    // DuckDB-exact (probed: 3 = ANY([1,NULL]) NULL, 1 = ANY([1,NULL])
+    // true, ANY of empty false, ALL of empty true, 1 <> ALL([1,NULL])
+    // false); a NULL LIST counts as empty (probed: = ANY(NULL) false,
+    // <> ALL(NULL) true) — the CASE guard. Subquery forms pass through.
+    if ("""(?i)\b(any|some|all)\s*\(""".r.findFirstIn(out).isDefined) {
+      val Quant =
+        (s"(?i)$Operand\\s*(=|==|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(").r
+      var more = true
+      while (more) {
+        val qIn = out
+        Quant.findAllMatchIn(qIn).find(m =>
+          balancedBefore(qIn, m.start) &&
+            !"""(?is)^\s*(select|values|with|table)\b""".r
+              .findFirstIn(qIn.substring(m.end)).isDefined) match {
+          case None => more = false
+          case Some(m) =>
+            var i = m.end; var depth = 1; var inStr = false
+            while (i < qIn.length && depth > 0) {
+              val c = qIn.charAt(i)
+              if (inStr) { if (c == '\'') inStr = false }
+              else if (c == '\'') inStr = true
+              else if (c == '(') depth += 1
+              else if (c == ')') depth -= 1
+              i += 1
+            }
+            if (depth != 0) more = false
+            else {
+              val arg = qIn.substring(m.end, i - 1)
+              val op = if (m.group(2) == "==") "=" else m.group(2)
+              val (fn, onNull) =
+                if (m.group(3).equalsIgnoreCase("all")) ("forall", "true")
+                else ("exists", "false")
+              // a bare NULL list has no array type to give exists/forall —
+              // it IS the probed constant (ANY(NULL) false, ALL(NULL) true)
+              val repl =
+                if (arg.trim.equalsIgnoreCase("null")) onNull
+                else s"(CASE WHEN ($arg) IS NULL THEN $onNull ELSE " +
+                  s"$fn($arg, graft_q -> (${m.group(1)}) $op graft_q) END)"
+              out = qIn.substring(0, m.start) + repl + qIn.substring(i)
+            }
+        }
+      }
+    }
     // numeric literals may carry underscore separators (1_000_000)
     if (out.contains("_")) {
       val Und = """(?<![\w'.])(\d[\d_]*\d)(?![\w])""".r
@@ -6732,8 +6786,29 @@ class SqlGateway(val spark: SparkSession) {
         // a bind FAILURE drops the stale temp view, as a broken view
         // must not keep serving its old contents
         val (_, aliases, body) = uv(k)
-        try materializeViewDf(aliases, body).createOrReplaceTempView(k)
-        catch { case scala.util.control.NonFatal(e) =>
+        try {
+          val df = materializeViewDf(aliases, body)
+          val names = df.columns.toSeq
+          val types = df.schema.fields.toSeq.map(f => Results.duckTypeName(f))
+          viewShapes.get(k) match {
+            // DuckDB refuses a re-bind whose shape drifted from the
+            // creation-time bind (probed messages; types checked first —
+            // an added column reports types, a renamed one reports names)
+            case Some((_, t0)) if t0 != types =>
+              try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
+              brokenViews(k) = "Binder Error: Contents of view were " +
+                s"altered: types don't match! Expected [${t0.mkString(", ")}], " +
+                s"but found [${types.mkString(", ")}] instead"
+            case Some((n0, _)) if n0 != names =>
+              try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
+              brokenViews(k) = "Binder Error: Contents of view were " +
+                s"altered: names don't match! Expected [${n0.mkString(", ")}], " +
+                s"but found [${names.mkString(", ")}] instead"
+            case _ =>
+              viewShapes.putIfAbsent(k, (names, types)) // imported views
+              df.createOrReplaceTempView(k)
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
           try spark.catalog.dropTempView(k) catch { case _: Throwable => () }
           brokenViews(k) = Option(e.getMessage).getOrElse(e.toString) }
       }
@@ -6770,9 +6845,11 @@ class SqlGateway(val spark: SparkSession) {
     // an unbindable body; an OR REPLACE body naming the view itself binds
     // here and raises infinite recursion at query time — both probed)
     ensureUserViews(body)
-    materializeViewDf(aliases, body)
+    val bound = materializeViewDf(aliases, body)
     userViews = userViews.updated(key, (name, aliases, body))
     brokenViews.remove(key)
+    viewShapes(key) = (bound.columns.toSeq,
+      bound.schema.fields.toSeq.map(f => Results.duckTypeName(f)))
     viewGen.remove(key) // force materialization on first use
     ExecuteResult(0L)
   }
@@ -6789,6 +6866,7 @@ class SqlGateway(val spark: SparkSession) {
     val key = tableKey(name)
     userViews = userViews.updated(key, (name, aliases, body))
     brokenViews.remove(key)
+    viewShapes.remove(key) // recorded at first successful bind instead
     viewGen.remove(key)
   }
 
@@ -6803,6 +6881,7 @@ class SqlGateway(val spark: SparkSession) {
     }
     userViews = userViews.removed(key)
     brokenViews.remove(key)
+    viewShapes.remove(key)
     viewGen.remove(key)
     comments.remove(s"view:$key")
     try spark.catalog.dropTempView(key) catch { case _: Throwable => () }
@@ -6840,6 +6919,7 @@ class SqlGateway(val spark: SparkSession) {
       case other => other
     }
     brokenViews.remove(kf).foreach(brokenViews(kt) = _)
+    viewShapes.remove(kf).foreach(viewShapes(kt) = _)
     viewGen.remove(kf) // stale → re-materialize under the new name at use
     viewRefRe.remove(kf)
     comments.remove(s"view:$kf").foreach(comments(s"view:$kt") = _)
@@ -6852,7 +6932,7 @@ class SqlGateway(val spark: SparkSession) {
     userViews.keys.toSeq.foreach(k =>
       try spark.catalog.dropTempView(k) catch { case _: Throwable => () })
     userViews = scala.collection.immutable.VectorMap.empty
-    brokenViews.clear(); viewGen.clear()
+    brokenViews.clear(); viewGen.clear(); viewShapes.clear()
   }
 
   /** Registered views in registration order (snapshot export):

@@ -3376,9 +3376,213 @@ class DuckDbCorpusSpec extends SparkTestBase {
     java.nio.file.Paths.get("/tmp/graft_corpus_sniff.csv"),
     "a;b;c\n1;x;2.5\n2;y;3.5\n".getBytes("UTF-8"))
 
+  // --- r12 batch: introspection combos (the functions are real tables —
+  // join them, filter them, aggregate them), duckdb_functions/extensions/
+  // memory/settings, view-shape pinning ("Contents of view were altered",
+  // probed both engines), quantified list comparisons (ANY/ALL/SOME),
+  // DESCRIBE/SHOW over every object class. All probed vs DuckDB 1.0.
+  private def corpusJ: Seq[C] = Seq(
+    // state the batch's pins read
+    s("CREATE TABLE r12i (a integer PRIMARY KEY, b text NOT NULL, c double)"),
+    s("CREATE TABLE r12j (x integer, y text)"),
+    s("CREATE VIEW r12v AS SELECT a, b FROM r12i"),
+    s("CREATE VIEW r12v2 AS SELECT a FROM r12v WHERE a > 0"),
+    s("CREATE VIEW r12v3 AS SELECT * FROM r12v2"),
+    s("CREATE MACRO r12m(p, q) AS p + q"),
+    s("CREATE SEQUENCE r12s START 5"),
+    s("CREATE INDEX r12x ON r12j (x)"),
+    s("COMMENT ON TABLE r12i IS 'main fact'"),
+    s("COMMENT ON COLUMN r12i.a IS 'pk col'"),
+    s("INSERT INTO r12i VALUES (1,'u',0.5),(2,'v',1.5)"),
+    // duckdb_functions(): the registered surface, DuckDB's row shape
+    q("SELECT function_name, function_type, parameters, macro_definition " +
+      "FROM duckdb_functions() WHERE function_name = 'r12m'",
+      Seq("r12m", "macro", Seq("p", "q"), "(p + q)")),
+    q("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'sum'", Seq("aggregate")),
+    q("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'abs'", Seq("scalar")),
+    q("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'count'", Seq("aggregate")),
+    q("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'read_parquet'", Seq("table")),
+    q("SELECT DISTINCT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'duckdb_tables'", Seq("table")),
+    q("SELECT DISTINCT internal FROM duckdb_functions() " +
+      "WHERE function_name = 'abs'", Seq(true)),
+    q("SELECT count(*) > 100 AS many FROM duckdb_functions()", Seq(true)),
+    q("SELECT count(DISTINCT function_name) > 0 AS some FROM " +
+      "duckdb_functions() WHERE function_type = 'aggregate'", Seq(true)),
+    // duckdb_extensions(): capability probes a reference client would run
+    q("SELECT loaded, installed FROM duckdb_extensions() " +
+      "WHERE extension_name = 'parquet'", Seq(true, true)),
+    q("SELECT loaded, installed FROM duckdb_extensions() " +
+      "WHERE extension_name = 'json'", Seq(true, true)),
+    q("SELECT loaded FROM duckdb_extensions() WHERE extension_name = 'icu'",
+      Seq(true)),
+    q("SELECT install_mode FROM duckdb_extensions() " +
+      "WHERE extension_name = 'parquet' AND loaded", Seq("STATICALLY_LINKED")),
+    q("SELECT loaded FROM duckdb_extensions() WHERE extension_name = 'spatial'",
+      Seq(false)),
+    q("SELECT loaded FROM duckdb_extensions() WHERE extension_name = 'aws'",
+      Seq(false)),
+    q("SELECT aliases FROM duckdb_extensions() WHERE extension_name = 'httpfs'",
+      Seq(Seq("http", "https", "s3"))),
+    q("SELECT aliases FROM duckdb_extensions() " +
+      "WHERE extension_name = 'sqlite_scanner'", Seq(Seq("sqlite", "sqlite3"))),
+    q("SELECT extension_name FROM duckdb_extensions() WHERE 's3' = ANY(aliases)",
+      Seq("httpfs")),
+    q("SELECT count(*) AS n FROM duckdb_extensions() WHERE extension_name " +
+      "IN ('parquet','json','icu') AND loaded", Seq(3)),
+    // duckdb_memory() / duckdb_temporary_files() / duckdb_settings()
+    q("SELECT count(*) AS n FROM duckdb_memory()", Seq(12)),
+    q("SELECT count(*) AS n FROM duckdb_memory() WHERE tag = 'ALLOCATOR'", Seq(1)),
+    q("SELECT tag FROM duckdb_memory() WHERE tag LIKE 'HASH%'", Seq("HASH_TABLE")),
+    q("SELECT count(*) AS n FROM duckdb_temporary_files() WHERE size < 0", Seq(0)),
+    q("SELECT name, input_type, scope FROM duckdb_settings() " +
+      "WHERE name = 'threads'", Seq("threads", "BIGINT", "GLOBAL")),
+    q("SELECT count(*) AS n FROM duckdb_settings() WHERE name = 'memory_limit'",
+      Seq(1)),
+    q("SELECT input_type FROM duckdb_settings() WHERE name = 'memory_limit'",
+      Seq("VARCHAR")),
+    // introspection functions are TABLES: join/filter/aggregate them
+    q("SELECT t.table_name, count(*) AS cols FROM duckdb_tables() t JOIN " +
+      "duckdb_columns() c ON t.table_name = c.table_name WHERE t.table_name " +
+      "IN ('r12i','r12j') GROUP BY 1 ORDER BY 1",
+      Seq("r12i", 3), Seq("r12j", 2)),
+    q("SELECT c.column_name FROM duckdb_columns() c JOIN duckdb_tables() t " +
+      "ON c.table_name = t.table_name WHERE t.has_primary_key AND " +
+      "t.table_name = 'r12i' ORDER BY c.column_index",
+      Seq("a"), Seq("b"), Seq("c")),
+    q("SELECT table_name, column_name FROM duckdb_columns() " +
+      "WHERE table_name = 'r12v' ORDER BY column_index",
+      Seq("r12v", "a"), Seq("r12v", "b")),
+    q("SELECT count(*) AS n FROM duckdb_constraints() WHERE table_name = " +
+      "'r12i' AND constraint_type = 'PRIMARY KEY'", Seq(1)),
+    q("SELECT constraint_column_names FROM duckdb_constraints() WHERE " +
+      "table_name = 'r12i' AND constraint_type = 'PRIMARY KEY'",
+      Seq(Seq("a"))),
+    q("SELECT t.table_name FROM duckdb_tables() t WHERE EXISTS (SELECT 1 " +
+      "FROM duckdb_constraints() k WHERE k.table_name = t.table_name AND " +
+      "k.constraint_type = 'PRIMARY KEY') AND t.table_name LIKE 'r12%' " +
+      "ORDER BY 1", Seq("r12i")),
+    q("SELECT v.view_name FROM duckdb_views() v WHERE v.view_name LIKE " +
+      "'r12%' ORDER BY 1", Seq("r12v"), Seq("r12v2"), Seq("r12v3")),
+    q("SELECT view_name, column_count FROM duckdb_views() " +
+      "WHERE view_name = 'r12v2'", Seq("r12v2", 1)),
+    q("SELECT s.sequence_name, s.start_value FROM duckdb_sequences() s " +
+      "WHERE sequence_name = 'r12s'", Seq("r12s", 5)),
+    q("SELECT i.index_name, i.table_name, i.is_unique FROM duckdb_indexes() " +
+      "i WHERE index_name = 'r12x'", Seq("r12x", "r12j", false)),
+    q("SELECT comment FROM duckdb_tables() WHERE table_name = 'r12i'",
+      Seq("main fact")),
+    q("SELECT comment FROM duckdb_columns() WHERE table_name = 'r12i' AND " +
+      "column_name = 'a'", Seq("pk col")),
+    q("WITH pks AS (SELECT table_name FROM duckdb_constraints() WHERE " +
+      "constraint_type = 'PRIMARY KEY') SELECT count(*) AS n FROM pks " +
+      "WHERE table_name = 'r12i'", Seq(1)),
+    q("SELECT data_type, count(*) AS n FROM duckdb_columns() WHERE " +
+      "table_name = 'r12i' GROUP BY 1 ORDER BY 1",
+      Seq("DOUBLE", 1), Seq("INTEGER", 1), Seq("VARCHAR", 1)),
+    q("SELECT max(estimated_size) AS m FROM duckdb_tables() " +
+      "WHERE table_name = 'r12i'", Seq(2)),
+    q("SELECT keyword_category FROM duckdb_keywords() " +
+      "WHERE keyword_name = 'select'", Seq("reserved")),
+    q("SELECT count(*) AS n FROM duckdb_keywords() WHERE keyword_category " +
+      "= 'reserved' AND keyword_name IN ('select','from','where')", Seq(3)),
+    q("SELECT DISTINCT type_category FROM duckdb_types() " +
+      "WHERE type_name = 'integer'", Seq("NUMERIC")),
+    q("SELECT name, pk FROM pragma_table_info('r12i') WHERE pk ORDER BY cid",
+      Seq("a", true)),
+    q("SELECT p.name FROM pragma_table_info('r12i') p JOIN duckdb_columns() " +
+      "c ON p.name = c.column_name AND c.table_name = 'r12i' WHERE " +
+      "c.is_nullable = false ORDER BY 1", Seq("a"), Seq("b")),
+    // PIVOT/UNPIVOT over introspection sources
+    q("UNPIVOT (SELECT tag, 0 AS mem_b, 0 AS tmp_b FROM duckdb_memory() " +
+      "WHERE tag = 'ALLOCATOR') ON mem_b, tmp_b INTO NAME metric VALUE v",
+      Seq("ALLOCATOR", "mem_b", 0), Seq("ALLOCATOR", "tmp_b", 0)),
+    q("SELECT * FROM (SELECT tag FROM duckdb_memory() WHERE tag IN " +
+      "('HASH_TABLE','METADATA')) PIVOT (count(*) FOR tag IN " +
+      "('HASH_TABLE', 'METADATA'))", Seq(1, 1)),
+    q("UNPIVOT (SELECT table_name, column_count, index_count FROM " +
+      "duckdb_tables() WHERE table_name = 'r12i') ON column_count, " +
+      "index_count INTO NAME k VALUE v",
+      Seq("r12i", "column_count", 3), Seq("r12i", "index_count", 1)),
+    // DESCRIBE / SHOW over every object class
+    q("DESCRIBE r12v", Seq("a", "INTEGER", "YES", null, null, null),
+      Seq("b", "VARCHAR", "YES", null, null, null)),
+    q("DESCRIBE r12v3", Seq("a", "INTEGER", "YES", null, null, null)),
+    q("DESCRIBE SELECT tag FROM duckdb_memory()",
+      Seq("tag", "VARCHAR", "YES", null, null, null)),
+    q("SHOW r12i", Seq("a", "INTEGER", "NO", "PRI", null, null),
+      Seq("b", "VARCHAR", "NO", null, null, null),
+      Seq("c", "DOUBLE", "YES", null, null, null)),
+    q("SHOW r12v", Seq("a", "INTEGER", "YES", null, null, null),
+      Seq("b", "VARCHAR", "YES", null, null, null)),
+    // view-on-view chains; shape pinned at creation (DuckDB: re-binds
+    // that drift refuse with "Contents of view were altered" — probed)
+    q("SELECT * FROM r12v3 ORDER BY a", Seq(1), Seq(2)),
+    q("SELECT count(*) AS n FROM r12v2", Seq(2)),
+    s("CREATE OR REPLACE VIEW r12v2 AS SELECT a, a * 10 AS a10 FROM r12v"),
+    err("SELECT * FROM r12v3 ORDER BY a", "Contents of view were altered"),
+    q("SELECT view_name, column_count FROM duckdb_views() " +
+      "WHERE view_name = 'r12v2'", Seq("r12v2", 2)),
+    s("ALTER VIEW r12v3 RENAME TO r12v3r"),
+    err("SELECT count(*) AS n FROM r12v3r", "Contents of view were altered"),
+    s("COMMENT ON VIEW r12v IS 'base view'"),
+    q("SELECT comment FROM duckdb_views() WHERE view_name = 'r12v'",
+      Seq("base view")),
+    s("CREATE VIEW r12v4 AS SELECT r12m(a, a10) AS m FROM r12v2"),
+    q("SELECT * FROM r12v4 ORDER BY m", Seq(11), Seq(22)),
+    s("DROP VIEW r12v4"),
+    s("DROP VIEW r12v3r"),
+    s("CREATE VIEW r12meta AS SELECT table_name, column_count FROM " +
+      "duckdb_tables() WHERE table_name LIKE 'r12%'"),
+    q("SELECT * FROM r12meta ORDER BY table_name",
+      Seq("r12i", 3), Seq("r12j", 2)),
+    s("DROP VIEW r12meta"),
+    q("SELECT * FROM r12v2 ORDER BY a", Seq(1, 10), Seq(2, 20)),
+    // a view over an ALTERed base: DuckDB's creation-shape pin (probed:
+    // added column reports types, renamed column reports names)
+    s("CREATE TABLE r12alt (a integer, b text)"),
+    s("CREATE VIEW r12altv AS SELECT * FROM r12alt"),
+    s("ALTER TABLE r12alt ADD COLUMN c double"),
+    err("SELECT * FROM r12altv", "types don't match"),
+    s("DROP VIEW r12altv"),
+    s("CREATE VIEW r12altv2 AS SELECT * FROM r12alt"),
+    s("ALTER TABLE r12alt RENAME COLUMN a TO a2"),
+    err("SELECT * FROM r12altv2", "names don't match"),
+    s("DROP VIEW r12altv2"),
+    s("DROP TABLE r12alt"),
+    // quantified LIST comparisons (ANY/ALL/SOME over a list value)
+    q("SELECT 2 = ANY([1, 2]) AS a", Seq(true)),
+    q("SELECT 3 = ANY([1, 2]) AS a", Seq(false)),
+    q("SELECT 3 = ANY([1, NULL]) AS a", Seq(null)),
+    q("SELECT NULL = ANY([1, 2]) AS a", Seq(null)),
+    q("SELECT 1 = ANY([1, NULL]) AS a", Seq(true)),
+    q("SELECT 3 <> ALL([1, 2]) AS a", Seq(true)),
+    q("SELECT 2 <> ALL([1, 2]) AS a", Seq(false)),
+    q("SELECT 3 > ANY([1, 5]) AS a", Seq(true)),
+    q("SELECT 6 > ALL([1, 5]) AS a", Seq(true)),
+    q("SELECT 3 = ANY([]::INT[]) AS a", Seq(false)),
+    q("SELECT 3 <> ALL([]::INT[]) AS a", Seq(true)),
+    q("SELECT 2 == ANY([1,2]) AS a", Seq(true)),
+    q("SELECT 3 = SOME([1, 3]) AS a", Seq(true)),
+    q("SELECT 3 = ANY(NULL) AS a", Seq(false)),
+    q("SELECT 3 <> ALL(NULL) AS a", Seq(true)),
+    q("SELECT 3 <> ALL([1, NULL]) AS a", Seq(null)),
+    q("SELECT 1 <> ALL([1, NULL]) AS a", Seq(false)),
+    q("SELECT x FROM (VALUES (1),(2),(3)) t(x) WHERE x = ANY([1, 3]) ORDER BY 1",
+      Seq(1), Seq(3)),
+    // batch teardown (DROP order: dependents first)
+    s("DROP VIEW r12v2"), s("DROP VIEW r12v"),
+    s("DROP MACRO r12m"), s("DROP SEQUENCE r12s"),
+    s("DROP INDEX r12x"),
+    s("DROP TABLE r12i"), s("DROP TABLE r12j"))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
-      corpusG ++ corpusH ++ corpusI
+      corpusG ++ corpusH ++ corpusI ++ corpusJ
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {

@@ -14,7 +14,7 @@ class QuickProbeSpec extends SparkTestBase {
       if (s.nonEmpty) {
         try {
           val lead = s.split("""[\s(]""", 2)(0).toLowerCase
-          if (Set("create", "insert", "drop", "update", "delete", "alter", "prepare", "deallocate", "set", "reset", "checkpoint", "vacuum", "copy", "analyze").contains(lead)) {
+          if (Set("create", "insert", "drop", "update", "delete", "alter", "prepare", "deallocate", "set", "reset", "checkpoint", "vacuum", "copy", "analyze", "comment", "use", "begin", "commit", "rollback", "truncate", "import", "export").contains(lead)) {
             gw.execute(s); info(s"OK   $s => (executed)")
           } else {
             val r = gw.queryDf(s).collect().map(_.toSeq).toSeq
