@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** r12 A/B probe for the two remaining >2×-per-query entries (q05, q18).
+  *
+  * Runs each query's CURRENT production plan against the specific
+  * alternative the r11 verdict asked to measure, in ONE session
+  * (Bench-identical confs, warmup pass, min-of-3 noop-sink timing):
+  *
+  *   - q05 alt: pre-aggregate lineitem by (l_orderkey, l_suppkey) BELOW
+  *     the orders join (the q04 trick) vs the current stream-through.
+  *   - q18 alt: one pass with ALL THREE windows as plain window calls —
+  *     the two ROWS frames share the user_id sort (as today) and
+  *     n_near_value rides a RANGE frame partitioned by event_type —
+  *     vs the current bucketed-running-sum formulation.
+  *
+  * Output lines: `AB <name> <variant> <sec>` (grep ^AB). The verdict's
+  * "done" for item 5 accepts either ≤2× within-chain or this A/B showing
+  * the alternative loses, with the floor decomposition attributing the
+  * residual (BENCH_NOTES r12 section).
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.locality.wait", "0ms")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.Tables.pin(spark, sfDir) catch { case e: Throwable =>
+      System.err.println(e.getMessage) }
+
+    def q05Alt(s: SparkSession, dir: String): DataFrame = {
+      val r = graft.Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = graft.Tables(s, dir, "nation")
+      val c = graft.Tables(s, dir, "customer")
+      val sup = graft.Tables(s, dir, "supplier")
+      val l = graft.Tables(s, dir, "lineitem")
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cA = c.join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val supA = sup.join(broadcast(asiaN.select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      // THE ALT: partial-aggregate lineitem to (orderkey, suppkey) grain
+      // below the join graph
+      val lAgg = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(graft.ops.Det.revenueSum(col("l_extendedprice"),
+          col("l_discount")).as("rev"))
+      val oCust = graft.Tables.keyed(s, dir, "orders", "o_custkey", "customer")
+      val oc = oCust.join(cA, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      lAgg.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(supA,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue"))
+    }
+
+    def q18Alt(s: SparkSession, dir: String): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving = byUser.rowsBetween(-3, Window.currentRow)
+      val byTypeValue = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc).rangeBetween(-10, 0)
+      val ev = graft.Tables(s, dir, "events")
+      ev.select(col("event_id"), col("user_id"), col("value"),
+        sum(col("value")).over(running).as("running_sum"),
+        avg(col("value")).over(moving).as("moving_avg"),
+        count(lit(1)).over(byTypeValue).as("n_near_value"))
+    }
+
+    val variants: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
+      ("q05", "current", (s, d) => graft.SparkEntry.queries("q05_star_join")(s, d)),
+      ("q05", "lineitem-preagg", q05Alt),
+      ("q18", "current", (s, d) => graft.SparkEntry.queries("q18_window_frames")(s, d)),
+      ("q18", "naive-3-window", q18Alt))
+
+    // warmup every variant (codegen + AQE stats), then min-of-3
+    variants.foreach { case (_, _, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(e.getMessage) }
+    }
+    variants.foreach { case (name, variant, fn) =>
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"AB $name $variant $t%.3f")
+    }
+    // sanity: the alternatives must agree with production on VALUES
+    def rowsOf(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val q05same = rowsOf(q05Alt(spark, sfDir)) ==
+      rowsOf(graft.SparkEntry.queries("q05_star_join")(spark, sfDir))
+    val q18same = rowsOf(q18Alt(spark, sfDir).orderBy("event_id").limit(5000)) ==
+      rowsOf(graft.SparkEntry.queries("q18_window_frames")(spark, sfDir)
+        .orderBy("event_id").limit(5000))
+    println(s"AB q05 values-agree $q05same")
+    println(s"AB q18 values-agree $q18same")
+    spark.stop()
+  }
+}

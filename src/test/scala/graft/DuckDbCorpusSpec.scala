@@ -3580,9 +3580,154 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("DROP INDEX r12x"),
     s("DROP TABLE r12i"), s("DROP TABLE r12j"))
 
+  // --- r12 batch K: scalar/list/json/date breadth sweep + combination
+  // forms (nested lambdas, filtered comprehensions, struct/map algebra,
+  // quoted datediff units, agg ORDER BY over order-insensitive aggs).
+  // Every value probed against DuckDB 1.0; must-refuse entries error in
+  // BOTH engines (functions absent from DuckDB 1.0 and from Spark).
+  private def corpusK: Seq[C] = Seq(
+    // list comprehensions with filters; nested lambdas
+    q("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l", Seq(Seq(4, 6))),
+    q("SELECT [upper(s) FOR s IN ['a','b'] IF s <> 'b'] AS l", Seq(Seq("A"))),
+    q("SELECT list_transform([[1,2],[3]], l -> list_transform(l, x -> x + 10)) AS n",
+      Seq(Seq(Seq(11, 12), Seq(13)))),
+    q("SELECT list_filter(list_transform([1,2,3,4], x -> x * x), " +
+      "y -> y % 2 = 0) AS f", Seq(Seq(4, 16))),
+    q("SELECT list_reduce([1,2,3,4], (acc, x) -> acc + x) AS r", Seq(10)),
+    q("SELECT list_reduce(['a','b','c'], (a, b) -> concat(a, '-', b)) AS r",
+      Seq("a-b-c")),
+    // list breadth
+    q("SELECT list_grade_up([30, 10, 20]) AS g", Seq(Seq(2, 3, 1))),
+    q("SELECT list_reverse_sort([2, 3, 1]) AS r", Seq(Seq(3, 2, 1))),
+    q("SELECT list_resize([1,2], 4, 0) AS r", Seq(Seq(1, 2, 0, 0))),
+    q("SELECT list_resize([1,2,3], 2) AS r", Seq(Seq(1, 2))),
+    q("SELECT list_any_value([NULL, 7, 8]) AS a", Seq(7)),
+    q("SELECT len([1,2,3]) AS n", Seq(3)),
+    q("SELECT list_position([10,20,30], 30) AS p", Seq(3)),
+    q("SELECT list_contains([1,2], 2) AS c, list_has([1,2], 3) AS h",
+      Seq(true, false)),
+    q("SELECT list_select([10,20,30], [3,1]) AS s", Seq(Seq(30, 10))),
+    q("SELECT list_where([10,20,30], [true,false,true]) AS w", Seq(Seq(10, 30))),
+    q("SELECT list_zip([1,2], ['a','b']) AS z",
+      Seq(Seq(Seq(1, "a"), Seq(2, "b")))),
+    q("SELECT list_apply([1,2], x -> x + 100) AS a", Seq(Seq(101, 102))),
+    err("SELECT list_rotate([1,2,3,4], 1) AS r", "list_rotate"),
+    err("SELECT list_split([1,2,3,4,5], 3) AS s", "list_split"),
+    err("SELECT list_cosine_distance([1.0, 0.0], [0.0, 1.0]) AS d",
+      "list_cosine_distance"),
+    err("SELECT list_negative_dot_product([1.0, 2.0], [3.0, 4.0]) AS d",
+      "list_negative_dot_product"),
+    // struct / map algebra
+    q("SELECT struct_insert({'a': 1}, b := 2) AS s", Seq(Seq(1, 2))),
+    q("SELECT struct_extract({'x': {'y': 42}}, 'x') AS s", Seq(Seq(42))),
+    q("SELECT map_entries(MAP {'k1': 10, 'k2': 20}) AS e",
+      Seq(Seq(Seq("k1", 10), Seq("k2", 20)))),
+    q("SELECT map_concat(MAP {'a': 1}, MAP {'b': 2}) AS m",
+      Seq(Map("a" -> 1, "b" -> 2))),
+    q("SELECT map_extract(MAP {'a': 1, 'b': 2}, 'b') AS v", Seq(Seq(2))),
+    q("SELECT cardinality(MAP {'a': 1, 'b': 2}) AS c", Seq(2)),
+    q("SELECT element_at(MAP {'k': 5}, 'k') AS e", Seq(Seq(5))),
+    err("SELECT map_contains(MAP {'a': 1}, 'a') AS c", "map_contains"),
+    // json breadth
+    q("SELECT json_keys('{\"a\":1,\"b\":{\"c\":2}}') AS k", Seq(Seq("a", "b"))),
+    q("SELECT json_structure('{\"a\":1,\"b\":[1,2]}') AS s",
+      Seq("{\"a\":\"UBIGINT\",\"b\":[\"UBIGINT\"]}")),
+    q("SELECT json_type('{\"a\":[1]}', '$.a') AS t", Seq("ARRAY")),
+    q("SELECT json_type('{\"a\":1}', '$.b') AS missing", Seq(null)),
+    q("SELECT json_valid('{\"a\":1}') AS v, json_valid('{oops') AS i",
+      Seq(true, false)),
+    q("SELECT json_array_length('[1,2,3]') AS n", Seq(3)),
+    q("SELECT json_contains('{\"a\":1}', '1') AS c", Seq(true)),
+    q("SELECT json_extract_string('{\"a\":\"x\"}', '$.a') AS s", Seq("x")),
+    q("SELECT json_merge_patch('{\"a\":1,\"b\":2}', '{\"b\":3}') AS m",
+      Seq("{\"a\":1,\"b\":3}")),
+    err("SELECT json_exists('{\"a\":1}', '$.a') AS e", "json_exists"),
+    err("SELECT json_value('{\"a\":{\"b\":7}}', '$.a.b') AS v", "json_value"),
+    // dates / times breadth
+    q("SELECT time_bucket(INTERVAL '15 minutes', " +
+      "TIMESTAMP '2024-05-01 10:37:00') AS b", Seq("2024-05-01 10:30:00")),
+    q("SELECT date_trunc('quarter', DATE '2024-05-20') AS q", Seq("2024-04-01")),
+    q("SELECT datetrunc('month', TIMESTAMP '2024-05-20 10:00:00') AS m",
+      Seq("2024-05-01")),
+    q("SELECT datepart('isoyear', DATE '2024-01-01') AS y", Seq(2024)),
+    q("SELECT date_part(['year', 'month'], DATE '2024-05-20') AS parts",
+      Seq(Seq(2024, 5))),
+    q("SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS h", Seq(0)),
+    q("SELECT era(DATE '2024-01-01') AS e", Seq(1)),
+    q("SELECT epoch_us(make_timestamptz(2024, 5, 20, 10, 30, 0.0)) AS e",
+      Seq(1716201000000000L)),
+    q("SELECT (DATE '2000-01-01' + to_centuries(2))::DATE AS c", Seq("2200-01-01")),
+    q("SELECT (DATE '2000-01-01' + to_millennia(1))::DATE AS m", Seq("3000-01-01")),
+    q("SELECT (DATE '2000-01-01' + to_decades(3))::DATE AS d", Seq("2030-01-01")),
+    q("SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS d",
+      Seq("2024-02-29")),
+    q("SELECT date_sub('month', DATE '2024-01-31', DATE '2024-03-01') AS n",
+      Seq(1)),
+    q("SELECT datesub('day', DATE '2024-01-01', DATE '2024-01-31') AS n",
+      Seq(30)),
+    q("SELECT datediff('week', DATE '2024-01-01', DATE '2024-01-31') AS w",
+      Seq(4)),
+    q("SELECT date_diff('quarter', DATE '2024-01-15', DATE '2024-07-15') AS n",
+      Seq(2)),
+    q("SELECT monthname(DATE '2024-05-01') AS m, dayname(DATE '2024-05-01') AS d",
+      Seq("May", "Wednesday")),
+    q("SELECT yearweek(DATE '2024-05-20') AS yw", Seq(202421)),
+    q("SELECT weekofyear(DATE '2024-05-20') AS w, " +
+      "dayofyear(DATE '2024-05-20') AS d", Seq(21, 141)),
+    q("SELECT length(current_setting('timezone')) > 0 AS tz", Seq(true)),
+    // string breadth
+    q("SELECT format_bytes(1048576) AS f", Seq("1.0 MiB")),
+    q("SELECT to_base(42, 16) AS h, to_base(42, 2) AS b", Seq("2A", "101010")),
+    q("SELECT bin(5) AS b, hex(255) AS h", Seq("101", "FF")),
+    q("SELECT decode(unhex('4142')) AS d, octet_length(unhex('4142')) AS n",
+      Seq("AB", 2)),
+    q("SELECT nfc_normalize('a') AS n", Seq("a")),
+    q("SELECT string_to_array('a,b,c', ',') AS s", Seq(Seq("a", "b", "c"))),
+    q("SELECT array_to_string([1,2,3], '-') AS s", Seq("1-2-3")),
+    q("SELECT regexp_escape('a.b*c') AS e", Seq("a\\.b\\*c")),
+    q("SELECT like_escape('a%b', 'a$%b', '$') AS l", Seq(true)),
+    q("SELECT not_like_escape('a%b', 'a$%b', '$') AS n", Seq(false)),
+    q("SELECT ilike_escape('A%b', 'a$%B', '$') AS i", Seq(true)),
+    q("SELECT md5_number_lower('abc') AS l", Seq(8250560606382298838L)),
+    q("SELECT md5_number_upper('abc')::VARCHAR AS u",
+      Seq("12704604231530709392")),
+    q("SELECT ord('abc') AS o", Seq(97)),
+    q("SELECT jaro_similarity('duck', 'duckdb') AS j", Seq(0.8888888888888888)),
+    q("SELECT jaro_winkler_similarity('duck', 'duckdb') AS j",
+      Seq(0.9333333333333333)),
+    q("SELECT damerau_levenshtein('duckdb', 'udckbd') AS d", Seq(2)),
+    q("SELECT mismatches('duck', 'luck') AS m", Seq(1)),
+    err("SELECT uuid_string(gen_random_uuid()) AS u", "uuid_string"),
+    err("SELECT can_cast_implicitly(1::INT, 1::BIGINT) AS c",
+      "can_cast_implicitly"),
+    // aggregates: quantiles, FILTER shorthand, ORDER BY no-ops
+    q("SELECT quantile_disc(x, [0.25, 0.75]) AS q FROM " +
+      "(VALUES (1),(2),(3),(4)) v(x)", Seq(Seq(1, 3))),
+    q("SELECT quantile_cont(x, 0.5) AS q FROM (VALUES (1),(2),(3),(4)) v(x)",
+      Seq(2.5)),
+    q("SELECT arbitrary(x) AS a FROM (VALUES (5),(5)) v(x)", Seq(5)),
+    q("SELECT bit_count(255::BIGINT) AS b", Seq(8)),
+    q("SELECT bool_and(x) AS a, bool_or(x) AS o FROM " +
+      "(VALUES (true),(false)) v(x)", Seq(false, true)),
+    q("SELECT count(*) FILTER (x > 1) AS c FROM (VALUES (1),(2),(3)) v(x)",
+      Seq(2)),
+    q("SELECT sum(x ORDER BY x) AS s FROM (VALUES (3),(1)) v(x)", Seq(4)),
+    q("SELECT median(x ORDER BY x) AS m FROM (VALUES (1),(2),(3)) v(x)",
+      Seq(2)),
+    // operators
+    q("SELECT 5 // 2 AS i, 5.0 // 2 AS f", Seq(2, 2.5)),
+    q("SELECT 2 ** 10 AS p", Seq(1024)),
+    q("SELECT 'abc' ^@ 'ab' AS starts", Seq(true)),
+    q("SELECT @(-7) AS a", Seq(7)),
+    q("SELECT xor(5, 3) AS x", Seq(6)),
+    q("SELECT gen_random_uuid() IS NOT NULL AS ok", Seq(true)),
+    q("SELECT current_schemas(true) AS s",
+      Seq(Seq("main", "main", "main", "pg_catalog"))),
+    q("SELECT txid_current() > 0 AS t", Seq(true)))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
-      corpusG ++ corpusH ++ corpusI ++ corpusJ
+      corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
