@@ -24,8 +24,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+    // spark-submit's --master wins (cluster scale-out runs, like Verify's
+    // cluster smoke gate); standalone invocation stays local[cpus]
+    if (!sys.props.contains("spark.master")) builder0.master(s"local[$cpus]")
+    val spark = builder0
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
