@@ -41,8 +41,11 @@ object Bench {
       // (64 MB) governs either way
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // tiny-stage scheduling: don't wait for locality on a local[, and
-      // launch result stages immediately
-      .config("spark.locality.wait", "0ms")
+      // launch result stages immediately. On a CLUSTER this is wrong for
+      // single-copy cached/checkpointed blocks (tasks land off-node and
+      // fetch remotely) — the scale-out probe sets it to Spark's default
+      .config("spark.locality.wait",
+        sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0ms"))
       // a 128 GiB box broadcasts a 64 MB build side without blinking; the
       // 10 MB default left the mid-size dimension joins (customer, part at
       // 10× data) on sort-merge exchanges

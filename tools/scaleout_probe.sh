@@ -45,6 +45,7 @@ run_bench() { # tag cores
   SPARK_GRAFT_SHUFFLE_COMPRESS=true SPARK_GRAFT_CACHE_COMPRESS=true \
   SPARK_GRAFT_SHUFFLE=32 \
   SPARK_GRAFT_PIN_ROWS="${SPARK_GRAFT_PIN_ROWS:-75000}" \
+  SPARK_GRAFT_LOCALITY_WAIT="${SPARK_GRAFT_LOCALITY_WAIT:-0ms}" \
   "$SPARK_HOME/bin/spark-submit" \
     --master spark://127.0.0.1:7077 \
     --class graft.Bench \
