@@ -114,8 +114,15 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       catch { case _: Throwable => None }
     }
     if (counts.isEmpty) Map.empty
-    else counts.reduce(_.unionAll(_)).collect()
+    else try counts.reduce(_.unionAll(_)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    catch { case _: Throwable =>
+      // one broken table (deleted files, corrupt footer) must not fail
+      // the whole listing: fall back to per-table isolation, 0 for the
+      // broken one — the pre-batching behavior
+      names.map(t => t -> (try spark.table(t).count()
+        catch { case _: Throwable => 0L })).toMap
+    }
   }
 
   def tables(): DataFrame = {
@@ -469,7 +476,10 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     // are listed only once SET (r11 ADVICE: no silent empty subset for
     // the honored family).
     val threads = spark.sparkContext.defaultParallelism.toString
-    val memGiB = f"${Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024}%.1f GiB"
+    // Locale.ROOT: DuckDB always prints '7.1 GiB'; the default-locale f""
+    // interpolator would render '7,1 GiB' on comma-decimal locales
+    val memGiB = String.format(java.util.Locale.ROOT, "%.1f GiB",
+      Double.box(Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024))
     val threadsDesc = "The number of total threads used by the system."
     val memDesc = "The maximum memory of the system (e.g. 1GB)"
     val defaults = Seq(
@@ -645,7 +655,7 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
         val isTable = """(?is)^\s*(select|from|values|with)\b""".r
           .findFirstIn(body).isDefined
         val defn = if (isTable) body else s"($body)"
-        Row(DB, (30000 + i).toString, SCHEMA, name,
+        Row(DB, "0", SCHEMA, name,
           if (isTable) "table_macro" else "macro", null, null, emptyTags,
           null, params, params.map(_ => null: String), null, defn, null,
           false, 30000L + i, null, null)
@@ -724,26 +734,21 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     df(schema, rows)
   }
 
-  /** Spill files currently held by this JVM's block manager directories
-    * (`blockmgr-*` under the Spark local dirs) — the engine's twin of
-    * DuckDB's temp-file listing (both empty when nothing has spilled). */
+  /** Spill files currently held by THIS application's block-manager
+    * directories (via the BlockDirsShim — a bare `blockmgr-*` glob over
+    * the shared tmp dir would report other Spark apps' files on a
+    * multi-app box) — the engine's twin of DuckDB's temp-file listing
+    * (both empty when nothing has spilled). */
   def temporaryFilesDf(): DataFrame = {
     val schema = StructType(Seq(
       fld("path", StringType), fld("size", LongType)))
-    val localDirs = Option(System.getProperty("java.io.tmpdir")).toSeq ++
-      spark.conf.getOption("spark.local.dir").toSeq.flatMap(_.split(","))
-    val rows = localDirs.distinct.flatMap { d =>
-      val root = new java.io.File(d)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
-        .flatMap { bm =>
-          def walk(f: java.io.File): Seq[java.io.File] =
-            if (f.isDirectory)
-              Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-            else Seq(f)
-          walk(bm)
-        }
-    }.map(f => Row(f.getPath, f.length)).sortBy(_.getString(0))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val rows = org.apache.spark.graft.BlockDirsShim.localDirs()
+      .flatMap(walk)
+      .map(f => Row(f.getPath, f.length)).sortBy(_.getString(0))
     df(schema, rows)
   }
 }

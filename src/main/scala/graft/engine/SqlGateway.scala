@@ -5235,9 +5235,14 @@ class SqlGateway(val spark: SparkSession) {
                 if (m.group(3).equalsIgnoreCase("all")) ("forall", "true")
                 else ("exists", "false")
               // a bare NULL list has no array type to give exists/forall —
-              // it IS the probed constant (ANY(NULL) false, ALL(NULL) true)
+              // it IS the probed constant (ANY(NULL) false, ALL(NULL) true).
+              // A literal [..] list can never be NULL: skip the CASE guard
+              // (which would duplicate the arg text — compounding under
+              // nested quantifiers)
               val repl =
                 if (arg.trim.equalsIgnoreCase("null")) onNull
+                else if (arg.trim.startsWith("["))
+                  s"$fn($arg, graft_q -> (${m.group(1)}) $op graft_q)"
                 else s"(CASE WHEN ($arg) IS NULL THEN $onNull ELSE " +
                   s"$fn($arg, graft_q -> (${m.group(1)}) $op graft_q) END)"
               out = qIn.substring(0, m.start) + repl + qIn.substring(i)

@@ -213,7 +213,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
             members.put(id, addr)
           }
         }
-      case None => electAfterLeaderDeath(base)
+      case None =>
+        // one failed probe is not death: a GC pause / slow catalog call /
+        // dropped packet on a LIVE leader must not fork the cluster.
+        // Re-probe after a grace pause; only a second failure elects.
+        Thread.sleep(500)
+        if (fetchBody(s"$base/status").isEmpty) electAfterLeaderDeath(base)
     }
   }
 
@@ -260,45 +265,69 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
   }
 
-  /** Become the leader: seat the statement log at this replica's applied
-    * position (everything applied is "folded into the snapshot" — the
-    * local gateway state), keep the roster minus the dead leader, start
-    * serving writes. The gateway already holds every push-replicated
-    * statement, so no committed write is lost. */
+  /** Become the leader. A follower maintains the SAME (baseIndex,
+    * stmtLog) invariants as a leader — every applied statement is
+    * retained past its hydration base (see [[followerApplied]]) — so
+    * promotion changes only role state: the log position is already
+    * seated at lastApplied, and a LAGGING survivor can still pull the
+    * entries it missed from the new leader's retained suffix (without
+    * this a promoted node would answer snapshot_required with no
+    * snapshot to offer — the laggard could never catch up). */
   private def promote(): Unit = {
-    logLock.synchronized {
-      baseIndex.set(lastApplied.get)
-      stmtLog.clear()
-      rewriteLogFile()
-    }
+    logLock.synchronized { rewriteLogFile() }
     members.put(nodeId, selfAddr)
     currentLeader.set(None)
   }
 
-  /** Push one committed statement to every roster follower — the
+  /** Record a follower-applied statement in the retained log suffix —
+    * keeps `baseIndex + stmtLog.size == lastApplied` so the node can
+    * serve /log (and survive promotion) like a leader. */
+  private def followerApplied(idx: Long, sql: String): Unit =
+    logLock.synchronized {
+      if (baseIndex.get + stmtLog.size == idx - 1) stmtLog.add(sql)
+      else { // discontinuity (fresh hydration raced in): reseat the base
+        stmtLog.clear(); baseIndex.set(idx - 1); stmtLog.add(sql)
+      }
+      lastApplied.set(idx)
+    }
+
+  /** Pending pushes, enqueued UNDER logLock (so queue order = log order)
+    * and drained OUTSIDE it — a slow or dead follower's connect timeout
+    * must never stall readers, snapshot cuts, or the next writer on
+    * logLock (r12 review finding). [[pushLock]] serializes drains so
+    * statements still arrive at each follower in log order. */
+  private val pushQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+  private val pushLock = new Object
+
+  /** Push committed statements to every roster follower — the
     * AppendEntries twin (`store/store.go:242-250` Apply replicates every
-    * Execute). Called under logLock, so pushes arrive in log order.
-    * Best-effort with short timeouts: an unreachable follower catches up
-    * through the pull path (/log, or snapshot install) on its next read —
-    * exactly a lagging Raft follower's recovery. Non-log-following
-    * replicas (point-in-time snapshot replicas) acknowledge and ignore. */
-  private def replicateToFollowers(sql: String): Unit = {
-    val idx = logIndex
+    * Execute). Best-effort with short timeouts: an unreachable follower
+    * catches up through the pull path (/log, or snapshot install) on its
+    * next read — exactly a lagging Raft follower's recovery.
+    * Non-log-following replicas acknowledge and ignore. */
+  private def drainPushes(): Unit = pushLock.synchronized {
     val self = s"http://localhost:${server.getAddress.getPort}"
     import scala.jdk.CollectionConverters._
-    members.asScala.toSeq.foreach { case (id, addr) =>
-      if (id != nodeId && addr != self) {
-        try {
-          val conn = java.net.URI.create(s"$addr/replicate").toURL
-            .openConnection().asInstanceOf[java.net.HttpURLConnection]
-          conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
-          conn.setRequestMethod("POST"); conn.setDoOutput(true)
-          conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
-            "sql" -> Json.str(sql)).getBytes(StandardCharsets.UTF_8))
-          conn.getResponseCode
-          conn.disconnect()
-        } catch { case _: Exception => () }
+    var next = pushQueue.poll()
+    while (next != null) {
+      val (idx, sql) = next
+      members.asScala.toSeq.foreach { case (id, addr) =>
+        if (id != nodeId && addr != self) {
+          try {
+            val conn = java.net.URI.create(s"$addr/replicate").toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
+            conn.setRequestMethod("POST"); conn.setDoOutput(true)
+            conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
+              "sql" -> Json.str(sql),
+              "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
+            conn.getResponseCode
+            conn.disconnect()
+          } catch { case _: Exception => () }
+        }
       }
+      next = pushQueue.poll()
     }
   }
 
@@ -312,6 +341,15 @@ class Service(gateway: SqlGateway, port: Int = 0,
     if (currentLeader.get().isEmpty) // promoted: a zombie ex-leader's push
       return (409, obj("error" -> Json.str("not a follower")))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // only the CURRENT leader's pushes apply: a follower that repointed
+    // during failover must not interleave a zombie ex-leader's statements
+    // with the new leader's (the promoted node's 409 above only protects
+    // itself — this protects the rest of the fleet)
+    Json.extractField(body, "from").foreach { from =>
+      if (!currentLeader.get().contains(from))
+        return (409, obj("error" -> Json.str(
+          s"push from $from but my leader is ${currentLeader.get().getOrElse("-")}")))
+    }
     val idx = Json.extractField(body, "i")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(return (400, obj("error" -> Json.str("missing index"))))
@@ -321,7 +359,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
       if (idx <= lastApplied.get) (200, obj("applied" -> Json.str("duplicate")))
       else if (idx == lastApplied.get + 1) {
         gateway.execute(sql)
-        lastApplied.set(idx)
+        followerApplied(idx, sql)
         (200, obj("applied" -> Json.str(idx.toString)))
       } else (409, obj("error" -> Json.str(
         s"log gap: expected ${lastApplied.get + 1}, got $idx")))
@@ -344,13 +382,19 @@ class Service(gateway: SqlGateway, port: Int = 0,
       val sql = readSql(ex)
       // execute + append under logLock so a concurrent snapshot CUT can't
       // capture state whose last write is missing from the log; the
-      // follower push rides the same lock so pushes arrive in log order
-      val (res, ms) = timed(logLock.synchronized {
-        val r = gateway.execute(sql)
-        appendLog(sql) // committed → logged (an erroring statement never is)
-        replicateToFollowers(sql)
+      // follower push is ENQUEUED under the lock (queue order = log
+      // order) but sent after release — a dead follower's timeout never
+      // blocks the lock
+      val (res, ms) = timed {
+        val r = logLock.synchronized {
+          val r0 = gateway.execute(sql)
+          appendLog(sql) // committed → logged (an erroring one never is)
+          pushQueue.add((logIndex, sql))
+          r0
+        }
+        drainPushes()
         r
-      })
+      }
       // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
       // the capture instant, so other writers flow during the export.
       // Never mid-transaction — truncation across a BEGIN would orphan the
@@ -542,8 +586,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
   }
 
   /** Seat this (replica) service's applied-log position — called after
-    * snapshot hydration with the leader's [[logIndex]] at export time. */
-  def markSynced(idx: Long): Unit = lastApplied.set(idx)
+    * snapshot hydration with the leader's [[logIndex]] at export time.
+    * Also seats the retained-suffix base: everything ≤ idx is folded into
+    * the hydrated state, the suffix tracks what this node applies next. */
+  def markSynced(idx: Long): Unit = logLock.synchronized {
+    stmtLog.clear(); baseIndex.set(idx); lastApplied.set(idx)
+  }
 
   /** `GET /log?since=N` → the committed statements with index > N, as
     * numbered string fields (`"s<idx>": "<sql>"`) plus `last_index`. A
@@ -675,16 +723,19 @@ class Service(gateway: SqlGateway, port: Int = 0,
           StandardCharsets.UTF_8) finally conn.disconnect()
       }
       var body = try pull() catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException =>
           // the leader died between health checks: fail over NOW, then
           // either serve as the new leader (nothing to pull) or pull from
-          // the elected one — a read must not error on a dead leader
+          // the elected one. If NO election is possible (no cached roster
+          // — the node never health-checked a live leader), the read must
+          // stay LOUD: silently serving stale local state would hide the
+          // partition from the client (r12 review finding)
           electAfterLeaderDeath(base)
           currentLeader.get() match {
             case None => return
             case Some(next) if next != base =>
               return syncFromLeader() // repointed: pull from the new leader
-            case _ => return // no election possible yet: serve local state
+            case _ => throw e
           }
       }
       // our suffix was compacted away — install the newest snapshot,
@@ -698,7 +749,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
             k.drop(1).forall(_.isDigit) => k.drop(1).toLong -> sql
       }.toSeq.sortBy(_._1)
       entries.foreach { case (i, sql) =>
-        if (i > lastApplied.get) { gateway.execute(sql); lastApplied.set(i) }
+        if (i > lastApplied.get) { gateway.execute(sql); followerApplied(i, sql) }
       }
     }
   }
@@ -728,7 +779,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
         e = zis.getNextEntry
       }
       gateway.execute(s"IMPORT DATABASE '$tmp'")
-      lastApplied.set(idx)
+      logLock.synchronized {
+        stmtLog.clear(); baseIndex.set(idx); lastApplied.set(idx)
+      }
     } finally {
       conn.disconnect()
       if (tmp != null) deleteRecursively(tmp) // unpacked zip, now imported

@@ -667,6 +667,48 @@ class ReplicaSpec extends SparkTestBase {
     }
   }
 
+  test("a LAGGING follower catches up from the promoted leader's retained " +
+       "log suffix (no snapshot required — r12 review finding)") {
+    val (lgw, _) = newStack("fo3_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("fo3_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("fo3_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+    try {
+      // only A joins before the writes — B lags at applied index 0
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      def exec(sql: String): Unit = assert(newHttp(lPort, "POST",
+        "/db/execute", Some(s"""{"sql": "$sql"}"""))._1 == 200)
+      exec("CREATE TABLE lag_t (id integer)")
+      exec("INSERT INTO lag_t VALUES (1), (2)")
+      // B joins late: roster knows it, but it holds NO statements
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+      fA.checkLeader(); fB.checkLeader() // cache the roster
+      leader.stop()
+      fA.checkLeader(); fB.checkLeader()
+      // A (applied 2) outranks B (applied 0) regardless of id order
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"leader\""), aSt)
+      // B's next read pulls the suffix it missed from A's RETAINED log —
+      // entries a pre-r12 promote() would have compacted away unbacked
+      val (rc, rb, _) = newHttp(bPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20lag_t")
+      assert(rc == 200 && rb.contains("[2, 3]"),
+        s"lagging follower could not catch up from promoted leader: $rb")
+      val (_, bSt, _) = newHttp(bPort, "GET", "/status")
+      assert(bSt.contains("\"applied_index\": \"2\""), bSt)
+    } finally { fA.stop(); fB.stop() }
+  }
+
   test("background health checker promotes without manual intervention " +
        "(healthCheckMs ticking, store/store.go election-on-timeout shape)") {
     val (lgw, _) = newStack("fo2_leader")
