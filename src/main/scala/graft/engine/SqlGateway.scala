@@ -2593,7 +2593,10 @@ class SqlGateway(val spark: SparkSession) {
                                        // NULLs (probed: list_zip([1,2,3],[4]))
 
   private val DuckFnRe = (
-    """(?i)(?<![\w.$])(""" +
+    // backtick in the lookbehind: a BACKQUOTED identifier containing a
+    // function-call shape (`unnest(l1)` — the multi-unnest column naming)
+    // is a name, not a call
+    """(?i)(?<![\w.$`])(""" +
       DuckFnAliases.map(_._1).sortBy(-_.length).mkString("|") +
       """)\s*\(""").r
   private val DuckFnLookup = DuckFnAliases.toMap

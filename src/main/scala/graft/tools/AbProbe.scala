@@ -90,7 +90,39 @@ object AbProbe {
         count(lit(1)).over(byTypeValue).as("n_near_value"))
     }
 
-    val variants: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
+    /** x02 with the shingle table PERSISTED as a real parquet table
+      * instead of a single-copy localCheckpoint — the 100-TB posture the
+      * x02 comment names (a derived table distributes with data-local
+      * reads; checkpoint blocks live on one executor and ship remotely
+      * to every other consumer — the r12 scale-out probe's suspect). */
+    def x02Persisted(s: SparkSession, dir: String): DataFrame = {
+      import graft.ext.Dedup._
+      import graft.ext.TextOps.shingleTable
+      val docs = graft.Tables(s, dir, "documents")
+      val path = s"/tmp/graft_ab_shingles_${dir.replaceAll("[^\\w]", "_")}"
+      if (!new java.io.File(path).exists())
+        shingleTable(docs).write.mode("overwrite").parquet(path)
+      val sh = s.read.parquet(path)
+      val bands = lshBands(minhashSignatureFromShingles(sh))
+      val cand = bands.as("l")
+        .join(bands.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      verifyJaccardFromShingles(sh, cand)
+        .filter(col("jacc") >= 0.5)
+        .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
+    }
+
+    val mode = sys.env.getOrElse("AB_MODE", "q05q18")
+    val variants: Seq[(String, String, (SparkSession, String) => DataFrame)] =
+      if (mode == "x02") Seq(
+        ("x02", "current-checkpoint",
+          (s, d) => graft.SparkEntry.queries("x02_dedup_minhash")(s, d)),
+        ("x02", "persisted-shingles", x02Persisted))
+      else Seq(
       ("q05", "current", (s, d) => graft.SparkEntry.queries("q05_star_join")(s, d)),
       ("q05", "lineitem-preagg", q05Alt),
       ("q18", "current", (s, d) => graft.SparkEntry.queries("q18_window_frames")(s, d)),
@@ -112,15 +144,21 @@ object AbProbe {
     // sanity: the alternatives must agree with production on VALUES
     def rowsOf(df: DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    val q05same = rowsOf(q05Alt(spark, sfDir)
-        .select(col("n_name"), round(col("revenue").cast("double"), 2))) ==
-      rowsOf(graft.SparkEntry.queries("q05_star_join")(spark, sfDir)
-        .select(col("n_name"), round(col("revenue").cast("double"), 2)))
-    val q18same = rowsOf(q18Alt(spark, sfDir).orderBy("event_id").limit(5000)) ==
-      rowsOf(graft.SparkEntry.queries("q18_window_frames")(spark, sfDir)
-        .orderBy("event_id").limit(5000))
-    println(s"AB q05 values-agree $q05same")
-    println(s"AB q18 values-agree $q18same")
+    if (mode == "x02") {
+      val same = rowsOf(x02Persisted(spark, sfDir)) ==
+        rowsOf(graft.SparkEntry.queries("x02_dedup_minhash")(spark, sfDir))
+      println(s"AB x02 values-agree $same")
+    } else {
+      val q05same = rowsOf(q05Alt(spark, sfDir)
+          .select(col("n_name"), round(col("revenue").cast("double"), 2))) ==
+        rowsOf(graft.SparkEntry.queries("q05_star_join")(spark, sfDir)
+          .select(col("n_name"), round(col("revenue").cast("double"), 2)))
+      val q18same = rowsOf(q18Alt(spark, sfDir).orderBy("event_id").limit(5000)) ==
+        rowsOf(graft.SparkEntry.queries("q18_window_frames")(spark, sfDir)
+          .orderBy("event_id").limit(5000))
+      println(s"AB q05 values-agree $q05same")
+      println(s"AB q18 values-agree $q18same")
+    }
     spark.stop()
   }
 }

@@ -1215,6 +1215,20 @@ class GatewaySpec extends SparkTestBase {
     finally gw.execute("RESET memory_limit")
   }
 
+  test("zipped multi-unnest names unaliased columns unnest(<arg>) like " +
+       "DuckDB for identifier args; other expressions demand an alias") {
+    val r = gw.query(
+      "SELECT unnest(l1), unnest(l2) FROM (SELECT [1,2] l1, [30] l2) t")
+    assert(r.columns == Seq("unnest(l1)", "unnest(l2)"), r.columns)
+    assert(r.values.map(_.toList).sortBy(_.head.asInstanceOf[Int]) ==
+      Seq(List(1, 30), List(2, null)), r.values)
+    val e = intercept[Exception] {
+      gw.query("SELECT unnest(list_append(l1, 9)), unnest(l2) " +
+        "FROM (SELECT [1,2] l1, [30] l2) t")
+    }
+    assert(e.getMessage.contains("alias"), e.getMessage)
+  }
+
   test("a '::BLOB'-shaped span inside a string literal is data (quote-" +
        "parity guard on the blob-literal rewrite)") {
     // genuine casts still rewrite/decode
