@@ -5215,10 +5215,7 @@ class SqlGateway(val spark: SparkSession) {
       var more = true
       while (more) {
         val qIn = out
-        Quant.findAllMatchIn(qIn).find(m =>
-          balancedBefore(qIn, m.start) &&
-            !"""(?is)^\s*(select|values|with|table)\b""".r
-              .findFirstIn(qIn.substring(m.end)).isDefined) match {
+        Quant.findAllMatchIn(qIn).find(m => balancedBefore(qIn, m.start)) match {
           case None => more = false
           case Some(m) =>
             var i = m.end; var depth = 1; var inStr = false
@@ -5231,6 +5228,23 @@ class SqlGateway(val spark: SparkSession) {
               i += 1
             }
             if (depth != 0) more = false
+            else if ("""(?is)^\s*(select|values|with|table)\b""".r
+                .findFirstIn(qIn.substring(m.end)).isDefined) {
+              // SUBQUERY form: `x = ANY(q)` IS `x IN (q)` and
+              // `x <> ALL(q)` IS `x NOT IN (q)` — standard-SQL identities
+              // DuckDB follows (probed incl. NULL lhs and empty q); other
+              // operators keep Spark's loud parse error
+              val arg = qIn.substring(m.end, i - 1)
+              val op = if (m.group(2) == "==") "=" else m.group(2)
+              val all = m.group(3).equalsIgnoreCase("all")
+              val repl =
+                if (op == "=" && !all) s"((${m.group(1)}) IN ($arg))"
+                else if ((op == "<>" || op == "!=") && all)
+                  s"((${m.group(1)}) NOT IN ($arg))"
+                else m.matched + arg + ")" // unsupported: pass through loud
+              if (repl == m.matched + arg + ")") { more = false }
+              else out = qIn.substring(0, m.start) + repl + qIn.substring(i)
+            }
             else {
               val arg = qIn.substring(m.end, i - 1)
               val op = if (m.group(2) == "==") "=" else m.group(2)

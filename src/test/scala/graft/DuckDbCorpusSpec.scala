@@ -3574,6 +3574,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT 1 <> ALL([1, NULL]) AS a", Seq(false)),
     q("SELECT x FROM (VALUES (1),(2),(3)) t(x) WHERE x = ANY([1, 3]) ORDER BY 1",
       Seq(1), Seq(3)),
+    // quantified SUBQUERY forms: = ANY(q) IS IN (q), <> ALL(q) IS NOT IN
+    q("SELECT 2 = ANY(SELECT x FROM (VALUES (0),(1),(2)) t(x)) AS a", Seq(true)),
+    q("SELECT 5 = ANY(SELECT x FROM (VALUES (0),(1),(2)) t(x)) AS a", Seq(false)),
+    q("SELECT 5 <> ALL(SELECT x FROM (VALUES (0),(1),(2)) t(x)) AS a", Seq(true)),
+    q("SELECT 2 <> ALL(SELECT x FROM (VALUES (0),(1),(2)) t(x)) AS a", Seq(false)),
+    q("SELECT NULL = ANY(SELECT x FROM (VALUES (0),(1),(2)) t(x)) AS a", Seq(null)),
+    q("SELECT 5 = ANY(SELECT x FROM (VALUES (1)) t(x) WHERE x < 0) AS a",
+      Seq(false)),
+    q("SELECT 3 = SOME(SELECT x FROM (VALUES (3),(4)) t(x)) AS a", Seq(true)),
     // batch teardown (DROP order: dependents first)
     s("DROP VIEW r12v2"), s("DROP VIEW r12v"),
     s("DROP MACRO r12m"), s("DROP SEQUENCE r12s"),
