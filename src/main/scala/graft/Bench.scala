@@ -89,6 +89,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // x33's |sources|-row global window is WHITELISTED (PlanLintSpec:
+    // bounded metadata — one row per source class — not a scale risk);
+    // its per-run "No Partition Defined" WARN reads like a defect in
+    // every round's logs, so that one logger is pinned to ERROR here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warm EVERY query once on the tiny sf0.001 corpus: whole-stage
     // codegen compilation is cached by generated source (identical across

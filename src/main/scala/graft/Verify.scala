@@ -21,6 +21,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // x33's |sources|-row global window is WHITELISTED (PlanLintSpec:
+    // bounded metadata — one row per source class — not a scale risk);
+    // its per-run "No Partition Defined" WARN reads like a defect in
+    // every round's logs, so that one logger is pinned to ERROR here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
