@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * full-name, full-precision map is written to bench_detail.json next to
   * the cwd for humans. Box-load telemetry (1-min loadavg before/after)
   * rides along so a contended run is visible in the artifact itself.
+  *
+  * `SPARK_GRAFT_DETAIL_OUT` redirects the detail artifact: the repo-root
+  * bench_detail.json is a COMMITTED, chain-paired artifact, and an A/B or
+  * scale-out probe that runs Bench at another scale factor must never
+  * clobber it (r12 verdict: a one-query x32 probe overwrote the chain
+  * leg before commit). Probe harnesses (chain.sh per leg, tax_chain.sh
+  * per arm, scaleout_probe.sh, AbProbe-driven runs) set it to a scratch
+  * path; the driver's per-round run keeps the default.
   */
 object Bench {
   private def loadavg(): Double =
@@ -22,6 +30,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder0 = SparkSession.builder()
@@ -195,7 +204,7 @@ object Bench {
       val total = res.map(_._2).filter(_ >= 0).sum
       val detail = res.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailOut),
         f"""{"total":$total%.3f,"sf":"$sfDir","passes":$nPasses,"order":"adjacent","load_start":$loadS,"load_end":${loadavg()},"pass_meta":[{"wall_s":$wall%.2f,"gc_ms":${gcMsA() - g0}}],"queries":$detail}""")
       catch { case _: Throwable => () }
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","order":"adjacent","sf":"$sfDir","passes":$nPasses}""")
@@ -266,7 +275,7 @@ object Bench {
     val passJson = passMeta.result().map { case (w, g, j) =>
       f"""{"wall_s":$w%.2f,"gc_ms":$g,"janino_ms":$j}""" }.mkString("[", ",", "]")
     val mode = (if (phasePlan) "plan" else "exec") + (if (reuse) "+reuse" else "")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"),
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailOut),
       s"""{"total":$total,"sf":"$sfDir","passes":$nPasses,"mode":"$mode","codegen_cache":"${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")}","load_start":$loadStart,"load_end":$loadEnd,"pass_meta":$passJson,"movers":$moverDetail,"queries":$detail}""")
     catch { case _: Throwable => () }
     // stdout stays inside the driver's 2 KB tail window: ratios only, cap 8

@@ -5213,11 +5213,30 @@ class SqlGateway(val spark: SparkSession) {
       val Quant =
         (s"(?i)$Operand\\s*(=|==|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(").r
       var more = true
+      // scan cursor: an unsupported quantifier (e.g. `< ALL(subq)`) skips
+      // PAST its match instead of aborting the loop, so later rewritable
+      // occurrences in the same statement still rewrite (r12 advice)
+      var from = 0
       while (more) {
         val qIn = out
-        Quant.findAllMatchIn(qIn).find(m => balancedBefore(qIn, m.start)) match {
+        Quant.findAllMatchIn(qIn).find(m =>
+            m.start >= from && balancedBefore(qIn, m.start)) match {
           case None => more = false
           case Some(m) =>
+            // compound-lhs guard: Operand captures only the TRAILING
+            // simple term of `'x' || c = ANY(...)`, so a rewrite would
+            // rebind precedence — `'x' || exists(...)` string-concats a
+            // boolean SILENTLY (DuckDB parses the whole ||-chain as the
+            // lhs). Refuse loudly; the parenthesized spelling
+            // `('x' || c) = ANY(...)` matches Operand's call form and
+            // rewrites correctly.
+            val prevCh = qIn.substring(0, m.start).reverse
+              .dropWhile(_.isWhitespace).headOption
+            if (prevCh.exists(c => "|&+-*/%^~!=<>".contains(c)))
+              throw new IllegalArgumentException(
+                "quantified comparison with a compound left operand is " +
+                "not supported: parenthesize it, e.g. (a || b) " +
+                s"${m.group(2)} ${m.group(3)}(...)")
             var i = m.end; var depth = 1; var inStr = false
             while (i < qIn.length && depth > 0) {
               val c = qIn.charAt(i)
@@ -5242,7 +5261,7 @@ class SqlGateway(val spark: SparkSession) {
                 else if ((op == "<>" || op == "!=") && all)
                   s"((${m.group(1)}) NOT IN ($arg))"
                 else m.matched + arg + ")" // unsupported: pass through loud
-              if (repl == m.matched + arg + ")") { more = false }
+              if (repl == m.matched + arg + ")") { from = i } // skip past it
               else out = qIn.substring(0, m.start) + repl + qIn.substring(i)
             }
             else {

@@ -1238,4 +1238,25 @@ class GatewaySpec extends SparkTestBase {
     assert(gw.query("SELECT 'doc: ''''::BLOB usage' AS s").values.head.head ==
       "doc: ''::BLOB usage")
   }
+
+  test("quantified comparison with a compound left operand refuses loudly " +
+       "(the Operand capture would rebind precedence silently — r12 " +
+       "advice); the parenthesized spelling rewrites correctly") {
+    // DuckDB parses the whole ||-chain as the lhs; our regex captures only
+    // the trailing term, so `'x' || exists(...)` would string-concat a
+    // boolean with no error. Loud refusal, with the fix-it spelling.
+    Seq("SELECT 'x' || 1 = ANY(['x1','z']) AS t",
+        "SELECT 2-1 = ANY([1,2]) AS t",
+        "SELECT -1 = ANY([1,-1]) AS t").foreach { sql =>
+      val e = intercept[Exception](gw.query(sql))
+      assert(e.getMessage.contains("compound left operand"), s"$sql: ${e.getMessage}")
+    }
+    // parenthesized lhs matches the Operand call form and rewrites
+    assert(gw.query("SELECT ('x' || 'y') = ANY(['xy','z']) AS t")
+      .values.head.head == true)
+    assert(gw.query("SELECT (1+1) = ANY([2]) AS t").values.head.head == true)
+    assert(gw.query("SELECT ('a' || 'b') <> ALL(['x','y']) AS t")
+      .values.head.head == true)
+    assert(gw.query("SELECT (-1) = ANY([1,-1]) AS t").values.head.head == true)
+  }
 }

@@ -22,18 +22,18 @@ mkdir -p "$OUT"
 echo "== chain → $OUT (loadavg $(cut -d' ' -f1 /proc/loadavg)) =="
 
 echo "-- spark sf0.1 --"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_DETAIL_OUT="$OUT/spark_sf01.json" sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '\{"metric".*' | tail -1 > "$OUT/spark_sf01_stdout.json"
-cp bench_detail.json "$OUT/spark_sf01.json"
 
 echo "-- duckdb sf0.1 --"
 python3 tools/bench_duckdb.py /root/testdata/sf0.1 "$ORACLE" \
   | tail -1 > "$OUT/duck_sf01.json"
 
 echo "-- spark 10x --"
-SPARK_GRAFT_SF_DIR="$DERIVED" sbt -batch "runMain graft.Bench" \
+SPARK_GRAFT_SF_DIR="$DERIVED" \
+  SPARK_GRAFT_DETAIL_OUT="$OUT/spark_10x.json" sbt -batch "runMain graft.Bench" \
   2>&1 | grep -oE '\{"metric".*' | tail -1 > "$OUT/spark_10x_stdout.json"
-cp bench_detail.json "$OUT/spark_10x.json"
 
 echo "-- duckdb 10x --"
 python3 tools/bench_duckdb.py "$DERIVED" "$ORACLE" \

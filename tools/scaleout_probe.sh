@@ -42,6 +42,7 @@ start_worker() { # idx
 run_bench() { # tag cores
   echo "== bench: $1 ($2 cores) =="
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$SUBSET" \
+  SPARK_GRAFT_DETAIL_OUT="$WORK/bench_detail_$1.json" \
   SPARK_GRAFT_SHUFFLE_COMPRESS=true SPARK_GRAFT_CACHE_COMPRESS=true \
   SPARK_GRAFT_SHUFFLE=32 \
   SPARK_GRAFT_PIN_ROWS="${SPARK_GRAFT_PIN_ROWS:-75000}" \

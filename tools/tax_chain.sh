@@ -15,9 +15,9 @@ echo "== tax chain → $OUT (loadavg $(cut -d' ' -f1 /proc/loadavg)) =="
 run_arm() { # name, env...
   local name=$1; shift
   echo "-- arm $name ($*) --"
-  env SPARK_GRAFT_SF_DIR="$SF" "$@" sbt -batch "runMain graft.Bench" \
+  env SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_DETAIL_OUT="$OUT/$name.json" \
+    "$@" sbt -batch "runMain graft.Bench" \
     2>&1 | grep -oE '\{"metric".*' | tail -1 > "$OUT/${name}_stdout.json"
-  cp bench_detail.json "$OUT/$name.json"
   python3 - "$OUT/$name.json" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
