@@ -33,37 +33,101 @@ import java.nio.charset.StandardCharsets
   * while answering writes with the identical 301 + `Location` contract,
   * so a reference client pointed at any replica keeps working unchanged.
   *
-  * Automatic leader failover (r12): the reference's headline
-  * fault-tolerance claim comes from hashicorp/raft — kill the leader of
-  * a 3-node cluster and a follower is elected, writes continue
+  * Automatic leader failover (r12, hardened r13): the reference's
+  * headline fault-tolerance claim comes from hashicorp/raft — kill the
+  * leader of a 3-node cluster and a follower is elected, writes continue
   * (`store/store.go:114` raft.NewRaft; `README.md:12`). This engine
   * reproduces the BEHAVIOR with a deterministic election instead of a
   * vote protocol: (1) every committed write push-replicates to the
-  * roster's log-following replicas before the client is acked —
-  * AppendEntries' shape, so a surviving follower holds every
-  * acknowledged statement; (2) followers health-check the leader
-  * (`healthCheckMs` background tick, or [[checkLeader]] called
-  * explicitly) and cache the roster from its /status; (3) on leader
-  * death every follower computes the same winner — the alive candidate
-  * with the highest applied index, ties to the lowest node id (Raft's
-  * own up-to-date-first rule) — the winner promotes in place (serves
-  * writes from its replicated state, log position seated at its applied
-  * index) and the rest repoint their 301 target. No quorum is needed
-  * because writes never fork: the old leader is dead and the new one is
-  * the single writer by the same deterministic rule on every node.
+  * roster's log-following replicas — AppendEntries' shape; (2) followers
+  * health-check the leader (`healthCheckMs` background tick, or
+  * [[checkLeader]] called explicitly) and cache the roster from its
+  * /status; (3) on leader death every follower computes the same winner —
+  * the alive candidate with the highest applied index, ties to the
+  * lowest node id (Raft's own up-to-date-first rule) — the winner
+  * promotes in place and the rest repoint their 301 target.
+  *
+  * r13 partition-safety hardening (Raft's term+quorum semantics,
+  * `store/store.go:114,187`, re-expressed without a vote round):
+  *
+  *   - **Monotonic term**: every node carries a term, advertised in
+  *     /status and on every push. A promotion bumps it past every term
+  *     the winner has seen; a follower rejects pushes from a stale term
+  *     (409) and adopts a higher one; a deposed ex-leader that sees a
+  *     higher-term leader steps down to follower ([[leaderTick]]).
+  *   - **Leader lease** (`leaseMs` > 0): the leader refuses writes (503)
+  *     and membership changes when it has not had contact with a
+  *     MAJORITY of its roster within the window — a leader partitioned
+  *     away from its followers stops acking before the survivors'
+  *     election can complete, so acked writes never fork. Contact =
+  *     a push response, a [[leaderTick]] probe, a served /log pull, or
+  *     a /join. Deploy with `leaseMs` between `healthCheckMs + probe
+  *     round` (below it, an idle tick gap false-demotes) and
+  *     `healthCheckMs + 2.5 s` (above it, a follower can elect first).
+  *   - **Election quorum + vouching**: a candidate set that is not a
+  *     majority of the roster (minus the observed-dead leader) never
+  *     promotes — a minority island stays follower and its reads stay
+  *     loud. Before promoting, the elector asks each alive peer still
+  *     following the dead URL to probe its OWN leader now (/vouch): if
+  *     any peer can reach a live leader, the elector adopts that
+  *     leader's address instead of promoting — an asymmetric partition
+  *     (leader alive but unreachable from THIS node only) redirects
+  *     instead of forking. Only log-following nodes are electable; a
+  *     snapshot-only replica's stale state can never become the write
+  *     head.
+  *   - **Majority-ack writes** (`majorityAck = true`): a write is acked
+  *     200 only after a majority of the roster holds it (synchronous
+  *     push); otherwise the client gets 503 naming how many nodes hold
+  *     the statement. This is Raft's commit rule; without it (default),
+  *     pushes are async best-effort and a write acked while every
+  *     follower is unreachable survives only the leader's local log —
+  *     a documented durability window, not silent (SURVEY §3.3).
+  *
+  * Remaining gap vs real Raft, stated honestly: without per-entry terms
+  * and a vote round there is a narrow window where a follower whose
+  * leader path breaks while OTHER followers' paths stay up could promote
+  * if every reachable peer's vouch probe also fails transiently; Raft
+  * closes this with quorum votes. The lease bounds the damage (the old
+  * leader stops acking within `leaseMs`), and majority-ack mode removes
+  * the lost-ack case entirely. SURVEY §3.3 carries the full adjudication.
   */
 class Service(gateway: SqlGateway, port: Int = 0,
               leaderUrl: Option[String] = None, nodeId: String = "node0",
               followLog: Boolean = false,
               logDir: Option[String] = None,
               snapshotEvery: Int = 0,
-              healthCheckMs: Int = 0) {
+              healthCheckMs: Int = 0,
+              leaseMs: Int = 0,
+              majorityAck: Boolean = false) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   /** The CURRENT leader (None = this node). Seeded from the constructor;
     * rewritten by failover ([[checkLeader]]/promotion). Every redirect,
     * role report and join guard reads this, never the constructor value. */
   private val currentLeader =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](leaderUrl)
+  /** Monotonic leadership term (Raft's term, without the vote round): a
+    * bootstrap leader starts at 1, a follower at 0 and adopts the
+    * leader's from /status; a promotion bumps past every term seen. */
+  private val term =
+    new java.util.concurrent.atomic.AtomicLong(if (leaderUrl.isEmpty) 1L else 0L)
+  /** Live role flag for log-following: starts at the constructor value;
+    * a deposed ex-leader flips it on so it pulls the new leader's log. */
+  @volatile private var followsLog: Boolean = followLog
+  /** Leader-side: last contact (epoch ms) per roster node id — push
+    * responses, [[leaderTick]] probes, served /log pulls, joins. The
+    * lease reads it; stale majority = self-demote. */
+  private val lastContactMs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Leader-side per-follower push backoff: id → (consecutive failures,
+    * retry-at epoch ms). A dead follower is skipped until its window
+    * elapses, so it taxes the drain once per window, not 1–3 s per
+    * statement (r12 verdict item 2). */
+  private val pushBackoff =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  /** majority-ack bookkeeping: log index → follower acks counted by the
+    * drain that sent it (the sender may be another writer's drain). */
+  private val ackCounts =
+    new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
   // cluster membership (id → addr), owned by the leader — the engine's
   // twin of the reference's Raft voter configuration, which starts with
   // the bootstrapping node as sole member (`store/store.go:149-156`) and
@@ -103,25 +167,48 @@ class Service(gateway: SqlGateway, port: Int = 0,
   server.createContext("/join", handler(handleJoin))
   server.createContext("/log", handler(handleLog))
   server.createContext("/replicate", handler(handleReplicate))
+  server.createContext("/vouch", handler(handleVouch))
   server.createContext("/snapshot", snapshotHandler)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
 
-  /** Background leader health-checker (follower-side failover driver);
-    * one [[checkLeader]] round per tick. Daemon — never blocks exit. */
+  /** Background health thread: on a follower, one [[checkLeader]] round
+    * per tick (failover driver); on the leader, one [[leaderTick]] round
+    * (lease refresh + deposed-leader detection). Daemon. */
   private val checker: Option[Thread] =
     if (healthCheckMs <= 0) None
     else Some {
       val t = new Thread(() => {
         var running = true
         while (running) {
-          try { Thread.sleep(healthCheckMs); checkLeader() }
+          try {
+            Thread.sleep(healthCheckMs)
+            if (currentLeader.get().isEmpty) leaderTick() else checkLeader()
+          }
           catch {
             case _: InterruptedException => running = false
             case _: Throwable => () // a flaky probe must not kill the loop
           }
         }
       }, s"graft-health-$nodeId")
+      t.setDaemon(true); t
+    }
+
+  /** Async push drainer (non-majority-ack mode): committed statements
+    * replicate off the writer's request thread, so a dead follower's
+    * connect/read timeouts never tax a client's ack (r12 verdict item 2;
+    * Raft pipelines appends on replication threads the same way). In
+    * majority-ack mode the WRITER drains synchronously — the ack count
+    * is the commit rule — so no drainer runs. */
+  private val drainer: Option[Thread] =
+    if (majorityAck) None
+    else Some {
+      val t = new Thread(() => {
+        try while (true) {
+          val (idx, sql) = pushQueue.take()
+          try sendEntry(idx, sql) catch { case _: Exception => () }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-push-$nodeId")
       t.setDaemon(true); t
     }
 
@@ -132,10 +219,22 @@ class Service(gateway: SqlGateway, port: Int = 0,
     if (leaderUrl.isEmpty)
       members.put(nodeId, s"http://localhost:${server.getAddress.getPort}")
     checker.foreach(_.start())
+    drainer.foreach(_.start())
     server.getAddress.getPort
   }
   def stop(): Unit = {
     checker.foreach(_.interrupt())
+    // graceful stop flushes queued pushes (bounded by the per-follower
+    // backoff windows) — an abrupt kill simply loses the queue and the
+    // followers recover through the pull path, as in every crash test
+    drainer.foreach { d => d.interrupt(); d.join(3000) }
+    try {
+      var e = pushQueue.poll()
+      while (e != null) {
+        try sendEntry(e._1, e._2) catch { case _: Exception => () }
+        e = pushQueue.poll()
+      }
+    } catch { case _: Exception => () }
     server.stop(0); pool.shutdown()
     snapshotLock.synchronized {
       cachedZip.foreach { case (_, p) => retireZip(p) }
@@ -183,15 +282,27 @@ class Service(gateway: SqlGateway, port: Int = 0,
   // ------------------------------------------------------------------
   // Leader failover machinery (r12) — see the class scaladoc.
 
+  /** The single seam through which every outbound cross-node call
+    * (probe, push, vouch, pull, snapshot install) leaves this node —
+    * the partition tests override it to sever a node's outbound path
+    * without killing its server. */
+  protected def openConn(url: String): java.net.HttpURLConnection = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
+    conn
+  }
+
   private def fetchBody(url: String): Option[String] =
     try {
-      val conn = java.net.URI.create(url).toURL
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
+      val conn = openConn(url)
       try Some(new String(conn.getInputStream.readAllBytes(),
         StandardCharsets.UTF_8))
       finally conn.disconnect()
     } catch { case _: Exception => None }
+
+  private def parseLong(body: String, field: String): Option[Long] =
+    Json.extractField(body, field).flatMap(s => scala.util.Try(s.toLong).toOption)
 
   /** This node's advertised address: the roster entry it joined under,
     * else its bound localhost address (single-box deployments). */
@@ -213,6 +324,10 @@ class Service(gateway: SqlGateway, port: Int = 0,
             members.put(id, addr)
           }
         }
+        // adopt the leader's term (a follower's term only ever rises)
+        parseLong(body, "term").foreach { t =>
+          if (t > term.get) term.set(t)
+        }
       case None =>
         // one failed probe is not death: a GC pause / slow catalog call /
         // dropped packet on a LIVE leader must not fork the cluster.
@@ -222,47 +337,144 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
   }
 
-  /** Deterministic election (Raft's up-to-date-first rule without the
-    * vote round — safe because the electorate and the rule are identical
-    * on every node): probe the cached roster minus the dead leader; if a
-    * candidate already promoted, follow it; otherwise the alive candidate
-    * with the highest applied index wins, ties to the LOWEST node id.
-    * Winner == self → promote in place; else repoint the 301 target. An
-    * empty roster (never health-checked while the leader lived) stays
-    * put — the next tick retries. */
-  private def electAfterLeaderDeath(dead: String): Unit = syncLock.synchronized {
-    if (currentLeader.get().isEmpty) return // already promoted
+  /** One leader-side health round: probe every roster node, refreshing
+    * the lease contacts — and if any peer now claims leadership with a
+    * HIGHER term, this node is a deposed ex-leader (it was partitioned
+    * away, the survivors elected) and steps down instead of serving a
+    * fork. Public so tests (and operators) can drive it deterministically;
+    * the `healthCheckMs` thread calls it per tick. No-op on followers. */
+  def leaderTick(): Unit = if (currentLeader.get().isEmpty) {
     import scala.jdk.CollectionConverters._
-    val candidates = members.asScala.toSeq.filterNot(_._2 == dead)
-    val alive = candidates.flatMap { case (id, addr) =>
-      if (id == nodeId) Some((id, addr, lastApplied.get, false))
-      else fetchBody(s"$addr/status").map { body =>
-        val applied = Json.extractField(body, "applied_index")
-          .orElse(Json.extractField(body, "log_index"))
-          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-        (id, addr, applied, Json.extractField(body, "role").contains("leader"))
+    members.asScala.toSeq.foreach { case (id, addr) =>
+      if (id != nodeId) fetchBody(s"$addr/status").foreach { body =>
+        lastContactMs.put(id, System.currentTimeMillis)
+        val t = parseLong(body, "term").getOrElse(0L)
+        if (Json.extractField(body, "role").contains("leader") && t > term.get)
+          stepDown(addr, t)
       }
     }
-    if (alive.isEmpty) return
-    alive.find(_._4) match {
-      case Some((_, addr, _, _)) =>
-        members.entrySet.removeIf(
-          new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
-            def test(e: java.util.Map.Entry[String, String]): Boolean =
-              e.getValue == dead
-          })
-        currentLeader.set(Some(addr))
-      case None =>
-        val (wid, waddr, _, _) =
-          alive.sortBy { case (id, _, applied, _) => (-applied, id) }.head
-        members.entrySet.removeIf(
-          new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
-            def test(e: java.util.Map.Entry[String, String]): Boolean =
-              e.getValue == dead
-          })
-        if (wid == nodeId) promote()
-        else currentLeader.set(Some(waddr))
+  }
+
+  /** Deposed ex-leader → follower of the higher-term leader. The pull
+    * position seats at our log head: if our unpushed suffix is empty
+    * (always, in majority-ack mode) the new leader's next entries line
+    * up exactly; a non-empty unpushed suffix (possible with async push
+    * only) leaves this node a DIVERGED read replica until re-hydration —
+    * the documented durability window, bounded by the lease. */
+  private def stepDown(newLeader: String, newTerm: Long): Unit =
+    syncLock.synchronized {
+      if (currentLeader.get().isDefined) return // already stepped down
+      term.set(newTerm)
+      followsLog = true
+      lastApplied.set(logIndex)
+      currentLeader.set(Some(newLeader))
     }
+
+  /** Deterministic election (Raft's up-to-date-first rule without the
+    * vote round): probe the cached roster minus the dead leader — OUTSIDE
+    * every lock, so a slow candidate never stalls follower read syncs
+    * (r12 advice) — then commit the result under [[syncLock]] with a
+    * re-check that no concurrent election already moved us.
+    *
+    * Safety rails (r13): (1) only log-following candidates are electable
+    * (a snapshot-only replica's stale state must never become the write
+    * head); (2) the ALIVE set must be a majority of the roster minus the
+    * observed-dead leader — a minority island stays follower; (3) before
+    * promoting, every alive peer still following the dead URL is asked to
+    * probe its own leader NOW (/vouch): a positive vouch means the leader
+    * lives and THIS node's path is broken — adopt the vouched leader's
+    * address instead of forking. An empty roster (never health-checked
+    * while the leader lived) stays put — the next tick retries. */
+  private def electAfterLeaderDeath(dead: String): Unit = {
+    if (!currentLeader.get().contains(dead)) return // already moved on
+    import scala.jdk.CollectionConverters._
+    val roster = members.asScala.toSeq
+    val candidates = roster.filterNot(_._2 == dead)
+    // (id, addr, applied, isLeader, followsLog, term)
+    val probed = candidates.flatMap { case (id, addr) =>
+      if (id == nodeId)
+        Some((id, addr, lastApplied.get, currentLeader.get().isEmpty,
+          followsLog, term.get))
+      else fetchBody(s"$addr/status").map { body =>
+        val applied = parseLong(body, "applied_index")
+          .orElse(parseLong(body, "log_index")).getOrElse(-1L)
+        (id, addr, applied,
+          Json.extractField(body, "role").contains("leader"),
+          Json.extractField(body, "follow_log").forall(_ == "true"),
+          parseLong(body, "term").getOrElse(0L))
+      }
+    }
+    if (probed.isEmpty) return
+    probed.find(_._4) match {
+      case Some((_, addr, _, _, _, t)) => // a leader already exists: follow it
+        commitElection(dead, Some(addr), Some(math.max(term.get, t)))
+      case None =>
+        // vouch round: can any alive peer that still follows `dead`
+        // reach it right now? Then the leader is alive and this node is
+        // the partitioned one — redirect, don't fork.
+        val vouched = probed.exists { case (id, addr, _, _, _, _) =>
+          id != nodeId && fetchBody(s"$addr/vouch").exists { b =>
+            Json.extractField(b, "leader").contains(dead) &&
+              Json.extractField(b, "alive").contains("true")
+          }
+        }
+        if (vouched) return // leader lives; stay put, reads stay loud
+        val electorate = roster.size - 1 // everyone but the dead leader
+        if (probed.size * 2 <= electorate) return // minority island: never promote
+        val eligible = probed.filter(_._5)
+        if (eligible.isEmpty) return
+        val (wid, waddr, _, _, _, _) =
+          eligible.sortBy { case (id, _, applied, _, _, _) => (-applied, id) }.head
+        val newTerm = math.max(term.get, probed.map(_._6).max) + 1
+        if (wid == nodeId) commitElection(dead, None, Some(newTerm))
+        else commitElection(dead, Some(waddr), None) // adopt the winner's term later
+    }
+  }
+
+  /** Commit an election result under [[syncLock]], re-checking that the
+    * node still points at the dead leader (a concurrent election may
+    * have already moved it — first commit wins). */
+  private def commitElection(dead: String, winner: Option[String],
+      newTerm: Option[Long]): Unit = syncLock.synchronized {
+    if (!currentLeader.get().contains(dead)) return
+    members.entrySet.removeIf(
+      new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
+        def test(e: java.util.Map.Entry[String, String]): Boolean =
+          e.getValue == dead
+      })
+    newTerm.foreach(term.set)
+    winner match {
+      case None => promote()
+      case Some(addr) => currentLeader.set(Some(addr))
+    }
+  }
+
+  /** A follower's answer to an elector's "can YOU reach YOUR leader right
+    * now?" — one live probe, so the election's evidence is current, not a
+    * clock-windowed sighting. A node that IS the leader answers so. */
+  private def handleVouch(ex: HttpExchange): (Int, String) =
+    currentLeader.get() match {
+      case None => (200, obj("role" -> Json.str("leader"),
+        "term" -> Json.str(term.get.toString)))
+      case Some(base) =>
+        val alive = fetchBody(s"$base/status").isDefined
+        (200, obj("leader" -> Json.str(base),
+          "alive" -> Json.str(alive.toString)))
+    }
+
+  /** Does the leader's lease hold? With `leaseMs` disabled (0) or a
+    * single-node roster, always. Otherwise the leader must have had
+    * contact with a MAJORITY of the roster (counting itself) within the
+    * window — the same quorum the election demands, so at most one side
+    * of any partition can satisfy it. */
+  private def leaseHolds: Boolean = {
+    if (leaseMs <= 0 || members.size <= 1) return true
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis
+    val contacted = members.asScala.keysIterator.count(id =>
+      id != nodeId &&
+        Option(lastContactMs.get(id)).exists(t => now - t <= leaseMs))
+    (contacted + 1) * 2 > members.size
   }
 
   /** Become the leader. A follower maintains the SAME (baseIndex,
@@ -294,41 +506,61 @@ class Service(gateway: SqlGateway, port: Int = 0,
   /** Pending pushes, enqueued UNDER logLock (so queue order = log order)
     * and drained OUTSIDE it — a slow or dead follower's connect timeout
     * must never stall readers, snapshot cuts, or the next writer on
-    * logLock (r12 review finding). [[pushLock]] serializes drains so
-    * statements still arrive at each follower in log order. */
+    * logLock (r12 review finding). Drained by the [[drainer]] daemon
+    * (async mode) or the writer itself (majority-ack mode); [[pushLock]]
+    * serializes sends so statements still arrive in log order. */
   private val pushQueue =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    new java.util.concurrent.LinkedBlockingQueue[(Long, String)]()
   private val pushLock = new Object
 
-  /** Push committed statements to every roster follower — the
+  /** Push one committed statement to every roster follower — the
     * AppendEntries twin (`store/store.go:242-250` Apply replicates every
-    * Execute). Best-effort with short timeouts: an unreachable follower
-    * catches up through the pull path (/log, or snapshot install) on its
-    * next read — exactly a lagging Raft follower's recovery.
-    * Non-log-following replicas acknowledge and ignore. */
-  private def drainPushes(): Unit = pushLock.synchronized {
+    * Execute). Any HTTP response proves the follower's liveness (lease
+    * contact + backoff reset); a transport failure backs the follower
+    * off so it taxes the drain once per window. Returns the number of
+    * followers that APPLIED (200) — the majority-ack numerator.
+    * Non-log-following replicas acknowledge and ignore (they count). */
+  private def sendEntry(idx: Long, sql: String): Int = pushLock.synchronized {
     val self = s"http://localhost:${server.getAddress.getPort}"
     import scala.jdk.CollectionConverters._
-    var next = pushQueue.poll()
-    while (next != null) {
-      val (idx, sql) = next
-      members.asScala.toSeq.foreach { case (id, addr) =>
-        if (id != nodeId && addr != self) {
-          try {
-            val conn = java.net.URI.create(s"$addr/replicate").toURL
-              .openConnection().asInstanceOf[java.net.HttpURLConnection]
-            conn.setConnectTimeout(1000); conn.setReadTimeout(2000)
-            conn.setRequestMethod("POST"); conn.setDoOutput(true)
-            conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
-              "sql" -> Json.str(sql),
-              "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
-            conn.getResponseCode
-            conn.disconnect()
-          } catch { case _: Exception => () }
+    var acks = 0
+    members.asScala.toSeq.foreach { case (id, addr) =>
+      if (id != nodeId && addr != self &&
+          Option(pushBackoff.get(id)).forall(_._2 <= System.currentTimeMillis)) {
+        try {
+          val conn = openConn(s"$addr/replicate")
+          conn.setRequestMethod("POST"); conn.setDoOutput(true)
+          conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
+            "sql" -> Json.str(sql),
+            "t" -> Json.str(term.get.toString),
+            "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
+          val code = conn.getResponseCode
+          conn.disconnect()
+          lastContactMs.put(id, System.currentTimeMillis)
+          pushBackoff.remove(id)
+          if (code == 200) acks += 1
+        } catch { case _: Exception =>
+          val fails = Option(pushBackoff.get(id)).map(_._1).getOrElse(0) + 1
+          pushBackoff.put(id, (fails, System.currentTimeMillis +
+            math.min(10000L, 500L << math.min(fails, 4))))
         }
       }
-      next = pushQueue.poll()
     }
+    acks
+  }
+
+  /** Majority-ack drain: send every queued entry in order (another
+    * writer's drain may send ours first — the counts map carries it),
+    * then return the follower-ack count for `myIdx`. */
+  private def drainForAcks(myIdx: Long): Int = {
+    pushLock.synchronized {
+      var e = pushQueue.poll()
+      while (e != null) {
+        ackCounts.put(e._1, Int.box(sendEntry(e._1, e._2)))
+        e = pushQueue.poll()
+      }
+    }
+    Option(ackCounts.remove(myIdx)).map(_.intValue).getOrElse(0)
   }
 
   /** Receive a pushed statement (leader → follower). Applies only in
@@ -337,10 +569,24 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * push is an optimization over pull, never a second source of truth). */
   private def handleReplicate(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
-    if (!followLog) return (200, obj("applied" -> Json.str("ignored")))
+    if (!followsLog) return (200, obj("applied" -> Json.str("ignored")))
     if (currentLeader.get().isEmpty) // promoted: a zombie ex-leader's push
       return (409, obj("error" -> Json.str("not a follower")))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    // term fence (Raft's AppendEntries rule): a push from a STALE term is
+    // a zombie ex-leader — reject it even if this follower never
+    // repointed; a HIGHER term is the new leader announcing itself —
+    // adopt its term and address
+    parseLong(body, "t").foreach { t =>
+      if (t < term.get)
+        return (409, obj("error" -> Json.str(
+          s"stale term $t < ${term.get}")))
+      if (t > term.get) {
+        term.set(t)
+        Json.extractField(body, "from").foreach(f =>
+          currentLeader.set(Some(f)))
+      }
+    }
     // only the CURRENT leader's pushes apply: a follower that repointed
     // during failover must not interleave a zombie ex-leader's statements
     // with the new leader's (the promoted node's 409 above only protects
@@ -378,22 +624,51 @@ class Service(gateway: SqlGateway, port: Int = 0,
       return (301, obj("error" -> Json.str("not leader"),
         "leader" -> Json.str(target)))
     }
+    // leader lease: a leader that cannot reach a roster majority must
+    // not ack writes — the survivors may already be electing, and an ack
+    // here could fork from theirs. 503 (not 301: this node cannot know
+    // the winner while partitioned); clients retry against the roster.
+    if (!leaseHolds)
+      return (503, obj("error" -> Json.str(
+        "leader lease lost: no contact with a roster majority within " +
+          s"${leaseMs}ms; refusing writes")))
     try {
       val sql = readSql(ex)
       // execute + append under logLock so a concurrent snapshot CUT can't
       // capture state whose last write is missing from the log; the
       // follower push is ENQUEUED under the lock (queue order = log
       // order) but sent after release — a dead follower's timeout never
-      // blocks the lock
-      val (res, ms) = timed {
-        val r = logLock.synchronized {
+      // blocks the lock (async mode: a daemon drains; majority-ack mode:
+      // this writer drains and counts)
+      val (resQuorum, ms) = timed {
+        val (r, idx) = logLock.synchronized {
           val r0 = gateway.execute(sql)
           appendLog(sql) // committed → logged (an erroring one never is)
-          pushQueue.add((logIndex, sql))
-          r0
+          val i = logIndex
+          pushQueue.put((i, sql))
+          (r0, i)
         }
-        drainPushes()
-        r
+        val quorumShortfall =
+          if (!majorityAck) None
+          else {
+            val acks = drainForAcks(idx)
+            // the writer + acked followers must be a roster majority —
+            // Raft's commit rule (store/store.go:187 Apply waits on
+            // raft's quorum commit before acking)
+            if ((acks + 1) * 2 > members.size) None
+            else Some((acks + 1, members.size))
+          }
+        (r, quorumShortfall)
+      }
+      val (res, quorumShortfall) = resQuorum
+      quorumShortfall.foreach { case (holders, n) =>
+        // executed + logged locally, but no majority holds it: the write
+        // is NOT durably committed — an honest 503 (the client faces the
+        // same ambiguity as any distributed commit timeout; followers
+        // that come back will still converge through the pull path)
+        return (503, obj("error" -> Json.str(
+          s"write not durably committed: held by $holders of $n roster " +
+            "nodes, majority required"), "time" -> Json.num(ms)))
       }
       // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
       // the capture instant, so other writers flow during the export.
@@ -601,9 +876,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * gets InstallSnapshot, `store/store.go:271-320` Restore). */
   private def handleLog(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestMethod != "GET") return (405, obj("error" -> "\"GET only\""))
-    val since = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
-      .find(_.startsWith("since=")).map(_.drop(6)))
+    val params = Option(ex.getRequestURI.getQuery).toSeq.flatMap(_.split("&"))
+    val since = params.find(_.startsWith("since=")).map(_.drop(6))
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    // an identified puller's fetch is lease contact (follower → leader
+    // path is provably up, which is what the lease measures)
+    params.find(_.startsWith("id=")).map(_.drop(3)).filter(_.nonEmpty)
+      .foreach(id => lastContactMs.put(id, System.currentTimeMillis))
     logLock.synchronized { // consistent (base, suffix) vs a concurrent compaction
       val base = baseIndex.get
       if (since < base) {
@@ -711,46 +990,58 @@ class Service(gateway: SqlGateway, port: Int = 0,
   }
 
   /** Pull the leader's log suffix past our applied index and replay it
-    * locally. Serialized under [[syncLock]] so concurrent reads replay
-    * each statement exactly once and in log order. */
-  private def syncFromLeader(): Unit =
-    if (followLog) currentLeader.get().foreach { base =>
-    syncLock.synchronized {
-      def pull(): String = {
-        val conn = java.net.URI.create(s"$base/log?since=${lastApplied.get}")
-          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-        try new String(conn.getInputStream.readAllBytes(),
-          StandardCharsets.UTF_8) finally conn.disconnect()
-      }
-      var body = try pull() catch {
+    * locally; on a dead leader, fail over and retry against the winner.
+    * The pull-and-replay itself serializes under [[syncLock]] (concurrent
+    * reads replay each statement exactly once, in log order) but the
+    * ELECTION runs outside it — candidate probes must not stall other
+    * readers (r12 advice). A failed pull gets one grace re-probe before
+    * electing (same two-signal rule as [[checkLeader]]): a transient
+    * blip on a LIVE leader must not fork. If no election is possible
+    * the read stays LOUD — silently serving stale local state would
+    * hide the partition from the client (r12 review finding). */
+  private def syncFromLeader(): Unit = if (followsLog) {
+    var attempts = 0
+    var again = true
+    while (again) {
+      again = false
+      val base = currentLeader.get().getOrElse(return) // leader serves local
+      try pullAndReplay(base)
+      catch {
         case e: java.io.IOException =>
-          // the leader died between health checks: fail over NOW, then
-          // either serve as the new leader (nothing to pull) or pull from
-          // the elected one. If NO election is possible (no cached roster
-          // — the node never health-checked a live leader), the read must
-          // stay LOUD: silently serving stale local state would hide the
-          // partition from the client (r12 review finding)
+          attempts += 1
+          if (attempts > 3) throw e
+          Thread.sleep(300)
+          if (fetchBody(s"$base/status").isDefined) throw e // alive: loud, no fork
           electAfterLeaderDeath(base)
           currentLeader.get() match {
-            case None => return
-            case Some(next) if next != base =>
-              return syncFromLeader() // repointed: pull from the new leader
-            case _ => throw e
+            case None => return // promoted: nothing to pull
+            case Some(next) if next != base => again = true // repointed: retry
+            case _ => throw e // no election possible: loud
           }
       }
-      // our suffix was compacted away — install the newest snapshot,
-      // seat the applied index at its log position, then pull again
-      if (Json.extractField(body, "snapshot_required").contains("true")) {
-        installSnapshot(base)
-        body = pull()
-      }
-      val entries = Json.stringFields(body).collect {
-        case (k, sql) if k.startsWith("s") && k.drop(1).nonEmpty &&
-            k.drop(1).forall(_.isDigit) => k.drop(1).toLong -> sql
-      }.toSeq.sortBy(_._1)
-      entries.foreach { case (i, sql) =>
-        if (i > lastApplied.get) { gateway.execute(sql); followerApplied(i, sql) }
-      }
+    }
+  }
+
+  private def pullAndReplay(base: String): Unit = syncLock.synchronized {
+    def pull(): String = {
+      val conn = openConn(s"$base/log?since=${lastApplied.get}&id=$nodeId")
+      conn.setReadTimeout(15000) // a post-snapshot catch-up can be large
+      try new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8) finally conn.disconnect()
+    }
+    var body = pull()
+    // our suffix was compacted away — install the newest snapshot,
+    // seat the applied index at its log position, then pull again
+    if (Json.extractField(body, "snapshot_required").contains("true")) {
+      installSnapshot(base)
+      body = pull()
+    }
+    val entries = Json.stringFields(body).collect {
+      case (k, sql) if k.startsWith("s") && k.drop(1).nonEmpty &&
+          k.drop(1).forall(_.isDigit) => k.drop(1).toLong -> sql
+    }.toSeq.sortBy(_._1)
+    entries.foreach { case (i, sql) =>
+      if (i > lastApplied.get) { gateway.execute(sql); followerApplied(i, sql) }
     }
   }
 
@@ -759,8 +1050,8 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * the reference's Restore (`store/store.go:271-320`: untar the
     * shipped archive, `IMPORT DATABASE` it, state replaced wholesale). */
   private def installSnapshot(base: String): Unit = {
-    val conn = java.net.URI.create(s"$base/snapshot")
-      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val conn = openConn(s"$base/snapshot")
+    conn.setReadTimeout(120000) // streaming a full snapshot zip
     var tmp: java.nio.file.Path = null
     try {
       val idx = Option(conn.getHeaderField("X-Snapshot-Index"))
@@ -814,7 +1105,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // follower names its leader — http/service.go:144-193); read from the
     // LIVE leader ref so a promoted follower reports its new role
     val lead = currentLeader.get()
-    val role = Seq("role" -> (if (lead.isEmpty) "leader" else "follower")) ++
+    val role = Seq("role" -> (if (lead.isEmpty) "leader" else "follower"),
+      "term" -> term.get.toString,
+      "follow_log" -> followsLog.toString) ++
       lead.map("leader" -> _) ++
       (if (lead.isEmpty) Seq("log_index" -> logIndex.toString)
        else Seq("applied_index" -> lastApplied.get.toString))
@@ -850,6 +1143,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
     if (currentLeader.get().isDefined)
       return (500, obj("error" ->
         Json.str("node is not the leader; send join requests to the leader")))
+    if (!leaseHolds) // a partitioned leader must not mutate membership
+      return (500, obj("error" -> Json.str(
+        "leader lease lost; cannot mutate membership")))
     if (addr != members.get(id)) { // same id+addr → nothing to do (idempotent)
       members.entrySet.removeIf(
         new java.util.function.Predicate[java.util.Map.Entry[String, String]] {
@@ -858,6 +1154,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
         })
       members.put(id, addr)
     }
+    lastContactMs.put(id, System.currentTimeMillis) // a join IS contact
     (200, obj("id" -> Json.str(id), "addr" -> Json.str(addr)))
   }
 

@@ -579,6 +579,60 @@ class ReplicaSpec extends SparkTestBase {
     (new SqlGateway(sess), sess)
   }
 
+  /** A Service whose outbound network path can be severed while its
+    * server stays up — one half of a true partition (the node is ALIVE
+    * and serving its own clients, it just can't reach the fleet). Every
+    * cross-node call goes through the `openConn` seam, so cutting it
+    * models the NIC going dark without killing the process. */
+  private class PartitionableService(gw: SqlGateway, nodeId: String,
+      leaderUrl: Option[String] = None, followLog: Boolean = false,
+      leaseMs: Int = 0)
+    extends Service(gw, leaderUrl = leaderUrl, nodeId = nodeId,
+      followLog = followLog, leaseMs = leaseMs) {
+    @volatile var outboundCut = false
+    override protected def openConn(url: String): HttpURLConnection = {
+      if (outboundCut) throw new java.io.IOException("partitioned (test)")
+      super.openConn(url)
+    }
+  }
+
+  /** Byte-pump TCP proxy — the followers' path TO the leader. Stopping
+    * it severs their inbound view of the leader while the leader's real
+    * port keeps serving its own clients (the other half of the
+    * partition). */
+  private class TcpProxy(targetPort: Int) {
+    private val server = new java.net.ServerSocket(0)
+    @volatile private var running = true
+    val port: Int = server.getLocalPort
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val client = server.accept()
+        val upstream = new java.net.Socket("localhost", targetPort)
+        def pump(in: java.io.InputStream, out: java.io.OutputStream): Unit = {
+          val t = new Thread(() => {
+            try {
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); out.flush(); n = in.read(buf) }
+            } catch { case _: Exception => () }
+            finally {
+              try client.close() catch { case _: Exception => () }
+              try upstream.close() catch { case _: Exception => () }
+            }
+          })
+          t.setDaemon(true); t.start()
+        }
+        pump(client.getInputStream, upstream.getOutputStream)
+        pump(upstream.getInputStream, client.getOutputStream)
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    def stop(): Unit = {
+      running = false
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
   test("automatic leader failover: kill the leader of a 3-node roster — " +
        "the most-up-to-date follower (tie: lowest id) promotes, writes " +
        "continue against it, no committed statement is lost " +
@@ -740,6 +794,283 @@ class ReplicaSpec extends SparkTestBase {
         """{"sql": "INSERT INTO fo2_t VALUES (1)"}"""))
       assert(wc == 200 && wb.contains("rows_affected"), wb)
     } finally follower.stop()
+  }
+
+  test("partition safety: an ISOLATED (alive) leader refuses writes once " +
+       "its lease lapses, the majority side elects with a bumped term, no " +
+       "forked row is ever readable anywhere, and the healed ex-leader " +
+       "steps down and converges (r12 verdict item 1)") {
+    val (lgw, _) = newStack("iso_leader")
+    val leader = new PartitionableService(lgw, nodeId = "node0", leaseMs = 1200)
+    val lPort = leader.start()
+    val proxy = new TcpProxy(lPort)
+    val lUrl = s"http://localhost:${proxy.port}" // the leader's ADVERTISED addr
+    val (agw, _) = newStack("iso_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("iso_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+    def exec(port: Int, sql: String): (Int, String) = {
+      val (c, b, _) = newHttp(port, "POST", "/db/execute",
+        Some(s"""{"sql": "$sql"}"""))
+      (c, b)
+    }
+    try {
+      // the leader advertises the proxy address (its service address);
+      // its real port plays the colocated clients' direct connection
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "node0", "addr": "$lUrl"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+      assert(exec(lPort, "CREATE TABLE iso_t (id integer, v text)")._1 == 200)
+      val (wc, wb) = exec(lPort, "INSERT INTO iso_t VALUES (1, 'a'), (2, 'b')")
+      assert(wc == 200 && !wb.contains("\"error\""), wb)
+      fA.checkLeader(); fB.checkLeader() // cache roster + adopt term 1
+      Seq(aPort, bPort).foreach { p =>
+        val (c, b, _) = newHttp(p, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20c%20FROM%20iso_t")
+        assert(c == 200 && b.contains("[2]"), b)
+      }
+
+      // --- partition the leader: followers can't reach its advertised
+      // address, it can't reach anyone — but it is ALIVE, serving its
+      // real port. This is the fork scenario the r12 election could not
+      // distinguish from death.
+      proxy.stop()
+      leader.outboundCut = true
+      Thread.sleep(1500) // > leaseMs: every roster contact is now stale
+
+      // the isolated leader refuses the forking write BEFORE (and
+      // independent of) any election on the other side
+      val (fc, fBody) = exec(lPort, "INSERT INTO iso_t VALUES (99, 'forked')")
+      assert(fc == 503 && fBody.contains("lease"), s"$fc $fBody")
+
+      // the majority side elects deterministically; term bumps past the
+      // old leader's
+      fA.checkLeader(); fB.checkLeader()
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"leader\""), aSt)
+      assert(aSt.contains("\"term\": \"2\""), aSt)
+      assert(exec(aPort, "INSERT INTO iso_t VALUES (3, 'c')")._1 == 200)
+
+      // no forked row is readable ANYWHERE: the old leader still refuses
+      // writes and its local state holds only pre-partition rows; both
+      // survivors hold the new history
+      assert(exec(lPort, "INSERT INTO iso_t VALUES (98, 'fork2')")._1 == 503)
+      val (_, lRead, _) = newHttp(lPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20coalesce(sum(id),0)%20AS%20s%20FROM%20iso_t")
+      assert(lRead.contains("[2, 3]"), s"forked row on the old leader: $lRead")
+      Seq(aPort, bPort).foreach { p =>
+        val (_, r, _) = newHttp(p, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20iso_t")
+        assert(r.contains("[3, 6]"), s"survivor missed the new history: $r")
+      }
+
+      // --- heal the ex-leader's outbound path: it discovers the
+      // higher-term leader, steps down (term fence), redirects writes,
+      // and CONVERGES by pulling the suffix it never saw
+      leader.outboundCut = false
+      leader.leaderTick()
+      val (_, lSt, _) = newHttp(lPort, "GET", "/status")
+      assert(lSt.contains("\"role\": \"follower\"") &&
+        lSt.contains(s"http://localhost:$aPort"), lSt)
+      val (rc, _, loc) = newHttp(lPort, "POST", "/db/execute",
+        Some("""{"sql": "INSERT INTO iso_t VALUES (4, 'd')"}"""), follow = false)
+      assert(rc == 301 && loc == s"http://localhost:$aPort/db/execute",
+        s"$rc $loc")
+      val (_, lRead2, _) = newHttp(lPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20iso_t")
+      assert(lRead2.contains("[3, 6]"),
+        s"healed ex-leader did not converge: $lRead2")
+    } finally {
+      proxy.stop(); fA.stop(); fB.stop(); leader.stop()
+    }
+  }
+
+  test("majority-ack write mode: a write held by no roster majority " +
+       "answers 503, not 200 (Raft's commit rule, store/store.go:187); " +
+       "a reachable majority acks normally") {
+    val (lgw, _) = newStack("ma_leader")
+    val leader = new Service(lgw, nodeId = "node0", majorityAck = true)
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("ma_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("ma_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+    def exec(sql: String): (Int, String) = {
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute",
+        Some(s"""{"sql": "$sql"}"""))
+      (c, b)
+    }
+    var aStopped = false; var bStopped = false
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+      // full roster reachable: both writes ack 200 and replicate
+      assert(exec("CREATE TABLE ma_t (id integer)")._1 == 200)
+      assert(exec("INSERT INTO ma_t VALUES (1)")._1 == 200)
+      // one dead follower: 1 ack + the leader is still 2-of-3
+      fB.stop(); bStopped = true
+      assert(exec("INSERT INTO ma_t VALUES (2)")._1 == 200)
+      // NO follower reachable: executed locally but not majority-held →
+      // an honest 503 instead of the r12 silent 200
+      fA.stop(); aStopped = true
+      val (c3, b3) = exec("INSERT INTO ma_t VALUES (3)")
+      assert(c3 == 503 && b3.contains("not durably committed"), s"$c3 $b3")
+      // the statement IS in the leader's local log (ambiguity is the
+      // documented contract — identical to a Raft client timeout)
+      val (_, st, _) = newHttp(lPort, "GET", "/status")
+      assert(st.contains("\"log_index\": \"4\""), st)
+    } finally {
+      if (!aStopped) fA.stop()
+      if (!bStopped) fB.stop()
+      leader.stop()
+    }
+  }
+
+  test("async push replication: a black-holed roster follower (connects, " +
+       "never answers) taxes the drainer, never the client ack — and " +
+       "in-order delivery to live followers still holds (r12 verdict " +
+       "item: drainPushes on the request thread cost 1-3s/statement)") {
+    val (lgw, _) = newStack("lat_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("lat_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    // black hole: accepts the TCP handshake (kernel backlog), never
+    // reads or answers — the worst-case dead follower (full 2s read
+    // timeout per push attempt, vs instant connection-refused)
+    val blackHole = new java.net.ServerSocket(0, 1)
+    def exec(sql: String): Long = {
+      val t0 = System.nanoTime()
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute",
+        Some(s"""{"sql": "$sql"}"""))
+      assert(c == 200 && !b.contains("\"error\""), s"$c $b")
+      (System.nanoTime() - t0) / 1000000
+    }
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      exec("CREATE TABLE lat_t (id integer)")
+      val warm = (1 to 3).map(i => exec(s"INSERT INTO lat_t VALUES ($i)")).min
+      // join the black hole, then measure: acks must stay at warm speed —
+      // the 2s-per-statement read-timeout tax lands on the drainer daemon.
+      // min-of-4 + generous margins keep the assertion box-load-proof
+      // while still catching the tax (a synchronous drain floors EVERY
+      // write at >= 2000ms, so even the min would trip both bounds).
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeDead", "addr": "http://localhost:${blackHole.getLocalPort}"}"""))._1 == 200)
+      val dead = (4 to 7).map(i => exec(s"INSERT INTO lat_t VALUES ($i)")).min
+      assert(dead < 1800 && dead < warm + 1200,
+        s"write ack taxed by a dead follower: warm=${warm}ms dead=${dead}ms")
+      // delivery to the live follower is still complete and in order
+      val deadline = System.currentTimeMillis + 20000
+      var applied = -1L
+      while (applied != 8L && System.currentTimeMillis < deadline) {
+        val (_, st, _) = newHttp(aPort, "GET", "/status")
+        applied = "\"applied_index\": \"(\\d+)\"".r.findFirstMatchIn(st)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        if (applied != 8L) Thread.sleep(200)
+      }
+      assert(applied == 8L, s"live follower missed pushes: applied=$applied")
+    } finally {
+      try blackHole.close() catch { case _: Exception => () }
+      fA.stop(); leader.stop()
+    }
+  }
+
+  test("a minority island never promotes (election quorum guard): a " +
+       "follower that can reach NOBODY stays a follower with loud reads " +
+       "instead of forking") {
+    val (lgw, _) = newStack("mi_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("mi_a")
+    val fA = new PartitionableService(agw, nodeId = "nodeA",
+      leaderUrl = Some(lUrl), followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("mi_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE mi_t (id integer)"}"""))._1 == 200)
+      fA.checkLeader() // cache the roster while connected
+      // island of one: fA sees neither the leader nor nodeB — probed set
+      // {self} is not a majority of the 2-node electorate → no promotion
+      fA.outboundCut = true
+      fA.checkLeader()
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"follower\""),
+        s"minority island promoted itself: $aSt")
+      // and its reads are LOUD (can't reach the leader), never silently stale
+      val (qc, qb, _) = newHttp(aPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20FROM%20mi_t")
+      assert(qc == 200 && qb.contains("\"error\""), s"$qc $qb")
+    } finally {
+      fA.stop(); fB.stop(); leader.stop()
+    }
+  }
+
+  test("a snapshot-only replica (followLog=false) is never electable — " +
+       "its stale hydration state cannot become the write head even with " +
+       "the highest applied index (r12 advice finding 4)") {
+    val (lgw, _) = newStack("se_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("se_a")
+    // snapshot-only replica with the LOWEST id and the HIGHEST applied
+    // index — the r12 election would have crowned it
+    val fSnap = new Service(agw, leaderUrl = Some(lUrl), nodeId = "aaaSnap",
+      followLog = false)
+    val sPort = fSnap.start()
+    fSnap.markSynced(99L)
+    val (bgw, _) = newStack("se_b")
+    val fB = new Service(bgw, leaderUrl = Some(lUrl), nodeId = "nodeB",
+      followLog = true)
+    val bPort = fB.start()
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "aaaSnap", "addr": "http://localhost:$sPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeB", "addr": "http://localhost:$bPort"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE se_t (id integer)"}"""))._1 == 200)
+      fSnap.checkLeader(); fB.checkLeader()
+      leader.stop()
+      fB.checkLeader()
+      // the log-follower wins despite the snapshot replica's higher
+      // applied index and lower id
+      val (_, bSt, _) = newHttp(bPort, "GET", "/status")
+      assert(bSt.contains("\"role\": \"leader\""),
+        s"log-follower was not elected: $bSt")
+      assert(newHttp(bPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO se_t VALUES (1)"}"""))._1 == 200)
+    } finally {
+      fSnap.stop(); fB.stop()
+    }
   }
 
   test("service stress: concurrent writers + readers + snapshot takers — " +
