@@ -86,6 +86,12 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
     case "duckdb_extensions" => extensionsDf()
     case "duckdb_memory" => memoryDf()
     case "duckdb_temporary_files" => temporaryFilesDf()
+    case "duckdb_dependencies" => dependenciesDf()
+    case "duckdb_optimizers" => optimizersDf()
+    case "duckdb_secrets" => secretsDf()
+    case "pragma_collations" => collationsDf()
+    case "pragma_user_agent" => userAgentDf()
+    case "pragma_metadata_info" => metadataInfoDf()
     case other =>
       throw new IllegalArgumentException(s"unknown table function $other")
   }
@@ -750,5 +756,185 @@ private[engine] final class CatalogInfo(gw: SqlGateway) {
       .flatMap(walk)
       .map(f => Row(f.getPath, f.length)).sortBy(_.getString(0))
     df(schema, rows)
+  }
+
+  // --- duckdb_dependencies() ----------------------------------------------
+
+  private val dependenciesSchema = StructType(Seq(
+    fld("classid", LongType), fld("objid", LongType),
+    fld("objsubid", IntegerType), fld("refclassid", LongType),
+    fld("refobjid", LongType), fld("refobjsubid", IntegerType),
+    fld("deptype", StringType)))
+
+  /** DuckDB 1.0's dependency manager surfaces exactly two edge classes
+    * through `duckdb_dependencies()` (probed; tables/views/sequences
+    * alone record nothing): an index on a table rows as
+    * (objid = table oid, refobjid = index oid, deptype 'a'), and a
+    * column `DEFAULT nextval('seq')` rows as (objid = sequence oid,
+    * refobjid = table oid, deptype 'n'). The oids here are the same
+    * ones duckdb_tables/indexes/sequences report, so the catalog joins
+    * a reference user's tooling runs work unchanged. */
+  def dependenciesDf(): DataFrame = {
+    val names = userTables()
+    val tableOid = names.zipWithIndex
+      .map { case (t, i) => t.toLowerCase -> (1000L + i) }.toMap
+    val seqOid = gw.sequences.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((n, _), i) => n -> (3000L + i) }.toMap
+    val idxRows = gw.indexes.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+      case ((_, (table, _, _)), i) =>
+        tableOid.get(table).map(t => Row(0L, t, 0, 0L, 4000L + i, 0, "a"))
+    }
+    val NextvalRe = """(?i)nextval\s*\(\s*'([^']+)'\s*\)""".r
+    val seqRows = names.flatMap { t =>
+      gw.columnDefaults.getOrElse(t.toLowerCase, Map.empty).values
+        .flatMap(d => NextvalRe.findAllMatchIn(d).map(_.group(1).toLowerCase))
+        .toSeq.distinct.sorted
+        .flatMap(s => seqOid.get(s).map(so =>
+          Row(0L, so, 0, 0L, tableOid(t.toLowerCase), 0, "n")))
+    }
+    df(dependenciesSchema, seqRows ++ idxRows)
+  }
+
+  // --- duckdb_optimizers() ------------------------------------------------
+
+  /** DuckDB 1.0's optimizer inventory, verbatim (probed) — the surface a
+    * reference user's tooling sees through `db/db.go:70`. The engine's
+    * actual optimizer is Catalyst; the SURVEY §4 table maps each row to
+    * its Catalyst twin (filter_pushdown → PushDownPredicates,
+    * unused_columns → ColumnPruning, top_n → TakeOrderedAndProject,
+    * join_order → CostBasedJoinReorder + AQE, statistics_propagation →
+    * ComputeStats/AQE runtime stats, …). */
+  def optimizersDf(): DataFrame = {
+    val names = Seq("column_lifetime", "common_aggregate",
+      "common_subexpressions", "compressed_materialization", "deliminator",
+      "duplicate_groups", "expression_rewriter", "extension",
+      "filter_pullup", "filter_pushdown", "in_clause", "join_order",
+      "regex_range", "reorder_filter", "statistics_propagation", "top_n",
+      "unnest_rewriter", "unused_columns")
+    df(StructType(Seq(fld("name", StringType))), names.map(Row(_)))
+  }
+
+  // --- duckdb_secrets() ---------------------------------------------------
+
+  /** Schema-exact empty listing (probed: a fresh DuckDB 1.0 with no
+    * CREATE SECRET reports zero rows; this engine's credentials travel
+    * through the session Hadoop conf, never a secret catalog). */
+  def secretsDf(): DataFrame =
+    df(StructType(Seq(fld("name", StringType), fld("type", StringType),
+      fld("provider", StringType), fld("persistent", BooleanType),
+      fld("storage", StringType),
+      fld("scope", ArrayType(StringType, containsNull = true)),
+      fld("secret_string", StringType))), Nil)
+
+  // --- pragma_collations() ------------------------------------------------
+
+  /** DuckDB 1.0's collation inventory, verbatim (probed: 133 names —
+    * nocase/noaccent/nfc plus the bundled ICU locales). The gateway's
+    * COLLATE rewrite honors NOCASE/NOACCENT and their dotted
+    * combinations; an unsupported collation refuses loudly at use. */
+  def collationsDf(): DataFrame = {
+    val names = Seq("af", "am", "ar", "ar_sa", "as", "az", "be", "bg",
+      "bn", "bo", "br", "bs", "ca", "ceb", "chr", "cs", "cy", "da", "de",
+      "de_at", "dsb", "dz", "ee", "el", "en", "en_us", "eo", "es", "et",
+      "fa", "fa_af", "ff", "fi", "fil", "fo", "fr", "fr_ca", "fy", "ga",
+      "gl", "gu", "ha", "haw", "he", "he_il", "hi", "hr", "hsb", "hu",
+      "hy", "id", "id_id", "ig", "is", "it", "ja", "ka", "kk", "kl",
+      "km", "kn", "ko", "kok", "ku", "ky", "lb", "lkt", "ln", "lo", "lt",
+      "lv", "mk", "ml", "mn", "mr", "ms", "mt", "my", "nb", "nb_no",
+      "ne", "nfc", "nl", "nn", "noaccent", "nocase", "om", "or", "pa",
+      "pa_in", "pl", "ps", "pt", "ro", "ru", "sa", "se", "si", "sk",
+      "sl", "smn", "sq", "sr", "sr_ba", "sr_me", "sr_rs", "sv", "sw",
+      "ta", "te", "th", "tk", "to", "tr", "ug", "uk", "ur", "uz", "vi",
+      "wae", "wo", "xh", "yi", "yo", "yue", "yue_cn", "zh", "zh_cn",
+      "zh_hk", "zh_mo", "zh_sg", "zh_tw", "zu")
+    df(StructType(Seq(fld("collname", StringType))), names.map(Row(_)))
+  }
+
+  // --- pragma_user_agent() ------------------------------------------------
+
+  /** The engine identity string a reference deployment's embedded DuckDB
+    * reports (`duckdb/v1.0.0(linux_amd64_gcc4)`); clients append their
+    * own suffix (the python oracle adds " python"), so pins compare the
+    * engine prefix. */
+  def userAgentDf(): DataFrame =
+    df(StructType(Seq(fld("user_agent", StringType))),
+      Seq(Row("duckdb/v1.0.0(linux_amd64_gcc4)")))
+
+  // --- pragma_metadata_info() ----------------------------------------------
+
+  /** Schema-exact empty listing (probed: an in-memory DuckDB 1.0 reports
+    * zero metadata blocks; this engine's metadata lives in the Spark
+    * catalog + parquet footers, not a block manager). */
+  def metadataInfoDf(): DataFrame =
+    df(StructType(Seq(fld("block_id", LongType), fld("total_blocks", LongType),
+      fld("free_blocks", LongType),
+      fld("free_list", ArrayType(LongType, containsNull = true)))), Nil)
+
+  // --- pragma_storage_info(table) -------------------------------------------
+
+  private val storageInfoSchema = StructType(Seq(
+    fld("row_group_id", LongType), fld("column_name", StringType),
+    fld("column_id", LongType), fld("column_path", StringType),
+    fld("segment_id", LongType), fld("segment_type", StringType),
+    fld("start", LongType), fld("count", LongType),
+    fld("compression", StringType), fld("stats", StringType),
+    fld("has_updates", BooleanType), fld("persistent", BooleanType),
+    fld("block_id", LongType), fld("block_offset", LongType),
+    fld("segment_info", StringType)))
+
+  /** DuckDB's per-segment storage X-ray, schema-exact, describing THIS
+    * engine's storage truthfully: one row per (parquet row group ×
+    * column chunk), read from the table's footers (the ParquetMeta
+    * machinery). `segment_type` is the column's DuckDB type name,
+    * `start` the row group's cumulative row offset, `compression` the
+    * parquet codec, `stats` the footer min/max/null-count in DuckDB's
+    * rendering. Values are engine-specific by construction (DuckDB
+    * describes its native block segments; a fresh table with no files
+    * reports zero rows in both, and a missing table raises DuckDB's
+    * Catalog Error) — the schema and the error contract are the parity
+    * surface. Footer rows are bounded: one per column chunk, collected
+    * driver-side like every other catalog listing. */
+  def storageInfoDf(table: String): DataFrame = {
+    val names = userTables()
+    val t = names.find(_.equalsIgnoreCase(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Catalog Error: Table with name $table does not exist!"))
+    val schema = spark.table(t).schema
+    val colId = schema.fields.zipWithIndex
+      .map { case (f, i) => f.name.toLowerCase -> i }.toMap
+    val typeName = schema.fields
+      .map(f => f.name.toLowerCase -> Results.duckTypeName(f)).toMap
+    val files = spark.table(t).inputFiles.toSeq.sorted
+    if (files.isEmpty) return df(storageInfoSchema, Nil)
+    val meta = graft.sources.ParquetMeta.metadataDf(spark, files)
+      .select("file_name", "row_group_id", "row_group_num_rows",
+        "path_in_schema", "stats_min_value", "stats_max_value",
+        "stats_null_count", "compression", "num_values")
+      .collect().toSeq
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+    // global row-group ids + cumulative row offsets across files
+    val groups = meta.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .distinct
+    val rgId = groups.zipWithIndex
+      .map { case ((f, rg, _), i) => (f, rg) -> i.toLong }.toMap
+    val rgStart = groups.zip(groups.scanLeft(0L)(_ + _._3))
+      .map { case ((f, rg, _), off) => (f, rg) -> off }.toMap
+    val rows = meta.flatMap { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val col = r.getString(3).split("\\.")(0)
+      colId.get(col.toLowerCase).map { id =>
+        val min = Option(r.get(4)).map(_.toString).getOrElse("NULL")
+        val max = Option(r.get(5)).map(_.toString).getOrElse("NULL")
+        val nulls = Option(r.get(6)).map(_.asInstanceOf[Long])
+        val hasNull = nulls.map(_ > 0)
+        val stats = s"[Min: $min, Max: $max]" + hasNull.map(h =>
+          s"[Has Null: $h, Has No Null: ${!h || r.getLong(8) > nulls.get}]")
+          .getOrElse("")
+        Row(rgId(key), col, id.toLong, s"[$id]", 0L,
+          typeName(col.toLowerCase), rgStart(key), r.getLong(8),
+          r.getString(7), stats, false, true, null, null, "")
+      }
+    }
+    df(storageInfoSchema, rows.sortBy(r => (r.getLong(0), r.getLong(2))))
   }
 }

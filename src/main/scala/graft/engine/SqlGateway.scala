@@ -735,6 +735,11 @@ class SqlGateway(val spark: SparkSession) {
   private val PragmaVersionRe = """(?is)\s*PRAGMA\s+version\s*""".r
   private val PragmaPlatformRe = """(?is)\s*PRAGMA\s+platform\s*""".r
   private val PragmaDbSizeRe = """(?is)\s*PRAGMA\s+database_size\s*""".r
+  private val PragmaCollationsRe = """(?is)\s*PRAGMA\s+collations\s*""".r
+  private val PragmaUserAgentRe = """(?is)\s*PRAGMA\s+user_agent\s*""".r
+  private val PragmaMetadataInfoRe = """(?is)\s*PRAGMA\s+metadata_info\s*""".r
+  private val PragmaStorageInfoRe =
+    """(?is)\s*PRAGMA\s+storage_info\s*\(\s*'?([\w.]+)'?\s*\)\s*""".r
 
   /** DuckDB's (library_version, source_id) shape with this engine's info. */
   private def pragmaVersionDf: DataFrame =
@@ -902,6 +907,10 @@ class SqlGateway(val spark: SparkSession) {
     case PragmaVersionRe() => pragmaVersionDf
     case PragmaPlatformRe() => pragmaPlatformDf
     case PragmaDbSizeRe() => pragmaDbSizeDf
+    case PragmaCollationsRe() => catalogInfo.collationsDf()
+    case PragmaUserAgentRe() => catalogInfo.userAgentDf()
+    case PragmaMetadataInfoRe() => catalogInfo.metadataInfoDf()
+    case PragmaStorageInfoRe(table) => catalogInfo.storageInfoDf(table)
     case FromSelectRe(table, sel) if spark.catalog.tableExists(table) =>
       // FROM-first SELECT may carry WHERE/GROUP/ORDER/LIMIT after the
       // items — the FROM slots in before them
@@ -1693,9 +1702,10 @@ class SqlGateway(val spark: SparkSession) {
   private val CatFnRe =
     ("""(?i)(?<![\w.])(duckdb_(?:tables|columns|views|schemas|databases|""" +
      """sequences|indexes|constraints|types|settings|keywords|functions""" +
-     """|extensions|memory|temporary_files)""" +
+     """|extensions|memory|temporary_files|dependencies|optimizers|secrets)""" +
      """|pragma_table_info|pragma_version|pragma_platform""" +
-     """|pragma_database_size|pragma_show_tables)""" +
+     """|pragma_database_size|pragma_show_tables|pragma_collations""" +
+     """|pragma_user_agent|pragma_metadata_info|pragma_storage_info)""" +
      """\s*\(\s*(?:'([^']*)'|([\w.]+))?\s*\)""").r
 
   /** Replace every `read_*('path'[, opts])` outside string literals with a
@@ -1742,15 +1752,19 @@ class SqlGateway(val spark: SparkSession) {
         CatFnRe.findAllMatchIn(afterDesc).toList) { m =>
       val arg = Option(m.group(2)).orElse(Option(m.group(3)))
       val name = m.group(1).toLowerCase
-      // only pragma_table_info takes an argument — DuckDB raises a binder
-      // error for arguments on the rest (probed)
-      if (arg.isDefined && name != "pragma_table_info")
+      // only pragma_table_info / pragma_storage_info take an argument —
+      // DuckDB raises a binder error for arguments on the rest (probed)
+      val takesArg = name == "pragma_table_info" || name == "pragma_storage_info"
+      if (arg.isDefined && !takesArg)
         throw new IllegalArgumentException(
           s"Table function $name does not accept arguments")
       name match {
         case "pragma_table_info" => pragmaTableInfo(arg.getOrElse(
           throw new IllegalArgumentException(
             "pragma_table_info requires a table name")))
+        case "pragma_storage_info" => catalogInfo.storageInfoDf(arg.getOrElse(
+          throw new IllegalArgumentException(
+            "pragma_storage_info requires a table name")))
         case "pragma_version" => pragmaVersionDf
         case "pragma_platform" => pragmaPlatformDf
         case "pragma_database_size" => pragmaDbSizeDf

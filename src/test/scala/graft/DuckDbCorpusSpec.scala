@@ -3734,9 +3734,60 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(Seq("main", "main", "main", "pg_catalog"))),
     q("SELECT txid_current() > 0 AS t", Seq(true)))
 
+  // --- r13: introspection tail (duckdb_dependencies / optimizers /
+  // secrets, pragma_collations / user_agent / metadata_info /
+  // storage_info) + quantified comparisons with parenthesized compound
+  // lhs. Every expected value probed against DuckDB 1.0 on 2026-08-16.
+  private def corpusL: Seq[C] = Seq(
+    s("CREATE TABLE depx (a INTEGER)"),
+    s("CREATE INDEX depx_i ON depx(a)"),
+    s("CREATE SEQUENCE depx_s"),
+    s("CREATE TABLE depx_t (i INTEGER DEFAULT nextval('depx_s'))"),
+    s("CREATE TABLE storage_empty_t (x INTEGER)"),
+    q("SELECT count(*) AS c FROM duckdb_secrets()", Seq(0)),
+    q("SELECT count(*) AS c FROM pragma_collations()", Seq(133)),
+    q("SELECT count(*) FILTER (collname IN ('nocase','noaccent','nfc'," +
+      "'en','de')) AS k FROM pragma_collations()", Seq(5)),
+    q("SELECT user_agent LIKE 'duckdb/v1.0.0%' AS ok FROM pragma_user_agent()",
+      Seq(true)),
+    q("SELECT count(*) AS c FROM pragma_metadata_info()", Seq(0)),
+    q("SELECT count(*) AS c FROM duckdb_optimizers()", Seq(18)),
+    C("SELECT name FROM duckdb_optimizers() ORDER BY 1 LIMIT 3",
+      Some(Seq(Seq("column_lifetime"), Seq("common_aggregate"),
+        Seq("common_subexpressions"))), ordered = true),
+    q("SELECT count(*) FILTER (name LIKE 'filter%') AS f " +
+      "FROM duckdb_optimizers()", Seq(2)),
+    // dependency edges carry the same oids the other catalog functions
+    // report, so the joins a pg_depend-style tool runs work unchanged
+    q("SELECT count(*) AS c FROM duckdb_dependencies() d JOIN " +
+      "duckdb_indexes() i ON d.refobjid = i.index_oid " +
+      "WHERE i.index_name = 'depx_i'", Seq(1)),
+    q("SELECT deptype FROM duckdb_dependencies() d JOIN duckdb_indexes() i " +
+      "ON d.refobjid = i.index_oid WHERE i.index_name = 'depx_i'", Seq("a")),
+    q("SELECT s.sequence_name, t.table_name, d.deptype " +
+      "FROM duckdb_dependencies() d " +
+      "JOIN duckdb_sequences() s ON d.objid = s.sequence_oid " +
+      "JOIN duckdb_tables() t ON d.refobjid = t.table_oid " +
+      "WHERE s.sequence_name = 'depx_s'", Seq("depx_s", "depx_t", "n")),
+    q("SELECT count(*) AS c FROM pragma_storage_info('storage_empty_t')",
+      Seq(0)),
+    q("PRAGMA storage_info('storage_empty_t')"),
+    q("PRAGMA metadata_info"),
+    s("PRAGMA collations"),   // 133 rows; full list value-pinned above
+    s("PRAGMA user_agent"),   // engine prefix pinned above (clients suffix)
+    err("SELECT * FROM pragma_storage_info('no_such_t')", "does not exist"),
+    err("SELECT * FROM duckdb_optimizers('x')", "duckdb_optimizers"),
+    err("SELECT * FROM pragma_user_agent('x')", "pragma_user_agent"),
+    // quantified comparison, parenthesized compound lhs (the bare
+    // spelling refuses loudly — GatewaySpec pins the refusal message)
+    q("SELECT ('x' || 'y') = ANY(['xy','z']) AS t", Seq(true)),
+    q("SELECT (1+1) = ANY([2]) AS t", Seq(true)),
+    q("SELECT ('a' || 'b') <> ALL(['x','y']) AS t", Seq(true)),
+    q("SELECT (-1) = ANY([1,-1]) AS t", Seq(true)))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
-      corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK
+      corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK ++ corpusL
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
