@@ -277,12 +277,13 @@ object Relational {
         .filter(col("n_cust") >= 5)
     },
 
-    // ---- DISTINCT aggregates. Stock Expand-based plan, kept after TWO
-    // A/Bs against the split formulation (per-distinct-column dedup +
-    // joins): r4 measured a wash, r5 re-measured under the uncompressed
-    // pinned cache at the 10× corpus — stock 1.19 s vs split 1.34 s
-    // (Expand's ×3 row fan-out partial-aggregates map-side; the split
-    // pays two extra shuffled joins).
+    // ---- DISTINCT aggregates. Stock Expand-based plan, kept after THREE
+    // A/Bs against split formulations: r4 wash; r5 stock 1.19 vs split
+    // 1.34 s at 10×; r13 re-measured under the current engine (static
+    // pins + suite codegen cache) at BOTH scales — stock 0.342/1.275 s
+    // vs two-phase 0.464/1.920 and preagg-then-expand 0.487/2.275
+    // (BENCH_NOTES r13). Expand's ×3 fan-out partial-aggregates map-side
+    // in ONE pass; every alternative adds a full extra shuffle.
     "q14_count_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_orderstatus"))

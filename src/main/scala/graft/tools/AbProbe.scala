@@ -119,12 +119,45 @@ object AbProbe {
         .select(col("a"), col("b"), round(col("jacc"), 4).as("jacc"))
     }
 
+    // r13 q14 A/B (verdict item 3): the r5 stock-vs-split measurement
+    // predates the uncompressed pinned cache, static-plan pins, and the
+    // suite-sized codegen cache — re-measure the two named alternatives
+    // against the stock Expand plan at sf0.1 AND 10×.
+    def q14TwoPhase(s: SparkSession, dir: String): DataFrame = {
+      val o = graft.Tables(s, dir, "orders")
+      val nCusts = o.select(col("o_orderstatus"), col("o_custkey")).distinct()
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_custs"))
+      val nPrios = o.select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_prios"))
+      val base = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      base.join(nCusts, "o_orderstatus").join(nPrios, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_custs"), col("n_prios"), col("n"))
+    }
+    def q14PreAgg(s: SparkSession, dir: String): DataFrame = {
+      // partial-distinct pre-aggregate: collapse to the (status, cust,
+      // prio) grain first (map-side combinable), then Expand over the
+      // collapsed frame — the Expand ×3 fan-out runs on ~|distinct
+      // combos| rows instead of |orders|
+      val o = graft.Tables(s, dir, "orders")
+      o.groupBy(col("o_orderstatus"), col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          sum(col("cnt")).as("n"))
+    }
+
     val mode = sys.env.getOrElse("AB_MODE", "q05q18")
     val variants: Seq[(String, String, (SparkSession, String) => DataFrame)] =
       if (mode == "x02") Seq(
         ("x02", "current-checkpoint",
           (s, d) => graft.SparkEntry.queries("x02_dedup_minhash")(s, d)),
         ("x02", "persisted-shingles", x02Persisted))
+      else if (mode == "q14") Seq(
+        ("q14", "current-expand",
+          (s, d) => graft.SparkEntry.queries("q14_count_distinct")(s, d)),
+        ("q14", "two-phase-distinct", q14TwoPhase),
+        ("q14", "preagg-then-expand", q14PreAgg))
       else Seq(
       ("q05", "current", (s, d) => graft.SparkEntry.queries("q05_star_join")(s, d)),
       ("q05", "lineitem-preagg", q05Alt),
@@ -151,6 +184,10 @@ object AbProbe {
       val same = rowsOf(x02Persisted(spark, sfDir)) ==
         rowsOf(graft.SparkEntry.queries("x02_dedup_minhash")(spark, sfDir))
       println(s"AB x02 values-agree $same")
+    } else if (mode == "q14") {
+      val cur = rowsOf(graft.SparkEntry.queries("q14_count_distinct")(spark, sfDir))
+      println(s"AB q14 values-agree-two-phase ${rowsOf(q14TwoPhase(spark, sfDir)) == cur}")
+      println(s"AB q14 values-agree-preagg ${rowsOf(q14PreAgg(spark, sfDir)) == cur}")
     } else {
       val q05same = rowsOf(q05Alt(spark, sfDir)
           .select(col("n_name"), round(col("revenue").cast("double"), 2))) ==
