@@ -5263,18 +5263,55 @@ class SqlGateway(val spark: SparkSession) {
             if (depth != 0) more = false
             else if ("""(?is)^\s*(select|values|with|table)\b""".r
                 .findFirstIn(qIn.substring(m.end)).isDefined) {
-              // SUBQUERY form: `x = ANY(q)` IS `x IN (q)` and
+              // SUBQUERY form. `x = ANY(q)` IS `x IN (q)` and
               // `x <> ALL(q)` IS `x NOT IN (q)` — standard-SQL identities
-              // DuckDB follows (probed incl. NULL lhs and empty q); other
-              // operators keep Spark's loud parse error
+              // DuckDB follows (probed incl. NULL lhs and empty q); those
+              // keep the semi-join plan. Every OTHER op × quantifier
+              // rewrites to a three-valued CASE over the subquery's
+              // (count, null-count, min/max) scalar aggregates — the
+              // standard quantified-comparison algebra, probed exact vs
+              // DuckDB 1.0 for empty q, NULL lhs, NULL elements and
+              // all-NULL q (r12 verdict item 6): `x < ANY(q)` is true iff
+              // x < max(q), false on empty, NULL on NULL lhs or when no
+              // non-null element beats x but NULLs exist; ALL dualizes
+              // (empty → true, false iff x fails against min/max). Spark
+              // reuses the identical scalar subqueries (ReuseSubquery),
+              // so q is scanned once, not three times.
               val arg = qIn.substring(m.end, i - 1)
-              val op = if (m.group(2) == "==") "=" else m.group(2)
+              val op = if (m.group(2) == "==") "="
+                else if (m.group(2) == "!=") "<>" else m.group(2)
               val all = m.group(3).equalsIgnoreCase("all")
-              val repl =
-                if (op == "=" && !all) s"((${m.group(1)}) IN ($arg))"
-                else if ((op == "<>" || op == "!=") && all)
-                  s"((${m.group(1)}) NOT IN ($arg))"
-                else m.matched + arg + ")" // unsupported: pass through loud
+              val L = s"(${m.group(1)})"
+              def agg(fn: String) =
+                s"(SELECT $fn FROM ($arg) graft_qsub(graft_qv))"
+              val cnt = agg("count(*)")
+              val nulls = agg("count(*) - count(graft_qv)")
+              val mn = agg("min(graft_qv)")
+              val mx = agg("max(graft_qv)")
+              val NULLB = "CAST(NULL AS BOOLEAN)"
+              def caseOf(emptyVal: String, decided: String, decidedVal: String,
+                  elseVal: String) =
+                s"(CASE WHEN $cnt = 0 THEN $emptyVal " +
+                  s"WHEN $L IS NULL THEN $NULLB " +
+                  s"WHEN $decided THEN $decidedVal " +
+                  s"WHEN $nulls > 0 THEN $NULLB ELSE $elseVal END)"
+              val repl = (op, all) match {
+                case ("=", false) => s"($L IN ($arg))"
+                case ("<>", true) => s"($L NOT IN ($arg))"
+                case ("<", false)  => caseOf("false", s"$L < $mx", "true", "false")
+                case ("<=", false) => caseOf("false", s"$L <= $mx", "true", "false")
+                case (">", false)  => caseOf("false", s"$L > $mn", "true", "false")
+                case (">=", false) => caseOf("false", s"$L >= $mn", "true", "false")
+                case ("<", true)   => caseOf("true", s"$L >= $mn", "false", "true")
+                case ("<=", true)  => caseOf("true", s"$L > $mn", "false", "true")
+                case (">", true)   => caseOf("true", s"$L <= $mx", "false", "true")
+                case (">=", true)  => caseOf("true", s"$L < $mx", "false", "true")
+                case ("=", true)   =>
+                  caseOf("true", s"$mn <> $L OR $mx <> $L", "false", "true")
+                case ("<>", false) =>
+                  caseOf("false", s"$mn <> $L OR $mx <> $L", "true", "false")
+                case _ => m.matched + arg + ")" // unreachable op: loud
+              }
               if (repl == m.matched + arg + ")") { from = i } // skip past it
               else out = qIn.substring(0, m.start) + repl + qIn.substring(i)
             }

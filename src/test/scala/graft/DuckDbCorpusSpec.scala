@@ -3783,7 +3783,49 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT ('x' || 'y') = ANY(['xy','z']) AS t", Seq(true)),
     q("SELECT (1+1) = ANY([2]) AS t", Seq(true)),
     q("SELECT ('a' || 'b') <> ALL(['x','y']) AS t", Seq(true)),
-    q("SELECT (-1) = ANY([1,-1]) AS t", Seq(true)))
+    q("SELECT (-1) = ANY([1,-1]) AS t", Seq(true)),
+    // --- quantified SUBQUERY comparisons beyond the r12 = ANY/<> ALL
+    // identities (r12 verdict item 6): the full op × quantifier matrix
+    // via the (count, null-count, min/max) CASE algebra — empty q, NULL
+    // lhs, NULL elements, all-NULL q all probed exact vs DuckDB 1.0
+    q("SELECT 5 < ANY(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(true)),
+    q("SELECT 9 < ANY(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(false)),
+    q("SELECT 9 < ANY(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(null)),
+    q("SELECT 2 < ANY(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(true)),
+    q("SELECT NULL < ANY(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(null)),
+    q("SELECT 2 < ALL(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(true)),
+    q("SELECT 5 < ALL(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(false)),
+    q("SELECT 2 < ALL(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(null)),
+    q("SELECT 5 < ALL(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(false)),
+    q("SELECT NULL < ALL(SELECT * FROM (VALUES (3),(7)) t(v)) AS r", Seq(null)),
+    q("SELECT 7 >= ANY(SELECT * FROM (VALUES (3),(9)) t(v)) AS r", Seq(true)),
+    q("SELECT 1 >= ANY(SELECT * FROM (VALUES (3),(9)) t(v)) AS r", Seq(false)),
+    q("SELECT 1 >= ANY(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(null)),
+    q("SELECT 5 <= ALL(SELECT * FROM (VALUES (5),(7)) t(v)) AS r", Seq(true)),
+    q("SELECT 3 = ALL(SELECT * FROM (VALUES (3),(3)) t(v)) AS r", Seq(true)),
+    q("SELECT 3 = ALL(SELECT * FROM (VALUES (3),(4)) t(v)) AS r", Seq(false)),
+    q("SELECT 3 = ALL(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(null)),
+    q("SELECT 5 = ALL(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(false)),
+    q("SELECT 3 <> ANY(SELECT * FROM (VALUES (3),(4)) t(v)) AS r", Seq(true)),
+    q("SELECT 3 <> ANY(SELECT * FROM (VALUES (3),(3)) t(v)) AS r", Seq(false)),
+    q("SELECT 3 <> ANY(SELECT * FROM (VALUES (3),(NULL)) t(v)) AS r", Seq(null)),
+    q("SELECT 'm' < ANY(SELECT * FROM (VALUES ('a'),('z')) t(v)) AS r",
+      Seq(true)),
+    q("SELECT 5 > ALL(SELECT * FROM (VALUES (NULL::INT)) t(v)) AS r", Seq(null)),
+    // empty subquery: ANY false (even with NULL lhs), ALL true
+    q("SELECT 5 < ANY(SELECT * FROM (VALUES (3)) t(v) WHERE false) AS r",
+      Seq(false)),
+    q("SELECT 5 < ALL(SELECT * FROM (VALUES (3)) t(v) WHERE false) AS r",
+      Seq(true)),
+    q("SELECT NULL <> ANY(SELECT * FROM (VALUES (3)) t(v) WHERE false) AS r",
+      Seq(false)),
+    q("SELECT 3 = ALL(SELECT * FROM (VALUES (3)) t(v) WHERE false) AS r",
+      Seq(true)),
+    // two quantifiers in one statement; a quantifier under WHERE
+    q("SELECT 2 < ANY(SELECT * FROM (VALUES (3)) t(v)) AS a, " +
+      "9 >= ALL(SELECT * FROM (VALUES (3),(7)) t(v)) AS b", Seq(true, true)),
+    q("SELECT count(*) AS c FROM (VALUES (1),(5),(9)) o(x) " +
+      "WHERE x > ANY(SELECT * FROM (VALUES (4),(6)) t(v))", Seq(2)))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
