@@ -72,7 +72,14 @@ object Snapshot {
         val start = gw.seqStarts.get(n).map(s => s"|$s").getOrElse("")
         s"#seq2|$n|${st.next}|${st.inc}|${st.min}|${st.max}|${st.cycle}$start" } ++
       gw.macros.toSeq.sortBy(_._1).map { case (n, (params, body)) =>
-        s"#macro|$n|${params.mkString(",")}|${b64(body)}" } ++
+        // trailing field: `p:=b64(default)` entries for default params
+        // (r13; absent in older manifests — import treats all-positional)
+        val dflts = gw.macroDefaults.getOrElse(n, Map.empty)
+        val dfltField =
+          if (dflts.isEmpty) ""
+          else "|" + dflts.toSeq.sortBy(_._1)
+            .map { case (p, d) => s"$p:=${b64(d)}" }.mkString(",")
+        s"#macro|$n|${params.mkString(",")}|${b64(body)}$dfltField" } ++
       gw.indexes.toSeq.sortBy(_._1).map { case (n, (t, cols, uniq)) =>
         s"#index|$n|$t|${cols.mkString(",")}|$uniq" } ++
       gw.namedTypes.toSeq.sortBy(_._1).map { case (n, spec) =>
@@ -144,7 +151,8 @@ object Snapshot {
     // database-level metadata replaces wholesale, like the tables
     def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
     gw.sequences.clear(); gw.seqStarts.clear()
-    gw.macros.clear(); gw.indexes.clear(); gw.comments.clear()
+    gw.macros.clear(); gw.macroDefaults.clear()
+    gw.indexes.clear(); gw.comments.clear()
     gw.tempTables.clear() // temp-ness does not survive EXPORT (probed)
     gw.namedTypes.clear(); gw.columnDefaults.clear(); gw.clearViews()
     metaLines.foreach { line =>
@@ -181,9 +189,18 @@ object Snapshot {
           gw.sequences(n) = SqlGateway.SeqState(next.toLong, i,
             if (i < 0) Long.MinValue else 1L,
             if (i < 0) -1L else Long.MaxValue, cycle = false)
-        case "#macro" :: n :: params :: body :: Nil =>
+        case "#macro" :: n :: params :: body :: rest if rest.size <= 1 =>
           gw.macros(n) =
             (params.split(",").map(_.trim).filter(_.nonEmpty).toSeq, unb64(body))
+          val dflts = rest.headOption.toSeq.flatMap(_.split(",").toSeq)
+            .flatMap { e =>
+              e.split(":=", 2) match {
+                case Array(p, d) if d.nonEmpty => Some(p -> unb64(d))
+                case _ => None
+              }
+            }.toMap
+          if (dflts.nonEmpty) gw.macroDefaults(n) = dflts
+          else gw.macroDefaults.remove(n)
         case "#index" :: n :: t :: cols :: uniq :: Nil =>
           gw.indexes(n) = (t, cols.split(",").toSeq, uniq.toBoolean)
         case _ => () // unknown metadata line — forward compatibility

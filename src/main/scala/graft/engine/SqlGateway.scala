@@ -236,6 +236,10 @@ class SqlGateway(val spark: SparkSession) {
     * restored from a pre-r11 snapshot — readers fall back to the
     * increment-sign default bound. */
   private[engine] val seqStarts = new TrieMap[String, Long]
+  /** macro → (param name → default expression text) for the `p := expr`
+    * parameters — DuckDB's named-only defaults (probed: passing one
+    * positionally is a binder error). Keyed like [[macros]]. */
+  private[engine] val macroDefaults = new TrieMap[String, Map[String, String]]
   /** macro → (parameter names, body SQL). Scalar macros, expanded
     * textually (DuckDB expands them at bind time — same effect). */
   private[engine] val macros = new TrieMap[String, (Seq[String], String)]
@@ -526,11 +530,24 @@ class SqlGateway(val spark: SparkSession) {
         val stored =
           if ("""(?is)^TABLE\s""".r.findFirstIn(bodyT).isDefined) bodyT.drop(5).trim
           else bodyT
-        macros(key) = (params.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq,
-          stored); ExecuteResult(0L)
+        // default parameters (`p := expr`) — DuckDB makes them NAMED-only
+        // at the call site (probed: a default param passed positionally is
+        // a binder error). Names keep declared order; defaults ride in
+        // [[macroDefaults]] so the (params, body) shape is untouched.
+        val DefaultP = """(?s)^([\w]+)\s*:=\s*(.+)$""".r
+        val parsed = splitTopLevel(params).map(_.trim).filter(_.nonEmpty).map {
+          case DefaultP(p, dflt) => (p.toLowerCase, Some(dflt.trim))
+          case p => (p.toLowerCase, None)
+        }
+        macros(key) = (parsed.map(_._1), stored)
+        val dflts = parsed.collect { case (p, Some(d)) => p -> d }.toMap
+        if (dflts.nonEmpty) macroDefaults(key) = dflts
+        else macroDefaults.remove(key)
+        ExecuteResult(0L)
       case DropMacroRe(ife, name) =>
         if (macros.remove(name.toLowerCase).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown macro $name")
+        macroDefaults.remove(name.toLowerCase)
         ExecuteResult(0L)
       case CreateIndexRe(unique, idx, table, cols) =>
         createIndex(idx, table, splitTopLevel(cols).map(_.trim.toLowerCase),
@@ -2440,12 +2457,35 @@ class SqlGateway(val spark: SparkSession) {
             val open = m.end - 1
             val close = open + matchingParen(cur.substring(open))
             val argText = cur.substring(open + 1, close)
-            val args = splitTopLevel(argText).map(_.trim)
-            if (args.count(_.nonEmpty) != params.length)
+            val args = splitTopLevel(argText).map(_.trim).filter(_.nonEmpty)
+            // DuckDB call contract (probed): default params bind by NAME
+            // only; positional args must exactly cover the non-default
+            // params; naming a non-default param is a binder error
+            val defaults = macroDefaults.getOrElse(name, Map.empty)
+            val required = params.filterNot(defaults.contains)
+            val NamedArg = """(?s)^([\w]+)\s*:=\s*(.+)$""".r
+            val (named, positional) = args.partition(NamedArg.matches(_))
+            val bindings = scala.collection.mutable.Map[String, String]()
+            named.foreach { case NamedArg(p, v) =>
+              // duck validates named args BEFORE the positional count
+              val key = p.toLowerCase
+              if (!defaults.contains(key))
+                throw new IllegalArgumentException(
+                  s"Binder Error: Macro $name does not have default parameter $p!")
+              bindings(key) = v.trim
+            }
+            if (positional.length != required.length)
               throw new IllegalArgumentException(
-                s"macro $name expects ${params.length} argument(s), got ${args.count(_.nonEmpty)}")
+                s"Binder Error: Macro function '$name(${required.mkString(", ")})' " +
+                  (if (required.length == 1) "requires a single positional argument"
+                   else s"requires ${required.length} positional arguments") +
+                  s", but ${positional.length} positional arguments were provided")
+            required.zip(positional).foreach { case (p, a) => bindings(p) = a }
+            defaults.foreach { case (p, d) =>
+              if (!bindings.contains(p)) bindings(p) = d }
             var expanded = body
-            params.zip(args).foreach { case (p, a) =>
+            params.foreach { p =>
+              val a = bindings(p)
               expanded = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(p) +
                 """(?![\w])""").r.replaceAllIn(expanded,
                 java.util.regex.Matcher.quoteReplacement(s"($a)"))
@@ -8500,6 +8540,7 @@ class SqlGateway(val spark: SparkSession) {
     // advanced counter (the documented PostgreSQL non-refund semantics —
     // restoring the counter would hand out duplicate ids).
     val baseMacros: Map[String, (Seq[String], String)] = macros.toMap
+    val baseMacroDefaults: Map[String, Map[String, String]] = macroDefaults.toMap
     val baseNamedTypes: Map[String, String] = namedTypes.toMap
     val baseSequenceKeys: Set[String] = sequences.keySet.toSet
     // COMMENT ON and temp-flag changes are catalog ops too — DuckDB rolls
@@ -8593,6 +8634,7 @@ class SqlGateway(val spark: SparkSession) {
     indexes.clear(); indexes ++= t.baseIndexes
     versions.clear(); versions ++= t.baseVersions
     macros.clear(); macros ++= t.baseMacros
+    macroDefaults.clear(); macroDefaults ++= t.baseMacroDefaults
     namedTypes.clear(); namedTypes ++= t.baseNamedTypes
     comments.clear(); comments ++= t.baseComments
     tempTables.clear()

@@ -3825,7 +3825,49 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT 2 < ANY(SELECT * FROM (VALUES (3)) t(v)) AS a, " +
       "9 >= ALL(SELECT * FROM (VALUES (3),(7)) t(v)) AS b", Seq(true, true)),
     q("SELECT count(*) AS c FROM (VALUES (1),(5),(9)) o(x) " +
-      "WHERE x > ANY(SELECT * FROM (VALUES (4),(6)) t(v))", Seq(2)))
+      "WHERE x > ANY(SELECT * FROM (VALUES (4),(6)) t(v))", Seq(2)),
+    // --- macros joined to duckdb_functions() (r12 verdict item 6) +
+    // default parameters (named-only at the call site, probed) ---
+    s("CREATE MACRO cadd1(x) AS x + 1"),
+    q("SELECT function_name, function_type, parameters, macro_definition " +
+      "FROM duckdb_functions() WHERE function_name = 'cadd1'",
+      Seq("cadd1", "macro", Seq("x"), "(x + 1)")),
+    q("SELECT cadd1(41) AS a", Seq(42)),
+    s("CREATE MACRO cgreet(nm, punct := '!') AS 'hi ' || nm || punct"),
+    q("SELECT cgreet('duck') AS g", Seq("hi duck!")),
+    q("SELECT cgreet('duck', punct := '?') AS g", Seq("hi duck?")),
+    q("SELECT function_type FROM duckdb_functions() " +
+      "WHERE function_name = 'cgreet'", Seq("macro")),
+    q("SELECT parameters FROM duckdb_functions() " +
+      "WHERE function_name = 'cgreet'", Seq(Seq("nm", "punct"))),
+    q("SELECT count(*) > 400 AS many FROM duckdb_functions()", Seq(true)),
+    q("SELECT count(DISTINCT function_type) >= 4 AS kinds " +
+      "FROM duckdb_functions()", Seq(true)),
+    q("SELECT f.function_name, length(f.macro_definition) > 0 AS has_def " +
+      "FROM duckdb_functions() f WHERE f.function_type = 'macro' AND " +
+      "f.function_name IN ('cadd1','cgreet') ORDER BY 1",
+      Seq("cadd1", true), Seq("cgreet", true)),
+    err("SELECT cgreet() AS g", "requires a single positional argument"),
+    err("SELECT cgreet('a', '?') AS g", "requires a single positional argument"),
+    err("SELECT cgreet(punct := '?', nm := 'x') AS g",
+      "does not have default parameter"),
+    // --- view-shape pinning corners (r12 verdict item 6): re-bind after
+    // ALTER ADD COLUMN errors with duck's altered-contents message; a
+    // view over an introspection function binds; DROP COLUMN under a
+    // view errors at USE (probed: duck drops fine, then binder-errors)
+    s("CREATE TABLE cvt (a INTEGER, b INTEGER)"),
+    s("INSERT INTO cvt VALUES (1, 2)"),
+    s("CREATE VIEW cvstar AS SELECT * FROM cvt"),
+    q("SELECT * FROM cvstar", Seq(1, 2)),
+    s("ALTER TABLE cvt ADD COLUMN c INTEGER"),
+    err("SELECT * FROM cvstar", "Contents of view were altered"),
+    s("CREATE VIEW cvintro AS SELECT table_name FROM duckdb_tables()"),
+    q("SELECT count(*) >= 1 AS some FROM cvintro", Seq(true)),
+    s("CREATE VIEW cvb AS SELECT b FROM cvt"),
+    s("ALTER TABLE cvt DROP COLUMN c"),
+    q("SELECT * FROM cvb", Seq(2)),
+    s("ALTER TABLE cvt DROP COLUMN b"),
+    err("SELECT * FROM cvb", "b"))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++

@@ -221,6 +221,37 @@ class GatewaySpec extends SparkTestBase {
       "UNION(num INTEGER, str VARCHAR)"))
   }
 
+  test("macro DEFAULT parameters: named-only call contract (probed duck " +
+       "binder errors), rollback, and EXPORT/IMPORT round trip") {
+    gw.execute("CREATE OR REPLACE MACRO mgreet(nm, punct := '!') " +
+      "AS 'hi ' || nm || punct")
+    assert(gw.query("SELECT mgreet('duck') AS g").values.head.head == "hi duck!")
+    assert(gw.query("SELECT mgreet('duck', punct := '?') AS g")
+      .values.head.head == "hi duck?")
+    // a default param is NAMED-only: positional overflow is a binder error
+    val e1 = intercept[Exception](gw.query("SELECT mgreet('a', '?') AS g"))
+    assert(e1.getMessage.contains("requires a single positional argument"),
+      e1.getMessage)
+    // naming a non-default param is duck's other binder error
+    val e2 = intercept[Exception](
+      gw.query("SELECT mgreet(punct := '?', nm := 'x') AS g"))
+    assert(e2.getMessage.contains("does not have default parameter nm"),
+      e2.getMessage)
+    // defaults survive EXPORT/IMPORT (manifest carries the default exprs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-macrodef").toString
+    gw.execute(s"EXPORT DATABASE '$dir'")
+    gw.execute("DROP MACRO mgreet")
+    gw.execute(s"IMPORT DATABASE '$dir'")
+    assert(gw.query("SELECT mgreet('x') AS g").values.head.head == "hi x!")
+    // ... and roll back with a transaction's catalog snapshot
+    gw.execute("BEGIN TRANSACTION")
+    gw.execute("CREATE OR REPLACE MACRO mgreet(nm, punct := '.') AS nm || punct")
+    assert(gw.query("SELECT mgreet('y') AS g").values.head.head == "y.")
+    gw.execute("ROLLBACK")
+    assert(gw.query("SELECT mgreet('x') AS g").values.head.head == "hi x!")
+    gw.execute("DROP MACRO mgreet")
+  }
+
   test("column DEFAULTs survive an EXPORT/IMPORT round trip") {
     gw.execute("DROP TABLE IF EXISTS deft")
     gw.execute("CREATE TABLE deft (a integer, b integer DEFAULT 5)")
