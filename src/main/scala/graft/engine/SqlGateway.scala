@@ -5264,8 +5264,14 @@ class SqlGateway(val spark: SparkSession) {
     // false); a NULL LIST counts as empty (probed: = ANY(NULL) false,
     // <> ALL(NULL) true) — the CASE guard. Subquery forms pass through.
     if ("""(?i)\b(any|some|all)\s*\(""".r.findFirstIn(out).isDefined) {
+      // lhs also admits a typed literal (DATE '...', TIMESTAMP '...') —
+      // Operand alone captures just the quoted part and the comparison
+      // would run against a string (probed: DATE lhs is common)
+      val QOperand =
+        """((?:(?:DATE|TIME|TIMESTAMP|INTERVAL)\s+)?""" +
+          """(?:'(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+))"""
       val Quant =
-        (s"(?i)$Operand\\s*(=|==|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(").r
+        (s"(?i)$QOperand\\s*(=|==|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(").r
       var more = true
       // scan cursor: an unsupported quantifier (e.g. `< ALL(subq)`) skips
       // PAST its match instead of aborting the loop, so later rewritable

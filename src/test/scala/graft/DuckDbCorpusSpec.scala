@@ -3869,9 +3869,157 @@ class DuckDbCorpusSpec extends SparkTestBase {
     s("ALTER TABLE cvt DROP COLUMN b"),
     err("SELECT * FROM cvb", "b"))
 
+  // --- r13 breadth batch M: quantified-subquery types, list/map tail,
+  // encoding/bit/date scalars. Every value probed vs DuckDB 1.0.
+  private def corpusM: Seq[C] = Seq(
+    q("SELECT DATE '2024-01-02' > ANY(SELECT * FROM (VALUES " +
+      "(DATE '2024-01-01'),(DATE '2024-03-01')) t(v)) AS r", Seq(true)),
+    q("SELECT DATE '2024-01-02' >= ALL(SELECT * FROM (VALUES " +
+      "(DATE '2024-01-01'),(DATE '2024-01-02')) t(v)) AS r", Seq(true)),
+    q("SELECT 1.5 < ANY(SELECT * FROM (VALUES (1.4),(1.6)) t(v)) AS r",
+      Seq(true)),
+    q("SELECT 2.5 <= ALL(SELECT * FROM (VALUES (2.5),(3.5)) t(v)) AS r",
+      Seq(true)),
+    q("SELECT 'b' = ALL(SELECT * FROM (VALUES ('b'),('b')) t(v)) AS r",
+      Seq(true)),
+    q("SELECT 10 <> ANY(SELECT v FROM (VALUES (10),(20)) t(v) " +
+      "WHERE v > 15) AS r", Seq(true)),
+    q("SELECT 3 BETWEEN 1 AND 5 AS r", Seq(true)),
+    q("SELECT 5 IS DISTINCT FROM NULL AS a, " +
+      "NULL IS NOT DISTINCT FROM NULL AS b", Seq(true, true)),
+    q("SELECT list_sort([3, NULL, 1]) AS s", Seq(Seq(1, 3, null))),
+    q("SELECT list_sort([3,1,2], 'DESC') AS s", Seq(Seq(3, 2, 1))),
+    q("SELECT list_sort([NULL, 2, 1], 'ASC', 'NULLS LAST') AS s",
+      Seq(Seq(1, 2, null))),
+    q("SELECT list_reverse_sort([1,3,2]) AS s", Seq(Seq(3, 2, 1))),
+    q("SELECT list_unique([1,1,2,NULL,NULL]) AS u", Seq(2)),
+    // list_distinct's output order is engine-specific in duck — sorted pin
+    q("SELECT list_sort(list_distinct([1,1,2,NULL])) AS d", Seq(Seq(1, 2))),
+    q("SELECT list_zip([1,2],['a']) AS z",
+      Seq(Seq(Seq(1, "a"), Seq(2, null)))),
+    q("SELECT range(3) AS r", Seq(Seq(0, 1, 2))),
+    q("SELECT range(0, 10, 3) AS r", Seq(Seq(0, 3, 6, 9))),
+    q("SELECT generate_series(0, 10, 5) AS g", Seq(Seq(0, 5, 10))),
+    q("SELECT list_position([10,20,30], 20) AS p", Seq(2)),
+    q("SELECT map_keys(map {'k1': 1, 'k2': 2}) AS k", Seq(Seq("k1", "k2"))),
+    q("SELECT map_values(map {'k1': 1, 'k2': 2}) AS v", Seq(Seq(1, 2))),
+    q("SELECT cardinality(map {'a': 1}) AS c", Seq(1)),
+    q("SELECT map_extract(map {'a': 1}, 'a') AS e", Seq(Seq(1))),
+    err("SELECT map_contains(map {'a': 1}, 'a') AS c", "map_contains"),
+    q("SELECT format_bytes(1000000) AS f", Seq("976.5 KiB")),
+    q("SELECT to_base(255, 2) AS b", Seq("11111111")),
+    q("SELECT decode(from_base64('QUJD')) AS f", Seq("ABC")),
+    q("SELECT to_base64('AB'::BLOB) AS t", Seq("QUI=")),
+    q("SELECT translate('hello', 'el', 'ip') AS t", Seq("hippo")),
+    q("SELECT strip_accents('café') AS s", Seq("cafe")),
+    q("SELECT mode(x) AS m FROM (VALUES (1),(2),(2)) v(x)", Seq(2)),
+    q("SELECT product(x) AS p FROM (VALUES (2),(3),(4)) v(x)", Seq(24)),
+    q("SELECT entropy(x) AS e FROM (VALUES (1),(1),(2),(2)) v(x)", Seq(1)),
+    q("SELECT fsum(x) AS f FROM (VALUES (0.1),(0.2)) v(x)",
+      Seq(0.30000000000000004)),
+    q("SELECT favg(x) AS f FROM (VALUES (1.0),(2.0)) v(x)", Seq(1.5)),
+    q("SELECT skewness(x) > 0 AS s FROM (VALUES (1),(1),(1),(10)) v(x)",
+      Seq(true)),
+    q("SELECT kurtosis(x) IS NOT NULL AS k FROM " +
+      "(VALUES (1.0),(2.0),(3.0),(10.0)) v(x)", Seq(true)),
+    q("SELECT bit_and(x) AS a, bit_or(x) AS o, bit_xor(x) AS xr " +
+      "FROM (VALUES (6),(3)) v(x)", Seq(2, 7, 5)),
+    q("SELECT last_day(DATE '2024-02-05') AS l", Seq("2024-02-29")),
+    q("SELECT make_date(2024, 3, 7) AS d", Seq("2024-03-07")),
+    q("SELECT make_timestamp(2024, 3, 7, 10, 30, 12.5) AS t",
+      Seq("2024-03-07 10:30:12.5")),
+    q("SELECT date_trunc('quarter', DATE '2024-05-15') AS q",
+      Seq("2024-04-01")),
+    q("SELECT date_trunc('week', DATE '2024-01-04') AS w", Seq("2024-01-01")),
+    q("SELECT dayname(DATE '2024-01-01') AS d, " +
+      "monthname(DATE '2024-01-01') AS m", Seq("Monday", "January")),
+    q("SELECT week(DATE '2024-01-04') AS w, isodow(DATE '2024-01-01') AS i",
+      Seq(1, 1)),
+    q("SELECT yearweek(DATE '2024-01-04') AS yw", Seq(202401)),
+    q("SELECT century(DATE '2001-01-01') AS c, " +
+      "millennium(DATE '2001-01-01') AS m", Seq(21, 3)),
+    q("SELECT to_timestamp(60) AS t", Seq("1970-01-01 00:01:00")),
+    q("SELECT age(TIMESTAMP '2024-03-15 00:00:00', " +
+      "TIMESTAMP '2024-01-10 00:00:00') AS a", Seq("2 months 5 days")),
+    q("SELECT greatest(DATE '2024-01-01', DATE '2023-01-01') AS g",
+      Seq("2024-01-01")),
+    q("SELECT 3 & 5 AS a, 3 | 5 AS o, ~3 AS n, 1 << 4 AS sl, 32 >> 2 AS sr",
+      Seq(1, 7, -4, 16, 8)),
+    q("SELECT gcd(12, 18) AS g, lcm(4, 6) AS l", Seq(6, 12)),
+    q("SELECT nextafter(1.0, 2.0) > 1.0 AS n", Seq(true)),
+    q("SELECT cot(1) IS NOT NULL AS c", Seq(true)),
+    q("SELECT degrees(pi()) AS d, radians(180) = pi() AS r", Seq(180, true)),
+    q("SELECT atan2(1, 1) = pi()/4 AS a", Seq(true)),
+    // duck's cbrt is pow(x, 1/3) (3.0000000000000004 raw) — rounded pin
+    q("SELECT round(cbrt(27), 9) AS c", Seq(3)),
+    q("SELECT exp(0) AS e", Seq(1)),
+    q("SELECT bitstring('101', 8) AS b", Seq("00000101")),
+    q("SELECT get_bit('0110'::BIT, 1) AS g", Seq(1)),
+    q("SELECT set_bit('0110'::BIT, 0, 1) AS s", Seq("1110")),
+    q("SELECT bit_position('010'::BIT, '1110101'::BIT) AS p", Seq(4)),
+    q("SELECT left('hello', 2) AS l, right('hello', 2) AS r",
+      Seq("he", "lo")),
+    q("SELECT lpad('5', 3, '0') AS l, rpad('5', 3, 'x') AS r",
+      Seq("005", "5xx")),
+    q("SELECT repeat('ab', 3) AS r", Seq("ababab")),
+    q("SELECT strpos('hello', 'l') AS s, instr('hello', 'l') AS i", Seq(3, 3)),
+    q("SELECT ascii('A') AS a, chr(66) AS c", Seq(65, "B")),
+    q("SELECT md5('') AS m", Seq("d41d8cd98f00b204e9800998ecf8427e")),
+    q("SELECT sha256('abc') IS NOT NULL AS s", Seq(true)),
+    q("SELECT hash('x') IS NOT NULL AS h", Seq(true)),
+    q("SELECT editdist3('kitten', 'sitting') AS e", Seq(3)),
+    q("SELECT prefix('hello', 'he') AS p, suffix('hello', 'lo') AS s",
+      Seq(true, true)),
+    q("SELECT string_split_regex('a1b2c', '[0-9]') AS s",
+      Seq(Seq("a", "b", "c"))),
+    q("SELECT regexp_extract('abc123', '([a-z]+)([0-9]+)', 2) AS e",
+      Seq("123")),
+    q("SELECT regexp_extract_all('a1b2', '[0-9]') AS e", Seq(Seq("1", "2"))),
+    q("""SELECT regexp_split_to_array('a b  c', '\s+') AS s""",
+      Seq(Seq("a", "b", "c"))),
+    q("SELECT try_cast('abc' AS INTEGER) AS t", Seq(null)),
+    q("SELECT try_cast('42' AS INTEGER) AS t", Seq(42)),
+    q("SELECT try_cast('3.9' AS INTEGER) AS t", Seq(4)), // duck rounds
+    q("SELECT TRY_CAST('2024-13-40' AS DATE) AS t", Seq(null)),
+    q("SELECT [1,2,3,4][2:3] AS s", Seq(Seq(2, 3))),
+    q("SELECT uuid() IS NOT NULL AS u", Seq(true)),
+    q("SELECT CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END AS c",
+      Seq("b")),
+    q("SELECT ifnull(NULL, 7) AS i", Seq(7)),
+    q("SELECT if(1 < 2, 'y', 'n') AS i", Seq("y")),
+    q("SELECT coalesce(NULL, NULL, 3) AS c", Seq(3)),
+    q("SELECT nullif(5, 5) AS n, nullif(5, 4) AS m", Seq(null, 5)),
+    q("SELECT signbit(-0.0) AS s", Seq(false)),
+    q("SELECT unicode('é') AS u", Seq(233)),
+    q("SELECT substring_grapheme('hello', 2, 2) AS s", Seq("el")),
+    q("SELECT starts_with('hello', 'he') AS s, ends_with('hello', 'lo') AS e",
+      Seq(true, true)),
+    q("SELECT ltrim('xxhixx', 'x') AS l, rtrim('xxhixx', 'x') AS r",
+      Seq("hixx", "xxhi")),
+    err("SELECT title('hello world') AS t", "title"),
+    q("SELECT array_slice([1,2,3,4], 2, 3) AS s", Seq(Seq(2, 3))),
+    q("SELECT list_append([1,2], 3) AS a, list_prepend(0, [1,2]) AS p",
+      Seq(Seq(1, 2, 3), Seq(0, 1, 2))),
+    q("SELECT array_concat([1], [2,3]) AS c", Seq(Seq(1, 2, 3))),
+    q("SELECT list_concat([1], [2,3]) AS c", Seq(Seq(1, 2, 3))),
+    q("SELECT len([1,2,3]) AS l", Seq(3)),
+    q("SELECT list_max([3,1,2]) AS mx, list_min([3,1,2]) AS mn", Seq(3, 1)),
+    q("SELECT list_sum([1,2,3]) AS s, list_avg([1,2,3]) AS a", Seq(6, 2)),
+    q("SELECT list_any_value([NULL, 2, 3]) AS a", Seq(2)),
+    q("SELECT list_reduce([1,2,3], (a, b) -> a + b) AS r", Seq(6)),
+    q("SELECT list_transform([1,2], x -> x * 10) AS t", Seq(Seq(10, 20))),
+    q("SELECT list_filter([1,2,3], x -> x % 2 = 1) AS f", Seq(Seq(1, 3))),
+    q("SELECT TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 90 MINUTE AS t",
+      Seq("2023-12-31 22:30:00")),
+    q("SELECT jaccard('duck','luck') AS j", Seq(0.6)),
+    // list_intersect's output order is engine-specific — sorted pin
+    q("SELECT list_sort(list_intersect([1,2,3],[2,3,4])) AS i",
+      Seq(Seq(2, 3))))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
-      corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK ++ corpusL
+      corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK ++ corpusL ++
+      corpusM
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {

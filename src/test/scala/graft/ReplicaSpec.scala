@@ -1073,6 +1073,68 @@ class ReplicaSpec extends SparkTestBase {
     }
   }
 
+  test("push replication replays every DDL class: tables, indexes, " +
+       "sequences, macros (incl. default params), comments, ALTERs and " +
+       "views all land on a log-following replica's catalog " +
+       "(store/store.go:242-250 Apply ships raw SQL for ALL statements)") {
+    val (lgw, _) = newStack("ddl_leader")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("ddl_f")
+    val f = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeF",
+      followLog = true)
+    val fPort = f.start()
+    def exec(sql: String): Unit = {
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute",
+        Some(s"""{"sql": ${graft.http.Json.str(sql)}}"""))
+      assert(c == 200 && !b.contains("\"error\""), s"$sql -> $b")
+    }
+    def read(q: String): String = {
+      val (c, b, _) = newHttp(fPort, "GET",
+        "/db/query?q=" + java.net.URLEncoder.encode(q, "UTF-8"))
+      assert(c == 200, b); b
+    }
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeF", "addr": "http://localhost:$fPort"}"""))._1 == 200)
+      exec("CREATE TABLE ddl_t (a INTEGER, b TEXT DEFAULT 'z')")
+      exec("INSERT INTO ddl_t (a) VALUES (1), (2)")
+      exec("CREATE INDEX ddl_i ON ddl_t(a)")
+      exec("CREATE SEQUENCE ddl_s START 5")
+      exec("CREATE MACRO ddl_m(x, punct := '!') AS x || punct")
+      exec("COMMENT ON TABLE ddl_t IS 'replicated comment'")
+      exec("ALTER TABLE ddl_t ADD COLUMN c INTEGER DEFAULT 7")
+      exec("ALTER TABLE ddl_t RENAME COLUMN c TO c2")
+      exec("CREATE VIEW ddl_v AS SELECT a FROM ddl_t")
+      exec("INSERT INTO ddl_t (a) VALUES (3)")
+      // every class is queryable ON THE FOLLOWER from its local catalog
+      assert(read("SELECT count(*) AS n, sum(a) AS s FROM ddl_t")
+        .contains("[3, 6]"))
+      assert(read("SELECT index_name FROM duckdb_indexes()").contains("ddl_i"))
+      assert(read("SELECT start_value FROM duckdb_sequences() " +
+        "WHERE sequence_name = 'ddl_s'").contains("[5]"))
+      assert(read("SELECT ddl_m('hi') AS g").contains("hi!"))
+      assert(read("SELECT ddl_m('hi', punct := '?') AS g").contains("hi?"))
+      assert(read("SELECT comment FROM duckdb_tables() " +
+        "WHERE table_name = 'ddl_t'").contains("replicated comment"))
+      assert(read("SELECT column_name FROM duckdb_columns() " +
+        "WHERE table_name = 'ddl_t'").contains("c2"))
+      assert(read("SELECT b, c2 FROM ddl_t WHERE a = 3")
+        .contains("[\"z\", 7]"))
+      assert(read("SELECT count(*) AS n FROM ddl_v").contains("[3]"))
+      // the follower holds the statements in ITS log (push, not pull):
+      // applied index equals the leader's log head
+      val (_, st, _) = newHttp(fPort, "GET", "/status")
+      val (_, lst, _) = newHttp(lPort, "GET", "/status")
+      val applied = "\"applied_index\": \"(\\d+)\"".r.findFirstMatchIn(st)
+        .map(_.group(1)).getOrElse("-")
+      val head = "\"log_index\": \"(\\d+)\"".r.findFirstMatchIn(lst)
+        .map(_.group(1)).getOrElse("?")
+      assert(applied == head, s"follower applied=$applied leader head=$head")
+    } finally { f.stop(); leader.stop() }
+  }
+
   test("service stress: concurrent writers + readers + snapshot takers — " +
        "every write lands exactly once, log index matches, restart " +
        "recovers the identical state") {
