@@ -51,34 +51,49 @@ import java.nio.charset.StandardCharsets
   * `store/store.go:114,187`, re-expressed without a vote round):
   *
   *   - **Monotonic term**: every node carries a term, advertised in
-  *     /status and on every push. A promotion bumps it past every term
-  *     the winner has seen; a follower rejects pushes from a stale term
-  *     (409) and adopts a higher one; a deposed ex-leader that sees a
-  *     higher-term leader steps down to follower ([[leaderTick]]).
+  *     /status and stamped on every push AT COMMIT TIME (Raft's
+  *     per-entry term — a deposed leader's queued entries can never be
+  *     laundered under a later-adopted term). A follower rejects pushes
+  *     from a stale term (409) and adopts a higher one; a deposed
+  *     ex-leader steps down the moment it SEES the higher term — a
+  *     [[leaderTick]] probe or a stale-term push rejection — and a
+  *     follower chained behind a stepped-down node follows the chain to
+  *     the real leader instead of reading stale state through it.
   *   - **Leader lease** (`leaseMs` > 0): the leader refuses writes (503)
-  *     and membership changes when it has not had contact with a
+  *     and membership changes when it has not had 200-contact with a
   *     MAJORITY of its roster within the window — a leader partitioned
-  *     away from its followers stops acking before the survivors'
-  *     election can complete, so acked writes never fork. Contact =
-  *     a push response, a [[leaderTick]] probe, a served /log pull, or
-  *     a /join. Deploy with `leaseMs` between `healthCheckMs + probe
-  *     round` (below it, an idle tick gap false-demotes) and
-  *     `healthCheckMs + 2.5 s` (above it, a follower can elect first).
-  *   - **Election quorum + vouching**: a candidate set that is not a
-  *     majority of the roster (minus the observed-dead leader) never
-  *     promotes — a minority island stays follower and its reads stay
-  *     loud. Before promoting, the elector asks each alive peer still
-  *     following the dead URL to probe its OWN leader now (/vouch): if
-  *     any peer can reach a live leader, the elector adopts that
-  *     leader's address instead of promoting — an asymmetric partition
-  *     (leader alive but unreachable from THIS node only) redirects
-  *     instead of forking. Only log-following nodes are electable; a
-  *     snapshot-only replica's stale state can never become the write
-  *     head.
+  *     away from its followers stops acking before any survivor may
+  *     promote, because electors DEFER the election for the advertised
+  *     window (read from /status `lease_ms` while the leader lived).
+  *     Contact = a successful push, a [[leaderTick]] probe, a served
+  *     /log pull, or a /join; a 409 rejection is NOT contact (a healed
+  *     zombie must not sustain its lease on the responses deposing it).
+  *     Deploy with `leaseMs > healthCheckMs + probe round` (below it,
+  *     an idle tick gap false-demotes); the upper bound is only
+  *     failover latency, never safety.
+  *   - **Election quorum + vouching + lease deferral**: a candidate set
+  *     that is not a majority of the roster (minus the observed-dead
+  *     leader) never promotes — a minority island stays follower and
+  *     its reads stay loud. When the dead leader ADVERTISED a lease, no
+  *     elector promotes before the full window has lapsed since its
+  *     first failed probe (by which time the isolated leader has
+  *     self-demoted — so acked histories cannot fork on either the
+  *     tick-driven or the read-driven election path). Before promoting,
+  *     the elector asks each alive peer still following the dead URL to
+  *     probe its OWN leader now (/vouch, with a read budget above the
+  *     peer's probe budget so a slow-but-live leader still vouches):
+  *     a positive vouch aborts the election. A live leader claim is
+  *     adopted only at the elector's term or above (a zombie's stale
+  *     claim is ignored, its diverged log never pulled). Only
+  *     log-following nodes are electable; a snapshot-only replica's
+  *     stale state can never become the write head. Elections are
+  *     single-flight per node.
   *   - **Majority-ack writes** (`majorityAck = true`): a write is acked
-  *     200 only after a majority of the roster holds it (synchronous
-  *     push); otherwise the client gets 503 naming how many nodes hold
-  *     the statement. This is Raft's commit rule; without it (default),
+  *     200 only after a majority of the roster HOLDS it (synchronous
+  *     push, counting only followers that applied — a non-log-following
+  *     replica's "ignored" ack stores nothing and does not vouch);
+  *     otherwise the client gets 503 naming how many nodes hold the
+  *     statement. This is Raft's commit rule; without it (default),
   *     pushes are async best-effort and a write acked while every
   *     follower is unreachable survives only the leader's local log —
   *     a documented durability window, not silent (SURVEY §3.3).
@@ -205,8 +220,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
     else Some {
       val t = new Thread(() => {
         try while (true) {
-          val (idx, sql) = pushQueue.take()
-          try sendEntry(idx, sql) catch { case _: Exception => () }
+          val (idx, sql, tm) = pushQueue.take()
+          try { sendEntry(idx, sql, tm); reactToStaleTerm() }
+          catch { case _: Exception => () }
         } catch { case _: InterruptedException => () }
       }, s"graft-push-$nodeId")
       t.setDaemon(true); t
@@ -231,7 +247,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     try {
       var e = pushQueue.poll()
       while (e != null) {
-        try sendEntry(e._1, e._2) catch { case _: Exception => () }
+        try sendEntry(e._1, e._2, e._3) catch { case _: Exception => () }
         e = pushQueue.poll()
       }
     } catch { case _: Exception => () }
@@ -315,9 +331,24 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * the cached roster from its /status (the roster IS the electorate —
     * a follower can only fail over to nodes it has seen listed). Leader
     * dead → run the election. No-op on the leader itself. */
+  /** First moment (epoch ms) the current leader was observed unreachable;
+    * 0 while it answers. Gates the election: with a lease advertised, no
+    * elector may promote before the leader has been continuously dead
+    * for the full lease window — by then the isolated leader has
+    * self-demoted, so acked writes cannot fork (see [[leaderLeaseMs]]). */
+  private val leaderDeadSinceMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** The leader's advertised `lease_ms`, cached while it answered (0 =
+    * it runs without a lease → electors keep the immediate r12 timing). */
+  private val leaderLeaseMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def noteLeaderDead(): Unit =
+    leaderDeadSinceMs.compareAndSet(0L, System.currentTimeMillis)
+
   def checkLeader(): Unit = currentLeader.get().foreach { base =>
     fetchBody(s"$base/status") match {
       case Some(body) =>
+        leaderDeadSinceMs.set(0L)
+        parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
         Json.extractField(body, "nodes").foreach { roster =>
           roster.split(",").filter(_.contains("=")).foreach { e =>
             val Array(id, addr) = e.split("=", 2)
@@ -328,12 +359,25 @@ class Service(gateway: SqlGateway, port: Int = 0,
         parseLong(body, "term").foreach { t =>
           if (t > term.get) term.set(t)
         }
+        // the followed node may itself have stepped down (a deposed
+        // ex-leader, or a stale bootstrap URL): it answers role=follower
+        // and names ITS leader — follow the chain instead of serving
+        // reads through a node the fleet no longer replicates to
+        if (Json.extractField(body, "role").contains("follower"))
+          Json.extractField(body, "leader").foreach { next =>
+            if (next != base) {
+              currentLeader.set(Some(next))
+              leaderDeadSinceMs.set(0L)
+            }
+          }
       case None =>
         // one failed probe is not death: a GC pause / slow catalog call /
         // dropped packet on a LIVE leader must not fork the cluster.
         // Re-probe after a grace pause; only a second failure elects.
+        noteLeaderDead()
         Thread.sleep(500)
         if (fetchBody(s"$base/status").isEmpty) electAfterLeaderDeath(base)
+        else leaderDeadSinceMs.set(0L)
     }
   }
 
@@ -367,6 +411,10 @@ class Service(gateway: SqlGateway, port: Int = 0,
       term.set(newTerm)
       followsLog = true
       lastApplied.set(logIndex)
+      // queued pushes were acked under the OLD term: never send them as
+      // the new one (they are already term-stamped, so followers would
+      // 409 them — dropping them just skips the dead round-trips)
+      pushQueue.clear()
       currentLeader.set(Some(newLeader))
     }
 
@@ -385,8 +433,26 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * lives and THIS node's path is broken — adopt the vouched leader's
     * address instead of forking. An empty roster (never health-checked
     * while the leader lived) stays put — the next tick retries. */
-  private def electAfterLeaderDeath(dead: String): Unit = {
+  /** Single-flight election guard: concurrent readers hitting a dead
+    * leader must not each run seconds of serial candidate probes — the
+    * first elector does the round, the rest block here briefly and see
+    * the committed result in their currentLeader re-check. */
+  private val electLock = new Object
+
+  private def electAfterLeaderDeath(dead: String): Unit = electLock.synchronized {
     if (!currentLeader.get().contains(dead)) return // already moved on
+    // lease-window deferral: if the dead leader advertised a lease, it
+    // keeps acking writes until the lease lapses — promoting earlier
+    // would fork acked histories. Electors wait out the full window
+    // (measured from the FIRST failed probe, which cannot be later than
+    // the leader's own last contact) plus a margin; with no lease
+    // advertised the r12 immediate election stands (crash-stop model).
+    val lease = leaderLeaseMs.get
+    if (lease > 0) {
+      noteLeaderDead()
+      if (System.currentTimeMillis - leaderDeadSinceMs.get < lease + 250)
+        return // too early: stay follower, reads stay loud, retry later
+    }
     import scala.jdk.CollectionConverters._
     val roster = members.asScala.toSeq
     val candidates = roster.filterNot(_._2 == dead)
@@ -405,18 +471,28 @@ class Service(gateway: SqlGateway, port: Int = 0,
       }
     }
     if (probed.isEmpty) return
-    probed.find(_._4) match {
-      case Some((_, addr, _, _, _, t)) => // a leader already exists: follow it
+    // a live leader claim counts only at OUR term or above — a zombie
+    // ex-leader (stale term, outbound severed so it never stepped down)
+    // must not be adopted and its diverged log pulled (Raft voters
+    // reject stale-term candidates the same way); prefer the highest term
+    probed.filter(_._4).sortBy(-_._6).headOption match {
+      case Some((_, addr, _, _, _, t)) if t >= term.get =>
         commitElection(dead, Some(addr), Some(math.max(term.get, t)))
-      case None =>
+      case _ =>
         // vouch round: can any alive peer that still follows `dead`
         // reach it right now? Then the leader is alive and this node is
-        // the partitioned one — redirect, don't fork.
+        // the partitioned one — redirect, don't fork. The read timeout
+        // exceeds the peer's own probe budget (1s connect + 2s read),
+        // so a SLOW live leader still gets vouched for.
         val vouched = probed.exists { case (id, addr, _, _, _, _) =>
-          id != nodeId && fetchBody(s"$addr/vouch").exists { b =>
+          id != nodeId && (try {
+            val conn = openConn(s"$addr/vouch")
+            conn.setReadTimeout(4000)
+            val b = try new String(conn.getInputStream.readAllBytes(),
+              StandardCharsets.UTF_8) finally conn.disconnect()
             Json.extractField(b, "leader").contains(dead) &&
               Json.extractField(b, "alive").contains("true")
-          }
+          } catch { case _: Exception => false })
         }
         if (vouched) return // leader lives; stay put, reads stay loud
         val electorate = roster.size - 1 // everyone but the dead leader
@@ -443,6 +519,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
           e.getValue == dead
       })
     newTerm.foreach(term.set)
+    leaderDeadSinceMs.set(0L)
     winner match {
       case None => promote()
       case Some(addr) => currentLeader.set(Some(addr))
@@ -488,6 +565,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
   private def promote(): Unit = {
     logLock.synchronized { rewriteLogFile() }
     members.put(nodeId, selfAddr)
+    // seed the lease: the election just probed these members alive — a
+    // fresh leader with leaseMs > 0 must not 503 its first writes while
+    // the contact map it never maintained as a follower fills in
+    import scala.jdk.CollectionConverters._
+    members.asScala.keysIterator.filterNot(_ == nodeId)
+      .foreach(id => lastContactMs.put(id, System.currentTimeMillis))
     currentLeader.set(None)
   }
 
@@ -509,18 +592,29 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * logLock (r12 review finding). Drained by the [[drainer]] daemon
     * (async mode) or the writer itself (majority-ack mode); [[pushLock]]
     * serializes sends so statements still arrive in log order. */
+  /** (index, sql, term-at-commit): the term is stamped at ENQUEUE time —
+    * a deposed ex-leader's queued entries must replay under the term
+    * that acked them, so the followers' stale-term fence rejects them
+    * instead of a later-adopted higher term laundering a forked suffix
+    * (Raft stamps every log entry with its term for the same reason). */
   private val pushQueue =
-    new java.util.concurrent.LinkedBlockingQueue[(Long, String)]()
+    new java.util.concurrent.LinkedBlockingQueue[(Long, String, Long)]()
   private val pushLock = new Object
+  /** Set when a follower rejects a push as stale-term: this node is a
+    * deposed ex-leader — the drain signals and [[leaderTick]] runs once
+    * outside the push lock to find the real leader and step down. */
+  @volatile private var staleTermSignal = false
 
   /** Push one committed statement to every roster follower — the
     * AppendEntries twin (`store/store.go:242-250` Apply replicates every
-    * Execute). Any HTTP response proves the follower's liveness (lease
-    * contact + backoff reset); a transport failure backs the follower
-    * off so it taxes the drain once per window. Returns the number of
-    * followers that APPLIED (200) — the majority-ack numerator.
-    * Non-log-following replicas acknowledge and ignore (they count). */
-  private def sendEntry(idx: Long, sql: String): Int = pushLock.synchronized {
+    * Execute). Any HTTP response resets the transport backoff, but only
+    * a 200 counts as lease contact, and only a 200 whose body says the
+    * follower APPLIED (not a non-log-follower's "ignored" ack) counts
+    * toward the majority-ack numerator — an "ignored" replica holds
+    * nothing, so it must not vouch for durability. A 409 naming a stale
+    * term raises [[staleTermSignal]]. */
+  private def sendEntry(idx: Long, sql: String, entryTerm: Long): Int =
+    pushLock.synchronized {
     val self = s"http://localhost:${server.getAddress.getPort}"
     import scala.jdk.CollectionConverters._
     var acks = 0
@@ -532,13 +626,21 @@ class Service(gateway: SqlGateway, port: Int = 0,
           conn.setRequestMethod("POST"); conn.setDoOutput(true)
           conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
             "sql" -> Json.str(sql),
-            "t" -> Json.str(term.get.toString),
+            "t" -> Json.str(entryTerm.toString),
             "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
           val code = conn.getResponseCode
+          val body = try {
+            val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+            if (is == null) "" else new String(is.readAllBytes(),
+              StandardCharsets.UTF_8)
+          } catch { case _: Exception => "" }
           conn.disconnect()
-          lastContactMs.put(id, System.currentTimeMillis)
           pushBackoff.remove(id)
-          if (code == 200) acks += 1
+          if (code == 200) {
+            lastContactMs.put(id, System.currentTimeMillis)
+            if (!body.contains("ignored")) acks += 1
+          } else if (code == 409 && body.contains("stale term"))
+            staleTermSignal = true
         } catch { case _: Exception =>
           val fails = Option(pushBackoff.get(id)).map(_._1).getOrElse(0) + 1
           pushBackoff.put(id, (fails, System.currentTimeMillis +
@@ -549,6 +651,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     acks
   }
 
+  /** After a drain: a stale-term rejection means a higher-term leader
+    * exists — find it and step down NOW (Raft: a leader seeing a higher
+    * term in any response reverts to follower immediately), instead of
+    * waiting for the next health tick. */
+  private def reactToStaleTerm(): Unit =
+    if (staleTermSignal) { staleTermSignal = false; leaderTick() }
+
   /** Majority-ack drain: send every queued entry in order (another
     * writer's drain may send ours first — the counts map carries it),
     * then return the follower-ack count for `myIdx`. */
@@ -556,10 +665,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
     pushLock.synchronized {
       var e = pushQueue.poll()
       while (e != null) {
-        ackCounts.put(e._1, Int.box(sendEntry(e._1, e._2)))
+        ackCounts.put(e._1, Int.box(sendEntry(e._1, e._2, e._3)))
         e = pushQueue.poll()
       }
     }
+    reactToStaleTerm()
     Option(ackCounts.remove(myIdx)).map(_.intValue).getOrElse(0)
   }
 
@@ -601,6 +711,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
       .getOrElse(return (400, obj("error" -> Json.str("missing index"))))
     val sql = Json.extractField(body, "sql")
       .getOrElse(return (400, obj("error" -> Json.str("missing sql"))))
+    // an accepted push IS proof of a live leader — the asymmetric case
+    // (we cannot probe it, it can reach us) must not age toward election
+    leaderDeadSinceMs.set(0L)
     syncLock.synchronized {
       if (idx <= lastApplied.get) (200, obj("applied" -> Json.str("duplicate")))
       else if (idx == lastApplied.get + 1) {
@@ -645,7 +758,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
           val r0 = gateway.execute(sql)
           appendLog(sql) // committed → logged (an erroring one never is)
           val i = logIndex
-          pushQueue.put((i, sql))
+          pushQueue.put((i, sql, term.get))
           (r0, i)
         }
         val quorumShortfall =
@@ -1010,8 +1123,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
         case e: java.io.IOException =>
           attempts += 1
           if (attempts > 3) throw e
+          noteLeaderDead()
           Thread.sleep(300)
-          if (fetchBody(s"$base/status").isDefined) throw e // alive: loud, no fork
+          if (fetchBody(s"$base/status").isDefined) {
+            leaderDeadSinceMs.set(0L); throw e // alive: loud, no fork
+          }
           electAfterLeaderDeath(base)
           currentLeader.get() match {
             case None => return // promoted: nothing to pull
@@ -1107,6 +1223,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     val lead = currentLeader.get()
     val role = Seq("role" -> (if (lead.isEmpty) "leader" else "follower"),
       "term" -> term.get.toString,
+      "lease_ms" -> leaseMs.toString,
       "follow_log" -> followsLog.toString) ++
       lead.map("leader" -> _) ++
       (if (lead.isEmpty) Seq("log_index" -> logIndex.toString)

@@ -843,7 +843,16 @@ class ReplicaSpec extends SparkTestBase {
       // distinguish from death.
       proxy.stop()
       leader.outboundCut = true
-      Thread.sleep(1500) // > leaseMs: every roster contact is now stale
+
+      // first failed probes start the electors' lease clock; the
+      // election DEFERS until the advertised window has fully lapsed —
+      // promoting now could fork against writes the leader still acks
+      fA.checkLeader(); fB.checkLeader()
+      val (_, aEarly, _) = newHttp(aPort, "GET", "/status")
+      assert(aEarly.contains("\"role\": \"follower\""),
+        s"elector promoted inside the leader's lease window: $aEarly")
+
+      Thread.sleep(1600) // > leaseMs + margin: every roster contact stale
 
       // the isolated leader refuses the forking write BEFORE (and
       // independent of) any election on the other side
