@@ -25,14 +25,25 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.lift(1).foreach(dir => Tables.registerAll(spark, dir))
-    // durability knobs, mirroring the reference's raft-dir flag
-    // (`main.go`): GRAFT_LOG_DIR enables the JSONL statement log +
+    // durability + cluster knobs, mirroring the reference's flags
+    // (`main.go:24-27`): GRAFT_LOG_DIR enables the JSONL statement log +
     // snapshot recovery; GRAFT_SNAPSHOT_EVERY=N takes an async snapshot
-    // each N logged statements
+    // each N logged statements. Replica/failover (the -leader/-id
+    // equivalents): GRAFT_LEADER_URL makes this node a read replica of
+    // that leader (GRAFT_FOLLOW_LOG=true for continuous log-following),
+    // GRAFT_NODE_ID names it, GRAFT_HEALTH_MS enables the background
+    // health/failover tick, GRAFT_LEASE_MS the leader's write lease, and
+    // GRAFT_MAJORITY_ACK=true Raft's majority-commit ack rule.
+    def envInt(k: String) = sys.env.get(k).map(_.toInt).getOrElse(0)
     val service = new Service(new SqlGateway(spark), port,
+      leaderUrl = sys.env.get("GRAFT_LEADER_URL"),
+      nodeId = sys.env.getOrElse("GRAFT_NODE_ID", "node0"),
+      followLog = sys.env.get("GRAFT_FOLLOW_LOG").contains("true"),
       logDir = sys.env.get("GRAFT_LOG_DIR"),
-      snapshotEvery = sys.env.get("GRAFT_SNAPSHOT_EVERY")
-        .map(_.toInt).getOrElse(0))
+      snapshotEvery = envInt("GRAFT_SNAPSHOT_EVERY"),
+      healthCheckMs = envInt("GRAFT_HEALTH_MS"),
+      leaseMs = envInt("GRAFT_LEASE_MS"),
+      majorityAck = sys.env.get("GRAFT_MAJORITY_ACK").contains("true"))
     val bound = service.start()
     println(s"graft service listening on :$bound")
     Thread.currentThread().join()

@@ -892,6 +892,12 @@ class ReplicaSpec extends SparkTestBase {
         Some("""{"sql": "INSERT INTO iso_t VALUES (4, 'd')"}"""), follow = false)
       assert(rc == 301 && loc == s"http://localhost:$aPort/db/execute",
         s"$rc $loc")
+      // term fence on the wire: a zombie's push (stale term 1) is 409'd
+      // by a term-2 follower even though it never repointed away from a
+      // "from" it once trusted
+      val (zc, zb, _) = newHttp(bPort, "POST", "/replicate",
+        Some(s"""{"i": "4", "sql": "INSERT INTO iso_t VALUES (99, 'z')", "t": "1", "from": "$lUrl"}"""))
+      assert(zc == 409 && zb.contains("stale term"), s"$zc $zb")
       val (_, lRead2, _) = newHttp(lPort, "GET",
         "/db/query?q=SELECT%20count(*)%20AS%20n,%20sum(id)%20AS%20s%20FROM%20iso_t")
       assert(lRead2.contains("[3, 6]"),
@@ -1001,6 +1007,45 @@ class ReplicaSpec extends SparkTestBase {
       try blackHole.close() catch { case _: Exception => () }
       fA.stop(); leader.stop()
     }
+  }
+
+  test("asymmetric partition (leader outbound dark, inbound fine): the " +
+       "lease SUSTAINS on follower pull contact, writes keep flowing, " +
+       "reads converge through the pull path, nobody elects") {
+    val (lgw, _) = newStack("asym_leader")
+    val leader = new PartitionableService(lgw, nodeId = "node0", leaseMs = 800)
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (fgw, _) = newStack("asym_f")
+    val f = new Service(fgw, leaderUrl = Some(lUrl), nodeId = "nodeF",
+      followLog = true)
+    val fPort = f.start()
+    def exec(sql: String): Int = newHttp(lPort, "POST", "/db/execute",
+      Some(s"""{"sql": "$sql"}"""))._1
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeF", "addr": "http://localhost:$fPort"}"""))._1 == 200)
+      assert(exec("CREATE TABLE asym_t (id integer)") == 200)
+      f.checkLeader()
+      // leader's OUTBOUND dies (push path gone); follower -> leader stays up
+      leader.outboundCut = true
+      Thread.sleep(1000) // past leaseMs: push contact alone would lapse
+      // a follower read pulls /log?id=nodeF — that inbound contact IS the
+      // leader's evidence the follower is reachable, so the lease holds
+      val (qc, qb, _) = newHttp(fPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20FROM%20asym_t")
+      assert(qc == 200 && !qb.contains("\"error\""), qb)
+      assert(exec("INSERT INTO asym_t VALUES (1)") == 200,
+        "lease lapsed despite live follower pull contact")
+      // the follower converges through the pull path (pushes all fail)
+      val (_, r2, _) = newHttp(fPort, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n%20FROM%20asym_t")
+      assert(r2.contains("[1]"), r2)
+      // and it never elected: the leader answers its probes
+      f.checkLeader()
+      val (_, st, _) = newHttp(fPort, "GET", "/status")
+      assert(st.contains("\"role\": \"follower\""), st)
+    } finally { f.stop(); leader.stop() }
   }
 
   test("a minority island never promotes (election quorum guard): a " +
