@@ -57,7 +57,60 @@ object Results {
     case s: StructType =>
       s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
         .mkString("STRUCT(", ", ", ")")
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => "INTERVAL"
     case other => other.sql
+  }
+
+  /** DuckDB's canonical interval rendering (probed, v1.0): months split
+    * into `N year(s) N month(s)`, then `N day(s)`, then a `HH:MM:SS[.f]`
+    * clock (printed when micros ≠ 0 or everything is zero; hours
+    * unnormalized — duck renders 25:00:00, not 1 day; fraction trimmed
+    * of trailing zeros; negative components carry their own sign:
+    * `-1 year -2 months`, `2 days -03:00:00`). */
+  def duckIntervalString(months: Long, days: Long, micros: Long): String = {
+    val parts = Seq.newBuilder[String]
+    def unit(n: Long, name: String): Unit =
+      if (n != 0) parts += s"$n $name${if (math.abs(n) != 1) "s" else ""}"
+    unit(months / 12, "year")
+    unit(months % 12, "month")
+    unit(days, "day")
+    if (micros != 0 || (months == 0 && days == 0)) {
+      val sign = if (micros < 0) "-" else ""
+      val m = math.abs(micros)
+      val frac = m % 1000000
+      val clock = f"${m / 3600000000L}%02d:${m / 60000000 % 60}%02d:${m / 1000000 % 60}%02d"
+      parts += sign + clock + (if (frac == 0) ""
+        else ("." + f"$frac%06d").reverse.dropWhile(_ == '0').reverse)
+    }
+    parts.result().mkString(" ")
+  }
+
+  /** Boundary value conversion: interval objects become DuckDB's
+    * canonical interval TEXT (the reference's driver stringifies them
+    * the same way on the wire, `db/db.go:89-93`). A Spark `Duration`
+    * (timestamp subtraction, day-time literals) splits whole days out —
+    * duck's own subtraction renders `65 days`, not `1560:00:00`. The
+    * one rendering residual: duck keeps a PURE-TIME literal's hours
+    * unnormalized (INTERVAL '25 hours' → 25:00:00) while Spark's
+    * Duration erases literal-vs-subtraction provenance, so ours renders
+    * `1 day 01:00:00` — same value, different spelling, only for
+    * hand-written >24 h pure-time literals. Runs recursively through
+    * nested rows/arrays/maps. */
+  private def convertValue(v: Any): Any = v match {
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      duckIntervalString(ci.months, ci.days, ci.microseconds)
+    case d: java.time.Duration =>
+      val micros = d.toNanos / 1000
+      duckIntervalString(0, micros / 86400000000L, micros % 86400000000L)
+    case p: java.time.Period =>
+      duckIntervalString(p.toTotalMonths, p.getDays, 0)
+    case r: org.apache.spark.sql.Row =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.map(convertValue))
+    case s: scala.collection.Seq[_] => s.map(convertValue)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => (convertValue(k), convertValue(mv)) }
+    case other => other
   }
 
   /** Result-set cap: the reference collects unboundedly (`db/db.go:95-113`
@@ -79,7 +132,7 @@ object Results {
     QueryResult(
       columns = schema.fields.map(_.name).toSeq,
       types = schema.fields.map(f => duckTypeName(f)).toSeq,
-      values = rows.take(cap).map(_.toSeq).toSeq,
+      values = rows.take(cap).map(_.toSeq.map(convertValue)).toSeq,
       truncated = rows.length > cap)
   }
 }

@@ -4014,7 +4014,26 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT jaccard('duck','luck') AS j", Seq(0.6)),
     // list_intersect's output order is engine-specific — sorted pin
     q("SELECT list_sort(list_intersect([1,2,3],[2,3,4])) AS i",
-      Seq(Seq(2, 3))))
+      Seq(Seq(2, 3))),
+    // --- interval RENDERING, duck-canonical at the result boundary
+    // (r13: was Spark's ISO/verbal toString — every spelling probed
+    // against (interval)::VARCHAR in DuckDB 1.0)
+    q("SELECT (INTERVAL 3 DAY + INTERVAL 2 HOUR) AS i",
+      Seq("3 days 02:00:00")),
+    q("SELECT INTERVAL '1 year 2 months' AS i", Seq("1 year 2 months")),
+    q("SELECT (to_years(1) + to_months(2)) AS i", Seq("1 year 2 months")),
+    q("SELECT INTERVAL 90 MINUTE AS i", Seq("01:30:00")),
+    q("SELECT INTERVAL '1 day 1 second' AS i", Seq("1 day 00:00:01")),
+    q("SELECT INTERVAL '-3 days' AS i", Seq("-3 days")),
+    q("SELECT INTERVAL '1.5 seconds' AS i", Seq("00:00:01.5")),
+    q("SELECT INTERVAL '0 seconds' AS i", Seq("00:00:00")),
+    q("SELECT INTERVAL '14 months' AS i", Seq("1 year 2 months")),
+    q("SELECT INTERVAL '-14 months' AS i", Seq("-1 year -2 months")),
+    q("SELECT (TIMESTAMP '2024-03-15 00:00:00' - " +
+      "TIMESTAMP '2024-01-10 00:00:00') AS d", Seq("65 days")),
+    q("SELECT INTERVAL '1 minute 30 seconds' AS i", Seq("00:01:30")),
+    q("SELECT INTERVAL '1 microsecond' AS i", Seq("00:00:00.000001")),
+    q("SELECT to_hours(2) AS h", Seq("02:00:00")))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
