@@ -5081,8 +5081,60 @@ class SqlGateway(val spark: SparkSession) {
     * semi). Word-level patterns that cannot occur inside identifiers; the
     * cast-target spellings are quote-parity-guarded so cast-shaped TEXT
     * inside a string literal stays byte-exact. */
+  /** `TIMESTAMPTZ '<text>'` / `'<text>'::TIMESTAMPTZ` literals → a
+    * `TIMESTAMP '<utc>'` literal, converted at rewrite time: DuckDB
+    * parses the offset and stores the instant, rendered in the session
+    * zone (UTC here) — probed value-exact incl. equality against the
+    * converted naive TIMESTAMP. No offset = session-zone text (probed);
+    * a non-literal TIMESTAMPTZ cast stays a loud refusal (the
+    * direction-ambiguous timezone()/AT TIME ZONE operands refused in an
+    * earlier pass never reach this one). */
+  private def tstzLiteralToUtc(text: String): String = {
+    val Re = ("""^(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}(?::\d{2})?""" +
+      """(?:\.\d+)?))?\s*(Z|[+-]\d{2}(?::?\d{2})?)?$""").r
+    text.trim match {
+      case Re(d, t, off) =>
+        val time = Option(t).getOrElse("00:00:00")
+        val padded = {
+          val (base, frac) = time.span(_ != '.')
+          (if (base.count(_ == ':') == 1) base + ":00" else base) + frac
+        }
+        val ldt = java.time.LocalDateTime.parse(s"${d}T$padded")
+        val utc = Option(off).filter(_.nonEmpty) match {
+          case None => ldt
+          case Some("Z") => ldt
+          case Some(o) =>
+            val norm = if (o.length == 3) o // +HH
+              else if (!o.contains(":")) o.take(3) + ":" + o.drop(3) // +HHMM
+              else o
+            ldt.atOffset(java.time.ZoneOffset.of(norm))
+              .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+        }
+        val frac = if (utc.getNano == 0) ""
+          else ("." + f"${utc.getNano}%09d").reverse.dropWhile(_ == '0').reverse
+        f"${utc.getYear}%04d-${utc.getMonthValue}%02d-${utc.getDayOfMonth}%02d " +
+          f"${utc.getHour}%02d:${utc.getMinute}%02d:${utc.getSecond}%02d$frac"
+      case other => throw new IllegalArgumentException(
+        s"Conversion Error: invalid TIMESTAMP WITH TIME ZONE literal '$other'")
+    }
+  }
+
   private def rewriteDuckClauses(sql: String): String = {
     var out = sql
+    if (out.toLowerCase.contains("timestamptz")) {
+      val Lit = """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r
+      val in1 = out
+      out = Lit.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (in1.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+      val Cast = """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\b""".r
+      val in2 = out
+      out = Cast.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (in2.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+    }
     if (out.toLowerCase.contains("varchar")) {
       out = replaceOutsideLiterals(out, "(?i)::\\s*varchar(?![\\w(])", "::STRING")
       out = replaceOutsideLiterals(out, "(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")

@@ -4033,7 +4033,25 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "TIMESTAMP '2024-01-10 00:00:00') AS d", Seq("65 days")),
     q("SELECT INTERVAL '1 minute 30 seconds' AS i", Seq("00:01:30")),
     q("SELECT INTERVAL '1 microsecond' AS i", Seq("00:00:00.000001")),
-    q("SELECT to_hours(2) AS h", Seq("02:00:00")))
+    q("SELECT to_hours(2) AS h", Seq("02:00:00")),
+    // --- TIMESTAMPTZ literals/casts (r13): offset parsed, instant
+    // stored, rendered in the UTC session zone — probed value-exact
+    // incl. equality against the converted naive TIMESTAMP
+    q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' AS t",
+      Seq("2024-01-01 03:00:00")),
+    q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00' AS t",
+      Seq("2024-01-01 05:00:00")),
+    q("SELECT '2024-01-01 05:00:00+0530'::TIMESTAMPTZ AS t",
+      Seq("2023-12-31 23:30:00")),
+    q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00.25+02' AS t",
+      Seq("2024-01-01 03:00:00.25")),
+    q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00Z' AS t",
+      Seq("2024-01-01 05:00:00")),
+    q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' = " +
+      "TIMESTAMP '2024-01-01 03:00:00' AS eq", Seq(true)),
+    q("SELECT timezone_hour(TIMESTAMPTZ '2024-01-01 00:00:00+02') AS h",
+      Seq(0)),
+    err("SELECT TIMESTAMPTZ 'garbage' AS t", "Conversion Error"))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
