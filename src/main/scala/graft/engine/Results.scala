@@ -101,7 +101,10 @@ object Results {
     case ci: org.apache.spark.unsafe.types.CalendarInterval =>
       duckIntervalString(ci.months, ci.days, ci.microseconds)
     case d: java.time.Duration =>
-      val micros = d.toNanos / 1000
+      // seconds-based micros: toNanos overflows Long past ~292 years,
+      // and duck happily renders millennia-wide subtractions (probed:
+      // '3652058 days' for TIMESTAMP 9999 - TIMESTAMP 0001)
+      val micros = d.getSeconds * 1000000L + d.getNano / 1000
       duckIntervalString(0, micros / 86400000000L, micros % 86400000000L)
     case p: java.time.Period =>
       duckIntervalString(p.toTotalMonths, p.getDays, 0)

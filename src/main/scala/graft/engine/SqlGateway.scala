@@ -539,6 +539,22 @@ class SqlGateway(val spark: SparkSession) {
           case DefaultP(p, dflt) => (p.toLowerCase, Some(dflt.trim))
           case p => (p.toLowerCase, None)
         }
+        // a default expression referencing a PARAMETER is a binder error
+        // in DuckDB (probed: CREATE MACRO m(x, y := x) → 'duplicate
+        // column name'); our textual expansion would also substitute it
+        // in the wrong order, so refuse at creation like duck does
+        val allParams = parsed.map(_._1).toSet
+        parsed.foreach { case (p, dOpt) =>
+          dOpt.foreach { d =>
+            allParams.foreach { other =>
+              if (("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(other) +
+                  """(?![\w])""").r.findFirstIn(d).isDefined)
+                throw new IllegalArgumentException(
+                  s"""Binder Error: macro $name default parameter "$p" """ +
+                    s"""references parameter "$other"""")
+            }
+          }
+        }
         macros(key) = (parsed.map(_._1), stored)
         val dflts = parsed.collect { case (p, Some(d)) => p -> d }.toMap
         if (dflts.nonEmpty) macroDefaults(key) = dflts
@@ -3114,12 +3130,18 @@ class SqlGateway(val spark: SparkSession) {
         }
       }
     }
-    // quantified comparisons: Spark's grammar has ONLY `= ANY` (as IN);
-    // every other op×{ALL,ANY,SOME} rewrites to the 3-valued CASE over
-    // two counting subqueries — FALSE dominates ALL (a definite failure),
-    // TRUE dominates ANY (a definite pass), a NULL comparison otherwise
-    // yields NULL, empty subqueries give ALL→TRUE / ANY→FALSE (standard
-    // semantics, duck-probed).
+    // quantified comparisons, FALLBACK pass: simple-operand lhs shapes
+    // are rewritten UPSTREAM by rewriteDuckClauses' min/max matrix
+    // (uncorrelated scalar aggregates — one subquery scan, ReuseSubquery-
+    // collapsed; same probed 3VL truth table), and a compound lhs refuses
+    // loudly there. What reaches this pass: lhs operands the upstream
+    // QOperand regex cannot capture — backward-scanned spans with NESTED
+    // parens (a parenthesized scalar subquery, a call-with-call lhs).
+    // Those rewrite to the 3-valued CASE over two counting subqueries —
+    // FALSE dominates ALL (a definite failure), TRUE dominates ANY (a
+    // definite pass), a NULL comparison otherwise yields NULL, empty
+    // subqueries give ALL→TRUE / ANY→FALSE (standard semantics,
+    // duck-probed; any truth-table fix must land in BOTH passes).
     if ("""(?i)\b(?:all|any|some)\s*\(""".r.findFirstIn(out).isDefined) {
       val AllRe = """(?i)(==|<>|!=|<=|>=|=|<|>)\s*(ALL|ANY|SOME)\s*\(""".r
       for (m <- AllRe.findAllMatchIn(out).toList.reverse
@@ -3188,6 +3210,27 @@ class SqlGateway(val spark: SparkSession) {
           out = out.substring(0, at) + repl + out.substring(i)
         }
       }
+    }
+    // TIMESTAMPTZ literals/casts → a UTC-converted TIMESTAMP literal.
+    // MUST run here, AFTER the timezone()/AT-TIME-ZONE smellsTz guards
+    // above: those refuse on the SPELLING, and rewriting the literal
+    // first would erase it and let the direction-ambiguous overload run
+    // silently backwards (review finding; probed: duck's
+    // timezone('America/New_York', TIMESTAMPTZ '...+00') converts
+    // instant→local, the naive overload converts local→instant).
+    if (out.toLowerCase.contains("timestamptz")) {
+      val Lit = """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r
+      val in1 = out
+      out = Lit.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (in1.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+      val Cast = """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\b""".r
+      val in2 = out
+      out = Cast.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (in2.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
     }
     // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
     // (probed: cos/sin differs in the last ulp)
@@ -5085,10 +5128,13 @@ class SqlGateway(val spark: SparkSession) {
     * `TIMESTAMP '<utc>'` literal, converted at rewrite time: DuckDB
     * parses the offset and stores the instant, rendered in the session
     * zone (UTC here) — probed value-exact incl. equality against the
-    * converted naive TIMESTAMP. No offset = session-zone text (probed);
-    * a non-literal TIMESTAMPTZ cast stays a loud refusal (the
-    * direction-ambiguous timezone()/AT TIME ZONE operands refused in an
-    * earlier pass never reach this one). */
+    * converted naive TIMESTAMP. No offset = session-zone text (probed;
+    * duck REJECTS short/second-bearing offsets like '+2'/'z'/'+05:30:30'
+    * too — probed, same Conversion Error class). A non-literal
+    * TIMESTAMPTZ cast stays a loud refusal, and the rewrite runs after
+    * the timezone()/AT TIME ZONE spelling guards in
+    * [[rewriteDuckDefaults]] so the direction-ambiguous overloads still
+    * refuse instead of silently running backwards. */
   private def tstzLiteralToUtc(text: String): String = {
     val Re = ("""^(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}(?::\d{2})?""" +
       """(?:\.\d+)?))?\s*(Z|[+-]\d{2}(?::?\d{2})?)?$""").r
@@ -5121,20 +5167,6 @@ class SqlGateway(val spark: SparkSession) {
 
   private def rewriteDuckClauses(sql: String): String = {
     var out = sql
-    if (out.toLowerCase.contains("timestamptz")) {
-      val Lit = """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r
-      val in1 = out
-      out = Lit.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          if (in1.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
-          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
-      val Cast = """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\b""".r
-      val in2 = out
-      out = Cast.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          if (in2.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
-          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
-    }
     if (out.toLowerCase.contains("varchar")) {
       out = replaceOutsideLiterals(out, "(?i)::\\s*varchar(?![\\w(])", "::STRING")
       out = replaceOutsideLiterals(out, "(?i)\\bas\\s+varchar\\s*\\)", "AS STRING)")
@@ -5374,7 +5406,11 @@ class SqlGateway(val spark: SparkSession) {
               // non-null element beats x but NULLs exist; ALL dualizes
               // (empty → true, false iff x fails against min/max). Spark
               // reuses the identical scalar subqueries (ReuseSubquery),
-              // so q is scanned once, not three times.
+              // so q is scanned once, not three times. Lhs shapes
+              // QOperand cannot capture (nested-paren operands) fall
+              // through to rewriteDuckDefaults' counting-subquery
+              // FALLBACK with the same probed truth table — a semantics
+              // fix must land in both passes.
               val arg = qIn.substring(m.end, i - 1)
               val op = if (m.group(2) == "==") "="
                 else if (m.group(2) == "!=") "<>" else m.group(2)

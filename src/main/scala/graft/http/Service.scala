@@ -337,9 +337,14 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * for the full lease window — by then the isolated leader has
     * self-demoted, so acked writes cannot fork (see [[leaderLeaseMs]]). */
   private val leaderDeadSinceMs = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** The leader's advertised `lease_ms`, cached while it answered (0 =
-    * it runs without a lease → electors keep the immediate r12 timing). */
-  private val leaderLeaseMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** The leader's advertised `lease_ms`, cached from its /status probes
+    * AND its /log pull responses (read-only followers that never probe
+    * still learn it). 0 = it runs without a lease → electors keep the
+    * immediate r12 timing; -1 = NEVER observed → electors defer a
+    * conservative default window, because promoting with unknown lease
+    * state is exactly the fork the deferral exists to prevent. */
+  private val leaderLeaseMs = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val UnknownLeaseDeferMs = 3000L
 
   private def noteLeaderDead(): Unit =
     leaderDeadSinceMs.compareAndSet(0L, System.currentTimeMillis)
@@ -448,9 +453,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // the leader's own last contact) plus a margin; with no lease
     // advertised the r12 immediate election stands (crash-stop model).
     val lease = leaderLeaseMs.get
-    if (lease > 0) {
+    val window =
+      if (lease > 0) lease + 250
+      else if (lease < 0) UnknownLeaseDeferMs // lease never observed
+      else 0L // leader advertised no lease: crash-stop, elect immediately
+    if (window > 0) {
       noteLeaderDead()
-      if (System.currentTimeMillis - leaderDeadSinceMs.get < lease + 250)
+      if (System.currentTimeMillis - leaderDeadSinceMs.get < window)
         return // too early: stay follower, reads stay loud, retry later
     }
     import scala.jdk.CollectionConverters._
@@ -638,8 +647,16 @@ class Service(gateway: SqlGateway, port: Int = 0,
           pushBackoff.remove(id)
           if (code == 200) {
             lastContactMs.put(id, System.currentTimeMillis)
-            if (!body.contains("ignored")) acks += 1
-          } else if (code == 409 && body.contains("stale term"))
+            // POSITIVE applied parse: a lost/empty body must not count —
+            // only a confirmed non-"ignored" applied ack vouches
+            if (body.contains("\"applied\"") && !body.contains("ignored"))
+              acks += 1
+          } else if (code == 409)
+            // ANY replicate 409 means the fleet moved past this node —
+            // stale term, a promoted peer's "not a follower", or a
+            // repointed follower's from-mismatch. React with one
+            // leaderTick after the drain (a benign log-gap 409 makes it
+            // a no-op probe round).
             staleTermSignal = true
         } catch { case _: Exception =>
           val fails = Option(pushBackoff.get(id)).map(_._1).getOrElse(0) + 1
@@ -651,12 +668,21 @@ class Service(gateway: SqlGateway, port: Int = 0,
     acks
   }
 
-  /** After a drain: a stale-term rejection means a higher-term leader
-    * exists — find it and step down NOW (Raft: a leader seeing a higher
+  /** After a drain: a replicate rejection means a higher-term leader may
+    * exist — probe and step down NOW (Raft: a leader seeing a higher
     * term in any response reverts to follower immediately), instead of
-    * waiting for the next health tick. */
+    * waiting for the next health tick. Rate-limited so a benign log-gap
+    * 409 burst (follower catching up by pull) costs one probe round per
+    * window, not one per statement. */
+  private val lastStaleReactMs = new java.util.concurrent.atomic.AtomicLong(0L)
   private def reactToStaleTerm(): Unit =
-    if (staleTermSignal) { staleTermSignal = false; leaderTick() }
+    if (staleTermSignal) {
+      staleTermSignal = false
+      val now = System.currentTimeMillis
+      val last = lastStaleReactMs.get
+      if (now - last >= 2000 && lastStaleReactMs.compareAndSet(last, now))
+        leaderTick()
+    }
 
   /** Majority-ack drain: send every queued entry in order (another
     * writer's drain may send ours first — the counts map carries it),
@@ -1002,12 +1028,16 @@ class Service(gateway: SqlGateway, port: Int = 0,
         val snapIdx = listSnapshots.lastOption.map(_._1).getOrElse(base)
         return (200, obj("snapshot_required" -> Json.str("true"),
           "snapshot_index" -> Json.str(snapIdx.toString),
+          "lease_ms" -> Json.str(leaseMs.toString),
           "last_index" -> logIndex.toString))
       }
       val upTo = logIndex
       val entries = (since + 1) to upTo
+      // lease_ms rides every pull: a read-only follower that never
+      // probes /status still learns the election-deferral window
       (200, obj(entries.map(i =>
         s"s$i" -> Json.str(stmtLog.get((i - base - 1).toInt))) :+
+        ("lease_ms" -> Json.str(leaseMs.toString)) :+
         ("last_index" -> upTo.toString): _*))
     }
   }
@@ -1146,6 +1176,8 @@ class Service(gateway: SqlGateway, port: Int = 0,
         StandardCharsets.UTF_8) finally conn.disconnect()
     }
     var body = pull()
+    leaderDeadSinceMs.set(0L) // a served pull IS a live leader
+    parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
     // our suffix was compacted away — install the newest snapshot,
     // seat the applied index at its log position, then pull again
     if (Json.extractField(body, "snapshot_required").contains("true")) {

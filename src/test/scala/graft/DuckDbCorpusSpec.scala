@@ -4051,7 +4051,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "TIMESTAMP '2024-01-01 03:00:00' AS eq", Seq(true)),
     q("SELECT timezone_hour(TIMESTAMPTZ '2024-01-01 00:00:00+02') AS h",
       Seq(0)),
-    err("SELECT TIMESTAMPTZ 'garbage' AS t", "Conversion Error"))
+    err("SELECT TIMESTAMPTZ 'garbage' AS t", "Conversion Error"),
+    // duck rejects short/second-bearing offsets too (probed)
+    err("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+2' AS t", "Conversion Error"),
+    // millennia-wide subtraction renders, never overflows (probed)
+    q("SELECT (TIMESTAMP '9999-12-31 00:00:00' - " +
+      "TIMESTAMP '0001-01-01 00:00:00') AS d", Seq("3652058 days")),
+    // a macro default referencing another parameter is a binder error in
+    // duck (probed: 'duplicate column name') — refused at creation here
+    err("CREATE MACRO cmbad(x, y := x) AS x + y", "references parameter"))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++

@@ -801,7 +801,7 @@ class ReplicaSpec extends SparkTestBase {
        "forked row is ever readable anywhere, and the healed ex-leader " +
        "steps down and converges (r12 verdict item 1)") {
     val (lgw, _) = newStack("iso_leader")
-    val leader = new PartitionableService(lgw, nodeId = "node0", leaseMs = 1200)
+    val leader = new PartitionableService(lgw, nodeId = "node0", leaseMs = 3000)
     val lPort = leader.start()
     val proxy = new TcpProxy(lPort)
     val lUrl = s"http://localhost:${proxy.port}" // the leader's ADVERTISED addr
@@ -852,7 +852,7 @@ class ReplicaSpec extends SparkTestBase {
       assert(aEarly.contains("\"role\": \"follower\""),
         s"elector promoted inside the leader's lease window: $aEarly")
 
-      Thread.sleep(1600) // > leaseMs + margin: every roster contact stale
+      Thread.sleep(3400) // > leaseMs + margin: every roster contact stale
 
       // the isolated leader refuses the forking write BEFORE (and
       // independent of) any election on the other side
