@@ -4061,10 +4061,84 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // duck (probed: 'duplicate column name') — refused at creation here
     err("CREATE MACRO cmbad(x, y := x) AS x + y", "references parameter"))
 
+  // --- r13 breadth batch N: window corners, aggregate tail, row/struct
+  // values, IN-list 3VL, date sugar. Every value probed vs DuckDB 1.0.
+  private def corpusN: Seq[C] = Seq(
+    C("SELECT row_number() OVER (ORDER BY x) AS r, x FROM " +
+      "(VALUES (10),(5)) v(x) ORDER BY x",
+      Some(Seq(Seq(1, 5), Seq(2, 10))), ordered = true),
+    C("SELECT lag(x, 1, -1) OVER (ORDER BY x) AS l FROM " +
+      "(VALUES (1),(2)) v(x) ORDER BY x",
+      Some(Seq(Seq(-1), Seq(1))), ordered = true),
+    C("SELECT first_value(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING " +
+      "AND CURRENT ROW) AS f FROM (VALUES (3),(1),(2)) v(x) ORDER BY x",
+      Some(Seq(Seq(1), Seq(1), Seq(2))), ordered = true),
+    q("SELECT sum(x) OVER () AS s FROM (VALUES (1),(2),(3)) v(x) LIMIT 1",
+      Seq(6)),
+    C("SELECT percent_rank() OVER (ORDER BY x) AS p, x FROM " +
+      "(VALUES (1),(2),(3)) v(x) ORDER BY x",
+      Some(Seq(Seq(0, 1), Seq(0.5, 2), Seq(1, 3))), ordered = true),
+    C("SELECT x, count(*) OVER (PARTITION BY x % 2) AS c FROM " +
+      "(VALUES (1),(2),(3)) v(x) ORDER BY x",
+      Some(Seq(Seq(1, 2), Seq(2, 1), Seq(3, 2))), ordered = true),
+    q("SELECT string_agg(x, '; ' ORDER BY x) AS s FROM " +
+      "(VALUES ('b'),('a')) v(x)", Seq("a; b")),
+    q("SELECT histogram(x) AS h FROM (VALUES (1),(1),(2)) v(x)",
+      Seq(Map(1 -> 2, 2 -> 1))),
+    q("SELECT arg_max(n, v) AS am FROM (VALUES ('a', 1),('b', 9)) t(n, v)",
+      Seq("b")),
+    q("SELECT arg_min(n, v) AS am FROM (VALUES ('a', 1),('b', 9)) t(n, v)",
+      Seq("a")),
+    q("SELECT max_by(n, v) AS m FROM (VALUES ('a', 1),('b', 9)) t(n, v)",
+      Seq("b")),
+    q("SELECT any_value(x) AS a FROM (VALUES (7),(7)) v(x)", Seq(7)),
+    q("SELECT var_pop(x) AS v, stddev_pop(x) AS s FROM " +
+      "(VALUES (1.0),(3.0)) v(x)", Seq(1, 1)),
+    q("SELECT corr(a, b) AS c FROM " +
+      "(VALUES (1.0, 2.0),(2.0, 4.0),(3.0, 6.0)) t(a, b)", Seq(1)),
+    q("SELECT covar_pop(a, b) AS c FROM " +
+      "(VALUES (1.0, 2.0),(3.0, 6.0)) t(a, b)", Seq(2)),
+    q("SELECT regr_slope(b, a) AS s, regr_intercept(b, a) AS i FROM " +
+      "(VALUES (1.0, 3.0),(2.0, 5.0)) t(a, b)", Seq(2, 1)),
+    q("SELECT struct_pack(a := 1, b := 'x') AS s", Seq(Seq(1, "x"))),
+    q("SELECT {'n': 1, 's': 'x'}.n AS n", Seq(1)),
+    q("SELECT ROW(1, 'a') AS r", Seq(Seq(1, "a"))),
+    q("SELECT [x FOR x IN [1,2,3] IF x > 1] AS c", Seq(Seq(2, 3))),
+    q("SELECT unnest(map_entries(map {'a': 1})) AS e", Seq(Seq("a", 1))),
+    q("SELECT 0.1 + 0.2 = 0.3 AS exact_decimal", Seq(true)),
+    q("SELECT 1e3 AS sci, 1.5e-2 AS small", Seq(1000, 0.015)),
+    q("SELECT '-inf'::DOUBLE < 0 AS neg, isinf('Inf'::DOUBLE) AS i",
+      Seq(true, true)),
+    q("SELECT 2 IN (1, 2, 3) AS i, 5 NOT IN (1, 2) AS n", Seq(true, true)),
+    q("SELECT NULL IN (1, 2) AS a, 1 IN (NULL, 1) AS b, 3 IN (NULL, 1) AS c",
+      Seq(null, true, null)),
+    C("SELECT grouping(x) AS g, x, sum(y) AS s FROM (VALUES (1, 10)) " +
+      "t(x, y) GROUP BY ROLLUP(x) ORDER BY g, x",
+      Some(Seq(Seq(0, 1, 10), Seq(1, null, 10))), ordered = true),
+    q("SELECT a.x + 1 AS y FROM (SELECT 1 AS x) a", Seq(2)),
+    q("SELECT * FROM (VALUES (1, 'a')) t(n, s) WHERE (n, s) = (1, 'a')",
+      Seq(1, "a")),
+    q("SELECT (1, 2) < (1, 3) AS lt", Seq(true)),
+    q("SELECT least(NULL, 5) AS l, greatest(NULL, 5) AS g", Seq(5, 5)),
+    q("SELECT bool_and(x ORDER BY x) FILTER (x IS NOT NULL) AS b FROM " +
+      "(VALUES (true),(NULL)) v(x)", Seq(true)),
+    q("SELECT approx_quantile(x, 0.5) BETWEEN 1 AND 4 AS ok FROM " +
+      "(VALUES (1),(2),(3),(4)) v(x)", Seq(true)),
+    q("SELECT reservoir_quantile(x, 0.5) BETWEEN 1 AND 4 AS ok FROM " +
+      "(VALUES (1),(2),(3),(4)) v(x)", Seq(true)),
+    q("SELECT datepart('month', DATE '2024-05-15') AS m", Seq(5)),
+    q("SELECT datetrunc('month', DATE '2024-05-15') AS t", Seq("2024-05-01")),
+    q("SELECT datesub('month', DATE '2024-01-15', DATE '2024-05-14') AS d",
+      Seq(3)),
+    q("SELECT current_date = today() AS t", Seq(true)),
+    q("SELECT now() = get_current_timestamp() AS t", Seq(true)),
+    q("SELECT CAST('5' AS INTEGER) + 1 AS c", Seq(6)),
+    q("SELECT DATE '2024-01-01' - DATE '2023-12-25' AS days_int", Seq(7)))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
       corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK ++ corpusL ++
-      corpusM
+      corpusM ++ corpusN
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
