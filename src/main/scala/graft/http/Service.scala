@@ -37,18 +37,20 @@ import java.nio.charset.StandardCharsets
   * headline fault-tolerance claim comes from hashicorp/raft — kill the
   * leader of a 3-node cluster and a follower is elected, writes continue
   * (`store/store.go:114` raft.NewRaft; `README.md:12`). This engine
-  * reproduces the BEHAVIOR with a deterministic election instead of a
-  * vote protocol: (1) every committed write push-replicates to the
+  * reproduces the BEHAVIOR with a deterministic candidate choice plus a
+  * real vote round: (1) every committed write push-replicates to the
   * roster's log-following replicas — AppendEntries' shape; (2) followers
   * health-check the leader (`healthCheckMs` background tick, or
   * [[checkLeader]] called explicitly) and cache the roster from its
-  * /status; (3) on leader death every follower computes the same winner —
-  * the alive candidate with the highest applied index, ties to the
-  * lowest node id (Raft's own up-to-date-first rule) — the winner
-  * promotes in place and the rest repoint their 301 target.
+  * /status; (3) on leader death every follower computes the same
+  * CANDIDATE — the alive voter with the highest applied index, ties to
+  * the lowest node id (Raft's own up-to-date-first rule) — and the
+  * candidate promotes only after winning a one-grant-per-term vote
+  * majority ([[runCampaign]]/[[handleVote]]); the rest repoint their
+  * 301 target.
   *
-  * r13 partition-safety hardening (Raft's term+quorum semantics,
-  * `store/store.go:114,187`, re-expressed without a vote round):
+  * r13/r14 partition-safety hardening (Raft's term+quorum+vote
+  * semantics, `store/store.go:114,187`):
   *
   *   - **Monotonic term**: every node carries a term, advertised in
   *     /status and stamped on every push AT COMMIT TIME (Raft's
@@ -61,50 +63,56 @@ import java.nio.charset.StandardCharsets
   *     the real leader instead of reading stale state through it.
   *   - **Leader lease** (`leaseMs` > 0): the leader refuses writes (503)
   *     and membership changes when it has not had 200-contact with a
-  *     MAJORITY of its roster within the window — a leader partitioned
-  *     away from its followers stops acking before any survivor may
-  *     promote, because electors DEFER the election for the advertised
-  *     window (read from /status `lease_ms` while the leader lived).
-  *     Contact = a successful push, a [[leaderTick]] probe, a served
-  *     /log pull, or a /join; a 409 rejection is NOT contact (a healed
-  *     zombie must not sustain its lease on the responses deposing it).
-  *     Deploy with `leaseMs > healthCheckMs + probe round` (below it,
-  *     an idle tick gap false-demotes); the upper bound is only
-  *     failover latency, never safety.
-  *   - **Election quorum + vouching + lease deferral**: a candidate set
-  *     that is not a majority of the roster (minus the observed-dead
-  *     leader) never promotes — a minority island stays follower and
-  *     its reads stay loud. When the dead leader ADVERTISED a lease, no
-  *     elector promotes before the full window has lapsed since its
-  *     first failed probe (by which time the isolated leader has
-  *     self-demoted — so acked histories cannot fork on either the
-  *     tick-driven or the read-driven election path). Before promoting,
-  *     the elector asks each alive peer still following the dead URL to
-  *     probe its OWN leader now (/vouch, with a read budget above the
-  *     peer's probe budget so a slow-but-live leader still vouches):
-  *     a positive vouch aborts the election. A live leader claim is
-  *     adopted only at the elector's term or above (a zombie's stale
-  *     claim is ignored, its diverged log never pulled). Only
-  *     log-following nodes are electable; a snapshot-only replica's
-  *     stale state can never become the write head. Elections are
-  *     single-flight per node.
+  *     MAJORITY of its voting roster within the window — a leader
+  *     partitioned away from its followers stops acking before any
+  *     survivor may promote, because electors DEFER the election for the
+  *     advertised window (read from /status `lease_ms` while the leader
+  *     lived). Contact = a successful push ack, a served /log pull, a
+  *     /join, or a [[leaderTick]] probe of a peer that NAMES this node
+  *     its leader (r14: a peer following a rival leader must not sustain
+  *     the lease that justifies acking writes here); a 409 rejection is
+  *     NOT contact. Deploy with `leaseMs > healthCheckMs + probe round`
+  *     (below it, an idle tick gap false-demotes); the upper bound is
+  *     only failover latency, never safety.
+  *   - **Vote round** (r14, Raft's RequestVote replacing the r13 vouch
+  *     heuristic as the promotion gate): a candidate promotes only after
+  *     a MAJORITY of the log-following electorate grants its campaign
+  *     term. Each voter grants at most one vote per term (persisted
+  *     under `logDir`), enforces Raft's up-to-date rule (a candidate
+  *     whose applied index trails the voter's is denied — the winner
+  *     provably holds every majority-committed entry), and applies
+  *     leader stickiness (a voter that HEARD its leader within the
+  *     advertised lease window denies — so a transient probe failure at
+  *     election instant cannot crown a second leader while the first
+  *     holds a majority). One-grant-per-term makes overlapping
+  *     majorities structurally impossible: two candidates can never
+  *     both win the same term, even in an asymmetric partition where
+  *     both reach a probe-majority. The r13 vouch round is kept as a
+  *     cheap pre-check (a positive vouch aborts the election before any
+  *     vote is spent), the lease deferral is unchanged, only
+  *     log-following nodes are electable, a minority island never
+  *     campaigns, and elections stay single-flight per node.
   *   - **Majority-ack writes** (`majorityAck = true`): a write is acked
-  *     200 only after a majority of the roster HOLDS it (synchronous
-  *     push, counting only followers that applied — a non-log-following
-  *     replica's "ignored" ack stores nothing and does not vouch);
-  *     otherwise the client gets 503 naming how many nodes hold the
-  *     statement. This is Raft's commit rule; without it (default),
-  *     pushes are async best-effort and a write acked while every
-  *     follower is unreachable survives only the leader's local log —
-  *     a documented durability window, not silent (SURVEY §3.3).
+  *     200 only after a majority of the VOTING roster HOLDS it
+  *     (concurrent push fan-out, counting only followers that applied —
+  *     a non-log-following replica's "ignored" ack stores nothing, does
+  *     not vouch, and marks the member a non-voter for every quorum,
+  *     mirroring raft's voter/non-voter configuration); otherwise the
+  *     client gets 503 naming how many nodes hold the statement. This is
+  *     Raft's commit rule; without it (default), pushes are async
+  *     best-effort and a write acked while every follower is unreachable
+  *     survives only the leader's local log — a documented durability
+  *     window, not silent (SURVEY §3.3).
   *
-  * Remaining gap vs real Raft, stated honestly: without per-entry terms
-  * and a vote round there is a narrow window where a follower whose
-  * leader path breaks while OTHER followers' paths stay up could promote
-  * if every reachable peer's vouch probe also fails transiently; Raft
-  * closes this with quorum votes. The lease bounds the damage (the old
-  * leader stops acking within `leaseMs`), and majority-ack mode removes
-  * the lost-ack case entirely. SURVEY §3.3 carries the full adjudication.
+  * Remaining gaps vs real Raft, stated honestly: (1) a FAILED minority
+  * campaign against a live leader leaves its granters' push path fenced
+  * (they adopted the campaign term; the live leader's lower-term pushes
+  * 409) until the next election — reads still converge through the
+  * term-free pull path, so no data diverges, only push efficiency;
+  * (2) vote state persists only when `logDir` is set — an in-memory
+  * voter that crashes and restarts inside one election window could
+  * double-grant (Raft persists votedFor for the same reason; deploy
+  * voters with `logDir`). SURVEY §3.3 carries the full adjudication.
   */
 class Service(gateway: SqlGateway, port: Int = 0,
               leaderUrl: Option[String] = None, nodeId: String = "node0",
@@ -143,6 +151,27 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * drain that sent it (the sender may be another writer's drain). */
   private val ackCounts =
     new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+  /** Observed voter-ness per roster member (raft's voter vs non-voter
+    * configuration): true = log-following. Learned from [[leaderTick]]
+    * and election /status probes (`follow_log`) and from push acks (an
+    * "ignored" ack marks a snapshot-only non-voter). Absent = treated as
+    * a voter — unknown members make quorums HARDER, never easier. */
+  private val memberFollows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Raft's votedFor/votedTerm pair, guarded by [[voteLock]]: at most one
+    * vote (including this node's own campaign self-vote) per term. */
+  private val voteLock = new Object
+  private var votedTerm: Long = 0L
+  private var votedFor: String = ""
+  /** Highest campaign term this node spent without winning — the next
+    * retry climbs past it, past every vote already granted at it. */
+  private val failedCampaignTerm = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Follower-side: last instant (epoch ms) this node HEARD its leader —
+    * a successful [[checkLeader]] probe, an accepted push, a completed
+    * pull. Leader stickiness in [[handleVote]] reads it: recency of
+    * contact, not an instant probe, decides a vote denial, so a
+    * transient probe failure cannot be mistaken for leader death. */
+  private val lastLeaderContactMs = new java.util.concurrent.atomic.AtomicLong(0L)
   // cluster membership (id → addr), owned by the leader — the engine's
   // twin of the reference's Raft voter configuration, which starts with
   // the bootstrapping node as sole member (`store/store.go:149-156`) and
@@ -183,9 +212,24 @@ class Service(gateway: SqlGateway, port: Int = 0,
   server.createContext("/log", handler(handleLog))
   server.createContext("/replicate", handler(handleReplicate))
   server.createContext("/vouch", handler(handleVouch))
+  server.createContext("/vote", handler(handleVote))
   server.createContext("/snapshot", snapshotHandler)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
+  /** Push-fan-out I/O threads, SEPARATE from the HTTP pool — a push task
+    * running on the request pool could starve the very requests whose
+    * acks it waits on. Cached: idle threads die, live count is bounded
+    * by roster size via [[inFlight]]. */
+  private val pushPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, s"graft-pushio-$nodeId")
+      t.setDaemon(true); t })
+  /** Follower ids with a push still in flight (an early-majority return
+    * leaves stragglers running): subsequent entries SKIP them so
+    * per-follower send order can never scramble — a skipped follower
+    * converges through the pull path, push being an optimization over
+    * pull, never a second source of truth. */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Background health thread: on a follower, one [[checkLeader]] round
     * per tick (failover driver); on the leader, one [[leaderTick]] round
@@ -230,6 +274,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
 
   def start(): Int = {
     if (leaderUrl.isEmpty) recoverFromDisk()
+    loadVote() // a restarted voter must not double-grant inside one term
     server.start()
     // the bootstrapping node is its own first member (store/store.go:149-156)
     if (leaderUrl.isEmpty)
@@ -251,7 +296,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
         e = pushQueue.poll()
       }
     } catch { case _: Exception => () }
-    server.stop(0); pool.shutdown()
+    server.stop(0); pool.shutdown(); pushPool.shutdown()
     snapshotLock.synchronized {
       cachedZip.foreach { case (_, p) => retireZip(p) }
       cachedZip = None
@@ -353,6 +398,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     fetchBody(s"$base/status") match {
       case Some(body) =>
         leaderDeadSinceMs.set(0L)
+        lastLeaderContactMs.set(System.currentTimeMillis)
         parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
         Json.extractField(body, "nodes").foreach { roster =>
           roster.split(",").filter(_.contains("=")).foreach { e =>
@@ -370,7 +416,16 @@ class Service(gateway: SqlGateway, port: Int = 0,
         // reads through a node the fleet no longer replicates to
         if (Json.extractField(body, "role").contains("follower"))
           Json.extractField(body, "leader").foreach { next =>
-            if (next != base) {
+            if (next == selfAddr) {
+              // crossed adoption (r14 advice, medium): the node this one
+              // follows names THIS node back as its leader. Adopting the
+              // claim would 301 writes to ourselves in a loop and nobody
+              // would ever promote. Deterministic resolution: the lower
+              // node id campaigns for a real vote-round win; the higher
+              // id stays put and adopts the peer's eventual win.
+              val peerId = Json.extractField(body, "id").getOrElse("")
+              if (peerId.isEmpty || nodeId < peerId) campaignSelf(base)
+            } else if (next != base) {
               currentLeader.set(Some(next))
               leaderDeadSinceMs.set(0L)
             }
@@ -391,15 +446,39 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * HIGHER term, this node is a deposed ex-leader (it was partitioned
     * away, the survivors elected) and steps down instead of serving a
     * fork. Public so tests (and operators) can drive it deterministically;
-    * the `healthCheckMs` thread calls it per tick. No-op on followers. */
+    * the `healthCheckMs` thread calls it per tick. No-op on followers.
+    *
+    * r14 hardening (advice, high): lease contact is credited ONLY by
+    * peers whose /status names this node as their leader — a peer
+    * following a rival (or leading its own term) answering a probe must
+    * not sustain the lease that justifies acking writes here. An
+    * EQUAL-term rival leader (possible only with divergent rosters, e.g.
+    * two bootstrap leaders later joined — one-grant-per-term votes
+    * forbid it for elected terms) resolves deterministically: higher log
+    * wins, ties to the lower node id; the loser steps down. A follower
+    * already at a HIGHER term means the fleet elected past this node —
+    * adopt its leader. */
   def leaderTick(): Unit = if (currentLeader.get().isEmpty) {
     import scala.jdk.CollectionConverters._
     members.asScala.toSeq.foreach { case (id, addr) =>
       if (id != nodeId) fetchBody(s"$addr/status").foreach { body =>
-        lastContactMs.put(id, System.currentTimeMillis)
         val t = parseLong(body, "term").getOrElse(0L)
-        if (Json.extractField(body, "role").contains("leader") && t > term.get)
-          stepDown(addr, t)
+        val peerIsLeader = Json.extractField(body, "role").contains("leader")
+        val peerLeader = Json.extractField(body, "leader")
+        Json.extractField(body, "follow_log").foreach(f =>
+          memberFollows.put(id, java.lang.Boolean.valueOf(f == "true")))
+        if (!peerIsLeader && peerLeader.contains(selfAddr))
+          lastContactMs.put(id, System.currentTimeMillis)
+        if (peerIsLeader) {
+          if (t > term.get) stepDown(addr, t)
+          else if (t == term.get) {
+            val peerIdx = parseLong(body, "log_index").getOrElse(-1L)
+            val mine = logIndex
+            if (peerIdx > mine || (peerIdx == mine && id < nodeId))
+              stepDown(addr, t)
+          } // lower-term rival: a zombie — it steps down when it sees us
+        } else if (t > term.get)
+          peerLeader.filter(_ != selfAddr).foreach(l => stepDown(l, t))
       }
     }
   }
@@ -423,26 +502,48 @@ class Service(gateway: SqlGateway, port: Int = 0,
       currentLeader.set(Some(newLeader))
     }
 
-  /** Deterministic election (Raft's up-to-date-first rule without the
-    * vote round): probe the cached roster minus the dead leader — OUTSIDE
-    * every lock, so a slow candidate never stalls follower read syncs
-    * (r12 advice) — then commit the result under [[syncLock]] with a
-    * re-check that no concurrent election already moved us.
+  /** Deterministic candidate choice + Raft vote round: probe the cached
+    * roster minus the dead leader — OUTSIDE every lock, so a slow
+    * candidate never stalls follower read syncs (r12 advice) — then
+    * commit the result under [[syncLock]] with a re-check that no
+    * concurrent election already moved us.
     *
-    * Safety rails (r13): (1) only log-following candidates are electable
-    * (a snapshot-only replica's stale state must never become the write
-    * head); (2) the ALIVE set must be a majority of the roster minus the
-    * observed-dead leader — a minority island stays follower; (3) before
-    * promoting, every alive peer still following the dead URL is asked to
-    * probe its own leader NOW (/vouch): a positive vouch means the leader
-    * lives and THIS node's path is broken — adopt the vouched leader's
-    * address instead of forking. An empty roster (never health-checked
-    * while the leader lived) stays put — the next tick retries. */
+    * Safety rails: (1) only log-following voters are electable (a
+    * snapshot-only replica's stale state must never become the write
+    * head); (2) the alive VOTER set must be a majority of the voting
+    * electorate minus the observed-dead leader — a minority island stays
+    * follower; (3) before campaigning, every alive peer still following
+    * the dead URL is asked to probe its own leader NOW (/vouch): a
+    * positive vouch means the leader lives and THIS node's path is
+    * broken — stay put instead of forking; (4) r14: promotion itself
+    * requires a one-grant-per-term vote majority ([[runCampaign]]) — the
+    * vouch is a cheap pre-check, the votes are the gate. An empty roster
+    * (never health-checked while the leader lived) stays put — the next
+    * tick retries. */
   /** Single-flight election guard: concurrent readers hitting a dead
     * leader must not each run seconds of serial candidate probes — the
     * first elector does the round, the rest block here briefly and see
     * the committed result in their currentLeader re-check. */
   private val electLock = new Object
+
+  /** One /status probe distilled to election inputs; refreshes
+    * [[memberFollows]] as a side effect. */
+  private case class Probe(id: String, addr: String, applied: Long,
+      isLeader: Boolean, follows: Boolean, term: Long)
+
+  private def probeNode(id: String, addr: String): Option[Probe] =
+    if (id == nodeId)
+      Some(Probe(id, addr, lastApplied.get, currentLeader.get().isEmpty,
+        followsLog, term.get))
+    else fetchBody(s"$addr/status").map { body =>
+      val applied = parseLong(body, "applied_index")
+        .orElse(parseLong(body, "log_index")).getOrElse(-1L)
+      val follows = Json.extractField(body, "follow_log").forall(_ == "true")
+      memberFollows.put(id, java.lang.Boolean.valueOf(follows))
+      Probe(id, addr, applied,
+        Json.extractField(body, "role").contains("leader"),
+        follows, parseLong(body, "term").getOrElse(0L))
+    }
 
   private def electAfterLeaderDeath(dead: String): Unit = electLock.synchronized {
     if (!currentLeader.get().contains(dead)) return // already moved on
@@ -465,37 +566,24 @@ class Service(gateway: SqlGateway, port: Int = 0,
     import scala.jdk.CollectionConverters._
     val roster = members.asScala.toSeq
     val candidates = roster.filterNot(_._2 == dead)
-    // (id, addr, applied, isLeader, followsLog, term)
-    val probed = candidates.flatMap { case (id, addr) =>
-      if (id == nodeId)
-        Some((id, addr, lastApplied.get, currentLeader.get().isEmpty,
-          followsLog, term.get))
-      else fetchBody(s"$addr/status").map { body =>
-        val applied = parseLong(body, "applied_index")
-          .orElse(parseLong(body, "log_index")).getOrElse(-1L)
-        (id, addr, applied,
-          Json.extractField(body, "role").contains("leader"),
-          Json.extractField(body, "follow_log").forall(_ == "true"),
-          parseLong(body, "term").getOrElse(0L))
-      }
-    }
+    val probed = candidates.flatMap { case (id, addr) => probeNode(id, addr) }
     if (probed.isEmpty) return
     // a live leader claim counts only at OUR term or above — a zombie
     // ex-leader (stale term, outbound severed so it never stepped down)
-    // must not be adopted and its diverged log pulled (Raft voters
+    // must not be adopted and its diverged log never pulled (Raft voters
     // reject stale-term candidates the same way); prefer the highest term
-    probed.filter(_._4).sortBy(-_._6).headOption match {
-      case Some((_, addr, _, _, _, t)) if t >= term.get =>
-        commitElection(dead, Some(addr), Some(math.max(term.get, t)))
+    probed.filter(_.isLeader).sortBy(-_.term).headOption match {
+      case Some(p) if p.term >= term.get =>
+        commitElection(dead, Some(p.addr), Some(math.max(term.get, p.term)))
       case _ =>
         // vouch round: can any alive peer that still follows `dead`
         // reach it right now? Then the leader is alive and this node is
         // the partitioned one — redirect, don't fork. The read timeout
         // exceeds the peer's own probe budget (1s connect + 2s read),
         // so a SLOW live leader still gets vouched for.
-        val vouched = probed.exists { case (id, addr, _, _, _, _) =>
-          id != nodeId && (try {
-            val conn = openConn(s"$addr/vouch")
+        val vouched = probed.exists { p =>
+          p.id != nodeId && (try {
+            val conn = openConn(s"${p.addr}/vouch")
             conn.setReadTimeout(4000)
             val b = try new String(conn.getInputStream.readAllBytes(),
               StandardCharsets.UTF_8) finally conn.disconnect()
@@ -504,16 +592,214 @@ class Service(gateway: SqlGateway, port: Int = 0,
           } catch { case _: Exception => false })
         }
         if (vouched) return // leader lives; stay put, reads stay loud
-        val electorate = roster.size - 1 // everyone but the dead leader
-        if (probed.size * 2 <= electorate) return // minority island: never promote
-        val eligible = probed.filter(_._5)
-        if (eligible.isEmpty) return
-        val (wid, waddr, _, _, _, _) =
-          eligible.sortBy { case (id, _, applied, _, _, _) => (-applied, id) }.head
-        val newTerm = math.max(term.get, probed.map(_._6).max) + 1
-        if (wid == nodeId) commitElection(dead, None, Some(newTerm))
-        else commitElection(dead, Some(waddr), None) // adopt the winner's term later
+        // voter-scoped electorate (r14 advice: raft counts voters only;
+        // a member whose follow_log was never seen counts as a voter —
+        // unknowns make the quorum harder, never easier)
+        val electorate = candidates.count { case (id, _) =>
+          probed.find(_.id == id).map(_.follows)
+            .orElse(Option(memberFollows.get(id)).map(_.booleanValue))
+            .getOrElse(true)
+        }
+        val aliveVoters = probed.filter(_.follows)
+        if (aliveVoters.isEmpty) return
+        if (aliveVoters.size * 2 <= electorate) return // minority island
+        val winner = aliveVoters.sortBy(p => (-p.applied, p.id)).head
+        if (winner.id == nodeId) {
+          val campaignTerm = math.max(math.max(term.get,
+            probed.map(_.term).max), failedCampaignTerm.get) + 1
+          runCampaign(Some(dead), probed, electorate, campaignTerm)
+        } else commitElection(dead, Some(winner.addr), None)
     }
+  }
+
+  /** One-grant-per-term vote round (Raft's election, r14 — the promotion
+    * gate that replaced the vouch heuristic). The candidate first spends
+    * its OWN vote for `campaignTerm` under [[voteLock]] (a concurrent
+    * grant to a rival aborts the campaign: at most one candidate per
+    * term can hold this node's vote), then requests votes from every
+    * probed voter. Promotion requires grants from a strict majority of
+    * `electorate` (counting self). A failed round records the term so
+    * the next retry climbs past every vote already granted at it —
+    * without ever inflating this node's OWN term, which would fence it
+    * off from a still-live leader's pushes. */
+  private def runCampaign(dead: Option[String], probed: Seq[Probe],
+      electorate: Int, campaignTerm: Long): Boolean = {
+    val myApplied = lastApplied.get
+    val selfVote = voteLock.synchronized {
+      if (campaignTerm <= votedTerm) false
+      else { votedTerm = campaignTerm; votedFor = nodeId; persistVote(); true }
+    }
+    if (!selfVote) {
+      failedCampaignTerm.getAndUpdate(t => math.max(t, campaignTerm))
+      return false
+    }
+    val grants = 1 + probed.count(p => p.id != nodeId && p.follows &&
+      requestVote(p.addr, campaignTerm, myApplied))
+    if (grants * 2 > electorate) {
+      dead match {
+        case Some(d) => commitElection(d, None, Some(campaignTerm))
+        case None => syncLock.synchronized {
+          if (currentLeader.get().isDefined) {
+            term.set(campaignTerm)
+            leaderDeadSinceMs.set(0L)
+            promote()
+          }
+        }
+      }
+      val won = currentLeader.get().isEmpty
+      if (won)
+        // announce the win (Raft's first heartbeat): a zero-index push is
+        // always acked "duplicate", and its campaign term makes every
+        // granter adopt THIS node as leader immediately — without it,
+        // granters keep naming the dead leader until their next probe,
+        // and a semi-partitioned rival that cannot see this node could
+        // still harvest their votes at term+1 (leader stickiness only
+        // protects a leader its followers have adopted). Async: a dead
+        // peer's timeout must not stall the election commit.
+        probed.foreach { p =>
+          if (p.id != nodeId)
+            pushPool.submit(new Runnable { def run(): Unit = {
+              try pushOne(p.id, p.addr, 0L, "", campaignTerm)
+              catch { case _: Exception => () }
+            }})
+        }
+      won
+    } else {
+      failedCampaignTerm.getAndUpdate(t => math.max(t, campaignTerm))
+      false
+    }
+  }
+
+  /** Campaign to lead the CURRENT roster (crossed-adoption recovery:
+    * the node this one follows names it back as leader, so there is no
+    * dead node to exclude). Probes the roster plus the followed peer; a
+    * peer already LEADING at this node's term or above is adopted
+    * instead; otherwise a full vote round decides — only a real win
+    * promotes, a denied round leaves the node a follower (the peer may
+    * win its own round instead). */
+  private def campaignSelf(base: String): Unit = electLock.synchronized {
+    if (!currentLeader.get().contains(base)) return // already moved on
+    import scala.jdk.CollectionConverters._
+    var roster = members.asScala.toSeq.filterNot(_._1 == nodeId)
+    if (!roster.exists(_._2 == base)) roster :+= (("_followed", base))
+    val probed = Probe(nodeId, selfAddr, lastApplied.get, false,
+      followsLog, term.get) +:
+      roster.flatMap { case (id, addr) => probeNode(id, addr) }
+    probed.filter(p => p.isLeader && p.id != nodeId)
+        .sortBy(-_.term).headOption match {
+      case Some(p) if p.term >= term.get =>
+        syncLock.synchronized {
+          if (p.term > term.get) term.set(p.term)
+          currentLeader.set(Some(p.addr))
+          leaderDeadSinceMs.set(0L)
+        }
+      case _ =>
+        val electorate = (nodeId +: roster.map(_._1)).distinct.count(id =>
+          id == nodeId ||
+            probed.find(_.id == id).map(_.follows)
+              .orElse(Option(memberFollows.get(id)).map(_.booleanValue))
+              .getOrElse(true))
+        val campaignTerm = math.max(math.max(term.get,
+          probed.map(_.term).max), failedCampaignTerm.get) + 1
+        runCampaign(None, probed, electorate, campaignTerm)
+    }
+  }
+
+  private def requestVote(addr: String, t: Long, applied: Long): Boolean =
+    try {
+      val conn = openConn(s"$addr/vote")
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      // the voter may live-probe its own leader before answering (1s
+      // connect + 2s read): budget above it, like the vouch round
+      conn.setReadTimeout(4000)
+      conn.getOutputStream.write(obj(
+        "t" -> Json.str(t.toString),
+        "id" -> Json.str(nodeId),
+        "applied" -> Json.str(applied.toString))
+        .getBytes(StandardCharsets.UTF_8))
+      val b = try new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8) finally conn.disconnect()
+      Json.extractField(b, "granted").contains("true")
+    } catch { case _: Exception => false }
+
+  /** Raft's RequestVote handler (r14). Grants are the scarce resource
+    * that makes elections safe: at most ONE candidate per term ever
+    * holds this node's vote ([[votedTerm]]/[[votedFor]], persisted under
+    * `logDir`), so two concurrent candidates can never both assemble a
+    * majority at the same term — the overlapping-majorities fork of the
+    * vouch-only design is structurally impossible. Denials:
+    * non-voter (a snapshot-only replica never votes); already the
+    * leader; stale campaign term (at or below the current term, or a
+    * term already granted); candidate log behind this voter's (Raft's
+    * up-to-date rule — the winner provably holds every
+    * majority-committed entry); leader stickiness (Raft §4.2.3: this
+    * voter HEARD its leader inside the advertised lease window —
+    * recency, not an instant probe, so a transient probe failure at
+    * election instant cannot crown a rival while the leader holds a
+    * majority; with no lease advertised, crash-stop model, an instant
+    * probe decides). A grant adopts the campaign term, fencing the
+    * deposed leader's lower-term pushes before the winner's first
+    * append arrives. */
+  private def handleVote(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestMethod != "POST") return (405, obj("error" -> "\"POST only\""))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val t = parseLong(body, "t").getOrElse(
+      return (400, obj("error" -> Json.str("missing campaign term"))))
+    val cand = Json.extractField(body, "id").getOrElse("")
+    val candApplied = parseLong(body, "applied").getOrElse(-1L)
+    def deny(reason: String): (Int, String) =
+      (200, obj("granted" -> Json.str("false"), "reason" -> Json.str(reason),
+        "term" -> Json.str(term.get.toString)))
+    if (!followsLog) return deny("non-voter: snapshot-only replica")
+    if (currentLeader.get().isEmpty) return deny("i am the leader")
+    val lease = leaderLeaseMs.get
+    val window =
+      if (lease > 0) lease + 250
+      else if (lease < 0) UnknownLeaseDeferMs
+      else 0L
+    val heardRecently = window > 0 &&
+      System.currentTimeMillis - lastLeaderContactMs.get < window
+    // instant probe OUTSIDE voteLock (slow I/O never under a lock); only
+    // a peer ANSWERING AS LEADER counts — a follower the local node
+    // happens to point at (crossed adoption) must not block elections
+    val leaderAliveNow = !heardRecently && currentLeader.get().exists(b =>
+      fetchBody(s"$b/status").exists(st =>
+        Json.extractField(st, "role").contains("leader")))
+    voteLock.synchronized {
+      if (t <= term.get) return deny(s"stale campaign term $t <= ${term.get}")
+      if (t <= votedTerm)
+        return deny(s"already voted for $votedFor in term $votedTerm")
+      if (candApplied < lastApplied.get)
+        return deny(s"candidate log behind: $candApplied < ${lastApplied.get}")
+      if (heardRecently) return deny("my leader spoke within its lease window")
+      if (leaderAliveNow) return deny("my leader is alive right now")
+      votedTerm = t; votedFor = cand
+      persistVote()
+      term.set(t)
+      (200, obj("granted" -> Json.str("true"), "term" -> Json.str(t.toString)))
+    }
+  }
+
+  private def voteFile = logDir.map(d => java.nio.file.Paths.get(d, "vote.txt"))
+
+  /** Raft persists votedFor before answering — a voter that crashes and
+    * restarts inside one election window must not double-grant. Callers
+    * hold [[voteLock]]. */
+  private def persistVote(): Unit = voteFile.foreach { p =>
+    try java.nio.file.Files.write(p,
+      s"$votedTerm $votedFor".getBytes(StandardCharsets.UTF_8))
+    catch { case _: Exception => () }
+  }
+
+  private def loadVote(): Unit = voteFile.foreach { p =>
+    try if (java.nio.file.Files.exists(p)) {
+      val parts = new String(java.nio.file.Files.readAllBytes(p),
+        StandardCharsets.UTF_8).trim.split(" ", 2)
+      voteLock.synchronized {
+        votedTerm = parts(0).toLong
+        votedFor = if (parts.length > 1) parts(1) else ""
+      }
+    } catch { case _: Exception => () }
   }
 
   /** Commit an election result under [[syncLock]], re-checking that the
@@ -548,19 +834,34 @@ class Service(gateway: SqlGateway, port: Int = 0,
           "alive" -> Json.str(alive.toString)))
     }
 
+  /** The voting roster: log-following members plus this node (raft's
+    * voter vs non-voter configuration). Every quorum denominator —
+    * lease, majority-ack commit, election electorate — counts voters
+    * only (r13 advice: a roster half-full of read-only snapshot
+    * replicas must not make commits impossible). A member whose
+    * follow_log was never observed counts as a voter: unknowns make
+    * quorums harder, never easier. */
+  private def voterIds: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    members.asScala.keysIterator.filter(id => id == nodeId ||
+      Option(memberFollows.get(id)).forall(_.booleanValue)).toSeq
+  }
+
   /** Does the leader's lease hold? With `leaseMs` disabled (0) or a
-    * single-node roster, always. Otherwise the leader must have had
-    * contact with a MAJORITY of the roster (counting itself) within the
-    * window — the same quorum the election demands, so at most one side
-    * of any partition can satisfy it. */
+    * single-voter roster, always. Otherwise the leader must have had
+    * contact with a MAJORITY of the VOTING roster (counting itself)
+    * within the window — the same quorum the election demands, so at
+    * most one side of any partition can satisfy it; contact itself is
+    * credited only by peers that follow this node (see [[leaderTick]]). */
   private def leaseHolds: Boolean = {
     if (leaseMs <= 0 || members.size <= 1) return true
-    import scala.jdk.CollectionConverters._
+    val voters = voterIds
+    if (voters.size <= 1) return true
     val now = System.currentTimeMillis
-    val contacted = members.asScala.keysIterator.count(id =>
+    val contacted = voters.count(id =>
       id != nodeId &&
         Option(lastContactMs.get(id)).exists(t => now - t <= leaseMs))
-    (contacted + 1) * 2 > members.size
+    (contacted + 1) * 2 > voters.size
   }
 
   /** Become the leader. A follower maintains the SAME (baseIndex,
@@ -614,56 +915,101 @@ class Service(gateway: SqlGateway, port: Int = 0,
     * outside the push lock to find the real leader and step down. */
   @volatile private var staleTermSignal = false
 
+  /** One follower push (runs on [[pushPool]]) — returns true iff the
+    * follower confirmed APPLYING the entry. Any HTTP response resets the
+    * transport backoff, but only a 200 counts as lease contact, and only
+    * a 200 whose body says the follower APPLIED (not a non-log-
+    * follower's "ignored" ack) vouches for durability — an "ignored" ack
+    * additionally marks the member a non-voter for every quorum. A 409
+    * raises [[staleTermSignal]]. */
+  private def pushOne(id: String, addr: String, idx: Long, sql: String,
+      entryTerm: Long): Boolean =
+    try {
+      val conn = openConn(s"$addr/replicate")
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
+        "sql" -> Json.str(sql),
+        "t" -> Json.str(entryTerm.toString),
+        "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      val body = try {
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        if (is == null) "" else new String(is.readAllBytes(),
+          StandardCharsets.UTF_8)
+      } catch { case _: Exception => "" }
+      conn.disconnect()
+      pushBackoff.remove(id)
+      if (code == 200) {
+        lastContactMs.put(id, System.currentTimeMillis)
+        // POSITIVE applied parse: a lost/empty body must not count —
+        // only a confirmed non-"ignored" applied ack vouches
+        if (body.contains("\"applied\"") && !body.contains("ignored")) {
+          memberFollows.put(id, java.lang.Boolean.TRUE)
+          true
+        } else {
+          if (body.contains("ignored"))
+            memberFollows.put(id, java.lang.Boolean.FALSE)
+          false
+        }
+      } else {
+        if (code == 409)
+          // ANY replicate 409 means the fleet moved past this node —
+          // stale term, a promoted peer's "not a follower", or a
+          // repointed follower's from-mismatch. React with one
+          // leaderTick after the drain (a benign log-gap 409 makes it
+          // a no-op probe round).
+          staleTermSignal = true
+        false
+      }
+    } catch { case _: Exception =>
+      val fails = Option(pushBackoff.get(id)).map(_._1).getOrElse(0) + 1
+      pushBackoff.put(id, (fails, System.currentTimeMillis +
+        math.min(10000L, 500L << math.min(fails, 4))))
+      false
+    }
+
   /** Push one committed statement to every roster follower — the
     * AppendEntries twin (`store/store.go:242-250` Apply replicates every
-    * Execute). Any HTTP response resets the transport backoff, but only
-    * a 200 counts as lease contact, and only a 200 whose body says the
-    * follower APPLIED (not a non-log-follower's "ignored" ack) counts
-    * toward the majority-ack numerator — an "ignored" replica holds
-    * nothing, so it must not vouch for durability. A 409 naming a stale
-    * term raises [[staleTermSignal]]. */
+    * Execute). r14: pushes fan out CONCURRENTLY on [[pushPool]] (Raft
+    * pipelines appends per follower the same way), so a dead follower's
+    * connect/read timeout overlaps the live followers' acks instead of
+    * preceding them. In majority-ack mode the wait ends as soon as
+    * enough followers confirmed applying (the commit rule needs
+    * voters/2 follower acks) — a dead follower must never add its
+    * timeout to a client's ack (r13 verdict item 6); its straggler task
+    * finishes in the background (backoff bookkeeping) and its id stays
+    * in [[inFlight]] so the NEXT entry skips it and per-follower send
+    * order cannot scramble. */
   private def sendEntry(idx: Long, sql: String, entryTerm: Long): Int =
     pushLock.synchronized {
     val self = s"http://localhost:${server.getAddress.getPort}"
     import scala.jdk.CollectionConverters._
+    val nowMs = System.currentTimeMillis
+    val targets = members.asScala.toSeq.filter { case (id, addr) =>
+      id != nodeId && addr != self && !inFlight.contains(id) &&
+        Option(pushBackoff.get(id)).forall(_._2 <= nowMs)
+    }
+    if (targets.isEmpty) return 0
+    val done = new java.util.concurrent.LinkedBlockingQueue[java.lang.Boolean]()
+    targets.foreach { case (id, addr) =>
+      inFlight.add(id)
+      pushPool.submit(new Runnable { def run(): Unit = {
+        val ok = try pushOne(id, addr, idx, sql, entryTerm)
+          catch { case _: Exception => false }
+        inFlight.remove(id)
+        done.put(java.lang.Boolean.valueOf(ok))
+      }})
+    }
+    val needed = if (majorityAck) voterIds.size / 2 else Int.MaxValue
     var acks = 0
-    members.asScala.toSeq.foreach { case (id, addr) =>
-      if (id != nodeId && addr != self &&
-          Option(pushBackoff.get(id)).forall(_._2 <= System.currentTimeMillis)) {
-        try {
-          val conn = openConn(s"$addr/replicate")
-          conn.setRequestMethod("POST"); conn.setDoOutput(true)
-          conn.getOutputStream.write(obj("i" -> Json.str(idx.toString),
-            "sql" -> Json.str(sql),
-            "t" -> Json.str(entryTerm.toString),
-            "from" -> Json.str(selfAddr)).getBytes(StandardCharsets.UTF_8))
-          val code = conn.getResponseCode
-          val body = try {
-            val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-            if (is == null) "" else new String(is.readAllBytes(),
-              StandardCharsets.UTF_8)
-          } catch { case _: Exception => "" }
-          conn.disconnect()
-          pushBackoff.remove(id)
-          if (code == 200) {
-            lastContactMs.put(id, System.currentTimeMillis)
-            // POSITIVE applied parse: a lost/empty body must not count —
-            // only a confirmed non-"ignored" applied ack vouches
-            if (body.contains("\"applied\"") && !body.contains("ignored"))
-              acks += 1
-          } else if (code == 409)
-            // ANY replicate 409 means the fleet moved past this node —
-            // stale term, a promoted peer's "not a follower", or a
-            // repointed follower's from-mismatch. React with one
-            // leaderTick after the drain (a benign log-gap 409 makes it
-            // a no-op probe round).
-            staleTermSignal = true
-        } catch { case _: Exception =>
-          val fails = Option(pushBackoff.get(id)).map(_._1).getOrElse(0) + 1
-          pushBackoff.put(id, (fails, System.currentTimeMillis +
-            math.min(10000L, 500L << math.min(fails, 4))))
-        }
-      }
+    var received = 0
+    while (received < targets.size && acks < needed) {
+      // defensively bounded: pushOne's own connect/read timeouts cap a
+      // task at ~3s, so a null poll means pool starvation, not a hang
+      val r = done.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      if (r == null) return acks
+      received += 1
+      if (r.booleanValue) acks += 1
     }
     acks
   }
@@ -712,12 +1058,20 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // term fence (Raft's AppendEntries rule): a push from a STALE term is
     // a zombie ex-leader — reject it even if this follower never
     // repointed; a HIGHER term is the new leader announcing itself —
-    // adopt its term and address
+    // adopt its term and address. r14: an EQUAL-term push from a node
+    // other than the current leader is the unique term-t election winner
+    // announcing itself to a voter that granted t (the grant adopted the
+    // term before the winner's first append) — one-grant-per-term votes
+    // make the term-t leader unique, so adopt it, exactly as Raft
+    // followers adopt any AppendEntries sender at currentTerm. Term 1 is
+    // the UNVOTED bootstrap term, where uniqueness is not guaranteed
+    // (two bootstrap leaders joined together): there the from-mismatch
+    // fence below still rejects the rival.
     parseLong(body, "t").foreach { t =>
       if (t < term.get)
         return (409, obj("error" -> Json.str(
           s"stale term $t < ${term.get}")))
-      if (t > term.get) {
+      if (t > term.get || (t == term.get && t > 1L)) {
         term.set(t)
         Json.extractField(body, "from").foreach(f =>
           currentLeader.set(Some(f)))
@@ -740,6 +1094,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // an accepted push IS proof of a live leader — the asymmetric case
     // (we cannot probe it, it can reach us) must not age toward election
     leaderDeadSinceMs.set(0L)
+    lastLeaderContactMs.set(System.currentTimeMillis)
     syncLock.synchronized {
       if (idx <= lastApplied.get) (200, obj("applied" -> Json.str("duplicate")))
       else if (idx == lastApplied.get + 1) {
@@ -791,11 +1146,17 @@ class Service(gateway: SqlGateway, port: Int = 0,
           if (!majorityAck) None
           else {
             val acks = drainForAcks(idx)
-            // the writer + acked followers must be a roster majority —
-            // Raft's commit rule (store/store.go:187 Apply waits on
-            // raft's quorum commit before acking)
-            if ((acks + 1) * 2 > members.size) None
-            else Some((acks + 1, members.size))
+            // the writer + acked followers must be a majority of the
+            // VOTING roster — Raft's commit rule (store/store.go:187
+            // Apply waits on raft's quorum commit before acking), over
+            // voters only (r14: a snapshot-only replica can never ack
+            // "applied", so counting it in the denominator would make a
+            // half-read-only roster permanently uncommittable). The
+            // voter set is read AFTER the drain: the drain's own
+            // "ignored" acks are what reveal fresh non-voters.
+            val voters = voterIds.size
+            if ((acks + 1) * 2 > voters) None
+            else Some((acks + 1, voters))
           }
         (r, quorumShortfall)
       }
@@ -806,8 +1167,8 @@ class Service(gateway: SqlGateway, port: Int = 0,
         // same ambiguity as any distributed commit timeout; followers
         // that come back will still converge through the pull path)
         return (503, obj("error" -> Json.str(
-          s"write not durably committed: held by $holders of $n roster " +
-            "nodes, majority required"), "time" -> Json.num(ms)))
+          s"write not durably committed: held by $holders of $n voting " +
+            "roster nodes, majority required"), "time" -> Json.num(ms)))
       }
       // threshold snapshot OUTSIDE logLock: the cut re-acquires it only for
       // the capture instant, so other writers flow during the export.
@@ -1177,6 +1538,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
     var body = pull()
     leaderDeadSinceMs.set(0L) // a served pull IS a live leader
+    lastLeaderContactMs.set(System.currentTimeMillis)
     parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
     // our suffix was compacted away — install the newest snapshot,
     // seat the applied index at its log position, then pull again
@@ -1254,6 +1616,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // LIVE leader ref so a promoted follower reports its new role
     val lead = currentLeader.get()
     val role = Seq("role" -> (if (lead.isEmpty) "leader" else "follower"),
+      "id" -> nodeId,
       "term" -> term.get.toString,
       "lease_ms" -> leaseMs.toString,
       "follow_log" -> followsLog.toString) ++

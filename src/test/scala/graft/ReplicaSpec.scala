@@ -596,6 +596,22 @@ class ReplicaSpec extends SparkTestBase {
     }
   }
 
+  /** A Service whose outbound path is cut only toward SPECIFIC addresses
+    * — an asymmetric partition (this node reaches most of the fleet but
+    * not a chosen peer, while that peer may still reach it). */
+  private class SelectiveService(gw: SqlGateway, nodeId: String,
+      leaderUrl: Option[String] = None, followLog: Boolean = false,
+      port: Int = 0, majorityAck: Boolean = false)
+    extends Service(gw, port = port, leaderUrl = leaderUrl, nodeId = nodeId,
+      followLog = followLog, majorityAck = majorityAck) {
+    @volatile var blocked: Set[String] = Set.empty
+    override protected def openConn(url: String): HttpURLConnection = {
+      if (blocked.exists(url.startsWith))
+        throw new java.io.IOException(s"partitioned toward $url (test)")
+      super.openConn(url)
+    }
+  }
+
   /** Byte-pump TCP proxy — the followers' path TO the leader. Stopping
     * it severs their inbound view of the leader while the leader's real
     * port keeps serving its own clients (the other half of the
@@ -1273,5 +1289,334 @@ class ReplicaSpec extends SparkTestBase {
       assert(r == Seq(48L, 48L, ids.map(_.toLong).sum),
         s"recovered state mismatch: $r")
     } finally leader2.stop()
+  }
+
+  test("overlapping majorities cannot both promote (one-grant-per-term " +
+       "votes, r13 advice high): leader dead, A<-/->B asymmetric " +
+       "partition, both reach X and Y — exactly one wins, the rival's " +
+       "campaign is denied by leader stickiness, no equal-term fork") {
+    val (lgw, _) = newStack("om_l")
+    val leader = new Service(lgw, nodeId = "node0")
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("om_a")
+    val fA = new SelectiveService(agw, nodeId = "nodeA",
+      leaderUrl = Some(lUrl), followLog = true)
+    val aPort = fA.start()
+    val (bgw, _) = newStack("om_b")
+    val fB = new SelectiveService(bgw, nodeId = "nodeB",
+      leaderUrl = Some(lUrl), followLog = true)
+    val bPort = fB.start()
+    val (xgw, _) = newStack("om_x")
+    val fX = new Service(xgw, leaderUrl = Some(lUrl), nodeId = "nodeX",
+      followLog = true)
+    val xPort = fX.start()
+    val (ygw, _) = newStack("om_y")
+    val fY = new Service(ygw, leaderUrl = Some(lUrl), nodeId = "nodeY",
+      followLog = true)
+    val yPort = fY.start()
+    try {
+      Seq("nodeA" -> aPort, "nodeB" -> bPort, "nodeX" -> xPort,
+          "nodeY" -> yPort).foreach { case (id, p) =>
+        assert(newHttp(lPort, "POST", "/join", Some(
+          s"""{"id": "$id", "addr": "http://localhost:$p"}"""))._1 == 200)
+      }
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE om_t (id integer)"}"""))._1 == 200)
+      assert(newHttp(lPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO om_t VALUES (1)"}"""))._1 == 200)
+      Seq(fA, fB, fX, fY).foreach(_.checkLeader()) // cache roster + term
+      // the asymmetric split: A and B can't see each other, both see X,Y
+      fA.blocked = Set(s"http://localhost:$bPort")
+      fB.blocked = Set(s"http://localhost:$aPort")
+      leader.stop()
+      // A elects first: probes {A,X,Y} = 3 of the 4-voter electorate, a
+      // strict majority — campaigns and wins with X+Y grants at term 2
+      fA.checkLeader()
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"leader\"") &&
+        aSt.contains("\"term\": \"2\""), aSt)
+      // X and Y repoint to the winner (their own election adopts the
+      // probed term-2 leader; the winner's announce push does the same)
+      fX.checkLeader(); fY.checkLeader()
+      Seq(xPort, yPort).foreach { p =>
+        val (_, st, _) = newHttp(p, "GET", "/status")
+        assert(st.contains(s"http://localhost:$aPort"), st)
+      }
+      // B also probes a majority {B,X,Y} — the r13 vouch-only design
+      // would promote it here at the SAME term, forking acked histories.
+      // With votes, X and Y deny (their adopted leader answers alive),
+      // B's campaign fails, and it stays a follower.
+      fB.checkLeader()
+      val (_, bSt, _) = newHttp(bPort, "GET", "/status")
+      assert(bSt.contains("\"role\": \"follower\""),
+        s"rival promoted into a fork: $bSt")
+      // the single history keeps flowing through the one real leader
+      assert(newHttp(aPort, "POST", "/db/execute", Some(
+        """{"sql": "INSERT INTO om_t VALUES (2)"}"""))._1 == 200)
+      Seq(xPort, yPort).foreach { p =>
+        val (_, r, _) = newHttp(p, "GET",
+          "/db/query?q=SELECT%20count(*)%20AS%20n%20FROM%20om_t")
+        assert(r.contains("[2]"), r)
+      }
+    } finally {
+      fA.stop(); fB.stop(); fX.stop(); fY.stop()
+    }
+  }
+
+  test("a partitioned elector cannot promote while the leader holds a " +
+       "majority, even with every vouch probe failing (r13 verdict item " +
+       "2: the vote round closes the transient-double-fault window — " +
+       "voters that HEARD the leader inside its lease window deny)") {
+    val (lgw, _) = newStack("tdf_l")
+    val leader = new Service(lgw, nodeId = "node0", leaseMs = 3000)
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("tdf_a")
+    val fA = new SelectiveService(agw, nodeId = "nodeA",
+      leaderUrl = Some(lUrl), followLog = true)
+    val aPort = fA.start()
+    val (xgw, _) = newStack("tdf_x")
+    val fX = new SelectiveService(xgw, nodeId = "nodeX",
+      leaderUrl = Some(lUrl), followLog = true)
+    fX.start()
+    val (ygw, _) = newStack("tdf_y")
+    val fY = new SelectiveService(ygw, nodeId = "nodeY",
+      leaderUrl = Some(lUrl), followLog = true)
+    fY.start()
+    def execL(sql: String): Int = newHttp(lPort, "POST", "/db/execute",
+      Some(s"""{"sql": "$sql"}"""))._1
+    try {
+      Seq("nodeA" -> fA, "nodeX" -> fX, "nodeY" -> fY).foreach { case (id, f) =>
+        assert(newHttp(lPort, "POST", "/join", Some(
+          s"""{"id": "$id", "addr": "http://localhost:${f.boundPort}"}"""))._1 == 200)
+      }
+      assert(execL("CREATE TABLE tdf_t (id integer)") == 200)
+      Seq(fA, fX, fY).foreach(_.checkLeader()) // roster + lease learned
+      // every follower's OUTBOUND path to the leader goes dark; the
+      // leader's pushes still arrive (inbound fine) — so X and Y keep
+      // HEARING it while their own probes (and any vouch they are asked
+      // for) fail. This is exactly the double-fault the r13 vouch
+      // heuristic could not survive.
+      Seq(fA, fX, fY).foreach(_.blocked = Set(lUrl))
+      fA.checkLeader() // first failed probe starts A's election clock
+      // writes keep flowing: push acks sustain the lease AND stamp the
+      // followers' last-heard-from-leader instant
+      (1 to 9).foreach { i =>
+        assert(execL(s"INSERT INTO tdf_t VALUES ($i)") == 200,
+          s"leader lost its lease with a reachable majority (write $i)")
+        Thread.sleep(450)
+      }
+      // A's lease deferral has fully lapsed; its vouch round finds
+      // nobody able to reach the leader; its campaign runs — and X,Y
+      // DENY: they heard the live leader within its advertised window
+      fA.checkLeader()
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"follower\""),
+        s"elector promoted against a majority-held live leader: $aSt")
+      // the leader never lost the cluster: one more acked write
+      assert(execL("INSERT INTO tdf_t VALUES (99)") == 200)
+    } finally {
+      fA.stop(); fX.stop(); fY.stop(); leader.stop()
+    }
+  }
+
+  test("majority-ack write latency: a black-holed follower's timeout " +
+       "never taxes the client ack — the concurrent push fan-out " +
+       "returns on the quorum ack, not on the slowest socket " +
+       "(r13 verdict item 6)") {
+    val (lgw, _) = newStack("mal_l")
+    val leader = new Service(lgw, nodeId = "node0", majorityAck = true)
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("mal_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val blackHole = new java.net.ServerSocket(0, 1)
+    def exec(sql: String): Long = {
+      val t0 = System.nanoTime()
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute",
+        Some(s"""{"sql": "$sql"}"""))
+      assert(c == 200 && !b.contains("\"error\""), s"$c $b")
+      (System.nanoTime() - t0) / 1000000
+    }
+    try {
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeA", "addr": "http://localhost:$aPort"}"""))._1 == 200)
+      exec("CREATE TABLE mal_t (id integer)")
+      val warm = (1 to 3).map(i => exec(s"INSERT INTO mal_t VALUES ($i)")).min
+      // a 3-node majority-ack roster needs 1 of 2 follower acks: the
+      // live follower's ack commits the write while the black hole's 2s
+      // read timeout is still pending on its own fan-out thread
+      assert(newHttp(lPort, "POST", "/join", Some(
+        s"""{"id": "nodeDead", "addr": "http://localhost:${blackHole.getLocalPort}"}"""))._1 == 200)
+      val dead = (4 to 7).map(i => exec(s"INSERT INTO mal_t VALUES ($i)")).min
+      assert(dead < 1800 && dead < warm + 1200,
+        s"majority-acked write taxed by a dead follower: warm=${warm}ms dead=${dead}ms")
+      // the live follower still received everything, in order
+      val deadline = System.currentTimeMillis + 20000
+      var applied = -1L
+      while (applied != 8L && System.currentTimeMillis < deadline) {
+        val (_, st, _) = newHttp(aPort, "GET", "/status")
+        applied = "\"applied_index\": \"(\\d+)\"".r.findFirstMatchIn(st)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        if (applied != 8L) Thread.sleep(200)
+      }
+      assert(applied == 8L, s"live follower missed pushes: applied=$applied")
+    } finally {
+      try blackHole.close() catch { case _: Exception => () }
+      fA.stop(); leader.stop()
+    }
+  }
+
+  test("quorums count voters only (r13 advice: raft's voter/non-voter " +
+       "configuration): a roster half-full of snapshot-only replicas " +
+       "still commits majority-ack writes through its log-followers — " +
+       "and 503s when the voting majority is really gone") {
+    val (lgw, _) = newStack("vq_l")
+    val leader = new Service(lgw, nodeId = "node0", majorityAck = true)
+    val lPort = leader.start()
+    val lUrl = s"http://localhost:$lPort"
+    val (agw, _) = newStack("vq_a")
+    val fA = new Service(agw, leaderUrl = Some(lUrl), nodeId = "nodeA",
+      followLog = true)
+    val aPort = fA.start()
+    val (s1gw, _) = newStack("vq_s1")
+    val s1 = new Service(s1gw, leaderUrl = Some(lUrl), nodeId = "snap1",
+      followLog = false)
+    val s1Port = s1.start()
+    val (s2gw, _) = newStack("vq_s2")
+    val s2 = new Service(s2gw, leaderUrl = Some(lUrl), nodeId = "snap2",
+      followLog = false)
+    val s2Port = s2.start()
+    def exec(sql: String): (Int, String) = {
+      val (c, b, _) = newHttp(lPort, "POST", "/db/execute",
+        Some(s"""{"sql": "$sql"}"""))
+      (c, b)
+    }
+    var aStopped = false
+    try {
+      Seq("nodeA" -> aPort, "snap1" -> s1Port, "snap2" -> s2Port)
+        .foreach { case (id, p) =>
+          assert(newHttp(lPort, "POST", "/join", Some(
+            s"""{"id": "$id", "addr": "http://localhost:$p"}"""))._1 == 200)
+        }
+      // 4-node roster, but only 2 voters (leader + nodeA): counting the
+      // full roster would demand 2 follower acks that snapshot replicas
+      // can never give — every write would 503 forever. Voter-scoped,
+      // the single log-follower's ack is a 2-of-2 voter majority.
+      val (c1, b1) = exec("CREATE TABLE vq_t (id integer)")
+      assert(c1 == 200 && !b1.contains("\"error\""),
+        s"half-read-only roster starved the commit rule: $c1 $b1")
+      assert(exec("INSERT INTO vq_t VALUES (1)")._1 == 200)
+      // the real voting majority dies: snapshot replicas must NOT
+      // substitute — their "ignored" acks hold nothing
+      fA.stop(); aStopped = true
+      val (c3, b3) = exec("INSERT INTO vq_t VALUES (2)")
+      assert(c3 == 503 && b3.contains("not durably committed"), s"$c3 $b3")
+    } finally {
+      if (!aStopped) fA.stop()
+      s1.stop(); s2.stop(); leader.stop()
+    }
+  }
+
+  test("equal-term rival leaders resolve deterministically (r13 advice: " +
+       "divergent bootstrap rosters joined together): higher log wins, " +
+       "ties to the lower node id — the loser steps down") {
+    // case 1: log length decides
+    val (agw, _) = newStack("dt_a")
+    val lA = new Service(agw, nodeId = "node0")
+    val aPort = lA.start()
+    val aUrl = s"http://localhost:$aPort"
+    val (bgw, _) = newStack("dt_b")
+    val lB = new Service(bgw, nodeId = "node1")
+    val bPort = lB.start()
+    val bUrl = s"http://localhost:$bPort"
+    // case 2: node id decides (equal, empty logs)
+    val (cgw, _) = newStack("dt_c")
+    val lC = new Service(cgw, nodeId = "node5")
+    val cPort = lC.start()
+    val cUrl = s"http://localhost:$cPort"
+    val (dgw, _) = newStack("dt_d")
+    val lD = new Service(dgw, nodeId = "node9")
+    val dPort = lD.start()
+    val dUrl = s"http://localhost:$dPort"
+    try {
+      assert(newHttp(aPort, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE dt_t (id integer)"}"""))._1 == 200)
+      // operators join the two one-node clusters into one roster
+      assert(newHttp(aPort, "POST", "/join", Some(
+        s"""{"id": "node1", "addr": "$bUrl"}"""))._1 == 200)
+      assert(newHttp(bPort, "POST", "/join", Some(
+        s"""{"id": "node0", "addr": "$aUrl"}"""))._1 == 200)
+      // the longer-log side keeps leading; the empty one steps down
+      lA.leaderTick()
+      val (_, aSt, _) = newHttp(aPort, "GET", "/status")
+      assert(aSt.contains("\"role\": \"leader\""), aSt)
+      lB.leaderTick()
+      val (_, bSt, _) = newHttp(bPort, "GET", "/status")
+      assert(bSt.contains("\"role\": \"follower\"") && bSt.contains(aUrl), bSt)
+
+      assert(newHttp(cPort, "POST", "/join", Some(
+        s"""{"id": "node9", "addr": "$dUrl"}"""))._1 == 200)
+      assert(newHttp(dPort, "POST", "/join", Some(
+        s"""{"id": "node5", "addr": "$cUrl"}"""))._1 == 200)
+      lC.leaderTick() // node9 > node5: C keeps leading
+      val (_, cSt, _) = newHttp(cPort, "GET", "/status")
+      assert(cSt.contains("\"role\": \"leader\""), cSt)
+      lD.leaderTick() // sees the lower-id equal-log leader: steps down
+      val (_, dSt, _) = newHttp(dPort, "GET", "/status")
+      assert(dSt.contains("\"role\": \"follower\"") && dSt.contains(cUrl), dSt)
+    } finally {
+      lA.stop(); lB.stop(); lC.stop(); lD.stop()
+    }
+  }
+
+  test("crossed adoption heals by election, not a self-redirect loop " +
+       "(r13 advice: a peer naming THIS node as its leader): the lower " +
+       "id campaigns and wins a real vote; the higher id waits") {
+    def freePort(): Int = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val pA = freePort(); val pB = freePort()
+    val (agw, _) = newStack("xa_a")
+    val fA = new Service(agw, port = pA,
+      leaderUrl = Some(s"http://localhost:$pB"), nodeId = "nodeA",
+      followLog = true)
+    fA.start()
+    val (bgw, _) = newStack("xa_b")
+    val fB = new Service(bgw, port = pB,
+      leaderUrl = Some(s"http://localhost:$pA"), nodeId = "nodeB",
+      followLog = true)
+    fB.start()
+    try {
+      // the higher id sees "my followed peer names ME" and does NOT act
+      // (no self-adoption, no redirect loop — r13 advice symptom)
+      fB.checkLeader()
+      val (_, bSt0, _) = newHttp(pB, "GET", "/status")
+      assert(bSt0.contains("\"role\": \"follower\"") &&
+        bSt0.contains(s"http://localhost:$pA"), bSt0)
+      // the lower id campaigns for a real vote-round win and promotes
+      fA.checkLeader()
+      val (_, aSt, _) = newHttp(pA, "GET", "/status")
+      assert(aSt.contains("\"role\": \"leader\""),
+        s"crossed adoption did not heal: $aSt")
+      // wire contract: writes through the still-follower side redirect
+      // to the real winner, never back to the sender
+      val (rc, _, loc) = newHttp(pB, "POST", "/db/execute",
+        Some("""{"sql": "CREATE TABLE xa_t (id integer)"}"""), follow = false)
+      assert(rc == 301 && loc == s"http://localhost:$pA/db/execute",
+        s"$rc $loc")
+      assert(newHttp(pA, "POST", "/db/execute", Some(
+        """{"sql": "CREATE TABLE xa_t (id integer)"}"""))._1 == 200)
+      // the follower reads the winner's writes through the pull path
+      val (qc, qb, _) = newHttp(pB, "GET",
+        "/db/query?q=SELECT%20count(*)%20AS%20n%20FROM%20xa_t")
+      assert(qc == 200 && qb.contains("[0]"), s"$qc $qb")
+    } finally {
+      fA.stop(); fB.stop()
+    }
   }
 }
