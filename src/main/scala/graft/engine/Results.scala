@@ -29,7 +29,19 @@ object Results {
   val DuckTypeKey = "graft.ducktype"
 
   /** Declared-type-aware rendering: the column's declared DuckDB type if
-    * the field carries one, else the storage type's mapping. */
+    * the field carries one, else the storage type's mapping.
+    *
+    * Documented residual (r14, next to the interval provenance note
+    * below): a RAW TIMESTAMPTZ expression selected to the boundary
+    * reports type TIMESTAMP and naive UTC text — duck reports TIMESTAMP
+    * WITH TIME ZONE and a '+00' suffix. The VALUE is the same instant
+    * (the rewrite pins TIMESTAMPTZ operands to UTC), every tz-direction
+    * conversion result is naive in both engines, and TIMESTAMPTZ→VARCHAR
+    * casts render duck's '+00' text exactly (rewrite-level). Only the
+    * raw select's type/text spelling differs: Spark's single
+    * instant-typed TIMESTAMP cannot be told apart from a naive one at
+    * the result boundary without threading metadata through arbitrary
+    * expressions. */
   def duckTypeName(f: StructField): String =
     if (f.metadata.contains(DuckTypeKey)) f.metadata.getString(DuckTypeKey)
     else duckTypeName(f.dataType)
@@ -90,13 +102,26 @@ object Results {
     * canonical interval TEXT (the reference's driver stringifies them
     * the same way on the wire, `db/db.go:89-93`). A Spark `Duration`
     * (timestamp subtraction, day-time literals) splits whole days out —
-    * duck's own subtraction renders `65 days`, not `1560:00:00`. The
-    * one rendering residual: duck keeps a PURE-TIME literal's hours
-    * unnormalized (INTERVAL '25 hours' → 25:00:00) while Spark's
-    * Duration erases literal-vs-subtraction provenance, so ours renders
-    * `1 day 01:00:00` — same value, different spelling, only for
-    * hand-written >24 h pure-time literals. Runs recursively through
-    * nested rows/arrays/maps. */
+    * duck's own subtraction renders `65 days`, not `1560:00:00` —
+    * UNLESS the column's declared interval starts past DAY (r14: duck
+    * stores days and micros separately and never normalizes micros at
+    * render, so a pure-time literal or pure-time arithmetic keeps its
+    * hours — `INTERVAL '26:00:00'` renders `26:00:00`; Spark's
+    * `DayTimeIntervalType.startField` carries exactly that provenance).
+    * Remaining residual, documented: a literal MIXING days with >24 h
+    * clock text (`'2 days 26:00:00'`) widens to a DAY-start type whose
+    * total-micros value erases the split — ours renders the day-
+    * normalized equivalent (`3 days 02:00:00`), value-equal as a
+    * duration. Runs recursively through nested rows/arrays/maps (which
+    * lose the field type and keep the day-split default). */
+  private def convertValue(v: Any, dt: Option[DataType]): Any = (v, dt) match {
+    case (d: java.time.Duration, Some(t: DayTimeIntervalType))
+        if t.startField > DayTimeIntervalType.DAY =>
+      val micros = d.getSeconds * 1000000L + d.getNano / 1000
+      duckIntervalString(0, 0, micros)
+    case _ => convertValue(v)
+  }
+
   private def convertValue(v: Any): Any = v match {
     case ci: org.apache.spark.unsafe.types.CalendarInterval =>
       duckIntervalString(ci.months, ci.days, ci.microseconds)
@@ -135,7 +160,9 @@ object Results {
     QueryResult(
       columns = schema.fields.map(_.name).toSeq,
       types = schema.fields.map(f => duckTypeName(f)).toSeq,
-      values = rows.take(cap).map(_.toSeq.map(convertValue)).toSeq,
+      values = rows.take(cap).map(_.toSeq.zip(schema.fields).map {
+        case (v, f) => convertValue(v, Some(f.dataType))
+      }).toSeq,
       truncated = rows.length > cap)
   }
 }

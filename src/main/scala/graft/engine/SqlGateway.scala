@@ -66,6 +66,18 @@ class SqlGateway(val spark: SparkSession) {
       case args => throw new IllegalArgumentException(
         s"regexp_replace takes 3 or 4 arguments, got ${args.length}")
     })
+  // DuckDB-exact TIMESTAMPTZ cast (DuckTstzCast scaladoc) — the per-row
+  // path for non-literal `x::TIMESTAMPTZ` / `CAST(x AS TIMESTAMP WITH
+  // TIME ZONE)`; literals fold at rewrite time through the same parser.
+  // Second literal-true argument = TRY_CAST (NULL instead of raising).
+  org.apache.spark.sql.graft.ColumnShim.registerFunction(spark,
+    "graft_tstz_cast", {
+      case Seq(c) => graft.functions.DuckTstzCast(c, tryMode = false)
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(t: Boolean, _)) =>
+        graft.functions.DuckTstzCast(c, tryMode = t)
+      case args => throw new IllegalArgumentException(
+        s"graft_tstz_cast is internal; got ${args.length} args")
+    })
   // DuckDB-exact strftime with the complete code table (DuckStrftime
   // scaladoc) — the fallback when the compile-time date_format translation
   // can't express a literal format, and the ONLY path for per-row formats.
@@ -379,7 +391,7 @@ class SqlGateway(val spark: SparkSession) {
   private val CreateSeqRe =
     """(?is)\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?SEQUENCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)(.*)""".r
   private val DropSeqRe =
-    """(?is)\s*DROP\s+SEQUENCE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*""".r
+    """(?is)\s*DROP\s+SEQUENCE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*(CASCADE|RESTRICT)?\s*""".r
   private val CreateMacroRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?MACRO\s+([\w.]+)\s*\(([^)]*)\)\s+AS\s+(.*)""".r
   private val DropMacroRe =
@@ -508,17 +520,40 @@ class SqlGateway(val spark: SparkSession) {
           seqStarts.remove(name.toLowerCase)
         }
         createSequence(name, spec, ine != null)
-      case DropSeqRe(ife, name) =>
+      case DropSeqRe(ife, name, cascade) =>
         // refused in a txn: rollback could only restore the counter by
         // refunding already-handed-out ids (same honest-subset posture as
         // DROP TABLE)
         if (inTxn)
           throw new IllegalArgumentException(
             "DROP SEQUENCE inside a transaction is not supported")
-        if (sequences.remove(name.toLowerCase).isEmpty && ife == null)
+        val seqKey = name.toLowerCase
+        // DuckDB's dependency fence (probed, incl. IF EXISTS/RESTRICT): a
+        // sequence with a dependent column DEFAULT refuses with duck's
+        // exact (quirkily-worded) message; CASCADE drops the dependent
+        // TABLES themselves, duck's own cascade behavior
+        if (sequences.contains(seqKey)) {
+          val NextvalRe =
+        ("""(?i)nextval\s*\(\s*'""" +
+          java.util.regex.Pattern.quote(seqKey) + """'\s*\)""").r
+          val dependents = columnDefaults.toSeq.collect {
+            case (t, defs) if defs.values.exists(d =>
+              NextvalRe.findFirstIn(d.toLowerCase).isDefined) => t
+          }.sorted
+          if (dependents.nonEmpty) {
+            if (cascade == null || cascade.equalsIgnoreCase("RESTRICT"))
+              throw new IllegalArgumentException(
+                s"""Dependency Error: Cannot drop entry "$name" because """ +
+                  "there are entries that depend on it.\n" +
+                  s"""table "${dependents.head}" depends on index "$name".""" +
+                  "\nUse DROP...CASCADE to drop all dependents.")
+            dependents.foreach(t => dropTable(t))
+          }
+        }
+        if (sequences.remove(seqKey).isEmpty && ife == null)
           throw new IllegalArgumentException(s"unknown sequence $name")
-        seqLast.remove(name.toLowerCase)
-        seqStarts.remove(name.toLowerCase); ExecuteResult(0L)
+        seqLast.remove(seqKey)
+        seqStarts.remove(seqKey); ExecuteResult(0L)
       case CreateMacroRe(orReplace, name, params, body) =>
         val key = name.toLowerCase
         if (macros.contains(key) && orReplace == null)
@@ -2102,14 +2137,19 @@ class SqlGateway(val spark: SparkSession) {
     * short-circuit, exactly the SubtractDates pattern above. */
   private def complexVarcharCasts(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+    import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, YearMonthIntervalType}
     def isComplex(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
         dt.isInstanceOf[StructType]
+    // interval → VARCHAR casts carry duck's canonical interval text
+    // (r14: Spark's cast renders the ANSI spelling — silently divergent)
+    def isInterval(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[DayTimeIntervalType] ||
+        dt.isInstanceOf[YearMonthIntervalType] || dt == CalendarIntervalType
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(_.expressions.exists(_.exists {
       case c: Cast => c.dataType.isInstanceOf[StringType] &&
-        isComplex(c.child.dataType)
+        (isComplex(c.child.dataType) || isInterval(c.child.dataType))
       case _ => false
     }))
     if (!hasIt) df
@@ -2117,6 +2157,9 @@ class SqlGateway(val spark: SparkSession) {
       case c: Cast if c.dataType.isInstanceOf[StringType] &&
           isComplex(c.child.dataType) =>
         graft.functions.DuckComplexToVarchar(c.child)
+      case c: Cast if c.dataType.isInstanceOf[StringType] &&
+          isInterval(c.child.dataType) =>
+        graft.functions.DuckIntervalToVarchar(c.child)
     })
   }
 
@@ -3065,68 +3108,120 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("make_timestamp"))
       out = fix(out, "make_timestamp", 1, a =>
         Some(s"timestamp_micros(${a(0)})"))
-    // timezone(tz, naive-ts) and `ts AT TIME ZONE tz` interpret the naive
-    // timestamp in tz and return the instant (rendered in UTC, the
-    // session zone — probed: 12:00 NY → 17:00+00). The TIMESTAMPTZ
-    // overload (instant → naive local) is indistinguishable in our
-    // TIMESTAMP-only model, so operands that SPELL timestamptz decline —
-    // the statement refuses rather than silently running the wrong
-    // direction.
-    def smellsTz(x: String) = {
-      val l = x.toLowerCase
-      l.contains("timestamptz") || l.contains("with time zone")
+    // timezone(tz, ts) and `ts AT TIME ZONE tz` dispatch on the OPERAND's
+    // direction (probed): a naive TIMESTAMP is interpreted in tz and
+    // becomes the instant (12:00 NY → 16:00+00 → to_utc_timestamp); a
+    // TIMESTAMPTZ operand is the reverse overload — the instant renders
+    // as tz-local naive text (12:00+00 NY → 08:00 → from_utc_timestamp).
+    // r13 refused the TIMESTAMPTZ spelling as direction-ambiguous; r14
+    // resolves it: TIMESTAMPTZ operands are rewrite-time-known UTC
+    // instants (the literal/cast pass below pins them), so the spelling
+    // IS the direction. Chains alternate: each application flips
+    // naive↔instant (probed: TIMESTAMP AT NY AT Tokyo = 12:00 naive →
+    // 16:00+00 → Tokyo-local 01:00 next day), so an operand that is
+    // already a to_utc_timestamp(...) emission dispatches from_utc and
+    // vice versa, and nested timezone() calls rewrite innermost-first.
+    def tzInstantTyped(x: String): Boolean = {
+      // type the OUTERMOST expression: a rewritten from_utc emission is
+      // naive even when its arguments still spell TIMESTAMPTZ (chains:
+      // `(TSTZ AT NY) AT Tokyo` — the parenthesized inner result is the
+      // local naive, so the outer AT converts local→instant)
+      var l = x.trim
+      def balanced(s: String): Boolean = {
+        var d = 0; var ok = true
+        s.foreach { c =>
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d < 0) ok = false }
+        }
+        ok && d == 0
+      }
+      while (l.startsWith("(") && l.endsWith(")") &&
+          balanced(l.substring(1, l.length - 1)))
+        l = l.substring(1, l.length - 1).trim
+      val low = l.toLowerCase
+      if (low.startsWith("from_utc_timestamp(")) false
+      else if (low.startsWith("to_utc_timestamp(") ||
+        low.startsWith("graft_tstz_cast(")) true
+      else low.contains("timestamptz") || low.contains("with time zone")
     }
-    if (out.toLowerCase.contains("timezone"))
-      out = fix(out, "timezone", 2, a =>
-        if (smellsTz(a(1))) None
-        else Some(s"to_utc_timestamp(${a(1)}, ${a(0)})"))
+    if (out.toLowerCase.contains("timezone")) {
+      var tzRounds = 0
+      var tzPrev = ""
+      while (tzPrev != out && tzRounds < 8) {
+        tzPrev = out
+        out = fix(out, "timezone", 2, a =>
+          // innermost-first: defer while the operand still holds an
+          // unrewritten timezone()/AT TIME ZONE whose direction this
+          // call's dispatch depends on
+          if (a(1).toLowerCase.contains("timezone") ||
+              """(?i)\bat\s+time\s+zone\b""".r.findFirstIn(a(1)).isDefined)
+            None
+          else if (tzInstantTyped(a(1)))
+            Some(s"from_utc_timestamp(${a(1)}, ${a(0)})")
+          else Some(s"to_utc_timestamp(${a(1)}, ${a(0)})"))
+        tzRounds += 1
+      }
+    }
     if ("""(?i)\bat\s+time\s+zone\b""".r.findFirstIn(out).isDefined) {
       val AtRe = """(?i)\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')""".r
-      for (m <- AtRe.findAllMatchIn(out).toList.reverse
-           if out.substring(0, m.start).count(_ == '\'') % 2 == 0) {
-        // backward-scan the operand: string literal (with optional type
-        // keyword), balanced (...) with call name, or an ident chain
-        var j = m.start - 1
-        while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
-        var at = -1
-        if (j >= 0 && out.charAt(j) == '\'') {
-          var k = j - 1
-          while (k >= 0 && out.charAt(k) != '\'') k -= 1
-          if (k >= 0) {
-            var w = k - 1
-            while (w >= 0 && out.charAt(w).isWhitespace) w -= 1
-            val we = w
-            while (w >= 0 && out.charAt(w).isLetter) w -= 1
-            at = if (we > w && Set("timestamp", "date", "timestamptz")
-                .contains(out.substring(w + 1, we + 1).toLowerCase)) w + 1
-              else k
-          }
-        } else if (j >= 0 && out.charAt(j) == ')') {
-          var depth = 0; var k = j
-          while (k >= 0 && at < 0) {
-            val ch = out.charAt(k)
-            if (ch == ')') depth += 1
-            else if (ch == '(') { depth -= 1; if (depth == 0) at = k }
-            k -= 1
-          }
-          if (at >= 0) {
-            var w = at - 1
+      // LEFTMOST-first, re-scanning after each rewrite: a chain's second
+      // AT then sees the first's emitted call as its operand and flips
+      // the direction (reverse-order index surgery would garble chains —
+      // the spans overlap)
+      var atRounds = 0
+      var rewrote = true
+      while (rewrote && atRounds < 16) {
+        rewrote = false
+        atRounds += 1
+        val mOpt = AtRe.findAllMatchIn(out).find(m =>
+          out.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        mOpt.foreach { m =>
+          // backward-scan the operand: string literal (with optional type
+          // keyword), balanced (...) with call name, or an ident chain
+          var j = m.start - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          var at = -1
+          if (j >= 0 && out.charAt(j) == '\'') {
+            var k = j - 1
+            while (k >= 0 && out.charAt(k) != '\'') k -= 1
+            if (k >= 0) {
+              var w = k - 1
+              while (w >= 0 && out.charAt(w).isWhitespace) w -= 1
+              val we = w
+              while (w >= 0 && out.charAt(w).isLetter) w -= 1
+              at = if (we > w && Set("timestamp", "date", "timestamptz")
+                  .contains(out.substring(w + 1, we + 1).toLowerCase)) w + 1
+                else k
+            }
+          } else if (j >= 0 && out.charAt(j) == ')') {
+            var depth = 0; var k = j
+            while (k >= 0 && at < 0) {
+              val ch = out.charAt(k)
+              if (ch == ')') depth += 1
+              else if (ch == '(') { depth -= 1; if (depth == 0) at = k }
+              k -= 1
+            }
+            if (at >= 0) {
+              var w = at - 1
+              while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+                out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
+              at = w + 1
+            }
+          } else if (j >= 0) {
+            var w = j
             while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
               out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
-            at = w + 1
+            if (w < j) at = w + 1
           }
-        } else if (j >= 0) {
-          var w = j
-          while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
-            out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
-          if (w < j) at = w + 1
-        }
-        if (at >= 0) {
-          val operand = out.substring(at, j + 1)
-          if (!smellsTz(operand))
+          if (at >= 0) {
+            val operand = out.substring(at, j + 1)
+            val fn = if (tzInstantTyped(operand)) "from_utc_timestamp"
+              else "to_utc_timestamp"
             out = out.substring(0, at) +
-              s"to_utc_timestamp($operand, ${m.group(1)})" +
+              s"$fn($operand, ${m.group(1)})" +
               out.substring(m.end)
+            rewrote = true
+          }
         }
       }
     }
@@ -3218,7 +3313,30 @@ class SqlGateway(val spark: SparkSession) {
     // silently backwards (review finding; probed: duck's
     // timezone('America/New_York', TIMESTAMPTZ '...+00') converts
     // instant→local, the naive overload converts local→instant).
-    if (out.toLowerCase.contains("timestamptz")) {
+    if (out.toLowerCase.contains("timestamptz") ||
+        out.toLowerCase.contains("with time zone")) {
+      // TIMESTAMPTZ → VARCHAR renders with duck's '+00' suffix (probed:
+      // '2020-06-01 10:00:00+00') — handled BEFORE the generic literal
+      // rewrite erases the tstz spelling, so the text cast cannot
+      // silently drop the suffix. (Raw tstz SELECTs keep the documented
+      // naive-rendering residual; casts to text are value-exact.)
+      def utcPlus(text: String) = s"'${tstzLiteralToUtc(text)}+00'"
+      val LitStr =
+        """(?i)\bTIMESTAMPTZ\s+'([^']*)'\s*::\s*STRING\b""".r
+      out = LitStr.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+      val CastStr =
+        """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\s*::\s*STRING\b""".r
+      out = CastStr.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+      val CastAs = ("""(?i)\bCAST\s*\(\s*TIMESTAMPTZ\s+'([^']*)'""" +
+        """\s+AS\s+STRING\s*\)""").r
+      out = CastAs.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+      val CastAs2 = ("""(?i)\bCAST\s*\(\s*'([^']*)'\s*::\s*TIMESTAMPTZ""" +
+        """\s+AS\s+STRING\s*\)""").r
+      out = CastAs2.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
       val Lit = """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r
       val in1 = out
       out = Lit.replaceAllIn(out, m =>
@@ -3231,6 +3349,43 @@ class SqlGateway(val spark: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(
           if (in2.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
           else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+      // non-literal casts (r14, verdict item 1 tail): per-row DuckDB-
+      // exact parse through the codegen'd [[graft.functions.DuckTstzCast]]
+      // — a VARCHAR column of offset/zone-bearing text becomes the UTC
+      // instant row by row, with duck's Conversion Error on bad text
+      // (NULL under TRY_CAST). Runs AFTER the literal fast path above,
+      // so constants still fold to plain TIMESTAMP literals.
+      val TzTy = """(?:TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE)"""
+      val Op = """((?:[\w.]+)?\([^()]*\)|[\w.]+)"""
+      val Colon = (s"(?i)$Op\\s*::\\s*$TzTy\\b").r
+      out = Colon.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"graft_tstz_cast(${m.group(1)})"))
+      val CastForm =
+        (s"(?i)\\b(TRY_)?CAST\\s*\\(([^()]+?)\\s+AS\\s+$TzTy\\s*\\)").r
+      out = CastForm.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"graft_tstz_cast(${m.group(2)}" +
+            (if (m.group(1) != null) ", true" else "") + ")"))
+    }
+    // instant-typed CALL results (per-row tstz casts, naive→instant
+    // timezone conversions) cast to text also carry duck's '+00' suffix;
+    // from_utc results are tz-LOCAL NAIVE and correctly stay bare
+    if (out.contains("graft_tstz_cast(") || out.contains("to_utc_timestamp(")) {
+      val CallOp =
+        """((?:graft_tstz_cast|to_utc_timestamp)\((?:[^()]|\([^()]*\))*\))"""
+      val ColonStr = (s"(?i)\\(?\\s*$CallOp\\s*\\)?\\s*::\\s*STRING\\b").r
+      out = ColonStr.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"(CAST(${m.group(1)} AS STRING) || '+00')"))
+      // negative lookahead: must not re-match the ColonStr emission just
+      // above (its own `CAST(call AS STRING) || '+00'` shape)
+      val CastStr2 =
+        (s"(?i)\\bCAST\\s*\\(\\s*\\(?\\s*$CallOp\\s*\\)?\\s+AS\\s+STRING\\s*\\)" +
+          """(?!\s*\|\|\s*'\+00')""").r
+      out = CastStr2.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"(CAST(${m.group(1)} AS STRING) || '+00')"))
     }
     // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
     // (probed: cos/sin differs in the last ulp)
@@ -4459,24 +4614,9 @@ class SqlGateway(val spark: SparkSession) {
         else ") " + m.group(1).toUpperCase + " NULLS ")
     }
     // aggregate FILTER over a WINDOW (Spark's FILTER clause is
-    // aggregation-only): fold the predicate into the argument —
-    // `fn(x) FILTER (WHERE p) OVER …` ≡ `fn(CASE WHEN p THEN x END)
-    // OVER …` for every NULL-skipping aggregate, and count(*) counts a
-    // CASE marker. Paren-free predicates only; others refuse downstream.
-    if (out.toLowerCase.contains("filter") && out.toLowerCase.contains("over")) {
-      val Fow = ("""(?i)\b(\w+)\s*\(\s*(\*|[^()]*?)\s*\)\s+FILTER\s*""" +
-        """\(\s*WHERE\s+([^()]+?)\s*\)\s*(?=OVER\b)""").r
-      val fIn = out
-      out = Fow.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          if (fIn.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
-          else {
-            val fn = m.group(1); val arg = m.group(2); val cond = m.group(3)
-            if (fn.equalsIgnoreCase("count") && (arg == "*" || arg.isEmpty))
-              s"count(CASE WHEN $cond THEN 1 END) "
-            else s"$fn(CASE WHEN $cond THEN $arg END) "
-          }))
-    }
+    // aggregation-only): fold the predicate into the argument — shared
+    // with the pre-EXCLUDE pipeline slot, see [[foldWindowFilter]]
+    out = foldWindowFilter(out)
     // duck's 2-arg map(keys, values) builds from two LISTS. The MAP
     // literal rewrite (clauses phase) also emits varargs map('k', v) —
     // so only LIST-literal operands take the from-arrays form; anything
@@ -5126,44 +5266,18 @@ class SqlGateway(val spark: SparkSession) {
     * inside a string literal stays byte-exact. */
   /** `TIMESTAMPTZ '<text>'` / `'<text>'::TIMESTAMPTZ` literals → a
     * `TIMESTAMP '<utc>'` literal, converted at rewrite time: DuckDB
-    * parses the offset and stores the instant, rendered in the session
-    * zone (UTC here) — probed value-exact incl. equality against the
-    * converted naive TIMESTAMP. No offset = session-zone text (probed;
-    * duck REJECTS short/second-bearing offsets like '+2'/'z'/'+05:30:30'
-    * too — probed, same Conversion Error class). A non-literal
-    * TIMESTAMPTZ cast stays a loud refusal, and the rewrite runs after
-    * the timezone()/AT TIME ZONE spelling guards in
-    * [[rewriteDuckDefaults]] so the direction-ambiguous overloads still
-    * refuse instead of silently running backwards. */
-  private def tstzLiteralToUtc(text: String): String = {
-    val Re = ("""^(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}(?::\d{2})?""" +
-      """(?:\.\d+)?))?\s*(Z|[+-]\d{2}(?::?\d{2})?)?$""").r
-    text.trim match {
-      case Re(d, t, off) =>
-        val time = Option(t).getOrElse("00:00:00")
-        val padded = {
-          val (base, frac) = time.span(_ != '.')
-          (if (base.count(_ == ':') == 1) base + ":00" else base) + frac
-        }
-        val ldt = java.time.LocalDateTime.parse(s"${d}T$padded")
-        val utc = Option(off).filter(_.nonEmpty) match {
-          case None => ldt
-          case Some("Z") => ldt
-          case Some(o) =>
-            val norm = if (o.length == 3) o // +HH
-              else if (!o.contains(":")) o.take(3) + ":" + o.drop(3) // +HHMM
-              else o
-            ldt.atOffset(java.time.ZoneOffset.of(norm))
-              .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
-        }
-        val frac = if (utc.getNano == 0) ""
-          else ("." + f"${utc.getNano}%09d").reverse.dropWhile(_ == '0').reverse
-        f"${utc.getYear}%04d-${utc.getMonthValue}%02d-${utc.getDayOfMonth}%02d " +
-          f"${utc.getHour}%02d:${utc.getMinute}%02d:${utc.getSecond}%02d$frac"
-      case other => throw new IllegalArgumentException(
-        s"Conversion Error: invalid TIMESTAMP WITH TIME ZONE literal '$other'")
-    }
-  }
+    * parses the offset/zone and stores the instant, rendered in the
+    * session zone (UTC here) — probed value-exact incl. equality against
+    * the converted naive TIMESTAMP. Full text grammar (single-digit
+    * fields, named zones, Z, 24:00:00, truncated fractions, duck's
+    * rejection of short/second-bearing offsets) lives in
+    * [[graft.functions.DuckTstzCast]], which is also the r14 PER-ROW
+    * path for non-literal casts. The rewrite runs after the
+    * timezone()/AT TIME ZONE spelling dispatch in
+    * [[rewriteDuckDefaults]], which reads the TIMESTAMPTZ spelling to
+    * pick the conversion direction (instant→local vs local→instant). */
+  private def tstzLiteralToUtc(text: String): String =
+    graft.functions.DuckTstzCast.toUtcText(text)
 
   private def rewriteDuckClauses(sql: String): String = {
     var out = sql
@@ -5352,7 +5466,7 @@ class SqlGateway(val spark: SparkSession) {
       // Operand alone captures just the quoted part and the comparison
       // would run against a string (probed: DATE lhs is common)
       val QOperand =
-        """((?:(?:DATE|TIME|TIMESTAMP|INTERVAL)\s+)?""" +
+        """((?:(?:DATE|TIMESTAMPTZ|TIME|TIMESTAMP|INTERVAL)\s+)?""" +
           """(?:'(?:[^']|'')*'|(?:[\w.]+)?\([^()]*\)|[\w.]+))"""
       val Quant =
         (s"(?i)$QOperand\\s*(=|==|<>|!=|<=|>=|<|>)\\s*(ANY|SOME|ALL)\\s*\\(").r
@@ -6051,11 +6165,11 @@ class SqlGateway(val spark: SparkSession) {
 
   private[engine] def duckCompat(sql: String): String =
     rewriteDuckDefaults(rewriteDuckAliases(rewriteDuckClauses(
-      rewriteWindowExclude(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
+      rewriteWindowExclude(foldWindowFilter(inlineNamedWindowFrames(rewriteDuckTypeSpellings(
         rewriteDuckLiterals(escapeLiteralBackslashes(
           rewriteCurrentQuery(rewriteBareDatetimeKeywords(
             rewriteIntervalHms(rewriteBlobLiterals(rewriteJsonColonCasts(
-              rewriteMultiUnnest(sql))))))))))))))
+              rewriteMultiUnnest(sql)))))))))))))))
 
   /** `x::JSON` → `graft_json_cast(x)` (DuckJsonCast scaladoc). Spark's
     * parser rejects the JSON type name, so the operand is captured by a
@@ -6168,7 +6282,7 @@ class SqlGateway(val spark: SparkSession) {
     * day-time literals (`HOUR TO SECOND` / `HOUR TO MINUTE`). Spellings
     * already carrying a qualifier keyword stay untouched. */
   private val IntervalHmsRe =
-    ("""(?i)\bINTERVAL\s+'(\d+):(\d{1,2})(:\d{1,2}(?:\.\d+)?)?'""" +
+    ("""(?i)\bINTERVAL\s+'(-?\d+):(\d{1,2})(:\d{1,2}(?:\.\d+)?)?'""" +
      """(?!\s*(?:HOUR|MINUTE|SECOND|DAY|MONTH|YEAR|TO)\b)""").r
   private def rewriteIntervalHms(sql: String): String = {
     if (!sql.toLowerCase.contains("interval")) return sql
@@ -6431,11 +6545,55 @@ class SqlGateway(val spark: SparkSession) {
       }
     }
     if (defs.isEmpty) return sql
-    defs.foldLeft(sql) { case (s, (name, body)) =>
+    val extended = defs.foldLeft(sql) { case (s, (name, body)) =>
       s.replaceAll(
         s"""(?is)\\bOVER\\s*\\(\\s*$name\\s+(?=(?:ROWS|RANGE|GROUPS)\\b)""",
         java.util.regex.Matcher.quoteReplacement(s"OVER ($body ") )
     }
+    // r14: a named-window DEFINITION carrying a frame EXCLUDE — plain
+    // `OVER w` references must inline the body (rewriteWindowExclude only
+    // rewrites EXCLUDE inside an OVER(...) spec), and the definition
+    // itself must leave the WINDOW clause (Spark's parser has no EXCLUDE
+    // grammar anywhere, so a surviving definition is a parse error even
+    // when every reference was inlined)
+    val q = java.util.regex.Pattern.quote _
+    defs.filter { case (_, b) =>
+      """(?i)\bexclude\b""".r.findFirstIn(b).isDefined
+    }.foldLeft(extended) { case (s, (name, body)) =>
+      val t = s.replaceAll(s"""(?is)\\bOVER\\s+$name\\b""",
+        java.util.regex.Matcher.quoteReplacement(s"OVER ($body)"))
+      val defBody = s"$name\\s+AS\\s*\\(${q(body)}\\)"
+      val before = (s"(?is),\\s*$defBody").r
+      val after = (s"(?is)\\b$defBody\\s*,").r
+      val alone = (s"(?is)\\bWINDOW\\s+$defBody").r
+      if (before.findFirstIn(t).isDefined) before.replaceAllIn(t, "")
+      else if (after.findFirstIn(t).isDefined) after.replaceAllIn(t, "")
+      else alone.replaceAllIn(t, "")
+    }
+  }
+
+  /** `fn(x) FILTER (WHERE p) OVER …` → `fn(CASE WHEN p THEN x END)
+    * OVER …` — exact for every NULL-skipping aggregate; count(*) counts
+    * a CASE marker. Runs BEFORE [[rewriteWindowExclude]] (the EXCLUDE
+    * arithmetic needs the bare aggregate call adjacent to its OVER, so a
+    * FILTER between them must fold first — r14, the EXCLUDE × named
+    * WINDOW × FILTER combination) and again in rewriteDuckDefaults for
+    * windows arriving by other paths. Paren-free predicates only;
+    * richer ones refuse downstream. */
+  private def foldWindowFilter(sql: String): String = {
+    if (!(sql.toLowerCase.contains("filter") && sql.toLowerCase.contains("over")))
+      return sql
+    val Fow = ("""(?i)\b(\w+)\s*\(\s*(\*|[^()]*?)\s*\)\s+FILTER\s*""" +
+      """\(\s*WHERE\s+([^()]+?)\s*\)\s*(?=OVER\b)""").r
+    Fow.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (sql.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
+        else {
+          val fn = m.group(1); val arg = m.group(2); val cond = m.group(3)
+          if (fn.equalsIgnoreCase("count") && (arg == "*" || arg.isEmpty))
+            s"count(CASE WHEN $cond THEN 1 END) "
+          else s"$fn(CASE WHEN $cond THEN $arg END) "
+        }))
   }
 
   /** SQL-spelled window frame `EXCLUDE` (DuckDB 1.0 grammar: EXCLUDE may

@@ -608,3 +608,43 @@ case class DuckEpochMs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DuckEpochMs =
     copy(child = c)
 }
+
+/** DuckDB's interval → VARCHAR cast text — the same canonical rendering
+  * the result boundary uses (`engine/Results.duckIntervalString`; duck
+  * renders cast text and wire text identically, probed: `(INTERVAL 14
+  * MONTH)::VARCHAR` = '1 year 2 months', `(ts1 - ts2)::VARCHAR` =
+  * '65 days 12:00:00'). Spark's own cast renders the ANSI spelling
+  * (`INTERVAL '31 12:00:00' DAY TO SECOND`) — silently divergent. The
+  * gateway swaps this in for USER casts of interval operands to VARCHAR
+  * on the analyzed plan. Day-time values split whole days out UNLESS
+  * the operand's declared interval starts past DAY (a pure-time literal
+  * or pure-time arithmetic — duck never normalizes micros into days at
+  * render: `(INTERVAL 26 HOUR)::VARCHAR` = '26:00:00'). */
+case class DuckIntervalToVarchar(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = child.dataType match {
+      case t: DayTimeIntervalType =>
+        val micros = v.asInstanceOf[Long]
+        if (t.startField > DayTimeIntervalType.DAY)
+          graft.engine.Results.duckIntervalString(0, 0, micros)
+        else graft.engine.Results.duckIntervalString(
+          0, micros / 86400000000L, micros % 86400000000L)
+      case _: YearMonthIntervalType =>
+        graft.engine.Results.duckIntervalString(
+          v.asInstanceOf[Int].toLong, 0, 0)
+      case CalendarIntervalType =>
+        val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        graft.engine.Results.duckIntervalString(ci.months, ci.days,
+          ci.microseconds)
+      case other => throw new IllegalArgumentException(
+        s"interval-to-VARCHAR: unsupported operand type $other")
+    }
+    UTF8String.fromString(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DuckIntervalToVarchar =
+    copy(child = c)
+}

@@ -4135,10 +4135,245 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT CAST('5' AS INTEGER) + 1 AS c", Seq(6)),
     q("SELECT DATE '2024-01-01' - DATE '2023-12-25' AS days_int", Seq(7)))
 
+  // --- r14 batch: the TIMESTAMPTZ direction matrix (timezone()/AT TIME
+  // ZONE instant→local overloads, per-row casts, chains, arithmetic,
+  // text renderings) + interval rendering provenance. Every value
+  // duck-1.0-probed on 2026-08-16 with TimeZone='UTC'.
+  private def corpusO: Seq[C] = Seq(
+    // instant→local: a TIMESTAMPTZ operand renders as tz-local naive
+    q("SELECT timezone('America/New_York', TIMESTAMPTZ '2020-06-01 12:00:00+00') AS t",
+      Seq("2020-06-01 08:00:00")),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' AT TIME ZONE 'America/New_York' AS t",
+      Seq("2020-06-01 08:00:00")),
+    q("SELECT timezone('America/New_York', TIMESTAMPTZ '2021-01-15 12:00:00+00') AS t",
+      Seq("2021-01-15 07:00:00")), // EST, not EDT
+    q("SELECT timezone('Asia/Kolkata', TIMESTAMPTZ '2020-01-15 00:30:00+00') AS t",
+      Seq("2020-01-15 06:00:00")), // half-hour zone
+    q("SELECT timezone('America/New_York', '2020-06-01 12:00:00+02'::TIMESTAMPTZ) AS t",
+      Seq("2020-06-01 06:00:00")),
+    // DST edges: the instant decides the offset (EDT→EST 2020-11-01,
+    // EST→EDT 2020-03-08)
+    q("SELECT timezone('America/New_York', TIMESTAMPTZ '2020-11-01 05:30:00+00') AS t",
+      Seq("2020-11-01 01:30:00")),
+    q("SELECT timezone('America/New_York', TIMESTAMPTZ '2020-03-08 07:30:00+00') AS t",
+      Seq("2020-03-08 03:30:00")),
+    q("SELECT timezone('America/New_York', NULL::TIMESTAMPTZ) AS t",
+      Seq(null)),
+    q("SELECT epoch(timezone('America/New_York', TIMESTAMPTZ '2020-06-01 12:00:00+00')) AS e",
+      Seq(1590998400.0)),
+    q("SELECT timezone('UTC', TIMESTAMPTZ '2020-06-01 12:00:00+02') AS t",
+      Seq("2020-06-01 10:00:00")),
+    // chains alternate naive↔instant per application (probed)
+    q("SELECT (TIMESTAMPTZ '2020-06-01 12:00:00+00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS t",
+      Seq("2020-05-31 23:00:00")),
+    q("SELECT TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'America/New_York' AT TIME ZONE 'Asia/Tokyo' AS t",
+      Seq("2020-06-02 01:00:00")),
+    q("SELECT timezone('Europe/Berlin', timezone('America/New_York', TIMESTAMP '2020-06-01 12:00:00')) AS t",
+      Seq("2020-06-01 18:00:00")),
+    q("SELECT timezone('Asia/Tokyo', timezone('America/New_York', TIMESTAMPTZ '2020-06-01 12:00:00+00')) AS t",
+      Seq("2020-05-31 23:00:00")),
+    // per-row string→TIMESTAMPTZ casts: duck's text grammar exactly
+    q("SELECT '2020-06-01 12:00:00 America/New_York'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 16:00:00' AS b",
+      Seq(true)), // named zone interprets the wall-clock
+    q("SELECT '2020-06-01 12:00:00 Nope/Zone'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 12:00:00' AS b",
+      Seq(true)), // unknown zone silently IGNORED (probed duck 1.0)
+    q("SELECT '2020-2-1 2:00:00'::TIMESTAMPTZ = TIMESTAMP '2020-02-01 02:00:00' AS b",
+      Seq(true)), // single-digit fields accepted
+    q("SELECT '2020-06-01 24:00:00'::TIMESTAMPTZ = TIMESTAMP '2020-06-02 00:00:00' AS b",
+      Seq(true)), // 24:00:00 exactly rolls to next-day midnight
+    q("SELECT '2020-06-01 12:00:00.1234567+02'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 10:00:00.123456' AS b",
+      Seq(true)), // >6 fraction digits TRUNCATE, never round
+    q("SELECT '2020-06-01 12:00:00Z'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 12:00:00' AS b",
+      Seq(true)),
+    q("SELECT '2020-06-01 12:00:00-0230'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 14:30:00' AS b",
+      Seq(true)), // 4-digit colonless offset
+    q("SELECT 'epoch'::TIMESTAMPTZ = TIMESTAMP '1970-01-01 00:00:00' AS b",
+      Seq(true)),
+    q("SELECT TRY_CAST('garbage' AS TIMESTAMPTZ) AS t", Seq(null)),
+    q("SELECT TRY_CAST('2020-06-31 12:00:00' AS TIMESTAMPTZ) AS t",
+      Seq(null)), // invalid calendar date
+    q("SELECT TRY_CAST('2020-06-01 12:00:00+05:30' AS TIMESTAMPTZ) = TIMESTAMP '2020-06-01 06:30:00' AS b",
+      Seq(true)),
+    err("SELECT '2020-13-01 00:00:00'::TIMESTAMPTZ",
+      "timestamp field value out of range"),
+    err("SELECT '2020-06-01 12:00'::TIMESTAMPTZ",
+      "timestamp field value out of range"), // seconds required
+    err("SELECT '2020-06-01 12:00:00+2'::TIMESTAMPTZ",
+      "timestamp field value out of range"), // short offset
+    err("SELECT '2020-06-01 12:00:00+02:30:30'::TIMESTAMPTZ",
+      "timestamp field value out of range"), // second-bearing offset
+    err("SELECT '2020-06-01 UTC'::TIMESTAMPTZ",
+      "timestamp field value out of range"), // date-only takes no zone
+    q("SELECT epoch(c::TIMESTAMPTZ) AS e FROM (VALUES ('2020-06-01 12:00:00+02'), " +
+      "('2020-06-01 12:00:00'), (NULL)) t(c) ORDER BY e NULLS LAST",
+      Seq(1591005600.0), Seq(1591012800.0), Seq(null)),
+    q("SELECT timezone('America/New_York', CAST(c AS TIMESTAMPTZ)) AS t " +
+      "FROM (VALUES ('2020-06-01 12:00:00+02')) t(c)",
+      Seq("2020-06-01 06:00:00")),
+    q("SELECT CAST(DATE '2020-06-01' AS TIMESTAMPTZ) = TIMESTAMP '2020-06-01 00:00:00' AS b",
+      Seq(true)),
+    q("SELECT CAST(TIMESTAMP '2020-06-01 12:00:00' AS TIMESTAMPTZ) = TIMESTAMP '2020-06-01 12:00:00' AS b",
+      Seq(true)),
+    // TIMESTAMPTZ → VARCHAR renders the UTC instant with duck's '+00'
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02'::VARCHAR AS v",
+      Seq("2020-06-01 10:00:00+00")),
+    q("SELECT '2020-06-01 12:00:00+02'::TIMESTAMPTZ::VARCHAR AS v",
+      Seq("2020-06-01 10:00:00+00")),
+    q("SELECT CAST(TIMESTAMPTZ '2020-06-01 12:00:00.5+02' AS VARCHAR) AS v",
+      Seq("2020-06-01 10:00:00.5+00")),
+    q("SELECT CAST('2020-06-01 12:00:00+02'::TIMESTAMPTZ AS VARCHAR) AS v",
+      Seq("2020-06-01 10:00:00+00")),
+    q("SELECT CAST(c::TIMESTAMPTZ AS VARCHAR) AS v FROM " +
+      "(VALUES ('2020-06-01 12:00:00+02'), (NULL)) t(c) ORDER BY v NULLS LAST",
+      Seq("2020-06-01 10:00:00+00"), Seq(null)),
+    q("SELECT CAST(TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'America/New_York' AS VARCHAR) AS v",
+      Seq("2020-06-01 16:00:00+00")),
+    q("SELECT (TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'America/New_York')::VARCHAR AS v",
+      Seq("2020-06-01 16:00:00+00")),
+    q("SELECT to_timestamp(1591005600)::VARCHAR AS v",
+      Seq("2020-06-01 10:00:00")),
+    // quantified comparisons with a TIMESTAMPTZ-typed-literal lhs (r13
+    // advice: the QOperand alternation must capture it)
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' = ANY(SELECT TIMESTAMP '2020-06-01 12:00:00') AS b",
+      Seq(true)),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02' > ALL(SELECT TIMESTAMP '2020-06-01 09:59:59') AS b",
+      Seq(true)),
+    // TIMESTAMPTZ comparison/arithmetic matrix (literal lhs — duck 1.0
+    // folds COLUMN-cast tstz comparisons back to VARCHAR compares, a
+    // quirk deliberately not replicated; literals bind as instants)
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02' = TIMESTAMP '2020-06-01 10:00:00' AS b",
+      Seq(true)),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02' < TIMESTAMPTZ '2020-06-01 12:00:00+01' AS b",
+      Seq(true)),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' > DATE '2020-06-01' AS b",
+      Seq(true)),
+    q("SELECT (TIMESTAMPTZ '2020-06-01 12:00:00+00' + INTERVAL 90 MINUTE) = TIMESTAMP '2020-06-01 13:30:00' AS b",
+      Seq(true)),
+    q("SELECT (TIMESTAMPTZ '2020-06-01 12:00:00+00' - INTERVAL 1 DAY) = TIMESTAMP '2020-05-31 12:00:00' AS b",
+      Seq(true)),
+    q("SELECT (TIMESTAMPTZ '2020-06-01 12:00:00+00' - TIMESTAMPTZ '2020-05-01 00:00:00+02')::VARCHAR AS v",
+      Seq("31 days 14:00:00")),
+    q("SELECT date_trunc('day', TIMESTAMPTZ '2020-06-01 12:34:56+02') = TIMESTAMP '2020-06-01 00:00:00' AS b",
+      Seq(true)),
+    q("SELECT strftime(TIMESTAMPTZ '2020-06-01 12:00:00+02', '%Y-%m-%d %H:%M') AS s",
+      Seq("2020-06-01 10:00")),
+    q("SELECT year(TIMESTAMPTZ '2020-12-31 23:00:00-02') AS y", Seq(2021)),
+    q("SELECT max(t) = TIMESTAMP '2020-06-01 10:00:00' AS b FROM " +
+      "(SELECT c::TIMESTAMPTZ AS t FROM (VALUES ('2020-06-01 12:00:00+02'), " +
+      "('2020-06-01 09:00:00+02')) v(c)) s", Seq(true)),
+    // interval rendering provenance (r13 verdict item 3): duck never
+    // normalizes micros into days at render — a pure-time literal or
+    // pure-time arithmetic keeps its hours; subtraction results (whose
+    // days field duck populates) day-split; casts render the same text
+    q("SELECT (INTERVAL '26:00:00')::VARCHAR AS v", Seq("26:00:00")),
+    q("SELECT (INTERVAL 26 HOUR)::VARCHAR AS v", Seq("26:00:00")),
+    q("SELECT (INTERVAL '-26:00:00')::VARCHAR AS v", Seq("-26:00:00")),
+    q("SELECT (INTERVAL 90 MINUTE)::VARCHAR AS v", Seq("01:30:00")),
+    q("SELECT (INTERVAL 100000 SECOND)::VARCHAR AS v", Seq("27:46:40")),
+    q("SELECT (INTERVAL 14 MONTH)::VARCHAR AS v", Seq("1 year 2 months")),
+    q("SELECT (INTERVAL 3 DAY)::VARCHAR AS v", Seq("3 days")),
+    q("SELECT CAST(INTERVAL '1 year 2 months' AS VARCHAR) AS v",
+      Seq("1 year 2 months")),
+    q("SELECT (INTERVAL '26:00:00' + INTERVAL 0 SECOND)::VARCHAR AS v",
+      Seq("26:00:00")),
+    q("SELECT (TIMESTAMP '2020-03-06 12:00:00' - TIMESTAMP '2020-01-01 00:00:00')::VARCHAR AS v",
+      Seq("65 days 12:00:00")),
+    q("SELECT (TIMESTAMP '2020-06-01 12:00:00' - TIMESTAMP '2020-05-01 00:00:00')::VARCHAR AS v",
+      Seq("31 days 12:00:00")),
+    q("SELECT INTERVAL '26:00:00' AS i", Seq("26:00:00")),
+    q("SELECT INTERVAL '-26:00:00' AS i", Seq("-26:00:00")),
+    q("SELECT INTERVAL 26 HOUR AS i", Seq("26:00:00")),
+    q("SELECT INTERVAL 90 MINUTE AS i", Seq("01:30:00")))
+
+  // --- r14 batch 2: dependency fences through DROP cascades,
+  // pragma_storage_info over post-UPDATE versioned state, window
+  // EXCLUDE × named-WINDOW × FILTER combinations, AT TIME ZONE through
+  // a view. Every value duck-1.0-probed on 2026-08-16.
+  private def corpusP: Seq[C] = Seq(
+    s("CREATE TABLE dc_t (a INTEGER)"),
+    s("CREATE INDEX dc_i ON dc_t(a)"),
+    q("SELECT count(*) AS c FROM duckdb_dependencies() d JOIN " +
+      "duckdb_indexes() i ON d.refobjid = i.index_oid " +
+      "WHERE i.index_name = 'dc_i'", Seq(1)),
+    s("DROP INDEX dc_i"),
+    // the dependency edge dies with the index
+    q("SELECT count(*) AS c FROM duckdb_dependencies() d JOIN " +
+      "duckdb_tables() t ON d.objid = t.table_oid " +
+      "WHERE t.table_name = 'dc_t'", Seq(0)),
+    s("CREATE SEQUENCE dc_s"),
+    s("CREATE TABLE dc_t2 (i INTEGER DEFAULT nextval('dc_s'))"),
+    // duck's dependency fence: a depended-on sequence refuses DROP (the
+    // message quirkily says "depends on index" — probed verbatim), and
+    // IF EXISTS / RESTRICT do not bypass it
+    err("DROP SEQUENCE dc_s", "because there are entries that depend on it"),
+    err("DROP SEQUENCE IF EXISTS dc_s",
+      "because there are entries that depend on it"),
+    err("DROP SEQUENCE dc_s RESTRICT",
+      "because there are entries that depend on it"),
+    // CASCADE drops the dependent TABLE itself (probed)
+    s("DROP SEQUENCE dc_s CASCADE"),
+    q("SELECT count(*) AS c FROM duckdb_sequences() WHERE " +
+      "sequence_name = 'dc_s'", Seq(0)),
+    q("SELECT count(*) AS c FROM duckdb_tables() WHERE table_name = 'dc_t2'",
+      Seq(0)),
+    s("DROP TABLE dc_t"),
+    q("SELECT count(*) AS c FROM duckdb_dependencies() d JOIN " +
+      "duckdb_tables() t ON d.refobjid = t.table_oid " +
+      "WHERE t.table_name = 'dc_t'", Seq(0)),
+    // storage_info across a versioned UPDATE rewrite: layout-independent
+    // invariants only (chunk counts are engine-internal in BOTH engines)
+    s("CREATE TABLE si_t (a INTEGER, b VARCHAR)"),
+    s("INSERT INTO si_t VALUES (1,'x'), (2,'y'), (3,'z')"),
+    // row-group COUNTS are storage-internal in both engines (duck packs
+    // 3 rows into 1 group of 2 chunks; the engine writes one parquet
+    // group per insert partition) — pin only the layout-independent
+    // facts: the column set, and that every column reports groups
+    q("SELECT count(DISTINCT column_name) AS c FROM " +
+      "pragma_storage_info('si_t')", Seq(2)),
+    q("SELECT count(DISTINCT column_name) AS c FROM " +
+      "pragma_storage_info('si_t') WHERE row_group_id >= 0", Seq(2)),
+    s("UPDATE si_t SET b = 'u' WHERE a = 2"),
+    // the post-UPDATE versioned rewrite still serves footer rows for
+    // every column (duck: the rewritten row group does the same)
+    q("SELECT count(DISTINCT column_name) AS c FROM " +
+      "pragma_storage_info('si_t')", Seq(2)),
+    q("SELECT count(*) > 0 AS ok FROM pragma_storage_info('si_t')",
+      Seq(true)),
+    // window EXCLUDE × named WINDOW × FILTER (r13 verdict item 4 combo)
+    s("CREATE TABLE wexf (id INTEGER, v INTEGER)"),
+    s("INSERT INTO wexf VALUES (1,10),(2,20),(3,30),(4,40),(5,50)"),
+    C("SELECT id, sum(v) FILTER (WHERE v <> 30) OVER w AS s FROM wexf " +
+      "WINDOW w AS (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW) ORDER BY id",
+      Some(Seq(Seq(1, 20), Seq(2, 10), Seq(3, 60), Seq(4, 50), Seq(5, 40))),
+      ordered = true),
+    // GROUP/TIES take RANGE frames (the engine's documented ROWS-frame
+    // refusal — peer membership there is tie-order-dependent)
+    C("SELECT id, count(*) FILTER (WHERE v > 15) OVER w AS c FROM wexf " +
+      "WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      "CURRENT ROW EXCLUDE GROUP) ORDER BY id",
+      Some(Seq(Seq(1, 0), Seq(2, 0), Seq(3, 1), Seq(4, 2), Seq(5, 3))),
+      ordered = true),
+    C("SELECT id, sum(v) OVER w AS a, avg(v) FILTER (WHERE v % 20 = 0) " +
+      "OVER w AS b FROM wexf WINDOW w AS (ORDER BY v RANGE BETWEEN 20 " +
+      "PRECEDING AND 20 FOLLOWING EXCLUDE TIES) ORDER BY id",
+      Some(Seq(Seq(1, 60, 20.0), Seq(2, 100, 30.0), Seq(3, 150, 30.0),
+        Seq(4, 140, 30.0), Seq(5, 120, 40.0))), ordered = true),
+    C("SELECT id, sum(v) FILTER (WHERE id <> 2) OVER w AS s FROM wexf " +
+      "WINDOW w AS (ORDER BY v RANGE BETWEEN 10 PRECEDING AND 10 " +
+      "FOLLOWING EXCLUDE CURRENT ROW) ORDER BY id",
+      Some(Seq(Seq(1, null), Seq(2, 40), Seq(3, 40), Seq(4, 80),
+        Seq(5, 40))), ordered = true),
+    // TIMESTAMPTZ direction through a VIEW body (rewrites must survive
+    // view re-binding)
+    s("CREATE VIEW tzv AS SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02' " +
+      "AT TIME ZONE 'America/New_York' AS loc"),
+    q("SELECT loc FROM tzv", Seq("2020-06-01 06:00:00")))
+
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
       corpusG ++ corpusH ++ corpusI ++ corpusJ ++ corpusK ++ corpusL ++
-      corpusM ++ corpusN
+      corpusM ++ corpusN ++ corpusO ++ corpusP
 
   test("every DuckDB-corpus statement is DuckDB-correct or refuses — " +
        "never silently wrong") {
