@@ -33,14 +33,18 @@ object Results {
     *
     * Documented residual (r14, next to the interval provenance note
     * below): a RAW TIMESTAMPTZ expression selected to the boundary
-    * reports type TIMESTAMP and naive UTC text — duck reports TIMESTAMP
-    * WITH TIME ZONE and a '+00' suffix. The VALUE is the same instant
-    * (the rewrite pins TIMESTAMPTZ operands to UTC), every tz-direction
+    * reports naive UTC text (and, unless the column declares the type in
+    * metadata, the TIMESTAMP type name) — duck reports TIMESTAMP WITH
+    * TIME ZONE and a '+00' suffix. The VALUE is the same instant (the
+    * rewrite pins TIMESTAMPTZ operands to UTC), every tz-direction
     * conversion result is naive in both engines, and TIMESTAMPTZ→VARCHAR
-    * casts render duck's '+00' text exactly (rewrite-level). Only the
-    * raw select's type/text spelling differs: Spark's single
-    * instant-typed TIMESTAMP cannot be told apart from a naive one at
-    * the result boundary without threading metadata through arbitrary
+    * casts render duck's '+00' text exactly for literals (rewrite-level)
+    * and for declared-tstz columns / per-row casts / naive→instant
+    * conversions (plan-level, `SqlGateway.complexVarcharCasts`). What
+    * stays naive-rendered: DERIVED instant expressions (aggregates,
+    * coalesce/case over folded literals) cast to VARCHAR — Spark's
+    * single instant-typed TIMESTAMP cannot be told apart from a naive
+    * one there without threading metadata through arbitrary
     * expressions. */
   def duckTypeName(f: StructField): String =
     if (f.metadata.contains(DuckTypeKey)) f.metadata.getString(DuckTypeKey)

@@ -2136,7 +2136,7 @@ class SqlGateway(val spark: SparkSession) {
     * divergence otherwise. Analyzed-plan swap with a cheap existence
     * short-circuit, exactly the SubtractDates pattern above. */
   private def complexVarcharCasts(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, FromUTCTimestamp, ToUTCTimestamp}
     import org.apache.spark.sql.types.{ArrayType, CalendarIntervalType, DayTimeIntervalType, MapType, StringType, StructType, YearMonthIntervalType}
     def isComplex(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
@@ -2146,10 +2146,32 @@ class SqlGateway(val spark: SparkSession) {
     def isInterval(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt.isInstanceOf[DayTimeIntervalType] ||
         dt.isInstanceOf[YearMonthIntervalType] || dt == CalendarIntervalType
+    // declared-TIMESTAMPTZ table column: the text rewrites cannot see a
+    // COLUMN's declared type, so the analyzed plan is where duck's two
+    // timezone()/AT TIME ZONE overloads dispatch for columns — the text
+    // pass emits to_utc (the naive overload), and a tstz-declared operand
+    // flips it to from_utc (instant→local, duck's tstz overload). The
+    // same declared-type knowledge drives the '+00' VARCHAR-cast suffix.
+    def declaredTstz(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case a: AttributeReference =>
+          a.metadata.contains(Results.DuckTypeKey) &&
+            a.metadata.getString(Results.DuckTypeKey) == "TIMESTAMP WITH TIME ZONE"
+        case _ => false
+      }
+    def instantTyped(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case t: ToUTCTimestamp => !declaredTstz(t.left) // tstz operand flips below
+        case _: graft.functions.DuckTstzCast => true
+        case a if declaredTstz(a) => true
+        case _ => false
+      }
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(_.expressions.exists(_.exists {
       case c: Cast => c.dataType.isInstanceOf[StringType] &&
-        (isComplex(c.child.dataType) || isInterval(c.child.dataType))
+        (isComplex(c.child.dataType) || isInterval(c.child.dataType) ||
+          instantTyped(c.child))
+      case t: ToUTCTimestamp => declaredTstz(t.left)
       case _ => false
     }))
     if (!hasIt) df
@@ -2160,6 +2182,11 @@ class SqlGateway(val spark: SparkSession) {
       case c: Cast if c.dataType.isInstanceOf[StringType] &&
           isInterval(c.child.dataType) =>
         graft.functions.DuckIntervalToVarchar(c.child)
+      case c: Cast if c.dataType.isInstanceOf[StringType] &&
+          instantTyped(c.child) =>
+        graft.functions.DuckInstantToVarchar(c.child)
+      case t: ToUTCTimestamp if declaredTstz(t.left) =>
+        FromUTCTimestamp(t.left, t.right)
     })
   }
 
@@ -2687,8 +2714,8 @@ class SqlGateway(val spark: SparkSession) {
     "row_to_json" -> "to_json",        // struct → minified object (probed)
     "array_to_json" -> "to_json",      // list → minified array (probed)
     "unpivot_list" -> "array",
-    "make_timestamptz" -> "make_timestamp", // session TZ is pinned UTC; the
-                                       // optional 7th tz arg means the same
+    // (make_timestamptz is a Defaults fix, not an alias: its result must
+    // carry instant-typedness for the '+00' VARCHAR suffix)
     "transaction_timestamp" -> "now",
     "get_current_timestamp" -> "now",
     "current_localtimestamp" -> "localtimestamp",
@@ -3108,6 +3135,15 @@ class SqlGateway(val spark: SparkSession) {
     if (out.toLowerCase.contains("make_timestamp"))
       out = fix(out, "make_timestamp", 1, a =>
         Some(s"timestamp_micros(${a(0)})"))
+    // make_timestamptz: session TZ is pinned UTC, so the 6-arg form is
+    // make_timestamp's instant and the 7th arg means the same zone
+    // interpretation — wrapped in the identity tstz cast so the result
+    // carries instant-typedness (the '+00' VARCHAR suffix, probed)
+    if (out.toLowerCase.contains("make_timestamptz"))
+      out = fix(out, "make_timestamptz", -1, a =>
+        if (a.length == 6 || a.length == 7)
+          Some(s"graft_tstz_cast(make_timestamp(${a.mkString(", ")}))")
+        else None)
     // timezone(tz, ts) and `ts AT TIME ZONE tz` dispatch on the OPERAND's
     // direction (probed): a naive TIMESTAMP is interpreted in tz and
     // becomes the instant (12:00 NY → 16:00+00 → to_utc_timestamp); a
@@ -3368,25 +3404,12 @@ class SqlGateway(val spark: SparkSession) {
           s"graft_tstz_cast(${m.group(2)}" +
             (if (m.group(1) != null) ", true" else "") + ")"))
     }
-    // instant-typed CALL results (per-row tstz casts, naive→instant
-    // timezone conversions) cast to text also carry duck's '+00' suffix;
-    // from_utc results are tz-LOCAL NAIVE and correctly stay bare
-    if (out.contains("graft_tstz_cast(") || out.contains("to_utc_timestamp(")) {
-      val CallOp =
-        """((?:graft_tstz_cast|to_utc_timestamp)\((?:[^()]|\([^()]*\))*\))"""
-      val ColonStr = (s"(?i)\\(?\\s*$CallOp\\s*\\)?\\s*::\\s*STRING\\b").r
-      out = ColonStr.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"(CAST(${m.group(1)} AS STRING) || '+00')"))
-      // negative lookahead: must not re-match the ColonStr emission just
-      // above (its own `CAST(call AS STRING) || '+00'` shape)
-      val CastStr2 =
-        (s"(?i)\\bCAST\\s*\\(\\s*\\(?\\s*$CallOp\\s*\\)?\\s+AS\\s+STRING\\s*\\)" +
-          """(?!\s*\|\|\s*'\+00')""").r
-      out = CastStr2.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"(CAST(${m.group(1)} AS STRING) || '+00')"))
-    }
+    // (instant-typed CALL results cast to VARCHAR — per-row tstz casts,
+    // naive→instant timezone conversions, declared-TIMESTAMPTZ columns —
+    // get duck's '+00' suffix on the ANALYZED plan in
+    // [[complexVarcharCasts]], where the declared column type is known;
+    // a text-level append here would run the wrong way for a
+    // declared-tstz column whose to_utc emission the plan pass flips.)
     // xor is the function spelling of ^; cot(x) is 1/tan(x) bit-exactly
     // (probed: cos/sin differs in the last ulp)
     if (out.toLowerCase.contains("xor("))

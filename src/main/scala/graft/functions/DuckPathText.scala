@@ -648,3 +648,31 @@ case class DuckIntervalToVarchar(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): DuckIntervalToVarchar =
     copy(child = c)
 }
+
+/** DuckDB's TIMESTAMPTZ → VARCHAR cast text: the UTC instant with the
+  * session-zone suffix (`2020-06-01 10:00:00+00`, fraction trimmed —
+  * probed). The gateway swaps this in on the ANALYZED plan for VARCHAR
+  * casts of instant-typed operands: a declared-TIMESTAMPTZ table column
+  * (`Results.DuckTypeKey` metadata), a per-row [[DuckTstzCast]], or a
+  * naive→instant timezone conversion — Spark's own cast renders the
+  * bare naive text. */
+case class DuckInstantToVarchar(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val micros = v.asInstanceOf[Long]
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val base = java.time.LocalDateTime.ofEpochSecond(secs, 0,
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd HH:mm:ss"))
+    val f = if (frac == 0) ""
+      else "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+    UTF8String.fromString(base + f + "+00")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DuckInstantToVarchar =
+    copy(child = c)
+}

@@ -4368,7 +4368,85 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // view re-binding)
     s("CREATE VIEW tzv AS SELECT TIMESTAMPTZ '2020-06-01 12:00:00+02' " +
       "AT TIME ZONE 'America/New_York' AS loc"),
-    q("SELECT loc FROM tzv", Seq("2020-06-01 06:00:00")))
+    q("SELECT loc FROM tzv", Seq("2020-06-01 06:00:00")),
+    // declared-TIMESTAMPTZ table COLUMNS (r14): the plan-level pass reads
+    // the declared type the text rewrites cannot see — duck's tstz
+    // overload of timezone()/AT TIME ZONE on a column, and the '+00'
+    // VARCHAR text; INSERT strings parse their offsets per row
+    s("CREATE TABLE tztab (id INTEGER, t TIMESTAMPTZ)"),
+    s("INSERT INTO tztab VALUES (1, '2020-06-01 12:00:00+02'), " +
+      "(2, '2020-06-01 08:00:00-03'), (3, NULL)"),
+    C("SELECT id, t::VARCHAR AS v FROM tztab ORDER BY id",
+      Some(Seq(Seq(1, "2020-06-01 10:00:00+00"),
+        Seq(2, "2020-06-01 11:00:00+00"), Seq(3, null))), ordered = true),
+    q("SELECT id FROM tztab WHERE t > TIMESTAMPTZ '2020-06-01 10:30:00+00'",
+      Seq(2)),
+    q("SELECT timezone('America/New_York', t)::VARCHAR AS v FROM tztab " +
+      "WHERE id = 1", Seq("2020-06-01 06:00:00")), // instant→local on a COLUMN
+    q("SELECT t AT TIME ZONE 'Asia/Tokyo' AS v FROM tztab WHERE id = 1",
+      Seq("2020-06-01 19:00:00")),
+    C("SELECT date_part('hour', t) AS h FROM tztab ORDER BY id",
+      Some(Seq(Seq(10), Seq(11), Seq(null))), ordered = true),
+    q("SELECT epoch_ms(t) AS e FROM tztab WHERE id = 1", Seq(1591005600000L)),
+    q("SELECT max(t) = TIMESTAMP '2020-06-01 11:00:00' AS b FROM tztab",
+      Seq(true)),
+    C("SELECT strftime(t, '%H:%M') AS s FROM tztab ORDER BY id",
+      Some(Seq(Seq("10:00"), Seq("11:00"), Seq(null))), ordered = true),
+    q("SELECT (t - TIMESTAMPTZ '2020-06-01 00:00:00+00')::VARCHAR AS d " +
+      "FROM tztab WHERE id = 1", Seq("10:00:00")),
+    q("SELECT age(TIMESTAMPTZ '2020-06-01 12:00:00+00', " +
+      "TIMESTAMPTZ '2020-01-01 00:00:00+00')::VARCHAR AS a",
+      Seq("5 months 12:00:00")),
+    q("SELECT last_day(TIMESTAMPTZ '2020-02-10 12:00:00+00') AS l",
+      Seq("2020-02-29")),
+    q("SELECT time_bucket(INTERVAL 30 MINUTE, " +
+      "TIMESTAMPTZ '2020-06-01 12:40:00+00') = " +
+      "TIMESTAMP '2020-06-01 12:30:00' AS b", Seq(true)),
+    // TIMESTAMPTZ through the scalar date/time surface (all probed)
+    q("SELECT hour(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS h", Seq(10)),
+    q("SELECT minute(TIMESTAMPTZ '2020-06-01 12:34:00+02') AS m", Seq(34)),
+    q("SELECT monthname(TIMESTAMPTZ '2020-06-01 12:00:00+00') AS m",
+      Seq("June")),
+    q("SELECT dayname(TIMESTAMPTZ '2020-06-01 12:00:00+00') AS d",
+      Seq("Monday")),
+    q("SELECT century(TIMESTAMPTZ '2020-06-01 12:00:00+00') AS c", Seq(21)),
+    q("SELECT decade(TIMESTAMPTZ '2020-06-01 12:00:00+00') AS d", Seq(202)),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' BETWEEN " +
+      "TIMESTAMP '2020-06-01 00:00:00' AND TIMESTAMP '2020-06-02 00:00:00' AS b",
+      Seq(true)),
+    q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' IN " +
+      "(TIMESTAMP '2020-06-01 12:00:00', TIMESTAMP '2020-01-01 00:00:00') AS b",
+      Seq(true)),
+    q("SELECT nullif(TIMESTAMPTZ '2020-06-01 12:00:00+00', " +
+      "TIMESTAMP '2020-06-01 12:00:00') AS n", Seq(null)),
+    q("SELECT date_diff('hour', TIMESTAMPTZ '2020-06-01 00:00:00+00', " +
+      "TIMESTAMPTZ '2020-06-01 12:30:00+02') AS d", Seq(10)),
+    q("SELECT datediff('day', TIMESTAMPTZ '2020-06-01 00:00:00+00', " +
+      "TIMESTAMPTZ '2020-06-05 00:00:00+00') AS d", Seq(4)),
+    q("SELECT [TIMESTAMPTZ '2020-06-01 00:00:00+00', " +
+      "TIMESTAMPTZ '2020-06-02 00:00:00+02'][2] = " +
+      "TIMESTAMP '2020-06-01 22:00:00' AS e", Seq(true)),
+    q("SELECT extract(epoch FROM TIMESTAMPTZ '2020-06-01 12:00:00+02') AS e",
+      Seq(1591005600.0)),
+    q("SELECT extract(timezone FROM TIMESTAMPTZ '2020-06-01 12:00:00+02') AS tz",
+      Seq(0)),
+    q("SELECT make_timestamptz(2020, 6, 1, 12, 0, 0.0)::VARCHAR AS m",
+      Seq("2020-06-01 12:00:00+00")),
+    q("SELECT make_timestamptz(2020, 6, 1, 12, 0, 0.0, " +
+      "'America/New_York')::VARCHAR AS m", Seq("2020-06-01 16:00:00+00")),
+    q("SELECT date_add(TIMESTAMPTZ '2020-06-01 12:00:00+00', " +
+      "INTERVAL 26 HOUR) = TIMESTAMP '2020-06-02 14:00:00' AS b", Seq(true)),
+    // interval constructor family renders duck's canonical text (the
+    // to_* results keep their sub-day provenance)
+    q("SELECT to_hours(26)::VARCHAR AS h", Seq("26:00:00")),
+    q("SELECT to_minutes(90)::VARCHAR AS m", Seq("01:30:00")),
+    q("SELECT to_days(3)::VARCHAR AS d", Seq("3 days")),
+    q("SELECT to_months(14)::VARCHAR AS m", Seq("1 year 2 months")),
+    q("SELECT to_seconds(100000)::VARCHAR AS s", Seq("27:46:40")),
+    q("SELECT to_years(2)::VARCHAR AS y", Seq("2 years")),
+    q("SELECT to_milliseconds(1500)::VARCHAR AS m", Seq("00:00:01.5")),
+    q("SELECT to_microseconds(1500000)::VARCHAR AS m", Seq("00:00:01.5")),
+    q("SELECT (INTERVAL 90 MINUTE / 2)::VARCHAR AS v", Seq("00:45:00")))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
