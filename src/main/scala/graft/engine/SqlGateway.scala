@@ -2150,28 +2150,76 @@ class SqlGateway(val spark: SparkSession) {
     // COLUMN's declared type, so the analyzed plan is where duck's two
     // timezone()/AT TIME ZONE overloads dispatch for columns — the text
     // pass emits to_utc (the naive overload), and a tstz-declared operand
-    // flips it to from_utc (instant→local, duck's tstz overload). The
-    // same declared-type knowledge drives the '+00' VARCHAR-cast suffix.
-    def declaredTstz(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    // flips it to from_utc (instant→local, duck's tstz overload).
+    // Instant-typedness reaches through Max/Min/First/Last aggregates
+    // and interval arithmetic over a declared column (duck: max(tstz)
+    // and tstz + INTERVAL stay TIMESTAMPTZ — probed; r14 review).
+    // The same declared-type knowledge drives the '+00' VARCHAR suffix.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, TimestampAddInterval, TimestampAddYMInterval}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
+    def declaredTstz(e: Expression): Boolean =
       e match {
         case a: AttributeReference =>
           a.metadata.contains(Results.DuckTypeKey) &&
             a.metadata.getString(Results.DuckTypeKey) == "TIMESTAMP WITH TIME ZONE"
+        case al: Alias => declaredTstz(al.child)
+        case agg: AggregateExpression => agg.aggregateFunction match {
+          case m: Max => declaredTstz(m.child)
+          case m: Min => declaredTstz(m.child)
+          case f: First => declaredTstz(f.child)
+          case l: Last => declaredTstz(l.child)
+          case _ => false
+        }
+        case ta: TimestampAddInterval => declaredTstz(ta.start)
+        case ta: TimestampAddYMInterval => declaredTstz(ta.timestamp)
+        // the analyzer wraps interval arithmetic in a re-cast to
+        // timestamp — instant-ness passes through timestamp→timestamp
+        // casts (never through string/date casts, whose semantics the
+        // text pass already owns)
+        case c: Cast if (c.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            c.dataType == org.apache.spark.sql.types.TimestampNTZType) &&
+            (c.child.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+              c.child.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+          declaredTstz(c.child)
         case _ => false
       }
-    def instantTyped(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-      e match {
-        case t: ToUTCTimestamp => !declaredTstz(t.left) // tstz operand flips below
-        case _: graft.functions.DuckTstzCast => true
-        case a if declaredTstz(a) => true
-        case _ => false
-      }
+    // post-fix instant-ness of a (possibly chained) tz expression; None =
+    // unknown (a folded literal — the TEXT dispatch already chose from
+    // its spelling and is trusted)
+    def instantNess(e: Expression): Option[Boolean] = e match {
+      case _: ToUTCTimestamp => Some(true)
+      case _: FromUTCTimestamp => Some(false)
+      case _: graft.functions.DuckTstzCast => Some(true)
+      case x if declaredTstz(x) => Some(true)
+      case _ => None
+    }
+    // re-derive a whole AT TIME ZONE / timezone() CHAIN bottom-up: duck
+    // alternates instant↔naive per application, and a single flip at the
+    // chain's bottom (a declared-tstz column) must cascade — the r14
+    // review's `t AT NY AT Tokyo` case, where flipping only the inner
+    // node left the outer one running the wrong way
+    def fixTzChain(e: Expression): Expression = e match {
+      case t: ToUTCTimestamp =>
+        val l = fixTzChain(t.left)
+        instantNess(l) match {
+          case Some(true) => FromUTCTimestamp(l, t.right)
+          case _ => if (l eq t.left) t else ToUTCTimestamp(l, t.right)
+        }
+      case f: FromUTCTimestamp =>
+        val l = fixTzChain(f.left)
+        instantNess(l) match {
+          case Some(false) => ToUTCTimestamp(l, f.right)
+          case _ => if (l eq f.left) f else FromUTCTimestamp(l, f.right)
+        }
+      case other => other
+    }
     val analyzed = df.queryExecution.analyzed
     val hasIt = analyzed.exists(_.expressions.exists(_.exists {
       case c: Cast => c.dataType.isInstanceOf[StringType] &&
         (isComplex(c.child.dataType) || isInterval(c.child.dataType) ||
-          instantTyped(c.child))
-      case t: ToUTCTimestamp => declaredTstz(t.left)
+          instantNess(fixTzChain(c.child)).contains(true))
+      case t: ToUTCTimestamp => fixTzChain(t) ne t
+      case f: FromUTCTimestamp => fixTzChain(f) ne f
       case _ => false
     }))
     if (!hasIt) df
@@ -2182,11 +2230,17 @@ class SqlGateway(val spark: SparkSession) {
       case c: Cast if c.dataType.isInstanceOf[StringType] &&
           isInterval(c.child.dataType) =>
         graft.functions.DuckIntervalToVarchar(c.child)
-      case c: Cast if c.dataType.isInstanceOf[StringType] &&
-          instantTyped(c.child) =>
-        graft.functions.DuckInstantToVarchar(c.child)
-      case t: ToUTCTimestamp if declaredTstz(t.left) =>
-        FromUTCTimestamp(t.left, t.right)
+      case c: Cast if c.dataType.isInstanceOf[StringType] && {
+            val f = fixTzChain(c.child)
+            instantNess(f).contains(true) || (f ne c.child)
+          } => {
+        val f = fixTzChain(c.child)
+        if (instantNess(f).contains(true))
+          graft.functions.DuckInstantToVarchar(f)
+        else c.copy(child = f) // chain fixed, result naive: Spark's cast
+      }
+      case t: ToUTCTimestamp if fixTzChain(t) ne t => fixTzChain(t)
+      case f: FromUTCTimestamp if fixTzChain(f) ne f => fixTzChain(f)
     })
   }
 
@@ -3101,11 +3155,13 @@ class SqlGateway(val spark: SparkSession) {
       out = fix(out, "epoch_ns", 1, a =>
         Some(s"(unix_micros(${a.head}) * 1000)"))
     // to_timestamp over an epoch-seconds NUMBER (duck's overload; the
-    // string overload is Spark-native and untouched)
+    // string overload is Spark-native and untouched). Duck types the
+    // result TIMESTAMP WITH TIME ZONE (probed: its ::VARCHAR carries
+    // '+00') — the identity tstz cast marks the instant-typedness.
     if (out.toLowerCase.contains("to_timestamp"))
       out = fix(out, "to_timestamp", 1, a =>
         if (a.head.trim.matches("""-?\d+(\.\d+)?"""))
-          Some(s"timestamp_seconds(${a.head})") else None)
+          Some(s"graft_tstz_cast(timestamp_seconds(${a.head}))") else None)
     if (out.toLowerCase.contains("txid_current"))
       out = fix(out, "txid_current", -1, a =>
         if (a.isEmpty || a == Seq("")) Some("CAST(1 AS BIGINT)") else None)
@@ -3365,11 +3421,14 @@ class SqlGateway(val spark: SparkSession) {
         """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\s*::\s*STRING\b""".r
       out = CastStr.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
-      val CastAs = ("""(?i)\bCAST\s*\(\s*TIMESTAMPTZ\s+'([^']*)'""" +
+      // TRY_CAST included: a VALID literal renders identically, and an
+      // invalid one already fails at the LITERAL (duck errors on the
+      // literal itself before any TRY_CAST can absorb it — probed)
+      val CastAs = ("""(?i)\b(?:TRY_)?CAST\s*\(\s*TIMESTAMPTZ\s+'([^']*)'""" +
         """\s+AS\s+STRING\s*\)""").r
       out = CastAs.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
-      val CastAs2 = ("""(?i)\bCAST\s*\(\s*'([^']*)'\s*::\s*TIMESTAMPTZ""" +
+      val CastAs2 = ("""(?i)\b(?:TRY_)?CAST\s*\(\s*'([^']*)'\s*::\s*TIMESTAMPTZ""" +
         """\s+AS\s+STRING\s*\)""").r
       out = CastAs2.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))

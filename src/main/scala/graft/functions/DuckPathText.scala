@@ -660,18 +660,8 @@ case class DuckInstantToVarchar(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(v: Any): Any = {
-    val micros = v.asInstanceOf[Long]
-    val secs = Math.floorDiv(micros, 1000000L)
-    val frac = Math.floorMod(micros, 1000000L)
-    val base = java.time.LocalDateTime.ofEpochSecond(secs, 0,
-      java.time.ZoneOffset.UTC)
-      .format(java.time.format.DateTimeFormatter
-        .ofPattern("uuuu-MM-dd HH:mm:ss"))
-    val f = if (frac == 0) ""
-      else "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
-    UTF8String.fromString(base + f + "+00")
-  }
+  override def nullSafeEval(v: Any): Any = UTF8String.fromString(
+    DuckTstzCast.microsToUtcText(v.asInstanceOf[Long]) + "+00")
 
   override protected def withNewChildInternal(c: Expression): DuckInstantToVarchar =
     copy(child = c)

@@ -101,6 +101,14 @@ object DuckTstzCast {
     """(?:[ T](\d{1,2}):(\d{2}):(\d{2})(\.\d+)?""" +
     """(?:(Z)|([+-]\d{2}(?::?\d{2})?)|\s+(\S+)\s*)?)?$""").r
 
+  /** Cached once: ZoneRulesProvider copies the full ~600-entry set on
+    * every getAvailableZoneIds call — a per-row allocation on the
+    * codegen'd cast path otherwise (r14 review). The tz database does
+    * not change within a JVM. */
+  private val AvailableZones: java.util.Set[String] =
+    java.util.Collections.unmodifiableSet(
+      new java.util.HashSet(java.time.ZoneId.getAvailableZoneIds))
+
   /** Parse DuckDB TIMESTAMPTZ text (grammar in the class scaladoc) to
     * UTC-instant micros; throws DuckDB's Conversion Error on mismatch. */
   def parseUtcMicros(text: String): Long = {
@@ -139,8 +147,7 @@ object DuckTstzCast {
               ldt.atOffset(java.time.ZoneOffset.of(norm))
                 .withOffsetSameInstant(java.time.ZoneOffset.UTC)
                 .toLocalDateTime
-            } else if (zone != null &&
-                java.time.ZoneId.getAvailableZoneIds.contains(zone)) {
+            } else if (zone != null && AvailableZones.contains(zone)) {
               // known zone name: wall-clock in that zone → instant;
               // an UNKNOWN name is silently ignored (naive) — probed
               ldt.atZone(java.time.ZoneId.of(zone))
@@ -157,12 +164,11 @@ object DuckTstzCast {
     }
   }
 
-  /** The UTC-naive text of a TIMESTAMPTZ literal — the rewrite-time twin
-    * of the per-row cast (`SqlGateway`'s literal pass emits
-    * `TIMESTAMP '<this>'`). Fraction trimmed of trailing zeros, like
-    * DuckDB's rendering. */
-  def toUtcText(text: String): String = {
-    val micros = parseUtcMicros(text)
+  /** UTC-instant micros → duck's naive text (`2020-06-01 10:00:00[.f]`,
+    * fraction trimmed of trailing zeros) — the single formatter behind
+    * both the literal rewrite and [[DuckInstantToVarchar]]'s '+00'
+    * rendering (one source of truth for fraction/negative-epoch edges). */
+  def microsToUtcText(micros: Long): String = {
     val ldt = java.time.LocalDateTime.ofEpochSecond(
       Math.floorDiv(micros, 1000000L),
       (Math.floorMod(micros, 1000000L) * 1000L).toInt,
@@ -172,4 +178,9 @@ object DuckTstzCast {
     f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d$frac"
   }
+
+  /** The UTC-naive text of a TIMESTAMPTZ literal — the rewrite-time twin
+    * of the per-row cast (`SqlGateway`'s literal pass emits
+    * `TIMESTAMP '<this>'`). */
+  def toUtcText(text: String): String = microsToUtcText(parseUtcMicros(text))
 }

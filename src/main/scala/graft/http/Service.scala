@@ -398,7 +398,13 @@ class Service(gateway: SqlGateway, port: Int = 0,
     fetchBody(s"$base/status") match {
       case Some(body) =>
         leaderDeadSinceMs.set(0L)
-        lastLeaderContactMs.set(System.currentTimeMillis)
+        // stickiness contact only from a node answering AS LEADER: in
+        // crossed adoption the followed peer is itself a follower, and
+        // stamping its replies would make handleVote's recency check deny
+        // the very campaign that heals the cross (post-r14-review: with
+        // an advertised lease that was a permanent leaderless livelock)
+        if (Json.extractField(body, "role").contains("leader"))
+          lastLeaderContactMs.set(System.currentTimeMillis)
         parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
         Json.extractField(body, "nodes").foreach { roster =>
           roster.split(",").filter(_.contains("=")).foreach { e =>
@@ -752,6 +758,16 @@ class Service(gateway: SqlGateway, port: Int = 0,
         "term" -> Json.str(term.get.toString)))
     if (!followsLog) return deny("non-voter: snapshot-only replica")
     if (currentLeader.get().isEmpty) return deny("i am the leader")
+    // cheap denials FIRST (no I/O): a stale or already-granted term must
+    // not pay the leader probe below — a retrying candidate or a vote
+    // storm would otherwise burn ~3s of pool time per doomed request
+    voteLock.synchronized {
+      if (t <= term.get) return deny(s"stale campaign term $t <= ${term.get}")
+      if (t <= votedTerm)
+        return deny(s"already voted for $votedFor in term $votedTerm")
+      if (candApplied < lastApplied.get)
+        return deny(s"candidate log behind: $candApplied < ${lastApplied.get}")
+    }
     val lease = leaderLeaseMs.get
     val window =
       if (lease > 0) lease + 250
@@ -759,20 +775,22 @@ class Service(gateway: SqlGateway, port: Int = 0,
       else 0L
     val heardRecently = window > 0 &&
       System.currentTimeMillis - lastLeaderContactMs.get < window
+    if (heardRecently) return deny("my leader spoke within its lease window")
     // instant probe OUTSIDE voteLock (slow I/O never under a lock); only
     // a peer ANSWERING AS LEADER counts — a follower the local node
     // happens to point at (crossed adoption) must not block elections
-    val leaderAliveNow = !heardRecently && currentLeader.get().exists(b =>
+    val leaderAliveNow = currentLeader.get().exists(b =>
       fetchBody(s"$b/status").exists(st =>
         Json.extractField(st, "role").contains("leader")))
+    if (leaderAliveNow) return deny("my leader is alive right now")
     voteLock.synchronized {
+      // re-checked under the lock: a concurrent grant may have moved
+      // votedTerm/term while the probe ran
       if (t <= term.get) return deny(s"stale campaign term $t <= ${term.get}")
       if (t <= votedTerm)
         return deny(s"already voted for $votedFor in term $votedTerm")
       if (candApplied < lastApplied.get)
         return deny(s"candidate log behind: $candApplied < ${lastApplied.get}")
-      if (heardRecently) return deny("my leader spoke within its lease window")
-      if (leaderAliveNow) return deny("my leader is alive right now")
       votedTerm = t; votedFor = cand
       persistVote()
       term.set(t)
@@ -1059,19 +1077,22 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // a zombie ex-leader — reject it even if this follower never
     // repointed; a HIGHER term is the new leader announcing itself —
     // adopt its term and address. r14: an EQUAL-term push from a node
-    // other than the current leader is the unique term-t election winner
+    // other than the current leader is the term-t election winner
     // announcing itself to a voter that granted t (the grant adopted the
-    // term before the winner's first append) — one-grant-per-term votes
-    // make the term-t leader unique, so adopt it, exactly as Raft
-    // followers adopt any AppendEntries sender at currentTerm. Term 1 is
-    // the UNVOTED bootstrap term, where uniqueness is not guaranteed
-    // (two bootstrap leaders joined together): there the from-mismatch
-    // fence below still rejects the rival.
+    // term before the winner's first append) — adopted ONLY when this
+    // node actually witnessed a term-t campaign (votedTerm == t):
+    // one-grant-per-term votes make the term-t winner unique within the
+    // fleet whose election this node voted in, but a MERGED roster of
+    // two independent clusters can hold two equal-term leaders with no
+    // shared vote history (post-r14-review) — those, like the unvoted
+    // bootstrap term, fall through to the from-mismatch fence below and
+    // resolve through leaderTick's deterministic higher-log rule.
     parseLong(body, "t").foreach { t =>
       if (t < term.get)
         return (409, obj("error" -> Json.str(
           s"stale term $t < ${term.get}")))
-      if (t > term.get || (t == term.get && t > 1L)) {
+      val votedThisTerm = voteLock.synchronized { votedTerm == t }
+      if (t > term.get || (t == term.get && votedThisTerm)) {
         term.set(t)
         Json.extractField(body, "from").foreach(f =>
           currentLeader.set(Some(f)))

@@ -4230,8 +4230,10 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("2020-06-01 16:00:00+00")),
     q("SELECT (TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'America/New_York')::VARCHAR AS v",
       Seq("2020-06-01 16:00:00+00")),
+    // duck types to_timestamp(epoch) TIMESTAMP WITH TIME ZONE (r14
+    // review caught the first pin of this missing the '+00')
     q("SELECT to_timestamp(1591005600)::VARCHAR AS v",
-      Seq("2020-06-01 10:00:00")),
+      Seq("2020-06-01 10:00:00+00")),
     // quantified comparisons with a TIMESTAMPTZ-typed-literal lhs (r13
     // advice: the QOperand alternation must capture it)
     q("SELECT TIMESTAMPTZ '2020-06-01 12:00:00+00' = ANY(SELECT TIMESTAMP '2020-06-01 12:00:00') AS b",
@@ -4446,7 +4448,29 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT to_years(2)::VARCHAR AS y", Seq("2 years")),
     q("SELECT to_milliseconds(1500)::VARCHAR AS m", Seq("00:00:01.5")),
     q("SELECT to_microseconds(1500000)::VARCHAR AS m", Seq("00:00:01.5")),
-    q("SELECT (INTERVAL 90 MINUTE / 2)::VARCHAR AS v", Seq("00:45:00")))
+    q("SELECT (INTERVAL 90 MINUTE / 2)::VARCHAR AS v", Seq("00:45:00")),
+    // r14 self-review catches, each duck-probed: chains over a DECLARED
+    // column cascade the direction flip; instant-ness reaches through
+    // max/min aggregates, interval arithmetic, and TRY_CAST literals
+    q("SELECT t AT TIME ZONE 'America/New_York' AT TIME ZONE 'Asia/Tokyo' " +
+      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00")),
+    q("SELECT timezone('Asia/Tokyo', timezone('America/New_York', t)) " +
+      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00")),
+    q("SELECT timezone('America/New_York', max(t)) AS v FROM tztab",
+      Seq("2020-06-01 07:00:00")),
+    q("SELECT timezone('America/New_York', min(t)) AS v FROM tztab",
+      Seq("2020-06-01 06:00:00")),
+    q("SELECT timezone('America/New_York', t + INTERVAL 1 HOUR) AS v " +
+      "FROM tztab WHERE id = 1", Seq("2020-06-01 07:00:00")),
+    q("SELECT timezone('America/New_York', t + INTERVAL 1 MONTH) AS v " +
+      "FROM tztab WHERE id = 1", Seq("2020-07-01 06:00:00")),
+    q("SELECT (t + INTERVAL 1 HOUR)::VARCHAR AS v FROM tztab WHERE id = 1",
+      Seq("2020-06-01 11:00:00+00")),
+    q("SELECT max(t)::VARCHAR AS v FROM tztab", Seq("2020-06-01 11:00:00+00")),
+    q("SELECT TRY_CAST(TIMESTAMPTZ '2020-06-01 12:00:00+02' AS VARCHAR) AS v",
+      Seq("2020-06-01 10:00:00+00")),
+    err("SELECT TRY_CAST(TIMESTAMPTZ 'garbage' AS VARCHAR)",
+      "timestamp field value out of range")) // the LITERAL errors first
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++

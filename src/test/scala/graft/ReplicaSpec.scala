@@ -1581,15 +1581,20 @@ class ReplicaSpec extends SparkTestBase {
       try ss.getLocalPort finally ss.close()
     }
     val pA = freePort(); val pB = freePort()
+    // leaseMs > 0 makes this test also cover the review-found livelock:
+    // each side ADVERTISES a lease, so a stickiness check that counted a
+    // follower's replies as leader contact would deny the healing
+    // campaign forever — contact must only come from a node answering
+    // as leader
     val (agw, _) = newStack("xa_a")
     val fA = new Service(agw, port = pA,
       leaderUrl = Some(s"http://localhost:$pB"), nodeId = "nodeA",
-      followLog = true)
+      followLog = true, leaseMs = 3000)
     fA.start()
     val (bgw, _) = newStack("xa_b")
     val fB = new Service(bgw, port = pB,
       leaderUrl = Some(s"http://localhost:$pA"), nodeId = "nodeB",
-      followLog = true)
+      followLog = true, leaseMs = 3000)
     fB.start()
     try {
       // the higher id sees "my followed peer names ME" and does NOT act
