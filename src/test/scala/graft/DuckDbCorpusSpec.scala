@@ -4470,7 +4470,51 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT TRY_CAST(TIMESTAMPTZ '2020-06-01 12:00:00+02' AS VARCHAR) AS v",
       Seq("2020-06-01 10:00:00+00")),
     err("SELECT TRY_CAST(TIMESTAMPTZ 'garbage' AS VARCHAR)",
-      "timestamp field value out of range")) // the LITERAL errors first
+      "timestamp field value out of range"), // the LITERAL errors first
+    // tstz through PREPARE/EXECUTE, branches, ordering, aggregation,
+    // lists, epoch family, interval comparisons (all duck-probed)
+    s("PREPARE ptz AS SELECT $1 + INTERVAL 1 HOUR AS r"),
+    q("EXECUTE ptz(TIMESTAMPTZ '2020-06-01 12:00:00+02')",
+      Seq("2020-06-01 11:00:00")),
+    s("DEALLOCATE ptz"),
+    q("SELECT coalesce(NULL::TIMESTAMPTZ, TIMESTAMPTZ '2020-06-01 00:00:00+02') " +
+      "= TIMESTAMP '2020-05-31 22:00:00' AS b", Seq(true)),
+    q("SELECT greatest(TIMESTAMPTZ '2020-06-01 12:00:00+02', " +
+      "TIMESTAMPTZ '2020-06-01 11:00:00+00') = TIMESTAMP '2020-06-01 11:00:00' AS b",
+      Seq(true)),
+    q("SELECT least(t, TIMESTAMPTZ '2020-06-01 10:30:00+00') = " +
+      "TIMESTAMP '2020-06-01 10:00:00' AS b FROM tztab WHERE id = 1",
+      Seq(true)),
+    C("SELECT id FROM tztab ORDER BY t DESC NULLS LAST",
+      Some(Seq(Seq(2), Seq(1), Seq(3))), ordered = true),
+    C("SELECT count(*) AS c, min(t)::VARCHAR AS m FROM tztab " +
+      "GROUP BY t IS NULL ORDER BY c",
+      Some(Seq(Seq(1, null), Seq(2, "2020-06-01 10:00:00+00"))),
+      ordered = true),
+    q("SELECT epoch(INTERVAL '26:00:00') AS e", Seq(93600)),
+    q("SELECT INTERVAL 1 DAY > INTERVAL 90 MINUTE AS b", Seq(true)),
+    q("SELECT INTERVAL '1 day' = INTERVAL 24 HOUR AS b", Seq(true)),
+    q("SELECT now() >= TIMESTAMPTZ '2020-01-01 00:00:00+00' AS b", Seq(true)),
+    q("SELECT list_sort([TIMESTAMPTZ '2020-06-02 00:00:00+00', " +
+      "TIMESTAMPTZ '2020-06-01 00:00:00+00'])[1] = " +
+      "TIMESTAMP '2020-06-01 00:00:00' AS b", Seq(true)),
+    q("SELECT string_agg(t::VARCHAR, ',' ORDER BY t) AS s FROM tztab",
+      Seq("2020-06-01 10:00:00+00,2020-06-01 11:00:00+00")),
+    q("SELECT count(t) AS c FROM tztab", Seq(2)),
+    q("SELECT datetrunc('month', TIMESTAMPTZ '2020-06-15 12:00:00+00') = " +
+      "TIMESTAMP '2020-06-01 00:00:00' AS b", Seq(true)),
+    q("SELECT epoch_ns(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS e",
+      Seq(1591005600000000000L)),
+    q("SELECT epoch_us(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS e",
+      Seq(1591005600000000L)),
+    q("SELECT dayofyear(TIMESTAMPTZ '2020-02-10 12:00:00+00') AS d", Seq(41)),
+    q("SELECT quarter(TIMESTAMPTZ '2020-08-10 12:00:00+00') AS q", Seq(3)),
+    // the session zone is UTC: a tstz value's own offset fields are 0
+    q("SELECT timezone_hour(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS h",
+      Seq(0)),
+    q("SELECT timezone_minute(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS m",
+      Seq(0)),
+    q("SELECT (- INTERVAL '26:00:00')::VARCHAR AS v", Seq("-26:00:00")))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
