@@ -2157,40 +2157,39 @@ class SqlGateway(val spark: SparkSession) {
     // The same declared-type knowledge drives the '+00' VARCHAR suffix.
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, TimestampAddInterval, TimestampAddYMInterval}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
-    def declaredTstz(e: Expression): Boolean =
-      e match {
-        case a: AttributeReference =>
-          a.metadata.contains(Results.DuckTypeKey) &&
-            a.metadata.getString(Results.DuckTypeKey) == "TIMESTAMP WITH TIME ZONE"
-        case al: Alias => declaredTstz(al.child)
-        case agg: AggregateExpression => agg.aggregateFunction match {
-          case m: Max => declaredTstz(m.child)
-          case m: Min => declaredTstz(m.child)
-          case f: First => declaredTstz(f.child)
-          case l: Last => declaredTstz(l.child)
-          case _ => false
-        }
-        case ta: TimestampAddInterval => declaredTstz(ta.start)
-        case ta: TimestampAddYMInterval => declaredTstz(ta.timestamp)
-        // the analyzer wraps interval arithmetic in a re-cast to
-        // timestamp — instant-ness passes through timestamp→timestamp
-        // casts (never through string/date casts, whose semantics the
-        // text pass already owns)
-        case c: Cast if (c.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-            c.dataType == org.apache.spark.sql.types.TimestampNTZType) &&
-            (c.child.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-              c.child.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-          declaredTstz(c.child)
-        case _ => false
-      }
+    def isTsType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
     // post-fix instant-ness of a (possibly chained) tz expression; None =
     // unknown (a folded literal — the TEXT dispatch already chose from
-    // its spelling and is trusted)
+    // its spelling and is trusted). The reach-through cases (aggregates,
+    // interval arithmetic, the analyzer's ts→ts re-cast wrapper) recurse
+    // through fixTzChain so a FIXED chain under them keeps its
+    // instant-ness (second review pass: declaredTstz-only recursion lost
+    // the '+00' on `max(t AT ... AT ...)::VARCHAR` shapes).
     def instantNess(e: Expression): Option[Boolean] = e match {
       case _: ToUTCTimestamp => Some(true)
       case _: FromUTCTimestamp => Some(false)
       case _: graft.functions.DuckTstzCast => Some(true)
-      case x if declaredTstz(x) => Some(true)
+      case a: AttributeReference =>
+        if (a.metadata.contains(Results.DuckTypeKey) &&
+            a.metadata.getString(Results.DuckTypeKey) == "TIMESTAMP WITH TIME ZONE")
+          Some(true)
+        else None
+      case al: Alias => instantNess(fixTzChain(al.child))
+      case agg: AggregateExpression => agg.aggregateFunction match {
+        case m: Max => instantNess(fixTzChain(m.child))
+        case m: Min => instantNess(fixTzChain(m.child))
+        case f: First => instantNess(fixTzChain(f.child))
+        case l: Last => instantNess(fixTzChain(l.child))
+        case _ => None
+      }
+      case ta: TimestampAddInterval => instantNess(fixTzChain(ta.start))
+      case ta: TimestampAddYMInterval => instantNess(fixTzChain(ta.timestamp))
+      // never through string/date casts, whose semantics the text pass
+      // already owns — only the analyzer's ts→ts wrapper
+      case c: Cast if isTsType(c.dataType) && isTsType(c.child.dataType) =>
+        instantNess(fixTzChain(c.child))
       case _ => None
     }
     // re-derive a whole AT TIME ZONE / timezone() CHAIN bottom-up: duck
@@ -2230,17 +2229,19 @@ class SqlGateway(val spark: SparkSession) {
       case c: Cast if c.dataType.isInstanceOf[StringType] &&
           isInterval(c.child.dataType) =>
         graft.functions.DuckIntervalToVarchar(c.child)
-      case c: Cast if c.dataType.isInstanceOf[StringType] && {
-            val f = fixTzChain(c.child)
-            instantNess(f).contains(true) || (f ne c.child)
-          } => {
+      case c: Cast if c.dataType.isInstanceOf[StringType] => {
+        // single fixTzChain computation per node (second review pass);
+        // returning `c` unchanged is a transform no-op for ordinary
+        // string casts
         val f = fixTzChain(c.child)
         if (instantNess(f).contains(true))
           graft.functions.DuckInstantToVarchar(f)
-        else c.copy(child = f) // chain fixed, result naive: Spark's cast
+        else if (f ne c.child)
+          c.copy(child = f) // chain fixed, result naive: Spark's cast
+        else c
       }
-      case t: ToUTCTimestamp if fixTzChain(t) ne t => fixTzChain(t)
-      case f: FromUTCTimestamp if fixTzChain(f) ne f => fixTzChain(f)
+      case t: ToUTCTimestamp => fixTzChain(t)
+      case f: FromUTCTimestamp => fixTzChain(f)
     })
   }
 

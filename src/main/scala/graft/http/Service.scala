@@ -758,16 +758,21 @@ class Service(gateway: SqlGateway, port: Int = 0,
         "term" -> Json.str(term.get.toString)))
     if (!followsLog) return deny("non-voter: snapshot-only replica")
     if (currentLeader.get().isEmpty) return deny("i am the leader")
-    // cheap denials FIRST (no I/O): a stale or already-granted term must
-    // not pay the leader probe below — a retrying candidate or a vote
-    // storm would otherwise burn ~3s of pool time per doomed request
-    voteLock.synchronized {
-      if (t <= term.get) return deny(s"stale campaign term $t <= ${term.get}")
-      if (t <= votedTerm)
-        return deny(s"already voted for $votedFor in term $votedTerm")
-      if (candApplied < lastApplied.get)
-        return deny(s"candidate log behind: $candApplied < ${lastApplied.get}")
+    // the term/vote/log denials run TWICE by design: cheaply before the
+    // leader probe (a stale or already-granted term must not pay ~3s of
+    // I/O — a vote storm would burn pool threads), and again under
+    // voteLock after it (a concurrent grant may have moved the state
+    // while the probe ran). One definition keeps the two gates identical.
+    def cheapDeny(): Option[(Int, String)] = {
+      if (t <= term.get)
+        Some(deny(s"stale campaign term $t <= ${term.get}"))
+      else if (t <= votedTerm)
+        Some(deny(s"already voted for $votedFor in term $votedTerm"))
+      else if (candApplied < lastApplied.get)
+        Some(deny(s"candidate log behind: $candApplied < ${lastApplied.get}"))
+      else None
     }
+    voteLock.synchronized { cheapDeny() }.foreach(return _)
     val lease = leaderLeaseMs.get
     val window =
       if (lease > 0) lease + 250
@@ -784,13 +789,7 @@ class Service(gateway: SqlGateway, port: Int = 0,
         Json.extractField(st, "role").contains("leader")))
     if (leaderAliveNow) return deny("my leader is alive right now")
     voteLock.synchronized {
-      // re-checked under the lock: a concurrent grant may have moved
-      // votedTerm/term while the probe ran
-      if (t <= term.get) return deny(s"stale campaign term $t <= ${term.get}")
-      if (t <= votedTerm)
-        return deny(s"already voted for $votedFor in term $votedTerm")
-      if (candApplied < lastApplied.get)
-        return deny(s"candidate log behind: $candApplied < ${lastApplied.get}")
+      cheapDeny().foreach(return _)
       votedTerm = t; votedFor = cand
       persistVote()
       term.set(t)
@@ -1411,6 +1410,8 @@ class Service(gateway: SqlGateway, port: Int = 0,
         return (200, obj("snapshot_required" -> Json.str("true"),
           "snapshot_index" -> Json.str(snapIdx.toString),
           "lease_ms" -> Json.str(leaseMs.toString),
+          "role" -> Json.str(
+            if (currentLeader.get().isEmpty) "leader" else "follower"),
           "last_index" -> logIndex.toString))
       }
       val upTo = logIndex
@@ -1420,6 +1421,12 @@ class Service(gateway: SqlGateway, port: Int = 0,
       (200, obj(entries.map(i =>
         s"s$i" -> Json.str(stmtLog.get((i - base - 1).toInt))) :+
         ("lease_ms" -> Json.str(leaseMs.toString)) :+
+        // the server's role rides the pull so pullAndReplay can gate its
+        // leader-stickiness stamp: a crossed-adoption FOLLOWER serving
+        // pulls must not count as having "heard the leader" (second
+        // review pass — the /status stamp was role-gated, this one not)
+        ("role" -> Json.str(
+          if (currentLeader.get().isEmpty) "leader" else "follower")) :+
         ("last_index" -> upTo.toString): _*))
     }
   }
@@ -1559,7 +1566,11 @@ class Service(gateway: SqlGateway, port: Int = 0,
     }
     var body = pull()
     leaderDeadSinceMs.set(0L) // a served pull IS a live leader
-    lastLeaderContactMs.set(System.currentTimeMillis)
+    // stickiness stamp role-gated like the /status path: a pull served
+    // by a FOLLOWER (crossed adoption) is not leader contact; an absent
+    // role field (pre-r14 peer) conservatively counts
+    if (!Json.extractField(body, "role").contains("follower"))
+      lastLeaderContactMs.set(System.currentTimeMillis)
     parseLong(body, "lease_ms").foreach(leaderLeaseMs.set)
     // our suffix was compacted away — install the newest snapshot,
     // seat the applied index at its log position, then pull again

@@ -4514,7 +4514,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq(0)),
     q("SELECT timezone_minute(TIMESTAMPTZ '2020-06-01 12:00:00+02') AS m",
       Seq(0)),
-    q("SELECT (- INTERVAL '26:00:00')::VARCHAR AS v", Seq("-26:00:00")))
+    q("SELECT (- INTERVAL '26:00:00')::VARCHAR AS v", Seq("-26:00:00")),
+    // second review pass: instant-ness of a FIXED chain survives through
+    // aggregates and interval arithmetic into the '+00' text
+    q("SELECT (t AT TIME ZONE 'America/New_York' AT TIME ZONE 'Asia/Tokyo' " +
+      "+ INTERVAL 1 HOUR)::VARCHAR AS v FROM tztab WHERE id = 1",
+      Seq("2020-05-31 22:00:00+00")),
+    q("SELECT max(t AT TIME ZONE 'America/New_York' AT TIME ZONE " +
+      "'Asia/Tokyo')::VARCHAR AS v FROM tztab",
+      Seq("2020-05-31 22:00:00+00")))
 
   lazy val corpus: Seq[C] =
     corpusA ++ corpusB ++ corpusC ++ corpusD ++ corpusE ++ corpusF ++
