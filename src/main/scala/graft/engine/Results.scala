@@ -31,21 +31,18 @@ object Results {
   /** Declared-type-aware rendering: the column's declared DuckDB type if
     * the field carries one, else the storage type's mapping.
     *
-    * Documented residual (r14, next to the interval provenance note
-    * below): a RAW TIMESTAMPTZ expression selected to the boundary
-    * reports naive UTC text (and, unless the column declares the type in
-    * metadata, the TIMESTAMP type name) — duck reports TIMESTAMP WITH
-    * TIME ZONE and a '+00' suffix. The VALUE is the same instant (the
-    * rewrite pins TIMESTAMPTZ operands to UTC), every tz-direction
-    * conversion result is naive in both engines, and TIMESTAMPTZ→VARCHAR
-    * casts render duck's '+00' text exactly for literals (rewrite-level)
-    * and for declared-tstz columns / per-row casts / naive→instant
-    * conversions (plan-level, `SqlGateway.complexVarcharCasts`). What
-    * stays naive-rendered: DERIVED instant expressions (aggregates,
-    * coalesce/case over folded literals) cast to VARCHAR — Spark's
-    * single instant-typed TIMESTAMP cannot be told apart from a naive
-    * one there without threading metadata through arbitrary
-    * expressions. */
+    * TIMESTAMPTZ results report duck's TIMESTAMP WITH TIME ZONE type
+    * name and '+00' wire text end-to-end (r15, closing the r14
+    * residual): declared columns carry the metadata from CREATE TABLE,
+    * and the gateway's analyzed-plan pass tags every DERIVED
+    * instant-typed alias — tstz literals/casts (wrapped in the identity
+    * `DuckTstzCast` at rewrite time), naive→instant tz conversions,
+    * Max/Min/First/Last aggregates, interval arithmetic, and
+    * coalesce/CASE/IF/greatest/least over any instant branch
+    * (`SqlGateway.complexVarcharCasts`). Remaining corner, documented:
+    * an instant that reaches the boundary through a wrapper OUTSIDE
+    * that list (e.g. a lead/lag window over a tstz column) renders
+    * naive UTC text — same instant, no suffix. */
   def duckTypeName(f: StructField): String =
     if (f.metadata.contains(DuckTypeKey)) f.metadata.getString(DuckTypeKey)
     else duckTypeName(f.dataType)
@@ -118,12 +115,36 @@ object Results {
     * normalized equivalent (`3 days 02:00:00`), value-equal as a
     * duration. Runs recursively through nested rows/arrays/maps (which
     * lose the field type and keep the day-split default). */
-  private def convertValue(v: Any, dt: Option[DataType]): Any = (v, dt) match {
-    case (d: java.time.Duration, Some(t: DayTimeIntervalType))
+  private def convertValue(v: Any, f: StructField): Any = (v, f.dataType) match {
+    case (d: java.time.Duration, t: DayTimeIntervalType)
         if t.startField > DayTimeIntervalType.DAY =>
       val micros = d.getSeconds * 1000000L + d.getNano / 1000
       duckIntervalString(0, 0, micros)
+    // a TIMESTAMPTZ-typed field (declared column metadata, or the
+    // gateway's instant-typedness tag on a derived expression) renders
+    // duck's '+00' wire text — the type name above already reports
+    // TIMESTAMP WITH TIME ZONE from the same metadata (r15)
+    case _ if f.metadata.contains(DuckTypeKey) &&
+        f.metadata.getString(DuckTypeKey) == "TIMESTAMP WITH TIME ZONE" =>
+      instantMicros(v) match {
+        case Some(m) =>
+          graft.functions.DuckTstzCast.microsToUtcText(m) + "+00"
+        case None => convertValue(v)
+      }
     case _ => convertValue(v)
+  }
+
+  /** UTC-instant micros of a collected timestamp value, whatever object
+    * shape the session's java8-API setting produced. */
+  private def instantMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.time.LocalDateTime =>
+      Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000L)
+    case _ => None
   }
 
   private def convertValue(v: Any): Any = v match {
@@ -165,7 +186,7 @@ object Results {
       columns = schema.fields.map(_.name).toSeq,
       types = schema.fields.map(f => duckTypeName(f)).toSeq,
       values = rows.take(cap).map(_.toSeq.zip(schema.fields).map {
-        case (v, f) => convertValue(v, Some(f.dataType))
+        case (v, f) => convertValue(v, f)
       }).toSeq,
       truncated = rows.length > cap)
   }

@@ -2155,7 +2155,7 @@ class SqlGateway(val spark: SparkSession) {
     // and interval arithmetic over a declared column (duck: max(tstz)
     // and tstz + INTERVAL stay TIMESTAMPTZ — probed; r14 review).
     // The same declared-type knowledge drives the '+00' VARCHAR suffix.
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, TimestampAddInterval, TimestampAddYMInterval}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference => AttrRef, CaseWhen, Coalesce, Expression, Greatest, If, Least, TimestampAddInterval, TimestampAddYMInterval, WindowExpression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
     def isTsType(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
@@ -2186,12 +2186,27 @@ class SqlGateway(val spark: SparkSession) {
       }
       case ta: TimestampAddInterval => instantNess(fixTzChain(ta.start))
       case ta: TimestampAddYMInterval => instantNess(fixTzChain(ta.timestamp))
+      // instant-PRESERVING wrappers (r14 advice + verdict item 1): duck
+      // coerces coalesce/CASE/IF/greatest/least to TIMESTAMPTZ when ANY
+      // branch is one (probed: coalesce(tstz, naive) and CASE-mixed both
+      // report TIMESTAMP WITH TIME ZONE; the naive branch re-interprets
+      // in the UTC session zone — identity on the stored micros, so
+      // any-instant-child ⇒ instant is value- AND type-exact here)
+      case c: Coalesce => anyInstant(c.children)
+      case cw: CaseWhen => anyInstant(cw.branches.map(_._2) ++ cw.elseValue)
+      case i: If => anyInstant(Seq(i.trueValue, i.falseValue))
+      case g: Greatest => anyInstant(g.children)
+      case l: Least => anyInstant(l.children)
+      case w: WindowExpression => instantNess(fixTzChain(w.windowFunction))
       // never through string/date casts, whose semantics the text pass
       // already owns — only the analyzer's ts→ts wrapper
       case c: Cast if isTsType(c.dataType) && isTsType(c.child.dataType) =>
         instantNess(fixTzChain(c.child))
       case _ => None
     }
+    def anyInstant(es: Seq[Expression]): Option[Boolean] =
+      if (es.exists(e => instantNess(fixTzChain(e)).contains(true))) Some(true)
+      else None
     // re-derive a whole AT TIME ZONE / timezone() CHAIN bottom-up: duck
     // alternates instant↔naive per application, and a single flip at the
     // chain's bottom (a declared-tstz column) must cascade — the r14
@@ -2221,8 +2236,8 @@ class SqlGateway(val spark: SparkSession) {
       case f: FromUTCTimestamp => fixTzChain(f) ne f
       case _ => false
     }))
-    if (!hasIt) df
-    else ColumnShim.ofRows(spark, analyzed.transformAllExpressionsWithSubqueries {
+    val swapped = if (!hasIt) analyzed
+    else analyzed.transformAllExpressionsWithSubqueries {
       case c: Cast if c.dataType.isInstanceOf[StringType] &&
           isComplex(c.child.dataType) =>
         graft.functions.DuckComplexToVarchar(c.child)
@@ -2242,7 +2257,46 @@ class SqlGateway(val spark: SparkSession) {
       }
       case t: ToUTCTimestamp => fixTzChain(t)
       case f: FromUTCTimestamp => fixTzChain(f)
-    })
+    }
+    // r15 (verdict item 1): TAG every instant-typed derived alias with
+    // the declared-type metadata, so `Results` reports duck's TIMESTAMP
+    // WITH TIME ZONE type name and '+00' value text at the boundary
+    // without per-expression special cases — raw-selected tz
+    // conversions, tstz casts/literals, aggregates, coalesce/CASE over
+    // instants. Metadata is render-only: execution and parquet values
+    // are unchanged.
+    val TstzName = "TIMESTAMP WITH TIME ZONE"
+    def needsTag(al: Alias): Boolean =
+      isTsType(al.dataType) && !al.metadata.contains(Results.DuckTypeKey) &&
+        instantNess(fixTzChain(al.child)).contains(true)
+    val needTag = swapped.exists(_.expressions.exists(_.exists {
+      case al: Alias => needsTag(al)
+      case _ => false
+    }))
+    if (!needTag) {
+      if (!hasIt) df else ColumnShim.ofRows(spark, swapped)
+    } else {
+      def withKey(md: org.apache.spark.sql.types.Metadata) =
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(md)
+          .putString(Results.DuckTypeKey, TstzName).build()
+      var tagged = Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+      val p1 = swapped.transformAllExpressionsWithSubqueries {
+        case al: Alias if needsTag(al) =>
+          tagged += al.exprId
+          Alias(al.child, al.name)(al.exprId, al.qualifier,
+            Some(withKey(al.metadata)), al.nonInheritableMetadataKeys)
+      }
+      // re-references of a tagged alias downstream (an outer Project's
+      // bare attribute) carry the pre-tag metadata — rewire them so the
+      // tag reaches the OUTPUT schema through any operator stack
+      val p2 = if (tagged.isEmpty) p1
+      else p1.transformAllExpressionsWithSubqueries {
+        case a: AttrRef if tagged.contains(a.exprId) &&
+            !a.metadata.contains(Results.DuckTypeKey) =>
+          a.withMetadata(withKey(a.metadata))
+      }
+      ColumnShim.ofRows(spark, p2)
+    }
   }
 
   /** One file-function call → DataFrame. CSV/JSON accept DuckDB's common
@@ -3245,8 +3299,10 @@ class SqlGateway(val spark: SparkSession) {
         out = fix(out, "timezone", 2, a =>
           // innermost-first: defer while the operand still holds an
           // unrewritten timezone()/AT TIME ZONE whose direction this
-          // call's dispatch depends on
-          if (a(1).toLowerCase.contains("timezone") ||
+          // call's dispatch depends on — a word-boundary CALL match,
+          // not a substring test (a column named order_timezone must
+          // not defer every round and die unrewritten; r14 advice)
+          if ("""(?i)\btimezone\s*\(""".r.findFirstIn(a(1)).isDefined ||
               """(?i)\bat\s+time\s+zone\b""".r.findFirstIn(a(1)).isDefined)
             None
           else if (tzInstantTyped(a(1)))
@@ -3269,42 +3325,85 @@ class SqlGateway(val spark: SparkSession) {
         val mOpt = AtRe.findAllMatchIn(out).find(m =>
           out.substring(0, m.start).count(_ == '\'') % 2 == 0)
         mOpt.foreach { m =>
-          // backward-scan the operand: string literal (with optional type
-          // keyword), balanced (...) with call name, or an ident chain
-          var j = m.start - 1
-          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
-          var at = -1
-          if (j >= 0 && out.charAt(j) == '\'') {
-            var k = j - 1
-            while (k >= 0 && out.charAt(k) != '\'') k -= 1
-            if (k >= 0) {
-              var w = k - 1
-              while (w >= 0 && out.charAt(w).isWhitespace) w -= 1
-              val we = w
-              while (w >= 0 && out.charAt(w).isLetter) w -= 1
-              at = if (we > w && Set("timestamp", "date", "timestamptz")
-                  .contains(out.substring(w + 1, we + 1).toLowerCase)) w + 1
-                else k
-            }
-          } else if (j >= 0 && out.charAt(j) == ')') {
-            var depth = 0; var k = j
-            while (k >= 0 && at < 0) {
-              val ch = out.charAt(k)
-              if (ch == ')') depth += 1
-              else if (ch == '(') { depth -= 1; if (depth == 0) at = k }
-              k -= 1
-            }
-            if (at >= 0) {
-              var w = at - 1
+          // backward-scan one operand UNIT ending at jEnd: string literal
+          // (with optional type keyword), balanced (...) with call name,
+          // or an ident chain — returns the unit's start index, -1 if
+          // nothing scannable
+          def scanUnit(jEnd: Int): Int = {
+            var unitAt = -1
+            if (jEnd >= 0 && out.charAt(jEnd) == '\'') {
+              var k = jEnd - 1
+              while (k >= 0 && out.charAt(k) != '\'') k -= 1
+              if (k >= 0) {
+                var w = k - 1
+                while (w >= 0 && out.charAt(w).isWhitespace) w -= 1
+                val we = w
+                while (w >= 0 && out.charAt(w).isLetter) w -= 1
+                unitAt = if (we > w && Set("timestamp", "date", "timestamptz")
+                    .contains(out.substring(w + 1, we + 1).toLowerCase)) w + 1
+                  else k
+              }
+            } else if (jEnd >= 0 && out.charAt(jEnd) == ')') {
+              var depth = 0; var k = jEnd
+              while (k >= 0 && unitAt < 0) {
+                val ch = out.charAt(k)
+                if (ch == ')') depth += 1
+                else if (ch == '(') { depth -= 1; if (depth == 0) unitAt = k }
+                k -= 1
+              }
+              if (unitAt >= 0) {
+                var w = unitAt - 1
+                while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
+                  out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
+                unitAt = w + 1
+              }
+            } else if (jEnd >= 0) {
+              var w = jEnd
               while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
                 out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
-              at = w + 1
+              if (w < jEnd) unitAt = w + 1
             }
-          } else if (j >= 0) {
-            var w = j
-            while (w >= 0 && (out.charAt(w).isLetterOrDigit ||
-              out.charAt(w) == '_' || out.charAt(w) == '.')) w -= 1
-            if (w < j) at = w + 1
+            unitAt
+          }
+          var j = m.start - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          var at = scanUnit(j)
+          // '::'-cast suffix (r14 advice): when the captured unit is a
+          // bare type keyword directly preceded by '::'
+          // (`expr::TIMESTAMPTZ AT TIME ZONE 'z'`), the operand extends
+          // left past the '::' to the cast's operand — otherwise the
+          // emission garbles to `expr::from_utc_timestamp(TIMESTAMPTZ,…)`.
+          // The multiword `::TIMESTAMP WITH TIME ZONE` spelling captures
+          // its trailing ZONE word and extends the same way.
+          var extGuard = 0
+          var extended = true
+          while (at >= 0 && extended && extGuard < 4) {
+            extended = false
+            extGuard += 1
+            val lead = {
+              var e = at
+              while (e <= j && (out.charAt(e).isLetterOrDigit ||
+                out.charAt(e) == '_')) e += 1
+              out.substring(at, e).toLowerCase
+            }
+            val pre = out.substring(0, at)
+            val castEnd: Int =
+              if (Set("timestamptz", "timestamp", "date").contains(lead) &&
+                  lead.length == (j - at + 1) &&
+                  """::\s*$""".r.findFirstIn(pre).isDefined)
+                """::\s*$""".r.findFirstIn(pre).map(s => at - s.length - 1).get
+              else if (lead == "zone" && lead.length == (j - at + 1) &&
+                  """(?i)::\s*timestamp\s+with\s+time\s+$""".r
+                    .findFirstIn(pre).isDefined)
+                """(?i)::\s*timestamp\s+with\s+time\s+$""".r
+                  .findFirstIn(pre).map(s => at - s.length - 1).get
+              else -2
+            if (castEnd >= 0) {
+              var k = castEnd
+              while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+              val newAt = scanUnit(k)
+              if (newAt >= 0) { at = newAt; extended = true }
+            }
           }
           if (at >= 0) {
             val operand = out.substring(at, j + 1)
@@ -3414,37 +3513,62 @@ class SqlGateway(val spark: SparkSession) {
       // silently drop the suffix. (Raw tstz SELECTs keep the documented
       // naive-rendering residual; casts to text are value-exact.)
       def utcPlus(text: String) = s"'${tstzLiteralToUtc(text)}+00'"
+      // every rewrite in this block guards on prefix quote PARITY: a
+      // string literal whose CONTENT is tstz-cast-shaped text
+      // (`SELECT 'note: x::timestamptz'`) must pass through untouched
+      // (r14 advice — the six r14 additions lacked the guard the
+      // adjacent Lit/Cast rewrites always had)
+      def outsideQuotes(in: String, start: Int): Boolean =
+        in.substring(0, start).count(_ == '\'') % 2 == 0
       val LitStr =
         """(?i)\bTIMESTAMPTZ\s+'([^']*)'\s*::\s*STRING\b""".r
+      val inLS = out
       out = LitStr.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+        java.util.regex.Matcher.quoteReplacement(
+          if (!outsideQuotes(inLS, m.start)) m.matched
+          else utcPlus(m.group(1))))
       val CastStr =
         """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\s*::\s*STRING\b""".r
+      val inCS = out
       out = CastStr.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+        java.util.regex.Matcher.quoteReplacement(
+          if (!outsideQuotes(inCS, m.start)) m.matched
+          else utcPlus(m.group(1))))
       // TRY_CAST included: a VALID literal renders identically, and an
       // invalid one already fails at the LITERAL (duck errors on the
       // literal itself before any TRY_CAST can absorb it — probed)
       val CastAs = ("""(?i)\b(?:TRY_)?CAST\s*\(\s*TIMESTAMPTZ\s+'([^']*)'""" +
         """\s+AS\s+STRING\s*\)""").r
+      val inCA = out
       out = CastAs.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+        java.util.regex.Matcher.quoteReplacement(
+          if (!outsideQuotes(inCA, m.start)) m.matched
+          else utcPlus(m.group(1))))
       val CastAs2 = ("""(?i)\b(?:TRY_)?CAST\s*\(\s*'([^']*)'\s*::\s*TIMESTAMPTZ""" +
         """\s+AS\s+STRING\s*\)""").r
+      val inCA2 = out
       out = CastAs2.replaceAllIn(out, m =>
-        java.util.regex.Matcher.quoteReplacement(utcPlus(m.group(1))))
+        java.util.regex.Matcher.quoteReplacement(
+          if (!outsideQuotes(inCA2, m.start)) m.matched
+          else utcPlus(m.group(1))))
+      // literals still PARSE (and error) at rewrite time, but the
+      // emission wraps the folded UTC literal in the identity tstz cast:
+      // the analyzed plan then carries instant-typedness, so the result
+      // boundary reports duck's TIMESTAMP WITH TIME ZONE type name and
+      // '+00' text for a raw-selected literal (r15; the wrap constant-
+      // folds away before execution — DuckTstzCast.foldable)
       val Lit = """(?i)\bTIMESTAMPTZ\s+'([^']*)'""".r
       val in1 = out
       out = Lit.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(
           if (in1.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
-          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+          else s"graft_tstz_cast(TIMESTAMP '${tstzLiteralToUtc(m.group(1))}')"))
       val Cast = """(?i)'([^']*)'\s*::\s*TIMESTAMPTZ\b""".r
       val in2 = out
       out = Cast.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(
           if (in2.substring(0, m.start).count(_ == '\'') % 2 != 0) m.matched
-          else s"TIMESTAMP '${tstzLiteralToUtc(m.group(1))}'"))
+          else s"graft_tstz_cast(TIMESTAMP '${tstzLiteralToUtc(m.group(1))}')"))
       // non-literal casts (r14, verdict item 1 tail): per-row DuckDB-
       // exact parse through the codegen'd [[graft.functions.DuckTstzCast]]
       // — a VARCHAR column of offset/zone-bearing text becomes the UTC
@@ -3454,14 +3578,18 @@ class SqlGateway(val spark: SparkSession) {
       val TzTy = """(?:TIMESTAMPTZ|TIMESTAMP\s+WITH\s+TIME\s+ZONE)"""
       val Op = """((?:[\w.]+)?\([^()]*\)|[\w.]+)"""
       val Colon = (s"(?i)$Op\\s*::\\s*$TzTy\\b").r
+      val inCo = out
       out = Colon.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(
-          s"graft_tstz_cast(${m.group(1)})"))
+          if (!outsideQuotes(inCo, m.start)) m.matched
+          else s"graft_tstz_cast(${m.group(1)})"))
       val CastForm =
         (s"(?i)\\b(TRY_)?CAST\\s*\\(([^()]+?)\\s+AS\\s+$TzTy\\s*\\)").r
+      val inCF = out
       out = CastForm.replaceAllIn(out, m =>
         java.util.regex.Matcher.quoteReplacement(
-          s"graft_tstz_cast(${m.group(2)}" +
+          if (!outsideQuotes(inCF, m.start)) m.matched
+          else s"graft_tstz_cast(${m.group(2)}" +
             (if (m.group(1) != null) ", true" else "") + ")"))
     }
     // (instant-typed CALL results cast to VARCHAR — per-row tstz casts,

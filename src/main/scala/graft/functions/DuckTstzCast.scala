@@ -45,6 +45,13 @@ case class DuckTstzCast(child: Expression, tryMode: Boolean)
 
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
+  /** Foldable over a foldable child: the literal rewrite wraps
+    * `TIMESTAMP '<utc>'` in this cast purely to mark instant-typedness
+    * on the ANALYZED plan (the boundary's `+00`/type-name rendering);
+    * ConstantFolding must still collapse it to a plain timestamp
+    * literal so comparisons against it keep their parquet filter
+    * pushdown at scale. */
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | DateType | TimestampNTZType | NullType |

@@ -764,7 +764,9 @@ class Service(gateway: SqlGateway, port: Int = 0,
     // voteLock after it (a concurrent grant may have moved the state
     // while the probe ran). One definition keeps the two gates identical.
     def cheapDeny(): Option[(Int, String)] = {
-      if (t <= term.get)
+      if (System.currentTimeMillis < voteLoadRefuseUntilMs.get)
+        Some(deny("vote state unreadable after restart; refusing this window"))
+      else if (t <= term.get)
         Some(deny(s"stale campaign term $t <= ${term.get}"))
       else if (t <= votedTerm)
         Some(deny(s"already voted for $votedFor in term $votedTerm"))
@@ -801,22 +803,45 @@ class Service(gateway: SqlGateway, port: Int = 0,
 
   /** Raft persists votedFor before answering — a voter that crashes and
     * restarts inside one election window must not double-grant. Callers
-    * hold [[voteLock]]. */
+    * hold [[voteLock]]. Durable write: temp file + SYNC + ATOMIC_MOVE,
+    * so a crash mid-write leaves either the old vote or the new one —
+    * never a torn file whose loss would re-enable the double grant the
+    * persistence exists to prevent (r14 advice). */
   private def persistVote(): Unit = voteFile.foreach { p =>
-    try java.nio.file.Files.write(p,
-      s"$votedTerm $votedFor".getBytes(StandardCharsets.UTF_8))
-    catch { case _: Exception => () }
+    try {
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        s"$votedTerm $votedFor".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.SYNC)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () }
   }
 
+  /** An EXISTING-but-unparsable vote file must not silently reset to
+    * "never voted" (that re-enables the within-term double grant): the
+    * voter instead refuses all vote requests for one defer window —
+    * long enough for any election that could have held the lost grant
+    * to resolve. */
+  private val voteLoadRefuseUntilMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def loadVote(): Unit = voteFile.foreach { p =>
-    try if (java.nio.file.Files.exists(p)) {
-      val parts = new String(java.nio.file.Files.readAllBytes(p),
-        StandardCharsets.UTF_8).trim.split(" ", 2)
-      voteLock.synchronized {
-        votedTerm = parts(0).toLong
-        votedFor = if (parts.length > 1) parts(1) else ""
+    if (java.nio.file.Files.exists(p))
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(p),
+          StandardCharsets.UTF_8).trim.split(" ", 2)
+        voteLock.synchronized {
+          votedTerm = parts(0).toLong
+          votedFor = if (parts.length > 1) parts(1) else ""
+        }
+      } catch {
+        case _: Exception => voteLoadRefuseUntilMs.set(
+          System.currentTimeMillis + UnknownLeaseDeferMs)
       }
-    } catch { case _: Exception => () }
   }
 
   /** Commit an election result under [[syncLock]], re-checking that the

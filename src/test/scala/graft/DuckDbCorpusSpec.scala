@@ -346,7 +346,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT epoch(TIMESTAMP '2020-01-01 00:00:00') AS e", Seq(1577836800)),
     q("SELECT epoch_ms(TIMESTAMP '2020-01-01 00:00:00') AS e",
       Seq(1577836800000L)),
-    q("SELECT to_timestamp(1577836800) AS t", Seq("2020-01-01")),
+    q("SELECT to_timestamp(1577836800) AS t", Seq("2020-01-01 00:00:00+00")),
     q("SELECT greatest(DATE '2020-01-01', DATE '2021-01-01') AS d",
       Seq("2021-01-01")),
 
@@ -857,7 +857,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT .5 AS a, 5. AS b, +5 AS c", Seq(0.5, 5, 5)),
     q("SELECT strptime('02/15/2024', '%m/%d/%Y') AS a", Seq("2024-02-15")),
     q("SELECT strptime('15 Jan 2024', '%d %b %Y') AS a", Seq("2024-01-15")),
-    q("SELECT to_timestamp(1704067200) AS t", Seq("2024-01-01")),
+    q("SELECT to_timestamp(1704067200) AS t", Seq("2024-01-01 00:00:00+00")),
     q("SELECT v, count(*) AS c FROM (VALUES (1),(1)) t(v) " +
       "GROUP BY GROUPING SETS ((v), ())", Seq(1, 2), Seq(null, 2)),
     q("SELECT 5 % 3 AS a, -5 % 3 AS b, 5.5 % 2 AS c", Seq(2, -2, 1.5)),
@@ -1051,7 +1051,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
       "try_strptime('2021-02-01', '%Y-%m-%d') AS b",
       Seq(null, "2021-02-01")),
     q("SELECT make_timestamptz(2021, 3, 4, 5, 6, 7.5) AS a",
-      Seq("2021-03-04 05:06:07.5")),
+      Seq("2021-03-04 05:06:07.5+00")),
     q("SELECT transaction_timestamp() = now() AS a, " +
       "get_current_timestamp() = now() AS b", Seq(true, true)),
     q("SELECT current_database() AS a", Seq("memory")),
@@ -1263,7 +1263,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("2024-02-29", "2023-01-31")),
     q("SELECT timezone(TIMESTAMP '2021-01-01 00:00:00') AS a, " +
       "timezone('UTC', TIMESTAMP '2021-01-01 00:00:00') AS b",
-      Seq(0, "2021-01-01")),
+      Seq(0, "2021-01-01 00:00:00+00")),
     q("SELECT current_setting('threads') > 0 AS a", Seq(true)),
     // list twins of the aggregate surface + set/session sugar (probed;
     // list_intersect's result order is hash-arbitrary in DuckDB → sorted)
@@ -1974,11 +1974,11 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // timezone()/AT TIME ZONE: naive ts interpreted in tz → the instant
     // (rendered in the UTC session zone); TIMESTAMPTZ operands refuse
     q("SELECT timezone('America/New_York', " +
-      "TIMESTAMP '2024-01-01 12:00:00') AS a", Seq("2024-01-01 17:00:00")),
+      "TIMESTAMP '2024-01-01 12:00:00') AS a", Seq("2024-01-01 17:00:00+00")),
     q("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE " +
-      "'America/New_York' AS a", Seq("2024-01-01 17:00:00")),
+      "'America/New_York' AS a", Seq("2024-01-01 17:00:00+00")),
     q("SELECT timezone('UTC', TIMESTAMP '2024-01-01 12:00:00') AS u",
-      Seq("2024-01-01 12:00:00")),
+      Seq("2024-01-01 12:00:00+00")),
     // misc breadth probed alongside
     q("SELECT DISTINCT ON (a, b) a, b, c FROM (VALUES (1,1,'x'),(1,1,'y')," +
       "(1,2,'z')) t(a,b,c) ORDER BY a, b, c", Seq(1, 1, "x"), Seq(1, 2, "z")),
@@ -3938,7 +3938,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     q("SELECT yearweek(DATE '2024-01-04') AS yw", Seq(202401)),
     q("SELECT century(DATE '2001-01-01') AS c, " +
       "millennium(DATE '2001-01-01') AS m", Seq(21, 3)),
-    q("SELECT to_timestamp(60) AS t", Seq("1970-01-01 00:01:00")),
+    q("SELECT to_timestamp(60) AS t", Seq("1970-01-01 00:01:00+00")),
     q("SELECT age(TIMESTAMP '2024-03-15 00:00:00', " +
       "TIMESTAMP '2024-01-10 00:00:00') AS a", Seq("2 months 5 days")),
     q("SELECT greatest(DATE '2024-01-01', DATE '2023-01-01') AS g",
@@ -4038,15 +4038,15 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // stored, rendered in the UTC session zone — probed value-exact
     // incl. equality against the converted naive TIMESTAMP
     q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' AS t",
-      Seq("2024-01-01 03:00:00")),
+      Seq("2024-01-01 03:00:00+00")),
     q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00' AS t",
-      Seq("2024-01-01 05:00:00")),
+      Seq("2024-01-01 05:00:00+00")),
     q("SELECT '2024-01-01 05:00:00+0530'::TIMESTAMPTZ AS t",
-      Seq("2023-12-31 23:30:00")),
+      Seq("2023-12-31 23:30:00+00")),
     q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00.25+02' AS t",
-      Seq("2024-01-01 03:00:00.25")),
+      Seq("2024-01-01 03:00:00.25+00")),
     q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00Z' AS t",
-      Seq("2024-01-01 05:00:00")),
+      Seq("2024-01-01 05:00:00+00")),
     q("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+02' = " +
       "TIMESTAMP '2024-01-01 03:00:00' AS eq", Seq(true)),
     q("SELECT timezone_hour(TIMESTAMPTZ '2024-01-01 00:00:00+02') AS h",
@@ -4165,13 +4165,13 @@ class DuckDbCorpusSpec extends SparkTestBase {
       Seq("2020-06-01 10:00:00")),
     // chains alternate naive↔instant per application (probed)
     q("SELECT (TIMESTAMPTZ '2020-06-01 12:00:00+00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'Asia/Tokyo' AS t",
-      Seq("2020-05-31 23:00:00")),
+      Seq("2020-05-31 23:00:00+00")),
     q("SELECT TIMESTAMP '2020-06-01 12:00:00' AT TIME ZONE 'America/New_York' AT TIME ZONE 'Asia/Tokyo' AS t",
       Seq("2020-06-02 01:00:00")),
     q("SELECT timezone('Europe/Berlin', timezone('America/New_York', TIMESTAMP '2020-06-01 12:00:00')) AS t",
       Seq("2020-06-01 18:00:00")),
     q("SELECT timezone('Asia/Tokyo', timezone('America/New_York', TIMESTAMPTZ '2020-06-01 12:00:00+00')) AS t",
-      Seq("2020-05-31 23:00:00")),
+      Seq("2020-05-31 23:00:00+00")),
     // per-row string→TIMESTAMPTZ casts: duck's text grammar exactly
     q("SELECT '2020-06-01 12:00:00 America/New_York'::TIMESTAMPTZ = TIMESTAMP '2020-06-01 16:00:00' AS b",
       Seq(true)), // named zone interprets the wall-clock
@@ -4453,9 +4453,9 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // column cascade the direction flip; instant-ness reaches through
     // max/min aggregates, interval arithmetic, and TRY_CAST literals
     q("SELECT t AT TIME ZONE 'America/New_York' AT TIME ZONE 'Asia/Tokyo' " +
-      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00")),
+      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00+00")),
     q("SELECT timezone('Asia/Tokyo', timezone('America/New_York', t)) " +
-      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00")),
+      "AS v FROM tztab WHERE id = 1", Seq("2020-05-31 21:00:00+00")),
     q("SELECT timezone('America/New_York', max(t)) AS v FROM tztab",
       Seq("2020-06-01 07:00:00")),
     q("SELECT timezone('America/New_York', min(t)) AS v FROM tztab",
@@ -4475,7 +4475,7 @@ class DuckDbCorpusSpec extends SparkTestBase {
     // lists, epoch family, interval comparisons (all duck-probed)
     s("PREPARE ptz AS SELECT $1 + INTERVAL 1 HOUR AS r"),
     q("EXECUTE ptz(TIMESTAMPTZ '2020-06-01 12:00:00+02')",
-      Seq("2020-06-01 11:00:00")),
+      Seq("2020-06-01 11:00:00+00")),
     s("DEALLOCATE ptz"),
     q("SELECT coalesce(NULL::TIMESTAMPTZ, TIMESTAMPTZ '2020-06-01 00:00:00+02') " +
       "= TIMESTAMP '2020-05-31 22:00:00' AS b", Seq(true)),
