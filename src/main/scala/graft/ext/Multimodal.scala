@@ -8,7 +8,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,7 +40,7 @@ object Multimodal {
     * the task (fully distributed); CodegenFallback keeps it simple — the
     * surrounding projections still codegen. */
   case class ByteHistogram(child: Expression, buckets: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(buckets > 0 && buckets <= 256 && 256 % buckets == 0,
       s"buckets must divide 256 (got $buckets)")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -54,6 +54,17 @@ object Multimodal {
         i += 1
       }
       new GenericArrayData(counts)
+    }
+    /** Boxed entry for generated code (binary input is already an object). */
+    def evalBoxed(v: Any): Any = nullSafeEval(v)
+    // real codegen (was CodegenFallback, r15 optimization round): the
+    // per-row work stays one call, but the expression no longer severs
+    // the whole-stage-codegen span of the surrounding projections
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("byteHistogram", this,
+        classOf[ByteHistogram].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalBoxed($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
       copy(child = newChild)
@@ -96,11 +107,22 @@ object Multimodal {
   }
 
   case class EncodeBmp(child: Expression)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = BinaryType
     override def nullSafeEval(input: Any): Any =
       encodeSeed(input.asInstanceOf[Array[Byte]], "bmp")
+    /** Boxed entry for generated code (binary in/out). */
+    def evalBoxed(v: Any): Any = nullSafeEval(v)
+    // real codegen (was CodegenFallback, r15 optimization round): the
+    // per-row work stays one call, but the expression no longer severs
+    // the whole-stage-codegen span of the surrounding projections
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("encodeBmp", this,
+        classOf[EncodeBmp].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (byte[]) $ref.evalBoxed($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): EncodeBmp =
       copy(child = newChild)
   }
@@ -110,11 +132,22 @@ object Multimodal {
     * rather than BMP's raw rows, so agreement between the two paths
     * certifies genuine codec work, not byte-copying. */
   case class EncodePng(child: Expression)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = BinaryType
     override def nullSafeEval(input: Any): Any =
       encodeSeed(input.asInstanceOf[Array[Byte]], "png")
+    /** Boxed entry for generated code (binary in/out). */
+    def evalBoxed(v: Any): Any = nullSafeEval(v)
+    // real codegen (was CodegenFallback, r15 optimization round): the
+    // per-row work stays one call, but the expression no longer severs
+    // the whole-stage-codegen span of the surrounding projections
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("encodePng", this,
+        classOf[EncodePng].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (byte[]) $ref.evalBoxed($c);")
+    }
     override protected def withNewChildInternal(newChild: Expression): EncodePng =
       copy(child = newChild)
   }
@@ -126,7 +159,7 @@ object Multimodal {
     * ([[ByteHistogram]]). Fails loudly on an undecodable payload rather
     * than emitting garbage. */
   case class DecodeImage(child: Expression)
-      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = StructType(Seq(
       StructField("width", IntegerType, nullable = false),
@@ -163,6 +196,17 @@ object Multimodal {
       }
       val n = (w * h).toDouble
       InternalRow(w, h, sr / n, sg / n, sb / n, pix)
+    }
+    /** Boxed entry for generated code (binary in, struct row out). */
+    def evalBoxed(v: Any): Any = nullSafeEval(v)
+    // real codegen (was CodegenFallback, r15 optimization round): the
+    // per-row work stays one call, but the expression no longer severs
+    // the whole-stage-codegen span of the surrounding projections
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("decodeImage", this,
+        classOf[DecodeImage].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (InternalRow) $ref.evalBoxed($c);")
     }
     override protected def withNewChildInternal(newChild: Expression): DecodeImage =
       copy(child = newChild)

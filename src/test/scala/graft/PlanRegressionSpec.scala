@@ -97,4 +97,87 @@ class PlanRegressionSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan.take(3000))
     assert(plan.contains("collect_list"), plan.take(3000))
   }
+
+  /** Run `body` with silent interpreted fallback DISABLED, so a generated
+    * class Janino cannot compile fails the test instead of quietly
+    * running 3× slower (the r6 static-forwarder lesson). */
+  private def strictCodegen[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  // r15 optimization round: the boundary renderers were CodegenFallback
+  // (r14 verdict item 4) — each one severed the whole-stage-codegen span
+  // it sat in, so e.g. `col::TIMESTAMPTZ::VARCHAR` over a fact table ran
+  // interpreted per row. Ported to doGenCode (reference-object pattern);
+  // these tests pin BOTH properties: the project stays inside a
+  // WholeStageCodegen span (`*(n)` prefix), and the generated code
+  // produces the same bytes the interpreted eval did.
+  test("DuckInstantToVarchar runs inside whole-stage codegen, same text") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val df = spark.range(0, 1000).select(ColumnShim.column(
+      graft.functions.DuckInstantToVarchar(ColumnShim.expression(
+        col("id").cast("timestamp")))).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(2000))
+    val rows = strictCodegen(df.collect())
+    assert(rows(0).getString(0) == "1970-01-01 00:00:00+00")
+    assert(rows(61).getString(0) == "1970-01-01 00:01:01+00")
+  }
+
+  test("DuckIntervalToVarchar runs inside whole-stage codegen, same text") {
+    import org.apache.spark.sql.graft.ColumnShim
+    // non-foldable day-time interval: ts-column minus a literal instant
+    val df = spark.range(0, 100).select(ColumnShim.column(
+      graft.functions.DuckIntervalToVarchar(ColumnShim.expression(
+        (col("id") * 90000).cast("timestamp") -
+          lit("1970-01-01 00:00:00").cast("timestamp")))).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(2000))
+    val rows = strictCodegen(df.collect())
+    // ts − ts declares DAY TO SECOND, so whole days split out (duck does
+    // the same for subtraction results): 90 000 s = 1 day 01:00:00
+    assert(rows(0).getString(0) == "00:00:00")
+    assert(rows(1).getString(0) == "1 day 01:00:00")
+  }
+
+  test("DuckComplexToVarchar runs inside whole-stage codegen, same text") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val df = spark.range(0, 100).select(ColumnShim.column(
+      graft.functions.DuckComplexToVarchar(ColumnShim.expression(
+        array(col("id"), col("id") + 1)))).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(2000))
+    assert(strictCodegen(df.collect())(3).getString(0) == "[3, 4]")
+  }
+
+  test("DuckTypeof is a per-plan constant under codegen") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val df = spark.range(0, 10).select(ColumnShim.column(
+      graft.functions.DuckTypeof(ColumnShim.expression(col("id")))).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(2000))
+    assert(strictCodegen(df.collect()).forall(_.getString(0) == "BIGINT"))
+  }
+
+  test("multimodal encode→decode→histogram chain stays in whole-stage codegen") {
+    import org.apache.spark.sql.graft.ColumnShim
+    // md5-seed → BMP → decode → byte histogram: the x12/x13/x21/x47 hot
+    // path; all four expressions were CodegenFallback before r15
+    val seeds = spark.range(0, 50).select(
+      unhex(md5(col("id").cast("string"))).as("seed"))
+    val enc = seeds.select(ColumnShim.column(graft.ext.Multimodal.EncodeBmp(
+      ColumnShim.expression(col("seed")))).as("img"))
+    val dec = enc.select(
+      ColumnShim.column(graft.ext.Multimodal.DecodeImage(
+        ColumnShim.expression(col("img")))).as("d"),
+      ColumnShim.column(graft.ext.Multimodal.ByteHistogram(
+        ColumnShim.expression(col("img")), 8)).as("h"))
+      .select(col("d.width"), col("d.height"), col("h"))
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(2000))
+    val rows = strictCodegen(dec.collect())
+    assert(rows.forall(r => r.getInt(0) >= 3 && r.getInt(0) <= 6))
+    assert(rows.forall(r => r.getSeq[Long](2).sum > 0))
+  }
 }
