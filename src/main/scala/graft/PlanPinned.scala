@@ -21,7 +21,12 @@ object PlanPinned {
     try Tables.pin(spark, sfDir) catch { case _: Throwable => () }
     for (name <- args) {
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // apply the same per-query plan profile Bench executes under
+      // (adaptive conf is read at physical-planning time, which explain
+      // triggers) — a pinned query's dump shows its static plan
+      ops.PlanProfile.withProfile(spark, name) {
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -46,12 +46,23 @@ object PlanProfile {
     * double-negative deltas ≥0.04: q22/q42/q57 map-only scans
     * (−0.050/−0.051, −0.055/−0.056, −0.110/−0.040), q44 broadcast right
     * join (−0.216/−0.055), x19 IVF cell-pair equi-joins (−1.06/−0.089),
-    * x38 asof (−0.104/−0.045), x44 map-only CDC (−0.183/−0.120). */
+    * x38 asof (−0.104/−0.045), x44 map-only CDC (−0.183/−0.120).
+    *
+    * r15 re-probe (floorprobe_r15_{a,b}, optimization round): 25 pins
+    * KEPT, 5 UNPINNED on sign flips (q22 −0.015/+0.003, x10
+    * +0.002/−0.007, x18 +0.006/−0.019, x44 −0.079/+0.001, x45
+    * −0.002/+0.009 — all inside floor noise, the sign-flip rule stands),
+    * 2 newly PINNED on double-negative deltas: q05 (−0.181/−0.089 — the
+    * r10 unpin re-measured; its star join is fully shaped at analysis
+    * time: bounded dims broadcast-hinted, orders on the custkey resident
+    * layout, lineitem never exchanged) and q55 (−0.055/−0.064 —
+    * distinct/join/agg all keyed user_id on the pinned events layout;
+    * no data-dependent strategy left for AQE to pick). */
   val staticPlan: Set[String] = Set(
-    "q03", "q15", "q19", "q22", "q26", "q27", "q34", "q35", "q39", "q41",
-    "q42", "q44", "q51", "q57", "q59",
-    "x02", "x03", "x04", "x07", "x08", "x10", "x17", "x18", "x19", "x27",
-    "x30", "x34", "x38", "x44", "x45"
+    "q03", "q05", "q15", "q19", "q26", "q27", "q34", "q35", "q39", "q41",
+    "q42", "q44", "q51", "q55", "q57", "q59",
+    "x02", "x03", "x04", "x07", "x08", "x17", "x19", "x27",
+    "x30", "x34", "x38"
   )
 
   /** The pre-r9 pin set, kept for A/B reference only. */
