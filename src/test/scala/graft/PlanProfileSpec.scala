@@ -38,12 +38,13 @@ class PlanProfileSpec extends SparkTestBase {
     // (floorprobe_r10_{a,b}, first probes under the suite-sized codegen
     // cache): q44 moved OUT into staticPlan on double-confirmed AQE-off
     // wins (−0.216/−0.055); q05/q13/q14/x32 moved IN on sign flips.
-    // r15 (floorprobe_r15_{a,b}): q05 moved back OUT on double-confirmed
-    // AQE-off wins (−0.181/−0.089 — the r10 flip was a contaminated
-    // session); q13/q14/x32/q18 re-confirmed split-or-under-threshold,
-    // so they stay here.
+    // r15 (floorprobe_r15_{a,b}): q05 probed double-negative at sf0.1
+    // (−0.181/−0.089) but the 10× A/B rejected the pin (pinned 1.94 vs
+    // AQE 0.97 s — its supA/cA keying is a genuine AQE/stats decision),
+    // so q05 STAYS here: scale evidence outranks the local floor.
+    // q13/q14/x32/q18 re-confirmed split-or-under-threshold.
     val mustKeepAqe = Set("q18", "x13", "x25", "x31", "x42",
-      "x15", "x20", "q25", "q13", "q14", "x32")
+      "x15", "x20", "q25", "q05", "q13", "q14", "x32")
     val pinned = mustKeepAqe.intersect(PlanProfile.staticPlan)
     assert(pinned.isEmpty, s"runtime-shaped queries pinned: $pinned")
   }
