@@ -269,7 +269,11 @@ object Corpus {
       val tok = Tables(s, dir, "documents")
         .select(col("lang"), explode(words(col("text"))).as("term"))
       val exact = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
-      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+      // per-language token totals DERIVE from the per-term counts (Σ n):
+      // one fewer corpus-wide tokenize+explode pass and one fewer
+      // raw-token aggregation (r15; the derivation x26 already uses) —
+      // the sketch is the only consumer that needs the raw token stream
+      val tot = exact.groupBy(col("lang")).agg(sum(col("n")).as("n_tok"))
       val mg = tok.groupBy(col("lang"))
         .agg(graft.functions.MisraGries.topkSketch(col("term"), 32).as("mg"))
       val w = Window.partitionBy(col("lang"))
@@ -295,7 +299,9 @@ object Corpus {
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
       val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      val tot = tok.select(count(lit(1)).as("total"))
+      // the corpus token total is Σ of the per-term counts — derived from
+      // freq instead of a second full tokenize+explode+count pass (r15)
+      val tot = freq.agg(sum(col("c")).as("total"))
       tok.join(freq, "term") // vocabulary-sized right side: AQE decides
         .crossJoin(broadcast(tot))
         .withColumn("nll_u",
@@ -349,7 +355,8 @@ object Corpus {
       val tok = Tables(s, dir, "documents")
         .select(col("lang"), explode(words(col("text"))).as("term"))
       val exact = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
-      val tot = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+      // token totals derive from the per-term counts — see x31 (r15)
+      val tot = exact.groupBy(col("lang")).agg(sum(col("n")).as("n_tok"))
       val cms = tok.groupBy(col("lang"))
         .agg(CountMinSketch.sketch(col("term")).as("cms"))
       val w = Window.partitionBy(col("lang"))
