@@ -243,14 +243,21 @@ object Corpus {
       val emb = Tables(s, dir, "embeddings")
       val e = emb.select(col("label"),
         posexplode(col("embedding").cast(ArrayType(DoubleType))).as(Seq("pos", "val")))
+      // n_vecs rides the SAME aggregate as the means: embeddings are dense
+      // fixed-d non-null arrays (generator contract, TESTDATA.md), so the
+      // element count at pos 0 IS the per-label vector count — the
+      // separate emb.groupBy(label).count() pass and its join are a whole
+      // extra corpus scan + stage for a value already in hand (r15; the
+      // oracle's COUNT(*) certifies the equivalence)
       val means = e.groupBy(col("label"), col("pos"))
         .agg((sum(col("val").cast(DecimalType(28, 18))).cast(DoubleType) /
-          count(col("val"))).as("m"))
+          count(col("val"))).as("m"),
+          count(col("val")).as("cnt"))
       val cents = means.groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label"), expr("transform(pm, x -> x.m)").as("cv"))
-      val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-      cents.join(counts, "label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+          max(when(col("pos") === 0, col("cnt"))).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), expr("transform(pm, x -> x.m)").as("cv"))
+      cents
         .select(col("label"), col("n_vecs"),
           round(Similarity.l2norm(col("cv")), 6).as("centroid_norm"),
           round(element_at(col("cv"), 1), 6).as("m0"),

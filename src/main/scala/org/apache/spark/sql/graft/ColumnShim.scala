@@ -18,6 +18,17 @@ object ColumnShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** DataFrame over an RDD of INTERNAL rows (`internalCreateDataFrame` is
+    * private[sql]): lets the sanctioned RDD drop-downs (the prefix-sum
+    * sites in [[graft.ops.Positions]]) stay on InternalRow instead of
+    * paying the external-Row converter in BOTH directions per row. */
+  def ofInternalRows(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Parse SQL text to the UNRESOLVED logical plan (pre-analysis, so
     * operator nodes like `IntegralDivide` appear with their original
     * children, before coercion casts) — `sessionState` lives on the
